@@ -1,0 +1,28 @@
+"""Vector math as pure column algebra (higher-order functions).
+
+No UDFs: ``zip_with`` + ``aggregate`` run JVM-side, so a cosine
+similarity over a 64-dim float array costs one codegen'd loop per row —
+the cheapest possible per-row vector op in Spark. Accumulation is in
+double regardless of the array element type.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two numeric arrays (double accumulation)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, p: acc + p)
+
+
+def l2_norm(a: Column | str) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))

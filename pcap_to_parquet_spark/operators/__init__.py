@@ -1,0 +1,18 @@
+"""Operator surface: importing this package registers every query.
+
+Each module is a family from SURVEY.md §2 Part B; the pcap pipeline
+(Part A) lives in sources/pcap.py with its query in pcap_query.py.
+"""
+
+from pcap_to_parquet_spark.operators import (  # noqa: F401
+    aggregates,
+    flagship,
+    joins,
+    llm,
+    multimodal,
+    pcap_query,
+    relational,
+    scalar_funcs,
+    sessionize,
+    windows,
+)

@@ -1,0 +1,197 @@
+"""Aggregation operators: hash agg, filtered agg, statistics,
+approximate distinct, rollup / cube / grouping sets.
+
+All groupBy aggregates get map-side partial aggregation for free; the
+shuffle moves one row per (partition, group), not per input row — the
+property that makes these plans survive 100 TB. Double-typed aggregates
+are rounded identically on both engines because float summation order
+is partition-dependent (SURVEY §5.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pcap_to_parquet_spark.registry import query
+from pcap_to_parquet_spark.sources import load_table
+
+
+@query(
+    "q_hash_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def hash_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical partial+final hash aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q_agg_filter",
+    """
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS n_clicks,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors,
+           ROUND(COALESCE(SUM(value) FILTER (WHERE event_type = 'purchase'), 0.0), 4)
+               AS purchase_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def agg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered aggregation (FILTER/count_if) via count/sum over CASE."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count_if(F.col("event_type") == "click").alias("n_clicks"),
+        F.count_if(F.col("event_type") == "error").alias("n_errors"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))), F.lit(0.0)
+            ),
+            4,
+        ).alias("purchase_value"),
+    )
+
+
+@query(
+    "q_stats_agg",
+    """
+    SELECT c_mktsegment,
+           ROUND(STDDEV_SAMP(c_acctbal), 4) AS bal_stddev,
+           ROUND(VAR_SAMP(c_acctbal), 4) AS bal_var,
+           ROUND(MEDIAN(c_acctbal), 4) AS bal_median,
+           ROUND(MIN(c_acctbal), 2) AS bal_min,
+           ROUND(MAX(c_acctbal), 2) AS bal_max
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance/exact median (median is a
+    sort-based agg — fine per-group; the group count is bounded)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.stddev_samp("c_acctbal"), 4).alias("bal_stddev"),
+        F.round(F.var_samp("c_acctbal"), 4).alias("bal_var"),
+        F.round(F.median("c_acctbal"), 4).alias("bal_median"),
+        F.round(F.min("c_acctbal"), 2).alias("bal_min"),
+        F.round(F.max("c_acctbal"), 2).alias("bal_max"),
+    )
+
+
+@query("q_approx_distinct")  # approximate → rows-only check (no oracle)
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate count-distinct — THE count-distinct at
+    100 TB (exact countDistinct needs a full shuffle of the keys; HLL
+    ships a constant-size sketch per partition)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orderkeys"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "q_count_distinct",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS n_orderkeys,
+           COUNT(DISTINCT l_suppkey) AS n_suppkeys
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column count-distinct (Spark expands to two-phase agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orderkeys"),
+        F.countDistinct("l_suppkey").alias("n_suppkeys"),
+    )
+
+
+@query(
+    "q_rollup",
+    """
+    SELECT r_name, n_name, COUNT(*) AS n_customers,
+           ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@query(
+    "q_cube",
+    """
+    SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY CUBE (c_mktsegment, o_orderstatus)
+    """,
+)
+def cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .cube("c_mktsegment", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "q_grouping_sets",
+    """
+    SELECT c_mktsegment, c_nationkey, COUNT(*) AS n_customers
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    """,
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("pq_customer_gs")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_nationkey, COUNT(*) AS n_customers
+        FROM pq_customer_gs
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        """
+    )

@@ -1,0 +1,536 @@
+"""LLM-training-data pipeline operators (SURVEY §2 Part B north star):
+
+- deduplication: exact, MinHash+LSH, SimHash, exact n-gram Jaccard,
+  embedding-cosine near-dup
+- similarity search: brute-force cosine top-k + IVF-bucketed variant
+- text analysis: token counting, quality scoring, language-ID
+  heuristic, document fingerprinting
+
+Design rules at 100 TB: no collect() of corpus data (only tiny
+constants like the query vector / 10 centroids are broadcast); all
+pairwise work is *blocked* (LSH bands, SimHash bands, label buckets)
+so candidate generation is a key-equality shuffle join, never a
+cartesian product; hashes are seeded deterministically.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pcap_to_parquet_spark.functions.text import shingles, whitespace_tokens
+from pcap_to_parquet_spark.functions.vectors import cosine_similarity
+from pcap_to_parquet_spark.registry import query
+from pcap_to_parquet_spark.sources import load_table
+
+# ---------------------------------------------------------------------------
+# deterministic MinHash parameters (fixed seed; SURVEY §7 "fixed hash seeds")
+MINHASH_PERMS = 128
+MINHASH_BANDS = 16  # 16 bands × 8 rows
+MINHASH_ROWS = MINHASH_PERMS // MINHASH_BANDS
+_MERSENNE = (1 << 61) - 1
+_rng = random.Random(42)
+_MINHASH_AB = [
+    (_rng.randrange(1, 1 << 31), _rng.randrange(0, 1 << 31)) for _ in range(MINHASH_PERMS)
+]
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+
+@query(
+    "q_dedup_exact",
+    """
+    SELECT md5(text) AS text_hash,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, keep the smallest doc_id.
+    At scale: group on md5(text) (16 bytes) instead of the full text so
+    the shuffle carries digests, not documents."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dedup (rows-only: hashing not expressible in DuckDB SQL)
+
+
+def _shingle_table(d: DataFrame) -> DataFrame:
+    """(doc_id, sh_hash): distinct 3-word shingles, pre-hashed to 31 bits
+    so the k permutation products stay in 62 bits (ANSI-overflow safe)."""
+    return (
+        d.select("doc_id", F.explode(shingles("text", 3)).alias("sh"))
+        .select("doc_id", F.pmod(F.xxhash64("sh"), F.lit(1 << 31)).alias("sh_hash"))
+        .distinct()
+    )
+
+
+def minhash_signatures(d: DataFrame) -> DataFrame:
+    """(doc_id, sig: array<long> of MINHASH_PERMS minima).
+
+    One shuffle (groupBy doc_id); the k permutations are computed
+    columnar in a single pass over the shingle rows.
+    """
+    sh = _shingle_table(d)
+    mins = [
+        F.min(F.pmod(F.lit(a) * F.col("sh_hash") + F.lit(b), F.lit(_MERSENNE))).alias(f"h{i}")
+        for i, (a, b) in enumerate(_MINHASH_AB)
+    ]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[f"h{i}" for i in range(MINHASH_PERMS)]).alias("sig")
+    )
+
+
+@query("q_dedup_minhash")  # rows-only
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: shingle → 128 minhashes → 16
+    bands of 8 → bucket-join on (band, band_hash) → estimate Jaccard as
+    the fraction of agreeing minhashes; keep est ≥ 0.7.
+
+    The only pairwise work happens inside LSH buckets (key-equality
+    join), so the plan is shuffle-bounded by the number of colliding
+    docs, never O(n²)."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d).cache()
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at("sig", b * MINHASH_ROWS + r + 1) for r in range(MINHASH_ROWS)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bh"),
+    ).select("doc_id", "bh.band", "bh.band_hash")
+    pairs = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    est = (
+        pairs.join(sigs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sig_a"), "doc_a")
+        .join(sigs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "sig_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda p, q: p == q), lambda eq: eq
+                    )
+                ).cast("double")
+                / MINHASH_PERMS
+            ).alias("est_jaccard"),
+        )
+    )
+    return est.filter(F.col("est_jaccard") >= 0.7).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dedup (rows-only)
+
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4  # 4 × 16-bit bands; hamming ≤ 3 guarantees ≥1 exact band
+
+
+def simhash(d: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 64-bit SimHash over whitespace tokens
+    (frequency-weighted: duplicate tokens kept)."""
+    toks = d.select("doc_id", F.explode(whitespace_tokens("text")).alias("tok"))
+    h = toks.select("doc_id", F.xxhash64("tok").alias("th"))
+    # bit 63's mask doesn't fit a positive long — use its two's complement
+    masks = [(1 << i) if i < 63 else -(1 << 63) for i in range(SIMHASH_BITS)]
+    bit_sums = [
+        F.sum(
+            F.when(F.col("th").bitwiseAND(F.lit(masks[i])) != 0, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = h.groupBy("doc_id").agg(*bit_sums)
+    # assemble the 64-bit fingerprint from the sign of each bit-sum
+    fp = None
+    for i in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(masks[i])).otherwise(F.lit(0))
+        fp = bit if fp is None else fp.bitwiseOR(bit)
+    return agg.select("doc_id", fp.alias("simhash"))
+
+
+@query("q_dedup_simhash")  # rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: band the 64-bit fingerprint into 4×16-bit keys,
+    bucket-join, keep pairs with hamming distance ≤ 3 (banding is exact
+    for that radius: 4 bands, ≤3 differing bits → some band matches)."""
+    d = load_table(spark, sf_dir, "documents")
+    fps = simhash(d).cache()
+    bands = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("band_key"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.band_key")
+    pairs = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= 3).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (oracle-checkable: pure set algebra)
+
+NGRAM_JACCARD_ORACLE = """
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, unnest(
+        list_transform(generate_series(1, len(ws) - 2),
+                       i -> ws[i] || '|' || ws[i+1] || '|' || ws[i+2])) AS sh
+    FROM tok
+    WHERE len(ws) >= 3
+),
+n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(COUNT(*)::DOUBLE
+             / (ANY_VALUE(na.n) + ANY_VALUE(nb.n) - COUNT(*)), 6) AS jaccard
+FROM sh a
+JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+JOIN n na ON na.doc_id = a.doc_id
+JOIN n nb ON nb.doc_id = b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING ROUND(COUNT(*)::DOUBLE
+             / (ANY_VALUE(na.n) + ANY_VALUE(nb.n) - COUNT(*)), 6) >= 0.8
+"""
+
+
+@query("q_ngram_jaccard", NGRAM_JACCARD_ORACLE)
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard ≥ 0.8 pairs. Candidates are generated by the
+    shingle-equality join itself (inverted-index style — only docs
+    sharing a shingle ever pair), then intersection/union counted.
+    Note: the word soup here shares shingles heavily; real corpora are
+    far sparser. The MinHash variant is the scale path; this is the
+    exact oracle-checked twin."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", F.explode(shingles("text", 3)).alias("sh")).distinct()
+    )
+    n = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = (
+        inter.join(F.broadcast(n.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a")), "doc_a")
+        .join(F.broadcast(n.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= 0.8)
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (oracle-checkable via label blocking)
+
+EMBED_NEARDUP_ORACLE = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+       ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cos_sim
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.45
+"""
+
+
+@query("q_embed_neardup", EMBED_NEARDUP_ORACLE)
+def embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup within label blocks: the pairwise cosine is
+    confined to same-label buckets (a key-equality shuffle join), the
+    generic blocked-pairwise shape used for near-dup at scale (swap the
+    label for an LSH bucket id when no natural key exists)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    a = em.alias("a")
+    b = em.alias("b")
+    cos = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            cos.alias("raw_cos"),
+        )
+        .filter(F.col("raw_cos") > 0.45)
+        .select("vec_a", "vec_b", "label", F.round("raw_cos", 4).alias("cos_sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search: brute-force top-k and IVF variant
+
+SIM_TOPK_ORACLE = """
+SELECT b.vec_id, b.label,
+       ROUND(CAST(list_cosine_similarity(q.embedding, b.embedding) AS DOUBLE), 5) AS cos_sim
+FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+WHERE b.vec_id <> 0
+ORDER BY list_cosine_similarity(q.embedding, b.embedding) DESC, b.vec_id
+LIMIT 10
+"""
+
+
+@query("q_similarity_topk", SIM_TOPK_ORACLE)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast ONLY the query vector (one
+    row), scan the corpus once, TakeOrderedAndProject keeps k rows per
+    partition — no global sort, no corpus collect. This is the exact
+    baseline ANN engines are measured against."""
+    em = load_table(spark, sf_dir, "embeddings")
+    qvec = em.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_embedding"))
+    cos = cosine_similarity("q_embedding", "embedding")
+    return (
+        em.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qvec))
+        .select("vec_id", "label", cos.alias("raw_cos"))
+        .orderBy(F.col("raw_cos").desc(), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id", "label", F.round("raw_cos", 5).alias("cos_sim"))
+    )
+
+
+@query("q_similarity_ivf")  # rows-only: IVF is approximate by construction
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: build 10 centroids (mean embedding per label),
+    probe the 2 centroids nearest the query, and brute-force ONLY
+    vectors assigned to those centroids. The inverted lists are a
+    partition pruning structure: at 100 TB the corpus is written
+    partitioned by centroid id and the probe reads 2/10 of the data."""
+    em = load_table(spark, sf_dir, "embeddings")
+    dim_range = F.sequence(F.lit(1), F.size("embedding"))
+    # centroids: elementwise mean per label — explode (pos, val), avg, re-assemble
+    comp = em.select(
+        "label",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias("pos", "val"),
+    )
+    centroids = (
+        comp.groupBy("label", "pos")
+        .agg(F.avg("val").alias("cval"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pv"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.transform("pv", lambda s: s.getField("cval")).alias("centroid"),
+        )
+    )
+    qvec = em.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_embedding"))
+    # pick the 2 centroids closest to the query (10 rows — driver-size, still done in-plan)
+    probe = (
+        centroids.join(F.broadcast(qvec))
+        .select("c_label", cosine_similarity("q_embedding", "centroid").alias("c_cos"))
+        .orderBy(F.col("c_cos").desc(), F.col("c_label"))
+        .limit(2)
+        .select("c_label")
+    )
+    cos = cosine_similarity("q_embedding", "embedding")
+    return (
+        em.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probe), em.label == F.col("c_label"), "left_semi")
+        .join(F.broadcast(qvec))
+        .select("vec_id", "label", cos.alias("raw_cos"))
+        .orderBy(F.col("raw_cos").desc(), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id", "label", F.round("raw_cos", 5).alias("cos_sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+
+@query(
+    "q_text_stats",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars), 4) AS avg_chars,
+           ROUND(AVG(len(list_filter(string_split(text, ' '), t -> t <> ''))), 4)
+               AS avg_tokens,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(F.size(whitespace_tokens("text"))), 4).alias("avg_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query(
+    "q_token_count",
+    """
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    pre-tokenizer (letter runs / digit runs / single punctuation)."""
+    d = load_table(spark, sf_dir, "documents")
+    bpe_re = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+    return d.select(
+        "doc_id",
+        F.size(whitespace_tokens("text")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(bpe_re), F.lit(0))).alias("n_bpe_tokens"),
+    )
+
+
+QUALITY_ORACLE = """
+SELECT doc_id,
+       ROUND(len(list_filter(string_split(text, ' '), t -> t <> ''))::DOUBLE
+             / GREATEST(n_chars, 1), 6) AS token_density,
+       ROUND(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))::DOUBLE
+             / GREATEST(n_chars, 1), 6) AS punct_ratio,
+       ROUND(len(list_filter(string_split(text, ' '),
+                             t -> t IN ('the', 'a', 'of', 'and', 'to')))::DOUBLE
+             / GREATEST(len(list_filter(string_split(text, ' '), t -> t <> '')), 1), 6)
+           AS stopword_ratio,
+       (n_chars BETWEEN 100 AND 5000) AS length_ok
+FROM documents
+"""
+
+
+@query("q_quality_score", QUALITY_ORACLE)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality signals: token density, punctuation ratio,
+    stopword ratio, length gate — the standard pre-training filters."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = whitespace_tokens("text")
+    n_toks = F.size(toks)
+    stop = F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "to")))
+    punct = F.size(F.regexp_extract_all("text", F.lit(r"[^a-zA-Z0-9 ]"), F.lit(0)))
+    denom = F.greatest(F.col("n_chars"), F.lit(1))
+    return d.select(
+        "doc_id",
+        F.round(n_toks.cast("double") / denom, 6).alias("token_density"),
+        F.round(punct.cast("double") / denom, 6).alias("punct_ratio"),
+        F.round(stop.cast("double") / F.greatest(n_toks, F.lit(1)), 6).alias("stopword_ratio"),
+        F.col("n_chars").between(100, 5000).alias("length_ok"),
+    )
+
+
+LANG_ID_ORACLE = """
+WITH scored AS (
+    SELECT doc_id, lang,
+           len(list_filter(string_split(text, ' '),
+                           t -> t IN ('the', 'a', 'of', 'and', 'to', 'is'))) AS en_hits,
+           len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens
+    FROM documents
+)
+SELECT doc_id, lang AS labeled_lang,
+       CASE WHEN n_tokens > 0 AND en_hits::DOUBLE / n_tokens >= 0.05
+            THEN 'en' ELSE 'und' END AS detected_lang,
+       ROUND(en_hits::DOUBLE / GREATEST(n_tokens, 1), 6) AS en_score
+FROM scored
+"""
+
+
+@query("q_lang_id", LANG_ID_ORACLE)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: English function-word hit rate (the
+    n-gram/stopword heuristic family; real multi-language tables get one
+    stopword set per language and an argmax)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = whitespace_tokens("text")
+    en_hits = F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "to", "is")))
+    n_tokens = F.size(toks)
+    score = en_hits.cast("double") / F.greatest(n_tokens, F.lit(1))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.when((n_tokens > 0) & (score >= 0.05), "en").otherwise("und").alias("detected_lang"),
+        F.round(score, 6).alias("en_score"),
+    )
+
+
+@query(
+    "q_fingerprint",
+    """
+    SELECT doc_id,
+           md5(lower(trim(text))) AS content_md5,
+           md5(array_to_string(list_sort(list_distinct(
+               list_filter(string_split(lower(trim(text)), ' '), t -> t <> ''))), ' '))
+               AS bag_md5
+    FROM documents
+    """,
+)
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: exact content digest + an order-insensitive
+    bag-of-words digest (sorted distinct tokens) that survives shuffling."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    toks = F.filter(F.split(norm, " "), lambda t: t != "")
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("content_md5"),
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias("bag_md5"),
+    )

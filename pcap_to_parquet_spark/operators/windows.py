@@ -1,0 +1,127 @@
+"""Window functions: ranking, frames, lag/lead, top-k per group.
+
+Window ordering always includes a unique tiebreak key (orderkey /
+event_id) so running aggregates and row_number are deterministic —
+both for the DuckDB oracle and for re-runs at scale (SURVEY §5.2).
+A window = one shuffle on partitionBy keys + per-partition sort; at
+100 TB the partition key must be high-cardinality (user_id, orderkey),
+which all of these are.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pcap_to_parquet_spark.registry import query
+from pcap_to_parquet_spark.sources import load_table
+
+
+@query(
+    "q_window_rank",
+    """
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           RANK() OVER w AS bal_rank,
+           DENSE_RANK() OVER w AS bal_dense_rank,
+           ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                              ORDER BY c_acctbal DESC, c_custkey) AS bal_rownum
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC)
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc())
+    w_unique = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+        F.row_number().over(w_unique).alias("bal_rownum"),
+    )
+
+
+@query(
+    "q_window_frame",
+    """
+    SELECT user_id, event_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+               AS running_value,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+               AS moving_avg3
+    FROM events
+    """,
+)
+def window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running and sliding ROWS frames over a total (unique-keyed) order."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4
+        ).alias("running_value"),
+        F.round(F.avg("value").over(w.rowsBetween(-2, Window.currentRow)), 4).alias(
+            "moving_avg3"
+        ),
+    )
+
+
+@query(
+    "q_lag_lead",
+    """
+    SELECT user_id, event_id, event_type,
+           LAG(event_type) OVER w AS prev_type,
+           LEAD(event_type) OVER w AS next_type,
+           FIRST_VALUE(event_id) OVER w AS first_event,
+           epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS micros_since_prev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.first("event_id").over(w).alias("first_event"),
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias(
+            "micros_since_prev"
+        ),
+    )
+
+
+@query(
+    "q_topk_per_group",
+    """
+    SELECT c_mktsegment, c_custkey, c_acctbal
+    FROM (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal DESC, c_custkey) AS rn
+        FROM customer
+    ) WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number ≤ k. Spark ≥3.5 rewrites this to a
+    WindowGroupLimit (per-partition top-k heap BEFORE the shuffle), so
+    only k rows per group per partition move — the at-scale pattern."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_acctbal")
+    )

@@ -1,0 +1,60 @@
+"""SparkSession construction and runtime tuning.
+
+Two paths:
+- :func:`get_spark` builds a local session (tests, bench.py).
+- :func:`tune` applies the runtime-settable knobs to a session we did
+  NOT build (the driver passes its own session into ``entry()`` /
+  ``queries()``), so correctness-critical settings (UTC timezone,
+  AQE) hold regardless of who built the session.
+
+Scale notes (100 TB target): everything here is also valid on a real
+cluster — AQE handles skew/coalescing at runtime, shuffle partitions
+are a starting hint that AQE re-plans, and zstd matches the
+reference's output codec (/root/reference/src/main.rs:72-75).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied to ANY session that runs our queries.
+RUNTIME_CONF: dict[str, str] = {
+    # Deterministic timestamp semantics vs the DuckDB oracle (naive UTC).
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime coalescing, skew-join splitting, broadcast promotion.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Reference writes ZSTD parquet (main.rs:72-75); we match on every sink.
+    "spark.sql.parquet.compression.codec": "zstd",
+}
+
+# Build-time confs (only honored when *we* construct the session).
+BUILD_CONF: dict[str, str] = {
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    "spark.driver.memory": "24g",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.ui.enabled": "false",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable correctness/perf confs; safe on any session."""
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable on this session build; defaults are close
+    return spark
+
+
+def get_spark(app_name: str = "pcap-to-parquet-spark", cpus: int | None = None) -> SparkSession:
+    """Local session for tests and bench; cluster deploys pass their own."""
+    n = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or os.cpu_count() or 4
+    b = SparkSession.builder.appName(app_name).master(f"local[{n}]")
+    for k, v in {**BUILD_CONF, **RUNTIME_CONF}.items():
+        b = b.config(k, v)
+    return tune(b.getOrCreate())

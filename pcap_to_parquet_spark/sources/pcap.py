@@ -1,0 +1,257 @@
+"""pcap → packets: the reference's entire capability (SURVEY §2 Part A),
+re-expressed Spark-first.
+
+Semantics reproduce /root/reference/src/main.rs exactly for well-formed
+captures:
+
+- legacy libpcap only (main.rs:66,108) — pcapng rejected;
+- one output row per packet, unconditionally (main.rs:88-107);
+- ``len`` = original wire length ``origlen``, not captured length
+  (main.rs:90);
+- Metamako trailer heuristic + innermost-trailer-wins stacking + FCS
+  fallback (main.rs:128-183, see §2.1 of SURVEY.md);
+- Ethernet II / 802.1Q-VLAN → IPv4 → {ICMP, IGMP, TCP, UDP} decode
+  with everything else left NULL (main.rs:185-252).
+
+Deliberate divergence (SURVEY §2.2): malformed/truncated packets never
+raise — fields stay NULL (the reference panics on slice overruns,
+main.rs:190-191,237).
+
+Execution model: ``binaryFile`` scan → ``mapInPandas`` decode emitting
+PACKET_SCHEMA batches. Parallelism is per-file (one task per pcap), the
+splitter is O(1) memory per record (mirroring the reference's streaming
+refill reader, main.rs:113-115); shard large captures upstream. The
+decoded table is then plain column algebra — Catalyst sees through
+everything downstream.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pcap_to_parquet_spark.schema import PACKET_SCHEMA
+from pcap_to_parquet_spark.session import tune
+
+# legacy pcap magic numbers: (byte order, timestamp unit). pcapng
+# (0x0a0d0d0a) is NOT here — unsupported, as in the reference (main.rs:108).
+_MAGICS: dict[bytes, tuple[str, int]] = {
+    b"\xa1\xb2\xc3\xd4": ("big", 6),       # big-endian, microseconds
+    b"\xd4\xc3\xb2\xa1": ("little", 6),    # little-endian, microseconds
+    b"\xa1\xb2\x3c\x4d": ("big", 9),       # big-endian, nanoseconds
+    b"\x4d\x3c\xb2\xa1": ("little", 9),    # little-endian, nanoseconds
+}
+
+_GLOBAL_HEADER_LEN = 24
+_RECORD_HEADER_LEN = 16
+
+
+class PcapFormatError(ValueError):
+    """Raised for files that are not legacy libpcap captures."""
+
+
+def split_pcap_records(buf: bytes) -> Iterator[tuple[int, int, int, bytes]]:
+    """Yield ``(ts_sec, ts_subsec, origlen, data)`` per record.
+
+    Pure splitter over the trivial legacy-pcap framing: 24-byte global
+    header, then 16-byte record headers (ts_sec, ts_subsec, incl_len,
+    orig_len) followed by ``incl_len`` captured bytes. A truncated final
+    record is dropped (the reference's reader likewise stops at
+    Incomplete-then-Eof rather than emitting a partial block).
+    """
+    if len(buf) < _GLOBAL_HEADER_LEN:
+        raise PcapFormatError("file shorter than pcap global header")
+    try:
+        order, _unit = _MAGICS[buf[:4]]
+    except KeyError:
+        raise PcapFormatError(f"not a legacy pcap file (magic={buf[:4].hex()})") from None
+    pos = _GLOBAL_HEADER_LEN
+    n = len(buf)
+    while pos + _RECORD_HEADER_LEN <= n:
+        ts_sec = int.from_bytes(buf[pos : pos + 4], order)
+        ts_sub = int.from_bytes(buf[pos + 4 : pos + 8], order)
+        incl_len = int.from_bytes(buf[pos + 8 : pos + 12], order)
+        origlen = int.from_bytes(buf[pos + 12 : pos + 16], order)
+        pos += _RECORD_HEADER_LEN
+        if pos + incl_len > n:
+            break  # truncated capture tail
+        yield ts_sec, ts_sub, origlen, buf[pos : pos + incl_len]
+        pos += incl_len
+
+
+# ---------------------------------------------------------------------------
+# per-packet decoders (reference semantics, null-on-malformed)
+
+
+def _parse_metamako_trailer(
+    data: bytes, fields: dict[str, Any], pcap_ts: int, length: int
+) -> int | None:
+    """One trailer attempt at offset ``length`` (main.rs:157-183).
+
+    Accept iff |pcap_ts − mm_s| < 300 s and mm_ns < 1e9 (signed compare:
+    negative mm_ns passes, as in the reference's i32 check, main.rs:174).
+    Returns 16 (min trailer length) on acceptance, else None. Out-of-range
+    reads return None instead of panicking (engine policy, SURVEY §2.2).
+    """
+    if length < 12 or length > len(data):
+        return None
+    mm_s = int.from_bytes(data[length - 12 : length - 8], "big", signed=True)
+    mm_ns = int.from_bytes(data[length - 8 : length - 4], "big", signed=True)
+    if abs(pcap_ts - mm_s) < 5 * 60 and mm_ns < 1_000_000_000:
+        fields["mm_id"] = int.from_bytes(data[length - 3 : length - 1], "big")
+        fields["mm_port"] = data[length - 1]
+        fields["mm_ts"] = mm_s * 10**9 + mm_ns
+        return 16
+    return None
+
+
+def _extract_all_metamako_trailers(
+    data: bytes, fields: dict[str, Any], pcap_ts: int, length: int
+) -> None:
+    """Stacked-trailer scan with FCS fallback (main.rs:128-148).
+
+    Outermost trailer first, then slide inward; every successful parse
+    OVERWRITES mm_* so the innermost (earliest-appended) trailer wins
+    (main.rs:124-127 doc comment + overwrite at main.rs:175-177). A
+    failed inner parse slides 1 byte (``unwrap_or(1)``, main.rs:138).
+    """
+    tr = _parse_metamako_trailer(data, fields, pcap_ts, length)
+    if tr is not None:
+        i = tr
+        while i <= length - tr:
+            i += _parse_metamako_trailer(data, fields, pcap_ts, length - i) or 1
+    else:
+        tr = _parse_metamako_trailer(data, fields, pcap_ts, length - 4)
+        if tr is not None:
+            i = tr
+            while i <= length - tr - 4:
+                i += _parse_metamako_trailer(data, fields, pcap_ts, length - i - 4) or 1
+
+
+def _parse_ports(l4: bytes, fields: dict[str, Any]) -> None:
+    """TCP/UDP share the first 4 bytes: BE u16 src/dst ports
+    (main.rs:213-231; payload parsing is //TODO in the reference)."""
+    if len(l4) < 4:
+        return  # reference panics (main.rs:214); engine leaves NULL
+    fields["src_port"] = int.from_bytes(l4[0:2], "big")
+    fields["dst_port"] = int.from_bytes(l4[2:4], "big")
+
+
+_PROTOCOL_NAMES = {1: "ICMP", 2: "IGMP", 6: "TCP", 17: "UDP"}
+
+
+def _parse_ipv4(pkt: bytes, fields: dict[str, Any]) -> None:
+    """IPv4 header decode (main.rs:185-211): IPs always set, protocol
+    name only for {1,2,6,17}, ports only for TCP/UDP. No fragment or
+    IHL sanity handling, matching the reference."""
+    if len(pkt) < 20:
+        return  # reference panics (main.rs:190-191); engine leaves NULL
+    header_length = (pkt[0] & 0x0F) * 4
+    proto = pkt[9]
+    fields["src_ip"] = ".".join(str(b) for b in pkt[12:16])
+    fields["dst_ip"] = ".".join(str(b) for b in pkt[16:20])
+    name = _PROTOCOL_NAMES.get(proto)
+    if name is not None:
+        fields["protocol"] = name
+    if proto in (6, 17):
+        _parse_ports(pkt[header_length:], fields)
+
+
+def _parse_ethernet(data: bytes, fields: dict[str, Any]) -> None:
+    """Ethernet II dispatch (main.rs:234-252): 0x0800 → IPv4@14;
+    0x8100 VLAN → inner ethertype@16, IPv4@18; everything else ignored
+    (no ARP/IPv6/QinQ/MPLS — fields stay NULL)."""
+    if len(data) < 14:
+        return  # reference panics (main.rs:237); engine leaves NULL
+    ether_type = int.from_bytes(data[12:14], "big")
+    if ether_type == 0x0800:
+        _parse_ipv4(data[14:], fields)
+    elif ether_type == 0x8100:
+        if len(data) < 18:
+            return
+        inner = int.from_bytes(data[16:18], "big")
+        if inner == 0x0800:
+            _parse_ipv4(data[18:], fields)
+
+
+def decode_packet(data: bytes, ts_sec: int, origlen: int) -> dict[str, Any]:
+    """Full per-packet decode chain (main.rs:88-107): len → trailers
+    (origlen ≥ 16 gate, main.rs:92) → ethernet. One record per packet,
+    always."""
+    fields: dict[str, Any] = {
+        "src_ip": None,
+        "dst_ip": None,
+        "len": origlen,
+        "protocol": None,
+        "src_port": None,
+        "dst_port": None,
+        "mm_ts": None,
+        "mm_id": None,
+        "mm_port": None,
+    }
+    if origlen >= 16:
+        _extract_all_metamako_trailers(data, fields, ts_sec, origlen)
+    _parse_ethernet(data, fields)
+    return fields
+
+
+def decode_pcap_bytes(buf: bytes) -> list[dict[str, Any]]:
+    """Decode a whole in-memory pcap file to packet records."""
+    return [
+        decode_packet(data, ts_sec, origlen)
+        for ts_sec, _sub, origlen, data in split_pcap_records(buf)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Spark pipeline
+
+
+def read_pcap(spark: SparkSession, path: str) -> DataFrame:
+    """pcap file(s)/glob → packets DataFrame (PACKET_SCHEMA).
+
+    binaryFile scan (one task per file) → Arrow-batched mapInPandas
+    decode. The per-file content column is the only column read.
+    """
+    tune(spark)
+    files = spark.read.format("binaryFile").load(path).select("content")
+
+    # pandas nullable dtypes per column: a plain list-of-ints-with-None
+    # column silently becomes float64 and corrupts ns-scale timestamps
+    # (int64 > 2^53); the extension dtypes keep exact integers.
+    dtypes = {
+        "src_ip": "object",
+        "dst_ip": "object",
+        "len": "Int64",
+        "protocol": "object",
+        "src_port": "Int32",
+        "dst_port": "Int32",
+        "mm_ts": "Int64",
+        "mm_id": "Int32",
+        "mm_port": "Int16",
+    }
+
+    def decode_files(batches):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        cols = [f.name for f in PACKET_SCHEMA.fields]
+        for pdf in batches:
+            for content in pdf["content"]:
+                rows = decode_pcap_bytes(bytes(content))
+                yield pd.DataFrame(
+                    {c: pd.array([r[c] for r in rows], dtype=dtypes[c]) for c in cols},
+                    columns=cols,
+                )
+
+    return files.mapInPandas(decode_files, schema=PACKET_SCHEMA)
+
+
+def convert_pcap(spark: SparkSession, in_path: str, out_path: str) -> None:
+    """The reference CLI, as an engine API (main.rs:59-122): pcap in,
+    ZSTD parquet out (codec parity with main.rs:72-75; exact writer
+    version is a non-goal — DuckDB-readability is the contract)."""
+    read_pcap(spark, in_path).write.mode("overwrite").option("compression", "zstd").parquet(
+        out_path
+    )

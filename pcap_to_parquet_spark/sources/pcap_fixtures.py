@@ -1,0 +1,104 @@
+"""Deterministic golden pcap fixtures (FIXTURES.md §2).
+
+Hand-assembled legacy-pcap bytes, one packet per decode path of the
+reference. Used by the unit tests (expected rows are hand-computed
+there) and by ``q_pcap_pipeline`` to exercise the Spark pipeline.
+"""
+
+from __future__ import annotations
+
+import struct
+
+BASE_TS = 1_700_000_000  # fixed capture second for every fixture packet
+
+
+def pcap_file(records: list[tuple[int, int, bytes]]) -> bytes:
+    """Build a little-endian legacy pcap: records = [(ts_sec, origlen, data)]."""
+    out = struct.pack("<IHHiIII", 0xA1B2C3D4, 2, 4, 0, 0, 65535, 1)
+    for ts_sec, origlen, data in records:
+        out += struct.pack("<IIII", ts_sec, 0, len(data), origlen) + data
+    return out
+
+
+def eth(payload: bytes, ethertype: int = 0x0800) -> bytes:
+    return bytes(range(6)) + bytes(range(6, 12)) + struct.pack(">H", ethertype) + payload
+
+
+def vlan_eth(payload: bytes, inner_ethertype: int = 0x0800) -> bytes:
+    return (
+        bytes(range(6))
+        + bytes(range(6, 12))
+        + struct.pack(">H", 0x8100)
+        + b"\x00\x64"  # TCI (vlan 100)
+        + struct.pack(">H", inner_ethertype)
+        + payload
+    )
+
+
+def ipv4(proto: int, src: str, dst: str, l4: bytes) -> bytes:
+    src_b = bytes(int(x) for x in src.split("."))
+    dst_b = bytes(int(x) for x in dst.split("."))
+    header = struct.pack(
+        ">BBHHHBBH", 0x45, 0, 20 + len(l4), 0x1234, 0, 64, proto, 0
+    ) + src_b + dst_b
+    return header + l4
+
+
+def udp(sport: int, dport: int, payload: bytes = b"\x00" * 8) -> bytes:
+    return struct.pack(">HHHH", sport, dport, 8 + len(payload), 0) + payload
+
+
+def tcp(sport: int, dport: int) -> bytes:
+    # 20-byte minimal TCP header; only the first 4 bytes are ever decoded
+    return struct.pack(">HHIIBBHHH", sport, dport, 1, 0, 0x50, 0x02, 8192, 0, 0)
+
+
+def mm_trailer(sec: int, ns: int, device_id: int, port: int, flags: int = 0) -> bytes:
+    """16-byte Metamako trailer: [orig FCS:4][sec:4 BE][ns:4 BE][flags:1]
+    [device:2 BE][port:1] (layout implied by main.rs:163-177)."""
+    return b"\xde\xad\xbe\xef" + struct.pack(">iiBHB", sec, ns, flags, device_id, port)
+
+
+FCS = b"\xca\xfe\xba\xbe"
+
+
+def fixture_packets() -> dict[str, tuple[int, int, bytes]]:
+    """name → (ts_sec, origlen, data) covering every decode path."""
+    t = BASE_TS
+    udp_frame = eth(ipv4(17, "10.0.0.1", "10.0.0.2", udp(1234, 5678)))
+    tcp_frame = eth(ipv4(6, "192.168.1.10", "192.168.1.20", tcp(80, 443)))
+    icmp_frame = eth(ipv4(1, "10.1.1.1", "10.1.1.2", b"\x08\x00\x00\x00"))
+    igmp_frame = eth(ipv4(2, "10.2.2.1", "224.0.0.1", b"\x11\x00\x00\x00"))
+    gre_frame = eth(ipv4(47, "10.3.3.1", "10.3.3.2", b"\x00\x00\x08\x00"))
+    vlan_frame = vlan_eth(ipv4(17, "172.16.0.1", "172.16.0.2", udp(53, 5353)))
+    arp_frame = eth(b"\x00\x01\x08\x00\x06\x04\x00\x01" + b"\x00" * 20, ethertype=0x0806)
+    mm_single = udp_frame + mm_trailer(t - 2, 500_000_123, 7, 3)
+    # stacked: innermost (first-appended, device 1) must win (main.rs:124-127)
+    mm_stacked = udp_frame + mm_trailer(t - 3, 111_111_111, 1, 1) + mm_trailer(
+        t - 1, 222_222_222, 2, 2
+    )
+    mm_fcs = udp_frame + mm_trailer(t - 5, 777_777_777, 9, 4) + FCS
+    mm_reject = udp_frame + mm_trailer(t - 400, 1, 5, 5)  # |Δts| ≥ 300 s → reject
+    short = b"\x01\x02\x03\x04\x05\x06\x07\x08\x09\x0a"  # origlen < 16 and < eth header
+    truncated = eth(ipv4(17, "10.9.9.1", "10.9.9.2", udp(7, 9)))  # caplen < origlen
+
+    return {
+        "udp_plain": (t, len(udp_frame), udp_frame),
+        "tcp_plain": (t, len(tcp_frame), tcp_frame),
+        "icmp": (t, len(icmp_frame), icmp_frame),
+        "igmp": (t, len(igmp_frame), igmp_frame),
+        "proto_other": (t, len(gre_frame), gre_frame),
+        "vlan_udp": (t, len(vlan_frame), vlan_frame),
+        "non_ip": (t, len(arp_frame), arp_frame),
+        "mm_single": (t, len(mm_single), mm_single),
+        "mm_stacked": (t, len(mm_stacked), mm_stacked),
+        "mm_fcs": (t, len(mm_fcs), mm_fcs),
+        "mm_reject": (t, len(mm_reject), mm_reject),
+        "short_frame": (t, len(short), short),
+        "truncated": (t, len(truncated) + 64, truncated),
+    }
+
+
+def golden_pcap_bytes() -> bytes:
+    """All fixture packets in one deterministic legacy pcap file."""
+    return pcap_file(list(fixture_packets().values()))
