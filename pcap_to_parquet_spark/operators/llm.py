@@ -66,23 +66,23 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH near-dedup (rows-only: hashing not expressible in DuckDB SQL)
 
 
-def _shingle_table(d: DataFrame) -> DataFrame:
-    """(doc_id, sh_hash): distinct 3-word shingles, pre-hashed to 31 bits
-    so the k permutation products stay in 62 bits (ANSI-overflow safe)."""
-    return (
-        d.select("doc_id", F.explode(shingles("text", 3)).alias("sh"))
-        .select("doc_id", F.pmod(F.xxhash64("sh"), F.lit(1 << 31)).alias("sh_hash"))
-        .distinct()
-    )
-
-
 def minhash_signatures(d: DataFrame) -> DataFrame:
     """(doc_id, sig: array<long> of MINHASH_PERMS minima).
 
-    One shuffle (groupBy doc_id); the k permutations are computed
-    columnar in a single pass over the shingle rows.
+    ONE-shuffle signature computation: shingles are deduped in-row
+    (``array_distinct`` — min is duplicate-insensitive, so no
+    ``.distinct()`` shuffle), exploded, and the k permutation minima are
+    128 codegen'd ``min`` aggregates with map-side partial aggregation —
+    the shuffle carries one pre-aggregated row per (partition, doc_id),
+    never the shingle stream. Higher-order-function variants were tried
+    and rejected: nested ``transform`` is interpreted per-element,
+    ~10× slower than this codegen'd path. Shingles are pre-hashed to
+    31 bits so ``a*h + b`` stays within 62 bits (ANSI-overflow safe).
     """
-    sh = _shingle_table(d)
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles("text", 3))).alias("sh"),
+    ).select("doc_id", F.pmod(F.xxhash64("sh"), F.lit(1 << 31)).alias("sh_hash"))
     mins = [
         F.min(F.pmod(F.lit(a) * F.col("sh_hash") + F.lit(b), F.lit(_MERSENNE))).alias(f"h{i}")
         for i, (a, b) in enumerate(_MINHASH_AB)
