@@ -1,0 +1,90 @@
+"""LLM-data operators on a planted-duplicate corpus (tiny_docs_dir):
+
+docs 0 == 1 exactly; doc 2 differs by 1 word in 30; doc 3 unrelated;
+doc 4 too short to shingle. Known answers, deterministic hashes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pcap_to_parquet_spark.operators.llm import (
+    dedup_exact,
+    dedup_minhash,
+    dedup_simhash,
+    minhash_signatures,
+    ngram_jaccard,
+    simhash,
+)
+from pcap_to_parquet_spark.sources.tables import load_table
+
+
+def test_dedup_exact_planted(spark, tiny_docs_dir):
+    rows = dedup_exact(spark, tiny_docs_dir).collect()
+    by_copies = {r.n_copies: r for r in rows}
+    assert by_copies[2].keep_id == 0  # docs 0 and 1 collapse, min doc_id kept
+    assert len(rows) == 4  # 5 docs → 4 distinct texts
+
+
+def test_minhash_identical_docs_full_signature_match(spark, tiny_docs_dir):
+    d = load_table(spark, tiny_docs_dir, "documents")
+    sigs = {r.doc_id: r.sig for r in minhash_signatures(d).collect()}
+    assert sigs[0] == sigs[1]  # identical text → identical signature
+    assert sigs[0] != sigs[3]
+    assert 4 not in sigs  # <3 tokens → no shingles → filtered out
+    assert len(sigs[0]) == 128
+
+
+def test_minhash_lsh_finds_planted_pairs(spark, tiny_docs_dir):
+    pairs = {(r.doc_a, r.doc_b): r.est_jaccard for r in dedup_minhash(spark, tiny_docs_dir).collect()}
+    assert pairs[(0, 1)] == 1.0  # exact dup
+    assert (0, 2) in pairs and pairs[(0, 2)] >= 0.7  # near dup (27/31 shingles shared)
+    assert all(3 not in p for p in pairs)  # unrelated never pairs
+
+
+def test_simhash_hamming(spark, tiny_docs_dir):
+    d = load_table(spark, tiny_docs_dir, "documents")
+    fps = {r.doc_id: r.simhash for r in simhash(d).collect()}
+    assert fps[0] == fps[1]
+    assert bin(fps[0] ^ fps[3]).count("1") > 3  # unrelated docs far apart
+    pairs = {(r.doc_a, r.doc_b) for r in dedup_simhash(spark, tiny_docs_dir).collect()}
+    assert (0, 1) in pairs
+
+
+def test_ngram_jaccard_exact_values(spark, tiny_docs_dir):
+    rows = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard(spark, tiny_docs_dir).collect()}
+    assert rows[(0, 1)] == 1.0
+    # doc2: 28 shingles, 3 containing the changed word differ →
+    # |∩|=25, |∪|=28+28-25=31
+    assert abs(rows[(0, 2)] - 25 / 31) < 1e-6
+
+
+def test_fingerprint_bag_invariance(spark, tiny_docs_dir):
+    from pcap_to_parquet_spark.operators.llm import fingerprint
+
+    d = fingerprint(spark, tiny_docs_dir)
+    rows = {r.doc_id: r for r in d.collect()}
+    assert rows[0].content_md5 == rows[1].content_md5
+    assert rows[0].bag_md5 == rows[1].bag_md5
+    assert rows[0].content_md5 != rows[2].content_md5
+
+
+def test_similarity_topk_shape(spark):
+    from tests.conftest import SF0001
+
+    from pcap_to_parquet_spark.operators.llm import similarity_topk
+
+    rows = similarity_topk(spark, SF0001).collect()
+    assert len(rows) == 10
+    sims = [r.cos_sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    assert all(-1.0 <= s <= 1.0 for s in sims)
+    assert all(r.vec_id != 0 for r in rows)  # query vector excluded
+
+
+def test_embeddings_dim(spark):
+    from tests.conftest import SF0001
+
+    em = load_table(spark, SF0001, "embeddings")
+    n_bad = em.filter(F.size("embedding") != 64).count()
+    assert n_bad == 0

@@ -1,0 +1,45 @@
+"""Registry contract: every query runs at sf0.001 with a stable schema.
+
+Value-level correctness is the oracle harness's job
+(tools/check_oracle.py, mirroring the driver's CORRECTNESS gate);
+this suite guards the contract shape and cheap invariants so a
+broken operator fails fast in pytest.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import pcap_to_parquet_spark.operators  # noqa: F401
+from pcap_to_parquet_spark.registry import ORACLES, QUERIES
+from tests.conftest import SF0001
+
+
+def test_registry_shape():
+    assert len(QUERIES) >= 52
+    assert set(ORACLES) <= set(QUERIES)
+    # the vast majority must be oracle-checkable (SURVEY §2 Part B tables)
+    assert len(ORACLES) >= 45
+
+
+def test_entry_contract():
+    import __spark_entry__ as m
+
+    assert set(m.queries()) == set(QUERIES)
+    assert set(m.oracle_sql()) == set(ORACLES)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_runs(spark, name):
+    df = QUERIES[name](spark, SF0001)
+    assert df.columns, name
+    # cheap full-execution check; count() exercises the whole plan
+    assert df.count() >= 0
+
+
+def test_flagship_entry(spark):
+    import __spark_entry__ as m
+
+    rows = m.entry(spark).collect()
+    assert len(rows) > 0
+    assert set(rows[0].asDict()) == {"nation", "revenue", "n_items"}
