@@ -16,3 +16,4 @@ from pcap_to_parquet_spark.operators import (  # noqa: F401
     sessionize,
     windows,
 )
+from pcap_to_parquet_spark import streaming  # noqa: E402,F401  (streaming queries)

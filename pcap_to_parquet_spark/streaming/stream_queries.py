@@ -1,0 +1,316 @@
+"""Streaming queries over the events table (file-source streams).
+
+State-size discipline at 100 TB (every operator here is bounded):
+watermarks cap window/dedup state to the lateness horizon; session
+windows merge in-state per key; ``applyInPandasWithState`` state is
+one small struct per user with a processing-time timeout. None of
+these plans buffer the unbounded stream.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from pcap_to_parquet_spark.registry import query
+from pcap_to_parquet_spark.session import tune
+
+# events.parquet carries TIMESTAMP(NANOS); the streaming reader (like
+# the batch one) needs the legacy long mapping + explicit schema.
+_EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # nanoseconds (legacy.parquet.nanosAsLong)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+_sink_seq = itertools.count()
+
+
+def _events_stream_dir(sf_dir: str) -> str:
+    """The streaming file source lists a *directory*; the testdata
+    events table is a single file. Stage a symlink dir per sf_dir
+    (idempotent) — at scale this is the landing directory new files
+    arrive in."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    tag = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"events_stream_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return d
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as an unbounded file-source stream, ts in microseconds.
+
+    One file today; at scale the directory fills continuously and
+    ``maxFilesPerTrigger`` paces ingestion per micro-batch.
+    """
+    tune(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .load(_events_stream_dir(sf_dir))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_memory(sdf: DataFrame, mode: str) -> DataFrame:
+    """Drive a streaming plan to completion (availableNow) via a memory
+    sink; returns the materialized result as a batch DataFrame.
+
+    Demo-scale sink only: memory collects to the driver. Production
+    uses parquet/Kafka sinks with checkpointing — the *plan* upstream
+    of the sink is identical.
+    """
+    name = f"stream_result_{next(_sink_seq)}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return sdf.sparkSession.table(name)
+
+
+# ---------------------------------------------------------------------------
+# tumbling window (complete mode → exact batch equivalence)
+
+TUMBLING_ORACLE = """
+SELECT time_bucket(INTERVAL 10 MINUTES, ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("q_stream_tumbling", TUMBLING_ORACLE)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling windows per event_type. Complete output mode
+    emits every window, so the streaming result equals the batch
+    ``GROUP BY time_bucket`` exactly — the core guarantee of the
+    incremental execution model."""
+    e = stream_events(spark, sf_dir)
+    agg = (
+        e.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_to_memory(agg, "complete")
+
+
+# ---------------------------------------------------------------------------
+# sliding window (each event lands in length/slide = 2 windows)
+
+SLIDING_ORACLE = """
+WITH starts AS (
+    SELECT value, ws
+    FROM events,
+         LATERAL UNNEST([time_bucket(INTERVAL 5 MINUTES, ts),
+                         time_bucket(INTERVAL 5 MINUTES, ts) - INTERVAL 5 MINUTES])
+             AS t(ws)
+    WHERE ts >= ws AND ts < ws + INTERVAL 10 MINUTES
+)
+SELECT ws AS window_start, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value
+FROM starts
+GROUP BY ws
+"""
+
+
+@query("q_stream_sliding", SLIDING_ORACLE)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 — overlap factor 2. The oracle
+    reconstructs the window replication with an UNNEST of both
+    candidate starts."""
+    e = stream_events(spark, sf_dir)
+    agg = (
+        e.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(F.col("window.start").alias("window_start"), "n_events", "total_value")
+    )
+    return run_to_memory(agg, "complete")
+
+
+# ---------------------------------------------------------------------------
+# watermark + append mode: only watermark-closed windows emit
+
+WATERMARK_APPEND_ORACLE = """
+WITH buckets AS (
+    SELECT time_bucket(INTERVAL 10 MINUTES, ts) AS window_start, value
+    FROM events
+),
+horizon AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS wm FROM events)
+SELECT window_start, COUNT(*) AS n_events
+FROM buckets, horizon
+WHERE window_start + INTERVAL 10 MINUTES <= wm
+GROUP BY window_start
+"""
+
+
+@query("q_stream_watermark", WATERMARK_APPEND_ORACLE)
+def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode tumbling count: a window emits only once the 1-hour
+    watermark passes its end, so windows inside the final lateness
+    horizon stay open and are withheld — exactly the rows the oracle
+    excludes with ``window_end <= max(ts) - 1h``. This is the
+    late-data-drop semantics made observable."""
+    e = stream_events(spark, sf_dir)
+    agg = (
+        e.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "n_events")
+    )
+    return run_to_memory(agg, "append")
+
+
+# ---------------------------------------------------------------------------
+# session windows (gap-based, merged in state)
+
+
+@query("q_stream_session")  # rows-only: emission depends on watermark closure
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30 min) per user, the streaming twin
+    of batch q_sessionize. Sessions merge in state as events arrive
+    and emit once the watermark passes session_end; the final
+    horizon's open sessions are withheld (hence rows-only vs the
+    batch oracle)."""
+    e = stream_events(spark, sf_dir)
+    agg = (
+        e.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+    return run_to_memory(agg, "append").orderBy("user_id", "session_start")
+
+
+# ---------------------------------------------------------------------------
+# streaming dedup
+
+STREAM_DEDUP_ORACLE = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+@query("q_stream_dedup", STREAM_DEDUP_ORACLE)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on (user_id, event_type) with
+    ``dropDuplicatesWithinWatermark``: state for a key is dropped once
+    the watermark passes it, so unbounded streams keep bounded dedup
+    state. Projecting just the key columns makes the emitted set
+    deterministic (which *row* survives per key is race-dependent;
+    the key set is not)."""
+    e = stream_events(spark, sf_dir)
+    dd = (
+        e.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_to_memory(dd, "append")
+
+
+# ---------------------------------------------------------------------------
+# arbitrary stateful op: per-user running profile via applyInPandasWithState
+
+_STATE_SCHEMA = "n long, total double, last_ts long"
+_PROFILE_SCHEMA = (
+    "user_id long, n_events long, total_value double, max_gap_us long"
+)
+
+
+@query("q_stream_stateful")  # rows-only: custom stateful operator
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): per-user
+    running profile — event count, value sum, max inter-event gap —
+    kept as one tiny struct per key with a processing-time timeout.
+    The generic shape for anything windowless Spark lacks natively
+    (CUSUM detectors, dwell-time trackers, per-entity counters)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        n, total, last_ts = state.get if state.exists else (0, 0.0, None)
+        ts_all = []
+        for pdf in pdfs:
+            for ts, val in zip(pdf["ts"], pdf["value"]):
+                ts_all.append((ts.value // 1000, float(val)))  # ns → µs
+        ts_all.sort()
+        max_gap = 0
+        prev = last_ts
+        for t_us, val in ts_all:
+            if prev is not None:
+                max_gap = max(max_gap, t_us - prev)
+            prev = t_us
+            n += 1
+            total += val
+        state.update((n, round(total, 4), prev))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 4)],
+                "max_gap_us": [max_gap],
+            }
+        )
+
+    e = stream_events(spark, sf_dir)
+    prof = (
+        e.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_PROFILE_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return run_to_memory(prof, "update").orderBy("user_id")
