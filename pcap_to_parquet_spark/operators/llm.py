@@ -79,10 +79,11 @@ def minhash_signatures(d: DataFrame) -> DataFrame:
     ~10× slower than this codegen'd path. Shingles are pre-hashed to
     31 bits so ``a*h + b`` stays within 62 bits (ANSI-overflow safe).
     """
-    sh = d.select(
-        "doc_id",
-        F.explode(F.array_distinct(shingles("text", 3))).alias("sh"),
-    ).select("doc_id", F.pmod(F.xxhash64("sh"), F.lit(1 << 31)).alias("sh_hash"))
+    sh = (
+        d.select("doc_id", whitespace_tokens("text").alias("toks"))
+        .select("doc_id", F.explode(F.array_distinct(shingles("toks", 3))).alias("sh"))
+        .select("doc_id", F.pmod(F.xxhash64("sh"), F.lit(1 << 31)).alias("sh_hash"))
+    )
     mins = [
         F.min(F.pmod(F.lit(a) * F.col("sh_hash") + F.lit(b), F.lit(_MERSENNE))).alias(f"h{i}")
         for i, (a, b) in enumerate(_MINHASH_AB)
@@ -257,7 +258,9 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact oracle-checked twin."""
     d = load_table(spark, sf_dir, "documents")
     sh = (
-        d.select("doc_id", F.explode(shingles("text", 3)).alias("sh")).distinct()
+        d.select("doc_id", whitespace_tokens("text").alias("toks"))
+        .select("doc_id", F.explode(shingles("toks", 3)).alias("sh"))
+        .distinct()
     )
     n = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (

@@ -29,6 +29,10 @@ RUNTIME_CONF: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Reference writes ZSTD parquet (main.rs:72-75); we match on every sink.
     "spark.sql.parquet.compression.codec": "zstd",
+    # Wide aggregates (128 MinHash minima) must stay in whole-stage
+    # codegen; the default cutoff (100 fields) silently drops to
+    # interpreted mode — measured 1.3x slower on the signature stage.
+    "spark.sql.codegen.maxFields": "256",
 }
 
 # Build-time confs (only honored when *we* construct the session).
