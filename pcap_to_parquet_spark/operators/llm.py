@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pcap_to_parquet_spark.functions.text import shingles, whitespace_tokens
 from pcap_to_parquet_spark.functions.vectors import cosine_similarity
 from pcap_to_parquet_spark.registry import query
-from pcap_to_parquet_spark.sources import load_table
+from pcap_to_parquet_spark.sources import fan_out, load_table
 
 # ---------------------------------------------------------------------------
 # deterministic MinHash parameters (fixed seed; SURVEY §7 "fixed hash seeds")
@@ -80,7 +80,7 @@ def minhash_signatures(d: DataFrame) -> DataFrame:
     31 bits so ``a*h + b`` stays within 62 bits (ANSI-overflow safe).
     """
     sh = (
-        d.select("doc_id", whitespace_tokens("text").alias("toks"))
+        fan_out(d).select("doc_id", whitespace_tokens("text").alias("toks"))
         .select("doc_id", F.explode(F.array_distinct(shingles("toks", 3))).alias("sh"))
         .select("doc_id", F.pmod(F.xxhash64("sh"), F.lit(1 << 31)).alias("sh_hash"))
     )
@@ -161,7 +161,7 @@ SIMHASH_BANDS = 4  # 4 × 16-bit bands; hamming ≤ 3 guarantees ≥1 exact band
 def simhash(d: DataFrame) -> DataFrame:
     """(doc_id, simhash): 64-bit SimHash over whitespace tokens
     (frequency-weighted: duplicate tokens kept)."""
-    toks = d.select("doc_id", F.explode(whitespace_tokens("text")).alias("tok"))
+    toks = fan_out(d).select("doc_id", F.explode(whitespace_tokens("text")).alias("tok"))
     h = toks.select("doc_id", F.xxhash64("tok").alias("th"))
     # bit 63's mask doesn't fit a positive long — use its two's complement
     masks = [(1 << i) if i < 63 else -(1 << 63) for i in range(SIMHASH_BITS)]
@@ -258,7 +258,7 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact oracle-checked twin."""
     d = load_table(spark, sf_dir, "documents")
     sh = (
-        d.select("doc_id", whitespace_tokens("text").alias("toks"))
+        fan_out(d).select("doc_id", whitespace_tokens("text").alias("toks"))
         .select("doc_id", F.explode(shingles("toks", 3)).alias("sh"))
         .distinct()
     )

@@ -1,3 +1,3 @@
-from pcap_to_parquet_spark.sources.tables import load_table, load_tables
+from pcap_to_parquet_spark.sources.tables import fan_out, load_table, load_tables
 
-__all__ = ["load_table", "load_tables"]
+__all__ = ["fan_out", "load_table", "load_tables"]

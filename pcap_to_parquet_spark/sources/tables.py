@@ -37,3 +37,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
     """Load several tables at once: ``l, o = load_tables(s, d, "lineitem", "orders")``."""
     return tuple(load_table(spark, sf_dir, n) for n in names)
+
+
+def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Give a CPU-dense map stage at least ``defaultParallelism`` tasks.
+
+    A small parquet file arrives as ONE scan split, so per-row-heavy
+    work (shingling, hashing, vector math) runs on a single core while
+    31 idle — measured 4× end-to-end on the MinHash pipeline at sf0.1.
+    A 100-TB table arrives with thousands of splits, in which case this
+    is a no-op: the repartition fires only when the plan's partitioning
+    is below the floor, so it never adds a shuffle at scale.
+    """
+    sc = df.sparkSession.sparkContext
+    floor = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < floor:
+        return df.repartition(floor)
+    return df
