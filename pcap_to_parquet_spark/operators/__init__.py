@@ -14,6 +14,7 @@ from pcap_to_parquet_spark.operators import (  # noqa: F401
     relational,
     scalar_funcs,
     sessionize,
+    udtf_udaf,
     windows,
 )
 from pcap_to_parquet_spark import streaming  # noqa: E402,F401  (streaming queries)
