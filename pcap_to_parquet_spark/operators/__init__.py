@@ -13,6 +13,7 @@ from pcap_to_parquet_spark.operators import (  # noqa: F401
     pcap_query,
     relational,
     scalar_funcs,
+    scale_patterns,
     sessionize,
     udtf_udaf,
     windows,

@@ -1,0 +1,126 @@
+"""Scale patterns as first-class, oracle-checked operators: salted
+joins for skew, bucketed joins for shuffle-free co-location.
+
+Both produce results identical to their plain equi-join twins (that is
+the point — the oracle SQL is the plain join), but their *physical*
+plans are the shapes that survive 100 TB:
+
+- salting splits one hot key's rows across S shuffle partitions, so a
+  single pathological key (the classic null-key / megacustomer skew)
+  can't stall the stage — AQE's skew-join split handles moderate skew
+  at runtime; salting is the deterministic fallback for extreme skew.
+- bucketing pre-shuffles both tables once at write time; every later
+  join/aggregate on the bucket key is exchange-free (verified by the
+  tests: the joined plan contains no Exchange).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pcap_to_parquet_spark.registry import query
+from pcap_to_parquet_spark.sources import load_tables
+
+SALT_BUCKETS = 8
+N_BUCKETS = 8
+
+
+@query(
+    "q_salted_join",
+    """
+    SELECT s.s_name, COUNT(*) AS n_items,
+           ROUND(SUM(l.l_quantity), 2) AS total_qty
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    """,
+)
+def salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant equi join: the fact side gets a deterministic
+    salt in [0, S); the dim side is exploded into S replicas; the join
+    key becomes (key, salt) so one hot supplier's rows spread over S
+    partitions. Results are exactly the plain join's (oracle = plain
+    SQL). The replicated dim is S× bigger — salt only bounded dims, or
+    only the detected-hot keys at the extreme."""
+    li, s = load_tables(spark, sf_dir, "lineitem", "supplier")
+    salted_fact = li.withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(SALT_BUCKETS))
+    )
+    salted_dim = s.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(SALT_BUCKETS)]))
+    )
+    return (
+        salted_fact.join(
+            salted_dim,
+            (salted_fact.l_suppkey == salted_dim.s_suppkey)
+            & (salted_fact.salt == salted_dim.salt),
+        )
+        .groupBy("s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )
+
+
+def _bucketed_name(sf_dir: str, table: str) -> str:
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    return f"bkt_{table}_{tag}"
+
+
+def ensure_bucketed(spark: SparkSession, sf_dir: str, table: str, key: str) -> str:
+    """Write ``table`` bucketed+sorted by ``key`` (idempotent per
+    sf_dir); returns the metastore table name. This is the one-time
+    write-side shuffle that every subsequent join amortizes."""
+    from pcap_to_parquet_spark.sources import load_table
+
+    name = _bucketed_name(sf_dir, table)
+    if spark.catalog.tableExists(name):
+        return name
+    path = os.path.join(tempfile.gettempdir(), "bucketed_tables", name)
+    (
+        load_table(spark, sf_dir, table)
+        .write.bucketBy(N_BUCKETS, key)
+        .sortBy(key)
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(name)
+    )
+    return name
+
+
+@query(
+    "q_bucketed_join",
+    """
+    SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS segment_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exchange-free join: orders and customer are both bucketed+sorted
+    on the customer key, so the SortMergeJoin reads co-located buckets
+    with ZERO runtime shuffle on either side (tests assert no Exchange
+    below the join). At 100 TB this converts the dominant recurring
+    cost of fact-to-fact joins into a one-time write-side shuffle."""
+    o_name = ensure_bucketed(spark, sf_dir, "orders", "o_custkey")
+    c_name = ensure_bucketed(spark, sf_dir, "customer", "c_custkey")
+    o = spark.table(o_name)
+    c = spark.table(c_name)
+    # disable broadcast for this plan so the bucketed SMJ is what runs
+    # (broadcast would also avoid the shuffle, but only while the dim
+    # fits in memory — bucketing is the any-size answer)
+    return (
+        o.hint("merge")
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("segment_price"),
+        )
+    )

@@ -248,10 +248,22 @@ def read_pcap(spark: SparkSession, path: str) -> DataFrame:
     return files.mapInPandas(decode_files, schema=PACKET_SCHEMA)
 
 
-def convert_pcap(spark: SparkSession, in_path: str, out_path: str) -> None:
+def convert_pcap(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    partition_cols: list[str] | None = None,
+) -> None:
     """The reference CLI, as an engine API (main.rs:59-122): pcap in,
     ZSTD parquet out (codec parity with main.rs:72-75; exact writer
-    version is a non-goal — DuckDB-readability is the contract)."""
-    read_pcap(spark, in_path).write.mode("overwrite").option("compression", "zstd").parquet(
-        out_path
-    )
+    version is a non-goal — DuckDB-readability is the contract).
+
+    ``partition_cols`` (e.g. ``["protocol"]``, or a derived capture
+    date/hour) lays the lake out for partition pruning: a 100-TB
+    packet lake queried by protocol/day reads only matching
+    directories — the scan's PartitionFilters, not post-hoc filters.
+    """
+    w = read_pcap(spark, in_path).write.mode("overwrite").option("compression", "zstd")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(out_path)

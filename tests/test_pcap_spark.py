@@ -47,6 +47,20 @@ def test_convert_pcap_duckdb_readback(spark, tmp_path):
     assert all("ZSTD" in c[0].upper() for c in comp)
 
 
+def test_convert_pcap_partitioned_pruning(spark, tmp_path):
+    out = str(tmp_path / "packets_by_proto")
+    convert_pcap(spark, _fixture_path(), out, partition_cols=["protocol"])
+    df = spark.read.parquet(out).filter("protocol = 'UDP'")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the filter must become a PartitionFilter (directory pruning),
+    # not a post-scan predicate
+    assert "PartitionFilters: [isnotnull(protocol" in plan
+    assert df.count() >= 4
+    # round-trip values survive the partition column moving into the path
+    back = {(r.src_ip, r.src_port) for r in df.collect()}
+    assert ("10.0.0.1", 1234) in back
+
+
 def test_read_pcap_rejects_non_pcap(spark, tmp_path):
     bad = tmp_path / "bad.pcap"
     bad.write_bytes(b"\x0a\x0d\x0d\x0a" + b"\x00" * 100)  # pcapng
