@@ -1,0 +1,39 @@
+"""CLI parity with the reference (main.rs:59-61):
+
+    python -m pcap_to_parquet_spark <input.pcap> <output_dir>
+
+Same contract — legacy pcap in, ZSTD parquet out — with Spark's
+executor parallelism instead of a single thread, and an optional
+``--partition-by`` for pruned lake layouts.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pcap_to_parquet_spark.session import get_spark
+from pcap_to_parquet_spark.sources.pcap import convert_pcap
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(
+        prog="pcap_to_parquet_spark", description="pcap -> ZSTD parquet (Spark)"
+    )
+    ap.add_argument("input", help="legacy pcap file, glob, or directory")
+    ap.add_argument("output", help="output parquet directory")
+    ap.add_argument(
+        "--partition-by",
+        nargs="*",
+        default=None,
+        metavar="COL",
+        help="partition the lake by these columns (e.g. protocol)",
+    )
+    args = ap.parse_args()
+    spark = get_spark("pcap-to-parquet-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    convert_pcap(spark, args.input, args.output, partition_cols=args.partition_by)
+    print(f"wrote {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -286,6 +286,90 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# dedup clustering: connected components over near-dup pairs
+
+DEDUP_CLUSTERS_ORACLE = """
+WITH RECURSIVE tok AS (
+    SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, unnest(
+        list_transform(generate_series(1, len(ws) - 2),
+                       i -> ws[i] || '|' || ws[i+1] || '|' || ws[i+2])) AS sh
+    FROM tok
+    WHERE len(ws) >= 3
+),
+n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sh a
+    JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    JOIN n na ON na.doc_id = a.doc_id
+    JOIN n nb ON nb.doc_id = b.doc_id
+    GROUP BY a.doc_id, b.doc_id, na.n, nb.n
+    HAVING COUNT(*)::DOUBLE / (na.n + nb.n - COUNT(*)) >= 0.8
+),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+    SELECT doc_id, doc_id AS r FROM documents
+    UNION
+    SELECT e.b AS doc_id, reach.r FROM reach JOIN edges e ON e.a = reach.doc_id
+)
+SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
+"""
+
+
+@query("q_dedup_clusters", DEDUP_CLUSTERS_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over ≥0.8-Jaccard near-dup pairs: every doc
+    gets the min doc_id of its component as cluster_id (singletons keep
+    their own id) — the canonical-document selection step that ends a
+    dedup pipeline.
+
+    Iterative min-label propagation, the genuinely non-SQL Spark shape
+    (the oracle needs a recursive CTE): each round every doc takes the
+    min label among itself and its neighbors; near-dup components are
+    tiny dense cliques, so convergence is 1-2 rounds (capped at 20,
+    checked via a one-scalar aggregate per round — never a corpus
+    collect). At graph scale swap in alternating large-star/small-star
+    rounds; the per-round join/agg shape is identical."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a"))).toDF("a", "b").cache()
+    labels = d.select("doc_id", F.col("doc_id").alias("cluster_id")).cache()
+    for _ in range(20):
+        neigh = (
+            edges.join(labels, edges.a == labels.doc_id)
+            .groupBy(F.col("b").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("neigh_min"))
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "cluster_id", F.coalesce("neigh_min", "cluster_id")
+                ).alias("cluster_id"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+            .filter(F.col("cluster_id") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+# ---------------------------------------------------------------------------
 # embedding-cosine near-dup (oracle-checkable via label blocking)
 
 EMBED_NEARDUP_ORACLE = """
