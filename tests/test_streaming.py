@@ -1,0 +1,101 @@
+"""Streaming semantics: micro-batch-count invariance.
+
+The defining guarantee of incremental execution: the result of a
+windowed aggregation must not depend on how the stream is chopped
+into micro-batches. We split events into 4 files, stream them one
+file per trigger (4 micro-batches), and require the same result as
+the single-batch run and as the batch GROUP BY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pcap_to_parquet_spark.sources.tables import load_table
+from pcap_to_parquet_spark.streaming.stream_queries import (
+    _EVENTS_RAW_SCHEMA,
+    run_to_memory,
+)
+from tests.conftest import SF0001
+
+
+def test_tumbling_agg_microbatch_invariance(spark, tmp_path):
+    # stage events as 4 parquet files (4 triggers at maxFilesPerTrigger=1)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(f"{SF0001}/events.parquet")
+    d = str(tmp_path / "events_multi")
+    raw.repartition(4).write.parquet(d)
+
+    def agg_of(stream_df):
+        e = stream_df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return (
+            e.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "10 minutes"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 4).alias("total_value"),
+            )
+            .select(
+                F.col("window.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
+        )
+
+    chopped = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    whole = spark.readStream.schema(_EVENTS_RAW_SCHEMA).parquet(d)
+
+    result_chopped = {tuple(r) for r in run_to_memory(agg_of(chopped), "complete").collect()}
+    result_whole = {tuple(r) for r in run_to_memory(agg_of(whole), "complete").collect()}
+    assert result_chopped == result_whole
+
+    batch = load_table(spark, SF0001, "events")
+    result_batch = {
+        tuple(r)
+        for r in batch.groupBy(
+            F.window("ts", "10 minutes").getField("start").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .collect()
+    }
+    assert result_chopped == result_batch
+
+
+def test_stream_dedup_microbatch_invariance(spark, tmp_path):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(f"{SF0001}/events.parquet")
+    d = str(tmp_path / "events_multi2")
+    raw.repartition(3).write.parquet(d)
+
+    def dedup_of(stream_df):
+        e = stream_df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return (
+            e.withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+            .select("user_id", "event_type")
+        )
+
+    chopped = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    got = {tuple(r) for r in run_to_memory(dedup_of(chopped), "append").collect()}
+    exp = {
+        tuple(r)
+        for r in spark.read.schema(_EVENTS_RAW_SCHEMA)
+        .parquet(d)
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert got == exp
