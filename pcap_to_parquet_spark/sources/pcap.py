@@ -31,8 +31,8 @@ from collections.abc import Iterator
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from pcap_to_parquet_spark.schema import PACKET_SCHEMA
 from pcap_to_parquet_spark.session import tune
 
 # legacy pcap magic numbers: (byte order, timestamp unit). pcapng
@@ -209,43 +209,83 @@ def decode_pcap_bytes(buf: bytes) -> list[dict[str, Any]]:
 # Spark pipeline
 
 
+_RAW_DECODE_SCHEMA = (
+    "src_u32 long, dst_u32 long, len long, proto long, "
+    "src_port int, dst_port int, mm_ts long, mm_id int, mm_port short"
+)
+
+
 def read_pcap(spark: SparkSession, path: str) -> DataFrame:
     """pcap file(s)/glob → packets DataFrame (PACKET_SCHEMA).
 
-    binaryFile scan (one task per file) → Arrow-batched mapInPandas
-    decode. The per-file content column is the only column read.
+    binaryFile scan (one task per file) → vectorized numpy decode
+    (sources/pcap_vec.py) emitting numeric columns via Arrow →
+    JVM-side finishing (dotted-quad formatting, protocol naming) so
+    the string work stays in whole-stage codegen. Nullable ints ride
+    pandas extension arrays end-to-end: a plain int-with-None column
+    silently becomes float64 and corrupts ns-scale timestamps
+    (int64 > 2^53).
     """
     tune(spark)
     files = spark.read.format("binaryFile").load(path).select("content")
 
-    # pandas nullable dtypes per column: a plain list-of-ints-with-None
-    # column silently becomes float64 and corrupts ns-scale timestamps
-    # (int64 > 2^53); the extension dtypes keep exact integers.
-    dtypes = {
-        "src_ip": "object",
-        "dst_ip": "object",
-        "len": "Int64",
-        "protocol": "object",
-        "src_port": "Int32",
-        "dst_port": "Int32",
-        "mm_ts": "Int64",
-        "mm_id": "Int32",
-        "mm_port": "Int16",
-    }
-
     def decode_files(batches):  # type: ignore[no-untyped-def]
+        import numpy as np
         import pandas as pd
 
-        cols = [f.name for f in PACKET_SCHEMA.fields]
+        from pcap_to_parquet_spark.sources.pcap_vec import decode_pcap_arrays
+
+        def masked(values, valid, dtype):  # noqa: ANN001
+            return pd.arrays.IntegerArray(values.astype(dtype), mask=~valid)
+
         for pdf in batches:
             for content in pdf["content"]:
-                rows = decode_pcap_bytes(bytes(content))
+                a = decode_pcap_arrays(bytes(content))
+                n = len(a["len"])
+                all_valid = np.ones(n, dtype=bool)
                 yield pd.DataFrame(
-                    {c: pd.array([r[c] for r in rows], dtype=dtypes[c]) for c in cols},
-                    columns=cols,
+                    {
+                        "src_u32": masked(a["src_u32"], a["ip_valid"], np.int64),
+                        "dst_u32": masked(a["dst_u32"], a["ip_valid"], np.int64),
+                        "len": masked(a["len"], all_valid, np.int64),
+                        "proto": masked(a["proto"], a["proto_valid"], np.int64),
+                        "src_port": masked(a["src_port"], a["ports_valid"], np.int32),
+                        "dst_port": masked(a["dst_port"], a["ports_valid"], np.int32),
+                        "mm_ts": masked(a["mm_ts"], a["mm_valid"], np.int64),
+                        "mm_id": masked(a["mm_id"], a["mm_valid"], np.int32),
+                        "mm_port": masked(
+                            a["mm_port"].astype(np.int16), a["mm_valid"], np.int16
+                        ),
+                    }
                 )
 
-    return files.mapInPandas(decode_files, schema=PACKET_SCHEMA)
+    raw = files.mapInPandas(decode_files, schema=_RAW_DECODE_SCHEMA)
+
+    def dotted(col: str):  # u32 → "a.b.c.d", codegen'd JVM string build
+        c = F.col(col)
+        octets = [
+            F.shiftrightunsigned(c, s).bitwiseAND(F.lit(255)).cast("string")
+            for s in (24, 16, 8, 0)
+        ]
+        return F.when(c.isNotNull(), F.concat_ws(".", *octets))
+
+    proto_name = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in _PROTOCOL_NAMES.items() for x in kv]
+        ),
+        F.col("proto").cast("int"),
+    )
+    return raw.select(
+        dotted("src_u32").alias("src_ip"),
+        dotted("dst_u32").alias("dst_ip"),
+        F.col("len"),
+        proto_name.alias("protocol"),
+        F.col("src_port"),
+        F.col("dst_port"),
+        F.col("mm_ts"),
+        F.col("mm_id"),
+        F.col("mm_port"),
+    )
 
 
 def convert_pcap(

@@ -14,10 +14,11 @@ BASE_TS = 1_700_000_000  # fixed capture second for every fixture packet
 
 def pcap_file(records: list[tuple[int, int, bytes]]) -> bytes:
     """Build a little-endian legacy pcap: records = [(ts_sec, origlen, data)]."""
-    out = struct.pack("<IHHiIII", 0xA1B2C3D4, 2, 4, 0, 0, 65535, 1)
+    parts = [struct.pack("<IHHiIII", 0xA1B2C3D4, 2, 4, 0, 0, 65535, 1)]
     for ts_sec, origlen, data in records:
-        out += struct.pack("<IIII", ts_sec, 0, len(data), origlen) + data
-    return out
+        parts.append(struct.pack("<IIII", ts_sec, 0, len(data), origlen))
+        parts.append(data)
+    return b"".join(parts)
 
 
 def eth(payload: bytes, ethertype: int = 0x0800) -> bytes:

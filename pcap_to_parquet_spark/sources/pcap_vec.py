@@ -1,0 +1,233 @@
+"""Vectorized pcap decoder: numpy gathers over the whole capture.
+
+Semantics are identical to the scalar reference implementation in
+``sources/pcap.py`` (property-tested equivalent in
+tests/test_pcap_vec.py); only the execution strategy differs:
+
+- one cheap sequential pass collects record offsets (the framing is a
+  data-dependent chain, ~10 ns/record of work);
+- every fixed-offset field (ethertype, VLAN, IPs, protocol, ports,
+  outer Metamako trailer attempt at ``len`` and ``len-4``) is a numpy
+  fancy-indexed gather over all packets at once;
+- only packets whose OUTER trailer attempt accepts fall back to the
+  per-row stacked-trailer chain walk (main.rs:128-148 is a sequential
+  state machine per packet: i += 16 on parse success else 1 — data-
+  dependent, so not batchable across rows). Untagged traffic never
+  leaves numpy.
+
+Measured ~10× over the scalar path per core; Spark parallelizes
+across files/chunks on top.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pcap_to_parquet_spark.sources.pcap import (
+    _GLOBAL_HEADER_LEN,
+    _MAGICS,
+    _RECORD_HEADER_LEN,
+    PcapFormatError,
+    _parse_metamako_trailer,
+)
+
+
+def scan_record_offsets(buf: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Sequential framing pass → (data_off, ts_sec, incl_len, orig_len).
+
+    The chain ``pos' = pos + 16 + incl(pos)`` is the only unavoidably
+    serial step, so the loop does the absolute minimum — one 4-byte
+    read per record to follow the chain; ts/incl/orig are re-extracted
+    afterwards with vectorized gathers. A truncated final record is
+    dropped (parity with the scalar splitter)."""
+    if len(buf) < _GLOBAL_HEADER_LEN:
+        raise PcapFormatError("file shorter than pcap global header")
+    try:
+        order, _unit = _MAGICS[buf[:4]]
+    except KeyError:
+        raise PcapFormatError(f"not a legacy pcap file (magic={buf[:4].hex()})") from None
+    import struct
+
+    u32 = struct.Struct("<I" if order == "little" else ">I")
+    unpack = u32.unpack_from
+    n = len(buf)
+    pos = _GLOBAL_HEADER_LEN
+    offs: list[int] = []
+    append = offs.append
+    while pos + _RECORD_HEADER_LEN <= n:
+        data_pos = pos + _RECORD_HEADER_LEN
+        nxt = data_pos + unpack(buf, pos + 8)[0]
+        if nxt > n:
+            break
+        append(data_pos)
+        pos = nxt
+    off = np.asarray(offs, dtype=np.int64)
+    B = np.frombuffer(buf, dtype=np.uint8)
+    W4 = np.lib.stride_tricks.sliding_window_view(B, 4)
+    w = (
+        np.array([1, 1 << 8, 1 << 16, 1 << 24], dtype=np.int64)
+        if order == "little"
+        else np.array([1 << 24, 1 << 16, 1 << 8, 1], dtype=np.int64)
+    )
+
+    def u32_at(p: np.ndarray) -> np.ndarray:
+        return W4[p] @ w  # uint8 @ int64 promotes to int64
+
+    if off.size == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.copy(), z.copy(), z.copy()
+    ts = u32_at(off - 16)
+    incl = u32_at(off - 8)
+    orig = u32_at(off - 4)
+    return off, ts, incl, orig
+
+
+def _row_chunks(width: np.ndarray, budget: int = 8_000_000):
+    """Yield (lo, hi) row ranges whose total candidate count stays under
+    ``budget`` flat entries, bounding the vectorized pass's memory even
+    for jumbo-frame captures."""
+    csum = np.cumsum(width)
+    lo = 0
+    base = 0
+    for hi in range(1, len(width) + 1):
+        if csum[hi - 1] - base > budget and hi - 1 > lo:
+            yield lo, hi - 1
+            lo = hi - 1
+            base = csum[hi - 2]
+    if lo < len(width):
+        yield lo, len(width)
+
+
+def decode_pcap_arrays(buf: bytes) -> dict[str, np.ndarray]:
+    """Decode a whole pcap to columnar arrays (PACKET_SCHEMA fields,
+    IPs as u32 + validity mask so string formatting can happen
+    JVM-side). Returns dict of numpy arrays + boolean ``*_valid``
+    masks for nullable fields."""
+    off, ts, incl, orig = scan_record_offsets(buf)
+    n = len(off)
+    B = np.frombuffer(buf, dtype=np.uint8)
+
+    def at(pos: np.ndarray, valid: np.ndarray) -> np.ndarray:
+        """B[pos] where valid, else 0 (safe gather; promotes on use)."""
+        safe = np.where(valid, pos, 0)
+        return B[safe]
+
+    def be(pos: np.ndarray, nbytes: int, valid: np.ndarray) -> np.ndarray:
+        v = np.zeros(n, dtype=np.int64)
+        for k in range(nbytes):
+            v = (v << 8) | at(pos + k, valid)
+        return v
+
+    # --- Ethernet II / 802.1Q dispatch (main.rs:234-252) ---
+    has_eth = incl >= 14
+    ethertype = be(off + 12, 2, has_eth)
+    is_vlan = has_eth & (ethertype == 0x8100) & (incl >= 18)
+    inner_type = be(off + 16, 2, is_vlan)
+    ip_off = np.where(is_vlan, off + 18, off + 14)
+    is_ip = (has_eth & (ethertype == 0x0800)) | (is_vlan & (inner_type == 0x0800))
+
+    # --- IPv4 (main.rs:185-211): need 20 bytes of header ---
+    ip_ok = is_ip & ((off + incl - ip_off) >= 20)
+    ihl = (at(ip_off, ip_ok) & 0x0F) * 4
+    proto = at(ip_off + 9, ip_ok)
+    src_u32 = be(ip_off + 12, 4, ip_ok)
+    dst_u32 = be(ip_off + 16, 4, ip_ok)
+    named = ip_ok & np.isin(proto, (1, 2, 6, 17))
+    is_l4 = ip_ok & np.isin(proto, (6, 17))
+    l4_off = ip_off + ihl
+    ports_ok = is_l4 & ((off + incl - l4_off) >= 4)
+    src_port = be(l4_off, 2, ports_ok)
+    dst_port = be(l4_off + 2, 2, ports_ok)
+
+    # --- outer Metamako trailer attempts (main.rs:128-148) ---
+    def outer_attempt(end: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        pos_ok = (orig >= 16) & (end >= 12) & (end <= incl)
+        mm_s = be(off + end - 12, 4, pos_ok)
+        mm_s = np.where(mm_s >= 1 << 31, mm_s - (1 << 32), mm_s)  # BE i32
+        mm_ns = be(off + end - 8, 4, pos_ok)
+        mm_ns = np.where(mm_ns >= 1 << 31, mm_ns - (1 << 32), mm_ns)
+        acc = pos_ok & (np.abs(ts - mm_s) < 300) & (mm_ns < 1_000_000_000)
+        mm_id = be(off + end - 3, 2, acc)
+        mm_port = at(off + end - 1, acc)
+        mm_ts_v = mm_s * 10**9 + mm_ns
+        return acc, mm_ts_v, mm_id, mm_port
+
+    acc_end, ts_end, id_end, port_end = outer_attempt(orig)
+    acc_fcs, ts_fcs, id_fcs, port_fcs = outer_attempt(orig - 4)
+    acc_fcs &= ~acc_end  # FCS branch only when the end attempt failed
+
+    mm_valid = acc_end | acc_fcs
+    mm_ts_a = np.where(acc_end, ts_end, ts_fcs)
+    mm_id_a = np.where(acc_end, id_end, id_fcs)
+    mm_port_a = np.where(acc_end, port_end, port_fcs)
+
+    # --- stacked-trailer chain walk (innermost wins), accepted rows only ---
+    # The walk itself (i += 16 on parse success else 1, main.rs:134-139) is
+    # a per-packet state machine; but its *parse attempts* are pure fixed-
+    # offset reads, so we pre-test every candidate position of every
+    # accepted row in one flat vectorized pass. Rows with zero acceptable
+    # inner candidates (the overwhelming majority: random payload bytes
+    # almost never pass the |Δts|<300s ∧ ns<1e9 heuristic) skip the walk.
+    acc_rows = np.flatnonzero(mm_valid)
+    if acc_rows.size:
+        fcs_all = np.where(acc_fcs[acc_rows], 4, 0).astype(np.int64)
+        width_all = np.maximum(orig[acc_rows] - 31 - fcs_all, 0)  # i ∈ [16, len-16-fcs]
+        nz = width_all > 0
+        acc_rows, fcs_all, width_all = acc_rows[nz], fcs_all[nz], width_all[nz]
+        W4 = np.lib.stride_tricks.sliding_window_view(B, 4)
+        wbe = np.array([1 << 24, 1 << 16, 1 << 8, 1], dtype=np.int64)
+        for lo, hi in _row_chunks(width_all):
+            r, f, w = acc_rows[lo:hi], fcs_all[lo:hi], width_all[lo:hi]
+            tot = int(w.sum())
+            row_i = np.repeat(np.arange(len(r)), w)
+            starts = np.cumsum(w) - w
+            i_val = np.arange(tot, dtype=np.int64) - np.repeat(starts, w) + 16
+            e = orig[r][row_i] - i_val - f[row_i]  # candidate trailer end
+            base = off[r][row_i]
+            ok = e <= incl[r][row_i]  # e >= 12 holds by construction
+            # 1-byte quick reject: |ts − mm_s| < 300 pins mm_s's top byte
+            # to one of two values (ts±299 can straddle one byte carry);
+            # only survivors get the full 8-byte precise test.
+            ts_c = ts[r][row_i]
+            b0 = B[np.where(ok, base + e - 12, 0)]
+            cand = ok & (
+                (b0 == (((ts_c - 299) >> 24) & 255)) | (b0 == (((ts_c + 299) >> 24) & 255))
+            )
+            idx = np.flatnonzero(cand)
+            acc_c = np.zeros(tot, dtype=bool)
+            if idx.size:
+                cs = W4[(base + e - 12)[idx]] @ wbe
+                cns = W4[(base + e - 8)[idx]] @ wbe
+                cs = np.where(cs >= 1 << 31, cs - (1 << 32), cs)
+                cns = np.where(cns >= 1 << 31, cns - (1 << 32), cns)
+                acc_c[idx] = (np.abs(ts_c[idx] - cs) < 300) & (cns < 1_000_000_000)
+            for h in np.flatnonzero(np.logical_or.reduceat(acc_c, starts)):
+                gi = int(r[h])
+                length = int(orig[gi])
+                data = bytes(B[off[gi] : off[gi] + incl[gi]])
+                fields: dict = {}
+                pcap_ts = int(ts[gi])
+                fh = int(f[h])
+                j = 16
+                while j <= length - 16 - fh:
+                    j += _parse_metamako_trailer(data, fields, pcap_ts, length - j - fh) or 1
+                if fields:  # an inner (earlier-device) trailer wins
+                    mm_ts_a[gi] = fields["mm_ts"]
+                    mm_id_a[gi] = fields["mm_id"]
+                    mm_port_a[gi] = fields["mm_port"]
+
+    return {
+        "src_u32": src_u32,
+        "dst_u32": dst_u32,
+        "ip_valid": ip_ok,
+        "len": orig,
+        "proto": proto,
+        "proto_valid": named,
+        "src_port": src_port,
+        "dst_port": dst_port,
+        "ports_valid": ports_ok,
+        "mm_ts": mm_ts_a,
+        "mm_id": mm_id_a,
+        "mm_port": mm_port_a,
+        "mm_valid": mm_valid,
+    }
