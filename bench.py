@@ -37,6 +37,33 @@ HEADLINE = [
 ]
 
 
+def _big_pcap(n_packets: int = 250_000) -> str:
+    """Deterministic n-packet capture (cached in /tmp) for the
+    reference-capability throughput bench."""
+    import tempfile
+
+    from pcap_to_parquet_spark.sources.pcap_fixtures import (
+        BASE_TS,
+        eth,
+        ipv4,
+        mm_trailer,
+        pcap_file,
+        tcp,
+        udp,
+    )
+
+    path = os.path.join(tempfile.gettempdir(), f"bench_{n_packets}.pcap")
+    if not os.path.exists(path):
+        udp_f = eth(ipv4(17, "10.0.0.1", "10.0.0.2", udp(1234, 5678)))
+        tcp_f = eth(ipv4(6, "192.168.1.10", "192.168.1.20", tcp(80, 443)))
+        mm_f = udp_f + mm_trailer(BASE_TS - 2, 500_000_123, 7, 3)
+        mix = [udp_f, tcp_f, mm_f]
+        recs = [(BASE_TS, len(mix[i % 3]), mix[i % 3]) for i in range(n_packets)]
+        with open(path, "wb") as f:
+            f.write(pcap_file(recs))
+    return path
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -51,6 +78,17 @@ def main() -> None:
     run("q_flagship_revenue")  # warmup (JVM + codegen + parquet footer cache)
 
     timings = {name: round(run(name), 3) for name in HEADLINE}
+
+    # reference capability at scale: 250k-packet pcap -> zstd parquet
+    import tempfile
+
+    from pcap_to_parquet_spark.sources.pcap import convert_pcap
+
+    pcap_path = _big_pcap()
+    out = os.path.join(tempfile.gettempdir(), "bench_pcap_out")
+    t0 = time.time()
+    convert_pcap(spark, pcap_path, out)
+    timings["pcap_convert_250k"] = round(time.time() - t0, 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
