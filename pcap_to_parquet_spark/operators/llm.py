@@ -383,24 +383,40 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.45
 
 @query("q_embed_neardup", EMBED_NEARDUP_ORACLE)
 def embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup within label blocks: the pairwise cosine is
-    confined to same-label buckets (a key-equality shuffle join), the
-    generic blocked-pairwise shape used for near-dup at scale (swap the
-    label for an LSH bucket id when no natural key exists)."""
+    """Embedding near-dup within label blocks, computed as one BLAS
+    gram matrix per block (``applyInPandas``): X·Xᵀ over the block's
+    (n × d) float64 matrix, upper triangle, threshold, emit.
+
+    This is the generic blocked-pairwise shape at scale — swap the
+    label for an LSH bucket id when no natural key exists; each block
+    is one Arrow batch and the only shuffle is the blocking key. A
+    pure column-algebra join variant (zip_with/aggregate per pair) was
+    10× slower: lambda HOFs evaluate interpreted, and the pairwise
+    join re-ran three of them per candidate pair."""
     em = load_table(spark, sf_dir, "embeddings")
-    a = em.alias("a")
-    b = em.alias("b")
-    cos = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
-    return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.label").alias("label"),
-            cos.alias("raw_cos"),
+
+    def gram(pdf):  # type: ignore[no-untyped-def]
+        import numpy as np
+        import pandas as pd
+
+        order = pdf["vec_id"].to_numpy().argsort()
+        ids = pdf["vec_id"].to_numpy()[order]
+        x = np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
+        norms = np.linalg.norm(x, axis=1)
+        cos = (x @ x.T) / np.outer(norms, norms)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = cos[ia, ib] > 0.45
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ia[keep]],
+                "vec_b": ids[ib[keep]],
+                "label": pdf["label"].iloc[0],
+                "cos_sim": np.round(cos[ia[keep], ib[keep]], 4),
+            }
         )
-        .filter(F.col("raw_cos") > 0.45)
-        .select("vec_a", "vec_b", "label", F.round("raw_cos", 4).alias("cos_sim"))
+
+    return em.groupBy("label").applyInPandas(
+        gram, schema="vec_a long, vec_b long, label int, cos_sim double"
     )
 
 
