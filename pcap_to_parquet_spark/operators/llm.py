@@ -286,6 +286,42 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# reproducible train/val/test split (hash-gated, engine-independent)
+
+SPLIT_ORACLE = """
+WITH gated AS (
+    SELECT doc_id, lang,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100 AS gate
+    FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN gate < 80 THEN 'train'
+            WHEN gate < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM gated
+"""
+
+
+@query("q_train_test_split", SPLIT_ORACLE)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 80/10/10 split: gate = first 16 bits of
+    md5(doc_id) mod 100. Content-addressed and engine-independent
+    (the oracle recomputes the identical gate in DuckDB), so the
+    split survives re-runs, engine swaps, and data reshuffles —
+    unlike ``randomSplit``/``sampleBy``, whose seeds are engine- and
+    partitioning-dependent. Map-only: no shuffle at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    gate = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "int"
+    ) % 100
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(gate < 80, "train").when(gate < 90, "val").otherwise("test").alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # dedup clustering: connected components over near-dup pairs
 
 DEDUP_CLUSTERS_ORACLE = """
