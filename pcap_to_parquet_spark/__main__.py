@@ -28,10 +28,22 @@ def main() -> None:
         metavar="COL",
         help="partition the lake by these columns (e.g. protocol)",
     )
+    ap.add_argument(
+        "--chunk-mb",
+        type=int,
+        default=None,
+        help="split large captures into N-MiB chunks decoded in parallel",
+    )
     args = ap.parse_args()
     spark = get_spark("pcap-to-parquet-cli")
     spark.sparkContext.setLogLevel("ERROR")
-    convert_pcap(spark, args.input, args.output, partition_cols=args.partition_by)
+    convert_pcap(
+        spark,
+        args.input,
+        args.output,
+        partition_cols=args.partition_by,
+        chunk_bytes=args.chunk_mb * 1024 * 1024 if args.chunk_mb else None,
+    )
     print(f"wrote {args.output}")
 
 

@@ -215,51 +215,37 @@ _RAW_DECODE_SCHEMA = (
 )
 
 
-def read_pcap(spark: SparkSession, path: str) -> DataFrame:
-    """pcap file(s)/glob → packets DataFrame (PACKET_SCHEMA).
+def _arrays_to_pandas(a: dict):  # type: ignore[no-untyped-def]
+    """Columnar decode arrays → one Arrow-ready pandas batch. Nullable
+    ints ride pandas extension arrays end-to-end: a plain int-with-None
+    column silently becomes float64 and corrupts ns-scale timestamps
+    (int64 > 2^53)."""
+    import numpy as np
+    import pandas as pd
 
-    binaryFile scan (one task per file) → vectorized numpy decode
-    (sources/pcap_vec.py) emitting numeric columns via Arrow →
-    JVM-side finishing (dotted-quad formatting, protocol naming) so
-    the string work stays in whole-stage codegen. Nullable ints ride
-    pandas extension arrays end-to-end: a plain int-with-None column
-    silently becomes float64 and corrupts ns-scale timestamps
-    (int64 > 2^53).
-    """
-    tune(spark)
-    files = spark.read.format("binaryFile").load(path).select("content")
+    def masked(values, valid, dtype):  # noqa: ANN001
+        return pd.arrays.IntegerArray(values.astype(dtype), mask=~valid)
 
-    def decode_files(batches):  # type: ignore[no-untyped-def]
-        import numpy as np
-        import pandas as pd
+    n = len(a["len"])
+    all_valid = np.ones(n, dtype=bool)
+    return pd.DataFrame(
+        {
+            "src_u32": masked(a["src_u32"], a["ip_valid"], np.int64),
+            "dst_u32": masked(a["dst_u32"], a["ip_valid"], np.int64),
+            "len": masked(a["len"], all_valid, np.int64),
+            "proto": masked(a["proto"], a["proto_valid"], np.int64),
+            "src_port": masked(a["src_port"], a["ports_valid"], np.int32),
+            "dst_port": masked(a["dst_port"], a["ports_valid"], np.int32),
+            "mm_ts": masked(a["mm_ts"], a["mm_valid"], np.int64),
+            "mm_id": masked(a["mm_id"], a["mm_valid"], np.int32),
+            "mm_port": masked(a["mm_port"].astype(np.int16), a["mm_valid"], np.int16),
+        }
+    )
 
-        from pcap_to_parquet_spark.sources.pcap_vec import decode_pcap_arrays
 
-        def masked(values, valid, dtype):  # noqa: ANN001
-            return pd.arrays.IntegerArray(values.astype(dtype), mask=~valid)
-
-        for pdf in batches:
-            for content in pdf["content"]:
-                a = decode_pcap_arrays(bytes(content))
-                n = len(a["len"])
-                all_valid = np.ones(n, dtype=bool)
-                yield pd.DataFrame(
-                    {
-                        "src_u32": masked(a["src_u32"], a["ip_valid"], np.int64),
-                        "dst_u32": masked(a["dst_u32"], a["ip_valid"], np.int64),
-                        "len": masked(a["len"], all_valid, np.int64),
-                        "proto": masked(a["proto"], a["proto_valid"], np.int64),
-                        "src_port": masked(a["src_port"], a["ports_valid"], np.int32),
-                        "dst_port": masked(a["dst_port"], a["ports_valid"], np.int32),
-                        "mm_ts": masked(a["mm_ts"], a["mm_valid"], np.int64),
-                        "mm_id": masked(a["mm_id"], a["mm_valid"], np.int32),
-                        "mm_port": masked(
-                            a["mm_port"].astype(np.int16), a["mm_valid"], np.int16
-                        ),
-                    }
-                )
-
-    raw = files.mapInPandas(decode_files, schema=_RAW_DECODE_SCHEMA)
+def _finish_packets(raw: DataFrame) -> DataFrame:
+    """Numeric decode columns → PACKET_SCHEMA, JVM-side (dotted-quad
+    formatting and protocol naming stay in whole-stage codegen)."""
 
     def dotted(col: str):  # u32 → "a.b.c.d", codegen'd JVM string build
         c = F.col(col)
@@ -270,9 +256,7 @@ def read_pcap(spark: SparkSession, path: str) -> DataFrame:
         return F.when(c.isNotNull(), F.concat_ws(".", *octets))
 
     proto_name = F.element_at(
-        F.create_map(
-            *[F.lit(x) for kv in _PROTOCOL_NAMES.items() for x in kv]
-        ),
+        F.create_map(*[F.lit(x) for kv in _PROTOCOL_NAMES.items() for x in kv]),
         F.col("proto").cast("int"),
     )
     return raw.select(
@@ -288,11 +272,35 @@ def read_pcap(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_pcap(spark: SparkSession, path: str) -> DataFrame:
+    """pcap file(s)/glob → packets DataFrame (PACKET_SCHEMA).
+
+    binaryFile scan (one task per file) → vectorized numpy decode
+    (sources/pcap_vec.py) emitting numeric columns via Arrow →
+    JVM-side finishing. For single large captures use
+    ``sources.pcap_chunked.read_pcap_chunked`` (intra-file
+    parallelism, O(chunk) task memory).
+    """
+    tune(spark)
+    files = spark.read.format("binaryFile").load(path).select("content")
+
+    def decode_files(batches):  # type: ignore[no-untyped-def]
+        from pcap_to_parquet_spark.sources.pcap_vec import decode_pcap_arrays
+
+        for pdf in batches:
+            for content in pdf["content"]:
+                yield _arrays_to_pandas(decode_pcap_arrays(bytes(content)))
+
+    raw = files.mapInPandas(decode_files, schema=_RAW_DECODE_SCHEMA)
+    return _finish_packets(raw)
+
+
 def convert_pcap(
     spark: SparkSession,
     in_path: str,
     out_path: str,
     partition_cols: list[str] | None = None,
+    chunk_bytes: int | None = None,
 ) -> None:
     """The reference CLI, as an engine API (main.rs:59-122): pcap in,
     ZSTD parquet out (codec parity with main.rs:72-75; exact writer
@@ -302,8 +310,16 @@ def convert_pcap(
     date/hour) lays the lake out for partition pruning: a 100-TB
     packet lake queried by protocol/day reads only matching
     directories — the scan's PartitionFilters, not post-hoc filters.
+    ``chunk_bytes`` switches to the chunked reader (intra-file
+    parallelism for single large captures; see sources/pcap_chunked).
     """
-    w = read_pcap(spark, in_path).write.mode("overwrite").option("compression", "zstd")
+    if chunk_bytes:
+        from pcap_to_parquet_spark.sources.pcap_chunked import read_pcap_chunked
+
+        df = read_pcap_chunked(spark, in_path, chunk_bytes)
+    else:
+        df = read_pcap(spark, in_path)
+    w = df.write.mode("overwrite").option("compression", "zstd")
     if partition_cols:
         w = w.partitionBy(*partition_cols)
     w.parquet(out_path)

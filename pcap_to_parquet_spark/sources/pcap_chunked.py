@@ -1,0 +1,179 @@
+"""Intra-file pcap parallelism: chunked reads with boundary resync.
+
+``binaryFile`` gives one task per file, which is the right shape for
+many small captures but serializes a single 10 GB capture onto one
+core (and materializes the whole file in one task). This reader
+splits each file into byte-range chunks decoded in parallel:
+
+- chunk boundaries are arbitrary byte offsets; each task *resyncs* to
+  the first real record header at-or-after its start offset by
+  validating a chain of 6 consecutive plausible record headers
+  (timestamp within ±2 years of the file's first record, incl_len
+  ≤ 1 MiB; near EOF, shorter chains only if they land exactly on EOF
+  or have ≥2 links) — periodic or random payload bytes essentially
+  never fake that;
+- the sync function is deterministic in (file bytes, offset), and a
+  chunk ends where the *next* chunk's sync begins, so neighbors agree
+  on ownership without coordination: no gaps, no double-decodes;
+- each task seeks/reads only its range (+ a small tail for the record
+  straddling the boundary) — O(chunk) memory, never O(file).
+
+Local-filesystem ``open()`` is used here; on a cluster the same seek/
+read contract maps to ``pyarrow.fs`` / HDFS range reads.
+"""
+
+from __future__ import annotations
+
+import os
+from glob import glob
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pcap_to_parquet_spark.sources.pcap import (
+    _GLOBAL_HEADER_LEN,
+    _MAGICS,
+    _RECORD_HEADER_LEN,
+    PcapFormatError,
+)
+
+_TS_TOL = 63_113_852  # ±2 years around the file's first-record ts
+_MAX_INCL = 1 << 20  # 1 MiB sanity cap on captured length
+_SYNC_CHAIN = 6  # consecutive plausible headers required
+_SYNC_WINDOW = 1 << 20  # give up after scanning 1 MiB for a boundary
+
+
+def _plausible(buf: bytes, o: int, n: int, order: str, ref_ts: int) -> int | None:
+    """If a plausible record header starts at ``o``, return the offset
+    just past its data; else None. Plausibility anchors the timestamp
+    to the file's first record (±2 years): periodic payloads can fake
+    arbitrary self-consistent header chains, but faking the capture's
+    own epoch takes adversarial data — for which the per-file reader
+    remains the safe path."""
+    if o + _RECORD_HEADER_LEN > n:
+        return None
+    ts = int.from_bytes(buf[o : o + 4], order)
+    incl = int.from_bytes(buf[o + 8 : o + 12], order)
+    if not (abs(ts - ref_ts) <= _TS_TOL and incl <= _MAX_INCL):
+        return None
+    return o + _RECORD_HEADER_LEN + incl
+
+
+# slack past the chunk end so every sync candidate in the window has a
+# full validation chain available in-buffer: then a short read means
+# true EOF, and neighboring chunks (whose buffers share these bytes)
+# always compute the SAME sync point — the no-gap/no-overlap invariant.
+_SLACK = _SYNC_WINDOW + _SYNC_CHAIN * (_RECORD_HEADER_LEN + _MAX_INCL)
+
+
+def sync_offset(buf: bytes, start: int, order: str, ref_ts: int) -> int:
+    """First record-header offset at-or-after ``start`` (relative to
+    ``buf``), validated by a chain of ``_SYNC_CHAIN`` plausible
+    headers (fewer suffice when the chain cleanly reaches EOF).
+    Deterministic in (file bytes, offset)."""
+    n = len(buf)
+    for o in range(start, min(start + _SYNC_WINDOW, n)):
+        p: int | None = o
+        ok = 0
+        while p is not None and ok < _SYNC_CHAIN:
+            nxt = _plausible(buf, p, n, order, ref_ts)
+            if nxt is None:
+                break
+            ok += 1
+            p = nxt
+        # full chain; or a short chain that ends exactly at EOF; or a
+        # ≥2-link chain that overruns EOF (truncated final record).
+        # A single header claiming data past EOF is NOT enough — one
+        # lucky fake near the tail (e.g. trailer bytes reading as an
+        # in-epoch timestamp + huge incl) would otherwise hijack the
+        # boundary and orphan the real tail records.
+        if ok == _SYNC_CHAIN or (
+            p is not None
+            and ((ok >= 1 and p == n) or (ok >= 2 and p + _RECORD_HEADER_LEN > n))
+        ):
+            return o
+    # no sync in the window (unparseable region): return the window cap,
+    # which is the same absolute offset from both neighbors' viewpoints
+    return min(start + _SYNC_WINDOW, n)
+
+
+def chunk_specs(path: str, chunk_bytes: int) -> list[tuple[str, int, int]]:
+    """(path, start, end) byte ranges per file; start=24 for the first."""
+    files = sorted(glob(path)) if any(c in path for c in "*?[") else (
+        sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+        ) if os.path.isdir(path) else [path]
+    )
+    specs: list[tuple[str, int, int]] = []
+    for f in files:
+        size = os.path.getsize(f)
+        start = _GLOBAL_HEADER_LEN
+        while start < size:
+            end = min(start + chunk_bytes, size)
+            specs.append((f, start, end))
+            start = end
+    if not specs:
+        raise PcapFormatError(f"no pcap files under {path!r}")
+    return specs
+
+
+def decode_chunk(path: str, start: int, end: int) -> bytes:
+    """Read [start, end) plus resync slack and return a synthetic
+    standalone pcap buffer (global header + owned records)."""
+    with open(path, "rb") as fh:
+        header = fh.read(_GLOBAL_HEADER_LEN)
+        try:
+            order, _unit = _MAGICS[header[:4]]
+        except KeyError:
+            raise PcapFormatError(
+                f"not a legacy pcap file (magic={header[:4].hex()})"
+            ) from None
+        # the first record's ts anchors plausibility for every chunk of
+        # this file — identical, known-real, and cheap to read
+        first_hdr = fh.read(4)
+        ref_ts = int.from_bytes(first_hdr, order) if len(first_hdr) == 4 else 0
+        fh.seek(start)
+        buf = fh.read((end - start) + _SLACK)
+    lo = sync_offset(buf, 0, order, ref_ts) if start > _GLOBAL_HEADER_LEN else 0
+    hi = sync_offset(buf, end - start, order, ref_ts)
+    # walk records from lo; a record is OWNED iff its header starts
+    # before hi (a straddler's data extends past hi — that's fine, the
+    # slack covers it and the next chunk starts at hi, not before)
+    n = len(buf)
+    pos = lo
+    while pos < hi:
+        if pos + _RECORD_HEADER_LEN > n:
+            break
+        nxt = pos + _RECORD_HEADER_LEN + int.from_bytes(buf[pos + 8 : pos + 12], order)
+        if nxt > n:
+            break  # truncated straddler (true EOF tail): drop, parity with splitter
+        pos = nxt
+    return header + buf[lo:pos]
+
+
+def read_pcap_chunked(
+    spark: SparkSession, path: str, chunk_bytes: int = 64 * 1024 * 1024
+) -> DataFrame:
+    """pcap file(s) → packets DataFrame with intra-file parallelism:
+    one task per ``chunk_bytes`` byte range. Same output as
+    ``read_pcap`` (tests assert row-set equality), different physical
+    shape: a single large capture fans out across the cluster."""
+    from pcap_to_parquet_spark.sources.pcap import _finish_packets, _RAW_DECODE_SCHEMA
+    from pcap_to_parquet_spark.session import tune
+
+    tune(spark)
+    specs = chunk_specs(path, chunk_bytes)
+    sdf = spark.createDataFrame(specs, "path string, start long, end long").repartition(
+        max(len(specs), 1)
+    )
+
+    def decode_specs(batches):  # type: ignore[no-untyped-def]
+        from pcap_to_parquet_spark.sources.pcap import _arrays_to_pandas
+        from pcap_to_parquet_spark.sources.pcap_vec import decode_pcap_arrays
+
+        for pdf in batches:
+            for path_, start_, end_ in zip(pdf["path"], pdf["start"], pdf["end"]):
+                buf = decode_chunk(path_, int(start_), int(end_))
+                yield _arrays_to_pandas(decode_pcap_arrays(buf))
+
+    raw = sdf.mapInPandas(decode_specs, schema=_RAW_DECODE_SCHEMA)
+    return _finish_packets(raw)

@@ -1,0 +1,87 @@
+"""Chunked pcap reader: chunked == unchunked, at every boundary."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pcap_to_parquet_spark.sources.pcap import decode_pcap_bytes
+from pcap_to_parquet_spark.sources.pcap_chunked import (
+    chunk_specs,
+    decode_chunk,
+    read_pcap_chunked,
+)
+from pcap_to_parquet_spark.sources.pcap_fixtures import (
+    BASE_TS,
+    eth,
+    golden_pcap_bytes,
+    ipv4,
+    mm_trailer,
+    pcap_file,
+    tcp,
+    udp,
+)
+
+
+def chunked_rows(path: str, chunk_bytes: int) -> list[dict]:
+    """Decode every chunk standalone and concatenate (no Spark)."""
+    rows: list[dict] = []
+    for p, s, e in chunk_specs(path, chunk_bytes):
+        rows.extend(decode_pcap_bytes(decode_chunk(p, s, e)))
+    return rows
+
+
+def _mixed_pcap(n: int) -> bytes:
+    udp_f = eth(ipv4(17, "10.0.0.1", "10.0.0.2", udp(1234, 5678)))
+    tcp_f = eth(ipv4(6, "192.168.1.10", "192.168.1.20", tcp(80, 443)))
+    mm_f = udp_f + mm_trailer(BASE_TS - 2, 500_000_123, 7, 3)
+    mix = [udp_f, tcp_f, mm_f]
+    return pcap_file([(BASE_TS, len(mix[i % 3]), mix[i % 3]) for i in range(n)])
+
+
+@pytest.mark.parametrize("chunk_bytes", [256, 1000, 4096, 10**9])
+def test_chunked_equals_whole(tmp_path, chunk_bytes):
+    buf = _mixed_pcap(200)
+    p = tmp_path / "mix.pcap"
+    p.write_bytes(buf)
+    assert chunked_rows(str(p), chunk_bytes) == decode_pcap_bytes(buf)
+
+
+def test_every_boundary_offset(tmp_path):
+    """Exhaustive: every possible chunk size over the golden file —
+    boundaries land inside headers, payloads, and trailers."""
+    buf = golden_pcap_bytes()
+    p = tmp_path / "golden.pcap"
+    p.write_bytes(buf)
+    want = decode_pcap_bytes(buf)
+    for chunk_bytes in range(16, len(buf) + 16, 16):
+        assert chunked_rows(str(p), chunk_bytes) == want, f"chunk={chunk_bytes}"
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(1, 40),
+    chunk=st.integers(64, 2048),
+    payload=st.binary(min_size=0, max_size=60),
+)
+def test_random_payload_boundaries(tmp_path_factory, n, chunk, payload):
+    frame = eth(ipv4(17, "1.2.3.4", "5.6.7.8", udp(9, 9, payload)))
+    buf = pcap_file([(BASE_TS + i, len(frame), frame) for i in range(n)])
+    d = tmp_path_factory.mktemp("rnd")
+    p = d / "r.pcap"
+    p.write_bytes(buf)
+    assert chunked_rows(str(p), chunk) == decode_pcap_bytes(buf)
+
+
+def test_spark_chunked_reader(spark, tmp_path):
+    buf = _mixed_pcap(5000)
+    p = tmp_path / "big.pcap"
+    p.write_bytes(buf)
+    df = read_pcap_chunked(spark, str(p), chunk_bytes=50_000)
+    rows = sorted(tuple(r) for r in df.collect())
+    want = sorted(
+        tuple(r.values()) for r in decode_pcap_bytes(buf)
+    )
+    assert len(rows) == 5000
+    assert rows == want
