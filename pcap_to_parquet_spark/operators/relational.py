@@ -167,3 +167,105 @@ def except_(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(F.col("c_nationkey").alias("nationkey")).subtract(
         s.select(F.col("s_nationkey").alias("nationkey"))
     )
+
+
+@query(
+    "q_pivot",
+    """
+    SELECT c_mktsegment,
+           ROUND(COALESCE(SUM(o_totalprice) FILTER (o_orderpriority = '1-URGENT'), 0), 2)
+               AS urgent,
+           ROUND(COALESCE(SUM(o_totalprice) FILTER (o_orderpriority = '2-HIGH'), 0), 2)
+               AS high,
+           ROUND(COALESCE(SUM(o_totalprice) FILTER (o_orderpriority = '3-MEDIUM'), 0), 2)
+               AS medium
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot = groupBy + pivot with an EXPLICIT value list: naming the
+    pivot values keeps the plan single-pass (unnamed pivot first runs a
+    distinct scan to discover columns — a full extra job at scale)."""
+    o, c = load_tables(spark, sf_dir, "orders", "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    p = (
+        j.groupBy("c_mktsegment")
+        .pivot("o_orderpriority", ["1-URGENT", "2-HIGH", "3-MEDIUM"])
+        .agg(F.sum("o_totalprice"))
+    )
+    return p.select(
+        "c_mktsegment",
+        F.round(F.coalesce(F.col("1-URGENT"), F.lit(0.0)), 2).alias("urgent"),
+        F.round(F.coalesce(F.col("2-HIGH"), F.lit(0.0)), 2).alias("high"),
+        F.round(F.coalesce(F.col("3-MEDIUM"), F.lit(0.0)), 2).alias("medium"),
+    )
+
+
+@query(
+    "q_unpivot",
+    """
+    SELECT p_partkey, metric, value
+    FROM (SELECT p_partkey,
+                 CAST(p_size AS DOUBLE) AS size,
+                 p_retailprice AS retailprice
+          FROM part)
+    UNPIVOT (value FOR metric IN (size, retailprice))
+    """,
+)
+def unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (melt): map-only Expand, no shuffle."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"),
+    ).unpivot("p_partkey", ["size", "retailprice"], "metric", "value")
+
+
+@query(
+    "q_subquery_scalar",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+    """,
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: Catalyst plans the aggregate once
+    and broadcasts the scalar into the filter (no per-row re-execution)."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM v_orders
+        WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM v_orders)
+        """
+    )
+
+
+@query(
+    "q_subquery_exists",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS: Catalyst decorrelates it into a left-semi
+    join on the correlation key — per-row subquery loops never run."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    c.createOrReplaceTempView("v_customer")
+    o.createOrReplaceTempView("v_orders2")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM v_customer c
+        WHERE EXISTS (SELECT 1 FROM v_orders2 o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        """
+    )
