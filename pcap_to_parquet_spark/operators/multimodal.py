@@ -106,6 +106,81 @@ def decode_media_batch(batches) -> Iterator:  # type: ignore[no-untyped-def]
         )
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """image payloads → resized payloads (mapInPandas seam).
+
+    The PIL decode/resize is STUBBED (no codec libs in this
+    environment): image kinds raise NotImplementedError; the plumbing
+    — Arrow batch shape, schema, partition-preserving map — is real
+    and tested with text payloads standing in as opaque bytes."""
+
+    def do_resize(batches):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        for pdf in batches:
+            kinds = pdf["meta"].map(lambda m: m["kind"])
+            if kinds.isin(_REAL_CODECS).any():
+                raise NotImplementedError(
+                    "PIL/av resize requires codec libraries not in this environment"
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pdf["payload"],  # identity for non-image kinds
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(do_resize, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 32) -> DataFrame:
+    """video payloads → sampled frames (one row per frame; UDTF-shaped
+    mapInPandas). Real decoders (av/ffmpeg) are stubbed; the
+    deterministic fake slices the payload every ``every_n_bytes`` so
+    batch fan-out (one input row → many output rows) is exercised for
+    real."""
+
+    def do_sample(batches):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        for pdf in batches:
+            kinds = pdf["meta"].map(lambda m: m["kind"])
+            if kinds.isin(_REAL_CODECS).any():
+                raise NotImplementedError(
+                    "frame sampling requires av/ffmpeg, not in this environment"
+                )
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                for i, start in enumerate(range(0, len(b), every_n_bytes)):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(b[start : start + every_n_bytes])
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return media.mapInPandas(do_sample, schema=FRAME_SCHEMA)
+
+
 @query(
     "q_multimodal_features",
     """

@@ -17,12 +17,11 @@ Deliberate divergence (SURVEY §2.2): malformed/truncated packets never
 raise — fields stay NULL (the reference panics on slice overruns,
 main.rs:190-191,237).
 
-Execution model: ``binaryFile`` scan → ``mapInPandas`` decode emitting
-PACKET_SCHEMA batches. Parallelism is per-file (one task per pcap), the
-splitter is O(1) memory per record (mirroring the reference's streaming
-refill reader, main.rs:113-115); shard large captures upstream. The
-decoded table is then plain column algebra — Catalyst sees through
-everything downstream.
+Execution model: ``binaryFile`` scan → vectorized numpy decode
+(sources/pcap_vec.py) → JVM-side finishing. Parallelism is per-file
+here; single large captures get intra-file chunked parallelism via
+``sources.pcap_chunked.read_pcap_chunked``. The decoded table is then
+plain column algebra — Catalyst sees through everything downstream.
 """
 
 from __future__ import annotations
