@@ -215,3 +215,25 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("count"), F.col("cnt"), F.lit("total"), F.col("total")
     )
     return agg.select("event_type", F.explode(m).alias("k", "v"))
+
+
+@query(
+    "q_hash_funcs",
+    """
+    SELECT doc_id,
+           md5(text) AS h_md5,
+           sha256(text) AS h_sha256,
+           length(md5(text)) AS md5_len
+    FROM documents
+    """,
+)
+def hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic digest family (content addressing / dedup keys);
+    both engines agree byte-for-byte on md5/sha256 of UTF-8 text."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("h_md5"),
+        F.sha2("text", 256).alias("h_sha256"),
+        F.length(F.md5("text")).alias("md5_len"),
+    )

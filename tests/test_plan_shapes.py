@@ -1,0 +1,78 @@
+"""Plan-shape regression tests: pin the scale-critical physical plans.
+
+Results being right is necessary, not sufficient — these assert the
+*strategy* Catalyst picked, so a refactor that silently turns a
+broadcast join into a 100-TB shuffle, or drops TakeOrderedAndProject
+into a global sort, fails here instead of in production."""
+
+from __future__ import annotations
+
+import pcap_to_parquet_spark.operators  # noqa: F401  (registers queries)
+from pcap_to_parquet_spark.plans import plan_profile
+from pcap_to_parquet_spark.registry import QUERIES
+from tests.conftest import SF001
+
+
+def prof(spark, name):
+    return plan_profile(QUERIES[name](spark, SF001))
+
+
+def test_flagship_broadcasts_all_dims(spark):
+    p = prof(spark, "q_flagship_revenue")
+    assert p.get("BroadcastHashJoin", 0) == 3  # orders, customer, nation
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert p.get("TakeOrderedAndProject", 0) == 1  # top-n, not global sort
+    assert p["pushed_filters"] >= 1
+
+
+def test_topk_uses_window_group_limit(spark):
+    p = prof(spark, "q_topk_per_group")
+    assert p.get("WindowGroupLimit", 0) >= 1  # per-partition heap pre-shuffle
+
+
+def test_sort_limit_is_take_ordered(spark):
+    p = prof(spark, "q_sort_limit")
+    assert p.get("TakeOrderedAndProject", 0) == 1
+    assert p["exchanges"] == 0  # no range-partitioned global sort
+
+
+def test_similarity_topk_broadcasts_query_vector_only(spark):
+    p = prof(spark, "q_similarity_topk")
+    assert p.get("BroadcastNestedLoopJoin", 0) == 1  # 1-row qvec broadcast
+    assert p.get("TakeOrderedAndProject", 0) == 1
+    assert "CartesianProduct" not in p
+
+
+def test_hash_agg_has_partial_aggregation(spark):
+    p = prof(spark, "q_hash_agg")
+    assert p.get("HashAggregate", 0) == 2  # partial (map-side) + final
+    assert p["exchanges"] == 1
+
+
+def test_semi_anti_joins_broadcast(spark):
+    for name in ("q_semi_join", "q_anti_join"):
+        p = prof(spark, name)
+        assert p.get("BroadcastHashJoin", 0) == 1, name
+        assert p["exchanges"] == 0, name
+
+
+def test_minhash_stays_in_codegen(spark):
+    # the 128-min aggregate must not fall out of whole-stage codegen
+    # (codegen.maxFields); a drop to 0 spans means interpreted mode
+    from pcap_to_parquet_spark.operators.llm import minhash_signatures
+    from pcap_to_parquet_spark.sources.tables import load_table
+
+    d = load_table(spark, SF001, "documents")  # tune() re-enables AQE
+    spark.conf.set("spark.sql.adaptive.enabled", "false")  # after load_table
+    try:
+        p = plan_profile(minhash_signatures(d))
+        assert p["wscg_spans"] >= 1
+        assert p.get("HashAggregate", 0) == 2
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_pcap_decode_is_arrow_not_row_python(spark):
+    p = prof(spark, "q_pcap_pipeline")
+    assert p.get("MapInPandas", 0) == 1  # Arrow-batched, never row-at-a-time
+    assert "BatchEvalPython" not in p
