@@ -314,3 +314,80 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(prof, "update").orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4.x arbitrary-state API)
+#
+# Registered only when protobuf is importable: the v2 state API's
+# worker protocol needs google.protobuf, which this container lacks
+# (environment gate, not an engine limitation — q_stream_stateful
+# provides the same capability on the v1 applyInPandasWithState API).
+
+
+def _has_tws_deps() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user anomaly counter on the new ``transformWithStateInPandas``
+    API (Spark 4.x): a ValueState holds (n_events, value_sum) per user;
+    each batch emits the user's running mean and how many events in the
+    batch exceeded 2× the mean-so-far. This is the v2 state API the
+    v1 ``applyInPandasWithState`` operator (q_stream_stateful) migrates
+    to: typed state handles, timers, and TTL-capable state stores."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class AnomalyCounter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("agg", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):  # type: ignore[no-untyped-def]
+            import pandas as pd
+
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            batch_anoms = 0
+            for pdf in rows:
+                for v in pdf["value"]:
+                    mean = total / n if n else float(v)
+                    if n and float(v) > 2 * mean:
+                        batch_anoms += 1
+                    n += 1
+                    total += float(v)
+            self._state.update((n, round(total, 4)))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "mean_value": [round(total / n, 4) if n else 0.0],
+                    "n_anomalies": [batch_anoms],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    e = stream_events(spark, sf_dir)
+    out = (
+        e.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            AnomalyCounter(),
+            outputStructType="user_id long, n_events long, mean_value double, n_anomalies long",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    return run_to_memory(out, "update").orderBy("user_id")
+
+
+if _has_tws_deps():
+    query("q_stream_tws")(stream_tws)
