@@ -8,10 +8,10 @@ splits each file into byte-range chunks decoded in parallel:
 - chunk boundaries are arbitrary byte offsets; each task *resyncs* to
   the first real record header at-or-after its start offset by
   validating a chain of 6 consecutive plausible record headers
-  (timestamp within ±2 years of the file's first record, incl_len
-  ≤ 1 MiB; near EOF, shorter chains only if they land exactly on EOF
-  or have ≥2 links) — periodic or random payload bytes essentially
-  never fake that;
+  (timestamp within ±48 h of the file's first record — the tolerance
+  must exceed the capture's duration — incl_len ≤ 1 MiB; near EOF,
+  shorter chains only if they land exactly on EOF or have ≥2 links) —
+  periodic or random payload bytes essentially never fake that;
 - the sync function is deterministic in (file bytes, offset), and a
   chunk ends where the *next* chunk's sync begins, so neighbors agree
   on ownership without coordination: no gaps, no double-decodes;
@@ -36,7 +36,12 @@ from pcap_to_parquet_spark.sources.pcap import (
     PcapFormatError,
 )
 
-_TS_TOL = 63_113_852  # ±2 years around the file's first-record ts
+# ±48 h around the file's first-record ts: must exceed the capture's
+# duration (typical capture files span minutes-to-hours). Wide windows
+# admit more fake headers — at ±2 years, ~3% of random 4-byte values
+# pass, and fuzzing produced a fake header bridging onto the real
+# record lattice; at ±48 h that first fake hop is ~360× rarer.
+_TS_TOL = 48 * 3600
 _MAX_INCL = 1 << 20  # 1 MiB sanity cap on captured length
 _SYNC_CHAIN = 6  # consecutive plausible headers required
 _SYNC_WINDOW = 1 << 20  # give up after scanning 1 MiB for a boundary
@@ -45,10 +50,10 @@ _SYNC_WINDOW = 1 << 20  # give up after scanning 1 MiB for a boundary
 def _plausible(buf: bytes, o: int, n: int, order: str, ref_ts: int) -> int | None:
     """If a plausible record header starts at ``o``, return the offset
     just past its data; else None. Plausibility anchors the timestamp
-    to the file's first record (±2 years): periodic payloads can fake
-    arbitrary self-consistent header chains, but faking the capture's
-    own epoch takes adversarial data — for which the per-file reader
-    remains the safe path."""
+    to the file's first record (±_TS_TOL): periodic or random payloads
+    can fake self-consistent header chains, but faking the capture's
+    own narrow epoch window takes adversarial data — for which the
+    per-file reader remains the safe path."""
     if o + _RECORD_HEADER_LEN > n:
         return None
     ts = int.from_bytes(buf[o : o + 4], order)
