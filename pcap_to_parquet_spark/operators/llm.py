@@ -225,7 +225,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NGRAM_JACCARD_ORACLE = """
 WITH tok AS (
-    SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS ws
+    FROM documents
 ),
 sh AS (
     SELECT DISTINCT doc_id, unnest(
@@ -326,7 +327,8 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_CLUSTERS_ORACLE = """
 WITH RECURSIVE tok AS (
-    SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS ws
+    FROM documents
 ),
 sh AS (
     SELECT DISTINCT doc_id, unnest(
@@ -376,7 +378,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a"))).toDF("a", "b").cache()
     labels = d.select("doc_id", F.col("doc_id").alias("cluster_id")).cache()
-    for _ in range(20):
+    converged = False
+    for _ in range(50):
         neigh = (
             edges.join(labels, edges.a == labels.doc_id)
             .groupBy(F.col("b").alias("doc_id"))
@@ -401,7 +404,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    # edges are fully consumed: the final labels cache was materialized
+    # by the convergence count above
+    edges.unpersist()
+    if not converged:
+        # returning stale labels would be silently wrong (components
+        # with diameter > 50 — degenerate near-dup chains); fail loud
+        raise RuntimeError("dedup_clusters: label propagation did not converge in 50 rounds")
     return labels
 
 
@@ -496,7 +507,6 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition pruning structure: at 100 TB the corpus is written
     partitioned by centroid id and the probe reads 2/10 of the data."""
     em = load_table(spark, sf_dir, "embeddings")
-    dim_range = F.sequence(F.lit(1), F.size("embedding"))
     # centroids: elementwise mean per label — explode (pos, val), avg, re-assemble
     comp = em.select(
         "label",
@@ -543,7 +553,7 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            COUNT(*) AS n_docs,
            ROUND(AVG(n_chars), 4) AS avg_chars,
-           ROUND(AVG(len(list_filter(string_split(text, ' '), t -> t <> ''))), 4)
+           ROUND(AVG(len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> ''))), 4)
                AS avg_tokens,
            MIN(n_chars) AS min_chars,
            MAX(n_chars) AS max_chars
@@ -566,7 +576,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_token_count",
     """
     SELECT doc_id,
-           len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_ws_tokens,
+           len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS n_ws_tokens,
            len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens
     FROM documents
     """,
@@ -585,13 +595,13 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUALITY_ORACLE = """
 SELECT doc_id,
-       ROUND(len(list_filter(string_split(text, ' '), t -> t <> ''))::DOUBLE
+       ROUND(len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> ''))::DOUBLE
              / GREATEST(n_chars, 1), 6) AS token_density,
        ROUND(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))::DOUBLE
              / GREATEST(n_chars, 1), 6) AS punct_ratio,
-       ROUND(len(list_filter(string_split(text, ' '),
+       ROUND(len(list_filter(regexp_split_to_array(text, '\s+'),
                              t -> t IN ('the', 'a', 'of', 'and', 'to')))::DOUBLE
-             / GREATEST(len(list_filter(string_split(text, ' '), t -> t <> '')), 1), 6)
+             / GREATEST(len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')), 1), 6)
            AS stopword_ratio,
        (n_chars BETWEEN 100 AND 5000) AS length_ok
 FROM documents
@@ -620,9 +630,9 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 LANG_ID_ORACLE = """
 WITH scored AS (
     SELECT doc_id, lang,
-           len(list_filter(string_split(text, ' '),
+           len(list_filter(regexp_split_to_array(text, '\s+'),
                            t -> t IN ('the', 'a', 'of', 'and', 'to', 'is'))) AS en_hits,
-           len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens
+           len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS n_tokens
     FROM documents
 )
 SELECT doc_id, lang AS labeled_lang,
@@ -657,7 +667,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            md5(lower(trim(text))) AS content_md5,
            md5(array_to_string(list_sort(list_distinct(
-               list_filter(string_split(lower(trim(text)), ' '), t -> t <> ''))), ' '))
+               list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> ''))), ' '))
                AS bag_md5
     FROM documents
     """,
@@ -667,7 +677,7 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     bag-of-words digest (sorted distinct tokens) that survives shuffling."""
     d = load_table(spark, sf_dir, "documents")
     norm = F.lower(F.trim(F.col("text")))
-    toks = F.filter(F.split(norm, " "), lambda t: t != "")
+    toks = F.filter(F.split(norm, r"\s+"), lambda t: t != "")
     return d.select(
         "doc_id",
         F.md5(norm).alias("content_md5"),

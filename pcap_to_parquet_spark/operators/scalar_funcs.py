@@ -177,7 +177,7 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_explode",
     """
     SELECT doc_id, t.token
-    FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+    FROM documents, UNNEST(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS t(token)
     WHERE doc_id < 50 AND t.token <> ''
     """,
 )

@@ -69,6 +69,40 @@ def test_fingerprint_bag_invariance(spark, tiny_docs_dir):
     assert rows[0].content_md5 != rows[2].content_md5
 
 
+def test_whitespace_hostile_oracle_parity(spark, tmp_path):
+    """Tabs, newlines, and runs of spaces must tokenize identically in
+    the engine (split \\s+) and every DuckDB oracle
+    (regexp_split_to_array) — regression for a latent divergence where
+    oracles split on a single literal space."""
+    import duckdb
+
+    rows = [
+        (0, "a\tb  c\nd", "en", "s", 8),
+        (1, "  leading and trailing  ", "en", "s", 24),
+        (2, "the\tof\nand  to a", "en", "s", 16),
+        (3, "one two three four five six", "en", "s", 27),
+    ]
+    d = tmp_path / "hostile"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+
+    from pcap_to_parquet_spark.registry import ORACLES, QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    for name in ("q_token_count", "q_quality_score", "q_lang_id", "q_text_stats",
+                 "q_ngram_jaccard", "q_fingerprint"):
+        got = {
+            tuple(r): None for r in QUERIES[name](spark, str(d)).collect()
+        }
+        want = {tuple(r): None for r in con.execute(ORACLES[name]).fetchall()}
+        assert set(got) == set(want), name
+
+
 def test_similarity_topk_shape(spark):
     from tests.conftest import SF0001
 
