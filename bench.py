@@ -76,6 +76,12 @@ def main() -> None:
         return time.time() - t0
 
     run("q_flagship_revenue")  # warmup (JVM + codegen + parquet footer cache)
+    # python-worker-pool warmup (same startup class as the JVM warmup:
+    # the first Arrow/pandas job otherwise pays worker spawn inside its
+    # measurement)
+    spark.range(1, numPartitions=1).toDF("x").mapInPandas(
+        lambda it: it, schema="x long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings = {name: round(run(name), 3) for name in HEADLINE}
 
