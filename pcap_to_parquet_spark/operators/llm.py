@@ -562,6 +562,71 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# k-means over embeddings (iterative Lloyd; clustering as a curation
+# primitive: topic buckets, diversity sampling, IVF coarse quantizers)
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def kmeans_assign(em: DataFrame, centroids) -> DataFrame:  # type: ignore[no-untyped-def]
+    """(vec_id, cluster): nearest-centroid assignment by cosine.
+
+    The centroid matrix is a driver-side constant (k × d floats — the
+    only thing ever collected), broadcast inside a vectorized pandas
+    UDF: each Arrow batch is one (n × d) @ (d × k) matmul. Map-only."""
+    c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @F.pandas_udf("int")
+    def assign(e: pd.Series) -> pd.Series:
+        x = np.stack(e.to_numpy()).astype(np.float64)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        return pd.Series((x @ c.T).argmax(axis=1).astype(np.int32))
+
+    return em.select("vec_id", assign("embedding").alias("cluster"))
+
+
+@query("q_kmeans")  # rows-only: iterative algorithm, no SQL analogue
+def kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=8, 3 iterations, cosine): deterministic init
+    from the k smallest vec_ids; per-iteration the assignment is a
+    map-only batched matmul and the update is one groupBy computing
+    per-dimension means (posexplode → avg → re-assemble). Only the
+    k × d centroid matrix ever reaches the driver — the standard
+    big-data k-means loop shape. Output is integer-only (cluster
+    sizes + min member id) so the rows-only check is float-stable."""
+    em = fan_out(load_table(spark, sf_dir, "embeddings")).cache()
+    init = em.orderBy("vec_id").limit(KMEANS_K).collect()
+    centroids = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in init])
+    for _ in range(KMEANS_ITERS):
+        assigned = kmeans_assign(em, centroids)
+        upd = (
+            em.join(assigned, "vec_id")
+            .select(
+                "cluster",
+                F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+                    "pos", "val"
+                ),
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cluster", F.transform("pm", lambda s: s.getField("m")).alias("centroid"))
+            .collect()
+        )
+        for r in upd:  # empty clusters keep their previous centroid
+            centroids[r.cluster] = np.asarray(r.centroid, dtype=np.float64)
+    final = kmeans_assign(em, centroids)
+    em.unpersist()
+    return (
+        final.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
+        .orderBy("cluster")
+    )
+
+
+# ---------------------------------------------------------------------------
 # text analysis
 
 
