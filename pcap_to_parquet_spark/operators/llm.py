@@ -341,6 +341,101 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# data mixing: deterministic per-source sampling rates
+
+MIX_RATES = {"src0": 100, "src1": 75, "src2": 50, "src3": 25}  # percent
+_MIX_DEFAULT = 10
+
+MIX_ORACLE = f"""
+WITH gated AS (
+    SELECT doc_id, source,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 4))::INT % 100 AS gate
+    FROM documents
+)
+SELECT doc_id, source
+FROM gated
+WHERE gate < CASE source
+             WHEN 'src0' THEN {MIX_RATES["src0"]}
+             WHEN 'src1' THEN {MIX_RATES["src1"]}
+             WHEN 'src2' THEN {MIX_RATES["src2"]}
+             WHEN 'src3' THEN {MIX_RATES["src3"]}
+             ELSE {_MIX_DEFAULT} END
+"""
+
+
+@query("q_data_mixing", MIX_ORACLE)
+def data_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data mixing: each source is down-sampled at its
+    own rate via a content-addressed md5 gate (hex digits 5-8, so the
+    mixing gate is independent of the train/val/test gate's digits
+    1-4). Same reproducibility argument as q_train_test_split: the
+    sample survives re-runs, engine swaps, and repartitioning, unlike
+    ``sampleBy``. Map-only at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    gate = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 5, 4), 16, 10).cast(
+        "int"
+    ) % 100
+    rate = F.col("source")
+    expr = F.lit(_MIX_DEFAULT)
+    for src, pct in reversed(MIX_RATES.items()):
+        expr = F.when(rate == src, pct).otherwise(expr)
+    return d.filter(gate < expr).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# composite curation pipeline: quality filter → exact dedup → split
+
+CURATION_ORACLE = """
+WITH quality AS (
+    SELECT doc_id, text,
+           len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS n_toks
+    FROM documents
+    WHERE n_chars BETWEEN 100 AND 5000
+),
+deduped AS (
+    SELECT MIN(doc_id) AS doc_id, md5(text) AS text_hash, ANY_VALUE(n_toks) AS n_toks
+    FROM quality
+    GROUP BY md5(text)
+),
+split AS (
+    SELECT doc_id, n_toks,
+           CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100 < 80
+                THEN 'train' ELSE 'heldout' END AS split
+    FROM deduped
+)
+SELECT split, COUNT(*) AS n_docs, SUM(n_toks) AS total_tokens
+FROM split
+GROUP BY split
+"""
+
+
+@query("q_curation_pipeline", CURATION_ORACLE)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation chain in one plan: length gate → exact
+    dedup (keep min doc_id per content hash) → reproducible 80/20
+    split → per-split token accounting. Catalyst fuses the whole
+    thing into scan → filter (pushed) → one dedup shuffle → map-side
+    split/agg — the same shape a 100 TB curation run wants."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(whitespace_tokens("text"))
+    quality = d.filter(F.col("n_chars").between(100, 5000)).select(
+        "doc_id", "text", toks.alias("n_toks")
+    )
+    deduped = quality.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("doc_id"), F.first("n_toks").alias("n_toks")
+    )
+    gate = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "int"
+    ) % 100
+    split = deduped.select(
+        "n_toks", F.when(gate < 80, "train").otherwise("heldout").alias("split")
+    )
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_toks").alias("total_tokens")
+    )
+
+
+# ---------------------------------------------------------------------------
 # dedup clustering: connected components over near-dup pairs
 
 DEDUP_CLUSTERS_ORACLE = """
