@@ -122,6 +122,9 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     join), so the plan is shuffle-bounded by the number of colliding
     docs, never O(n²)."""
     d = load_table(spark, sf_dir, "documents")
+    # cache lifetime: the returned plan references sigs, so it cannot be
+    # unpersisted here; Spark's ContextCleaner reclaims the blocks once
+    # the plan is garbage-collected
     sigs = minhash_signatures(d).cache()
     bands = sigs.select(
         "doc_id",
@@ -204,7 +207,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-join, keep pairs with hamming distance ≤ 3 (banding is exact
     for that radius: 4 bands, ≤3 differing bits → some band matches)."""
     d = load_table(spark, sf_dir, "documents")
-    fps = simhash(d).cache()
+    fps = simhash(d).cache()  # reclaimed by ContextCleaner with the plan
     bands = fps.select(
         "doc_id",
         "simhash",
