@@ -1,0 +1,127 @@
+"""pcapng reader: hand-built block fixtures, decode parity with the
+legacy container (same frames → same rows)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from pcap_to_parquet_spark.sources.pcap import PcapFormatError, decode_pcap_bytes
+from pcap_to_parquet_spark.sources.pcap_fixtures import (
+    BASE_TS,
+    eth,
+    fixture_packets,
+    ipv4,
+    pcap_file,
+    udp,
+)
+from pcap_to_parquet_spark.sources.pcapng import (
+    decode_pcapng_bytes,
+    read_pcapng,
+    split_pcapng_records,
+)
+
+
+def _block(btype: int, body: bytes, order: str = "<") -> bytes:
+    total = 12 + len(body) + (-len(body) % 4)
+    pad = b"\x00" * (-len(body) % 4)
+    return struct.pack(f"{order}II", btype, total) + body + pad + struct.pack(f"{order}I", total)
+
+
+def shb(order: str = "<") -> bytes:
+    bom = 0x1A2B3C4D
+    body = struct.pack(f"{order}IHHq", bom, 1, 0, -1)
+    return _block(0x0A0D0D0A, body, order)
+
+
+def idb(tsresol: int | None = None, snaplen: int = 65535, order: str = "<") -> bytes:
+    body = struct.pack(f"{order}HHI", 1, 0, snaplen)  # linktype=EN10MB
+    if tsresol is not None:
+        body += struct.pack(f"{order}HH", 9, 1) + bytes([tsresol]) + b"\x00" * 3
+        body += struct.pack(f"{order}HH", 0, 0)
+    return _block(0x00000001, body, order)
+
+
+def epb(ts_ticks: int, data: bytes, origlen: int | None = None, if_id: int = 0, order: str = "<") -> bytes:
+    body = struct.pack(
+        f"{order}IIIII", if_id, ts_ticks >> 32, ts_ticks & 0xFFFFFFFF, len(data),
+        origlen if origlen is not None else len(data),
+    ) + data
+    return _block(0x00000006, body, order)
+
+
+def spb(data: bytes, origlen: int, order: str = "<") -> bytes:
+    return _block(0x00000003, struct.pack(f"{order}I", origlen) + data, order)
+
+
+UDP_FRAME = eth(ipv4(17, "10.0.0.1", "10.0.0.2", udp(1234, 5678)))
+
+
+def test_epb_microsecond_default():
+    buf = shb() + idb() + epb(BASE_TS * 10**6 + 123456, UDP_FRAME)
+    recs = list(split_pcapng_records(buf))
+    assert recs == [(BASE_TS, 123456, len(UDP_FRAME), UDP_FRAME)]
+
+
+def test_epb_nanosecond_tsresol():
+    buf = shb() + idb(tsresol=9) + epb(BASE_TS * 10**9 + 987, UDP_FRAME)
+    (ts, sub, orig, data), = split_pcapng_records(buf)
+    assert (ts, sub) == (BASE_TS, 987)
+
+
+def test_decode_parity_with_legacy_container():
+    """Same frames through pcapng and legacy pcap → identical rows
+    (including Metamako trailers, which need the EPB seconds)."""
+    recs = list(fixture_packets().values())
+    legacy = pcap_file(recs)
+    ng = shb() + idb()
+    for ts_sec, origlen, data in recs:
+        ng += epb(ts_sec * 10**6, data, origlen=origlen)
+    assert decode_pcapng_bytes(ng) == decode_pcap_bytes(legacy)
+
+
+def test_big_endian_section():
+    buf = shb(">") + idb(order=">") + epb(BASE_TS * 10**6, UDP_FRAME, order=">")
+    (ts, _sub, orig, data), = split_pcapng_records(buf)
+    assert ts == BASE_TS and data == UDP_FRAME
+
+
+def test_multi_section_and_unknown_blocks():
+    unknown = _block(0x0BAD, b"\x01\x02\x03")
+    buf = (
+        shb() + idb() + epb(BASE_TS * 10**6, UDP_FRAME)
+        + unknown
+        + shb(">") + idb(order=">") + epb((BASE_TS + 1) * 10**6, UDP_FRAME, order=">")
+    )
+    recs = list(split_pcapng_records(buf))
+    assert [r[0] for r in recs] == [BASE_TS, BASE_TS + 1]
+
+
+def test_spb_and_truncated_tail():
+    buf = shb() + idb(snaplen=60) + spb(UDP_FRAME[:50], origlen=len(UDP_FRAME))
+    (ts, _sub, orig, data), = split_pcapng_records(buf)
+    assert (ts, orig, data) == (0, len(UDP_FRAME), UDP_FRAME[:50])
+    # truncated tail: a half-written EPB terminates cleanly
+    buf2 = shb() + idb() + epb(BASE_TS * 10**6, UDP_FRAME)
+    partial = epb(BASE_TS * 10**6, UDP_FRAME)[:20]
+    assert len(list(split_pcapng_records(buf2 + partial))) == 1
+
+
+def test_rejects_non_pcapng():
+    with pytest.raises(PcapFormatError):
+        list(split_pcapng_records(pcap_file([(BASE_TS, 4, b"abcd")])))
+    with pytest.raises(PcapFormatError):
+        list(split_pcapng_records(b"\x0a\x0d\x0d\x0a" + b"\x00" * 20))  # bad BOM
+
+
+def test_spark_read_pcapng(spark, tmp_path):
+    recs = list(fixture_packets().values())
+    ng = shb() + idb()
+    for ts_sec, origlen, data in recs:
+        ng += epb(ts_sec * 10**6, data, origlen=origlen)
+    p = tmp_path / "cap.pcapng"
+    p.write_bytes(ng)
+    rows = sorted((tuple(r) for r in read_pcapng(spark, str(p)).collect()), key=repr)
+    want = sorted((tuple(r.values()) for r in decode_pcap_bytes(pcap_file(recs))), key=repr)
+    assert rows == want
