@@ -31,3 +31,50 @@ def _fixture_path() -> str:
 def pcap_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = read_pcap(spark, _fixture_path())
     return df.orderBy(F.col("len"), F.col("src_ip").asc_nulls_first(), F.col("mm_id").asc_nulls_first())
+
+
+def _pcapng_fixture_path() -> str:
+    """Golden packets re-containered as pcapng (EPB per packet)."""
+    import struct
+
+    from pcap_to_parquet_spark.sources.pcap_fixtures import fixture_packets
+    from pcap_to_parquet_spark.sources.pcapng import PCAPNG_MAGIC  # noqa: F401
+
+    def block(btype: int, body: bytes) -> bytes:
+        total = 12 + len(body) + (-len(body) % 4)
+        return (
+            struct.pack("<II", btype, total)
+            + body
+            + b"\x00" * (-len(body) % 4)
+            + struct.pack("<I", total)
+        )
+
+    parts = [
+        block(0x0A0D0D0A, struct.pack("<IHHq", 0x1A2B3C4D, 1, 0, -1)),
+        block(0x00000001, struct.pack("<HHI", 1, 0, 65535)),
+    ]
+    for ts_sec, origlen, data in fixture_packets().values():
+        ts = ts_sec * 10**6
+        parts.append(
+            block(
+                0x00000006,
+                struct.pack("<IIIII", 0, ts >> 32, ts & 0xFFFFFFFF, len(data), origlen)
+                + data,
+            )
+        )
+    payload = b"".join(parts)
+    path = os.path.join(tempfile.gettempdir(), "pcap_to_parquet_spark_golden.pcapng")
+    if not (os.path.exists(path) and os.path.getsize(path) == len(payload)):
+        with open(path, "wb") as f:
+            f.write(payload)
+    return path
+
+
+@query("q_pcapng_pipeline")  # rows-only: engine extension, no pcapng in DuckDB
+def pcapng_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The golden packets through the pcapng container — must equal
+    q_pcap_pipeline row-for-row (same frames, same decode chain)."""
+    from pcap_to_parquet_spark.sources.pcapng import read_pcapng
+
+    df = read_pcapng(spark, _pcapng_fixture_path())
+    return df.orderBy(F.col("len"), F.col("src_ip").asc_nulls_first(), F.col("mm_id").asc_nulls_first())
