@@ -6,6 +6,11 @@ from __future__ import annotations
 import struct
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+settings_deco = lambda f: settings(max_examples=150, deadline=None)(given(st.data())(f))  # noqa: E731
+PCAPNG_MAGIC_BYTES = b"\x0a\x0d\x0d\x0a"
 
 from pcap_to_parquet_spark.sources.pcap import PcapFormatError, decode_pcap_bytes
 from pcap_to_parquet_spark.sources.pcap_fixtures import (
@@ -125,3 +130,25 @@ def test_spark_read_pcapng(spark, tmp_path):
     rows = sorted((tuple(r) for r in read_pcapng(spark, str(p)).collect()), key=repr)
     want = sorted((tuple(r.values()) for r in decode_pcap_bytes(pcap_file(recs))), key=repr)
     assert rows == want
+
+
+@settings_deco
+def test_pcapng_never_crashes(data):
+    """Random bytes after a valid SHB must never raise — truncated or
+    garbage blocks terminate the stream cleanly."""
+    junk = data.draw(st.binary(max_size=300))
+    try:
+        list(split_pcapng_records(shb() + junk))
+    except PcapFormatError:
+        pass  # acceptable only for malformed FIRST block; junk appended
+        # after a valid SHB must not produce it
+        raise
+
+
+@settings_deco
+def test_pcapng_garbage_prefix_rejected(data):
+    junk = data.draw(st.binary(min_size=0, max_size=64))
+    if junk[:4] == PCAPNG_MAGIC_BYTES:
+        return
+    with pytest.raises(PcapFormatError):
+        list(split_pcapng_records(junk))

@@ -37,6 +37,19 @@ def test_query_runs(spark, name):
     assert df.count() >= 0
 
 
+def test_approx_distinct_error_bound(spark):
+    """HLL estimate must land within 5% of the exact distinct count
+    (rsd default 0.05) — the rows-only check can't see accuracy."""
+    from pyspark.sql import functions as F
+
+    from pcap_to_parquet_spark.sources.tables import load_table
+
+    o = load_table(spark, SF0001, "orders")
+    exact = o.select(F.countDistinct("o_custkey")).first()[0]
+    approx = o.select(F.approx_count_distinct("o_custkey")).first()[0]
+    assert abs(approx - exact) / exact < 0.05
+
+
 def test_flagship_entry(spark):
     import __spark_entry__ as m
 
