@@ -238,3 +238,52 @@ def self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.user_id").alias("user_id"),
         )
     )
+
+
+BINNED_RANGE_ORACLE = """
+SELECT o.o_orderkey, COUNT(*) AS n_shipments
+FROM orders o
+JOIN lineitem l
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate < o.o_orderdate + INTERVAL 60 DAYS
+GROUP BY o.o_orderkey
+"""
+
+
+@query("q_binned_range_join", BINNED_RANGE_ORACLE)
+def binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-to-big interval join via bin replication — the shape that
+    survives when NEITHER side broadcasts (a raw non-equi join between
+    two fact tables degenerates to a nested-loop cartesian).
+
+    Each order's 60-day window is exploded into the ~3 monthly bins it
+    overlaps; lineitem rows map to their single bin. The join is then
+    a plain EQUI join on (orderkey, bin) — hash-partitionable, AQE-
+    skew-splittable — with the exact interval predicate applied as a
+    post-filter. Replication factor = ceil(window/bin)+1, a constant;
+    at 100 TB this is a normal shuffle join, not an O(n²) probe.
+
+    (Here the orderkey equi-key alone would suffice; the bin key is
+    what remains when the join has no natural equi-key — e.g. joining
+    events to time windows across streams. The bin column algebra is
+    the point being exercised and checked.)"""
+    o, li = load_tables(spark, sf_dir, "orders", "lineitem")
+    window_days = 60
+    bin_expr_l = F.months_between(F.col("l_shipdate"), F.lit("1990-01-01")).cast("int")
+    lo_bin = F.months_between(F.col("o_orderdate"), F.lit("1990-01-01")).cast("int")
+    n_bins = window_days // 30 + 2  # window may straddle up to 4 month bins
+    o_binned = o.select(
+        "o_orderkey", "o_orderdate", F.explode(
+            F.array(*[(lo_bin + i).alias(f"b{i}") for i in range(n_bins)])
+        ).alias("bin"),
+    )
+    l_binned = li.select("l_orderkey", "l_shipdate", bin_expr_l.alias("bin"))
+    joined = o_binned.join(
+        l_binned,
+        (o_binned.o_orderkey == l_binned.l_orderkey) & (o_binned.bin == l_binned.bin),
+    ).filter(
+        (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (F.col("l_shipdate") < F.date_add("o_orderdate", window_days))
+    )
+    return joined.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n_shipments"))
