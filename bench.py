@@ -93,9 +93,7 @@ def main() -> None:
     pcap_path = _big_pcap()
     out = os.path.join(tempfile.gettempdir(), "bench_pcap_out")
     t0 = time.time()
-    # chunked reader = the documented configuration for large captures
-    # (intra-file parallelism; results identical to the per-file path)
-    convert_pcap(spark, pcap_path, out, chunk_bytes=2 * 1024 * 1024)
+    convert_pcap(spark, pcap_path, out)
     timings["pcap_convert_250k"] = round(time.time() - t0, 3)
     total = round(sum(timings.values()), 3)
     print(

@@ -9,7 +9,7 @@ splits each file into byte-range chunks decoded in parallel:
   the first real record header at-or-after its start offset by
   validating a chain of 6 consecutive plausible record headers
   (timestamp within ±48 h of the file's first record — the tolerance
-  must exceed the capture's duration — incl_len ≤ 1 MiB; near EOF,
+  must exceed the capture's duration — incl_len ≤ 256 KiB; near EOF,
   shorter chains only if they land exactly on EOF or have ≥2 links) —
   periodic or random payload bytes essentially never fake that;
 - the sync function is deterministic in (file bytes, offset), and a
@@ -42,9 +42,12 @@ from pcap_to_parquet_spark.sources.pcap import (
 # pass, and fuzzing produced a fake header bridging onto the real
 # record lattice; at ±48 h that first fake hop is ~360× rarer.
 _TS_TOL = 48 * 3600
-_MAX_INCL = 1 << 20  # 1 MiB sanity cap on captured length
+_MAX_INCL = 256 << 10  # 256 KiB cap on captured length (snaplen envelope;
+# real captures are <= 64 KiB frames — the cap bounds the per-chunk slack
+# read, which costs (window + chain x cap) extra IO per task)
 _SYNC_CHAIN = 6  # consecutive plausible headers required
-_SYNC_WINDOW = 1 << 20  # give up after scanning 1 MiB for a boundary
+_SYNC_WINDOW = (256 << 10) + 4096  # window must exceed the record cap so a
+# boundary landing inside any supported record still finds the next header
 
 
 def _plausible(buf: bytes, o: int, n: int, order: str, ref_ts: int) -> int | None:
