@@ -30,6 +30,56 @@ def test_salted_join_matches_plain(spark):
     assert salted == plain
 
 
+def test_salted_join_under_real_skew(spark):
+    """One hot key carrying 100× the median volume: salting must both
+    spread it (every salt bucket populated for the hot key) and return
+    exactly the plain join's aggregates."""
+    from pyspark.sql import functions as Fn
+
+    from pcap_to_parquet_spark.operators.scale_patterns import SALT_BUCKETS
+
+    hot = spark.range(20_000).select(
+        Fn.lit(7).alias("k"), (Fn.col("id") % 100).alias("v")
+    )
+    cold = spark.range(2_000).select(
+        (Fn.col("id") % 50 + 100).alias("k"), Fn.lit(1).alias("v")
+    )
+    fact = hot.union(cold)
+    dim = spark.range(200).select(
+        Fn.col("id").alias("k"), Fn.concat(Fn.lit("d"), Fn.col("id")).alias("name")
+    )
+
+    salted_fact = fact.withColumn(
+        "salt", Fn.pmod(Fn.xxhash64("k", "v", Fn.monotonically_increasing_id()), Fn.lit(SALT_BUCKETS))
+    )
+    salted_dim = dim.withColumn(
+        "salt", Fn.explode(Fn.array(*[Fn.lit(i) for i in range(SALT_BUCKETS)]))
+    )
+    got = {
+        (r.name, r.n, r.s)
+        for r in salted_fact.join(
+            salted_dim,
+            (salted_fact.k == salted_dim.k) & (salted_fact.salt == salted_dim.salt),
+        )
+        .groupBy("name")
+        .agg(Fn.count(Fn.lit(1)).alias("n"), Fn.sum("v").alias("s"))
+        .collect()
+    }
+    want = {
+        (r.name, r.n, r.s)
+        for r in fact.join(dim, "k")
+        .groupBy("name")
+        .agg(Fn.count(Fn.lit(1)).alias("n"), Fn.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == want
+    # the hot key's rows really spread across all salt buckets
+    spread = (
+        salted_fact.filter("k = 7").select("salt").distinct().count()
+    )
+    assert spread == SALT_BUCKETS
+
+
 def test_bucketed_join_no_join_shuffle(spark):
     df = QUERIES["q_bucketed_join"](spark, SF0001)
     plan = df._jdf.queryExecution().executedPlan().toString()
