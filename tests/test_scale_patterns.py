@@ -6,6 +6,7 @@ import re
 
 from pyspark.sql import functions as F
 
+import pcap_to_parquet_spark.operators  # noqa: F401  (registers queries)
 from pcap_to_parquet_spark.registry import QUERIES
 from pcap_to_parquet_spark.sources import load_tables
 from tests.conftest import SF0001
