@@ -45,7 +45,7 @@ _MINHASH_AB = [
 
 @query(
     "q_dedup_exact",
-    """
+    r"""
     SELECT md5(text) AS text_hash,
            MIN(doc_id) AS keep_id,
            COUNT(*) AS n_copies
@@ -244,7 +244,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # exact n-gram Jaccard (oracle-checkable: pure set algebra)
 
-NGRAM_JACCARD_ORACLE = """
+NGRAM_JACCARD_ORACLE = r"""
 WITH tok AS (
     SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS ws
     FROM documents
@@ -310,7 +310,7 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # reproducible train/val/test split (hash-gated, engine-independent)
 
-SPLIT_ORACLE = """
+SPLIT_ORACLE = r"""
 WITH gated AS (
     SELECT doc_id, lang,
            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100 AS gate
@@ -388,10 +388,10 @@ def data_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # composite curation pipeline: quality filter → exact dedup → split
 
-CURATION_ORACLE = """
+CURATION_ORACLE = r"""
 WITH quality AS (
     SELECT doc_id, text,
-           len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS n_toks
+           len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS n_toks
     FROM documents
     WHERE n_chars BETWEEN 100 AND 5000
 ),
@@ -441,7 +441,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # dedup clustering: connected components over near-dup pairs
 
-DEDUP_CLUSTERS_ORACLE = """
+DEDUP_CLUSTERS_ORACLE = r"""
 WITH RECURSIVE tok AS (
     SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS ws
     FROM documents
@@ -535,7 +535,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup (oracle-checkable via label blocking)
 
-EMBED_NEARDUP_ORACLE = """
+EMBED_NEARDUP_ORACLE = r"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
        ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cos_sim
 FROM embeddings a
@@ -586,7 +586,7 @@ def embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # similarity search: brute-force top-k and IVF variant
 
-SIM_TOPK_ORACLE = """
+SIM_TOPK_ORACLE = r"""
 SELECT b.vec_id, b.label,
        ROUND(CAST(list_cosine_similarity(q.embedding, b.embedding) AS DOUBLE), 5) AS cos_sim
 FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
@@ -730,7 +730,7 @@ def kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_text_stats",
-    """
+    r"""
     SELECT lang,
            COUNT(*) AS n_docs,
            ROUND(AVG(n_chars), 4) AS avg_chars,
@@ -755,10 +755,10 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_token_count",
-    """
+    r"""
     SELECT doc_id,
            len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS n_ws_tokens,
-           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens
     FROM documents
     """,
 )
@@ -774,7 +774,7 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUALITY_ORACLE = """
+QUALITY_ORACLE = r"""
 SELECT doc_id,
        ROUND(len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> ''))::DOUBLE
              / GREATEST(n_chars, 1), 6) AS token_density,
@@ -808,7 +808,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-LANG_ID_ORACLE = """
+LANG_ID_ORACLE = r"""
 WITH scored AS (
     SELECT doc_id, lang,
            len(list_filter(regexp_split_to_array(text, '\s+'),
@@ -844,7 +844,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_fingerprint",
-    """
+    r"""
     SELECT doc_id,
            md5(lower(trim(text))) AS content_md5,
            md5(array_to_string(list_sort(list_distinct(

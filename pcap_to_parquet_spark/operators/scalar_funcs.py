@@ -16,7 +16,7 @@ from pcap_to_parquet_spark.sources import load_table
 
 @query(
     "q_string_funcs",
-    """
+    r"""
     SELECT c_custkey,
            UPPER(c_name) AS name_upper,
            LOWER(c_mktsegment) AS seg_lower,
@@ -52,7 +52,7 @@ def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_date_funcs",
-    """
+    r"""
     SELECT o_orderkey,
            CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
            CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS order_month,
@@ -83,7 +83,7 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_math_funcs",
-    """
+    r"""
     SELECT p_partkey,
            ROUND(p_retailprice, 1) AS price_round,
            CAST(ABS(p_size - 25) AS INT) AS size_dev,
@@ -121,7 +121,7 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_json_funcs",
-    """
+    r"""
     SELECT event_id,
            json_extract_string(props, '$.k') AS k_str,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
@@ -143,7 +143,7 @@ def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_array_funcs",
-    """
+    r"""
     SELECT vec_id,
            len(embedding) AS dim,
            ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
@@ -175,7 +175,7 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_explode",
-    """
+    r"""
     SELECT doc_id, t.token
     FROM documents, UNNEST(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS t(token)
     WHERE doc_id < 50 AND t.token <> ''
@@ -193,7 +193,7 @@ def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_map_funcs",
-    """
+    r"""
     SELECT event_type, k, v
     FROM (
         SELECT event_type,
@@ -219,7 +219,7 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_hash_funcs",
-    """
+    r"""
     SELECT doc_id,
            md5(text) AS h_md5,
            sha256(text) AS h_sha256,
