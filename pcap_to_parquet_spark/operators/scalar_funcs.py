@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pcap_to_parquet_spark.functions.text import whitespace_tokens
 from pcap_to_parquet_spark.registry import query
 from pcap_to_parquet_spark.sources import load_table
 
@@ -39,7 +40,7 @@ def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("c_name").alias("name_upper"),
         F.lower("c_mktsegment").alias("seg_lower"),
         F.substring("c_name", 1, 8).alias("name_prefix"),
-        F.length("c_name").alias("name_len"),
+        F.length("c_name").cast("bigint").alias("name_len"),
         F.concat_ws("/", "c_name", "c_mktsegment").alias("name_seg"),
         F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("name_short"),
         F.col("c_name").like("%1%").alias("has_one"),
@@ -57,8 +58,9 @@ def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
            CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS order_month,
            CAST(EXTRACT(DAY FROM o_orderdate) AS INT) AS order_day,
-           CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
-           CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_ts,
+           STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           STRFTIME(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d %H:%M:%S')
+               AS due_ts,
            CAST(DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INT)
                AS days_to_eoy,
            STRFTIME(o_orderdate, '%Y-%m-%d') AS order_iso
@@ -72,8 +74,14 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").alias("order_year"),
         F.month("o_orderdate").alias("order_month"),
         F.dayofmonth("o_orderdate").alias("order_day"),
-        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
-        F.date_add(F.col("o_orderdate").cast("date"), 30).cast("timestamp").alias("due_ts"),
+        # timestamp outputs are projected to strings on BOTH sides: Spark's
+        # toPandas always lands datetime64[ns] while DuckDB lands [us], and
+        # the driver's value hash is representation-sensitive (r1 lesson).
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(
+            F.date_add(F.col("o_orderdate").cast("date"), 30).cast("timestamp"),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("due_ts"),
         F.datediff(F.lit("1998-12-31").cast("date"), F.col("o_orderdate").cast("date")).alias(
             "days_to_eoy"
         ),
@@ -92,8 +100,8 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SQRT(p_retailprice), 6) AS price_sqrt,
            ROUND(POWER(p_size, 2), 1) AS size_sq,
            p_size % 7 AS size_mod,
-           CEIL(p_retailprice) AS price_ceil,
-           FLOOR(p_retailprice) AS price_floor,
+           CAST(CEIL(p_retailprice) AS BIGINT) AS price_ceil,
+           CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
            CAST(SIGN(p_size - 25) AS INT) AS size_sign,
            GREATEST(p_size, 10) AS size_floor10,
            LEAST(p_size, 40) AS size_cap40
@@ -114,8 +122,8 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil("p_retailprice").alias("price_ceil"),
         F.floor("p_retailprice").alias("price_floor"),
         F.signum(F.col("p_size") - 25).cast("int").alias("size_sign"),
-        F.greatest(F.col("p_size"), F.lit(10)).alias("size_floor10"),
-        F.least(F.col("p_size"), F.lit(40)).alias("size_cap40"),
+        F.greatest(F.col("p_size"), F.lit(10)).cast("bigint").alias("size_floor10"),
+        F.least(F.col("p_size"), F.lit(40)).cast("bigint").alias("size_cap40"),
     )
 
 
@@ -160,13 +168,13 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     return em.select(
         "vec_id",
-        F.size("embedding").alias("dim"),
+        F.size("embedding").cast("bigint").alias("dim"),
         F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_elem"),
         F.round(
             F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x), 4
         ).alias("vec_sum"),
         F.round(F.array_max("embedding").cast("double"), 6).alias("vec_max"),
-        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("bigint").alias("n_positive"),
         F.array_contains(F.array(F.lit(0), F.lit(1), F.lit(2)), F.col("label")).alias(
             "label_small"
         ),
@@ -182,11 +190,16 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lateral expansion (explode / UNNEST): one row per token."""
+    """Lateral expansion (explode / UNNEST): one row per token.
+
+    Tokenizes on \\s+ via whitespace_tokens — the same tokenizer the
+    rest of the engine uses and the exact match for the oracle's
+    regexp_split_to_array (a literal-space split silently diverges on
+    tabs/newlines)."""
     d = load_table(spark, sf_dir, "documents")
     return (
         d.filter(F.col("doc_id") < 50)
-        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .select("doc_id", F.explode(whitespace_tokens("text")).alias("token"))
         .filter(F.col("token") != "")
     )
 
@@ -235,5 +248,5 @@ def hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5("text").alias("h_md5"),
         F.sha2("text", 256).alias("h_sha256"),
-        F.length(F.md5("text")).alias("md5_len"),
+        F.length(F.md5("text")).cast("bigint").alias("md5_len"),
     )

@@ -27,14 +27,14 @@ WITH flagged AS (
 ),
 sessions AS (
     SELECT user_id, ts, value,
-           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS session_id
+           CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS session_id
     FROM flagged
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,
        ROUND(SUM(value), 4) AS session_value,
-       MIN(ts) AS session_start, MAX(ts) AS session_end
+       epoch_us(MIN(ts)) AS session_start, epoch_us(MAX(ts)) AS session_end
 FROM sessions
 GROUP BY user_id, session_id
 """
@@ -52,9 +52,12 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_id",
         F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
     )
+    # session bounds as epoch-micros BIGINT on both sides: raw timestamp
+    # outputs land as datetime64[ns] from Spark but [us] from DuckDB, and
+    # the driver's value hash is representation-sensitive (r1 lesson).
     return with_session.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("session_value"),
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
+        F.unix_micros(F.min("ts")).alias("session_start"),
+        F.unix_micros(F.max("ts")).alias("session_end"),
     )

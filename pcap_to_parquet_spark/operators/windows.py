@@ -39,9 +39,9 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_mktsegment",
         "c_acctbal",
-        F.rank().over(w).alias("bal_rank"),
-        F.dense_rank().over(w).alias("bal_dense_rank"),
-        F.row_number().over(w_unique).alias("bal_rownum"),
+        F.rank().over(w).cast("bigint").alias("bal_rank"),
+        F.dense_rank().over(w).cast("bigint").alias("bal_dense_rank"),
+        F.row_number().over(w_unique).cast("bigint").alias("bal_rownum"),
     )
 
 
@@ -140,15 +140,63 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions (ntile / percent_rank / cume_dist)
-    over a global ordering. A single unpartitioned window is a
-    deliberate single-partition sort — at scale, partition the window
-    (or pre-bucket into quantile ranges with approx percentiles) so no
-    one task owns the whole ordering."""
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return o.select(
+    over a GLOBAL ordering, computed in the scale-safe shape: a naive
+    ``Window.orderBy(...)`` (no partitionBy) sorts the whole table in
+    ONE task — the canonical 100 TB killer. Instead:
+
+    1. sample ~32 approx-quantile bounds of o_totalprice (same
+       sampling a RangePartitioner does; one tiny column-pruned job);
+    2. map each row to a range bucket (pure column algebra, bucket is
+       a function of the value, so it is globally order-consistent);
+    3. count rows per bucket (<= 33 rows to the driver) and turn the
+       counts into cumulative offsets + total n;
+    4. global rank = bucket offset + row_number within the bucket
+       (windows now partitioned by bucket — every task owns ~1/32 of
+       the sort, and the shape holds at any scale by raising the
+       bucket count);
+    5. ntile/percent_rank/cume_dist are closed-form in (rank, n)
+       because the order key (o_totalprice, o_orderkey) is unique:
+       every row is its own peer group, rank == row_number.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    n_buckets = 32
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(set(o.stat.approxQuantile("o_totalprice", probs, 0.01)))
+
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + (F.col("o_totalprice") > F.lit(b)).cast("int")
+    bucketed = o.withColumn("bucket", bucket)
+
+    counts = {
+        r["bucket"]: r["cnt"]
+        for r in bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    n = sum(counts.values())
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    offset_map = F.create_map(
+        *[F.lit(x) for b in offsets for x in (b, offsets[b])]
+    )
+
+    w = Window.partitionBy("bucket").orderBy("o_totalprice", "o_orderkey")
+    rank = (F.element_at(offset_map, F.col("bucket")) + F.row_number().over(w)).cast(
+        "bigint"
+    )
+
+    # exact NTILE(4): first n%4 tiles get ceil(n/4) rows, the rest floor(n/4)
+    qsz, rem = divmod(n, 4)
+    cap = rem * (qsz + 1)
+    tile = (
+        F.when(rank <= cap, F.floor((rank - 1) / (qsz + 1)) + 1)
+        .otherwise(F.floor((rank - 1 - cap) / max(qsz, 1)) + rem + 1)
+        .cast("bigint")
+    )
+    return bucketed.select(
         "o_orderkey",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        tile.alias("quartile"),
+        F.round((rank - 1) / max(n - 1, 1), 6).alias("pct_rank"),
+        F.round(rank / max(n, 1), 6).alias("cume"),
     )

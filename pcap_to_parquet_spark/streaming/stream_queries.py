@@ -100,7 +100,7 @@ def run_to_memory(sdf: DataFrame, mode: str) -> DataFrame:
 # tumbling window (complete mode → exact batch equivalence)
 
 TUMBLING_ORACLE = """
-SELECT time_bucket(INTERVAL 10 MINUTES, ts) AS window_start,
+SELECT epoch_us(time_bucket(INTERVAL 10 MINUTES, ts)) AS window_start,
        event_type,
        COUNT(*) AS n_events,
        ROUND(SUM(value), 4) AS total_value
@@ -124,7 +124,9 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("total_value"),
         )
         .select(
-            F.col("window.start").alias("window_start"),
+            # epoch-micros BIGINT on both sides: raw timestamps land as
+            # datetime64[ns] from Spark but [us] from DuckDB (r1 lesson)
+            F.unix_micros(F.col("window.start")).alias("window_start"),
             "event_type",
             "n_events",
             "total_value",
@@ -145,7 +147,7 @@ WITH starts AS (
              AS t(ws)
     WHERE ts >= ws AND ts < ws + INTERVAL 10 MINUTES
 )
-SELECT ws AS window_start, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value
+SELECT epoch_us(ws) AS window_start, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value
 FROM starts
 GROUP BY ws
 """
@@ -164,7 +166,11 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 4).alias("total_value"),
         )
-        .select(F.col("window.start").alias("window_start"), "n_events", "total_value")
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start"),
+            "n_events",
+            "total_value",
+        )
     )
     return run_to_memory(agg, "complete")
 
@@ -178,10 +184,10 @@ WITH buckets AS (
     FROM events
 ),
 horizon AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS wm FROM events)
-SELECT window_start, COUNT(*) AS n_events
+SELECT epoch_us(window_start) AS window_start, COUNT(*) AS n_events
 FROM buckets, horizon
 WHERE window_start + INTERVAL 10 MINUTES <= wm
-GROUP BY window_start
+GROUP BY 1
 """
 
 
@@ -197,7 +203,7 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "10 minutes"))
         .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(F.col("window.start").alias("window_start"), "n_events")
+        .select(F.unix_micros(F.col("window.start")).alias("window_start"), "n_events")
     )
     return run_to_memory(agg, "append")
 
