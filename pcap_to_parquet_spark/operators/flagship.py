@@ -4,10 +4,14 @@ lineitem ⋈ orders ⋈ customer ⋈ nation → groupBy → orderBy → limit.
 Exercises scan, two shuffle joins, two broadcast joins, partial+final
 aggregation, and TakeOrderedAndProject in one plan (SURVEY §7 step 0).
 
-Scale notes: nation (25 rows) and customer (dim) are broadcast; the
-lineitem⋈orders join is the only large shuffle and AQE coalesces its
-output. At 100 TB the same plan holds — the fact tables shuffle on
-their join keys once, dims never shuffle.
+Scale notes: nation (25 rows, bounded forever) carries an explicit
+broadcast hint. customer deliberately does NOT — at 100 TB customer is
+itself a fact-sized table, so the right physical join is whatever AQE
+picks from runtime stats: broadcast at bench scale (it fits under
+autoBroadcastJoinThreshold), shuffle join at cluster scale. Hard-coding
+the hint would pin the small-scale plan onto the big-scale run. The
+lineitem⋈orders join shuffles on orderkey once; AQE coalesces its
+output.
 """
 
 from __future__ import annotations
@@ -38,7 +42,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(

@@ -244,18 +244,27 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # exact n-gram Jaccard (oracle-checkable: pure set algebra)
 
-NGRAM_JACCARD_ORACLE = r"""
+# document-frequency cap: shingles appearing in more than this many
+# docs are boilerplate (headers, licence text, templating) — real dedup
+# pipelines drop them before pairing because one hot shingle appearing
+# in d docs generates O(d²) candidate pairs. The cap bounds the fan-out
+# of the inverted-index self-join at any corpus size.
+SHINGLE_DF_CAP = 100
+
+NGRAM_JACCARD_ORACLE = rf"""
 WITH tok AS (
     SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS ws
     FROM documents
 ),
-sh AS (
+sh_all AS (
     SELECT DISTINCT doc_id, unnest(
         list_transform(generate_series(1, len(ws) - 2),
                        i -> ws[i] || '|' || ws[i+1] || '|' || ws[i+2])) AS sh
     FROM tok
     WHERE len(ws) >= 3
 ),
+hot AS (SELECT sh FROM sh_all GROUP BY sh HAVING COUNT(*) > {SHINGLE_DF_CAP}),
+sh AS (SELECT s.doc_id, s.sh FROM sh_all s ANTI JOIN hot h USING (sh)),
 n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        ROUND(COUNT(*)::DOUBLE
@@ -279,11 +288,20 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     far sparser. The MinHash variant is the scale path; this is the
     exact oracle-checked twin."""
     d = load_table(spark, sf_dir, "documents")
-    sh = (
+    sh_all = (
         fan_out(d).select("doc_id", whitespace_tokens("text").alias("toks"))
         .select("doc_id", F.explode(shingles("toks", 3)).alias("sh"))
         .distinct()
     )
+    # hot-shingle guard: drop shingles in > SHINGLE_DF_CAP docs before
+    # the self-join (the hot set is tiny → broadcast anti-join)
+    hot = (
+        sh_all.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > SHINGLE_DF_CAP)
+        .select("sh")
+    )
+    sh = sh_all.join(F.broadcast(hot), "sh", "left_anti")
     n = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         sh.alias("a")
@@ -441,18 +459,20 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # dedup clustering: connected components over near-dup pairs
 
-DEDUP_CLUSTERS_ORACLE = r"""
+DEDUP_CLUSTERS_ORACLE = rf"""
 WITH RECURSIVE tok AS (
     SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS ws
     FROM documents
 ),
-sh AS (
+sh_all AS (
     SELECT DISTINCT doc_id, unnest(
         list_transform(generate_series(1, len(ws) - 2),
                        i -> ws[i] || '|' || ws[i+1] || '|' || ws[i+2])) AS sh
     FROM tok
     WHERE len(ws) >= 3
 ),
+hot AS (SELECT sh FROM sh_all GROUP BY sh HAVING COUNT(*) > {SHINGLE_DF_CAP}),
+sh AS (SELECT s.doc_id, s.sh FROM sh_all s ANTI JOIN hot h USING (sh)),
 n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 pairs AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -492,25 +512,37 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds; the per-round join/agg shape is identical."""
     d = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a"))).toDF("a", "b").cache()
+    # localCheckpoint (not cache): edges embed the whole ngram_jaccard
+    # plan, and every round's join would re-embed it — r1's materialized
+    # plan grew to 218 exchanges. Checkpointing cuts each round's plan
+    # to just the round itself.
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("a", "b")
+        .localCheckpoint(eager=True)
+    )
     labels = d.select("doc_id", F.col("doc_id").alias("cluster_id")).cache()
     converged = False
-    for _ in range(50):
+    for round_no in range(50):
         neigh = (
             edges.join(labels, edges.a == labels.doc_id)
             .groupBy(F.col("b").alias("doc_id"))
             .agg(F.min("cluster_id").alias("neigh_min"))
         )
-        new_labels = (
-            labels.join(neigh, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    "cluster_id", F.coalesce("neigh_min", "cluster_id")
-                ).alias("cluster_id"),
-            )
-            .cache()
+        new_labels = labels.join(neigh, "doc_id", "left").select(
+            "doc_id",
+            F.least("cluster_id", F.coalesce("neigh_min", "cluster_id")).alias("cluster_id"),
         )
+        if round_no % 5 == 4:
+            # truncate lineage: each round's plan embeds the previous
+            # round's (r1 ran to 218 exchanges in the materialized plan);
+            # cache() bounds recompute but not plan growth, and a long
+            # chain eventually chokes the driver's planner. The eager
+            # localCheckpoint is nearly free — the convergence count
+            # below materializes this frame anyway.
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.cache()
         changed = (
             new_labels.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
             .filter(F.col("cluster_id") != F.col("old"))
@@ -522,9 +554,6 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             converged = True
             break
-    # edges are fully consumed: the final labels cache was materialized
-    # by the convergence count above
-    edges.unpersist()
     if not converged:
         # returning stale labels would be silently wrong (components
         # with diameter > 50 — degenerate near-dup chains); fail loud
