@@ -46,14 +46,19 @@ _MAX_INCL = 256 << 10  # 256 KiB cap on captured length (snaplen envelope;
 # real captures are <= 64 KiB frames — the cap bounds the per-chunk slack
 # read, which costs (window + chain x cap) extra IO per task)
 _SYNC_CHAIN = 6  # consecutive plausible headers required
+_WIDE_TOL = 20 * 365 * 24 * 3600  # ±20 y diagnostic rescan: distinguishes
+# "records exist but drifted past ts_tol" (fail loud, tell the user to
+# raise ts_tol) from "genuine garbage" (truncated-tail drop at EOF)
 _SYNC_WINDOW = (256 << 10) + 4096  # window must exceed the record cap so a
 # boundary landing inside any supported record still finds the next header
 
 
-def _plausible(buf: bytes, o: int, n: int, order: str, ref_ts: int) -> int | None:
+def _plausible(
+    buf: bytes, o: int, n: int, order: str, ref_ts: int, ts_tol: int = _TS_TOL
+) -> int | None:
     """If a plausible record header starts at ``o``, return the offset
     just past its data; else None. Plausibility anchors the timestamp
-    to the file's first record (±_TS_TOL): periodic or random payloads
+    to the file's first record (±ts_tol): periodic or random payloads
     can fake self-consistent header chains, but faking the capture's
     own narrow epoch window takes adversarial data — for which the
     per-file reader remains the safe path."""
@@ -61,7 +66,7 @@ def _plausible(buf: bytes, o: int, n: int, order: str, ref_ts: int) -> int | Non
         return None
     ts = int.from_bytes(buf[o : o + 4], order)
     incl = int.from_bytes(buf[o + 8 : o + 12], order)
-    if not (abs(ts - ref_ts) <= _TS_TOL and incl <= _MAX_INCL):
+    if not (abs(ts - ref_ts) <= ts_tol and incl <= _MAX_INCL):
         return None
     return o + _RECORD_HEADER_LEN + incl
 
@@ -73,7 +78,9 @@ def _plausible(buf: bytes, o: int, n: int, order: str, ref_ts: int) -> int | Non
 _SLACK = _SYNC_WINDOW + _SYNC_CHAIN * (_RECORD_HEADER_LEN + _MAX_INCL)
 
 
-def _candidate_offsets(buf: bytes, start: int, stop: int, order: str, ref_ts: int):
+def _candidate_offsets(
+    buf: bytes, start: int, stop: int, order: str, ref_ts: int, ts_tol: int = _TS_TOL
+):
     """Offsets in [start, stop) whose leading 4 bytes read as an
     in-window timestamp — a vectorized prefilter so the chain
     validator never walks unparseable regions byte-by-byte (measured:
@@ -95,20 +102,32 @@ def _candidate_offsets(buf: bytes, start: int, stop: int, order: str, ref_ts: in
     )
     hi = min(stop, len(w4))
     ts = w4[start:hi] @ weights
-    return (start + np.flatnonzero(np.abs(ts - ref_ts) <= _TS_TOL)).tolist()
+    return (start + np.flatnonzero(np.abs(ts - ref_ts) <= ts_tol)).tolist()
 
 
-def sync_offset(buf: bytes, start: int, order: str, ref_ts: int) -> int:
+def sync_offset(
+    buf: bytes, start: int, order: str, ref_ts: int, ts_tol: int = _TS_TOL
+) -> int | None:
     """First record-header offset at-or-after ``start`` (relative to
     ``buf``), validated by a chain of ``_SYNC_CHAIN`` plausible
     headers (fewer suffice when the chain cleanly reaches EOF).
-    Deterministic in (file bytes, offset)."""
+    Deterministic in (file bytes, offset).
+
+    Returns the buffer end when the search window is empty (at/past
+    EOF — nothing left to own), and ``None`` when the window held
+    bytes but no candidate validated: the caller must decide whether
+    that region is a tolerable truncated tail or a loud failure —
+    silently guessing an offset here would decode garbage (the
+    pre-round-2 behavior)."""
     n = len(buf)
-    for o in _candidate_offsets(buf, start, min(start + _SYNC_WINDOW, n), order, ref_ts):
+    stop = min(start + _SYNC_WINDOW, n)
+    if start >= stop:
+        return min(start, n)
+    for o in _candidate_offsets(buf, start, stop, order, ref_ts, ts_tol):
         p: int | None = o
         ok = 0
         while p is not None and ok < _SYNC_CHAIN:
-            nxt = _plausible(buf, p, n, order, ref_ts)
+            nxt = _plausible(buf, p, n, order, ref_ts, ts_tol)
             if nxt is None:
                 break
             ok += 1
@@ -124,9 +143,7 @@ def sync_offset(buf: bytes, start: int, order: str, ref_ts: int) -> int:
             and ((ok >= 1 and p == n) or (ok >= 2 and p + _RECORD_HEADER_LEN > n))
         ):
             return o
-    # no sync in the window (unparseable region): return the window cap,
-    # which is the same absolute offset from both neighbors' viewpoints
-    return min(start + _SYNC_WINDOW, n)
+    return None
 
 
 def chunk_specs(path: str, chunk_bytes: int) -> list[tuple[str, int, int]]:
@@ -156,9 +173,17 @@ def chunk_specs(path: str, chunk_bytes: int) -> list[tuple[str, int, int]]:
     return specs
 
 
-def decode_chunk(path: str, start: int, end: int) -> bytes:
+def decode_chunk(path: str, start: int, end: int, ts_tol: int = _TS_TOL) -> bytes:
     """Read [start, end) plus resync slack and return a synthetic
-    standalone pcap buffer (global header + owned records)."""
+    standalone pcap buffer (global header + owned records).
+
+    A sync failure (bytes present but no validated record header in
+    the window) is tolerated only when the unparseable region fits
+    inside one truncated final record's envelope at EOF — the case the
+    per-file reader also drops silently. Anywhere else it fails LOUD:
+    the old fallback (decode from the window cap) silently produced
+    garbage/dropped rows whenever a capture spanned more than ±ts_tol
+    of its first record or a mid-file region was corrupt."""
     with open(path, "rb") as fh:
         header = fh.read(_GLOBAL_HEADER_LEN)
         try:
@@ -173,13 +198,43 @@ def decode_chunk(path: str, start: int, end: int) -> bytes:
         ref_ts = int.from_bytes(first_hdr, order) if len(first_hdr) == 4 else 0
         fh.seek(start)
         buf = fh.read((end - start) + _SLACK)
-    lo = sync_offset(buf, 0, order, ref_ts) if start > _GLOBAL_HEADER_LEN else 0
-    hi = sync_offset(buf, end - start, order, ref_ts)
+    file_size = os.path.getsize(path)
+    tail_envelope = _RECORD_HEADER_LEN + _MAX_INCL
+
+    def _resolve(rel_start: int, abs_start: int, what: str) -> int:
+        o = sync_offset(buf, rel_start, order, ref_ts, ts_tol)
+        if o is not None:
+            return o
+        # Diagnose before tolerating: rescan with a very wide tolerance.
+        # A validated chain out there means the bytes ARE records whose
+        # timestamps drifted past ±ts_tol of the first record — silently
+        # dropping them (the pre-round-2 fallback) loses real data, so
+        # fail loud and name the fix.
+        if sync_offset(buf, rel_start, order, ref_ts, _WIDE_TOL) is not None:
+            raise PcapFormatError(
+                f"cannot resynchronize {what} at {path}:{abs_start}: records "
+                f"found whose timestamps exceed ±{ts_tol}s of the file's first "
+                "record — the capture outlives the plausibility anchor; pass a "
+                "larger ts_tol to read_pcap_chunked or use read_pcap (per-file)"
+            )
+        if file_size - abs_start <= tail_envelope:
+            # no records even at wide tolerance, and the region fits one
+            # truncated final record at EOF: drop silently (parity with
+            # the per-file splitter); neighbors compute the same answer
+            # from the same bytes
+            return min(rel_start + _SYNC_WINDOW, len(buf))
+        raise PcapFormatError(
+            f"cannot resynchronize {what} at {path}:{abs_start}: no valid record "
+            f"header in a {_SYNC_WINDOW}-byte window — corrupt or non-pcap "
+            "region; use read_pcap (per-file)"
+        )
+
+    lo = _resolve(0, start, "chunk start") if start > _GLOBAL_HEADER_LEN else 0
+    hi = _resolve(end - start, end, "chunk end")
     # walk records from lo; a record is OWNED iff its header starts
     # before hi (a straddler's data extends past hi — that's fine, the
     # slack covers it and the next chunk starts at hi, not before)
     n = len(buf)
-    file_size = os.path.getsize(path)
     pos = lo
     while pos < hi:
         if pos + _RECORD_HEADER_LEN > n:
@@ -200,7 +255,10 @@ def decode_chunk(path: str, start: int, end: int) -> bytes:
 
 
 def read_pcap_chunked(
-    spark: SparkSession, path: str, chunk_bytes: int = 64 * 1024 * 1024
+    spark: SparkSession,
+    path: str,
+    chunk_bytes: int = 64 * 1024 * 1024,
+    ts_tol: int = _TS_TOL,
 ) -> DataFrame:
     """pcap file(s) → packets DataFrame with intra-file parallelism:
     one task per ``chunk_bytes`` byte range. Same output as
@@ -221,7 +279,7 @@ def read_pcap_chunked(
 
         for pdf in batches:
             for path_, start_, end_ in zip(pdf["path"], pdf["start"], pdf["end"]):
-                buf = decode_chunk(path_, int(start_), int(end_))
+                buf = decode_chunk(path_, int(start_), int(end_), ts_tol)
                 yield _arrays_to_pandas(decode_pcap_arrays(buf))
 
     raw = sdf.mapInPandas(decode_specs, schema=_RAW_DECODE_SCHEMA)

@@ -91,6 +91,13 @@ def split_pcapng_records(buf: bytes) -> Iterator[tuple[int, int, int, bytes]]:
             if len(body) >= 8:
                 snaplens.append(_u(body, 4, 4, order))
                 interfaces.append(_tsresol_divisor(body[8:], order))
+            else:
+                # malformed IDB still OWNS its interface id: appending
+                # defaults keeps if_id indexing aligned for every later
+                # EPB in the section (skipping would silently resolve
+                # the wrong tsresol for all subsequent interfaces)
+                snaplens.append(0)
+                interfaces.append(10**6)
         elif btype == _EPB and len(body) >= 20:
             if_id = _u(body, 0, 4, order)
             ts = (_u(body, 4, 4, order) << 32) | _u(body, 8, 4, order)
@@ -99,7 +106,12 @@ def split_pcapng_records(buf: bytes) -> Iterator[tuple[int, int, int, bytes]]:
             divisor = interfaces[if_id] if if_id < len(interfaces) else 10**6
             data = body[20 : 20 + caplen]
             if len(data) == caplen:
-                yield ts // divisor, ts % divisor, origlen, data
+                # mask seconds to u32: the unified record shape is the
+                # LEGACY splitter's (u32 ts_sec on the wire), and a
+                # garbage far-future EPB timestamp must not be able to
+                # raise later in the re-framing path (malformed input
+                # never raises; trailer matching just fails)
+                yield (ts // divisor) & 0xFFFFFFFF, ts % divisor, origlen, data
         elif btype == _SPB and len(body) >= 4:
             # Simple Packet Block: no timestamp, origlen only; captured
             # bytes are min(origlen, snaplen) padded to 4
@@ -123,13 +135,28 @@ def decode_pcapng_bytes(buf: bytes) -> list[dict]:
     ]
 
 
+def reframe_legacy(raw: bytes) -> bytes:
+    """pcapng bytes → an equivalent in-memory LEGACY pcap buffer.
+
+    Every field re-packed here is already range-safe: ts_sec is masked
+    to u32 by the splitter and len(data)/origlen are u32 reads, so no
+    input can raise past the splitter's own format checks (fuzzed in
+    tests/test_pcapng.py through this exact path)."""
+    import struct
+
+    parts = [struct.pack("<IHHiIII", 0xA1B2C3D4, 2, 4, 0, 0, 65535, 1)]
+    for ts_sec, _sub, origlen, data in split_pcapng_records(raw):
+        parts.append(struct.pack("<IIII", ts_sec, 0, len(data), origlen))
+        parts.append(data)
+    return b"".join(parts)
+
+
 def read_pcapng(spark: SparkSession, path: str) -> DataFrame:
     """pcapng file(s)/glob → packets DataFrame (PACKET_SCHEMA), through
     the vectorized decoder: the block walk re-frames each file into the
-    legacy record layout in-memory, then ``decode_pcap_arrays`` runs
-    unchanged (one synthetic buffer per file; columnar from there)."""
-    import struct
-
+    legacy record layout in-memory (``reframe_legacy``), then
+    ``decode_pcap_arrays`` runs unchanged (one synthetic buffer per
+    file; columnar from there)."""
     from pcap_to_parquet_spark.session import tune
     from pcap_to_parquet_spark.sources.pcap import (
         _RAW_DECODE_SCHEMA,
@@ -145,12 +172,7 @@ def read_pcapng(spark: SparkSession, path: str) -> DataFrame:
 
         for pdf in batches:
             for content in pdf["content"]:
-                raw = bytes(content)
-                parts = [struct.pack("<IHHiIII", 0xA1B2C3D4, 2, 4, 0, 0, 65535, 1)]
-                for ts_sec, _sub, origlen, data in split_pcapng_records(raw):
-                    parts.append(struct.pack("<IIII", ts_sec, 0, len(data), origlen))
-                    parts.append(data)
-                yield _arrays_to_pandas(decode_pcap_arrays(b"".join(parts)))
+                yield _arrays_to_pandas(decode_pcap_arrays(reframe_legacy(bytes(content))))
 
     raw = files.mapInPandas(decode_files, schema=_RAW_DECODE_SCHEMA)
     return _finish_packets(raw)

@@ -74,6 +74,50 @@ def test_random_payload_boundaries(tmp_path_factory, n, chunk, payload):
     assert chunked_rows(str(p), chunk) == decode_pcap_bytes(buf)
 
 
+def test_long_capture_fails_loud(tmp_path):
+    """A capture spanning more than ±ts_tol of its first record must
+    raise on resync (the old fallback silently decoded garbage), and
+    must succeed when ts_tol is raised to cover the span."""
+    from pcap_to_parquet_spark.sources.pcap import PcapFormatError
+
+    frame = eth(ipv4(17, "1.2.3.4", "5.6.7.8", udp(9, 9, b"x" * 40)))
+    week = 7 * 24 * 3600
+    buf = pcap_file([(BASE_TS + i * week, len(frame), frame) for i in range(60)])
+    p = tmp_path / "drift.pcap"
+    p.write_bytes(buf)
+    # a boundary after the drift exceeds the default +-48h anchor window
+    with pytest.raises(PcapFormatError, match="resynchronize"):
+        for spec in chunk_specs(str(p), 1000):
+            decode_chunk(*spec)
+    # widening the tolerance to cover the capture's span restores parity
+    rows: list[dict] = []
+    for pp, s, e in chunk_specs(str(p), 1000):
+        rows.extend(decode_pcap_bytes(decode_chunk(pp, s, e, ts_tol=61 * week)))
+    assert rows == decode_pcap_bytes(buf)
+
+
+def test_truncated_tail_still_silent(tmp_path):
+    """A truncated final record stays a silent drop (per-file splitter
+    parity) for every chunk boundary, including ones inside the
+    truncated record's claimed data."""
+    frame = eth(ipv4(6, "1.1.1.1", "2.2.2.2", tcp(1, 2)))
+    buf = pcap_file([(BASE_TS + i, len(frame), frame) for i in range(20)])
+    # append a record header claiming 5000 bytes but deliver only 100
+    hdr = (
+        (BASE_TS + 20).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+        + (5000).to_bytes(4, "little")
+        + (5000).to_bytes(4, "little")
+    )
+    buf_trunc = buf + hdr + b"\x00" * 100
+    p = tmp_path / "trunc.pcap"
+    p.write_bytes(buf_trunc)
+    want = decode_pcap_bytes(buf_trunc)
+    assert len(want) == 20  # splitter drops the truncated tail
+    for chunk_bytes in range(64, len(buf_trunc) + 16, 64):
+        assert chunked_rows(str(p), chunk_bytes) == want, f"chunk={chunk_bytes}"
+
+
 def test_spark_chunked_reader(spark, tmp_path):
     buf = _mixed_pcap(5000)
     p = tmp_path / "big.pcap"

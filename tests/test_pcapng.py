@@ -135,14 +135,49 @@ def test_spark_read_pcapng(spark, tmp_path):
 @settings_deco
 def test_pcapng_never_crashes(data):
     """Random bytes after a valid SHB must never raise — truncated or
-    garbage blocks terminate the stream cleanly."""
+    garbage blocks terminate the stream cleanly. Fuzzes all the way
+    through reframe_legacy + the vectorized decoder (the read_pcapng
+    task path), not just the splitter: a garbage EPB timestamp once
+    raised struct.error inside the re-framing repack."""
+    from pcap_to_parquet_spark.sources.pcap_vec import decode_pcap_arrays
+    from pcap_to_parquet_spark.sources.pcapng import reframe_legacy
+
     junk = data.draw(st.binary(max_size=300))
     try:
-        list(split_pcapng_records(shb() + junk))
+        decode_pcap_arrays(reframe_legacy(shb() + junk))
     except PcapFormatError:
         pass  # acceptable only for malformed FIRST block; junk appended
         # after a valid SHB must not produce it
         raise
+
+
+def test_far_future_epb_timestamp_masked():
+    """An EPB whose seconds exceed u32 (garbage or year-38k) must not
+    raise in the re-framing path: seconds wrap to u32, the packet
+    survives with its data intact (malformed input never raises)."""
+    from pcap_to_parquet_spark.sources.pcap_vec import decode_pcap_arrays
+    from pcap_to_parquet_spark.sources.pcapng import reframe_legacy
+
+    huge = (1 << 40) * 10**6  # seconds = 2^40 > u32
+    buf = shb() + idb() + epb(huge, UDP_FRAME)
+    (ts, _sub, orig, data), = split_pcapng_records(buf)
+    assert ts == (1 << 40) & 0xFFFFFFFF and data == UDP_FRAME
+    arrays = decode_pcap_arrays(reframe_legacy(buf))  # must not raise
+    assert len(arrays["len"]) == 1
+
+
+def test_malformed_idb_keeps_interface_alignment():
+    """A malformed IDB (body < 8 bytes) still owns its interface id:
+    the NEXT interface's tsresol must not shift down by one."""
+    bad_idb = _block(0x00000001, b"\x01\x00")  # 2-byte body
+    buf = (
+        shb()
+        + bad_idb  # if_id 0 (malformed -> default micro resolution)
+        + idb(tsresol=9)  # if_id 1: nanosecond
+        + epb(BASE_TS * 10**9 + 987, UDP_FRAME, if_id=1)
+    )
+    (ts, sub, _orig, _data), = split_pcapng_records(buf)
+    assert (ts, sub) == (BASE_TS, 987)  # ns divisor applied, not 10^6
 
 
 @settings_deco
