@@ -64,6 +64,9 @@ _GATE_FRONT = [
     "q_dedup_clusters",
     "q_flagship_revenue",
     "q_multimodal_features",
+    # new in round 2 (never driver-checked)
+    "q_media_resize",
+    "q_audio_features",
 ]
 
 

@@ -34,7 +34,13 @@ HEADLINE = [
     "q_similarity_topk",    # brute-force cosine top-k
     "q_text_stats",         # tokenize + agg
     "q_pcap_pipeline",      # reference capability end-to-end
+    "q_salted_join",        # skew path: salted hot-key join
+    "q_dedup_clusters",     # iterative path: label propagation
 ]
+
+# round-over-round reference (same box, sf0.1, local[32]):
+# BENCH_r01 headline total was 17.33 s over the first 12 entries —
+# compare per-query, not totals, when the headline list grows.
 
 
 def _big_pcap(n_packets: int = 250_000) -> str:

@@ -4,12 +4,19 @@ Convention (SURVEY §2 Part B): media is a ``binary`` column plus a
 ``struct`` metadata column (kind, mime, width, height, …). The pcap
 ``data`` column is the network instance of the same convention.
 
-The decode step that would call image/audio libraries is STUBBED
-(those libs are not in this container): :func:`decode_media_batch`
-raises ``NotImplementedError`` for real codecs and provides a
-deterministic fake for ``kind='text'`` payloads — the Spark-side
-plumbing (schema, mapInPandas signature, Arrow batch shape,
-partitioning) is real and tested.
+Two tiers of decode:
+
+- RAW formats are decoded for REAL, in numpy, deterministically:
+  ``image/x-raw-rgb`` (H×W×3 byte grid → nearest-neighbor resize,
+  oracle-checked byte-for-byte against DuckDB blob algebra),
+  ``video/x-raw-rgb`` (concatenated raw frames → frame sampling),
+  ``audio/x-raw-pcm16`` (little-endian int16 PCM → rms/peak stats).
+- COMPRESSED codecs (png/jpeg/mp4/…) need PIL/av, which this container
+  lacks: those mimes raise ``NotImplementedError`` behind the same
+  seam, so dropping the real libraries in later changes one function.
+
+The Spark-side plumbing (schema, mapInPandas signature, Arrow batch
+shape, fan-out, partitioning) is identical for both tiers and tested.
 """
 
 from __future__ import annotations
@@ -57,7 +64,28 @@ FEATURE_SCHEMA = StructType(
     ]
 )
 
+RAW_IMAGE_MIME = "image/x-raw-rgb"
+RAW_VIDEO_MIME = "video/x-raw-rgb"
+RAW_AUDIO_MIME = "audio/x-raw-pcm16"
+_RAW_MIMES = {RAW_IMAGE_MIME, RAW_VIDEO_MIME, RAW_AUDIO_MIME}
 _REAL_CODECS = {"image", "audio", "video"}
+
+
+def _needs_codec(kinds, mimes) -> bool:  # type: ignore[no-untyped-def]
+    """True if any row is a real media kind in a COMPRESSED container
+    (raw formats decode in numpy; compressed ones need PIL/av)."""
+    return bool((kinds.isin(_REAL_CODECS) & ~mimes.isin(_RAW_MIMES)).any())
+
+
+def _nn_resize(arr, out_w: int, out_h: int):  # type: ignore[no-untyped-def]
+    """Nearest-neighbor resize of an (h, w, 3) uint8 array — pixel
+    centers sampled at ((i+0.5)*src/dst), the classic NN kernel."""
+    import numpy as np
+
+    h, w, _ = arr.shape
+    rows = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), h - 1)
+    cols = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), w - 1)
+    return arr[rows][:, cols]
 
 
 def media_table(documents: DataFrame) -> DataFrame:
@@ -90,10 +118,12 @@ def decode_media_batch(batches) -> Iterator:  # type: ignore[no-untyped-def]
 
     for pdf in batches:
         kinds = pdf["meta"].map(lambda m: m["kind"])
-        if kinds.isin(_REAL_CODECS).any():
+        mimes = pdf["meta"].map(lambda m: m["mime"])
+        if _needs_codec(kinds, mimes):
             raise NotImplementedError(
-                "image/audio/video decode requires codec libraries not present "
-                "in this environment; text payloads demonstrate the plumbing"
+                "compressed image/audio/video decode requires codec libraries "
+                "not present in this environment; raw x-raw-* mimes and text "
+                "payloads decode for real"
             )
         payloads = pdf["payload"].map(bytes)
         yield pd.DataFrame(
@@ -127,24 +157,40 @@ FRAME_SCHEMA = StructType(
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """image payloads → resized payloads (mapInPandas seam).
 
-    The PIL decode/resize is STUBBED (no codec libs in this
-    environment): image kinds raise NotImplementedError; the plumbing
-    — Arrow batch shape, schema, partition-preserving map — is real
-    and tested with text payloads standing in as opaque bytes."""
+    ``image/x-raw-rgb`` payloads (meta.width × meta.height × 3 bytes,
+    row-major) are REALLY resized: numpy nearest-neighbor sampling,
+    deterministic, oracle-checkable. A malformed payload (length ≠
+    w*h*3) yields a NULL payload — the engine's null-on-malformed
+    policy, never a task crash. Compressed mimes raise (PIL absent);
+    non-image kinds pass through untouched."""
 
     def do_resize(batches):  # type: ignore[no-untyped-def]
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
             kinds = pdf["meta"].map(lambda m: m["kind"])
-            if kinds.isin(_REAL_CODECS).any():
+            mimes = pdf["meta"].map(lambda m: m["mime"])
+            if _needs_codec(kinds, mimes):
                 raise NotImplementedError(
                     "PIL/av resize requires codec libraries not in this environment"
                 )
+            out = []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                if meta["mime"] != RAW_IMAGE_MIME:
+                    out.append(payload)  # identity for non-image kinds
+                    continue
+                w, h = meta["width"], meta["height"]
+                b = bytes(payload)
+                if w is None or h is None or len(b) != w * h * 3:
+                    out.append(None)  # malformed → null, never raise
+                    continue
+                arr = np.frombuffer(b, dtype=np.uint8).reshape(h, w, 3)
+                out.append(_nn_resize(arr, width, height).tobytes())
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "payload": pdf["payload"],  # identity for non-image kinds
+                    "payload": out,
                     "width": width,
                     "height": height,
                 }
@@ -153,32 +199,167 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     return media.mapInPandas(do_resize, schema=RESIZED_SCHEMA)
 
 
-def sample_frames(media: DataFrame, every_n_bytes: int = 32) -> DataFrame:
+def sample_frames(media: DataFrame, every_nth: int = 4, every_n_bytes: int = 32) -> DataFrame:
     """video payloads → sampled frames (one row per frame; UDTF-shaped
-    mapInPandas). Real decoders (av/ffmpeg) are stubbed; the
-    deterministic fake slices the payload every ``every_n_bytes`` so
-    batch fan-out (one input row → many output rows) is exercised for
-    real."""
+    mapInPandas with real 1→many fan-out).
+
+    ``video/x-raw-rgb`` payloads — concatenated (meta.width ×
+    meta.height × 3)-byte frames — REALLY sample every ``every_nth``
+    frame; a trailing partial frame is dropped (truncated-tail parity
+    with the pcap splitter). Compressed containers raise (av/ffmpeg
+    absent). Other kinds keep the byte-window fake so the fan-out path
+    stays exercised for arbitrary payloads."""
 
     def do_sample(batches):  # type: ignore[no-untyped-def]
         import pandas as pd
 
         for pdf in batches:
             kinds = pdf["meta"].map(lambda m: m["kind"])
-            if kinds.isin(_REAL_CODECS).any():
+            mimes = pdf["meta"].map(lambda m: m["mime"])
+            if _needs_codec(kinds, mimes):
                 raise NotImplementedError(
-                    "frame sampling requires av/ffmpeg, not in this environment"
+                    "frame sampling from compressed video requires av/ffmpeg, "
+                    "not in this environment"
                 )
             ids, idxs, frames = [], [], []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
                 b = bytes(payload)
-                for i, start in enumerate(range(0, len(b), every_n_bytes)):
-                    ids.append(mid)
-                    idxs.append(i)
-                    frames.append(b[start : start + every_n_bytes])
+                if meta["mime"] == RAW_VIDEO_MIME and meta["width"] and meta["height"]:
+                    fsz = meta["width"] * meta["height"] * 3
+                    n_frames = len(b) // fsz
+                    for i, f in enumerate(range(0, n_frames, every_nth)):
+                        ids.append(mid)
+                        idxs.append(i)
+                        frames.append(b[f * fsz : (f + 1) * fsz])
+                else:
+                    for i, start in enumerate(range(0, len(b), every_n_bytes)):
+                        ids.append(mid)
+                        idxs.append(i)
+                        frames.append(b[start : start + every_n_bytes])
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
 
     return media.mapInPandas(do_sample, schema=FRAME_SCHEMA)
+
+
+def raw_media_table(documents: DataFrame, kind: str, width: int = 16, height: int = 16,
+                    n_frames: int = 4) -> DataFrame:
+    """documents → raw media rows: the UTF-8 text bytes, tiled, ARE the
+    payload (deterministic and reproducible in plain SQL — that is what
+    makes the decode kernels oracle-checkable). Byte-based substring on
+    the encoded blob keeps both engines in agreement even for
+    multi-byte text."""
+    frame_bytes = width * height * 3
+    need = frame_bytes * (n_frames if kind == "video" else 1)
+    reps = -(-need // 96) + 1  # docs are filtered to n_chars >= 96
+    mime = {"image": RAW_IMAGE_MIME, "video": RAW_VIDEO_MIME, "audio": RAW_AUDIO_MIME}[kind]
+    return documents.filter(F.col("n_chars") >= 96).select(
+        F.col("doc_id").alias("media_id"),
+        F.substring(F.encode(F.repeat("text", reps), "UTF-8"), 1, need).alias("payload"),
+        F.struct(
+            F.lit(kind).alias("kind"),
+            F.lit(mime).alias("mime"),
+            F.lit(width).alias("width"),
+            F.lit(height).alias("height"),
+        ).alias("meta"),
+    )
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("rms", StringType()),  # fixed 6-decimal string: float
+        # formatting is the only engine-dependent part of the math
+        StructField("peak", IntegerType()),
+    ]
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """``audio/x-raw-pcm16`` payloads → per-clip features, computed for
+    REAL in numpy (little-endian int16 → rms + absolute peak). A
+    trailing odd byte is dropped; compressed audio raises (librosa
+    absent)."""
+
+    def do_features(batches):  # type: ignore[no-untyped-def]
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            kinds = pdf["meta"].map(lambda m: m["kind"])
+            mimes = pdf["meta"].map(lambda m: m["mime"])
+            if _needs_codec(kinds, mimes):
+                raise NotImplementedError(
+                    "compressed audio decode requires codec libraries "
+                    "not in this environment"
+                )
+            ids, counts, rmss, peaks = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                samples = np.frombuffer(b[: len(b) - (len(b) % 2)], dtype="<i2")
+                ids.append(mid)
+                counts.append(len(samples))
+                rmss.append(
+                    f"{float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))):.6f}"
+                    if len(samples)
+                    else None
+                )
+                peaks.append(int(np.max(np.abs(samples.astype(np.int32)))) if len(samples) else None)
+            yield pd.DataFrame(
+                {"media_id": ids, "n_samples": counts, "rms": rmss, "peak": peaks}
+            )
+
+    return media.mapInPandas(do_features, schema=AUDIO_FEATURE_SCHEMA)
+
+
+# nearest-neighbor sample grid for 16×16 → 8×8: pixel centers at
+# (i+0.5)*16/8 = odd rows/cols; each pixel is a 3-byte run = 6 hex
+# chars (this DuckDB's md5/substr are VARCHAR-only, so both engines
+# hash the UPPERCASE HEX of the resized pixels instead of raw bytes)
+_NN_16_TO_8 = [1, 3, 5, 7, 9, 11, 13, 15]
+_RESIZE_PIECES = " || ".join(
+    f"substr(imghex, {6 * (r * 16 + c) + 1}, 6)" for r in _NN_16_TO_8 for c in _NN_16_TO_8
+)
+
+MEDIA_RESIZE_ORACLE = f"""
+WITH m AS (
+    SELECT doc_id AS media_id,
+           hex(encode(repeat(text, 9))) AS imghex
+    FROM documents
+    WHERE n_chars >= 96
+)
+SELECT media_id, 8 AS width, 8 AS height, md5(upper({_RESIZE_PIECES})) AS resized_md5
+FROM m
+"""
+
+
+@query("q_media_resize", MEDIA_RESIZE_ORACLE)
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-resize through the engine: raw 16×16×3 RGB payloads
+    (tiled text bytes) → numpy nearest-neighbor 8×8 in mapInPandas →
+    md5 of the resized pixels. The oracle recomputes the exact same 64
+    sampled 3-byte runs with byte-level blob algebra in DuckDB, so a
+    one-pixel kernel divergence fails the value hash — the decode
+    math itself is oracle-checked, not just the plumbing."""
+    d = load_table(spark, sf_dir, "documents")
+    media = raw_media_table(d, "image")
+    return resize_images(media, 8, 8).select(
+        "media_id",
+        "width",
+        "height",
+        F.md5(F.upper(F.hex("payload"))).alias("resized_md5"),
+    )
+
+
+@query("q_audio_features")  # rows-only: int16 decode has no SQL analogue
+def audio_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCM16 feature extraction over raw audio payloads (tiled text
+    bytes as deterministic samples): n_samples / rms / peak computed in
+    numpy. Rows-only: re-interpreting blob bytes as little-endian int16
+    has no reasonable DuckDB expression; the kernel is golden-tested in
+    tests/test_multimodal.py instead."""
+    d = load_table(spark, sf_dir, "documents")
+    return audio_features(raw_media_table(d, "audio"))
 
 
 @query(
