@@ -67,6 +67,11 @@ _GATE_FRONT = [
     # new in round 2 (never driver-checked)
     "q_media_resize",
     "q_audio_features",
+    "q_decontaminate",
+    "q_tfidf_top_terms",
+    "q_repetition_score",
+    "q_vocab_build",
+    "q_stream_stream_join",
 ]
 
 

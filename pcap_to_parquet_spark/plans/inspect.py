@@ -50,6 +50,7 @@ def plan_profile(df: DataFrame) -> dict[str, int]:
         if n:
             prof[op] = n
     prof["exchanges"] = len(re.findall(r"\bExchange\b", plan))
+    prof["single_partition"] = len(re.findall(r"\bSinglePartition\b", plan))
     prof["wscg_spans"] = len(set(re.findall(r"\*\((\d+)\)", plan)))
     prof["pushed_filters"] = len(
         [p for p in re.findall(r"PushedFilters: \[([^\]]*)\]", plan) if p.strip()]

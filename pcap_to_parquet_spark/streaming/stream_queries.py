@@ -238,6 +238,66 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# stream-stream join: purchases matched to prior views within 10 min
+
+STREAM_JOIN_ORACLE = """
+SELECT v.event_id AS view_event, p.event_id AS purchase_event, v.user_id,
+       epoch_us(p.ts) - epoch_us(v.ts) AS lag_micros
+FROM events v
+JOIN events p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 10 MINUTES
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+"""
+
+
+@query("q_stream_stream_join", STREAM_JOIN_ORACLE)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (self-join of the event stream):
+    each purchase pairs with the same user's views from the preceding
+    10 minutes — the attribution join.
+
+    State discipline: BOTH sides carry a watermark and the join
+    condition bounds event time on BOTH sides, so each side's buffered
+    state is capped at watermark + 10 min — the only shape a
+    stream-stream join survives at scale with (an unbounded-state join
+    never drains). Inner-join emission is match-time, not
+    watermark-closure, so with availableNow ingestion the emitted set
+    equals the batch join exactly — which is what the oracle checks."""
+    e = stream_events(spark, sf_dir)
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_event"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_event"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + interval 10 minutes"
+        ),
+    ).select(
+        "view_event",
+        "purchase_event",
+        F.col("v_user").alias("user_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("lag_micros"),
+    )
+    return run_to_memory(joined, "append")
+
+
+# ---------------------------------------------------------------------------
 # streaming dedup
 
 STREAM_DEDUP_ORACLE = """

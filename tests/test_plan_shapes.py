@@ -46,6 +46,15 @@ def test_similarity_topk_broadcasts_query_vector_only(spark):
     assert "CartesianProduct" not in p
 
 
+def test_window_dist_never_single_partition(spark):
+    """Global distribution functions must NOT plan a single-partition
+    sort (the canonical 100 TB killer): the range-bucketed shape keeps
+    the window partitioned by bucket."""
+    p = prof(spark, "q_window_dist")
+    assert p.get("single_partition", 0) == 0
+    assert p.get("Window", 0) >= 1  # the per-bucket window is still a window
+
+
 def test_hash_agg_has_partial_aggregation(spark):
     p = prof(spark, "q_hash_agg")
     assert p.get("HashAggregate", 0) == 2  # partial (map-side) + final

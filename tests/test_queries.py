@@ -29,6 +29,18 @@ def test_entry_contract():
     assert set(m.oracle_sql()) == set(ORACLES)
 
 
+def test_gate_front_names_exist():
+    """A typo in the gate-order list would silently drop a query from
+    the driver's 50-entry correctness window."""
+    import __spark_entry__ as m
+
+    missing = [n for n in m._GATE_FRONT if n not in QUERIES]
+    assert not missing, missing
+    # everything the driver never checked in r1 must be inside its window
+    first50 = list(m.queries())[:50]
+    assert all(n in first50 for n in m._GATE_FRONT)
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_runs(spark, name):
     df = QUERIES[name](spark, SF0001)
