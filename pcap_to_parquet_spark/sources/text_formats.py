@@ -35,6 +35,21 @@ def write_json(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
 
 
+def read_orc(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    """ORC scan (built-in columnar alternative; same predicate-pushdown
+    and column-pruning behavior as parquet). Schema optional: ORC files
+    carry their types, so there is no inference pass to pay for."""
+    tune(spark)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").option("compression", "zstd").orc(path)
+
+
 def table_schema(name: str) -> StructType:
     """Explicit schema for a testdata table (for CSV/JSON round-trips)."""
     return TESTDATA_SCHEMAS[name]
