@@ -72,6 +72,8 @@ _GATE_FRONT = [
     "q_repetition_score",
     "q_vocab_build",
     "q_stream_stream_join",
+    "q_sql_shipping_priority",
+    "q_sql_returned_items",
 ]
 
 

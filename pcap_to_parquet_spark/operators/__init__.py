@@ -15,6 +15,7 @@ from pcap_to_parquet_spark.operators import (  # noqa: F401
     scalar_funcs,
     scale_patterns,
     sessionize,
+    sql_api,
     text_pipeline,
     udtf_udaf,
     windows,

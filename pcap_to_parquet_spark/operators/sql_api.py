@@ -1,0 +1,83 @@
+"""SQL-text API surface: the same engine through ``spark.sql()``.
+
+Everything else in ``operators/`` declares plans with the DataFrame
+API; a user coming from the reference's workflow (`SELECT … FROM
+'out.parquet'` in DuckDB, README.md:20-40) writes SQL strings. These
+queries register the testdata tables as temp views and run classic
+TPC-H-shaped analytics as pure SQL text — same Catalyst planning, same
+physical plans, same oracle gate as their DataFrame twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pcap_to_parquet_spark.registry import query
+from pcap_to_parquet_spark.sources import load_table
+
+_VIEW_TABLES = ("customer", "orders", "lineitem")
+
+
+def _register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Temp views over the sf_dir tables (createOrReplace: the last
+    registration wins, which is correct for sequential per-sf runs)."""
+    for t in _VIEW_TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+# TPC-H Q3 shape (shipping priority): top open-order revenue in a
+# segment before the cutoff. o_orderpriority stands in for
+# l_shipdate>cutoff/o_shippriority (testdata has no shippriority).
+_Q3_BODY = """
+SELECT o.o_orderkey,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       {datefmt} AS order_date,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1995-03-15'
+GROUP BY o.o_orderkey, {datefmt}, o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderkey
+LIMIT 10
+"""
+
+SQL_SHIPPING_ORACLE = _Q3_BODY.format(datefmt="STRFTIME(o.o_orderdate, '%Y-%m-%d')")
+
+
+@query("q_sql_shipping_priority", SQL_SHIPPING_ORACLE)
+def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape, submitted as SQL TEXT via ``spark.sql`` — the
+    plan Catalyst produces is the same broadcast-dim + single-shuffle
+    + TakeOrderedAndProject shape the DataFrame twin (flagship) gets;
+    the SQL front-end adds zero cost. Dates are projected to strings
+    for oracle hash parity (never raw timestamps)."""
+    _register_views(spark, sf_dir)
+    return spark.sql(_Q3_BODY.format(datefmt="date_format(o.o_orderdate, 'yyyy-MM-dd')"))
+
+
+# TPC-H Q10 shape (returned items): revenue lost to returns per customer.
+_Q10_BODY = """
+SELECT c.c_custkey, c.c_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS lost_revenue,
+       ROUND(c.c_acctbal, 2) AS acctbal,
+       COUNT(*) AS n_items
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal
+ORDER BY lost_revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+@query("q_sql_returned_items", _Q10_BODY)
+def sql_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape as SQL text: the returned-items revenue report.
+    The l_returnflag filter reaches the parquet scan (PushedFilters)
+    exactly as with the DataFrame API — predicate pushdown is a
+    Catalyst property, not an API property."""
+    _register_views(spark, sf_dir)
+    return spark.sql(_Q10_BODY)
