@@ -55,6 +55,44 @@ def test_window_dist_never_single_partition(spark):
     assert p.get("Window", 0) >= 1  # the per-bucket window is still a window
 
 
+def test_text_pipeline_scale_shapes(spark):
+    """Pin the scale claims of the round-2 corpus operators."""
+    p = prof(spark, "q_repetition_score")
+    # map-side algebra: the only exchange is fan_out's round-robin
+    # repartition (small-input CPU spread; no-op at real scale) — no
+    # aggregation/join shuffle exists
+    assert p["exchanges"] <= 1
+    assert "HashAggregate" not in p and "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+    p = prof(spark, "q_tfidf_top_terms")
+    assert p.get("BroadcastHashJoin", 0) >= 1  # vocabulary-sized df broadcast
+    assert p.get("WindowGroupLimit", 0) >= 1  # top-5 heap below the shuffle
+    assert "CartesianProduct" not in p
+
+    p = prof(spark, "q_decontaminate")
+    assert p.get("BroadcastHashJoin", 0) >= 1  # held-out shingle set broadcast
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_media_resize_is_arrow_map_only(spark):
+    p = prof(spark, "q_media_resize")
+    assert p.get("MapInPandas", 0) == 1
+    assert p["exchanges"] == 0  # decode/resize never shuffles
+    assert "BatchEvalPython" not in p
+
+
+def test_sql_api_same_plan_quality(spark):
+    """SQL-text queries must get the same physical treatment as the
+    DataFrame API: broadcast dims, top-n, pushed filters."""
+    p = prof(spark, "q_sql_returned_items")
+    assert p.get("BroadcastHashJoin", 0) >= 1
+    assert p.get("TakeOrderedAndProject", 0) == 1
+    assert p["pushed_filters"] >= 1  # l_returnflag reaches the scan
+    assert "CartesianProduct" not in p
+
+
 def test_hash_agg_has_partial_aggregation(spark):
     p = prof(spark, "q_hash_agg")
     assert p.get("HashAggregate", 0) == 2  # partial (map-side) + final
