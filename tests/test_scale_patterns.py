@@ -81,6 +81,27 @@ def test_salted_join_under_real_skew(spark):
     assert spread == SALT_BUCKETS
 
 
+def test_window_dist_matches_builtin_window(spark):
+    """The distributed closed-form ntile/percent_rank/cume_dist must
+    equal Spark's own single-partition window built-ins row-for-row —
+    cross-engine oracle parity alone could hide a shared misreading of
+    NTILE's front-loaded remainder rule."""
+    from pyspark.sql import Window
+
+    q = QUERIES["q_window_dist"](spark, SF0001)
+    o = load_tables(spark, SF0001, "orders")[0]
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    ref = o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+    got = {r.o_orderkey: (r.quartile, r.pct_rank, r.cume) for r in q.collect()}
+    want = {r.o_orderkey: (r.quartile, r.pct_rank, r.cume) for r in ref.collect()}
+    assert got == want
+
+
 def test_bucketed_join_no_join_shuffle(spark):
     df = QUERIES["q_bucketed_join"](spark, SF0001)
     plan = df._jdf.queryExecution().executedPlan().toString()
