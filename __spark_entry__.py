@@ -74,6 +74,7 @@ _GATE_FRONT = [
     "q_stream_stream_join",
     "q_sql_shipping_priority",
     "q_sql_returned_items",
+    "q_merge_upsert",
 ]
 
 

@@ -269,3 +269,51 @@ def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# MERGE / upsert (CDC apply), as a full-outer-join composition
+
+MERGE_ORACLE = """
+WITH base AS (
+    SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey <= 1000
+),
+chg AS (
+    SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS delta
+    FROM orders GROUP BY o_custkey
+)
+SELECT COALESCE(b.c_custkey, c.o_custkey) AS custkey,
+       ROUND(COALESCE(b.c_acctbal, 0) + COALESCE(c.delta, 0), 2) AS balance,
+       CASE WHEN b.c_custkey IS NULL THEN 'inserted'
+            WHEN c.o_custkey IS NULL THEN 'unchanged'
+            ELSE 'updated' END AS merge_action
+FROM base b
+FULL OUTER JOIN chg c ON b.c_custkey = c.o_custkey
+"""
+
+
+@query("q_merge_upsert", MERGE_ORACLE)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (upsert / CDC apply) without a table format: the
+    change set (per-customer order totals) merged into a base dim —
+    matched rows update, source-only rows insert, target-only rows
+    pass through unchanged. One FULL OUTER shuffle join on the merge
+    key expresses the entire statement; at scale this is exactly what
+    Delta/Iceberg MERGE lowers to (plus file rewrites), and a small
+    change set becomes a broadcast join under AQE. The merge_action
+    column is the audit trail a CDC pipeline keeps."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    base = c.filter(F.col("c_custkey") <= 1000).select("c_custkey", "c_acctbal")
+    chg = o.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("delta"))
+    j = base.join(chg, base.c_custkey == chg.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.round(
+            F.coalesce("c_acctbal", F.lit(0.0)) + F.coalesce("delta", F.lit(0.0)), 2
+        ).alias("balance"),
+        F.when(F.col("c_custkey").isNull(), "inserted")
+        .when(F.col("o_custkey").isNull(), "unchanged")
+        .otherwise("updated")
+        .alias("merge_action"),
+    )
