@@ -75,6 +75,8 @@ _GATE_FRONT = [
     "q_sql_shipping_priority",
     "q_sql_returned_items",
     "q_merge_upsert",
+    "q_corr_stats",
+    "q_range_frame",
 ]
 
 

@@ -195,3 +195,30 @@ def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# correlation / covariance statistics
+
+CORR_ORACLE = """
+SELECT l_returnflag,
+       ROUND(CORR(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS qty_price_cov,
+       ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) AS price_per_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("q_corr_stats", CORR_ORACLE)
+def corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group (correlation, sample covariance,
+    regression slope) — single-pass partial+final aggregation: each
+    statistic reduces to sums/products carried map-side, so the shuffle
+    moves one small state per (group, stat), never rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_cov"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("price_per_qty"),
+    )

@@ -200,3 +200,35 @@ def window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((rank - 1) / max(n - 1, 1), 6).alias("pct_rank"),
         F.round(rank / max(n, 1), 6).alias("cume"),
     )
+
+
+@query(
+    "q_range_frame",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           COUNT(*) OVER w AS n_near,
+           ROUND(SUM(o_totalprice) OVER w, 2) AS near_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
+                 RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING)
+    """,
+)
+def range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frames (value-based, not row-based): per customer, how
+    many of their other orders price within ±1000 of each order, and
+    that neighborhood's total. RANGE frames are peer-inclusive — ties
+    enter the frame together — which ROWS frames cannot express. Same
+    one-shuffle-per-partition-key cost as any window."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, 1000)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n_near"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("near_total"),
+    )
