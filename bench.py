@@ -101,6 +101,15 @@ def main() -> None:
     t0 = time.time()
     convert_pcap(spark, pcap_path, out)
     timings["pcap_convert_250k"] = round(time.time() - t0, 3)
+
+    # intra-file parallel path: 73 MB crosses the auto-chunk threshold,
+    # so this measures the chunked reader end-to-end (resync + decode +
+    # parquet write across all cores)
+    big_path = _big_pcap(1_000_000)
+    out_big = os.path.join(tempfile.gettempdir(), "bench_pcap_out_1m")
+    t0 = time.time()
+    convert_pcap(spark, big_path, out_big)
+    timings["pcap_convert_1m_chunked"] = round(time.time() - t0, 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

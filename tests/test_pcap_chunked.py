@@ -118,6 +118,31 @@ def test_truncated_tail_still_silent(tmp_path):
         assert chunked_rows(str(p), chunk_bytes) == want, f"chunk={chunk_bytes}"
 
 
+def test_convert_auto_chunk_policy(spark, tmp_path, monkeypatch):
+    """convert_pcap auto-selects: per-file below the threshold, chunked
+    above it — and the chunked output is row-identical."""
+    import duckdb
+
+    from pcap_to_parquet_spark.sources import pcap as pcap_mod
+
+    buf = _mixed_pcap(300)
+    p = tmp_path / "cap.pcap"
+    p.write_bytes(buf)
+    assert pcap_mod._auto_chunk_bytes(spark, str(p)) is None  # small file
+
+    monkeypatch.setattr(pcap_mod, "_AUTO_CHUNK_THRESHOLD", 1024)
+    monkeypatch.setattr(pcap_mod, "_MIN_CHUNK", 2048)
+    cb = pcap_mod._auto_chunk_bytes(spark, str(p))
+    assert cb == 2048  # floor wins over size/parallelism
+
+    out_a = str(tmp_path / "auto")
+    out_b = str(tmp_path / "perfile")
+    pcap_mod.convert_pcap(spark, str(p), out_a)  # auto -> chunked
+    pcap_mod.convert_pcap(spark, str(p), out_b, chunk_bytes=0)  # forced per-file
+    q = "SELECT * FROM '{}/*.parquet' ORDER BY ALL"
+    assert duckdb.sql(q.format(out_a)).fetchall() == duckdb.sql(q.format(out_b)).fetchall()
+
+
 def test_spark_chunked_reader(spark, tmp_path):
     buf = _mixed_pcap(5000)
     p = tmp_path / "big.pcap"
