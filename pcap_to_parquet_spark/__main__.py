@@ -32,7 +32,8 @@ def main() -> None:
         "--chunk-mb",
         type=int,
         default=None,
-        help="split large captures into N-MiB chunks decoded in parallel",
+        help="split large captures into N-MiB chunks decoded in parallel "
+        "(default: auto — chunked for files over 64 MiB; 0 forces per-file)",
     )
     args = ap.parse_args()
     spark = get_spark("pcap-to-parquet-cli")
@@ -42,7 +43,7 @@ def main() -> None:
         args.input,
         args.output,
         partition_cols=args.partition_by,
-        chunk_bytes=args.chunk_mb * 1024 * 1024 if args.chunk_mb else None,
+        chunk_bytes=args.chunk_mb * 1024 * 1024 if args.chunk_mb is not None else None,
     )
     print(f"wrote {args.output}")
 
