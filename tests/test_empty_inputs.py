@@ -1,0 +1,75 @@
+"""Empty-input robustness: every operator must return an empty (or
+sensible constant) result on 0-row tables, never crash.
+
+At 100 TB emptiness is routine — a fresh partition, an aggressive
+filter, a replay from the epoch boundary — and an operator that throws
+on it takes the whole pipeline run down.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import pcap_to_parquet_spark.operators  # noqa: F401  (registers queries)
+import pytest
+
+from pcap_to_parquet_spark.registry import QUERIES
+from pcap_to_parquet_spark.schema import TESTDATA_SCHEMAS
+from pyspark.sql.types import LongType, StructField, StructType
+
+# queries whose plan is driven purely by the batch tables; streaming and
+# iterative-sampling queries (kmeans needs k seed rows) are exercised
+# separately or are documented to need data
+EMPTY_SAFE = [
+    "q_flagship_revenue",
+    "q_hash_agg",
+    "q_window_rank",
+    "q_window_frame",
+    "q_window_dist",
+    "q_range_frame",
+    "q_topk_per_group",
+    "q_sessionize",
+    "q_dedup_exact",
+    "q_ngram_jaccard",
+    "q_dedup_clusters",
+    "q_decontaminate",
+    "q_tfidf_top_terms",
+    "q_repetition_score",
+    "q_vocab_build",
+    "q_token_count",
+    "q_curation_pipeline",
+    "q_merge_upsert",
+    "q_corr_stats",
+    "q_media_resize",
+    "q_multimodal_features",
+    "q_similarity_topk",
+    "q_embed_neardup",
+    "q_sql_shipping_priority",
+    "q_sql_returned_items",
+    "q_train_test_split",
+    "q_data_mixing",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_lake(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("empty_lake")
+    for name, schema in TESTDATA_SCHEMAS.items():
+        if name == "events":
+            # on disk events.ts is int64 nanoseconds (loader converts)
+            schema = StructType(
+                [
+                    f if f.name != "ts" else StructField("ts", LongType())
+                    for f in schema.fields
+                ]
+            )
+        spark.createDataFrame([], schema).write.mode("overwrite").parquet(
+            str(d / f"{name}.parquet")
+        )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", EMPTY_SAFE)
+def test_query_survives_empty_lake(spark, empty_lake, name):
+    df = QUERIES[name](spark, empty_lake)
+    assert df.count() == 0, name
