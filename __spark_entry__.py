@@ -77,6 +77,8 @@ _GATE_FRONT = [
     "q_merge_upsert",
     "q_corr_stats",
     "q_range_frame",
+    "q_two_stage_distinct",
+    "q_stream_parquet_sink",
 ]
 
 

@@ -124,3 +124,42 @@ def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("segment_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# two-stage exact distinct (the skewed COUNT DISTINCT pattern)
+
+
+@query(
+    "q_two_stage_distinct",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(DISTINCT user_id % 10) AS n_cohorts
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def two_stage_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) via explicit two-stage aggregation:
+    dedup on (group, value) first — a partial+final aggregation whose
+    state per partition is the number of DISTINCT pairs it holds, not
+    the number of rows — then count per group. A direct
+    ``countDistinct`` on a skewed group key concentrates every value
+    of the hot group on one reducer; the two-stage shape spreads stage
+    one across (group, value) hash space, so a hot event_type costs no
+    more than a cold one. Oracle is the direct COUNT(DISTINCT) —
+    results are identical, only the physical shape differs."""
+    from pcap_to_parquet_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    pairs = e.select(
+        "event_type", "user_id", (F.col("user_id") % 10).alias("cohort")
+    )
+    stage1 = pairs.groupBy("event_type", "user_id").agg(
+        F.first("cohort").alias("cohort")
+    )
+    return stage1.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.countDistinct("cohort").alias("n_cohorts"),
+    )

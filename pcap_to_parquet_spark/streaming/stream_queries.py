@@ -238,6 +238,66 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# production sink: parquet files + checkpoint (exactly-once)
+
+PARQUET_SINK_ORACLE = """
+WITH buckets AS (
+    SELECT time_bucket(INTERVAL 10 MINUTES, ts) AS ws, value FROM events
+),
+horizon AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS wm FROM events)
+SELECT epoch_us(ws) AS window_start, COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM buckets, horizon
+WHERE ws + INTERVAL 10 MINUTES <= wm
+GROUP BY ws
+"""
+
+
+@query("q_stream_parquet_sink", PARQUET_SINK_ORACLE)
+def stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION sink path: watermarked tumbling aggregation →
+    parquet file sink with a checkpoint directory — the exactly-once
+    contract (file-sink manifest + WAL offsets) every real deployment
+    relies on, where the memory sink used elsewhere is demo-only. The
+    query reads the sink's output back; append mode emits exactly the
+    watermark-closed windows the oracle computes. Re-running with the
+    same checkpoint is a no-op (no new input → no duplicate output) —
+    idempotent restart comes free from the checkpoint."""
+    import hashlib
+    import os
+    import tempfile
+
+    e = stream_events(spark, sf_dir)
+    agg = (
+        e.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"stream_pq_sink_{tag}")
+    ck = os.path.join(tempfile.gettempdir(), f"stream_pq_ck_{tag}")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.read.parquet(out)
+
+
+# ---------------------------------------------------------------------------
 # stream-stream join: purchases matched to prior views within 10 min
 
 STREAM_JOIN_ORACLE = """
