@@ -16,7 +16,6 @@ hot paths never use row-at-a-time ``@udf``.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql.functions import udtf
 
 from pcap_to_parquet_spark.operators.pcap_query import _fixture_path

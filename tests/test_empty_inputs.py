@@ -8,8 +8,6 @@ on it takes the whole pipeline run down.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
 import pcap_to_parquet_spark.operators  # noqa: F401  (registers queries)
 import pytest
 

@@ -11,7 +11,6 @@ from pcap_to_parquet_spark.sources.pcap import decode_pcap_bytes
 from pcap_to_parquet_spark.sources.pcap_fixtures import (
     BASE_TS,
     eth,
-    fixture_packets,
     golden_pcap_bytes,
     ipv4,
     mm_trailer,
