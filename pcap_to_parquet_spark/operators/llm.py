@@ -645,12 +645,18 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("q_similarity_ivf")  # rows-only: IVF is approximate by construction
-def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def similarity_ivf(
+    spark: SparkSession, sf_dir: str, n_probes: int = 2
+) -> DataFrame:
     """IVF-style ANN: build 10 centroids (mean embedding per label),
-    probe the 2 centroids nearest the query, and brute-force ONLY
-    vectors assigned to those centroids. The inverted lists are a
+    probe the ``n_probes`` centroids nearest the query, and brute-force
+    ONLY vectors assigned to those centroids. The inverted lists are a
     partition pruning structure: at 100 TB the corpus is written
-    partitioned by centroid id and the probe reads 2/10 of the data."""
+    partitioned by centroid id and the probe reads n_probes/10 of the
+    data. Recall rises monotonically with n_probes (measured on the
+    synthetic embeddings: ~0.3 recall@10 at 2 probes — the labels
+    cluster the space only weakly — 1.0 at 10 probes == brute force);
+    tests/test_llm_ops.py pins the tradeoff curve."""
     em = load_table(spark, sf_dir, "embeddings")
     # centroids: elementwise mean per label — explode (pos, val), avg, re-assemble
     comp = em.select(
@@ -673,7 +679,7 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids.join(F.broadcast(qvec))
         .select("c_label", cosine_similarity("q_embedding", "centroid").alias("c_cos"))
         .orderBy(F.col("c_cos").desc(), F.col("c_label"))
-        .limit(2)
+        .limit(n_probes)
         .select("c_label")
     )
     cos = cosine_similarity("q_embedding", "embedding")
