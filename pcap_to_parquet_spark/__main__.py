@@ -35,6 +35,14 @@ def main() -> None:
         help="split large captures into N-MiB chunks decoded in parallel "
         "(default: auto — chunked for files over 64 MiB; 0 forces per-file)",
     )
+    ap.add_argument(
+        "--ts-tol-hours",
+        type=float,
+        default=None,
+        help="chunked-mode resync timestamp anchor, +-hours around the "
+        "file's first record (default 48; raise for captures spanning "
+        "longer than that)",
+    )
     args = ap.parse_args()
     spark = get_spark("pcap-to-parquet-cli")
     spark.sparkContext.setLogLevel("ERROR")
@@ -44,6 +52,7 @@ def main() -> None:
         args.output,
         partition_cols=args.partition_by,
         chunk_bytes=args.chunk_mb * 1024 * 1024 if args.chunk_mb is not None else None,
+        ts_tol=int(args.ts_tol_hours * 3600) if args.ts_tol_hours is not None else None,
     )
     print(f"wrote {args.output}")
 

@@ -288,10 +288,16 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     far sparser. The MinHash variant is the scale path; this is the
     exact oracle-checked twin."""
     d = load_table(spark, sf_dir, "documents")
+    # localCheckpoint: sh_all feeds FOUR consumers (hot, the anti-join
+    # probe, per-doc counts, both self-join sides); materializing it
+    # once measured 1.55 s vs 2.76 s warm at sf0.1 — recompute with
+    # exchange reuse loses here, while caching the post-anti-join set
+    # (a fifth materialization point tried first) measured SLOWER.
     sh_all = (
         fan_out(d).select("doc_id", whitespace_tokens("text").alias("toks"))
         .select("doc_id", F.explode(shingles("toks", 3)).alias("sh"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     # hot-shingle guard: drop shingles in > SHINGLE_DF_CAP docs before
     # the self-join (the hot set is tiny → broadcast anti-join)
@@ -506,7 +512,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Iterative min-label propagation, the genuinely non-SQL Spark shape
     (the oracle needs a recursive CTE): each round every doc takes the
     min label among itself and its neighbors; near-dup components are
-    tiny dense cliques, so convergence is 1-2 rounds (capped at 20,
+    tiny dense cliques, so convergence is 1-2 rounds (capped at 50,
     checked via a one-scalar aggregate per round — never a corpus
     collect). At graph scale swap in alternating large-star/small-star
     rounds; the per-round join/agg shape is identical."""

