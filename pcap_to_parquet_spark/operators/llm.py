@@ -71,45 +71,51 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_signatures(d: DataFrame) -> DataFrame:
     """(doc_id, sig: array<long> of MINHASH_PERMS minima).
 
-    ZERO-shuffle signature computation: shingles are built and deduped
-    in-row (JVM column algebra, whole-stage codegen), hashed to 31
-    bits, and the 128 permutation minima come from one vectorized
-    numpy broadcast per Arrow batch — ``(h[:,None] * A + B) % M`` then
-    a column-min — inside a pandas UDF. The whole stage is map-only:
-    no explode, no groupBy, nothing crosses the network.
+    ZERO-shuffle signature computation. JVM-side work is ONE flat
+    ``transform`` hashing each token with xxhash64 — no string shingle
+    concatenation ever exists. The numpy pandas UDF then does all the
+    shingle math vectorized: 3-gram shingle hash as a multiply-mix of
+    three consecutive token hashes (uint64 wraparound, masked to 31
+    bits), ``np.unique`` for in-doc dedup, and the 128 permutation
+    minima from one broadcast ``(h[:,None] * A + B) % M`` column-min.
+    Map-only: no explode, no groupBy, nothing crosses the network.
 
-    Rejected alternatives (measured at sf0.1): nested ``transform``
-    HOFs are interpreted per-element (~10× slower); explode + 128
-    codegen'd ``min`` aggregates adds a shuffle and ~2-3 s of one-time
-    JIT for the 128-column aggregate class. ``a*h + b`` stays within
-    62 bits (31-bit hash × 31-bit a — ANSI-overflow safe in numpy
-    int64 too).
+    Rejected alternatives (measured at sf0.1): string shingles +
+    array_distinct + per-shingle xxhash in HOFs (the r1 shape) — HOF
+    lambdas are interpreted per element and allocate shingle strings,
+    2.5× slower (0.70 s vs 0.28 s warm); nested ``transform`` HOFs
+    (~10× slower); explode + 128 codegen'd ``min`` aggregates (adds a
+    shuffle and ~2-3 s one-time JIT). ``a*h + b`` stays within 62 bits
+    (31-bit hash × 31-bit a — overflow-safe in numpy int64).
     """
     A = np.array([a for a, _ in _MINHASH_AB], dtype=np.int64)
     B = np.array([b for _, b in _MINHASH_AB], dtype=np.int64)
+    _MIX1 = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constants
+    _MIX2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    _MASK31 = np.uint64(0x7FFFFFFF)
 
     @F.pandas_udf("array<long>")
-    def sig_of(sh: pd.Series) -> pd.Series:
+    def sig_of(th: pd.Series) -> pd.Series:
         out = []
-        for h in sh:
-            if h is None or len(h) == 0:
+        for h in th:
+            if h is None or len(h) < 3:
                 out.append(None)
                 continue
-            hv = np.asarray(h, dtype=np.int64)[:, None]
-            out.append((hv * A[None, :] + B[None, :]) % _MERSENNE)
-        return pd.Series([None if m is None else m.min(axis=0) for m in out])
+            t = np.asarray(h, dtype=np.int64).astype(np.uint64)
+            s = (t[:-2] * _MIX1 + t[1:-1] * _MIX2 + t[2:]) & _MASK31
+            hv = np.unique(s).astype(np.int64)[:, None]
+            out.append(((hv * A[None, :] + B[None, :]) % _MERSENNE).min(axis=0))
+        return pd.Series(out)
 
-    sh_hashes = F.transform(
-        F.array_distinct(shingles("toks", 3)),
-        lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31)),
-    )
+    tok_hashes = F.transform(whitespace_tokens("text"), lambda s: F.xxhash64(s))
     base = (
         fan_out(d)
-        .select("doc_id", whitespace_tokens("text").alias("toks"))
-        .select("doc_id", sh_hashes.alias("shh"))
-        .filter(F.size("shh") > 0)  # pre-UDF filter: the UDF runs exactly once
+        .select("doc_id", tok_hashes.alias("th"))
+        # docs with < 3 tokens have no shingles (parity with the string
+        # shingle path); pre-UDF filter so the UDF runs exactly once
+        .filter(F.size("th") >= 3)
     )
-    return base.select("doc_id", sig_of("shh").alias("sig"))
+    return base.select("doc_id", sig_of("th").alias("sig"))
 
 
 @query("q_dedup_minhash")  # rows-only
