@@ -561,6 +561,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .count()
         )
+        # release the PREVIOUS round's frame now that `changed` has
+        # materialized the new one (cache rounds free their blocks here;
+        # localCheckpoint rounds are reclaimed by the ContextCleaner once
+        # the reference drops) — without this a slow-converging graph
+        # accumulates up to 50 cached frames in executor memory
         labels.unpersist()
         labels = new_labels
         if changed == 0:

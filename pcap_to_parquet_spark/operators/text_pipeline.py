@@ -106,7 +106,8 @@ scored AS (
 ),
 ranked AS (
     SELECT lang, token, tf, df, score,
-           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score DESC, token) AS rn
+           ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY ROUND(score, 9) DESC, token) AS rn
     FROM scored
 )
 SELECT lang, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
@@ -124,9 +125,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: two aggregations (tf keyed on (lang, token), df keyed
     on token). df output is vocabulary-sized → broadcast into the
     score join; ranking partitions by lang with Spark's
-    WindowGroupLimit pushing the top-5 heap below the shuffle. The raw
-    double score orders ranking on both engines (identical IEEE
-    inputs); only the OUTPUT is rounded."""
+    WindowGroupLimit pushing the top-5 heap below the shuffle.
+
+    Ranking orders on ROUND(score, 9) in BOTH engines: DuckDB's libm
+    log and the JVM's Math.log are each only ~1-ulp accurate and not
+    bit-identical, so ranking on the raw double can order near-equal
+    scores differently at the rn<=5 cutoff; pre-rounding removes the
+    libm-parity dependence."""
     d = load_table(spark, sf_dir, "documents")
     n_docs = d.count()  # one scalar to the driver, like any cost stat
     tok = fan_out(d).select(
@@ -141,7 +146,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "df",
         (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("score"),
     )
-    w = Window.partitionBy("lang").orderBy(F.col("score").desc(), F.col("token"))
+    w = Window.partitionBy("lang").orderBy(F.round("score", 9).desc(), F.col("token"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)

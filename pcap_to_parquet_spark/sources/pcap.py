@@ -350,8 +350,15 @@ def convert_pcap(
     the remedy the chunked reader's error message names, reachable
     here and via the CLI's ``--ts-tol-hours`` so auto-chunked big
     captures never dead-end.
+
+    Auto-selection must never make a valid capture fail that per-file
+    decode handles (e.g. one spanning more than ±ts_tol): if the
+    AUTO-chunked write dies on a resync ``PcapFormatError``, it falls
+    back to per-file decode and succeeds. An explicit ``chunk_bytes``
+    keeps fail-loud — the caller asked for chunked semantics.
     """
-    if chunk_bytes is None:
+    auto = chunk_bytes is None
+    if auto:
         chunk_bytes = _auto_chunk_bytes(spark, in_path)
     if chunk_bytes:
         from pcap_to_parquet_spark.sources.pcap_chunked import (
@@ -364,6 +371,17 @@ def convert_pcap(
         )
     else:
         df = read_pcap(spark, in_path)
+    try:
+        _write_packets(df, out_path, partition_cols)
+    except Exception as exc:  # noqa: BLE001 - executor errors arrive as Py4J wrappers
+        # The resync failure surfaces at the write action, wrapped by
+        # Py4J; match it by name rather than type.
+        if not (auto and chunk_bytes and "PcapFormatError" in str(exc)):
+            raise
+        _write_packets(read_pcap(spark, in_path), out_path, partition_cols)
+
+
+def _write_packets(df: DataFrame, out_path: str, partition_cols: list[str] | None) -> None:
     w = df.write.mode("overwrite").option("compression", "zstd")
     if partition_cols:
         w = w.partitionBy(*partition_cols)

@@ -215,7 +215,8 @@ def decode_chunk(path: str, start: int, end: int, ts_tol: int = _TS_TOL) -> byte
                 f"cannot resynchronize {what} at {path}:{abs_start}: records "
                 f"found whose timestamps exceed ±{ts_tol}s of the file's first "
                 "record — the capture outlives the plausibility anchor; pass a "
-                "larger ts_tol to read_pcap_chunked or use read_pcap (per-file)"
+                "larger ts_tol to read_pcap_chunked (CLI: --ts-tol-hours) or "
+                "use read_pcap / per-file decode (CLI: --chunk-mb 0)"
             )
         if file_size - abs_start <= tail_envelope:
             # no records even at wide tolerance, and the region fits one
@@ -226,7 +227,7 @@ def decode_chunk(path: str, start: int, end: int, ts_tol: int = _TS_TOL) -> byte
         raise PcapFormatError(
             f"cannot resynchronize {what} at {path}:{abs_start}: no valid record "
             f"header in a {_SYNC_WINDOW}-byte window — corrupt or non-pcap "
-            "region; use read_pcap (per-file)"
+            "region; use read_pcap / per-file decode (CLI: --chunk-mb 0)"
         )
 
     lo = _resolve(0, start, "chunk start") if start > _GLOBAL_HEADER_LEN else 0

@@ -292,8 +292,17 @@ def stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = os.stat(src)
     key = f"{src}|{st.st_mtime_ns}|{st.st_size}|{_SINK_LOGIC_VERSION}"
     tag = hashlib.md5(key.encode()).hexdigest()[:12]
-    out = os.path.join(tempfile.gettempdir(), f"stream_pq_sink_{tag}")
-    ck = os.path.join(tempfile.gettempdir(), f"stream_pq_ck_{tag}")
+    tmp = tempfile.gettempdir()
+    # superseded keyed dirs (older input/logic versions) would otherwise
+    # accumulate in tempdir forever; they are ours by naming convention
+    import glob
+    import shutil
+
+    for stale in glob.glob(os.path.join(tmp, "stream_pq_*")):
+        if not stale.endswith(tag):
+            shutil.rmtree(stale, ignore_errors=True)
+    out = os.path.join(tmp, f"stream_pq_sink_{tag}")
+    ck = os.path.join(tmp, f"stream_pq_ck_{tag}")
     q = (
         agg.writeStream.format("parquet")
         .option("path", out)
@@ -304,7 +313,12 @@ def stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     q.stop()
-    return spark.read.parquet(out)
+    # explicit schema: if the watermarked agg closed zero windows the
+    # sink dir holds only _spark_metadata and schema inference would
+    # raise — the empty case must return an empty frame, not an error
+    return spark.read.schema(
+        "window_start bigint, n_events bigint, total_value double"
+    ).parquet(out)
 
 
 # ---------------------------------------------------------------------------

@@ -143,6 +143,31 @@ def test_convert_auto_chunk_policy(spark, tmp_path, monkeypatch):
     assert duckdb.sql(q.format(out_a)).fetchall() == duckdb.sql(q.format(out_b)).fetchall()
 
 
+def test_convert_auto_falls_back_on_resync_error(spark, tmp_path, monkeypatch):
+    """A valid capture spanning more than ±ts_tol fails the chunked
+    reader's resync — the AUTO path must fall back to per-file decode
+    and succeed; an explicit chunk_bytes keeps fail-loud."""
+    import duckdb
+
+    from pcap_to_parquet_spark.sources import pcap as pcap_mod
+
+    frame = eth(ipv4(17, "1.2.3.4", "5.6.7.8", udp(9, 9, b"x" * 40)))
+    week = 7 * 24 * 3600
+    buf = pcap_file([(BASE_TS + i * week, len(frame), frame) for i in range(60)])
+    p = tmp_path / "drift.pcap"
+    p.write_bytes(buf)
+
+    monkeypatch.setattr(pcap_mod, "_AUTO_CHUNK_THRESHOLD", 256)
+    monkeypatch.setattr(pcap_mod, "_MIN_CHUNK", 512)
+    out = str(tmp_path / "auto_fallback")
+    pcap_mod.convert_pcap(spark, str(p), out)  # auto: chunked fails -> per-file
+    got = duckdb.sql(f"SELECT COUNT(*) FROM '{out}/*.parquet'").fetchone()[0]
+    assert got == 60
+
+    with pytest.raises(Exception, match="PcapFormatError|resynchronize"):
+        pcap_mod.convert_pcap(spark, str(p), str(tmp_path / "loud"), chunk_bytes=512)
+
+
 def test_spark_chunked_reader(spark, tmp_path):
     buf = _mixed_pcap(5000)
     p = tmp_path / "big.pcap"
