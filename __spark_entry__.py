@@ -26,62 +26,69 @@ from pcap_to_parquet_spark.registry import ORACLES, QUERIES
 SF0001_DIR = "/root/testdata/sf0.001"
 
 # The driver's correctness gate verifies the first 50 entries of queries()
-# in iteration order.  With 89 registered queries the order is rotated per
-# round so every query earns a driver CORRECTNESS row across rounds:
-# round 1 checked the plain registration order (its first 50); round 2
-# fronts the 25 queries round 1 never reached, then every query whose
-# code or oracle changed this round, then all round-2 additions, then
-# the rest (r1-green and unchanged) in registration order. Union of the
-# r1 + r2 windows covers all 89 (pinned by test_gate_front_names_exist).
+# in iteration order, so the order is rotated per round: every query has
+# a green driver row from rounds 1-2 (union of the r1+r2 windows covered
+# all 89 then-registered queries). Round 3 fronts (a) the 14 new round-3
+# queries, (b) queries whose code or oracle changed this round
+# (q_tfidf_top_terms rank expr, q_stream_parquet_sink readback,
+# q_dedup_clusters, and q_dedup_minhash whose r2 hash-family change was
+# never driver-re-checked), then (c) refreshes the oracle-bearing
+# queries whose last driver row dates from round 1. Pinned by
+# test_gate_front_names_exist.
 _GATE_FRONT = [
-    # never checked in CORRECTNESS_r01.json (registration indices 50-74)
-    "q_subquery_exists",
-    "q_string_funcs",
-    "q_date_funcs",
-    "q_math_funcs",
-    "q_json_funcs",
-    "q_array_funcs",
-    "q_explode",
-    "q_map_funcs",
-    "q_hash_funcs",
-    "q_salted_join",
-    "q_bucketed_join",
-    "q_sessionize",
-    "q_pcap_trailers",
-    "q_udaf_robust_stats",
-    "q_window_rank",
-    "q_window_frame",
-    "q_lag_lead",
-    "q_topk_per_group",
-    "q_window_dist",
-    "q_stream_tumbling",
-    "q_stream_sliding",
-    "q_stream_watermark",
-    "q_stream_session",
-    "q_stream_dedup",
-    "q_stream_stateful",
-    # changed this round (re-verify against the driver)
-    "q_curation_pipeline",
-    "q_ngram_jaccard",
-    "q_dedup_clusters",
-    "q_flagship_revenue",
-    "q_multimodal_features",
-    "q_token_count",  # output ints widened to BIGINT since its r1 green row
-    # new in round 2 (never driver-checked)
-    "q_media_resize",
-    "q_audio_features",
-    "q_decontaminate",
+    # new in round 3 (never driver-checked)
+    "q_scd2_dimension",
+    "q_sequence_islands",
+    "q_anomaly_zscore",
+    "q_percentile_exact",
+    "q_minmax_by",
+    "q_balanced_sample",
+    "q_bm25",
+    "q_pii_scrub",
+    "q_url_extract",
+    "q_length_histogram",
+    "q_embed_quantize",
+    "q_video_frames",
+    "q_sql_pricing_summary",
+    "q_sql_top_supplier",
+    # changed this round / stale since a behavioral change
     "q_tfidf_top_terms",
-    "q_repetition_score",
-    "q_vocab_build",
-    "q_stream_stream_join",
-    "q_sql_shipping_priority",
-    "q_sql_returned_items",
-    "q_merge_upsert",
-    "q_corr_stats",
-    "q_range_frame",
-    "q_two_stage_distinct",
     "q_stream_parquet_sink",
+    "q_dedup_clusters",
+    "q_dedup_minhash",
+    # last driver row is round 1 — refresh the oracle-bearing ones
+    "q_filter_project",
+    "q_case_when",
+    "q_null_semantics",
+    "q_sort_limit",
+    "q_distinct",
+    "q_union",
+    "q_intersect",
+    "q_except",
+    "q_pivot",
+    "q_unpivot",
+    "q_subquery_scalar",
+    "q_rollup",
+    "q_cube",
+    "q_grouping_sets",
+    "q_inner_join",
+    "q_broadcast_join",
+    "q_outer_join",
+    "q_full_outer_join",
+    "q_semi_join",
+    "q_anti_join",
+    "q_range_join",
+    "q_asof_join",
+    "q_self_join",
+    "q_dedup_exact",
+    "q_train_test_split",
+    "q_data_mixing",
+    "q_embed_neardup",
+    "q_similarity_topk",
+    "q_text_stats",
+    "q_quality_score",
+    "q_lang_id",
+    "q_fingerprint",
 ]
 
 

@@ -11,6 +11,7 @@ from pcap_to_parquet_spark.operators import (  # noqa: F401
     llm,
     multimodal,
     pcap_query,
+    pipeline_ops,
     relational,
     scalar_funcs,
     scale_patterns,

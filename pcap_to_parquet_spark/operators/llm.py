@@ -918,3 +918,65 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("content_md5"),
         F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias("bag_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization (symmetric, per-vector absmax scale)
+
+EMBED_QUANTIZE_ORACLE = """
+WITH v AS (
+    SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings
+),
+s AS (
+    SELECT vec_id, label, e,
+           list_max(list_transform(e, x -> ABS(x))) / 127.0 AS scale
+    FROM v
+),
+q AS (
+    SELECT vec_id, label, scale,
+           list_transform(e, x -> CAST(ROUND(x / scale) AS BIGINT)) AS qv
+    FROM s
+    WHERE scale > 0
+)
+SELECT vec_id, label, ROUND(scale, 6) AS scale,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       CAST(list_min(qv) AS BIGINT) AS q_min,
+       CAST(list_max(qv) AS BIGINT) AS q_max
+FROM q
+"""
+
+
+@query("q_embed_quantize", EMBED_QUANTIZE_ORACLE)
+def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of embeddings (per-vector absmax
+    scale, the standard ANN-index compression: 4× smaller than float32,
+    recall loss ~0): q_i = round(x_i / (absmax/127)) ∈ [-127, 127].
+    The oracle recomputes the quantized vector in DuckDB list algebra
+    and checks its sum and range, so a kernel divergence (wrong scale,
+    wrong rounding) fails the value hash.
+
+    Map-only higher-order-function column algebra — zero shuffles at
+    any corpus size. HOF lambdas evaluate interpreted, fine for d=64
+    metadata-scale work; a hot 100 TB requantization loop would move
+    the same kernel into a vectorized numpy pandas_udf (the
+    minhash_signatures pattern)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    with_scale = em.select(
+        "vec_id",
+        "label",
+        e.alias("e"),
+        (F.array_max(F.transform(e, F.abs)) / 127.0).alias("scale"),
+    ).filter(F.col("scale") > 0)
+    qv = F.transform("e", lambda x: F.round(x / F.col("scale")).cast("bigint"))
+    quantized = with_scale.select("vec_id", "label", "scale", qv.alias("qv"))
+    return quantized.select(
+        "vec_id",
+        "label",
+        F.round("scale", 6).alias("scale"),
+        F.aggregate("qv", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"),
+    )

@@ -378,3 +378,47 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (payload bytes == UTF-8 text bytes, so md5/length agree)."""
     d = load_table(spark, sf_dir, "documents")
     return media_table(d).mapInPandas(decode_media_batch, schema=FEATURE_SCHEMA)
+
+
+# sampled raw-video frames: 16×16×3 = 768-byte frames, 4 per clip,
+# every 2nd kept → frame_idx 0,1 map to frames 0,2. In hex algebra:
+# frame f covers substr(vhex, f*1536 + 1, 1536); need = 4*768 = 3072
+# payload bytes → repeat(text, 33) (docs filtered to n_chars >= 96).
+VIDEO_FRAMES_ORACLE = """
+WITH m AS (
+    SELECT doc_id AS media_id,
+           substr(hex(encode(repeat(text, 33))), 1, 6144) AS vhex
+    FROM documents
+    WHERE n_chars >= 96
+),
+f AS (
+    SELECT media_id, vhex, unnest(generate_series(0, 1)) AS fi FROM m
+)
+SELECT media_id, CAST(fi AS INT) AS frame_idx,
+       md5(upper(substr(vhex, CAST(fi * 3072 + 1 AS INT), 1536))) AS frame_md5
+FROM f
+"""
+
+
+@query("q_video_frames", VIDEO_FRAMES_ORACLE)
+def video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling through the engine: raw
+    ``video/x-raw-rgb`` payloads (4 concatenated 16×16×3 frames of
+    tiled text bytes) → every-2nd-frame sampling in mapInPandas (a
+    genuine 1→many fan-out, the UDTF shape) → md5 per sampled frame.
+    The oracle recomputes each sampled frame's bytes with blob algebra
+    in DuckDB, so an off-by-one in the frame stride or a wrong frame
+    selection fails the value hash — the sampling kernel itself is
+    oracle-checked, like q_media_resize's resize kernel.
+
+    Scale shape: map-only fan-out; each Arrow batch yields ~2× its
+    input rows and the frame payloads never shuffle. A compressed
+    container (mp4) hits the codec seam and raises — the plumbing
+    (schema, stride math, fan-out) is identical either way."""
+    d = load_table(spark, sf_dir, "documents")
+    media = raw_media_table(d, "video", width=16, height=16, n_frames=4)
+    return sample_frames(media, every_nth=2).select(
+        "media_id",
+        "frame_idx",
+        F.md5(F.upper(F.hex("frame"))).alias("frame_md5"),
+    )

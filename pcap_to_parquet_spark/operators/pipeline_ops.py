@@ -1,0 +1,294 @@
+"""Warehouse / lakehouse pipeline operators: SCD2 dimension build,
+gaps-and-islands, z-score anomaly detection, exact percentiles,
+arg-extrema aggregates, balanced stratified sampling.
+
+These are the table-maintenance and data-profiling shapes a curation
+pipeline runs around the core engine. Scale discipline, per operator:
+
+- SCD2 and islands are single-shuffle window compositions (one
+  Exchange on the partition key, every window reuses the sort);
+- anomaly z-score uses aggregate + broadcast-join, NOT a window: the
+  per-group stats frame is group-count-sized, so it broadcasts, and
+  the detector stays map-side — a window would re-sort the whole
+  fact table for 5 groups;
+- exact percentiles use Spark's built-in ``percentile`` (exact,
+  interpolated — a sort-based agg, the right tool below ~1e8 rows per
+  group; at true 100 TB swap in approx_percentile and the oracle
+  becomes rows-only);
+- balanced sampling ranks within strata by a content-addressed md5
+  key, so the sample is reproducible across engines, re-runs, and
+  repartitioning (same argument as q_train_test_split).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pcap_to_parquet_spark.registry import query
+from pcap_to_parquet_spark.sources import load_table
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension build (CDC stream -> effective-dated dimension rows)
+
+# epoch micros for 9999-01-01T00:00:00Z — the open-ended "current row"
+# sentinel (identical literal in both engines; NULL would break the
+# driver hash's null ordering)
+_SCD2_OPEN_END = 253_370_764_800_000_000
+
+SCD2_ORACLE = f"""
+WITH ordered AS (
+    SELECT user_id, ts, event_id, event_type,
+           LAG(event_type) OVER w AS prev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+changes AS (
+    SELECT user_id, ts, event_id, event_type
+    FROM ordered
+    WHERE prev IS NULL OR event_type <> prev
+)
+SELECT user_id, event_type AS state,
+       epoch_us(ts) AS eff_from,
+       COALESCE(epoch_us(LEAD(ts) OVER w), {_SCD2_OPEN_END}) AS eff_to,
+       CASE WHEN LEAD(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+FROM changes
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@query("q_scd2_dimension", SCD2_ORACLE)
+def scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build from a CDC-shaped event
+    stream: collapse consecutive duplicate states, then effective-date
+    each state run (eff_from = change ts, eff_to = next change ts,
+    open-ended sentinel for the current row).
+
+    One shuffle on user_id; the lag (dedup) and lead (dating) windows
+    share the same partitioning + sort, so Spark plans a single
+    Exchange and sorts once. This is the standard dimension-table
+    maintenance op a warehouse runs on every CDC batch."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("event_type") != F.col("prev")))
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w2)
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.unix_micros("ts").alias("eff_from"),
+        F.coalesce(F.unix_micros(nxt), F.lit(_SCD2_OPEN_END)).alias("eff_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# gaps and islands: consecutive active-day runs per user
+
+_US_PER_DAY = 86_400_000_000
+
+ISLANDS_ORACLE = f"""
+WITH days AS (
+    SELECT DISTINCT user_id, epoch_us(ts) // {_US_PER_DAY} AS day
+    FROM events
+),
+grp AS (
+    SELECT user_id, day,
+           day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS g
+    FROM days
+)
+SELECT user_id, MIN(day) AS island_start, MAX(day) AS island_end,
+       COUNT(*) AS n_days
+FROM grp
+GROUP BY user_id, g
+"""
+
+
+@query("q_sequence_islands", ISLANDS_ORACLE)
+def sequence_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's maximal runs of consecutive
+    active days (the streak / retention primitive). The classic
+    day - row_number() grouping key — all-integer arithmetic, so the
+    oracle comparison is exact.
+
+    distinct + window + groupBy all key on user_id: AQE coalesces
+    them onto one Exchange chain; nothing is corpus-wide."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / _US_PER_DAY).cast("bigint").alias("day"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = days.withColumn("g", F.col("day") - F.row_number().over(w))
+    return grp.groupBy("user_id", "g").agg(
+        F.min("day").alias("island_start"),
+        F.max("day").alias("island_end"),
+        F.count(F.lit(1)).alias("n_days"),
+    ).drop("g")
+
+
+# ---------------------------------------------------------------------------
+# z-score anomaly detection (aggregate + broadcast join, not a window)
+
+_Z_CUT = 2.5
+
+ANOMALY_ORACLE = f"""
+WITH stats AS (
+    SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sd
+    FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, ROUND(e.value, 4) AS value,
+       ROUND((e.value - s.mu) / s.sd, 4) AS zscore
+FROM events e JOIN stats s USING (event_type)
+WHERE s.sd > 0 AND ABS((e.value - s.mu) / s.sd) > {_Z_CUT}
+"""
+
+
+@query("q_anomaly_zscore", ANOMALY_ORACLE)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outliers (|z| > 2.5): the metric-monitoring /
+    data-quality gate shape.
+
+    Deliberately NOT a window function: group stats are one row per
+    event_type (a handful), so they broadcast and the detector is a
+    map-side join — a window would shuffle+sort the whole fact table
+    into 5 giant skewed partitions. This agg-then-broadcast-join is
+    the scale-correct pattern for low-cardinality group stats."""
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .filter((F.col("sd") > 0) & (F.abs(z) > _Z_CUT))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round(z, 4).alias("zscore"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact interpolated percentiles per group
+
+PERCENTILE_ORACLE = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+       ROUND(quantile_cont(l_extendedprice, 0.90), 4) AS p90
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("q_percentile_exact", PERCENTILE_ORACLE)
+def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per group — Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the same
+    definition (h = (n-1)p between order statistics), so the values
+    match to the ulp and the driver hash is checked on ROUND(…, 4).
+
+    ``percentile`` buffers each group's values (a sort-based agg):
+    right up to ~1e8 rows per group. Past that, switch to
+    approx_percentile (t-digest, mergeable, bounded memory) — the
+    q_stats_agg query demonstrates that path."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = [0.25, 0.50, 0.75, 0.90]
+    aggs = [
+        F.round(F.expr(f"percentile(l_extendedprice, {p})"), 4).alias(a)
+        for p, a in zip(pct, ["p25", "p50", "p75", "p90"])
+    ]
+    return li.groupBy("l_returnflag").agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# arg-extrema aggregates (max_by / min_by)
+
+MINMAX_BY_ORACLE = """
+SELECT n.n_name,
+       arg_max(c.c_name, c.c_acctbal) AS richest,
+       arg_min(c.c_name, c.c_acctbal) AS poorest,
+       ROUND(MAX(c.c_acctbal), 2) AS max_bal,
+       ROUND(MIN(c.c_acctbal), 2) AS min_bal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+@query("q_minmax_by", MINMAX_BY_ORACLE)
+def minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-extrema per group: the customer holding each nation's
+    max/min balance in ONE aggregation pass (max_by/min_by ==
+    DuckDB's arg_max/arg_min) — no self-join back to the fact table,
+    no window, which is what makes this the scale shape for
+    "row achieving the group extreme". Balances are continuous
+    doubles read from the same parquet by both engines, so the
+    extremes are tie-free and the arg values deterministic."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.expr("max_by(c_name, c_acctbal)").alias("richest"),
+            F.expr("min_by(c_name, c_acctbal)").alias("poorest"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# balanced stratified sample: exactly k = min-stratum-size docs per lang
+
+BALANCED_SAMPLE_ORACLE = """
+WITH ranked AS (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+    FROM documents
+),
+target AS (
+    SELECT MIN(cnt) AS k
+    FROM (SELECT COUNT(*) AS cnt FROM documents GROUP BY lang)
+)
+SELECT r.doc_id, r.lang
+FROM ranked r, target t
+WHERE r.rn <= t.k
+"""
+
+
+@query("q_balanced_sample", BALANCED_SAMPLE_ORACLE)
+def balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced stratified sampling: every language stratum is
+    down-sampled to exactly k = |smallest stratum| docs, selected by
+    rank over a content-addressed md5 key — deterministic across
+    engines, re-runs, and repartitioning (randomSplit/sampleBy are
+    neither), and exact-k where a rate gate (q_data_mixing) is only
+    exact in expectation.
+
+    The rank window partitions BY STRATUM, so each sort is
+    stratum-local; the k scalar is a one-row broadcast. At 100 TB,
+    exact-k ranking of a giant stratum costs a per-stratum sort —
+    if approximate k suffices, gate on the md5 value against
+    k/|stratum| instead (map-only, the q_data_mixing shape)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+    k = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.min("cnt").alias("k"))
+    )
+    return ranked.join(F.broadcast(k), ranked.rn <= k.k).select("doc_id", "lang")

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pcap_to_parquet_spark.registry import query
 from pcap_to_parquet_spark.sources import load_table
 
-_VIEW_TABLES = ("customer", "orders", "lineitem")
+_VIEW_TABLES = ("customer", "orders", "lineitem", "supplier")
 
 
 def _register_views(spark: SparkSession, sf_dir: str) -> None:
@@ -81,3 +81,63 @@ def sql_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst property, not an API property."""
     _register_views(spark, sf_dir)
     return spark.sql(_Q10_BODY)
+
+
+# TPC-H Q1 shape (pricing summary): the canonical full-scan aggregate.
+# One SQL text for BOTH engines — the query is dialect-neutral.
+_Q1_BODY = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("q_sql_pricing_summary", _Q1_BODY)
+def sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape (pricing summary report) as SQL text — the
+    canonical scan-dominated aggregation benchmark. The plan is the
+    ideal 100 TB shape: vectorized parquet scan with the shipdate
+    filter pushed down, whole-stage-codegen'd partial HashAggregate
+    (map-side combine carries 4-6 groups per partition), one Exchange
+    of a few rows, final aggregate. Identical SQL text runs on both
+    engines."""
+    _register_views(spark, sf_dir)
+    return spark.sql(_Q1_BODY)
+
+
+# TPC-H Q15 shape (top supplier): aggregate + scalar-subquery max.
+_Q15_BODY = """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+    FROM lineitem
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+@query("q_sql_top_supplier", _Q15_BODY)
+def sql_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier) as SQL text: revenue-per-supplier
+    aggregation, a scalar subquery over the SAME aggregate for the max,
+    and an equality join back to the supplier dimension. Catalyst plans
+    the scalar subquery as a one-row broadcast; revenue is computed
+    once per reference (the CTE is inlined twice — at 100 TB, cache the
+    CTE or let AQE reuse the exchange). Revenue is rounded to cents in
+    both engines BEFORE the max-equality compare, so the float
+    comparison is parity-safe."""
+    _register_views(spark, sf_dir)
+    return spark.sql(_Q15_BODY)

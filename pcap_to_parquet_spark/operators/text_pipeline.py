@@ -225,3 +225,231 @@ def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.select(
         "token", "n", F.row_number().over(w).cast("bigint").alias("vocab_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 relevance scoring for a fixed query term set
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("join", "filter")
+_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+BM25_ORACLE = rf"""
+WITH tok AS (
+    SELECT doc_id, unnest({_TOK_SQL}) AS token FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT AVG(dl) AS avgdl, COUNT(*) AS n FROM dl),
+tf AS (
+    SELECT doc_id, token, COUNT(*) AS tf FROM tok
+    WHERE token IN ({_TERMS_SQL}) GROUP BY doc_id, token
+),
+df AS (
+    SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok
+    WHERE token IN ({_TERMS_SQL}) GROUP BY token
+),
+scored AS (
+    SELECT tf.doc_id,
+           SUM(LN(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * ({_BM25_K1} + 1)
+               / (tf.tf + {_BM25_K1}
+                  * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl))) AS score
+    FROM tf
+    JOIN df USING (token)
+    JOIN dl USING (doc_id)
+    CROSS JOIN stats s
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, ROUND(score, 4) AS bm25
+FROM scored
+ORDER BY ROUND(score, 9) DESC, doc_id
+LIMIT 20
+"""
+
+
+@query("q_bm25", BM25_ORACLE)
+def bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) document scoring for a fixed query term
+    set — the classical lexical retrieval ranker (the sparse half of a
+    hybrid search pipeline, and the relevance filter of web-corpus
+    curation).
+
+    Scale shape: doc lengths and per-(doc, term) tfs are two
+    partial+final aggregations; df and the (avgdl, N) scalars are
+    vocabulary-sized / one-row — both broadcast. The only per-doc
+    state that survives is docs containing a query term. Ranking
+    orders on ROUND(score, 9) for cross-libm determinism (same rule
+    as q_tfidf_top_terms)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = fan_out(d).select(
+        "doc_id", F.explode(whitespace_tokens("text")).alias("token")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n"))
+    hits = tok.filter(F.col("token").isin(*_BM25_TERMS))
+    tf = hits.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = hits.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (
+        F.col("tf")
+        * (_BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * tf_part).alias("score"))
+    )
+    return (
+        scored.orderBy(F.round("score", 9).desc(), "doc_id")
+        .limit(20)
+        .select("doc_id", F.round("score", 4).alias("bm25"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing: redact emails, count redactions
+
+# conservative email shape, identical semantics in Java regex (Spark)
+# and RE2 (DuckDB): no backrefs, no lookaround
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+# the corpus is synthetic word soup with no PII, so both engines seed
+# deterministic emails derived from doc_id (1 for odd ids, 2 for even)
+# — the regex, the replacement, and the count are what's under test
+_SEED_SQL = """
+    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.org now'
+         || CASE WHEN doc_id % 2 = 0 THEN ' cc bob@corp.net' ELSE '' END
+"""
+
+PII_SCRUB_ORACLE = rf"""
+WITH seeded AS (SELECT doc_id, {_SEED_SQL} AS t FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_redactions,
+       md5(regexp_replace(t, '{_EMAIL_RE}', '[EMAIL]', 'g')) AS scrubbed_md5
+FROM seeded
+"""
+
+
+@query("q_pii_scrub", PII_SCRUB_ORACLE)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: redact every email address, report the redaction
+    count and the md5 of the scrubbed text (the oracle checks the
+    scrubbed BYTES, not just counts — a mis-spanned match changes the
+    hash). Map-only column algebra: regexp_replace + regexp_count are
+    JVM-side, zero shuffles at any corpus size.
+
+    The pattern is restricted to the regex intersection of Java and
+    RE2 (no lookaround/backrefs) so both engines match identical
+    spans; DuckDB needs the 'g' flag for global replace where Spark's
+    regexp_replace is global by default."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@ex"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".org now"),
+        F.when(F.col("doc_id") % 2 == 0, " cc bob@corp.net").otherwise(""),
+    )
+    seeded = fan_out(d).select("doc_id", t.alias("t"))
+    return seeded.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(_EMAIL_RE)).cast("bigint").alias("n_redactions"),
+        F.md5(F.regexp_replace("t", _EMAIL_RE, "[EMAIL]")).alias("scrubbed_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL/domain extraction and ranking
+
+_URL_RE = r"https?://([A-Za-z0-9.-]+)"
+
+URL_EXTRACT_ORACLE = rf"""
+WITH seeded AS (
+    SELECT doc_id,
+           text || ' see https://site' || CAST(doc_id % 20 AS VARCHAR)
+                || '.example.org/p/' || CAST(doc_id AS VARCHAR) AS t
+    FROM documents
+)
+SELECT regexp_extract(t, '{_URL_RE}', 1) AS domain,
+       COUNT(*) AS n_refs,
+       COUNT(DISTINCT doc_id) AS n_docs
+FROM seeded
+GROUP BY domain
+"""
+
+
+@query("q_url_extract", URL_EXTRACT_ORACLE)
+def url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain extraction + ranking: pull the host out of each doc's
+    URL and aggregate reference counts per domain — the
+    provenance-analysis / domain-blocklist step of web-corpus
+    curation. Seeded URLs (word-soup corpus has none); the regex
+    group extraction is what's under test, same capture-group
+    semantics in Java regex and RE2.
+
+    Map-side extract, then one partial+final agg keyed on domain —
+    domain cardinality is web-scale-small relative to the corpus, so
+    the shuffle carries the aggregated skeleton."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" see https://site"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit(".example.org/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    seeded = fan_out(d).select("doc_id", t.alias("t"))
+    return (
+        seeded.select("doc_id", F.regexp_extract("t", _URL_RE, 1).alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_refs"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# document length histogram
+
+_HIST_BUCKET = 10
+
+LENGTH_HISTOGRAM_ORACLE = rf"""
+WITH n AS (
+    SELECT len({_TOK_SQL}) AS n_toks FROM documents
+)
+SELECT CAST(n_toks // {_HIST_BUCKET} * {_HIST_BUCKET} AS BIGINT) AS bucket_lo,
+       COUNT(*) AS n_docs
+FROM n
+GROUP BY bucket_lo
+"""
+
+
+@query("q_length_histogram", LENGTH_HISTOGRAM_ORACLE)
+def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count histogram (bucket width 10): the length-distribution
+    profile every corpus report starts with. All-integer bucket
+    arithmetic → exact oracle comparison. Map-side bucket assignment +
+    one agg whose output is histogram-sized: the full profile of a
+    100 TB corpus shuffles a few hundred rows."""
+    d = load_table(spark, sf_dir, "documents")
+    n_toks = F.size(whitespace_tokens("text"))
+    bucket = (F.floor(n_toks / _HIST_BUCKET) * _HIST_BUCKET).cast("bigint")
+    return (
+        fan_out(d)
+        .select(bucket.alias("bucket_lo"))
+        .groupBy("bucket_lo")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

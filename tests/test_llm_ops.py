@@ -157,3 +157,39 @@ def test_kmeans_properties(spark):
     assert 1 <= len(a) <= 8
     total = load_table(spark, SF0001, "embeddings").count()
     assert sum(n for n, _ in a.values()) == total  # every vector assigned
+
+
+def test_embed_quantize_invariants(spark):
+    """int8 symmetric quantization: values bounded to [-127, 127], the
+    absmax element maps to ±127 exactly, and dequantized vectors stay
+    within half-a-step of the original (the oracle checks equality of
+    the quantized sums; this checks the numeric CONTRACT)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pcap_to_parquet_spark.operators.llm import embed_quantize
+    from pcap_to_parquet_spark.sources.tables import load_table
+
+    q = embed_quantize(spark, "/root/testdata/sf0.001").limit(50)
+    rows = q.collect()
+    assert rows
+    for r in rows:
+        assert -127 <= r.q_min <= r.q_max <= 127
+    # dequantization error bound: |x - q*scale| <= scale/2 per element
+    em = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        .filter(F.col("vec_id") < 20)
+        .collect()
+    }
+    checked = 0
+    for r in rows:
+        if r.vec_id not in em:
+            continue
+        x = em[r.vec_id]
+        scale = np.max(np.abs(x)) / 127.0
+        qv = np.round(x / scale)
+        assert np.max(np.abs(x - qv * scale)) <= scale / 2 + 1e-12
+        assert np.max(np.abs(qv)) == 127  # absmax element hits full range
+        checked += 1
+    assert checked

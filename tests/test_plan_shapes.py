@@ -131,3 +131,92 @@ def test_pcap_decode_is_arrow_not_row_python(spark):
     p = prof(spark, "q_pcap_pipeline")
     assert p.get("MapInPandas", 0) == 1  # Arrow-batched, never row-at-a-time
     assert "BatchEvalPython" not in p
+
+
+def test_round3_pipeline_op_shapes(spark):
+    """Pin the scale claims of the round-3 operators."""
+    # anomaly detector: agg + broadcast join, never a window over the
+    # whole fact table
+    p = prof(spark, "q_anomaly_zscore")
+    assert p.get("BroadcastHashJoin", 0) >= 1
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+
+    # SCD2: both windows share one shuffle on user_id
+    p = prof(spark, "q_scd2_dimension")
+    assert p["exchanges"] == 1
+    assert p.get("Window", 0) >= 2
+    assert p.get("single_partition", 0) == 0
+
+    # islands: user-partitioned window, never a global sort
+    p = prof(spark, "q_sequence_islands")
+    assert p.get("single_partition", 0) == 0
+    assert "CartesianProduct" not in p
+
+    # balanced sample: stratum-partitioned rank + 1-row broadcast of k.
+    # The one SinglePartition is the global MIN(cnt) scalar (group-count
+    # input, one output row) — the rank window itself is lang-partitioned
+    p = prof(spark, "q_balanced_sample")
+    assert p.get("single_partition", 0) <= 1
+    assert p.get("BroadcastNestedLoopJoin", 0) == 1
+    assert "CartesianProduct" not in p
+
+    # exact percentiles: partial+final ObjectHashAggregate, one shuffle
+    p = prof(spark, "q_percentile_exact")
+    assert p.get("ObjectHashAggregate", 0) == 2
+    assert p["exchanges"] == 1
+
+    # arg-extrema: one aggregation pass (partial+final; max_by plans as
+    # SortAggregate), dim broadcast, no self-join back to the fact table
+    p = prof(spark, "q_minmax_by")
+    assert p.get("BroadcastHashJoin", 0) >= 1
+    agg_ops = (
+        p.get("HashAggregate", 0)
+        + p.get("ObjectHashAggregate", 0)
+        + p.get("SortAggregate", 0)
+    )
+    assert agg_ops == 2
+    assert p["exchanges"] == 1
+
+
+def test_round3_text_op_shapes(spark):
+    # bm25: df + (avgdl, n) broadcast; top-20 via TakeOrderedAndProject
+    p = prof(spark, "q_bm25")
+    assert p.get("BroadcastHashJoin", 0) >= 1
+    assert p.get("BroadcastNestedLoopJoin", 0) == 1  # one-row stats frame
+    assert p.get("TakeOrderedAndProject", 0) == 1
+    assert "CartesianProduct" not in p
+
+    # pii scrub: pure map-side column algebra (fan_out repartition only)
+    p = prof(spark, "q_pii_scrub")
+    assert p["exchanges"] <= 1
+    assert "HashAggregate" not in p and "Window" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    # histogram: map-side bucket + partial/final agg
+    p = prof(spark, "q_length_histogram")
+    assert p.get("HashAggregate", 0) == 2
+
+    # quantize: map-only HOF algebra — zero shuffles, zero Python
+    p = prof(spark, "q_embed_quantize")
+    assert p["exchanges"] == 0
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    # video frames: Arrow-batched fan-out, no shuffle
+    p = prof(spark, "q_video_frames")
+    assert p.get("MapInPandas", 0) == 1
+    assert p["exchanges"] == 0
+    assert "BatchEvalPython" not in p
+
+
+def test_round3_sql_shapes(spark):
+    # Q1: scan-dominated partial+final agg with the date filter pushed
+    p = prof(spark, "q_sql_pricing_summary")
+    assert p.get("HashAggregate", 0) == 2
+    assert p["exchanges"] == 1
+    assert p["pushed_filters"] >= 1
+
+    # Q15: no cartesian; supplier dim broadcasts against the aggregate
+    p = prof(spark, "q_sql_top_supplier")
+    assert p.get("BroadcastHashJoin", 0) >= 1
+    assert "CartesianProduct" not in p
