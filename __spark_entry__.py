@@ -51,6 +51,10 @@ _GATE_FRONT = [
     "q_video_frames",
     "q_sql_pricing_summary",
     "q_sql_top_supplier",
+    "q_partitioned_lake",
+    "q_incremental_dedup",
+    "q_list_agg",
+    "q_resample",
     # changed this round / stale since a behavioral change
     "q_tfidf_top_terms",
     "q_stream_parquet_sink",
@@ -65,9 +69,6 @@ _GATE_FRONT = [
     "q_union",
     "q_intersect",
     "q_except",
-    "q_pivot",
-    "q_unpivot",
-    "q_subquery_scalar",
     "q_rollup",
     "q_cube",
     "q_grouping_sets",
@@ -88,7 +89,6 @@ _GATE_FRONT = [
     "q_text_stats",
     "q_quality_score",
     "q_lang_id",
-    "q_fingerprint",
 ]
 
 

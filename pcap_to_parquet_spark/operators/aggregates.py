@@ -222,3 +222,43 @@ def corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_cov"),
         F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("price_per_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic ordered list aggregation
+
+LIST_AGG_ORACLE = """
+SELECT user_id,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS path,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("q_list_agg", LIST_AGG_ORACLE)
+def list_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ordered list aggregation: each user's event-type
+    journey as a comma-joined path string — the session-path /
+    user-journey primitive (and the feature-vector assembly shape for
+    sequence models).
+
+    collect_list's order is partition-arrival nondeterministic, so the
+    elements carry their (ts, event_id) sort key through the
+    aggregation: array_sort on the struct ORDERS BY ts then event_id
+    (unique tiebreak → deterministic), then the key is projected away.
+    One partial+final aggregation; the state is each user's own events,
+    which is user-bounded, not corpus-bounded."""
+    e = load_table(spark, sf_dir, "events")
+    item = F.struct("ts", "event_id", "event_type")
+    return (
+        e.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(item)).alias("items"))
+        .select(
+            "user_id",
+            F.array_join(
+                F.transform("items", lambda x: x["event_type"]), ","
+            ).alias("path"),
+            F.size("items").cast("bigint").alias("n_events"),
+        )
+    )

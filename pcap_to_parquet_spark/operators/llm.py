@@ -980,3 +980,46 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("qv").alias("q_min"),
         F.array_max("qv").alias("q_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: new batch vs existing corpus (continuous ingestion)
+
+INCREMENTAL_DEDUP_ORACLE = """
+WITH corpus AS (
+    SELECT DISTINCT md5(text) AS text_hash
+    FROM documents WHERE doc_id % 10 <> 0
+),
+batch AS (
+    SELECT doc_id, md5(text) AS text_hash
+    FROM documents WHERE doc_id % 10 = 0
+)
+SELECT b.doc_id, b.text_hash
+FROM batch b
+ANTI JOIN corpus c ON b.text_hash = c.text_hash
+"""
+
+
+@query("q_incremental_dedup", INCREMENTAL_DEDUP_ORACLE)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-snapshot) dedup: which documents of an
+    incoming batch are NOT already in the corpus — the admission check
+    a continuously-ingesting training pipeline runs on every delivery
+    (q_dedup_exact dedups within one corpus; this dedups a delta
+    against it). Here the batch is the doc_id % 10 slice.
+
+    Scale shape: both sides reduce to 16-byte md5 digests before the
+    left-anti join, so the shuffle carries digests, never documents —
+    the corpus side of a 100 TB lake is its hash column only (in
+    practice a maintained hash table / bloom index; the anti-join IS
+    the exact fallback that validates it)."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus = (
+        d.filter(F.col("doc_id") % 10 != 0)
+        .select(F.md5("text").alias("text_hash"))
+        .distinct()
+    )
+    batch = d.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.md5("text").alias("text_hash")
+    )
+    return batch.join(corpus, "text_hash", "left_anti").select("doc_id", "text_hash")

@@ -292,3 +292,62 @@ def balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("cnt").alias("k"))
     )
     return ranked.join(F.broadcast(k), ranked.rn <= k.k).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# time-series resample with gap fill
+
+RESAMPLE_ORACLE = f"""
+WITH b AS (
+    SELECT event_type, epoch_us(ts) // {_US_PER_DAY} AS day, value FROM events
+),
+span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM b),
+types AS (SELECT DISTINCT event_type FROM b),
+grid AS (
+    SELECT t.event_type, unnest(generate_series(s.lo, s.hi)) AS day
+    FROM types t CROSS JOIN span s
+),
+agg AS (
+    SELECT event_type, day, COUNT(*) AS n, ROUND(SUM(value), 4) AS total
+    FROM b GROUP BY event_type, day
+)
+SELECT g.event_type, g.day,
+       COALESCE(a.n, 0) AS n_events,
+       COALESCE(a.total, 0.0) AS total_value
+FROM grid g LEFT JOIN agg a USING (event_type, day)
+"""
+
+
+@query("q_resample", RESAMPLE_ORACLE)
+def resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling to a dense daily grid: aggregate per
+    (series, day), then LEFT-join onto the full series × day grid so
+    silent days appear as explicit zeros — the gap-fill step that must
+    precede any rolling-window or forecasting computation (a missing
+    row is not a zero to a window frame).
+
+    Scale shape: the aggregate is partial+final on (series, day); the
+    grid is |series| × |days| — calendar-sized, built from a one-row
+    span scalar and the distinct series keys (broadcast), never from
+    the fact table. The gap-fill join is grid-sized on the left of a
+    left join, so the fact table is touched exactly once."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.select(
+        "event_type",
+        F.floor(F.unix_micros("ts") / _US_PER_DAY).cast("bigint").alias("day"),
+        "value",
+    )
+    span = b.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    types = b.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(span)).select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    agg = b.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total")
+    )
+    return grid.join(agg, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.coalesce("total", F.lit(0.0)).alias("total_value"),
+    )

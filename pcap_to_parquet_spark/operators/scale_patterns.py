@@ -165,3 +165,62 @@ def two_stage_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.col("user_id")).alias("n_users"),
         F.countDistinct("cohort").alias("n_cohorts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# partitioned lake layout + partition pruning
+
+PARTITIONED_LAKE_ORACLE = """
+SELECT epoch_us(ts) // 86400000000 AS day,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY day
+"""
+
+
+@query("q_partitioned_lake", PARTITIONED_LAKE_ORACLE)
+def partitioned_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned lake layout end-to-end: write events partitioned by
+    event_type (Hive-style directories), read back with an equality
+    filter on the partition column, aggregate per day. The filter
+    becomes a PartitionFilter — the scan LISTS only the matching
+    directory and never opens the other partitions' files. This is THE
+    100 TB pattern: a packet/event lake partitioned by (date, type)
+    turns full-corpus scans into single-directory reads, which is why
+    convert_pcap takes partition_cols.
+
+    The write is keyed on (input path, mtime+size, logic version) and
+    reused when valid — same staleness contract as the streaming sink;
+    superseded keyed dirs are cleaned."""
+    import glob
+    import shutil
+
+    from pcap_to_parquet_spark.sources import load_table
+
+    _LAKE_LOGIC_VERSION = "v1-by-event-type"
+    src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    st = os.stat(src)
+    key = f"{src}|{st.st_mtime_ns}|{st.st_size}|{_LAKE_LOGIC_VERSION}"
+    tag = hashlib.md5(key.encode()).hexdigest()[:12]
+    tmp = tempfile.gettempdir()
+    for stale in glob.glob(os.path.join(tmp, "lake_by_type_*")):
+        if not stale.endswith(tag):
+            shutil.rmtree(stale, ignore_errors=True)
+    out = os.path.join(tmp, f"lake_by_type_{tag}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        load_table(spark, sf_dir, "events").write.mode("overwrite").partitionBy(
+            "event_type"
+        ).option("compression", "zstd").parquet(out)
+    lake = spark.read.parquet(out)
+    return (
+        lake.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.floor(F.unix_micros("ts") / 86_400_000_000).cast("bigint").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )

@@ -220,3 +220,41 @@ def test_round3_sql_shapes(spark):
     p = prof(spark, "q_sql_top_supplier")
     assert p.get("BroadcastHashJoin", 0) >= 1
     assert "CartesianProduct" not in p
+
+
+def test_partitioned_lake_prunes_partitions(spark):
+    """The event_type filter must become a PartitionFilter (directory
+    pruning), not a post-scan predicate over the whole lake."""
+    import re
+
+    from pcap_to_parquet_spark.plans.inspect import plan_string
+
+    df = QUERIES["q_partitioned_lake"](spark, SF001)
+    plan = plan_string(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1)
+    # and the data filter list must NOT re-check event_type row-by-row
+    p = plan_profile(df)
+    assert p.get("HashAggregate", 0) == 2
+
+
+def test_incremental_dedup_and_resample_shapes(spark):
+    # anti-join on digests; no document bytes in the shuffle is a
+    # code-shape property (md5 projected before the join)
+    p = prof(spark, "q_incremental_dedup")
+    assert "CartesianProduct" not in p
+    assert p.get("BroadcastHashJoin", 0) + p.get("SortMergeJoin", 0) + p.get(
+        "ShuffledHashJoin", 0
+    ) >= 1
+
+    # resample: grid side is calendar-sized (1-row span broadcast +
+    # distinct series); the fact table is scanned once for the agg
+    p = prof(spark, "q_resample")
+    assert p.get("BroadcastNestedLoopJoin", 0) == 1  # span scalar
+    assert "CartesianProduct" not in p
+
+    # list_agg: one partial+final aggregation pass (ObjectHashAggregate
+    # for collect_list), single shuffle on user_id
+    p = prof(spark, "q_list_agg")
+    assert p.get("ObjectHashAggregate", 0) == 2
+    assert p["exchanges"] == 1
