@@ -55,6 +55,8 @@ _GATE_FRONT = [
     "q_incremental_dedup",
     "q_list_agg",
     "q_resample",
+    "q_time_rollup",
+    "q_mode_per_group",
     # changed this round / stale since a behavioral change
     "q_tfidf_top_terms",
     "q_stream_parquet_sink",
@@ -67,8 +69,6 @@ _GATE_FRONT = [
     "q_sort_limit",
     "q_distinct",
     "q_union",
-    "q_intersect",
-    "q_except",
     "q_rollup",
     "q_cube",
     "q_grouping_sets",

@@ -351,3 +351,110 @@ def resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).alias("n_events"),
         F.coalesce("total", F.lit(0.0)).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# multi-granularity time rollup (hypertable-style continuous aggregate)
+
+_US_PER_HOUR = 3_600_000_000
+
+TIME_ROLLUP_ORACLE = f"""
+WITH b AS (
+    SELECT epoch_us(ts) // {_US_PER_HOUR} * {_US_PER_HOUR} AS hour_b,
+           epoch_us(ts) // {_US_PER_DAY} * {_US_PER_DAY} AS day_b,
+           epoch_us(date_trunc('month', ts)) AS month_b,
+           value
+    FROM events
+)
+SELECT CASE WHEN hour_b IS NOT NULL THEN 'hour'
+            WHEN day_b IS NOT NULL THEN 'day'
+            ELSE 'month' END AS grain,
+       COALESCE(hour_b, day_b, month_b) AS bucket_start,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM b
+GROUP BY GROUPING SETS ((hour_b), (day_b), (month_b))
+"""
+
+
+@query("q_time_rollup", TIME_ROLLUP_ORACLE)
+def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity time rollup: hour, day, and month aggregates
+    of the same stream in ONE scan via GROUPING SETS — the
+    hypertable / continuous-aggregate materialization shape (three
+    separate queries would scan the fact table three times; at 100 TB
+    the scan IS the cost, so grain fan-out must ride one pass).
+
+    Spark expands grouping sets BEFORE the partial aggregate, so
+    map-side combine still applies per grain and the shuffle carries
+    (grain × bucket) skeleton rows only. Fixed-width grains are
+    integer epoch arithmetic; the calendar grain (month) uses
+    date_trunc, identical in both engines under the session's UTC
+    timezone."""
+    e = load_table(spark, sf_dir, "events")
+    e.select(
+        (F.floor(F.unix_micros("ts") / _US_PER_HOUR) * _US_PER_HOUR)
+        .cast("bigint")
+        .alias("hour_b"),
+        (F.floor(F.unix_micros("ts") / _US_PER_DAY) * _US_PER_DAY)
+        .cast("bigint")
+        .alias("day_b"),
+        F.unix_micros(F.date_trunc("month", "ts")).alias("month_b"),
+        "value",
+    ).createOrReplaceTempView("pq_events_rollup")
+    return spark.sql(
+        """
+        SELECT CASE WHEN hour_b IS NOT NULL THEN 'hour'
+                    WHEN day_b IS NOT NULL THEN 'day'
+                    ELSE 'month' END AS grain,
+               COALESCE(hour_b, day_b, month_b) AS bucket_start,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS total_value
+        FROM pq_events_rollup
+        GROUP BY GROUPING SETS ((hour_b), (day_b), (month_b))
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic per-group mode
+
+MODE_ORACLE = """
+WITH c AS (
+    SELECT user_id, event_type, COUNT(*) AS n
+    FROM events GROUP BY user_id, event_type
+),
+r AS (
+    SELECT user_id, event_type, n,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY n DESC, event_type) AS rn
+    FROM c
+)
+SELECT user_id, event_type AS mode_value, n AS mode_count
+FROM r WHERE rn = 1
+"""
+
+
+@query("q_mode_per_group", MODE_ORACLE)
+def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode with a DETERMINISTIC tie-break (count desc, value
+    asc) — built-in ``mode()`` returns an arbitrary modal value on ties
+    in both engines, which would flake the value hash; the count-then-
+    rank composition pins it.
+
+    Scale shape: the (group, value) aggregation collapses the fact
+    table map-side; the rank rides WindowGroupLimit (per-partition
+    top-1 heap below the shuffle), so post-agg data movement is
+    skeleton-sized."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), "event_type")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_value"),
+            F.col("n").alias("mode_count"),
+        )
+    )

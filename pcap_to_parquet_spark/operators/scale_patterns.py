@@ -209,11 +209,16 @@ def partitioned_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not stale.endswith(tag):
             shutil.rmtree(stale, ignore_errors=True)
     out = os.path.join(tmp, f"lake_by_type_{tag}")
+    ev = load_table(spark, sf_dir, "events")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        load_table(spark, sf_dir, "events").write.mode("overwrite").partitionBy(
-            "event_type"
-        ).option("compression", "zstd").parquet(out)
-    lake = spark.read.parquet(out)
+        ev.write.mode("overwrite").partitionBy("event_type").option(
+            "compression", "zstd"
+        ).parquet(out)
+    # explicit schema: an EMPTY input writes no partition directories,
+    # and schema inference over a bare _SUCCESS dir raises — the empty
+    # lake must read back as an empty frame (same rule as the
+    # streaming sink's readback)
+    lake = spark.read.schema(ev.schema).parquet(out)
     return (
         lake.filter(F.col("event_type") == "purchase")
         .groupBy(

@@ -46,6 +46,27 @@ EMPTY_SAFE = [
     "q_sql_returned_items",
     "q_train_test_split",
     "q_data_mixing",
+    # round 3
+    "q_scd2_dimension",
+    "q_sequence_islands",
+    "q_anomaly_zscore",
+    "q_percentile_exact",
+    "q_minmax_by",
+    "q_balanced_sample",
+    "q_bm25",
+    "q_pii_scrub",
+    "q_url_extract",
+    "q_length_histogram",
+    "q_embed_quantize",
+    "q_video_frames",
+    "q_sql_pricing_summary",
+    "q_sql_top_supplier",
+    "q_partitioned_lake",
+    "q_incremental_dedup",
+    "q_list_agg",
+    "q_resample",
+    "q_time_rollup",
+    "q_mode_per_group",
 ]
 
 

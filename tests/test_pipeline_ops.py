@@ -1,0 +1,114 @@
+"""Value-level invariants for the warehouse pipeline operators —
+properties the DuckDB oracle equivalence can't articulate (it proves
+"same as the SQL", not "the SQL means what we claim")."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pcap_to_parquet_spark.operators  # noqa: F401
+from pcap_to_parquet_spark.registry import QUERIES
+from tests.conftest import SF0001
+
+
+def test_scd2_rows_partition_each_users_timeline(spark):
+    """Per user: intervals are well-formed, non-overlapping, contiguous
+    (each eff_to equals the next eff_from), exactly one open-ended
+    current row, and consecutive states differ (run-length collapsed)."""
+    rows = QUERIES["q_scd2_dimension"](spark, SF0001).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    assert by_user
+    open_end = 253_370_764_800_000_000
+    for user, rs in by_user.items():
+        rs.sort(key=lambda r: r.eff_from)
+        assert sum(r.is_current for r in rs) == 1, user
+        assert rs[-1].is_current == 1 and rs[-1].eff_to == open_end, user
+        for a, b in zip(rs, rs[1:]):
+            assert a.eff_from < a.eff_to, user
+            assert a.eff_to == b.eff_from, user  # contiguous, no overlap
+            assert a.state != b.state, user  # collapsed runs
+
+
+def test_islands_are_maximal_and_disjoint(spark):
+    """Per user: islands are disjoint, separated by at least one silent
+    day (maximality), and n_days equals the island's width."""
+    rows = QUERIES["q_sequence_islands"](spark, SF0001).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    assert by_user
+    for user, rs in by_user.items():
+        rs.sort(key=lambda r: r.island_start)
+        for r in rs:
+            assert r.island_end - r.island_start + 1 == r.n_days, user
+        for a, b in zip(rs, rs[1:]):
+            assert b.island_start > a.island_end + 1, user  # a real gap
+
+
+def test_balanced_sample_is_exactly_balanced(spark):
+    """Every stratum contributes exactly k = min stratum size."""
+    rows = QUERIES["q_balanced_sample"](spark, SF0001).collect()
+    counts = defaultdict(int)
+    for r in rows:
+        counts[r.lang] += 1
+    assert len(set(counts.values())) == 1  # all equal
+    from pyspark.sql import functions as F
+
+    from pcap_to_parquet_spark.sources.tables import load_table
+
+    d = load_table(spark, SF0001, "documents")
+    k = d.groupBy("lang").count().agg(F.min("count")).first()[0]
+    assert set(counts.values()) == {k}
+
+
+def test_resample_grid_is_dense(spark):
+    """Every (series, day) cell in the span exists exactly once; gap
+    days carry explicit zeros."""
+    rows = QUERIES["q_resample"](spark, SF0001).collect()
+    days = [r.day for r in rows]
+    lo, hi = min(days), max(days)
+    series = {r.event_type for r in rows}
+    assert len(rows) == len(series) * (hi - lo + 1)
+    assert len({(r.event_type, r.day) for r in rows}) == len(rows)
+    zeros = [r for r in rows if r.n_events == 0]
+    for r in zeros:
+        assert r.total_value == 0.0
+
+
+def test_time_rollup_grains_are_consistent(spark):
+    """Each grain's event count sums to the same total; coarser grains
+    have no more buckets than finer ones."""
+    rows = QUERIES["q_time_rollup"](spark, SF0001).collect()
+    totals = defaultdict(int)
+    buckets = defaultdict(int)
+    for r in rows:
+        totals[r.grain] += r.n_events
+        buckets[r.grain] += 1
+    assert set(totals) == {"hour", "day", "month"}
+    assert len(set(totals.values())) == 1
+    assert buckets["month"] <= buckets["day"] <= buckets["hour"]
+
+
+def test_mode_is_the_true_argmax(spark):
+    """mode_count is the group's max count and mode_value the smallest
+    value achieving it (deterministic tie policy)."""
+    from pyspark.sql import functions as F
+
+    from pcap_to_parquet_spark.sources.tables import load_table
+
+    got = {
+        r.user_id: (r.mode_value, r.mode_count)
+        for r in QUERIES["q_mode_per_group"](spark, SF0001).collect()
+    }
+    e = load_table(spark, SF0001, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    by_user = defaultdict(list)
+    for r in counts:
+        by_user[r.user_id].append((r.event_type, r.n))
+    assert set(got) == set(by_user)
+    for user, pairs in by_user.items():
+        best_n = max(n for _, n in pairs)
+        best_v = min(v for v, n in pairs if n == best_n)
+        assert got[user] == (best_v, best_n), user

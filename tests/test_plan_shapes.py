@@ -258,3 +258,19 @@ def test_incremental_dedup_and_resample_shapes(spark):
     p = prof(spark, "q_list_agg")
     assert p.get("ObjectHashAggregate", 0) == 2
     assert p["exchanges"] == 1
+
+
+def test_time_rollup_and_mode_shapes(spark):
+    # one scan, Expand for the grouping sets, partial+final agg
+    from pcap_to_parquet_spark.plans.inspect import plan_string
+
+    df = QUERIES["q_time_rollup"](spark, SF001)
+    assert "Expand" in plan_string(df)
+    p = plan_profile(df)
+    assert p.get("HashAggregate", 0) == 2
+    assert p["exchanges"] == 1
+
+    # mode: agg then top-1 rank riding WindowGroupLimit
+    p = prof(spark, "q_mode_per_group")
+    assert p.get("HashAggregate", 0) == 2
+    assert p.get("WindowGroupLimit", 0) >= 1
