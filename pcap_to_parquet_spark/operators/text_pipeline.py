@@ -275,38 +275,61 @@ def bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     hybrid search pipeline, and the relevance filter of web-corpus
     curation).
 
-    Scale shape: doc lengths and per-(doc, term) tfs are two
-    partial+final aggregations; df and the (avgdl, N) scalars are
-    vocabulary-sized / one-row — both broadcast. The only per-doc
-    state that survives is docs containing a query term. Ranking
-    orders on ROUND(score, 9) for cross-libm determinism (same rule
-    as q_tfidf_top_terms)."""
+    Scale shape — ONE corpus scan: the query terms are a small fixed
+    set, so each doc's per-term tf and its length dl are map-side
+    column algebra (size/filter over the token array — no explode, no
+    (doc, term) shuffle). Everything global — avgdl, N, and every
+    term's df — is a single one-row aggregation, broadcast back; the
+    score is then map-side and top-20 rides TakeOrderedAndProject.
+    The naive explode → groupBy(doc, token) → join(dl) → join(df)
+    formulation tokenizes the corpus FOUR times (duplicated DAG
+    subtrees) and shuffles per-token rows; this shape scans once and
+    shuffles one row. Ranking orders on ROUND(score, 9) for
+    cross-libm determinism (same rule as q_tfidf_top_terms)."""
     d = load_table(spark, sf_dir, "documents")
-    tok = fan_out(d).select(
-        "doc_id", F.explode(whitespace_tokens("text")).alias("token")
+    # materialize the token array once — HOFs re-evaluate referenced
+    # expressions per element (functions/text.py's measured trap)
+    base = fan_out(d).select(
+        "doc_id", whitespace_tokens("text").alias("toks")
     )
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n"))
-    hits = tok.filter(F.col("token").isin(*_BM25_TERMS))
-    tf = hits.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df = hits.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    idf = F.log(
-        F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    def _tf(term: str):  # a 2-arg lambda would bind (element, INDEX)
+        return F.size(F.filter("toks", lambda t: t == F.lit(term)))
+
+    tf_cols = [_tf(term).alias(f"tf_{i}") for i, term in enumerate(_BM25_TERMS)]
+    feats = base.select(
+        "doc_id", F.size("toks").alias("dl"), *tf_cols
     )
-    tf_part = (
-        F.col("tf")
-        * (_BM25_K1 + 1)
-        / (
-            F.col("tf")
-            + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
-        )
+    stats = feats.agg(
+        F.avg("dl").alias("avgdl"),
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
     )
+    term_score = [
+        F.when(
+            F.col(f"tf_{i}") > 0,
+            F.log(
+                F.lit(1.0)
+                + (F.col("n") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+            )
+            * F.col(f"tf_{i}")
+            * (_BM25_K1 + 1)
+            / (
+                F.col(f"tf_{i}")
+                + _BM25_K1
+                * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+            ),
+        ).otherwise(F.lit(0.0))
+        for i in range(len(_BM25_TERMS))
+    ]
     scored = (
-        tf.join(F.broadcast(df), "token")
-        .join(dl, "doc_id")
+        feats.filter(
+            sum((F.col(f"tf_{i}") for i in range(len(_BM25_TERMS))), F.lit(0)) > 0
+        )
         .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(F.sum(idf * tf_part).alias("score"))
+        .select("doc_id", sum(term_score[1:], term_score[0]).alias("score"))
     )
     return (
         scored.orderBy(F.round("score", 9).desc(), "doc_id")

@@ -180,9 +180,13 @@ def test_round3_pipeline_op_shapes(spark):
 
 
 def test_round3_text_op_shapes(spark):
-    # bm25: df + (avgdl, n) broadcast; top-20 via TakeOrderedAndProject
+    # bm25: ONE corpus scan — per-term tfs are map-side HOF algebra
+    # (no explode/Generate, no (doc, token) shuffle); all global stats
+    # (avgdl, N, dfs) are one single-row agg broadcast back; top-20
+    # rides TakeOrderedAndProject
     p = prof(spark, "q_bm25")
-    assert p.get("BroadcastHashJoin", 0) >= 1
+    assert "Generate" not in p
+    assert p.get("HashAggregate", 0) == 2  # the one-row stats agg only
     assert p.get("BroadcastNestedLoopJoin", 0) == 1  # one-row stats frame
     assert p.get("TakeOrderedAndProject", 0) == 1
     assert "CartesianProduct" not in p
