@@ -1023,3 +1023,69 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.md5("text").alias("text_hash")
     )
     return batch.join(corpus, "text_hash", "left_anti").select("doc_id", "text_hash")
+
+
+# ---------------------------------------------------------------------------
+# distributed Bloom pre-filter for corpus admission (sketch operator)
+
+BLOOM_M_BITS = 1 << 20  # filter width (bits); sized for the test corpora
+BLOOM_K = 5  # hash functions
+
+
+def bloom_prefilter(
+    spark: SparkSession, sf_dir: str, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K
+) -> DataFrame:
+    """Distributed Bloom-filter admission check, built from DataFrame
+    primitives (PySpark exposes no Bloom API): the corpus's SET BITS
+    are a distributed table of positions — pos_ij = xxhash64(digest,
+    seed_i) mod m over each corpus digest — and a batch document is
+    "maybe duplicate" iff ALL k of its positions hit that set, computed
+    as a position-equality join + per-doc match count. No all-pairs
+    work, no driver-side bitmap: build and probe are both key-equality
+    shuffles on position, and the position table is ≤ min(m, n·k) rows
+    regardless of corpus size.
+
+    This is the scale path q_incremental_dedup's docstring names: at
+    100 TB the admission gate probes a maintained Bloom table (cheap,
+    no false negatives) and only bloom-positive docs pay the exact
+    digest anti-join. Output per batch doc: the exact verdict and the
+    bloom verdict; a false positive is bloom_maybe_dup=1 &
+    exact_dup=0 — rate bounded by (set_fraction)^k, asserted in
+    tests/test_llm_ops.py."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus = (
+        d.filter(F.col("doc_id") % 10 != 0)
+        .select(F.xxhash64("text").alias("h"))
+        .distinct()
+    )
+    positions = F.array(
+        *[F.pmod(F.xxhash64("h", F.lit(i)), F.lit(m_bits)) for i in range(k)]
+    )
+    bits = corpus.select(F.explode(positions).alias("pos")).distinct()
+    batch = d.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.xxhash64("text").alias("h")
+    )
+    probed = (
+        batch.select("doc_id", F.explode(positions).alias("pos"))
+        .join(bits, "pos", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    exact_dup = batch.join(
+        corpus.withColumnRenamed("h", "ch"), batch.h == F.col("ch"), "left_semi"
+    ).select("doc_id", F.lit(1).alias("exact_dup"))
+    return (
+        batch.select("doc_id")
+        .join(probed, "doc_id", "left")
+        .join(exact_dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("exact_dup", F.lit(0)).alias("exact_dup"),
+            (F.coalesce("n_hit", F.lit(0)) == k).cast("int").alias("bloom_maybe_dup"),
+        )
+    )
+
+
+@query("q_bloom_prefilter")  # rows-only: a sketch has no SQL analogue
+def bloom_prefilter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bloom_prefilter(spark, sf_dir)

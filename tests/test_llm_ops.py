@@ -193,3 +193,26 @@ def test_embed_quantize_invariants(spark):
         assert np.max(np.abs(qv)) == 127  # absmax element hits full range
         checked += 1
     assert checked
+
+
+def test_bloom_prefilter_contract(spark):
+    """No false negatives ever (every exact duplicate is bloom-flagged);
+    false-positive rate stays within ~3x of the (set_fraction)^k theory
+    when the filter is deliberately undersized to force collisions."""
+    from pcap_to_parquet_spark.operators.llm import bloom_prefilter
+
+    # production-sized filter: bloom verdict must cover every exact dup
+    rows = bloom_prefilter(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    assert all(r.bloom_maybe_dup == 1 for r in rows if r.exact_dup == 1)
+
+    # undersized filter (m=2048): collisions now expected, but bounded
+    m, k = 2048, 4
+    rows = bloom_prefilter(spark, "/root/testdata/sf0.01", m_bits=m, k=k).collect()
+    assert all(r.bloom_maybe_dup == 1 for r in rows if r.exact_dup == 1)
+    new_docs = [r for r in rows if r.exact_dup == 0]
+    fps = sum(r.bloom_maybe_dup for r in new_docs)
+    # set fraction: 450 distinct corpus docs × k positions (upper bound)
+    p = min(1.0, 450 * k / m)
+    bound = 3 * (p**k) * len(new_docs) + 3  # slack for small-sample noise
+    assert fps <= bound, (fps, len(new_docs), p**k)
