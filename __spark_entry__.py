@@ -28,7 +28,7 @@ SF0001_DIR = "/root/testdata/sf0.001"
 # The driver's correctness gate verifies the first 50 entries of queries()
 # in iteration order, so the order is rotated per round: every query has
 # a green driver row from rounds 1-2 (union of the r1+r2 windows covered
-# all 89 then-registered queries). Round 3 fronts (a) the 14 new round-3
+# all 89 then-registered queries). Round 3 fronts (a) the 21 new round-3
 # queries, (b) queries whose code or oracle changed this round
 # (q_tfidf_top_terms rank expr, q_stream_parquet_sink readback,
 # q_dedup_clusters, and q_dedup_minhash whose r2 hash-family change was

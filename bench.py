@@ -93,10 +93,7 @@ def main() -> None:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
-    def run(name: str) -> float:
-        return run_once(name)
-
-    run("q_flagship_revenue")  # warmup (JVM + codegen + parquet footer cache)
+    run_once("q_flagship_revenue")  # warmup (JVM + codegen + parquet footer cache)
     # python-worker-pool warmup (same startup class as the JVM warmup:
     # the first Arrow/pandas job otherwise pays worker spawn inside its
     # measurement). 2× cpu partitions so the REUSABLE POOL actually

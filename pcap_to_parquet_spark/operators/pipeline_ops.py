@@ -75,8 +75,9 @@ def scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("prev").isNull() | (F.col("event_type") != F.col("prev")))
         .select("user_id", "ts", "event_id", "event_type")
     )
-    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    nxt = F.lead("ts").over(w2)
+    # the lead pass reuses the SAME window spec — identical partitioning
+    # + sort is what lets Spark plan one Exchange for both windows
+    nxt = F.lead("ts").over(w)
     return changes.select(
         "user_id",
         F.col("event_type").alias("state"),

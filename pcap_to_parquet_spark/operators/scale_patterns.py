@@ -193,22 +193,12 @@ def partitioned_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The write is keyed on (input path, mtime+size, logic version) and
     reused when valid — same staleness contract as the streaming sink;
-    superseded keyed dirs are cleaned."""
-    import glob
-    import shutil
+    superseded keyed dirs are swept per source family
+    (sources.tables.keyed_tmp_dirs)."""
+    from pcap_to_parquet_spark.sources import keyed_tmp_dirs, load_table
 
-    from pcap_to_parquet_spark.sources import load_table
-
-    _LAKE_LOGIC_VERSION = "v1-by-event-type"
     src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
-    st = os.stat(src)
-    key = f"{src}|{st.st_mtime_ns}|{st.st_size}|{_LAKE_LOGIC_VERSION}"
-    tag = hashlib.md5(key.encode()).hexdigest()[:12]
-    tmp = tempfile.gettempdir()
-    for stale in glob.glob(os.path.join(tmp, "lake_by_type_*")):
-        if not stale.endswith(tag):
-            shutil.rmtree(stale, ignore_errors=True)
-    out = os.path.join(tmp, f"lake_by_type_{tag}")
+    (out,) = keyed_tmp_dirs("lake", src, "v1-by-event-type", "by_type")
     ev = load_table(spark, sf_dir, "events")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         ev.write.mode("overwrite").partitionBy("event_type").option(

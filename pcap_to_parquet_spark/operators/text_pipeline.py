@@ -287,8 +287,10 @@ def bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles one row. Ranking orders on ROUND(score, 9) for
     cross-libm determinism (same rule as q_tfidf_top_terms)."""
     d = load_table(spark, sf_dir, "documents")
-    # materialize the token array once — HOFs re-evaluate referenced
-    # expressions per element (functions/text.py's measured trap)
+    # name the token array as its own column so each downstream HOF
+    # references one expression tree (codegen subexpression elimination
+    # then evaluates the tokenization once per row; a projection alone
+    # does not force it — CollapseProject inlines lazily)
     base = fan_out(d).select(
         "doc_id", whitespace_tokens("text").alias("toks")
     )

@@ -1,3 +1,8 @@
-from pcap_to_parquet_spark.sources.tables import fan_out, load_table, load_tables
+from pcap_to_parquet_spark.sources.tables import (
+    fan_out,
+    keyed_tmp_dirs,
+    load_table,
+    load_tables,
+)
 
-__all__ = ["fan_out", "load_table", "load_tables"]
+__all__ = ["fan_out", "keyed_tmp_dirs", "load_table", "load_tables"]

@@ -375,8 +375,11 @@ def convert_pcap(
         _write_packets(df, out_path, partition_cols)
     except Exception as exc:  # noqa: BLE001 - executor errors arrive as Py4J wrappers
         # The resync failure surfaces at the write action, wrapped by
-        # Py4J; match it by name rather than type.
-        if not (auto and chunk_bytes and "PcapFormatError" in str(exc)):
+        # Py4J; match its message rather than type. Scoped to the
+        # RESYNC error specifically: a corrupt-region PcapFormatError
+        # would fail per-file too, so falling back there only re-decodes
+        # a doomed capture and masks the sharper chunked diagnostic.
+        if not (auto and chunk_bytes and "cannot resynchronize" in str(exc)):
             raise
         _write_packets(read_pcap(spark, in_path), out_path, partition_cols)
 

@@ -54,3 +54,31 @@ def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() < floor:
         return df.repartition(floor)
     return df
+
+
+def keyed_tmp_dirs(kind: str, src: str, logic_version: str, *suffixes: str) -> list[str]:
+    """Staleness-keyed tempdir paths for derived artifacts (stream
+    sinks, partitioned-lake rewrites): valid only for the exact input
+    bytes and logic that produced them.
+
+    The name carries two keys: a SOURCE family key (md5 of the input
+    path) and a VALIDITY key (md5 of path + mtime + size + logic
+    version). Superseded dirs are swept per source family only — runs
+    against a different input (another sf_dir) never delete each
+    other's still-valid caches, and a concurrent run on another input
+    can't lose its live checkpoint mid-query."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    st = os.stat(src)
+    family = hashlib.md5(src.encode()).hexdigest()[:8]
+    key = f"{src}|{st.st_mtime_ns}|{st.st_size}|{logic_version}"
+    tag = hashlib.md5(key.encode()).hexdigest()[:12]
+    tmp = tempfile.gettempdir()
+    for stale in glob.glob(os.path.join(tmp, f"{kind}_*_{family}_*")):
+        if not stale.endswith(tag):
+            shutil.rmtree(stale, ignore_errors=True)
+    return [os.path.join(tmp, f"{kind}_{s}_{family}_{tag}") for s in suffixes]

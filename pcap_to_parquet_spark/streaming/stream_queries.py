@@ -269,9 +269,7 @@ def stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact input and aggregation it was written by — keying on the path
     alone would silently serve a previous run's output after the data
     or the query logic changed."""
-    import hashlib
     import os
-    import tempfile
 
     e = stream_events(spark, sf_dir)
     agg = (
@@ -287,22 +285,10 @@ def stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    _SINK_LOGIC_VERSION = "v1-tumbling10m-wm1h"
-    src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
-    st = os.stat(src)
-    key = f"{src}|{st.st_mtime_ns}|{st.st_size}|{_SINK_LOGIC_VERSION}"
-    tag = hashlib.md5(key.encode()).hexdigest()[:12]
-    tmp = tempfile.gettempdir()
-    # superseded keyed dirs (older input/logic versions) would otherwise
-    # accumulate in tempdir forever; they are ours by naming convention
-    import glob
-    import shutil
+    from pcap_to_parquet_spark.sources import keyed_tmp_dirs
 
-    for stale in glob.glob(os.path.join(tmp, "stream_pq_*")):
-        if not stale.endswith(tag):
-            shutil.rmtree(stale, ignore_errors=True)
-    out = os.path.join(tmp, f"stream_pq_sink_{tag}")
-    ck = os.path.join(tmp, f"stream_pq_ck_{tag}")
+    src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    out, ck = keyed_tmp_dirs("stream_pq", src, "v1-tumbling10m-wm1h", "sink", "ck")
     q = (
         agg.writeStream.format("parquet")
         .option("path", out)
