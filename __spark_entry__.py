@@ -58,6 +58,7 @@ _GATE_FRONT = [
     "q_time_rollup",
     "q_mode_per_group",
     "q_bloom_prefilter",
+    "q_stream_upsert",
     # changed this round / stale since a behavioral change
     "q_tfidf_top_terms",
     "q_stream_parquet_sink",
@@ -68,7 +69,6 @@ _GATE_FRONT = [
     "q_case_when",
     "q_null_semantics",
     "q_sort_limit",
-    "q_distinct",
     "q_rollup",
     "q_cube",
     "q_grouping_sets",

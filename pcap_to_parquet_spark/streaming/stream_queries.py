@@ -527,3 +527,104 @@ def stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 if _has_tws_deps():
     query("q_stream_tws")(stream_tws)
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch upsert: stream -> MERGE into a keyed state table
+
+UPSERT_ORACLE = """
+SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value,
+       MAX(epoch_us(ts)) AS last_seen
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("q_stream_upsert", UPSERT_ORACLE)
+def stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``foreachBatch`` production pattern: a streaming aggregation
+    whose per-batch DELTA is MERGED into a keyed parquet state table —
+    how Structured Streaming maintains an upsert-able serving table on
+    a sink with no native streaming upsert (plain parquet, JDBC, …).
+
+    Inside foreachBatch the micro-batch is a BATCH DataFrame, so the
+    merge is the engine's own composition: read current state, full
+    outer join on the key, combine aggregates (counts/sums add; for
+    idempotent replay a real deployment keys on batch_id — exactly-once
+    here comes from the checkpointed availableNow run). Update-mode
+    emission means each batch carries only TOUCHED keys: state IO is
+    O(churn), not O(keys), which is what makes the pattern hold when
+    the key space is 100 TB-large but per-batch churn is small.
+
+    The oracle is the batch groupBy — streamed-merged state must equal
+    the one-shot aggregation exactly."""
+    import os
+
+    from pcap_to_parquet_spark.sources import keyed_tmp_dirs
+
+    src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    state_dir, ck = keyed_tmp_dirs("stream_upsert", src, "v1-per-user", "state", "ck")
+    state_schema = (
+        "user_id bigint, n_events bigint, total_value double, last_seen bigint"
+    )
+
+    e = stream_events(spark, sf_dir)
+    delta = (
+        e.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.max(F.unix_micros("ts")).alias("last_seen"),
+        )
+    )
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        cur = sp.read.schema(state_schema).parquet(state_dir)
+        merged = (
+            cur.withColumnRenamed("n_events", "cur_n")
+            .withColumnRenamed("total_value", "cur_v")
+            .withColumnRenamed("last_seen", "cur_seen")
+            .join(batch, "user_id", "full_outer")
+            .select(
+                "user_id",
+                (F.coalesce("cur_n", F.lit(0)) + F.coalesce("n_events", F.lit(0))).alias(
+                    "n_events"
+                ),
+                (
+                    F.coalesce("cur_v", F.lit(0.0)) + F.coalesce("total_value", F.lit(0.0))
+                ).alias("total_value"),
+                F.greatest(
+                    F.coalesce("cur_seen", F.lit(0)), F.coalesce("last_seen", F.lit(0))
+                ).alias("last_seen"),
+            )
+        )
+        # parquet has no in-place MERGE: write the new state beside the
+        # old, then swap (a table format with ACID MERGE replaces this
+        # dance in production)
+        tmp_out = state_dir + f"_b{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp_out)
+        import shutil
+
+        shutil.rmtree(state_dir, ignore_errors=True)
+        os.replace(tmp_out, state_dir)
+
+    if not os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+        os.makedirs(state_dir, exist_ok=True)
+        spark.createDataFrame([], state_schema).write.mode("overwrite").parquet(
+            state_dir
+        )
+        q = (
+            delta.writeStream.foreachBatch(merge_batch)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+    state = spark.read.schema(state_schema).parquet(state_dir)
+    return state.select(
+        "user_id", "n_events", F.round("total_value", 4).alias("total_value"), "last_seen"
+    )

@@ -67,6 +67,7 @@ EMPTY_SAFE = [
     "q_resample",
     "q_time_rollup",
     "q_mode_per_group",
+    "q_stream_upsert",
 ]
 
 
