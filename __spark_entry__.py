@@ -59,6 +59,7 @@ _GATE_FRONT = [
     "q_mode_per_group",
     "q_bloom_prefilter",
     "q_stream_upsert",
+    "q_pcap_datasource",
     # changed this round / stale since a behavioral change
     "q_tfidf_top_terms",
     "q_stream_parquet_sink",
@@ -69,7 +70,6 @@ _GATE_FRONT = [
     "q_case_when",
     "q_null_semantics",
     "q_sort_limit",
-    "q_rollup",
     "q_cube",
     "q_grouping_sets",
     "q_inner_join",

@@ -78,3 +78,20 @@ def pcapng_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = read_pcapng(spark, _pcapng_fixture_path())
     return df.orderBy(F.col("len"), F.col("src_ip").asc_nulls_first(), F.col("mm_id").asc_nulls_first())
+
+
+@query("q_pcap_datasource")  # rows-only: no pcap in DuckDB
+def pcap_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference capability through the Spark 4 Python Data Source
+    API: ``spark.read.format("pcap")`` over the golden fixture —
+    the connector form of q_pcap_pipeline (same decode kernels behind
+    the standard source interface; partition-per-chunk parallelism).
+    Row-for-row parity with read_pcap is pinned in
+    tests/test_pcap_datasource.py."""
+    from pcap_to_parquet_spark.sources.pcap_datasource import register_pcap_source
+
+    register_pcap_source(spark)
+    df = spark.read.format("pcap").load(_fixture_path())
+    return df.orderBy(
+        F.col("len"), F.col("src_ip").asc_nulls_first(), F.col("mm_id").asc_nulls_first()
+    )

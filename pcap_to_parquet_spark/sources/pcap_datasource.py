@@ -1,0 +1,212 @@
+"""pcap as a first-class Spark data source: ``spark.read.format("pcap")``.
+
+The Spark 4 Python Data Source API gives the reference capability its
+idiomatic connector form (reference CLI: /root/reference/src/main.rs:59-61):
+
+- **batch**: ``spark.read.format("pcap").load(path)`` — one input
+  partition per chunk of each capture (``chunk_specs``), so a single
+  large file parallelizes across the cluster exactly like the chunked
+  reader; small files get one partition each. Partitions decode with
+  the same vectorized numpy kernels as ``read_pcap`` and yield Arrow
+  record batches (zero row-at-a-time Python).
+- **streaming**: ``spark.readStream.format("pcap").load(dir)`` — a
+  landing-directory tail: each micro-batch decodes the files that
+  arrived since the last committed offset (offset = sorted seen-file
+  list), giving the capture-directory → packets table pipeline a
+  Structured Streaming front end.
+
+Options: ``chunk_mb`` (0 = one partition per file; default auto:
+chunked over 64 MiB), ``ts_tol_hours`` (resync anchor, chunked mode).
+
+``read_pcap`` / ``read_pcap_chunked`` remain the plain-API fast path;
+the connector is the same decode behind the standard source interface.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+PACKET_DDL = (
+    "src_ip string, dst_ip string, len bigint, protocol string, "
+    "src_port int, dst_port int, mm_ts bigint, mm_id int, mm_port smallint"
+)
+
+_PROTOCOL_NAMES = {1: "ICMP", 2: "IGMP", 6: "TCP", 17: "UDP"}
+
+
+class PcapPartition(InputPartition):
+    def __init__(self, path: str, start: int, end: int, ts_tol: int) -> None:
+        self.path = path
+        self.start = start
+        self.end = end
+        self.ts_tol = ts_tol
+
+
+def _decode_to_arrow(buf: bytes):  # type: ignore[no-untyped-def]
+    """One in-memory capture → one Arrow RecordBatch (PACKET_DDL).
+
+    The numeric decode is the shared vectorized kernel; only the
+    dotted-quad/protocol-name formatting happens here (the connector
+    yields final strings; read_pcap defers that to JVM codegen)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pcap_to_parquet_spark.sources.pcap_vec import decode_pcap_arrays
+
+    a = decode_pcap_arrays(buf)
+    n = len(a["len"])
+
+    def dotted(u32: np.ndarray, valid: np.ndarray) -> list:
+        out: list = [None] * n
+        for i in np.flatnonzero(valid):
+            v = int(u32[i])
+            out[i] = f"{(v >> 24) & 255}.{(v >> 16) & 255}.{(v >> 8) & 255}.{v & 255}"
+        return out
+
+    proto: list = [None] * n
+    for i in np.flatnonzero(a["proto_valid"]):
+        proto[i] = _PROTOCOL_NAMES.get(int(a["proto"][i]))
+
+    return pa.record_batch(
+        [
+            pa.array(dotted(a["src_u32"], a["ip_valid"]), type=pa.string()),
+            pa.array(dotted(a["dst_u32"], a["ip_valid"]), type=pa.string()),
+            pa.array(a["len"].astype("int64")),
+            pa.array(proto, type=pa.string()),
+            pa.array(
+                [int(a["src_port"][i]) if a["ports_valid"][i] else None for i in range(n)],
+                type=pa.int32(),
+            ),
+            pa.array(
+                [int(a["dst_port"][i]) if a["ports_valid"][i] else None for i in range(n)],
+                type=pa.int32(),
+            ),
+            pa.array(
+                [int(a["mm_ts"][i]) if a["mm_valid"][i] else None for i in range(n)],
+                type=pa.int64(),
+            ),
+            pa.array(
+                [int(a["mm_id"][i]) if a["mm_valid"][i] else None for i in range(n)],
+                type=pa.int32(),
+            ),
+            pa.array(
+                [int(a["mm_port"][i]) if a["mm_valid"][i] else None for i in range(n)],
+                type=pa.int16(),
+            ),
+        ],
+        names=[
+            "src_ip",
+            "dst_ip",
+            "len",
+            "protocol",
+            "src_port",
+            "dst_port",
+            "mm_ts",
+            "mm_id",
+            "mm_port",
+        ],
+    )
+
+
+class PcapBatchReader(DataSourceReader):
+    def __init__(self, options) -> None:  # type: ignore[no-untyped-def]
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("pcap source requires a path: .load('<file-or-glob>')")
+        chunk_mb = options.get("chunk_mb")
+        self.chunk_mb = int(chunk_mb) if chunk_mb is not None else None
+        tol_h = options.get("ts_tol_hours")
+        from pcap_to_parquet_spark.sources.pcap_chunked import _TS_TOL
+
+        self.ts_tol = int(float(tol_h) * 3600) if tol_h is not None else _TS_TOL
+
+    def partitions(self) -> Sequence[PcapPartition]:
+        from pcap_to_parquet_spark.sources.pcap import _AUTO_CHUNK_THRESHOLD
+        from pcap_to_parquet_spark.sources.pcap_chunked import chunk_specs
+
+        if self.chunk_mb == 0:
+            chunk_bytes = 1 << 62  # one partition per file
+        elif self.chunk_mb is None:
+            chunk_bytes = _AUTO_CHUNK_THRESHOLD  # auto: big files split
+        else:
+            chunk_bytes = self.chunk_mb << 20
+        return [
+            PcapPartition(p, s, e, self.ts_tol)
+            for p, s, e in chunk_specs(self.path, chunk_bytes)
+        ]
+
+    def read(self, partition: PcapPartition) -> Iterator:  # type: ignore[override]
+        from pcap_to_parquet_spark.sources.pcap_chunked import decode_chunk
+
+        size = os.path.getsize(partition.path)
+        if partition.start == 0 and partition.end >= size:
+            with open(partition.path, "rb") as f:
+                buf = f.read()
+        else:
+            buf = decode_chunk(
+                partition.path, partition.start, partition.end, partition.ts_tol
+            )
+        yield _decode_to_arrow(buf)
+
+
+class PcapStreamReader(DataSourceStreamReader):
+    """Landing-directory tail: offset = the sorted list of files already
+    committed; each planned batch covers the newly arrived files (one
+    partition per file — arriving captures are the parallelism unit)."""
+
+    def __init__(self, options) -> None:  # type: ignore[no-untyped-def]
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("pcap stream source requires a directory path")
+
+    def _list(self) -> list[str]:
+        import glob
+
+        return sorted(glob.glob(os.path.join(self.dir, "*.pcap")))
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def latestOffset(self) -> dict:
+        return {"files": self._list()}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[PcapPartition]:
+        from pcap_to_parquet_spark.sources.pcap_chunked import _TS_TOL
+
+        new = [f for f in end["files"] if f not in set(start["files"])]
+        return [PcapPartition(f, 0, 1 << 62, _TS_TOL) for f in new]
+
+    def read(self, partition: PcapPartition) -> Iterator:  # type: ignore[override]
+        with open(partition.path, "rb") as f:
+            yield _decode_to_arrow(f.read())
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are checkpointed by the engine; nothing to clean
+
+
+class PcapDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "pcap"
+
+    def schema(self) -> str:
+        return PACKET_DDL
+
+    def reader(self, schema) -> PcapBatchReader:  # type: ignore[no-untyped-def]
+        return PcapBatchReader(self.options)
+
+    def streamReader(self, schema) -> PcapStreamReader:  # type: ignore[no-untyped-def]
+        return PcapStreamReader(self.options)
+
+
+def register_pcap_source(spark) -> None:  # type: ignore[no-untyped-def]
+    """Idempotent ``spark.dataSource.register`` of the pcap format."""
+    spark.dataSource.register(PcapDataSource)
