@@ -60,6 +60,9 @@ _GATE_FRONT = [
     "q_bloom_prefilter",
     "q_stream_upsert",
     "q_pcap_datasource",
+    "q_hll_rollup",
+    "q_kll_quantiles",
+    "q_theta_audience_overlap",
     # changed this round / stale since a behavioral change
     "q_tfidf_top_terms",
     "q_stream_parquet_sink",
@@ -70,9 +73,6 @@ _GATE_FRONT = [
     "q_case_when",
     "q_null_semantics",
     "q_sort_limit",
-    "q_cube",
-    "q_grouping_sets",
-    "q_inner_join",
     "q_broadcast_join",
     "q_outer_join",
     "q_full_outer_join",

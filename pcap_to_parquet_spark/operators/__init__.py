@@ -16,6 +16,7 @@ from pcap_to_parquet_spark.operators import (  # noqa: F401
     scalar_funcs,
     scale_patterns,
     sessionize,
+    sketches,
     sql_api,
     text_pipeline,
     udtf_udaf,

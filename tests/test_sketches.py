@@ -1,0 +1,58 @@
+"""Sketch error contracts vs exact answers (the rows-only driver check
+can't see accuracy; these pin it)."""
+
+from __future__ import annotations
+
+import pcap_to_parquet_spark.operators  # noqa: F401
+from pyspark.sql import functions as F
+
+from pcap_to_parquet_spark.registry import QUERIES
+from pcap_to_parquet_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_hll_rollup_accuracy(spark):
+    rows = {r.key: r.est_distinct for r in QUERIES["q_hll_rollup"](spark, SF).collect()}
+    e = load_table(spark, SF, "events")
+    exact_total = e.select(F.countDistinct("user_id")).first()[0]
+    # default lgK=12 → rse ~1.6%/sqrt; allow 5%
+    assert abs(rows["total"] - exact_total) <= max(3, 0.05 * exact_total)
+    # merged total must dominate any single day and be <= sum of days
+    days = [v for k, v in rows.items() if k != "total"]
+    assert rows["total"] >= max(days) - 1
+    assert rows["total"] <= sum(days) + 1
+
+
+def test_kll_quantiles_accuracy(spark):
+    got = {r.key: r for r in QUERIES["q_kll_quantiles"](spark, SF).collect()}
+    li = load_table(spark, SF, "lineitem")
+    exact = li.agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+    ).first()
+    n = li.count()
+    # KLL default k=200 → rank error ~1.65%; check the VALUE via rank:
+    # the sketch's p50 must sit within ±3.5% of n in exact rank terms
+    for p, val in ((0.5, got["total"].p50), (0.9, got["total"].p90)):
+        rank = li.filter(F.col("l_extendedprice") <= val).count() / n
+        assert abs(rank - p) <= 0.035, (p, val, rank)
+    # sanity: monotone quantiles
+    for r in got.values():
+        assert r.p50 <= r.p90 <= r.p99
+
+
+def test_theta_set_algebra_consistency(spark):
+    r = QUERIES["q_theta_audience_overlap"](spark, SF).first()
+    e = load_table(spark, SF, "events")
+    viewers = {x.user_id for x in e.filter(F.col("event_type") == "view").select("user_id").distinct().collect()}
+    buyers = {x.user_id for x in e.filter(F.col("event_type") == "purchase").select("user_id").distinct().collect()}
+    def close(est, exact):
+        return abs(est - exact) <= max(3, 0.05 * exact)
+    assert close(r.viewers, len(viewers))
+    assert close(r.purchasers, len(buyers))
+    assert close(r.both, len(viewers & buyers))
+    assert close(r.viewers_only, len(viewers - buyers))
+    assert close(r.either, len(viewers | buyers))
+    # inclusion-exclusion must hold on the estimates themselves (~eps)
+    assert abs((r.viewers + r.purchasers - r.both) - r.either) <= 0.05 * r.either + 3
