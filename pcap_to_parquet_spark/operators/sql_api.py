@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pcap_to_parquet_spark.registry import query
 from pcap_to_parquet_spark.sources import load_table
 
-_VIEW_TABLES = ("customer", "orders", "lineitem", "supplier")
+_VIEW_TABLES = ("customer", "orders", "lineitem", "supplier", "nation", "region")
 
 
 def _register_views(spark: SparkSession, sf_dir: str) -> None:
@@ -141,3 +141,34 @@ def sql_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison is parity-safe."""
     _register_views(spark, sf_dir)
     return spark.sql(_Q15_BODY)
+
+
+# TPC-H Q5 shape (local supplier volume): the deepest join tree in the
+# suite — region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem ⋈ supplier,
+# with the non-tree edge s_nationkey = c_nationkey.
+_Q5_BODY = """
+SELECT n.n_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n.n_name
+"""
+
+
+@query("q_sql_local_volume", _Q5_BODY)
+def sql_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume) as SQL text: six tables,
+    five join edges plus the non-tree s_nationkey = c_nationkey
+    constraint — the join-ORDERING stress test. Catalyst reorders the
+    tree so the r_name filter prunes region→nation→customer before the
+    fact tables join, and every dimension broadcasts; the only real
+    shuffle is lineitem⋈orders. Identical SQL text runs on both
+    engines."""
+    _register_views(spark, sf_dir)
+    return spark.sql(_Q5_BODY)

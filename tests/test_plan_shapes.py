@@ -278,3 +278,13 @@ def test_time_rollup_and_mode_shapes(spark):
     p = prof(spark, "q_mode_per_group")
     assert p.get("HashAggregate", 0) == 2
     assert p.get("WindowGroupLimit", 0) >= 1
+
+
+def test_sql_local_volume_broadcasts_all_dims(spark):
+    """Q5 shape: every dimension must broadcast — at most ONE real
+    shuffle chain (lineitem⋈orders side); join reordering must keep
+    the region filter pruning before the fact join."""
+    p = prof(spark, "q_sql_local_volume")
+    assert p.get("BroadcastHashJoin", 0) >= 4
+    assert "CartesianProduct" not in p
+    assert p["pushed_filters"] >= 1  # r_name reaches the region scan
