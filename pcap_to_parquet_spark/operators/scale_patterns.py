@@ -219,3 +219,51 @@ def partitioned_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# schema evolution: mergeSchema over heterogeneous batch generations
+
+SCHEMA_EVOLUTION_ORACLE = """
+SELECT COUNT(*) AS n_rows,
+       CAST(COUNT(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS BIGINT) AS n_v2_rows,
+       CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN o_orderkey % 7 END) AS BIGINT)
+           AS v2_col_sum
+FROM orders
+"""
+
+
+@query("q_schema_evolution", SCHEMA_EVOLUTION_ORACLE)
+def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across batch generations: generation 1 writes
+    (o_orderkey, o_totalprice); generation 2 adds a column. Reading the
+    directory with ``mergeSchema`` unions the schemas — old rows read
+    NULL for the added column, which the aggregate makes observable
+    (n_v2_rows / v2_col_sum count only generation-2 rows).
+
+    The lake-reality every long-lived 100 TB dataset hits: producers
+    evolve, history doesn't get rewritten. mergeSchema reconciles
+    footers at planning time (cost scales with file count, which is why
+    compaction — sources/lake.py — matters); readers must treat the
+    added column as nullable from day one."""
+    from pcap_to_parquet_spark.sources import keyed_tmp_dirs, load_table
+
+    src = os.path.join(os.path.abspath(sf_dir), "orders.parquet")
+    (out,) = keyed_tmp_dirs("schema_evo", src, "v1-two-generations", "orders")
+    o = load_table(spark, sf_dir, "orders")
+    if not os.path.exists(os.path.join(out, "_gen2_done")):
+        o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        ).write.mode("overwrite").parquet(out)
+        o.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey",
+            "o_totalprice",
+            (F.col("o_orderkey") % 7).alias("o_priority_rank"),
+        ).write.mode("append").parquet(out)
+        open(os.path.join(out, "_gen2_done"), "w").close()
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_priority_rank").alias("n_v2_rows"),
+        F.sum("o_priority_rank").alias("v2_col_sum"),
+    )
