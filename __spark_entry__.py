@@ -65,14 +65,14 @@ _GATE_FRONT = [
     "q_theta_audience_overlap",
     "q_sql_local_volume",
     "q_schema_evolution",
+    "q_window_nth",
+    "q_table_profile",
     # changed this round / stale since a behavioral change
     "q_tfidf_top_terms",
     "q_stream_parquet_sink",
     "q_dedup_clusters",
     "q_dedup_minhash",
     # last driver row is round 1 — refresh the oracle-bearing ones
-    "q_null_semantics",
-    "q_sort_limit",
     "q_broadcast_join",
     "q_outer_join",
     "q_full_outer_join",

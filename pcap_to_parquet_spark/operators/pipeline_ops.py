@@ -459,3 +459,53 @@ def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("mode_count"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# table profiling (the ANALYZE / statistics pass)
+
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_totalprice")
+
+TABLE_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_null,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       ROUND(CAST(MIN({c}) AS DOUBLE), 4) AS min_val,
+       ROUND(CAST(MAX({c}) AS DOUBLE), 4) AS max_val
+FROM orders"""
+    for c in _PROFILE_COLS
+)
+
+
+@query("q_table_profile", TABLE_PROFILE_ORACLE)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column statistics profile (the ANALYZE pass a lakehouse runs to
+    feed the optimizer and data-quality checks): per column — row
+    count, null count, exact distinct count, min/max. One aggregation
+    job; Spark plans the multiple DISTINCTs via Expand (one row
+    replica per distinct-column), which is the exact formulation. The
+    100 TB variant swaps COUNT(DISTINCT) for approx_count_distinct /
+    HLL sketches (q_hll_rollup) — same query shape, bounded state."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.round(F.min(c).cast("double"), 4).alias(f"{c}__mn"),
+            F.round(F.max(c).cast("double"), 4).alias(f"{c}__mx"),
+        ]
+    wide = o.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col(f"{c}__n").alias("n_rows"),
+            F.col(f"{c}__nn").alias("n_null"),
+            F.col(f"{c}__nd").alias("n_distinct"),
+            F.col(f"{c}__mn").alias("min_val"),
+            F.col(f"{c}__mx").alias("max_val"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    return wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")

@@ -232,3 +232,39 @@ def range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_near"),
         F.round(F.sum("o_totalprice").over(w), 2).alias("near_total"),
     )
+
+
+NTH_IGNORE_NULLS_ORACLE = """
+SELECT event_id, user_id,
+       ROUND(last_value(CASE WHEN value > 600 THEN value END IGNORE NULLS)
+           OVER w, 4) AS last_big,
+       ROUND(nth_value(value, 3) OVER w, 4) AS third_value,
+       ROUND(first_value(value) OVER w, 4) AS first_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("q_window_nth", NTH_IGNORE_NULLS_ORACLE)
+def window_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value and IGNORE NULLS analytics: the forward-fill /
+    last-observation-carried-forward primitive (last_value IGNORE NULLS
+    over a running frame propagates each user's most recent qualifying
+    observation — how gaps get filled in sensor/price series), plus
+    nth_value's fixed-position lookup. One shuffle on user_id; all
+    three functions share the frame and sort."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    big = F.when(F.col("value") > 600, F.col("value"))
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.last(big, ignorenulls=True).over(w), 4).alias("last_big"),
+        F.round(F.nth_value("value", 3).over(w), 4).alias("third_value"),
+        F.round(F.first("value").over(w), 4).alias("first_value"),
+    )
