@@ -216,3 +216,35 @@ def test_bloom_prefilter_contract(spark):
     p = min(1.0, 450 * k / m)
     bound = 3 * (p**k) * len(new_docs) + 3  # slack for small-sample noise
     assert fps <= bound, (fps, len(new_docs), p**k)
+
+
+def test_round3_text_ops_hostile_parity(spark, tmp_path):
+    """Round-3 text operators on a hostile corpus: regex specials in
+    text, tabs/newlines tokenization, unicode, an email-lookalike
+    already in the text — engine and oracle must still agree."""
+    import duckdb
+
+    rows = [
+        (0, "a+b (c) [d] e.f *g h?", "en", "s", 21),
+        (1, "already bob@x.io inline\ttab", "en", "s", 27),
+        (2, "unicode café naïve 中文 token", "en", "s", 24),
+        (3, "  spaced   out  http://not.seeded.example  ", "en", "s", 43),
+        (4, "plain words only here", "en", "s", 21),
+    ]
+    d = tmp_path / "hostile3"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+
+    from pcap_to_parquet_spark.registry import ORACLES, QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    for name in ("q_pii_scrub", "q_url_extract", "q_length_histogram",
+                 "q_bm25", "q_repetition_score"):
+        got = sorted(tuple(r) for r in QUERIES[name](spark, str(d)).collect())
+        want = sorted(tuple(r) for r in con.execute(ORACLES[name]).fetchall())
+        assert got == want, name
