@@ -67,13 +67,13 @@ _GATE_FRONT = [
     "q_schema_evolution",
     "q_window_nth",
     "q_table_profile",
+    "q_lake_compact",
     # changed this round / stale since a behavioral change
     "q_tfidf_top_terms",
     "q_stream_parquet_sink",
     "q_dedup_clusters",
     "q_dedup_minhash",
     # last driver row is round 1 — refresh the oracle-bearing ones
-    "q_broadcast_join",
     "q_outer_join",
     "q_full_outer_join",
     "q_semi_join",

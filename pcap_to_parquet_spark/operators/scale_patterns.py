@@ -267,3 +267,43 @@ def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("o_priority_rank").alias("n_v2_rows"),
         F.sum("o_priority_rank").alias("v2_col_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# small-file compaction with content-preservation oracle
+
+LAKE_COMPACT_ORACLE = """
+SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("q_lake_compact", LAKE_COMPACT_ORACLE)
+def lake_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction end-to-end: explode events into 64 tiny
+    files (the streaming-sink disease), rewrite with
+    sources.lake.compact_parquet, and aggregate FROM THE COMPACTED
+    COPY — the oracle aggregates the original table, so the rewrite is
+    value-checked to have preserved every row and value, not just
+    counted. File-count reduction itself is pinned in tests/test_lake.py;
+    at 100 TB this maintenance pass is what keeps scan task counts (and
+    footer/open costs) proportional to data, not to sink history."""
+    from pcap_to_parquet_spark.sources import keyed_tmp_dirs, load_table
+    from pcap_to_parquet_spark.sources.lake import compact_parquet
+
+    src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    frag, compacted = keyed_tmp_dirs("compact", src, "v1-64-files", "frag", "out")
+    if not os.path.exists(os.path.join(compacted, "_SUCCESS")):
+        load_table(spark, sf_dir, "events").repartition(64).write.mode(
+            "overwrite"
+        ).parquet(frag)
+        compact_parquet(spark, frag, compacted)
+    return (
+        spark.read.parquet(compacted)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )

@@ -16,10 +16,10 @@ from tests.conftest import SF0001
 
 
 def test_registry_shape():
-    assert len(QUERIES) >= 52
+    assert len(QUERIES) >= 115
     assert set(ORACLES) <= set(QUERIES)
     # the vast majority must be oracle-checkable (SURVEY §2 Part B tables)
-    assert len(ORACLES) >= 45
+    assert len(ORACLES) >= 100
 
 
 def test_entry_contract():
