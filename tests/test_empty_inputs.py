@@ -68,7 +68,17 @@ EMPTY_SAFE = [
     "q_time_rollup",
     "q_mode_per_group",
     "q_stream_upsert",
+    "q_sql_local_volume",
+    "q_window_nth",
+    "q_lake_compact",
 ]
+
+# global aggregates return one constant row on empty input (their
+# DuckDB oracles do the same) — "sensible constant", not zero rows
+CONSTANT_ON_EMPTY = {
+    "q_table_profile": 3,  # one profile row per profiled column
+    "q_schema_evolution": 1,  # one summary row of zero counts
+}
 
 
 @pytest.fixture(scope="module")
@@ -93,3 +103,13 @@ def empty_lake(spark, tmp_path_factory):
 def test_query_survives_empty_lake(spark, empty_lake, name):
     df = QUERIES[name](spark, empty_lake)
     assert df.count() == 0, name
+
+
+@pytest.mark.parametrize("name", sorted(CONSTANT_ON_EMPTY))
+def test_constant_queries_on_empty_lake(spark, empty_lake, name):
+    rows = QUERIES[name](spark, empty_lake).collect()
+    assert len(rows) == CONSTANT_ON_EMPTY[name], name
+    for r in rows:  # every count in the constant row must be zero
+        for col, v in r.asDict().items():
+            if col.startswith("n_"):
+                assert v == 0, (name, col, v)

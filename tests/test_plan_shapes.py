@@ -288,3 +288,17 @@ def test_sql_local_volume_broadcasts_all_dims(spark):
     assert p.get("BroadcastHashJoin", 0) >= 4
     assert "CartesianProduct" not in p
     assert p["pushed_filters"] >= 1  # r_name reaches the region scan
+
+
+def test_table_profile_and_window_nth_shapes(spark):
+    # one aggregation job; multiple exact DISTINCTs plan via Expand
+    from pcap_to_parquet_spark.plans.inspect import plan_string
+
+    df = QUERIES["q_table_profile"](spark, SF001)
+    assert "Expand" in plan_string(df)
+
+    # nth/ignore-nulls analytics: all three functions share one window
+    # (single Exchange, single Window operator)
+    p = prof(spark, "q_window_nth")
+    assert p.get("Window", 0) == 1
+    assert p["exchanges"] == 1
