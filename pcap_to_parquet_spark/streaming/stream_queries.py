@@ -23,19 +23,7 @@ from pyspark.sql.types import (
 
 from pcap_to_parquet_spark.registry import query
 from pcap_to_parquet_spark.session import tune
-
-# events.parquet carries TIMESTAMP(NANOS); the streaming reader (like
-# the batch one) needs the legacy long mapping + explicit schema.
-_EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # nanoseconds (legacy.parquet.nanosAsLong)
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+from pcap_to_parquet_spark.sources.tables import events_raw_schema, normalize_event_ts
 
 _sink_seq = itertools.count()
 
@@ -68,11 +56,11 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(events_raw_schema(sf_dir))
         .format("parquet")
         .load(_events_stream_dir(sf_dir))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(raw)
 
 
 def run_to_memory(sdf: DataFrame, mode: str) -> DataFrame:
@@ -288,7 +276,10 @@ def stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pcap_to_parquet_spark.sources import keyed_tmp_dirs
 
     src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
-    out, ck = keyed_tmp_dirs("stream_pq", src, "v1-tumbling10m-wm1h", "sink", "ck")
+    # v2: ts ingestion became type-dispatched (events_raw_schema) — v1
+    # state written while the old LongType schema misread µs files is
+    # invalid even though the input mtime key matches
+    out, ck = keyed_tmp_dirs("stream_pq", src, "v2-tumbling10m-wm1h", "sink", "ck")
     q = (
         agg.writeStream.format("parquet")
         .option("path", out)
@@ -563,7 +554,8 @@ def stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pcap_to_parquet_spark.sources import keyed_tmp_dirs
 
     src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
-    state_dir, ck = keyed_tmp_dirs("stream_upsert", src, "v1-per-user", "state", "ck")
+    # v2: same ts-ingestion bump as stream_parquet_sink
+    state_dir, ck = keyed_tmp_dirs("stream_upsert", src, "v2-per-user", "state", "ck")
     state_schema = (
         "user_id bigint, n_events bigint, total_value double, last_seen bigint"
     )

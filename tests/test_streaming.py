@@ -11,23 +11,24 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from pcap_to_parquet_spark.sources.tables import load_table
-from pcap_to_parquet_spark.streaming.stream_queries import (
-    _EVENTS_RAW_SCHEMA,
-    run_to_memory,
+from pcap_to_parquet_spark.sources.tables import (
+    events_raw_schema,
+    load_table,
+    normalize_event_ts,
 )
+from pcap_to_parquet_spark.streaming.stream_queries import run_to_memory
 from tests.conftest import SF0001
 
 
 def test_tumbling_agg_microbatch_invariance(spark, tmp_path):
     # stage events as 4 parquet files (4 triggers at maxFilesPerTrigger=1)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(f"{SF0001}/events.parquet")
+    raw = spark.read.schema(events_raw_schema(SF0001)).parquet(f"{SF0001}/events.parquet")
     d = str(tmp_path / "events_multi")
     raw.repartition(4).write.parquet(d)
 
     def agg_of(stream_df):
-        e = stream_df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        e = normalize_event_ts(stream_df)
         return (
             e.withWatermark("ts", "1 hour")
             .groupBy(F.window("ts", "10 minutes"), "event_type")
@@ -44,11 +45,11 @@ def test_tumbling_agg_microbatch_invariance(spark, tmp_path):
         )
 
     chopped = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(d)
     )
-    whole = spark.readStream.schema(_EVENTS_RAW_SCHEMA).parquet(d)
+    whole = spark.readStream.schema(raw.schema).parquet(d)
 
     result_chopped = {tuple(r) for r in run_to_memory(agg_of(chopped), "complete").collect()}
     result_whole = {tuple(r) for r in run_to_memory(agg_of(whole), "complete").collect()}
@@ -72,12 +73,12 @@ def test_tumbling_agg_microbatch_invariance(spark, tmp_path):
 
 def test_stream_dedup_microbatch_invariance(spark, tmp_path):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(f"{SF0001}/events.parquet")
+    raw = spark.read.schema(events_raw_schema(SF0001)).parquet(f"{SF0001}/events.parquet")
     d = str(tmp_path / "events_multi2")
     raw.repartition(3).write.parquet(d)
 
     def dedup_of(stream_df):
-        e = stream_df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        e = normalize_event_ts(stream_df)
         return (
             e.withWatermark("ts", "1 hour")
             .dropDuplicatesWithinWatermark(["user_id", "event_type"])
@@ -85,14 +86,14 @@ def test_stream_dedup_microbatch_invariance(spark, tmp_path):
         )
 
     chopped = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(d)
     )
     got = {tuple(r) for r in run_to_memory(dedup_of(chopped), "append").collect()}
     exp = {
         tuple(r)
-        for r in spark.read.schema(_EVENTS_RAW_SCHEMA)
+        for r in spark.read.schema(raw.schema)
         .parquet(d)
         .select("user_id", "event_type")
         .distinct()
