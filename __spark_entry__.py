@@ -68,12 +68,22 @@ _GATE_FRONT = [
     "q_window_nth",
     "q_table_profile",
     "q_lake_compact",
-    # changed this round / stale since a behavioral change
+    # new in round 3, second batch (never driver-checked)
+    "q_funnel",
+    "q_retention_cohort",
+    "q_rolling_median",
+    "q_heavy_hitters",
+    "q_zorder_lake",
+    "q_stream_static_join",
+    # changed this round / stale since a behavioral change (the ts
+    # ingestion dispatch touched every events consumer; asof/self_join
+    # below are the events-joining refreshes)
     "q_tfidf_top_terms",
     "q_stream_parquet_sink",
     "q_dedup_clusters",
     "q_dedup_minhash",
     # last driver row is round 1 — refresh the oracle-bearing ones
+    # (the rest of the r1-only set rotates in next round)
     "q_outer_join",
     "q_full_outer_join",
     "q_semi_join",
@@ -81,14 +91,8 @@ _GATE_FRONT = [
     "q_range_join",
     "q_asof_join",
     "q_self_join",
-    "q_dedup_exact",
-    "q_train_test_split",
-    "q_data_mixing",
     "q_embed_neardup",
     "q_similarity_topk",
-    "q_text_stats",
-    "q_quality_score",
-    "q_lang_id",
 ]
 
 

@@ -1,0 +1,247 @@
+"""User-behavior analytics: ordered funnels, cohort retention, rolling
+medians, heavy-hitter admission. [engine — not in reference; the
+reference delegates all querying downstream, README.md:20-40]
+
+The product-analytics family every event warehouse runs daily. Scale
+discipline, per operator:
+
+- the funnel is a chain of groupBy-min + equi-joins, ALL keyed on
+  user_id — one partitioning reused end-to-end, no corpus-wide state;
+- retention is two user_id aggregates joined on user_id, then a
+  grouped count whose output is |cohorts| × |weeks| — tiny at any
+  corpus size;
+- rolling median stays in pure column algebra (sorted-array window),
+  never a Python UDF: the frame is O(1) rows, so collect_list per row
+  is bounded work inside whole-stage codegen;
+- heavy hitters bounds the shuffle by per-partition admission: only
+  candidate tokens (≤ capacity × partitions rows) reach the exchange,
+  not the full vocabulary — the point of the pattern at 100 TB, where
+  the distinct-token set itself is shuffle-hostile.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pcap_to_parquet_spark.functions.text import whitespace_tokens
+from pcap_to_parquet_spark.registry import query
+from pcap_to_parquet_spark.sources import fan_out, load_table
+
+# ---------------------------------------------------------------------------
+# ordered funnel: view -> click -> purchase, strictly increasing ts
+
+FUNNEL_ORACLE = """
+WITH v AS (
+    SELECT user_id, MIN(ts) AS t FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, MIN(e.ts) AS t
+    FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+    WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, MIN(e.ts) AS t
+    FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+    WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT 1 AS stage_idx, 'view' AS stage, (SELECT COUNT(*) FROM v) AS n_users
+UNION ALL
+SELECT 2 AS stage_idx, 'click' AS stage, (SELECT COUNT(*) FROM c) AS n_users
+UNION ALL
+SELECT 3 AS stage_idx, 'purchase' AS stage, (SELECT COUNT(*) FROM p) AS n_users
+"""
+
+
+@query("q_funnel", FUNNEL_ORACLE)
+def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users who viewed, then clicked
+    strictly after their first view, then purchased strictly after
+    that click. The strict-ordering semantics (each stage anchored at
+    the previous stage's FIRST qualifying event) is what separates a
+    funnel from three independent filters.
+
+    Every stage is groupBy(user_id).min + an equi-join on user_id with
+    the ordering predicate as the join residual — the hash join Spark
+    plans for this carries one row per converted user, and all three
+    stages reuse the user_id partitioning. Nothing here is
+    corpus-sized: stage frames are |users| rows."""
+    e = load_table(spark, sf_dir, "events")
+
+    def first_after(prev: DataFrame, etype: str) -> DataFrame:
+        s = e.filter(F.col("event_type") == etype).alias("s")
+        p = prev.alias("p")
+        return (
+            s.join(p, (F.col("s.user_id") == F.col("p.user_id")) & (F.col("s.ts") > F.col("p.t")))
+            .groupBy(F.col("s.user_id").alias("user_id"))
+            .agg(F.min("s.ts").alias("t"))
+        )
+
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    c = first_after(v, "click")
+    p = first_after(c, "purchase")
+
+    def stage_row(df: DataFrame, idx: int, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(idx).alias("stage_idx"), F.lit(name).alias("stage"), "n_users"
+        )
+
+    return stage_row(v, 1, "view").unionAll(stage_row(c, 2, "click")).unionAll(
+        stage_row(p, 3, "purchase")
+    )
+
+
+# ---------------------------------------------------------------------------
+# cohort retention: first-seen week x activity-week offset
+
+_US_PER_WEEK = 7 * 86_400_000_000
+
+RETENTION_ORACLE = f"""
+WITH f AS (
+    SELECT user_id, MIN(epoch_us(ts)) // {_US_PER_WEEK} AS cohort_week
+    FROM events GROUP BY user_id
+),
+a AS (
+    SELECT DISTINCT user_id, epoch_us(ts) // {_US_PER_WEEK} AS week
+    FROM events
+)
+SELECT f.cohort_week, a.week - f.cohort_week AS week_offset,
+       COUNT(*) AS n_users
+FROM a JOIN f ON a.user_id = f.user_id
+GROUP BY f.cohort_week, a.week - f.cohort_week
+"""
+
+
+@query("q_retention_cohort", RETENTION_ORACLE)
+def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity week
+    (the cohort), counted in each later week they were active. The
+    week is all-integer epoch arithmetic (µs div week-µs) — identical
+    floor division in both engines, no calendar/ISO-week semantics to
+    disagree on.
+
+    Two aggregates and a join, all keyed on user_id (one partitioning
+    chain); the final groupBy's key space is |cohorts| × |offsets| —
+    tens of rows regardless of corpus size."""
+    e = load_table(spark, sf_dir, "events")
+    wk = F.expr(f"unix_micros(ts) div {_US_PER_WEEK}")
+    f = e.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    a = e.select("user_id", wk.alias("week")).distinct()
+    return (
+        a.join(f, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# rolling median: order-statistic over a bounded row frame
+
+ROLLING_MEDIAN_ORACLE = """
+SELECT user_id, event_id,
+       ROUND(median(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+       ), 4) AS roll_med
+FROM events
+"""
+
+
+@query("q_rolling_median", ROLLING_MEDIAN_ORACLE)
+def rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-row median per user — the robust-trend primitive
+    moving averages can't give you. Spark has no median window
+    function; the engine composes one from column algebra:
+    ``array_sort(collect_list(value))`` over the frame, middle element
+    (odd) or mean of the two middles (even, matching DuckDB's
+    interpolating median).
+
+    Stays entirely in whole-stage codegen — no Python UDF. The frame
+    is a bounded 7 rows, so per-row work is O(frame log frame) and the
+    only data movement is the one Exchange on user_id. An UNBOUNDED
+    frame would make this quadratic — bounded frames are the contract
+    for sorted-array windows."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, (n / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    odd = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    # n == 0 (all-null frame): element_at(…, 0) is an ANSI error, and
+    # the median of nothing is NULL — same as DuckDB
+    med = (
+        F.when(n == 0, F.lit(None).cast("double"))
+        .when(n % 2 == 1, odd)
+        .otherwise((lo + hi) / 2.0)
+    )
+    return e.select("user_id", "event_id", F.round(med, 4).alias("roll_med"))
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters: per-partition admission -> exact recount of candidates
+
+_HH_K = 20
+_HH_CAPACITY = 4096
+
+_TOK_SQL = r"list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')"
+
+HEAVY_HITTERS_ORACLE = rf"""
+WITH tok AS (
+    SELECT unnest({_TOK_SQL}) AS token FROM documents
+),
+counts AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token)
+SELECT token, n FROM counts
+ORDER BY n DESC, token
+LIMIT {_HH_K}
+"""
+
+
+@query("q_heavy_hitters", HEAVY_HITTERS_ORACLE)
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k frequent tokens via bounded-shuffle admission: each
+    partition emits only its ``capacity`` most frequent tokens
+    (vectorized pandas value_counts — the deterministic-recall variant
+    of a Misra-Gries summary), the candidate union is exactly
+    recounted, and top-k is taken from the recount.
+
+    Recall guarantee (why the oracle comparison is exact): fewer than
+    ``capacity`` tokens can exceed count n_p/capacity within a
+    partition of n_p tokens, so every token with GLOBAL count >
+    n/capacity survives admission in at least one partition — with the
+    k-th count above that bar (asserted in tests), the candidate set
+    provably contains the true top-k whatever the partitioning.
+
+    At 100 TB the difference vs a naive groupBy is the exchange: the
+    full vocabulary (billions of distinct tokens × partitions) never
+    shuffles — only ≤ capacity × partitions candidate rows do, and the
+    recount join broadcasts the candidate set."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = fan_out(d).select(F.explode(whitespace_tokens("text")).alias("token"))
+
+    def admit(batches):
+        for pdf in batches:
+            vc = pdf["token"].value_counts().head(_HH_CAPACITY)
+            yield pd.DataFrame({"token": vc.index.astype(str)})
+
+    candidates = tok.mapInPandas(admit, "token string").distinct()
+    # exact recount of candidates only; the candidate set is small by
+    # construction, so it broadcasts and the shuffle carries one row
+    # per (partition, candidate) partial count
+    recount = (
+        tok.join(F.broadcast(candidates), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return recount.orderBy(F.col("n").desc(), "token").limit(_HH_K)

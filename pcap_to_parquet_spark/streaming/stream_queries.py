@@ -23,7 +23,11 @@ from pyspark.sql.types import (
 
 from pcap_to_parquet_spark.registry import query
 from pcap_to_parquet_spark.session import tune
-from pcap_to_parquet_spark.sources.tables import events_raw_schema, normalize_event_ts
+from pcap_to_parquet_spark.sources.tables import (
+    events_raw_schema,
+    load_table,
+    normalize_event_ts,
+)
 
 _sink_seq = itertools.count()
 
@@ -620,3 +624,55 @@ def stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.select(
         "user_id", "n_events", F.round("total_value", 4).alias("total_value"), "last_seen"
     )
+
+
+# ---------------------------------------------------------------------------
+# stream-static join: live events enriched against a batch dimension
+
+STREAM_STATIC_ORACLE = """
+WITH dim AS (
+    SELECT user_id, COUNT(*) AS n_purch FROM events
+    WHERE event_type = 'purchase' GROUP BY user_id
+),
+tiers AS (
+    SELECT user_id,
+           CASE WHEN n_purch >= 15 THEN 'high' ELSE 'low' END AS tier
+    FROM dim
+)
+SELECT t.tier, COUNT(*) AS n_events, ROUND(SUM(e.value), 4) AS total_value
+FROM events e JOIN tiers t ON e.user_id = t.user_id
+WHERE e.event_type = 'click'
+GROUP BY t.tier
+"""
+
+
+@query("q_stream_static_join", STREAM_STATIC_ORACLE)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the click stream joined to a BATCH
+    user-tier dimension (derived from purchase history), then
+    aggregated per tier — the standard serving-layer shape where a
+    slowly-rebuilt dimension enriches a live stream.
+
+    The static side is a plain DataFrame: Spark re-plans it per
+    micro-batch (picking up dimension rebuilds between batches) and,
+    being |users|-sized, broadcasts it — the join is stateless and
+    map-side, nothing buffers in state. Only the final per-tier
+    aggregate keeps state, and its key space is 2 rows. Oracle = the
+    same join in batch."""
+    tiers = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purch"))
+        .select(
+            "user_id",
+            F.when(F.col("n_purch") >= 15, "high").otherwise("low").alias("tier"),
+        )
+    )
+    clicks = stream_events(spark, sf_dir).filter(F.col("event_type") == "click")
+    enriched = clicks.join(F.broadcast(tiers), "user_id")
+    agg = enriched.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    return run_to_memory(agg, "complete")

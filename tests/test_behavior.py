@@ -1,0 +1,120 @@
+"""Invariant tests for the user-behavior operator family (funnel,
+retention, rolling median, heavy hitters, z-order lake) — properties
+the DuckDB oracle can't express, plus the preconditions the operators'
+exactness guarantees rest on."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pcap_to_parquet_spark.operators  # noqa: F401  (registers queries)
+
+from pcap_to_parquet_spark.registry import QUERIES
+from tests.conftest import SF0001
+
+
+def test_funnel_counts_are_monotone_nonincreasing(spark):
+    """Each stage is anchored strictly after the previous stage's first
+    event, so stage populations can only shrink."""
+    rows = {r.stage: r.n_users for r in QUERIES["q_funnel"](spark, SF0001).collect()}
+    assert set(rows) == {"view", "click", "purchase"}
+    assert rows["view"] >= rows["click"] >= rows["purchase"]
+    assert rows["purchase"] > 0  # sf0.001 has converting users
+
+
+def test_retention_offset_zero_covers_every_user(spark):
+    """Every user is active in their own cohort week, so offset-0 rows
+    sum to the distinct-user count and every offset is >= 0."""
+    from pcap_to_parquet_spark.sources import load_table
+
+    rows = QUERIES["q_retention_cohort"](spark, SF0001).collect()
+    assert all(r.week_offset >= 0 for r in rows)
+    zero = sum(r.n_users for r in rows if r.week_offset == 0)
+    n_users = load_table(spark, SF0001, "events").select("user_id").distinct().count()
+    assert zero == n_users
+
+
+def test_rolling_median_matches_bruteforce(spark):
+    """Windowed sorted-array median equals a per-user brute force over
+    the same (ts, event_id)-ordered frame."""
+    from pcap_to_parquet_spark.sources import load_table
+
+    got = {
+        (r.user_id, r.event_id): r.roll_med
+        for r in QUERIES["q_rolling_median"](spark, SF0001).collect()
+    }
+    events = (
+        load_table(spark, SF0001, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in events:
+        by_user[r.user_id].append(r)
+    checked = 0
+    for uid in list(by_user)[:5]:
+        rs = sorted(by_user[uid], key=lambda r: (r.ts, r.event_id))
+        for i, r in enumerate(rs):
+            frame = sorted(
+                v.value for v in rs[max(0, i - 6) : i + 1] if v.value is not None
+            )
+            n = len(frame)
+            if n == 0:
+                exp = None
+            elif n % 2 == 1:
+                exp = frame[n // 2]
+            else:
+                exp = (frame[n // 2 - 1] + frame[n // 2]) / 2.0
+            exp = round(exp, 4) if exp is not None else None
+            assert got[(uid, r.event_id)] == exp, (uid, r.event_id)
+            checked += 1
+    assert checked > 50
+
+
+def test_heavy_hitters_recall_precondition_holds(spark):
+    """The admission pass is exact only while the k-th hitter's count
+    exceeds n_tokens/capacity — assert the margin so data drift that
+    breaks the guarantee fails loudly here, not as an oracle flake."""
+    from pcap_to_parquet_spark.operators.behavior import _HH_CAPACITY, _HH_K
+    from pcap_to_parquet_spark.functions.text import whitespace_tokens
+    from pcap_to_parquet_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["q_heavy_hitters"](spark, SF0001).collect()
+    assert len(rows) == _HH_K
+    counts = [r.n for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    n_tokens = (
+        load_table(spark, SF0001, "documents")
+        .select(F.explode(whitespace_tokens("text")))
+        .count()
+    )
+    assert counts[-1] > n_tokens / _HH_CAPACITY
+
+
+def test_zorder_lake_prunes_on_both_dimensions(spark):
+    """The clustered copy's parquet footers must let a selective filter
+    on user_id skip most files — the point of the z-order rewrite."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pcap_to_parquet_spark.sources import keyed_tmp_dirs
+
+    QUERIES["q_zorder_lake"](spark, SF0001).collect()  # builds the lake
+    src = os.path.join(os.path.abspath(SF0001), "events.parquet")
+    (out,) = keyed_tmp_dirs("zorder", src, "v1-user-day-16f", "lake")
+    parts = glob.glob(os.path.join(out, "*.parquet"))
+    assert len(parts) >= 8
+    admitting = 0
+    for p in parts:
+        md = pq.ParquetFile(p).metadata
+        lo = min(md.row_group(i).column(2).statistics.min for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(2).statistics.max for i in range(md.num_row_groups))
+        # column 2 is user_id (event_id, ts, user_id, ...)
+        if lo <= 47 and hi >= 40:
+            admitting += 1
+    # z-order keeps user_id locally dense: the 8-user filter must not
+    # admit every file (an unsorted write admits all of them)
+    assert admitting <= len(parts) // 2, (admitting, len(parts))

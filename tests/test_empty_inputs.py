@@ -71,6 +71,11 @@ EMPTY_SAFE = [
     "q_sql_local_volume",
     "q_window_nth",
     "q_lake_compact",
+    "q_retention_cohort",
+    "q_rolling_median",
+    "q_heavy_hitters",
+    "q_zorder_lake",
+    "q_stream_static_join",
 ]
 
 # global aggregates return one constant row on empty input (their
@@ -78,6 +83,7 @@ EMPTY_SAFE = [
 CONSTANT_ON_EMPTY = {
     "q_table_profile": 3,  # one profile row per profiled column
     "q_schema_evolution": 1,  # one summary row of zero counts
+    "q_funnel": 3,  # one row per stage, all counts zero
 }
 
 
