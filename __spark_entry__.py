@@ -75,6 +75,10 @@ _GATE_FRONT = [
     "q_heavy_hitters",
     "q_zorder_lake",
     "q_stream_static_join",
+    "q_rolling_distinct",
+    "q_peak_concurrency",
+    "q_cdc_apply",
+    "q_orc_lake",
     # changed this round / stale since a behavioral change (the ts
     # ingestion dispatch touched every events consumer; asof/self_join
     # below are the events-joining refreshes)
@@ -83,11 +87,8 @@ _GATE_FRONT = [
     "q_dedup_clusters",
     "q_dedup_minhash",
     # last driver row is round 1 — refresh the oracle-bearing ones
-    # (the rest of the r1-only set rotates in next round)
-    "q_outer_join",
-    "q_full_outer_join",
-    "q_semi_join",
-    "q_anti_join",
+    # (the rest of the r1-only set rotates in next round); asof/self
+    # join events, so the ts-dispatch change makes them priority
     "q_range_join",
     "q_asof_join",
     "q_self_join",

@@ -245,3 +245,153 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return recount.orderBy(F.col("n").desc(), "token").limit(_HH_K)
+
+
+# ---------------------------------------------------------------------------
+# rolling distinct users: the 7-day-active (WAU) metric
+
+_US_PER_DAY = 86_400_000_000
+
+ROLLING_DISTINCT_ORACLE = f"""
+WITH ud AS (
+    SELECT DISTINCT user_id, epoch_us(ts) // {_US_PER_DAY} AS day FROM events
+),
+days AS (SELECT DISTINCT day FROM ud),
+expanded AS (
+    SELECT d.day, u.user_id
+    FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+)
+SELECT day, COUNT(DISTINCT user_id) AS wau FROM expanded GROUP BY day
+"""
+
+
+@query("q_rolling_distinct", ROLLING_DISTINCT_ORACLE)
+def rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct actives per day (the WAU curve). Distinct
+    counts don't decompose over sliding windows, so the exact shape is
+    replicate-then-distinct: each (user, active-day) row fans out to
+    the ≤7 report days it supports (map-side ``explode(sequence)``,
+    no join), then a two-phase distinct count per report day.
+
+    The fan-out factor is the window length — bounded, known, and far
+    cheaper at scale than per-day full-history distincts. Report days
+    are clipped to days that actually occur (broadcast semi-join with
+    the tiny day dimension), matching the oracle's day set."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.expr(f"unix_micros(ts) div {_US_PER_DAY}")
+    ud = e.select("user_id", day.alias("day")).distinct()
+    days = ud.select("day").distinct()
+    fanned = ud.select(
+        "user_id", F.explode(F.sequence("day", F.col("day") + 6)).alias("rday")
+    )
+    return (
+        fanned.join(F.broadcast(days), fanned.rday == days.day, "left_semi")
+        .groupBy(F.col("rday").alias("day"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# peak concurrency: sweep-line max of overlapping activity intervals
+
+_HOLD_US = 300_000_000  # each event holds its resource for 5 minutes
+
+PEAK_CONCURRENCY_ORACLE = f"""
+WITH pts AS (
+    SELECT epoch_us(ts) AS t, 1 AS delta FROM events
+    UNION ALL
+    SELECT epoch_us(ts) + {_HOLD_US} AS t, -1 AS delta FROM events
+),
+sweep AS (
+    SELECT t // {_US_PER_DAY} AS day,
+           SUM(delta) OVER (PARTITION BY t // {_US_PER_DAY} ORDER BY t, delta)
+               AS running
+    FROM pts
+)
+SELECT day, CAST(MAX(running) AS BIGINT) AS peak FROM sweep GROUP BY day
+"""
+
+
+@query("q_peak_concurrency", PEAK_CONCURRENCY_ORACLE)
+def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak simultaneous activity intervals per day — the sweep line:
+    every interval contributes a +1 at its start and a −1 at its end,
+    the running sum orders by (t, delta) so ends precede starts at the
+    same instant (half-open intervals), and the per-day max of the
+    running sum is the peak. Day partitioning resets the sweep at
+    midnight (documented boundary convention, identical in the
+    oracle), which is what keeps the window PARTITIONED — the
+    unpartitioned global sweep is the single-sort trap q_window_dist
+    demonstrates the escape from.
+
+    Default RANGE window frames on both engines make tie groups
+    deterministic: all rows of an equal (t, delta) key see the same
+    running value, and group maxima are permutation-invariant."""
+    e = load_table(spark, sf_dir, "events")
+    t = F.unix_micros("ts")
+    starts = e.select(t.alias("t"), F.lit(1).alias("delta"))
+    ends = e.select((t + _HOLD_US).alias("t"), F.lit(-1).alias("delta"))
+    pts = starts.unionAll(ends).withColumn("day", F.expr(f"t div {_US_PER_DAY}"))
+    w = Window.partitionBy("day").orderBy("t", "delta")
+    return (
+        pts.withColumn("running", F.sum("delta").over(w))
+        .groupBy("day")
+        .agg(F.max("running").alias("peak"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC apply: latest-wins with delete tombstones, as one aggregate
+
+CDC_APPLY_ORACLE = """
+WITH cdc AS (
+    SELECT user_id, ts, event_id, value,
+           CASE event_type WHEN 'signup' THEN 'I'
+                           WHEN 'error' THEN 'D'
+                           ELSE 'U' END AS op
+    FROM events
+),
+latest AS (
+    SELECT user_id, op, value,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+           ) AS rn,
+           COUNT(*) OVER (PARTITION BY user_id) AS n_ops
+    FROM cdc
+)
+SELECT user_id, ROUND(value, 4) AS last_value, n_ops
+FROM latest WHERE rn = 1 AND op <> 'D'
+"""
+
+
+@query("q_cdc_apply", CDC_APPLY_ORACLE)
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture apply: collapse a keyed op log
+    (insert/update/delete) to its final state — latest op wins, a
+    trailing delete tombstones the key. The op column is derived from
+    event_type (signup=I, error=D, else U) to give the events table
+    CDC semantics.
+
+    Implemented as ONE hash aggregate with ``max_by(struct(op, value),
+    struct(ts, event_id))`` rather than the row_number window the
+    oracle uses: the aggregate partial-combines map-side, so the
+    shuffle carries one row per (partition, key) instead of the full
+    history, and nothing is sorted — the asymptotic difference between
+    compacting a 100 TB CDC log (agg) and re-sorting it (window)."""
+    e = load_table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+    )
+    latest = (
+        e.select("user_id", "ts", "event_id", "value", op.alias("op"))
+        .groupBy("user_id")
+        .agg(
+            F.max_by(F.struct("op", "value"), F.struct("ts", "event_id")).alias("last"),
+            F.count(F.lit(1)).alias("n_ops"),
+        )
+    )
+    return latest.filter(F.col("last.op") != "D").select(
+        "user_id", F.round("last.value", 4).alias("last_value"), "n_ops"
+    )

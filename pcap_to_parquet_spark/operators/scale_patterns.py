@@ -384,3 +384,41 @@ def zorder_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ORC lake: second columnar format through the same engine surface
+
+ORC_LAKE_ORACLE = """
+SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value,
+       ROUND(AVG(value), 4) AS avg_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("q_orc_lake", ORC_LAKE_ORACLE)
+def orc_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format plurality: events rewritten as ZSTD ORC and aggregated
+    FROM THE ORC COPY, value-checked against the oracle's read of the
+    original parquet — proving the engine's scan/sink surface is not
+    parquet-only. ORC brings its own footer statistics and predicate
+    pushdown in Spark, so every pruning argument made for the parquet
+    lakes holds here too; a 100 TB estate frequently mixes both
+    formats and the query layer must not care."""
+    from pcap_to_parquet_spark.sources import keyed_tmp_dirs, load_table
+
+    src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    (out,) = keyed_tmp_dirs("orc", src, "v1-zstd", "lake")
+    ev = load_table(spark, sf_dir, "events")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        ev.write.mode("overwrite").option("compression", "zstd").orc(out)
+    return (
+        spark.read.schema(ev.schema).orc(out)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )

@@ -118,3 +118,90 @@ def test_zorder_lake_prunes_on_both_dimensions(spark):
     # z-order keeps user_id locally dense: the 8-user filter must not
     # admit every file (an unsorted write admits all of them)
     assert admitting <= len(parts) // 2, (admitting, len(parts))
+
+
+def test_cdc_apply_tombstones_and_op_counts(spark):
+    """Users whose chronologically-last op is a delete are absent; the
+    surviving rows' op counts plus deleted users' histories cover every
+    event."""
+    from pcap_to_parquet_spark.sources import load_table
+
+    rows = {r.user_id: r for r in QUERIES["q_cdc_apply"](spark, SF0001).collect()}
+    events = load_table(spark, SF0001, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    by_user = defaultdict(list)
+    for r in events:
+        by_user[r.user_id].append(r)
+    total_surviving = 0
+    for uid, rs in by_user.items():
+        last = max(rs, key=lambda r: (r.ts, r.event_id))
+        if last.event_type == "error":
+            assert uid not in rows, uid
+        else:
+            assert uid in rows, uid
+            assert rows[uid].n_ops == len(rs), uid
+            total_surviving += len(rs)
+    assert total_surviving == sum(r.n_ops for r in rows.values())
+
+
+def test_peak_concurrency_bruteforce_one_day(spark):
+    """Sweep-line peak equals a brute-force scan of one day's
+    half-open [ts, ts+5min) intervals."""
+    from pcap_to_parquet_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    US_DAY, HOLD = 86_400_000_000, 300_000_000
+    peaks = {r.day: r.peak for r in QUERIES["q_peak_concurrency"](spark, SF0001).collect()}
+    day = sorted(peaks)[3]
+    ev = (
+        load_table(spark, SF0001, "events")
+        .select(F.unix_micros("ts").alias("t"))
+        .collect()
+    )
+    # same boundary convention as the operator: only deltas landing in
+    # the day count, sweep starts at zero
+    deltas = [(r.t, 1) for r in ev if r.t // US_DAY == day]
+    deltas += [(r.t + HOLD, -1) for r in ev if (r.t + HOLD) // US_DAY == day]
+    running = peak = 0
+    for _, d in sorted(deltas):  # (t, -1) sorts before (t, +1)
+        running += d
+        peak = max(peak, running)
+    assert peaks[day] == peak
+
+
+def test_rolling_distinct_bounds(spark):
+    """WAU(d) is sandwiched between DAU(d) and min(total users,
+    cumulative distinct) and is monotone under window growth."""
+    from pcap_to_parquet_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    US_DAY = 86_400_000_000
+    wau = {r.day: r.wau for r in QUERIES["q_rolling_distinct"](spark, SF0001).collect()}
+    e = load_table(spark, SF0001, "events")
+    day = F.expr(f"unix_micros(ts) div {US_DAY}")
+    dau = {
+        r.day: r.dau
+        for r in e.groupBy(day.alias("day"))
+        .agg(F.countDistinct("user_id").alias("dau"))
+        .collect()
+    }
+    n_users = e.select("user_id").distinct().count()
+    for d, w in wau.items():
+        assert dau[d] <= w <= n_users, d
+
+
+def test_orc_lake_reads_orc_files(spark):
+    """The round-trip actually wrote ORC, not parquet with a new name."""
+    import glob
+    import os
+
+    from pcap_to_parquet_spark.sources import keyed_tmp_dirs
+
+    QUERIES["q_orc_lake"](spark, SF0001).collect()
+    src = os.path.join(os.path.abspath(SF0001), "events.parquet")
+    (out,) = keyed_tmp_dirs("orc", src, "v1-zstd", "lake")
+    parts = glob.glob(os.path.join(out, "*.orc"))
+    assert parts, os.listdir(out)
+    with open(parts[0], "rb") as fh:
+        assert fh.read(3) == b"ORC"

@@ -76,6 +76,10 @@ EMPTY_SAFE = [
     "q_heavy_hitters",
     "q_zorder_lake",
     "q_stream_static_join",
+    "q_rolling_distinct",
+    "q_peak_concurrency",
+    "q_cdc_apply",
+    "q_orc_lake",
 ]
 
 # global aggregates return one constant row on empty input (their
