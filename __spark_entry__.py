@@ -79,6 +79,10 @@ _GATE_FRONT = [
     "q_peak_concurrency",
     "q_cdc_apply",
     "q_orc_lake",
+    "q_markov_transitions",
+    "q_basket_pairs",
+    "q_ab_ttest",
+    "q_pct_change",
     # changed this round / stale since a behavioral change (the ts
     # ingestion dispatch touched every events consumer; asof/self_join
     # below are the events-joining refreshes)
@@ -87,13 +91,9 @@ _GATE_FRONT = [
     "q_dedup_clusters",
     "q_dedup_minhash",
     # last driver row is round 1 — refresh the oracle-bearing ones
-    # (the rest of the r1-only set rotates in next round); asof/self
-    # join events, so the ts-dispatch change makes them priority
-    "q_range_join",
+    # (the rest of the r1-only set rotates in next round); asof joins
+    # events, so the ts-dispatch change makes it priority
     "q_asof_join",
-    "q_self_join",
-    "q_embed_neardup",
-    "q_similarity_topk",
 ]
 
 

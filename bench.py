@@ -48,6 +48,8 @@ HEADLINE = [
     "q_dedup_clusters",     # iterative path: label propagation
     "q_sql_pricing_summary",  # TPC-H Q1 as SQL text: scan-bound agg
     "q_bm25",               # lexical retrieval: two aggs + broadcast
+    "q_heavy_hitters",      # bounded-shuffle admission + recount
+    "q_cdc_apply",          # max_by log compaction (agg, not sort)
 ]
 
 # round-over-round reference (same box, sf0.1, local[32]):

@@ -395,3 +395,180 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.filter(F.col("last.op") != "D").select(
         "user_id", F.round("last.value", 4).alias("last_value"), "n_ops"
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov transitions: event-type bigram matrix with row-normalized P
+
+MARKOV_ORACLE = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS prev
+    FROM events
+)
+SELECT prev AS prev_state, event_type AS next_state, COUNT(*) AS n,
+       ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY prev), 4) AS p
+FROM seq WHERE prev IS NOT NULL
+GROUP BY prev, event_type
+"""
+
+
+@query("q_markov_transitions", MARKOV_ORACLE)
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavior model: the event-type transition matrix
+    (bigram counts per user timeline, row-normalized to probabilities).
+    What \"what do users do after an error?\" queries and
+    next-action-prediction baselines are built from.
+
+    The lag window shuffles once on user_id; the transition aggregate
+    then reduces to |states|² rows, so the row-normalizing window runs
+    over a 25-row frame — the tiny-aggregate case where a broadcast-
+    size window is the right call, not a scale hazard."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.withColumn("prev", F.lag("event_type").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    counts = seq.groupBy(
+        F.col("prev").alias("prev_state"), F.col("event_type").alias("next_state")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wp = Window.partitionBy("prev_state")
+    return counts.select(
+        "prev_state",
+        "next_state",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wp), 4).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# market-basket affinity: part pairs co-ordered, top-k
+
+_BASKET_K = 20
+
+BASKET_ORACLE = f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+FROM items a
+JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT {_BASKET_K}
+"""
+
+
+@query("q_basket_pairs", BASKET_ORACLE)
+def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the part pairs most often ordered
+    together (the affinity/recommendation primitive). Distinct
+    (order, part), self-join on the order key with ``part_a < part_b``
+    to emit each unordered pair once, count, exact top-k.
+
+    The self-join is EQUI on l_orderkey, so both sides co-partition on
+    the same key — one shuffle each, never a cartesian; per-order
+    fan-out is C(items,2) with basket-sized items, which is the
+    bounded blow-up this query is priced at (the same hot-key argument
+    as ngram_jaccard's DF cap: a pathological mega-order would need a
+    basket-size cap, noted here for 100 TB honesty). Top-k is
+    TakeOrderedAndProject with a full (n, part_a, part_b) tiebreak —
+    deterministic, no global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+    )
+    counts = pairs.groupBy("part_a", "part_b").agg(F.count(F.lit(1)).alias("n_orders"))
+    return counts.orderBy(F.col("n_orders").desc(), "part_a", "part_b").limit(_BASKET_K)
+
+
+# ---------------------------------------------------------------------------
+# A/B comparison: Welch t-statistic per event_type between user halves
+
+AB_TTEST_ORACLE = """
+WITH s AS (
+    SELECT event_type, user_id % 2 AS grp,
+           COUNT(*) AS n, AVG(value) AS m, VAR_SAMP(value) AS v
+    FROM events GROUP BY 1, 2
+)
+SELECT a.event_type, a.n AS n_a, b.n AS n_b,
+       ROUND(a.m - b.m, 4) AS mean_diff,
+       ROUND((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 4) AS t_stat
+FROM s a JOIN s b ON a.event_type = b.event_type
+WHERE a.grp = 0 AND b.grp = 1
+"""
+
+
+@query("q_ab_ttest", AB_TTEST_ORACLE)
+def ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample experiment readout: Welch's t-statistic per event
+    type between the user_id-parity halves (the deterministic stand-in
+    for an assignment column). One grouped aggregate computes
+    count/mean/variance for every (metric, arm) — map-side combinable
+    — and the t-stat assembles from the |metrics|×2 summary, so the
+    corpus is read once and nothing but the summary shuffles.
+
+    sqrt is IEEE-correctly-rounded everywhere (unlike ln — the tfidf
+    lesson), so cross-engine parity holds at full precision before the
+    display rounding."""
+    e = load_table(spark, sf_dir, "events")
+    s = e.groupBy("event_type", (F.col("user_id") % 2).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    a = s.filter(F.col("grp") == 0).alias("a")
+    b = s.filter(F.col("grp") == 1).alias("b")
+    return a.join(b, F.col("a.event_type") == F.col("b.event_type")).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.round(F.col("a.m") - F.col("b.m"), 4).alias("mean_diff"),
+        F.round(
+            (F.col("a.m") - F.col("b.m"))
+            / F.sqrt(F.col("a.v") / F.col("a.n") + F.col("b.v") / F.col("b.n")),
+            4,
+        ).alias("t_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# period-over-period: daily revenue with percent change
+
+PCT_CHANGE_ORACLE = f"""
+WITH daily AS (
+    SELECT epoch_us(ts) // {_US_PER_DAY} AS day, SUM(value) AS revenue
+    FROM events GROUP BY 1
+)
+SELECT day, ROUND(revenue, 4) AS revenue,
+       ROUND((revenue - LAG(revenue) OVER (ORDER BY day))
+             / LAG(revenue) OVER (ORDER BY day), 4) AS pct_change
+FROM daily
+"""
+
+
+@query("q_pct_change", PCT_CHANGE_ORACLE)
+def pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day revenue change — the dashboard staple. The
+    aggregate reduces the corpus to one row per day FIRST; the
+    unpartitioned lag window then runs over that |days|-sized series,
+    which is the documented tiny-aggregate exception to the
+    no-global-window rule (same argument as q_vocab_build's rank)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.expr(f"unix_micros(ts) div {_US_PER_DAY}").alias("day")
+    ).agg(F.sum("value").alias("revenue"))
+    w = Window.orderBy("day")
+    prev = F.lag("revenue").over(w)
+    return daily.select(
+        "day",
+        F.round("revenue", 4).alias("revenue"),
+        F.round((F.col("revenue") - prev) / prev, 4).alias("pct_change"),
+    )

@@ -205,3 +205,60 @@ def test_orc_lake_reads_orc_files(spark):
     assert parts, os.listdir(out)
     with open(parts[0], "rb") as fh:
         assert fh.read(3) == b"ORC"
+
+
+def test_markov_rows_are_probabilities(spark):
+    """Each prev_state's outgoing probabilities sum to ~1 and the
+    transition count total is |events| - |users| (every user timeline
+    loses exactly its first event)."""
+    from pcap_to_parquet_spark.sources import load_table
+
+    rows = QUERIES["q_markov_transitions"](spark, SF0001).collect()
+    by_prev = defaultdict(float)
+    for r in rows:
+        assert 0.0 < r.p <= 1.0
+        by_prev[r.prev_state] += r.p
+    for prev, total in by_prev.items():
+        assert abs(total - 1.0) < 1e-2, (prev, total)  # 4dp rounding x 5 rows
+    e = load_table(spark, SF0001, "events")
+    n_events = e.count()
+    n_users = e.select("user_id").distinct().count()
+    assert sum(r.n for r in rows) == n_events - n_users
+
+
+def test_basket_pairs_ordered_and_canonical(spark):
+    rows = QUERIES["q_basket_pairs"](spark, SF0001).collect()
+    assert rows, "sf0.001 has co-ordered parts"
+    assert all(r.part_a < r.part_b for r in rows)
+    counts = [r.n_orders for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_ab_ttest_consistency(spark):
+    """t-stat carries the sign of the mean difference and the arm
+    counts cover every event of that type."""
+    from pcap_to_parquet_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["q_ab_ttest"](spark, SF0001).collect()
+    totals = {
+        r.event_type: r.n
+        for r in load_table(spark, SF0001, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert len(rows) == len(totals)
+    for r in rows:
+        assert r.n_a + r.n_b == totals[r.event_type]
+        if r.mean_diff != 0:
+            assert (r.t_stat > 0) == (r.mean_diff > 0), r
+
+
+def test_pct_change_first_day_null_then_consistent(spark):
+    rows = sorted(QUERIES["q_pct_change"](spark, SF0001).collect(), key=lambda r: r.day)
+    assert rows[0].pct_change is None
+    for a, b in zip(rows, rows[1:]):
+        if a.revenue:
+            exp = round((b.revenue - a.revenue) / a.revenue, 4)
+            assert abs(b.pct_change - exp) < 5e-4, b.day

@@ -80,6 +80,10 @@ EMPTY_SAFE = [
     "q_peak_concurrency",
     "q_cdc_apply",
     "q_orc_lake",
+    "q_markov_transitions",
+    "q_basket_pairs",
+    "q_ab_ttest",
+    "q_pct_change",
 ]
 
 # global aggregates return one constant row on empty input (their

@@ -302,3 +302,83 @@ def test_table_profile_and_window_nth_shapes(spark):
     p = prof(spark, "q_window_nth")
     assert p.get("Window", 0) == 1
     assert p["exchanges"] == 1
+
+
+def test_behavior_family_shapes(spark):
+    """Pin the scale claims of the behavior-analytics operators."""
+    # funnel: equi-joins + aggs only; the only single-partition nodes
+    # are the three 1-row stage counts
+    p = prof(spark, "q_funnel")
+    assert "CartesianProduct" not in p
+    assert p.get("single_partition", 0) <= 3
+
+    # retention / rolling distinct: user-keyed aggs, never a global sort
+    for name in ("q_retention_cohort", "q_rolling_distinct"):
+        p = prof(spark, name)
+        assert p.get("single_partition", 0) == 0, name
+        assert "CartesianProduct" not in p, name
+
+    # rolling median: ONE exchange, the user-partitioned window
+    p = prof(spark, "q_rolling_median")
+    assert p["exchanges"] == 1
+    assert p.get("Window", 0) == 1
+    assert p.get("single_partition", 0) == 0
+
+    # heavy hitters: admission is MapInPandas, the recount join
+    # broadcasts the candidates, top-k is TakeOrdered (no global sort)
+    p = prof(spark, "q_heavy_hitters")
+    assert p.get("MapInPandas", 0) == 1
+    assert p.get("BroadcastHashJoin", 0) >= 1
+    assert p.get("TakeOrderedAndProject", 0) == 1
+
+    # sweep line: day-PARTITIONED window — one exchange, no global sort
+    p = prof(spark, "q_peak_concurrency")
+    assert p["exchanges"] == 1
+    assert p.get("single_partition", 0) == 0
+
+    # CDC apply: ONE aggregation pass (partial+final), no window/sort
+    # of the full history
+    p = prof(spark, "q_cdc_apply")
+    assert "Window" not in p
+    assert p["exchanges"] == 1
+    agg_ops = p.get("HashAggregate", 0) + p.get("SortAggregate", 0) + p.get(
+        "ObjectHashAggregate", 0
+    )
+    assert agg_ops == 2
+
+
+def test_clustered_lakes_prune_and_stay_single_exchange(spark):
+    # z-order lake: the 2-D filter reaches the scan
+    p = prof(spark, "q_zorder_lake")
+    assert p["pushed_filters"] >= 1
+    assert p["exchanges"] == 1
+
+    # ORC lake: same single-exchange aggregate as the parquet path
+    p = prof(spark, "q_orc_lake")
+    assert p["exchanges"] == 1
+    assert p.get("single_partition", 0) == 0
+
+
+def test_batch3_behavior_shapes(spark):
+    # markov: user-partitioned lag window + agg; the row-normalizing
+    # window runs over the 25-row summary (one tolerated tiny sort)
+    p = prof(spark, "q_markov_transitions")
+    assert "CartesianProduct" not in p
+    assert p.get("Window", 0) >= 1
+
+    # basket pairs: EQUI self-join on the order key + TakeOrdered
+    p = prof(spark, "q_basket_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.get("TakeOrderedAndProject", 0) == 1
+
+    # A/B: one aggregate over the corpus; the arm-vs-arm join is over
+    # the summary frame
+    p = prof(spark, "q_ab_ttest")
+    assert "CartesianProduct" not in p
+    assert p.get("single_partition", 0) == 0
+
+    # pct change: corpus reduced to |days| rows BEFORE the lone global
+    # window (the documented tiny-aggregate exception)
+    p = prof(spark, "q_pct_change")
+    assert p.get("Window", 0) == 1
