@@ -534,6 +534,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     labels = d.select("doc_id", F.col("doc_id").alias("cluster_id")).cache()
+    # labels is a PROJECTION of the persisted frame from round_no-1;
+    # unpersist must target the persisted frame itself
+    persisted = labels
     converged = False
     for round_no in range(50):
         neigh = (
@@ -541,8 +544,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("b").alias("doc_id"))
             .agg(F.min("cluster_id").alias("neigh_min"))
         )
-        new_labels = labels.join(neigh, "doc_id", "left").select(
+        # carry the old label through the ONE join so the convergence
+        # check below is a filter on this same frame — a second
+        # labels-join per round (the r1-r3a shape) doubled the round's
+        # shuffle count for no information gain
+        merged = labels.join(neigh, "doc_id", "left").select(
             "doc_id",
+            F.col("cluster_id").alias("old"),
             F.least("cluster_id", F.coalesce("neigh_min", "cluster_id")).alias("cluster_id"),
         )
         if round_no % 5 == 4:
@@ -552,22 +560,18 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             # chain eventually chokes the driver's planner. The eager
             # localCheckpoint is nearly free — the convergence count
             # below materializes this frame anyway.
-            new_labels = new_labels.localCheckpoint(eager=True)
+            merged = merged.localCheckpoint(eager=True)
         else:
-            new_labels = new_labels.cache()
-        changed = (
-            new_labels.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
-            .filter(F.col("cluster_id") != F.col("old"))
-            .limit(1)
-            .count()
-        )
+            merged = merged.cache()
+        changed = merged.filter(F.col("cluster_id") != F.col("old")).limit(1).count()
         # release the PREVIOUS round's frame now that `changed` has
         # materialized the new one (cache rounds free their blocks here;
         # localCheckpoint rounds are reclaimed by the ContextCleaner once
         # the reference drops) — without this a slow-converging graph
         # accumulates up to 50 cached frames in executor memory
-        labels.unpersist()
-        labels = new_labels
+        persisted.unpersist()
+        persisted = merged
+        labels = merged.select("doc_id", "cluster_id")
         if changed == 0:
             converged = True
             break
