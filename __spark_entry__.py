@@ -83,6 +83,8 @@ _GATE_FRONT = [
     "q_basket_pairs",
     "q_ab_ttest",
     "q_pct_change",
+    "q_stream_left_outer",
+    "q_time_travel",
     # changed this round / stale since a behavioral change (the ts
     # ingestion dispatch touched every events consumer; asof/self_join
     # below are the events-joining refreshes)
@@ -90,10 +92,8 @@ _GATE_FRONT = [
     "q_stream_parquet_sink",
     "q_dedup_clusters",
     "q_dedup_minhash",
-    # last driver row is round 1 — refresh the oracle-bearing ones
-    # (the rest of the r1-only set rotates in next round); asof joins
-    # events, so the ts-dispatch change makes it priority
-    "q_asof_join",
+    # (the rest of the r1-only refresh set rotates in next round —
+    # never-checked new queries outrank stale-green refreshes)
 ]
 
 

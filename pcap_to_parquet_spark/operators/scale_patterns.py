@@ -16,6 +16,7 @@ plans are the shapes that survive 100 TB:
 
 from __future__ import annotations
 
+import glob
 import hashlib
 import os
 import tempfile
@@ -422,3 +423,78 @@ def orc_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value"), 4).alias("avg_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# time travel: manifest-pinned snapshot reads over an append-only lake
+
+TIME_TRAVEL_ORACLE = f"""
+WITH v1 AS (
+    SELECT * FROM events WHERE epoch_us(ts) // {_US_PER_DAY} <= 19737
+),
+v2 AS (SELECT * FROM events)
+SELECT 1 AS version, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value
+FROM v1
+UNION ALL
+SELECT 2 AS version, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value
+FROM v2
+"""
+
+
+@query("q_time_travel", TIME_TRAVEL_ORACLE)
+def time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation with plain parquet + manifests — the core
+    mechanic of Delta/Iceberg time travel, reproduced with stock
+    Spark: each committed batch appends files plus a ``manifest-N``
+    listing EVERY file visible in version N. Readers pin a version by
+    loading that manifest's file list, so an in-flight append (files
+    on disk, manifest not yet written) is invisible — and old
+    versions stay queryable forever.
+
+    The lake here commits v1 (events through day 19737) then appends
+    the remainder as v2; the query aggregates BOTH versions from their
+    manifests and the oracle recomputes each snapshot by predicate.
+    At 100 TB the manifest read is a driver-side O(files) listing —
+    exactly what table formats do, minus their compaction of the
+    manifest itself."""
+    import json
+
+    from pcap_to_parquet_spark.sources import keyed_tmp_dirs, load_table
+
+    src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    (lake,) = keyed_tmp_dirs("timetravel", src, "v1-two-snapshots", "lake")
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr(f"unix_micros(ts) div {_US_PER_DAY}")
+    if not os.path.exists(os.path.join(lake, "manifest-2.json")):
+        os.makedirs(lake, exist_ok=True)
+        ev.filter(day <= 19737).write.mode("overwrite").parquet(
+            os.path.join(lake, "batch-1")
+        )
+        files_v1 = sorted(
+            glob.glob(os.path.join(lake, "batch-1", "*.parquet"))
+        )
+        with open(os.path.join(lake, "manifest-1.json"), "w") as fh:
+            json.dump(files_v1, fh)
+        ev.filter(day > 19737).write.mode("overwrite").parquet(
+            os.path.join(lake, "batch-2")
+        )
+        files_v2 = files_v1 + sorted(
+            glob.glob(os.path.join(lake, "batch-2", "*.parquet"))
+        )
+        with open(os.path.join(lake, "manifest-2.json"), "w") as fh:
+            json.dump(files_v2, fh)
+
+    def snapshot(version: int) -> DataFrame:
+        with open(os.path.join(lake, f"manifest-{version}.json")) as fh:
+            files = json.load(fh)
+        if not files:
+            return spark.createDataFrame([], ev.schema)
+        return spark.read.schema(ev.schema).parquet(*files)
+
+    def summarize(version: int) -> DataFrame:
+        return snapshot(version).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        ).select(F.lit(version).alias("version"), "n_events", "total_value")
+
+    return summarize(1).unionAll(summarize(2))

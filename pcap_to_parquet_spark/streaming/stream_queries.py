@@ -676,3 +676,87 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 4).alias("total_value"),
     )
     return run_to_memory(agg, "complete")
+
+
+# ---------------------------------------------------------------------------
+# stream-stream LEFT OUTER join: unmatched rows emit at state eviction
+
+STREAM_LEFT_OUTER_ORACLE = """
+WITH v AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+),
+p AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+m AS (
+    SELECT v.event_id AS view_event, v.user_id,
+           p.event_id AS purchase_event,
+           epoch_us(p.ts) - epoch_us(v.ts) AS lag_micros
+    FROM v JOIN p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 10 MINUTES
+),
+h AS (
+    -- the GLOBAL watermark is the minimum over every watermarked
+    -- input: each side advances from its own max event time, and the
+    -- engine holds the join's state to the slower of the two
+    SELECT LEAST((SELECT MAX(ts) FROM v), (SELECT MAX(ts) FROM p))
+           AS mx
+)
+SELECT view_event, user_id, purchase_event, lag_micros FROM m
+UNION ALL
+SELECT v.event_id AS view_event, v.user_id,
+       CAST(NULL AS BIGINT) AS purchase_event,
+       CAST(NULL AS BIGINT) AS lag_micros
+FROM v, h
+WHERE v.event_id NOT IN (SELECT view_event FROM m)
+  AND v.ts + INTERVAL 10 MINUTES <= mx - INTERVAL 1 HOUR
+"""
+
+
+@query("q_stream_left_outer", STREAM_LEFT_OUTER_ORACLE)
+def stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER attribution: views pair with same-user
+    purchases in the next 10 minutes; views that never match emit with
+    NULLs — but only once their join state is EVICTED (watermark past
+    view_ts + 10 min), because until then a matching purchase could
+    still arrive. That two-regime emission — matches at match time,
+    non-matches at eviction time — is the semantic difference from the
+    inner join, and the oracle mirrors it exactly: the batch outer
+    join's unmatched rows clipped to the final watermark horizon.
+
+    Same bounded-state discipline as the inner join: both sides
+    watermarked, event time bounded on both sides, state capped at
+    watermark + 10 min per side."""
+    e = stream_events(spark, sf_dir)
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_event"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_event"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + interval 10 minutes"
+        ),
+        "left_outer",
+    ).select(
+        "view_event",
+        F.col("v_user").alias("user_id"),
+        "purchase_event",
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("lag_micros"),
+    )
+    return run_to_memory(joined, "append")

@@ -262,3 +262,18 @@ def test_pct_change_first_day_null_then_consistent(spark):
         if a.revenue:
             exp = round((b.revenue - a.revenue) / a.revenue, 4)
             assert abs(b.pct_change - exp) < 5e-4, b.day
+
+
+def test_time_travel_snapshots_are_isolated(spark):
+    """Version 1 must stay byte-stable after the v2 append: the v1
+    manifest pins the old file set, and v2 equals the full table."""
+    from pcap_to_parquet_spark.sources import load_table
+
+    rows = {r.version: r for r in QUERIES["q_time_travel"](spark, SF0001).collect()}
+    assert set(rows) == {1, 2}
+    total = load_table(spark, SF0001, "events").count()
+    assert rows[2].n_events == total
+    assert 0 < rows[1].n_events < rows[2].n_events
+    # re-running must serve the SAME v1 (manifest-pinned, not re-listed)
+    again = {r.version: r for r in QUERIES["q_time_travel"](spark, SF0001).collect()}
+    assert again[1] == rows[1]

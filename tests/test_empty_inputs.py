@@ -84,6 +84,7 @@ EMPTY_SAFE = [
     "q_basket_pairs",
     "q_ab_ttest",
     "q_pct_change",
+    "q_stream_left_outer",
 ]
 
 # global aggregates return one constant row on empty input (their
@@ -92,6 +93,7 @@ CONSTANT_ON_EMPTY = {
     "q_table_profile": 3,  # one profile row per profiled column
     "q_schema_evolution": 1,  # one summary row of zero counts
     "q_funnel": 3,  # one row per stage, all counts zero
+    "q_time_travel": 2,  # both snapshot summaries, zero counts
 }
 
 
