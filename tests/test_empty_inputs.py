@@ -85,6 +85,7 @@ EMPTY_SAFE = [
     "q_ab_ttest",
     "q_pct_change",
     "q_stream_left_outer",
+    "q_fuzzy_join",
 ]
 
 # global aggregates return one constant row on empty input (their
@@ -94,6 +95,7 @@ CONSTANT_ON_EMPTY = {
     "q_schema_evolution": 1,  # one summary row of zero counts
     "q_funnel": 3,  # one row per stage, all counts zero
     "q_time_travel": 2,  # both snapshot summaries, zero counts
+    "q_sql_disjunctive": 1,  # global aggregate: one row of zero/NULL
 }
 
 

@@ -382,3 +382,18 @@ def test_batch3_behavior_shapes(spark):
     # window (the documented tiny-aggregate exception)
     p = prof(spark, "q_pct_change")
     assert p.get("Window", 0) == 1
+
+
+def test_fuzzy_and_disjunctive_join_shapes(spark):
+    # fuzzy join: HASH join on the block keys (broadcast here, SMJ at
+    # scale) — the edit distance must be a residual, never a cartesian
+    p = prof(spark, "q_fuzzy_join")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.get("BroadcastHashJoin", 0) + p.get("SortMergeJoin", 0) >= 1
+
+    # Q19 shape: per-side implications of the OR pushed below the join
+    p = prof(spark, "q_sql_disjunctive")
+    assert p["pushed_filters"] >= 1
+    assert "CartesianProduct" not in p
+    assert p.get("single_partition", 0) <= 1  # the 1-row final agg
