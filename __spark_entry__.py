@@ -95,6 +95,8 @@ _GATE_FRONT = [
     # THESE IN ROUND 4 (newest additions, locally oracle-verified)
     "q_sql_disjunctive",
     "q_fuzzy_join",
+    "q_sql_lateral",
+    "q_sql_recursive",
     # rows-only check (weakest driver signal) — yielded its 50-window
     # slot to oracle-bearing entries; its minhash change is covered by
     # the local parity suite (tests/test_llm_ops.py)

@@ -202,3 +202,60 @@ def sql_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     The part side still broadcasts; one aggregate row comes back."""
     _register_views(spark, sf_dir)
     return spark.sql(_Q19_SQL)
+
+
+# LATERAL join: per-row dependent subquery (top-2 customers per nation)
+
+_LATERAL_SQL = """
+SELECT n.n_name, c.c_name, c.c_acctbal
+FROM nation n, LATERAL (
+    SELECT c_name, c_acctbal FROM customer
+    WHERE c_nationkey = n.n_nationkey
+    ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+) c
+"""
+
+
+@query("q_sql_lateral", _LATERAL_SQL)
+def sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: for every nation row, the top-2
+    customers of THAT nation — the dependent-join surface SQL users
+    reach for before discovering window functions. Catalyst decorrelates
+    it into the same ranked-window/limit shape as q_topk_per_group
+    rather than executing a per-row subquery; deterministic by the
+    (acctbal, custkey) tiebreak."""
+    _register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
+
+
+# WITH RECURSIVE: bounded-depth BFS over the co-order graph
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE edges AS (
+    SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+reach(part, depth) AS (
+    SELECT CAST(1 AS BIGINT) AS part, 0 AS depth
+    UNION ALL
+    SELECT e.pb, r.depth + 1
+    FROM reach r JOIN edges e ON e.pa = r.part
+    WHERE r.depth < 2
+)
+SELECT part, MIN(depth) AS min_depth FROM reach GROUP BY part
+"""
+
+
+@query("q_sql_recursive", _RECURSIVE_SQL)
+def sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4): two-hop BFS from part 1 over the
+    co-order graph, min arrival depth per reached part. Each recursion
+    step is one co-partitioned equi-join of the frontier against the
+    edge list, and the depth cap bounds the iteration — the SQL-text
+    twin of the iterative DataFrame loop in q_dedup_clusters (which
+    remains the shape of choice for unbounded-depth convergence, where
+    checkpointing controls plan growth)."""
+    _register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SQL)

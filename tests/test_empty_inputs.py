@@ -86,6 +86,7 @@ EMPTY_SAFE = [
     "q_pct_change",
     "q_stream_left_outer",
     "q_fuzzy_join",
+    "q_sql_lateral",
 ]
 
 # global aggregates return one constant row on empty input (their
@@ -96,6 +97,7 @@ CONSTANT_ON_EMPTY = {
     "q_funnel": 3,  # one row per stage, all counts zero
     "q_time_travel": 2,  # both snapshot summaries, zero counts
     "q_sql_disjunctive": 1,  # global aggregate: one row of zero/NULL
+    "q_sql_recursive": 1,  # the recursion anchor row survives
 }
 
 
