@@ -250,3 +250,39 @@ def hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2("text", 256).alias("h_sha256"),
         F.length(F.md5("text")).cast("bigint").alias("md5_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT: binary semi-structured values (Spark 4), not string re-parsing
+
+VARIANT_ORACLE = r"""
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS k_total
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 10
+GROUP BY 1
+"""
+
+
+@query("q_variant_shred", VARIANT_ORACLE)
+def variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured processing on the VARIANT type (Spark 4):
+    ``try_parse_json`` decodes each props document ONCE into the
+    binary variant encoding, and every downstream access
+    (``variant_get`` with a typed path) reads the decoded form —
+    the structural difference from ``get_json_object``, which
+    re-parses the JSON text per extraction (q_json_funcs shows that
+    path). On a 100 TB semi-structured column, parse-once plus typed
+    shredded access is the difference between a CPU-bound scan and a
+    string-parsing bottleneck; malformed documents degrade to NULL
+    (try_), never to a failed job."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(try_parse_json(props), '$.k', 'long')")
+    return (
+        e.select(k.alias("k"))
+        .filter(F.col("k") >= 10)
+        .groupBy(F.expr("k div 10").alias("k_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("k_total"))
+    )

@@ -87,6 +87,7 @@ EMPTY_SAFE = [
     "q_stream_left_outer",
     "q_fuzzy_join",
     "q_sql_lateral",
+    "q_variant_shred",
 ]
 
 # global aggregates return one constant row on empty input (their
