@@ -98,6 +98,8 @@ _GATE_FRONT = [
     "q_sql_lateral",
     "q_sql_recursive",
     "q_variant_shred",
+    "q_dynamic_overwrite",
+    "q_cow_delete",
     # rows-only check (weakest driver signal) — yielded its 50-window
     # slot to oracle-bearing entries; its minhash change is covered by
     # the local parity suite (tests/test_llm_ops.py)

@@ -498,3 +498,119 @@ def time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(version).alias("version"), "n_events", "total_value")
 
     return summarize(1).unionAll(summarize(2))
+
+
+# ---------------------------------------------------------------------------
+# dynamic partition overwrite: restate only the partitions a batch touches
+
+DYN_OVERWRITE_ORACLE = """
+WITH restated AS (
+    SELECT event_type, value FROM events
+    WHERE event_type <> 'error'
+    UNION ALL
+    SELECT event_type, value * 0.5 AS value FROM events
+    WHERE event_type = 'error'
+)
+SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value
+FROM restated
+GROUP BY event_type
+"""
+
+
+@query("q_dynamic_overwrite", DYN_OVERWRITE_ORACLE)
+def dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition restatement with ``partitionOverwriteMode=dynamic``:
+    a corrections batch (here: error events repriced at 0.5×)
+    overwrites ONLY the partitions it contains rows for — the other
+    partitions' files are untouched, not rewritten and not deleted
+    (verified by the oracle covering the whole table). This is the
+    backfill primitive of every partitioned lake: static overwrite
+    mode would truncate the entire table first; dynamic mode makes
+    restating one day of 10 000 cost one day of IO."""
+    from pcap_to_parquet_spark.sources import keyed_tmp_dirs, load_table
+
+    src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    (lake,) = keyed_tmp_dirs("dynover", src, "v1-error-repriced", "lake")
+    ev = load_table(spark, sf_dir, "events")
+    done = os.path.join(lake, "_RESTATED")
+    if not os.path.exists(done):
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(lake)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            corrections = ev.filter(F.col("event_type") == "error").withColumn(
+                "value", F.col("value") * 0.5
+            )
+            # overwrite mode + dynamic: only event_type=error is replaced
+            corrections.write.mode("overwrite").partitionBy("event_type").parquet(lake)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    lake_df = spark.read.schema(ev.schema).parquet(lake)
+    return lake_df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# copy-on-write DELETE: rewrite only the files that contain victims
+
+COW_DELETE_ORACLE = """
+SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value
+FROM events
+WHERE user_id NOT BETWEEN 40 AND 47
+GROUP BY event_type
+"""
+
+
+@query("q_cow_delete", COW_DELETE_ORACLE)
+def cow_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE on an immutable lake, copy-on-write: delete
+    users 40-47 from the z-ordered events lake by (1) selecting the
+    files whose footer [min, max] user_id range ADMITS a victim —
+    everyone else's files are untouched — and (2) rewriting only those
+    files without the victim rows. The z-order clustering is what
+    makes step 1 selective (tests pin that a minority of files
+    rewrite); on an unclustered lake every file would admit every key
+    and copy-on-write degenerates to a full rewrite. This is the
+    Delta/Iceberg DELETE mechanic with the table format's bookkeeping
+    spelled out: untouched files are referenced as-is, rewritten files
+    replace their originals."""
+    import pyarrow.parquet as pq
+
+    from pcap_to_parquet_spark.sources import keyed_tmp_dirs
+
+    # build (or reuse) the z-ordered lake, then derive the deleted copy
+    zorder_lake(spark, sf_dir)  # ensures the clustered lake exists
+    from pcap_to_parquet_spark.sources import load_table as _lt
+
+    src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    (zlake,) = keyed_tmp_dirs("zorder", src, "v1-user-day-16f", "lake")
+    (dlake,) = keyed_tmp_dirs("cowdel", src, "v1-del-40-47", "lake")
+    ev_schema = _lt(spark, sf_dir, "events").schema
+    if not os.path.exists(os.path.join(dlake, "_SUCCESS")):
+        os.makedirs(dlake, exist_ok=True)
+        keep_as_is, rewrite = [], []
+        for p in sorted(glob.glob(os.path.join(zlake, "*.parquet"))):
+            md = pq.ParquetFile(p).metadata
+            stats = [md.row_group(i).column(2).statistics for i in range(md.num_row_groups)]
+            lo = min(s.min for s in stats)
+            hi = max(s.max for s in stats)
+            (rewrite if (lo <= 47 and hi >= 40) else keep_as_is).append(p)
+        import shutil
+
+        for i, p in enumerate(keep_as_is):
+            shutil.copy(p, os.path.join(dlake, f"keep-{i}.parquet"))
+        if rewrite:
+            survivors = spark.read.parquet(*rewrite).filter(
+                (F.col("user_id") < 40) | (F.col("user_id") > 47)
+            )
+            survivors.write.mode("append").parquet(dlake)
+        open(os.path.join(dlake, "_SUCCESS"), "w").close()
+    out = spark.read.schema(ev_schema).parquet(dlake)
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )

@@ -10,6 +10,8 @@ from collections import defaultdict
 import pcap_to_parquet_spark.operators  # noqa: F401  (registers queries)
 
 from pcap_to_parquet_spark.registry import QUERIES
+from pyspark.sql.functions import col as F_col
+
 from tests.conftest import SF0001
 
 
@@ -277,3 +279,31 @@ def test_time_travel_snapshots_are_isolated(spark):
     # re-running must serve the SAME v1 (manifest-pinned, not re-listed)
     again = {r.version: r for r in QUERIES["q_time_travel"](spark, SF0001).collect()}
     assert again[1] == rows[1]
+
+
+def test_cow_delete_rewrites_minority_of_files(spark):
+    """Copy-on-write on the z-ordered lake must carry most files over
+    untouched (keep-*) and rewrite only the victim-admitting ones."""
+    import glob
+    import os
+
+    from pcap_to_parquet_spark.sources import keyed_tmp_dirs
+
+    QUERIES["q_cow_delete"](spark, SF0001).collect()
+    src = os.path.join(os.path.abspath(SF0001), "events.parquet")
+    (dlake,) = keyed_tmp_dirs("cowdel", src, "v1-del-40-47", "lake")
+    kept = glob.glob(os.path.join(dlake, "keep-*.parquet"))
+    rewritten = [
+        p
+        for p in glob.glob(os.path.join(dlake, "*.parquet"))
+        if "keep-" not in os.path.basename(p)
+    ]
+    assert kept and rewritten
+    assert len(kept) > len(rewritten), (len(kept), len(rewritten))
+    # and no victim survives anywhere
+    assert (
+        spark.read.parquet(dlake)
+        .filter((F_col("user_id") >= 40) & (F_col("user_id") <= 47))
+        .count()
+        == 0
+    )

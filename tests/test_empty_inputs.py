@@ -88,6 +88,8 @@ EMPTY_SAFE = [
     "q_fuzzy_join",
     "q_sql_lateral",
     "q_variant_shred",
+    "q_dynamic_overwrite",
+    "q_cow_delete",
 ]
 
 # global aggregates return one constant row on empty input (their
