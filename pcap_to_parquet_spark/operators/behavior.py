@@ -231,9 +231,20 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = fan_out(d).select(F.explode(whitespace_tokens("text")).alias("token"))
 
     def admit(batches):
+        # accumulate exact counts across ALL Arrow batches of the
+        # partition before admitting, so the candidate bound really is
+        # capacity x partitions (not capacity x batches) and the
+        # admission bar is n_partition/capacity as documented. The
+        # accumulator holds the partition's distinct tokens — for strict
+        # O(capacity) memory swap in Misra-Gries decrements; exact
+        # accumulation keeps the recall proof one line.
+        acc = None
         for pdf in batches:
-            vc = pdf["token"].value_counts().head(_HH_CAPACITY)
-            yield pd.DataFrame({"token": vc.index.astype(str)})
+            vc = pdf["token"].value_counts()
+            acc = vc if acc is None else acc.add(vc, fill_value=0)
+        if acc is not None:
+            top = acc.sort_values(ascending=False).head(_HH_CAPACITY)
+            yield pd.DataFrame({"token": top.index.astype(str)})
 
     candidates = tok.mapInPandas(admit, "token string").distinct()
     # exact recount of candidates only; the candidate set is small by

@@ -314,11 +314,17 @@ def lake_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # z-order clustered lake: multi-column data skipping from one sort
 
 _US_PER_DAY = 86_400_000_000
+# cache-key discipline: the cow-delete lake is DERIVED from the z-order
+# lake, so its key embeds the z-order key — bumping the layout version
+# invalidates both (a stale dlake over a fresh zlake served wrong file
+# mixes twice during development; never again)
+_ZORDER_KEY = "v3-zcell-16f"
+_COWDEL_KEY = "del-4-7+" + _ZORDER_KEY
 
 ZORDER_ORACLE = f"""
 SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value
 FROM events
-WHERE user_id BETWEEN 40 AND 47
+WHERE user_id BETWEEN 4 AND 7
   AND epoch_us(ts) // {_US_PER_DAY} BETWEEN 19730 AND 19736
 GROUP BY user_id
 """
@@ -341,41 +347,83 @@ def _interleave_bits(a, b, bits: int = 16):
 @query("q_zorder_lake", ZORDER_ORACLE)
 def zorder_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton-curve) clustering: events rewritten range-
-    partitioned + sorted on interleave_bits(user_id, day), then a
-    two-dimensional selective query served FROM THE CLUSTERED COPY.
-    The oracle runs the same query on the original table, so the
+    partitioned + sorted on interleave_bits(user_bucket, day_bucket),
+    then a two-dimensional selective query served FROM THE CLUSTERED
+    COPY. The oracle runs the same query on the original table, so the
     rewrite is value-checked to preserve every row.
+
+    Both dimensions are first NORMALIZED to a fixed 4-bit budget
+    (equal-width bucket over the column's observed [min, max]) before
+    interleaving. Interleaving raw values is the classic z-order
+    mistake: whichever column spans more varying bits dominates the
+    sort and the other column gets no locality (measured here — raw
+    interleave at sf0.001 left 13/16 files admitting a 4-user filter;
+    bucketed interleave leaves ~4). Production systems (Delta OPTIMIZE
+    ZORDER) normalize to range-partition ids the same way.
 
     Why this layout at 100 TB: a sort on (user_id, day) skips well on
     user_id but not on day alone; the Morton order keeps BOTH columns'
     values locally dense in every file, so parquet min/max footer
     stats prune files for filters on either column or both. The
-    narrowing itself is pinned in tests/test_lake.py (files whose
+    narrowing itself is pinned in tests/test_behavior.py (files whose
     [min,max] user_id span admits the filter are a small fraction).
     One range-exchange + per-partition sort at write time buys every
     later selective scan its pruning — the same economics as
-    Delta/Iceberg OPTIMIZE ZORDER, expressed with stock Spark."""
+    Delta/Iceberg OPTIMIZE ZORDER, expressed with stock Spark. The
+    min/max bounds collected for bucketing are two scalars per
+    dimension (partial-agg'd scan, driver holds 4 numbers) — the
+    write path itself stays one range exchange."""
     from pcap_to_parquet_spark.sources import keyed_tmp_dirs, load_table
 
     src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
-    (out,) = keyed_tmp_dirs("zorder", src, "v1-user-day-16f", "lake")
+    (out,) = keyed_tmp_dirs("zorder", src, _ZORDER_KEY, "lake")
     ev = load_table(spark, sf_dir, "events")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         day = F.expr(f"unix_micros(ts) div {_US_PER_DAY}").cast("int")
-        z = _interleave_bits(F.col("user_id").cast("int"), day)
+        bounds = ev.agg(
+            F.min("user_id").alias("ulo"),
+            F.max("user_id").alias("uhi"),
+            F.min(day).alias("dlo"),
+            F.max(day).alias("dhi"),
+        ).first()
+        # empty table: bounds are NULL; any constant layout is correct
+        ulo = bounds.ulo if bounds.ulo is not None else 0
+        uhi = bounds.uhi if bounds.uhi is not None else 0
+        dlo = bounds.dlo if bounds.dlo is not None else 0
+        dhi = bounds.dhi if bounds.dhi is not None else 0
+
+        def _bucket(col, lo, hi, nbuckets=16):
+            # equal-width rank into [0, nbuckets); degenerate range -> 0
+            span = max(hi - lo + 1, 1)
+            return F.least(
+                F.lit(nbuckets - 1),
+                ((col - F.lit(lo)) * nbuckets / F.lit(span)).cast("int"),
+            )
+
+        z = _interleave_bits(
+            _bucket(F.col("user_id").cast("int"), ulo, uhi),
+            _bucket(day, dlo, dhi),
+            bits=4,
+        )
         (
+            # range-partition on the CELL id (top nibble of z), not the
+            # raw z: sampled range boundaries on z land mid-cell and every
+            # straddling file doubles its user span (measured: 9/16 files
+            # admitted a one-cell filter vs 4/16 aligned). One cell = one
+            # file makes footer stats exactly the cell bounds.
             ev.withColumn("zval", z)
-            .repartitionByRange(16, "zval")
+            .withColumn("zcell", F.shiftright("zval", 4))
+            .repartitionByRange(16, "zcell")
             .sortWithinPartitions("zval")
-            .drop("zval")
+            .drop("zval", "zcell")
             .write.mode("overwrite")
             .parquet(out)
         )
     lake = spark.read.schema(ev.schema).parquet(out)
     return (
         lake.filter(
-            (F.col("user_id") >= 40)
-            & (F.col("user_id") <= 47)
+            (F.col("user_id") >= 4)
+            & (F.col("user_id") <= 7)
             & (F.expr(f"unix_micros(ts) div {_US_PER_DAY}") >= 19730)
             & (F.expr(f"unix_micros(ts) div {_US_PER_DAY}") <= 19736)
         )
@@ -560,7 +608,7 @@ def dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 COW_DELETE_ORACLE = """
 SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value
 FROM events
-WHERE user_id NOT BETWEEN 40 AND 47
+WHERE user_id NOT BETWEEN 4 AND 7
 GROUP BY event_type
 """
 
@@ -568,7 +616,8 @@ GROUP BY event_type
 @query("q_cow_delete", COW_DELETE_ORACLE)
 def cow_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level DELETE on an immutable lake, copy-on-write: delete
-    users 40-47 from the z-ordered events lake by (1) selecting the
+    users 4-7 from the z-ordered events lake (a range present at
+    every test SF, sf0.001 included) by (1) selecting the
     files whose footer [min, max] user_id range ADMITS a victim —
     everyone else's files are untouched — and (2) rewriting only those
     files without the victim rows. The z-order clustering is what
@@ -587,8 +636,8 @@ def cow_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pcap_to_parquet_spark.sources import load_table as _lt
 
     src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
-    (zlake,) = keyed_tmp_dirs("zorder", src, "v1-user-day-16f", "lake")
-    (dlake,) = keyed_tmp_dirs("cowdel", src, "v1-del-40-47", "lake")
+    (zlake,) = keyed_tmp_dirs("zorder", src, _ZORDER_KEY, "lake")
+    (dlake,) = keyed_tmp_dirs("cowdel", src, _COWDEL_KEY, "lake")
     ev_schema = _lt(spark, sf_dir, "events").schema
     if not os.path.exists(os.path.join(dlake, "_SUCCESS")):
         os.makedirs(dlake, exist_ok=True)
@@ -596,16 +645,25 @@ def cow_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         for p in sorted(glob.glob(os.path.join(zlake, "*.parquet"))):
             md = pq.ParquetFile(p).metadata
             stats = [md.row_group(i).column(2).statistics for i in range(md.num_row_groups)]
+            if not stats or md.num_rows == 0:
+                # zero row groups / zero rows: nothing to delete, keep as-is
+                keep_as_is.append(p)
+                continue
+            if any(s is None for s in stats):
+                # footer carries rows but no stats: cannot prove absence
+                # of victims, so the file must go through the rewrite path
+                rewrite.append(p)
+                continue
             lo = min(s.min for s in stats)
             hi = max(s.max for s in stats)
-            (rewrite if (lo <= 47 and hi >= 40) else keep_as_is).append(p)
+            (rewrite if (lo <= 7 and hi >= 4) else keep_as_is).append(p)
         import shutil
 
         for i, p in enumerate(keep_as_is):
             shutil.copy(p, os.path.join(dlake, f"keep-{i}.parquet"))
         if rewrite:
             survivors = spark.read.parquet(*rewrite).filter(
-                (F.col("user_id") < 40) | (F.col("user_id") > 47)
+                (F.col("user_id") < 4) | (F.col("user_id") > 7)
             )
             survivors.write.mode("append").parquet(dlake)
         open(os.path.join(dlake, "_SUCCESS"), "w").close()

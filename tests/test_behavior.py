@@ -102,11 +102,12 @@ def test_zorder_lake_prunes_on_both_dimensions(spark):
 
     import pyarrow.parquet as pq
 
+    from pcap_to_parquet_spark.operators.scale_patterns import _ZORDER_KEY
     from pcap_to_parquet_spark.sources import keyed_tmp_dirs
 
     QUERIES["q_zorder_lake"](spark, SF0001).collect()  # builds the lake
     src = os.path.join(os.path.abspath(SF0001), "events.parquet")
-    (out,) = keyed_tmp_dirs("zorder", src, "v1-user-day-16f", "lake")
+    (out,) = keyed_tmp_dirs("zorder", src, _ZORDER_KEY, "lake")
     parts = glob.glob(os.path.join(out, "*.parquet"))
     assert len(parts) >= 8
     admitting = 0
@@ -115,10 +116,13 @@ def test_zorder_lake_prunes_on_both_dimensions(spark):
         lo = min(md.row_group(i).column(2).statistics.min for i in range(md.num_row_groups))
         hi = max(md.row_group(i).column(2).statistics.max for i in range(md.num_row_groups))
         # column 2 is user_id (event_id, ts, user_id, ...)
-        if lo <= 47 and hi >= 40:
+        if lo <= 7 and hi >= 4:
             admitting += 1
-    # z-order keeps user_id locally dense: the 8-user filter must not
-    # admit every file (an unsorted write admits all of them)
+    # z-order keeps user_id locally dense: the 4-user filter must not
+    # admit every file (an unsorted write admits all of them) — and the
+    # range exists at sf0.001, so at least one file MUST admit it (a
+    # zero-admit pass would mean the test never exercised pruning)
+    assert admitting > 0, (admitting, len(parts))
     assert admitting <= len(parts) // 2, (admitting, len(parts))
 
 
@@ -287,11 +291,12 @@ def test_cow_delete_rewrites_minority_of_files(spark):
     import glob
     import os
 
+    from pcap_to_parquet_spark.operators.scale_patterns import _COWDEL_KEY
     from pcap_to_parquet_spark.sources import keyed_tmp_dirs
 
     QUERIES["q_cow_delete"](spark, SF0001).collect()
     src = os.path.join(os.path.abspath(SF0001), "events.parquet")
-    (dlake,) = keyed_tmp_dirs("cowdel", src, "v1-del-40-47", "lake")
+    (dlake,) = keyed_tmp_dirs("cowdel", src, _COWDEL_KEY, "lake")
     kept = glob.glob(os.path.join(dlake, "keep-*.parquet"))
     rewritten = [
         p
@@ -303,7 +308,7 @@ def test_cow_delete_rewrites_minority_of_files(spark):
     # and no victim survives anywhere
     assert (
         spark.read.parquet(dlake)
-        .filter((F_col("user_id") >= 40) & (F_col("user_id") <= 47))
+        .filter((F_col("user_id") >= 4) & (F_col("user_id") <= 7))
         .count()
         == 0
     )
