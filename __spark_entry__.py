@@ -26,73 +26,17 @@ from pcap_to_parquet_spark.registry import ORACLES, QUERIES
 SF0001_DIR = "/root/testdata/sf0.001"
 
 # The driver's correctness gate verifies the first 50 entries of queries()
-# in iteration order, so the order is rotated per round: every query has
-# a green driver row from rounds 1-2 (union of the r1+r2 windows covered
-# all 89 then-registered queries). Round 3 fronts (a) the 21 new round-3
-# queries, (b) queries whose code or oracle changed this round
-# (q_tfidf_top_terms rank expr, q_stream_parquet_sink readback,
-# q_dedup_clusters, and q_dedup_minhash whose r2 hash-family change was
-# never driver-re-checked), then (c) refreshes the oracle-bearing
-# queries whose last driver row dates from round 1. Pinned by
+# in iteration order, so the order is rotated per round. Union of rounds
+# 1-3 windows: all 120 previously-registered oracle-bearing queries have
+# a green driver row somewhere. Round 4 fronts (a) the 7 late-round-3
+# queries that have never been driver-checked, (b) queries whose code or
+# oracle changed this round (z-order layout rewrite, cow-delete guard,
+# heavy-hitters admission), (c) new round-4 queries as they land, then
+# (d) refreshes the oracle-bearing queries whose last driver row dates
+# from round 1 (33 of them; oldest-green-first). Pinned by
 # test_gate_front_names_exist.
 _GATE_FRONT = [
-    # new in round 3 (never driver-checked)
-    "q_scd2_dimension",
-    "q_sequence_islands",
-    "q_anomaly_zscore",
-    "q_percentile_exact",
-    "q_minmax_by",
-    "q_balanced_sample",
-    "q_bm25",
-    "q_pii_scrub",
-    "q_url_extract",
-    "q_length_histogram",
-    "q_embed_quantize",
-    "q_video_frames",
-    "q_sql_pricing_summary",
-    "q_sql_top_supplier",
-    "q_partitioned_lake",
-    "q_incremental_dedup",
-    "q_list_agg",
-    "q_resample",
-    "q_time_rollup",
-    "q_mode_per_group",
-    "q_bloom_prefilter",
-    "q_stream_upsert",
-    "q_pcap_datasource",
-    "q_hll_rollup",
-    "q_kll_quantiles",
-    "q_theta_audience_overlap",
-    "q_sql_local_volume",
-    "q_schema_evolution",
-    "q_window_nth",
-    "q_table_profile",
-    "q_lake_compact",
-    # new in round 3, second batch (never driver-checked)
-    "q_funnel",
-    "q_retention_cohort",
-    "q_rolling_median",
-    "q_heavy_hitters",
-    "q_zorder_lake",
-    "q_stream_static_join",
-    "q_rolling_distinct",
-    "q_peak_concurrency",
-    "q_cdc_apply",
-    "q_orc_lake",
-    "q_markov_transitions",
-    "q_basket_pairs",
-    "q_ab_ttest",
-    "q_pct_change",
-    "q_stream_left_outer",
-    "q_time_travel",
-    # changed this round / stale since a behavioral change (the ts
-    # ingestion dispatch touched every events consumer; asof/self_join
-    # below are the events-joining refreshes)
-    "q_tfidf_top_terms",
-    "q_stream_parquet_sink",
-    "q_dedup_clusters",
-    # positions 51+: past the driver's 50-row window this round; FRONT
-    # THESE IN ROUND 4 (newest additions, locally oracle-verified)
+    # never driver-checked (registered past round 3's 50-row window)
     "q_sql_disjunctive",
     "q_fuzzy_join",
     "q_sql_lateral",
@@ -100,12 +44,45 @@ _GATE_FRONT = [
     "q_variant_shred",
     "q_dynamic_overwrite",
     "q_cow_delete",
-    # rows-only check (weakest driver signal) — yielded its 50-window
-    # slot to oracle-bearing entries; its minhash change is covered by
-    # the local parity suite (tests/test_llm_ops.py)
-    "q_dedup_minhash",
-    # (the rest of the r1-only refresh set also rotates in next round —
-    # never-checked new queries outrank stale-green refreshes)
+    # changed this round: z-order layout normalization + cell-aligned
+    # files; heavy-hitters per-partition (not per-batch) admission
+    "q_zorder_lake",
+    "q_heavy_hitters",
+    # new in round 4 (insert above this line as they land)
+    # refresh: oracle-bearing queries whose last driver row is round 1
+    "q_rollup",
+    "q_cube",
+    "q_grouping_sets",
+    "q_inner_join",
+    "q_broadcast_join",
+    "q_outer_join",
+    "q_full_outer_join",
+    "q_semi_join",
+    "q_anti_join",
+    "q_range_join",
+    "q_asof_join",
+    "q_self_join",
+    "q_binned_range_join",
+    "q_dedup_exact",
+    "q_train_test_split",
+    "q_data_mixing",
+    "q_embed_neardup",
+    "q_similarity_topk",
+    "q_text_stats",
+    "q_quality_score",
+    "q_lang_id",
+    "q_fingerprint",
+    "q_filter_project",
+    "q_case_when",
+    "q_null_semantics",
+    "q_sort_limit",
+    "q_distinct",
+    "q_union",
+    "q_intersect",
+    "q_except",
+    "q_pivot",
+    "q_unpivot",
+    "q_subquery_scalar",
 ]
 
 
