@@ -49,6 +49,8 @@ _GATE_FRONT = [
     "q_zorder_lake",
     "q_heavy_hitters",
     # new in round 4 (insert above this line as they land)
+    "q_sql_small_qty",
+    "q_sql_waiting_supplier",
     # refresh: oracle-bearing queries whose last driver row is round 1
     "q_rollup",
     "q_cube",

@@ -259,3 +259,76 @@ def sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpointing controls plan growth)."""
     _register_views(spark, sf_dir)
     return spark.sql(_RECURSIVE_SQL)
+
+
+# TPC-H Q17 shape: correlated scalar-aggregate subquery (small-quantity
+# revenue per brand)
+
+_Q17_SQL = """
+SELECT p.p_brand,
+       COUNT(*) AS n_small,
+       ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_quantity < (
+    SELECT 0.5 * AVG(l2.l_quantity)
+    FROM lineitem l2
+    WHERE l2.l_partkey = p.p_partkey
+)
+GROUP BY p.p_brand
+ORDER BY p.p_brand
+"""
+
+
+@query("q_sql_small_qty", _Q17_SQL)
+def sql_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: the per-row correlated scalar AVG subquery.
+    Catalyst decorrelates it into ONE per-partkey aggregate joined back
+    to the fact scan — the naive reading (re-aggregate lineitem once
+    per outer row) would be O(n²) and never runs; the plan shows two
+    scans of lineitem, one Aggregate, one join, exactly what you'd
+    hand-write. The same rewrite is why this is safe at 100 TB: the
+    subquery costs one extra aggregation, not a nested loop."""
+    _register_views(spark, sf_dir)
+    return spark.sql(_Q17_SQL)
+
+
+# TPC-H Q21 shape: EXISTS + NOT EXISTS double decorrelation (sole
+# at-fault supplier in a multi-supplier order)
+
+_Q21_SQL = """
+SELECT s.s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey
+        AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      WHERE l3.l_orderkey = l1.l_orderkey
+        AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_returnflag = 'R'
+  )
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+"""
+
+
+@query("q_sql_waiting_supplier", _Q21_SQL)
+def sql_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the hardest decorrelation in the benchmark —
+    a correlated EXISTS (another supplier touched the order) AND a
+    correlated NOT EXISTS (no other supplier's item was returned),
+    both on the same key. Catalyst turns the EXISTS into a left-semi
+    and the NOT EXISTS into a left-anti join on l_orderkey, so the
+    whole query is three co-partitioned shuffles on the order key plus
+    the broadcast supplier dim — no per-row subquery execution. The
+    anti join is the load-bearing operator: getting it wrong (e.g. a
+    NOT IN null-trap rewrite into a cartesian) is the classic engine
+    bug this query exists to catch."""
+    _register_views(spark, sf_dir)
+    return spark.sql(_Q21_SQL)

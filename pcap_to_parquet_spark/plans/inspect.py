@@ -50,6 +50,8 @@ def plan_profile(df: DataFrame) -> dict[str, int]:
         if n:
             prof[op] = n
     prof["exchanges"] = len(re.findall(r"\bExchange\b", plan))
+    prof["semi_joins"] = len(re.findall(r"\bLeftSemi\b", plan))
+    prof["anti_joins"] = len(re.findall(r"\bLeftAnti\b", plan))
     prof["single_partition"] = len(re.findall(r"\bSinglePartition\b", plan))
     prof["wscg_spans"] = len(set(re.findall(r"\*\((\d+)\)", plan)))
     prof["pushed_filters"] = len(

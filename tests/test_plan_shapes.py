@@ -397,3 +397,21 @@ def test_fuzzy_and_disjunctive_join_shapes(spark):
     assert p["pushed_filters"] >= 1
     assert "CartesianProduct" not in p
     assert p.get("single_partition", 0) <= 1  # the 1-row final agg
+
+
+def test_decorrelated_subquery_shapes(spark):
+    # Q17 shape: the correlated scalar AVG must decorrelate into one
+    # aggregate + join — a nested-loop (per-outer-row subquery) shows
+    # up as a cartesian/BNLJ and is the O(n^2) failure this test pins
+    p = prof(spark, "q_sql_small_qty")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.get("HashAggregate", 0) >= 2  # per-partkey avg + final group
+
+    # Q21 shape: EXISTS -> left semi, NOT EXISTS -> left anti, both
+    # equi-joins on the order key; a NOT-IN-style null-trap rewrite
+    # would surface as a BNLJ
+    p = prof(spark, "q_sql_waiting_supplier")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p["semi_joins"] >= 1 and p["anti_joins"] >= 1
