@@ -53,6 +53,8 @@ _GATE_FRONT = [
     "q_sql_waiting_supplier",
     "q_ngram_lm_score",
     "q_cogroup_diff",
+    "q_quantile_bucketize",
+    "q_countmin_topk",
     # refresh: oracle-bearing queries whose last driver row is round 1
     "q_rollup",
     "q_cube",

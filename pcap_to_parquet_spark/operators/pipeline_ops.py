@@ -612,3 +612,62 @@ def cogroup_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "old_sum double, new_sum double, status string",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# equal-frequency feature binning (quantile bucketize): train boundaries,
+# apply as a broadcast
+
+_BIN_QS = [i / 8 for i in range(1, 8)]
+
+QUANTILE_BUCKETIZE_ORACLE = f"""
+WITH b AS (
+    SELECT quantile_cont(l_extendedprice, {_BIN_QS}) AS qs FROM lineitem
+)
+SELECT len(list_filter(b.qs, q -> l.l_extendedprice > q)) AS bin,
+       COUNT(*) AS n_items,
+       ROUND(MIN(l.l_extendedprice), 2) AS lo,
+       ROUND(MAX(l.l_extendedprice), 2) AS hi
+FROM lineitem l CROSS JOIN b
+GROUP BY bin
+ORDER BY bin
+"""
+
+
+@query("q_quantile_bucketize", QUANTILE_BUCKETIZE_ORACLE)
+def quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency feature binning, the train/apply featurization
+    pattern: learn 7 exact octile boundaries of l_extendedprice in one
+    aggregation, broadcast the 7-double boundary row, assign each row
+    its bin as |{q : price > q}| (strict >, identical on both engines),
+    summarize per bin. Bin populations come out near-equal by
+    construction — the property equal-WIDTH binning can't give skewed
+    features.
+
+    The apply side is the scale shape: boundaries are a 1-row
+    broadcast, assignment is map-side column algebra over a 7-element
+    array, and the only shuffle is the final 8-group aggregate. The
+    train side uses exact interpolated ``percentile`` (parity with
+    DuckDB ``quantile_cont`` established by q_percentile_exact); on a
+    100 TB column swap in ``approx_percentile`` — same plan shape,
+    sketch-mergeable train pass, and the boundary row stays 7 doubles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qs = li.agg(
+        F.expr(
+            f"percentile(l_extendedprice, array({', '.join(map(str, _BIN_QS))}))"
+        ).alias("qs")
+    )
+    return (
+        li.crossJoin(F.broadcast(qs))
+        .select(
+            F.expr("size(filter(qs, q -> l_extendedprice > q))").cast("long").alias("bin"),
+            "l_extendedprice",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        )
+        .orderBy("bin")
+    )

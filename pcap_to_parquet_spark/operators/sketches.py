@@ -103,3 +103,80 @@ def theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.theta_sketch_estimate(F.theta_union("viewers", "purchasers")), 1
         ).alias("either"),
     )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch, cross-engine EXACT oracle (md5-derived hash rows)
+
+_CM_D = 4  # hash rows
+_CM_W = 1024  # counters per row
+
+_CM_TOK_SQL = r"list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')"
+
+COUNTMIN_ORACLE = f"""
+WITH tok AS (SELECT unnest({_CM_TOK_SQL}) AS t FROM documents),
+pos AS (
+    SELECT t, i,
+           ('0x' || substr(md5(t || '#' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+               % {_CM_W} AS p
+    FROM tok, UNNEST(range({_CM_D})) AS r(i)
+),
+sk AS (SELECT i, p, COUNT(*) AS c FROM pos GROUP BY i, p),
+probe AS (SELECT DISTINCT t, i, p FROM pos),
+est AS (
+    SELECT probe.t AS token, MIN(sk.c) AS est_n
+    FROM probe JOIN sk USING (i, p)
+    GROUP BY probe.t
+)
+SELECT token, est_n FROM est ORDER BY est_n DESC, token LIMIT 20
+"""
+
+
+@query("q_countmin_topk", COUNTMIN_ORACLE)
+def countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch token frequencies, top-20 by estimate — with an
+    EXACT cross-engine oracle: the d={d} hash rows are md5-derived
+    (identical bytes in Spark and DuckDB), so the full sketch —
+    build, merge, probe — value-matches, not just error-bounds. The
+    classic sketch guarantees hold and are separately pinned in
+    tests/test_sketches.py: estimates never undercount, and overcount
+    is bounded by collisions in a w={w} row.
+
+    This is the mergeable-summary shape expressed as pure relational
+    algebra: the "sketch" IS the (i, p, c) relation of {d}x{w}
+    counters. Partial aggregation builds each partition's local sketch
+    (bounded at d*w rows however big the partition), the final
+    aggregate merges — Catalyst's partial+final is exactly the sketch
+    merge, no UDAF needed. Probing re-derives each DISTINCT token's
+    positions map-side and takes min-of-d over a join against the
+    d*w-row sketch (broadcastable at any corpus size). Swap md5 for
+    xxhash64 in production (cheaper; cross-engine parity is what md5
+    buys here)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("t")
+    )
+    rows = F.array(*[F.lit(i) for i in range(_CM_D)])
+    pos = tok.select("t", F.explode(rows).alias("i")).select(
+        "t",
+        "i",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat("t", F.lit("#"), F.col("i").cast("string"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % _CM_W
+        ).alias("p"),
+    )
+    sk = pos.groupBy("i", "p").agg(F.count(F.lit(1)).alias("c"))
+    probe = pos.select("t", "i", "p").distinct()
+    est = (
+        probe.join(F.broadcast(sk), ["i", "p"])
+        .groupBy(F.col("t").alias("token"))
+        .agg(F.min("c").alias("est_n"))
+    )
+    return est.orderBy(F.col("est_n").desc(), "token").limit(20)
+
+
+countmin_topk.__doc__ = countmin_topk.__doc__.format(d=_CM_D, w=_CM_W)

@@ -56,3 +56,21 @@ def test_theta_set_algebra_consistency(spark):
     assert close(r.either, len(viewers | buyers))
     # inclusion-exclusion must hold on the estimates themselves (~eps)
     assert abs((r.viewers + r.purchasers - r.both) - r.either) <= 0.05 * r.either + 3
+
+
+def test_countmin_never_undercounts_and_finds_true_heavies(spark):
+    """Count-min contract: est >= exact for every reported token, and
+    the estimate-ranked top tokens are the exact heavy hitters (at this
+    corpus size, collisions in a 1024-wide row add far less than the
+    gap between heavy and typical tokens)."""
+    from collections import Counter
+
+    got = {r.token: r.est_n for r in QUERIES["q_countmin_topk"](spark, SF).collect()}
+    docs = load_table(spark, SF, "documents").select("text").collect()
+    exact = Counter(t for r in docs for t in r.text.split() if t)
+    for tok, est in got.items():
+        assert est >= exact[tok], (tok, est, exact[tok])
+        # overcount bounded: eps*N with eps=e/w, generous constant
+        assert est - exact[tok] <= 3 * sum(exact.values()) / 1024, tok
+    top_exact = {t for t, _ in exact.most_common(10)}
+    assert top_exact <= set(got)
