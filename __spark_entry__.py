@@ -55,6 +55,8 @@ _GATE_FRONT = [
     "q_cogroup_diff",
     "q_quantile_bucketize",
     "q_countmin_topk",
+    "q_scd2_lookup",
+    "q_permissive_ingest",
     # refresh: oracle-bearing queries whose last driver row is round 1
     "q_rollup",
     "q_cube",

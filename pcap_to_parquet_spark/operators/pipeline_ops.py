@@ -671,3 +671,163 @@ def quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 as-of lookup: facts joined to the dimension state valid at event
+# time (the temporal-join every star schema with SCD2 dims needs)
+
+SCD2_LOOKUP_ORACLE = f"""
+WITH ordered AS (
+    SELECT user_id, ts, event_id, event_type,
+           LAG(event_type) OVER w AS prev
+    FROM events
+    WHERE event_type IN ('view', 'error', 'signup')
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+changes AS (
+    SELECT user_id, ts, event_id, event_type
+    FROM ordered
+    WHERE prev IS NULL OR event_type <> prev
+),
+scd AS (
+    SELECT user_id, event_type AS state,
+           epoch_us(ts) AS eff_from,
+           COALESCE(epoch_us(LEAD(ts) OVER w), {2**62}) AS eff_to
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+pur AS (
+    SELECT user_id, epoch_us(ts) AS uts, value
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT s.state, COUNT(*) AS n_purchases, ROUND(SUM(p.value), 4) AS total_value
+FROM pur p
+JOIN scd s
+  ON p.user_id = s.user_id AND p.uts >= s.eff_from AND p.uts < s.eff_to
+GROUP BY s.state
+ORDER BY s.state
+"""
+
+
+@query("q_scd2_lookup", SCD2_LOOKUP_ORACLE)
+def scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension lookup: each purchase fact joins to the SCD2
+    state row VALID AT ITS EVENT TIME (eff_from <= ts < eff_to) — the
+    as-of join every star schema with type-2 dimensions runs on every
+    fact load. The dimension here is the user's browsing state
+    (view/error/signup runs, effective-dated as in q_scd2_dimension);
+    purchases made during lapses before any state exist match nothing
+    and drop out, exactly as in the oracle's inner join.
+
+    Scale shape: the join is EQUI on user_id with the interval test as
+    a residual — both sides co-partition on the user key (one shuffle
+    each), and the per-user dim rows a fact scans are that user's few
+    state runs, never a cross product. This is the safe formulation of
+    a range join when a natural partition key exists; q_range_join /
+    q_binned_range_join cover the keyless case."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.filter(F.col("event_type").isin("view", "error", "signup"))
+        .withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("event_type") != F.col("prev")))
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    scd = changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.unix_micros("ts").alias("eff_from"),
+        F.coalesce(F.unix_micros(F.lead("ts").over(w)), F.lit(2**62)).alias("eff_to"),
+    )
+    pur = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("uts"), "value"
+    )
+    # both sides descend from the same scan: alias to disambiguate the
+    # self-join keys (a bare pur.user_id == scd.user_id resolves to a
+    # trivially-true predicate)
+    p, s = pur.alias("p"), scd.alias("s")
+    return (
+        p.join(
+            s,
+            (F.col("p.user_id") == F.col("s.user_id"))
+            & (F.col("p.uts") >= F.col("s.eff_from"))
+            & (F.col("p.uts") < F.col("s.eff_to")),
+        )
+        .groupBy("state")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("state")
+    )
+
+
+# ---------------------------------------------------------------------------
+# permissive ingestion: malformed-record quarantine on a messy JSONL feed
+
+PERMISSIVE_INGEST_ORACLE = """
+SELECT CASE WHEN doc_id % 13 = 0 THEN '_corrupt' ELSE lang END AS lang_key,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN doc_id % 13 = 0 THEN NULL ELSE n_chars END)
+            AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang_key
+ORDER BY lang_key
+"""
+
+
+@query("q_permissive_ingest", PERMISSIVE_INGEST_ORACLE)
+def permissive_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Messy-feed ingestion end-to-end: a JSONL export of documents
+    with every 13th record truncated mid-object (generated
+    DISTRIBUTED — the corruption is a deterministic substr in the
+    write job, no driver-side loop), read back in PERMISSIVE mode
+    with an explicit schema carrying ``_corrupt_record``. Malformed
+    lines parse to all-null data columns plus the raw line in the
+    quarantine column; the summary buckets them under '_corrupt'
+    (their char sum is NULL — nothing was parsed, and the oracle
+    agrees) while healthy lines aggregate per language.
+
+    This is the ingestion contract at 100 TB: a bad producer can't
+    fail the pipeline (FAILFAST) or silently vanish rows (DROPMALFORMED)
+    — every input line lands exactly once, either parsed or
+    quarantined with its original bytes for replay. The write is
+    staleness-keyed like every derived artifact (sources.tables.
+    keyed_tmp_dirs)."""
+    import os
+
+    from pcap_to_parquet_spark.sources import keyed_tmp_dirs
+
+    d = load_table(spark, sf_dir, "documents")
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    (feed,) = keyed_tmp_dirs("messyjson", src, "v1-trunc-13", "feed")
+    if not os.path.exists(os.path.join(feed, "_SUCCESS")):
+        messy = d.select(
+            "doc_id", F.to_json(F.struct("doc_id", "lang", "n_chars")).alias("js")
+        ).select(
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.expr("substr(js, 1, length(js) - 5)"),
+            )
+            .otherwise(F.col("js"))
+            .alias("value")
+        )
+        messy.write.mode("overwrite").text(feed)
+    parsed = spark.read.schema(
+        "doc_id long, lang string, n_chars long, _corrupt_record string"
+    ).json(feed)
+    return (
+        parsed.select(
+            F.when(F.col("_corrupt_record").isNotNull(), F.lit("_corrupt"))
+            .otherwise(F.col("lang"))
+            .alias("lang_key"),
+            "n_chars",
+        )
+        .groupBy("lang_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang_key")
+    )

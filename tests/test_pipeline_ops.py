@@ -144,3 +144,52 @@ def test_ngram_lm_score_orders_quality(spark):
     for r in rows:
         assert r.n_bigrams >= 1
         assert r.avg_logp < 0 and math.isfinite(r.avg_logp)
+
+
+def test_permissive_ingest_quarantines_not_drops(spark):
+    """Every 13th line really is malformed: the '_corrupt' bucket holds
+    exactly the doc_id%13==0 docs (nothing dropped, nothing leaked into
+    language buckets), and its char sum is NULL."""
+    rows = {r.lang_key: r for r in QUERIES["q_permissive_ingest"](spark, SF0001).collect()}
+    from pcap_to_parquet_spark.sources.tables import load_table
+
+    d = load_table(spark, SF0001, "documents")
+    n_corrupt = d.filter(d.doc_id % 13 == 0).count()
+    assert rows["_corrupt"].n_docs == n_corrupt > 0
+    assert rows["_corrupt"].total_chars is None
+    assert sum(r.n_docs for r in rows.values()) == d.count()
+
+
+def test_scd2_lookup_matches_brute_force(spark):
+    """Each purchase's looked-up state equals the chronologically last
+    view/error/signup event at-or-before it (brute force per user)."""
+    from collections import defaultdict
+
+    from pcap_to_parquet_spark.sources.tables import load_table
+
+    got = {r.state: (r.n_purchases, r.total_value) for r in QUERIES["q_scd2_lookup"](spark, SF0001).collect()}
+    ev = load_table(spark, SF0001, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    ).collect()
+    states = defaultdict(list)
+    purchases = []
+    for r in ev:
+        if r.event_type in ("view", "error", "signup"):
+            states[r.user_id].append(r)
+        elif r.event_type == "purchase":
+            purchases.append(r)
+    expect = defaultdict(lambda: [0, 0.0])
+    for p in purchases:
+        # join semantics compare event TIME only (uts >= eff_from): a
+        # state change in the same microsecond as the purchase governs
+        # it whatever the event_id order
+        prior = [s for s in states[p.user_id] if s.ts <= p.ts]
+        if not prior:
+            continue
+        last = max(prior, key=lambda s: (s.ts, s.event_id))
+        expect[last.event_type][0] += 1
+        expect[last.event_type][1] += p.value
+    assert set(got) == set(expect)
+    for st, (n, v) in expect.items():
+        assert got[st][0] == n, st
+        assert abs(got[st][1] - round(v, 4)) < 1e-6, st
