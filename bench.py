@@ -50,6 +50,9 @@ HEADLINE = [
     "q_bm25",               # lexical retrieval: two aggs + broadcast
     "q_heavy_hitters",      # bounded-shuffle admission + recount
     "q_cdc_apply",          # max_by log compaction (agg, not sort)
+    "q_ngram_lm_score",     # bigram LM train + score (round 4)
+    "q_countmin_topk",      # sketch build/merge/probe as relational algebra
+    "q_scd2_lookup",        # temporal as-of dim join
 ]
 
 # round-over-round reference (same box, sf0.1, local[32]):

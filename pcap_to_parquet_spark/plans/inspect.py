@@ -29,6 +29,7 @@ NOTABLE_OPS = (
     "Generate",
     "MapInPandas",
     "FlatMapGroupsInPandas",
+    "FlatMapCoGroupsInPandas",
     "ArrowEvalPython",
     "BatchEvalPython",
 )

@@ -90,6 +90,15 @@ EMPTY_SAFE = [
     "q_variant_shred",
     "q_dynamic_overwrite",
     "q_cow_delete",
+    # round 4
+    "q_sql_small_qty",
+    "q_sql_waiting_supplier",
+    "q_ngram_lm_score",
+    "q_cogroup_diff",
+    "q_quantile_bucketize",
+    "q_countmin_topk",
+    "q_scd2_lookup",
+    "q_permissive_ingest",
 ]
 
 # global aggregates return one constant row on empty input (their

@@ -415,3 +415,30 @@ def test_decorrelated_subquery_shapes(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert p["semi_joins"] >= 1 and p["anti_joins"] >= 1
+
+
+def test_round4_op_shapes(spark):
+    # bigram LM: model joins are plain hash joins (model side must NOT
+    # be force-broadcast — web-scale bigram tables don't fit), bigram
+    # extraction shows no python eval anywhere
+    p = prof(spark, "q_ngram_lm_score")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    # count-min: partial+final aggregation IS the sketch build/merge;
+    # probe joins the d*w-row sketch broadcast
+    p = prof(spark, "q_countmin_topk")
+    assert p.get("HashAggregate", 0) >= 2
+    assert p.get("BroadcastHashJoin", 0) >= 1
+    assert "CartesianProduct" not in p
+
+    # SCD2 lookup: equi-join on the user key with interval residual —
+    # never a nested-loop over the dim
+    p = prof(spark, "q_scd2_lookup")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+    # cogroup diff: the pandas cogroup operator runs once, fed by two
+    # hash-partitionings on the SAME key
+    p = prof(spark, "q_cogroup_diff")
+    assert p.get("FlatMapCoGroupsInPandas", 0) == 1
