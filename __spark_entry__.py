@@ -57,6 +57,8 @@ _GATE_FRONT = [
     "q_countmin_topk",
     "q_scd2_lookup",
     "q_permissive_ingest",
+    "q_embed_pool",
+    "q_table_checksum",
     # refresh: oracle-bearing queries whose last driver row is round 1
     "q_rollup",
     "q_cube",

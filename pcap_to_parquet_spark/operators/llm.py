@@ -1093,3 +1093,53 @@ def bloom_prefilter(
 @query("q_bloom_prefilter")  # rows-only: a sketch has no SQL analogue
 def bloom_prefilter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_prefilter(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# grouped embedding pooling (the retrieval-pipeline mean-pool)
+
+EMBED_POOL_ORACLE = """
+SELECT label,
+       COUNT(*) AS n_vecs,
+       ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 6) AS c1,
+       ROUND(AVG(CAST(embedding[17] AS DOUBLE)), 6) AS c17,
+       ROUND(AVG(CAST(embedding[33] AS DOUBLE)), 6) AS c33,
+       ROUND(AVG(CAST(embedding[64] AS DOUBLE)), 6) AS c64,
+       ROUND(AVG(list_aggregate(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE)), 'sum')), 4) AS mean_mass
+FROM embeddings
+GROUP BY label
+ORDER BY label
+"""
+
+
+@query("q_embed_pool", EMBED_POOL_ORACLE)
+def embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped mean-pooling of embeddings — the centroid build behind
+    label prototypes, class-conditional retrieval, and cluster
+    summaries. Verified on four probe coordinates of the pooled
+    centroid plus each vector's total mass (left-to-right double
+    accumulation, identical fold order both engines).
+
+    Scale shape: element_at + avg is pure column algebra — partial
+    aggregation pools within each partition, the final exchange
+    carries |labels| x (probes + 1) doubles, never vectors. For the
+    full 64-dim centroid at scale the same plan extends per-dimension
+    (or one pandas-UDF mean per partition, as q_kmeans does); the
+    probe-dim projection here is what makes the result
+    oracle-hashable."""
+    em = load_table(spark, sf_dir, "embeddings")
+    probe = {f"c{i}": F.element_at("embedding", i).cast("double") for i in (1, 17, 33, 64)}
+    mass = F.aggregate(
+        "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
+    return (
+        em.select("label", mass.alias("mass"), *[v.alias(k) for k, v in probe.items()])
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            *[F.round(F.avg(k), 6).alias(k) for k in probe],
+            F.round(F.avg("mass"), 4).alias("mean_mass"),
+        )
+        .orderBy("label")
+    )

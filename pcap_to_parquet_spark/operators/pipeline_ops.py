@@ -831,3 +831,70 @@ def permissive_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# order-independent table checksums: cross-engine data-equality proof
+
+_CK = "('0x' || substr(md5({expr}), 1, 12))::BIGINT"
+
+TABLE_CHECKSUM_ORACLE = f"""
+SELECT 'documents' AS tbl, COUNT(*) AS n_rows,
+       CAST(SUM({_CK.format(expr="CAST(doc_id AS VARCHAR) || '|' || COALESCE(text, '')")})
+            AS BIGINT) AS checksum
+FROM documents
+UNION ALL
+SELECT 'events', COUNT(*),
+       CAST(SUM({_CK.format(expr="CAST(event_id AS VARCHAR) || '|' || COALESCE(event_type, '')")})
+            AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'lineitem', COUNT(*),
+       CAST(SUM({_CK.format(expr="CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)")})
+            AS BIGINT)
+FROM lineitem
+ORDER BY tbl
+"""
+
+
+@query("q_table_checksum", TABLE_CHECKSUM_ORACLE)
+def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content checksums — the cheap data-equality
+    proof for migrations and replicas: md5 each row's key columns,
+    take 48 bits, SUM. Any engine (this query IS its own DuckDB twin)
+    computes the same number from the same rows in any order, so a
+    copy, a re-partition, or a different engine entirely can be
+    certified row-identical with one scan and a constant-size result —
+    no sort, no row-by-row diff. A mismatch then narrows by
+    partition/day with the same formula (checksums are additive).
+
+    Only integer/string columns feed the hash: float formatting is
+    engine-specific, so doubles would make the checksum engine-bound
+    (use q_cogroup_diff for value-level reconciliation). Map-side
+    partial SUM means the exchange carries 3 longs per partition."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def ck(df, name, key_expr):  # noqa: ANN001
+        h = (
+            F.conv(F.substring(F.md5(key_expr), 1, 12), 16, 10)
+            .cast("long")
+        )
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"), F.sum(h).alias("checksum")
+        ).select(F.lit(name).alias("tbl"), "n_rows", "checksum")
+
+    return (
+        ck(d, "documents", F.concat(F.col("doc_id").cast("string"), F.lit("|"),
+                                    F.coalesce("text", F.lit(""))))
+        .unionByName(
+            ck(e, "events", F.concat(F.col("event_id").cast("string"), F.lit("|"),
+                                     F.coalesce("event_type", F.lit(""))))
+        )
+        .unionByName(
+            ck(li, "lineitem", F.concat(F.col("l_orderkey").cast("string"), F.lit("|"),
+                                        F.col("l_linenumber").cast("string")))
+        )
+        .orderBy("tbl")
+    )

@@ -99,6 +99,7 @@ EMPTY_SAFE = [
     "q_countmin_topk",
     "q_scd2_lookup",
     "q_permissive_ingest",
+    "q_embed_pool",
 ]
 
 # global aggregates return one constant row on empty input (their
@@ -110,6 +111,7 @@ CONSTANT_ON_EMPTY = {
     "q_time_travel": 2,  # both snapshot summaries, zero counts
     "q_sql_disjunctive": 1,  # global aggregate: one row of zero/NULL
     "q_sql_recursive": 1,  # the recursion anchor row survives
+    "q_table_checksum": 3,  # one checksum row per audited table
 }
 
 
