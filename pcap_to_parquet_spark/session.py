@@ -33,6 +33,10 @@ RUNTIME_CONF: dict[str, str] = {
     # codegen; the default cutoff (100 fields) silently drops to
     # interpreted mode — measured 1.3x slower on the signature stage.
     "spark.sql.codegen.maxFields": "256",
+    # Python data sources may implement pushFilters (the pcap source
+    # prunes packets inside the decode kernel); without this the
+    # planner refuses to initialize such readers.
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 # Build-time confs (only honored when *we* construct the session).

@@ -50,18 +50,82 @@ class PcapPartition(InputPartition):
         self.ts_tol = ts_tol
 
 
-def _decode_to_arrow(buf: bytes):  # type: ignore[no-untyped-def]
+_PROTOCOL_NUMS = {v: k for k, v in _PROTOCOL_NAMES.items()}
+
+# pushdown-eligible columns → the decoded array carrying them and its
+# validity array (None = always valid)
+_PUSH_COLS = {
+    "len": ("len", None),
+    "src_port": ("src_port", "ports_valid"),
+    "dst_port": ("dst_port", "ports_valid"),
+    "protocol": ("proto", "proto_valid"),
+}
+
+
+def _filter_mask(a, filters):  # type: ignore[no-untyped-def]
+    """AND of pushed filters as one numpy mask over the decoded arrays
+    (SQL semantics: a NULL column value never satisfies a comparison)."""
+    import numpy as np
+
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        IsNotNull,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    mask = np.ones(len(a["len"]), dtype=bool)
+    for f in filters:
+        (col,) = f.attribute
+        arr_name, valid_name = _PUSH_COLS[col]
+        arr = a[arr_name]
+        valid = a[valid_name] if valid_name else np.ones(len(arr), dtype=bool)
+        if isinstance(f, IsNotNull):
+            mask &= valid
+            continue
+        if col == "protocol":
+            # filter values arrive as names; compare on the raw number
+            conv = lambda v: _PROTOCOL_NUMS.get(v, -1)  # noqa: E731
+        else:
+            conv = int
+        if isinstance(f, EqualTo):
+            mask &= valid & (arr == conv(f.value))
+        elif isinstance(f, In):
+            mask &= valid & np.isin(arr, [conv(v) for v in f.value])
+        elif isinstance(f, GreaterThan):
+            mask &= valid & (arr > conv(f.value))
+        elif isinstance(f, GreaterThanOrEqual):
+            mask &= valid & (arr >= conv(f.value))
+        elif isinstance(f, LessThan):
+            mask &= valid & (arr < conv(f.value))
+        elif isinstance(f, LessThanOrEqual):
+            mask &= valid & (arr <= conv(f.value))
+        else:  # pragma: no cover - pushFilters admitted it, must handle
+            raise AssertionError(f"unhandled pushed filter {f!r}")
+    return mask
+
+
+def _decode_to_arrow(buf: bytes, filters=()):  # type: ignore[no-untyped-def]
     """One in-memory capture → one Arrow RecordBatch (PACKET_DDL).
 
     The numeric decode is the shared vectorized kernel; only the
     dotted-quad/protocol-name formatting happens here (the connector
-    yields final strings; read_pcap defers that to JVM codegen)."""
+    yields final strings; read_pcap defers that to JVM codegen).
+    Pushed filters apply as a numpy mask BETWEEN decode and string
+    formatting — pruned packets never materialize Python strings and
+    never cross the Arrow boundary."""
     import numpy as np
     import pyarrow as pa
 
     from pcap_to_parquet_spark.sources.pcap_vec import decode_pcap_arrays
 
     a = decode_pcap_arrays(buf)
+    if filters:
+        keep = _filter_mask(a, filters)
+        a = {k: v[keep] for k, v in a.items()}
     n = len(a["len"])
 
     def dotted(u32: np.ndarray, valid: np.ndarray) -> list:
@@ -127,6 +191,39 @@ class PcapBatchReader(DataSourceReader):
         from pcap_to_parquet_spark.sources.pcap_chunked import _TS_TOL
 
         self.ts_tol = int(float(tol_h) * 3600) if tol_h is not None else _TS_TOL
+        self.pushed: list = []
+
+    def pushFilters(self, filters):  # type: ignore[no-untyped-def]
+        """Accept equality/range/membership filters on the decoded
+        numeric columns (len, ports, protocol). Accepted filters run as
+        a vectorized numpy mask inside the decode kernel, so pruned
+        packets never become Python strings or Arrow rows; everything
+        else stays with Spark. Each accepted filter is implemented
+        EXACTLY (SQL null semantics included), so nothing accepted is
+        re-yielded for re-evaluation."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            IsNotNull,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        supported = (
+            EqualTo, In, IsNotNull,
+            GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual,
+        )
+        for f in filters:
+            if (
+                isinstance(f, supported)
+                and len(f.attribute) == 1
+                and f.attribute[0] in _PUSH_COLS
+            ):
+                self.pushed.append(f)
+            else:
+                yield f
 
     def partitions(self) -> Sequence[PcapPartition]:
         from pcap_to_parquet_spark.sources.pcap import _AUTO_CHUNK_THRESHOLD
@@ -154,7 +251,7 @@ class PcapBatchReader(DataSourceReader):
             buf = decode_chunk(
                 partition.path, partition.start, partition.end, partition.ts_tol
             )
-        yield _decode_to_arrow(buf)
+        yield _decode_to_arrow(buf, self.pushed)
 
 
 class PcapStreamReader(DataSourceStreamReader):
@@ -208,5 +305,12 @@ class PcapDataSource(DataSource):
 
 
 def register_pcap_source(spark) -> None:  # type: ignore[no-untyped-def]
-    """Idempotent ``spark.dataSource.register`` of the pcap format."""
+    """Idempotent ``spark.dataSource.register`` of the pcap format.
+
+    Also applies the runtime confs: the reader implements pushFilters,
+    and Spark refuses to initialize such readers unless
+    spark.sql.python.filterPushdown.enabled is on (set by tune())."""
+    from pcap_to_parquet_spark.session import tune
+
+    tune(spark)
     spark.dataSource.register(PcapDataSource)

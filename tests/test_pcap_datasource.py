@@ -87,3 +87,51 @@ def test_datasource_streaming_tails_directory(spark, tmp_path):
     (land / "b.pcap").write_bytes(_mixed_pcap(30))
     drain()
     assert len(out_rows) == 43  # only the NEW file decoded
+
+
+def test_datasource_filter_pushdown_parity_and_residual(spark, tmp_path):
+    """Pushed filters (ports/len/protocol) return exactly what the
+    plain reader + Spark-side filter returns — incl. SQL null
+    semantics (a NULL port never matches a comparison) — and
+    unsupported filters are yielded back as residuals."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import EqualTo, IsNotNull, StringStartsWith
+
+    register_pcap_source(spark)
+    p = tmp_path / "golden.pcap"
+    p.write_bytes(golden_pcap_bytes())
+    ds = spark.read.format("pcap").load(str(p))
+    plain = read_pcap(spark, str(p))
+
+    cases = [
+        F.col("protocol") == "TCP",
+        F.col("protocol").isin("TCP", "UDP"),
+        (F.col("src_port") > 1000) & (F.col("len") <= 100),
+        F.col("dst_port").isNotNull(),
+        F.col("protocol").isNotNull(),  # GRE packet: proto number, no name
+    ]
+    for cond in cases:
+        got = _rows(ds.filter(cond))
+        want = _rows(plain.filter(cond))
+        assert got == want, str(cond)
+    # fully-pushed equality leaves no post-scan Filter node
+    plan = ds.filter(F.col("protocol") == "TCP")._jdf.queryExecution()
+    # no Filter OPERATOR above the scan ("RuntimeFilters: []" in the
+    # BatchScan line is scan metadata, not an operator)
+    assert "Filter (" not in plan.executedPlan().toString()
+
+    # unit: the reader keeps supported filters, yields back the rest
+    from pcap_to_parquet_spark.sources.pcap_datasource import PcapBatchReader
+
+    r = PcapBatchReader({"path": str(p)})
+    residual = list(
+        r.pushFilters(
+            [
+                EqualTo(("src_port",), 80),
+                IsNotNull(("src_ip",)),  # not a pushdown column
+                StringStartsWith(("protocol",), "T"),  # unsupported type
+            ]
+        )
+    )
+    assert [type(f).__name__ for f in residual] == ["IsNotNull", "StringStartsWith"]
+    assert [type(f).__name__ for f in r.pushed] == ["EqualTo"]
