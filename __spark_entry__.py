@@ -59,6 +59,8 @@ _GATE_FRONT = [
     "q_permissive_ingest",
     "q_embed_pool",
     "q_table_checksum",
+    "q_session_window",
+    "q_skyline",
     # refresh: oracle-bearing queries whose last driver row is round 1
     "q_rollup",
     "q_cube",

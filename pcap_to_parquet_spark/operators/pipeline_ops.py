@@ -898,3 +898,54 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tbl")
     )
+
+
+# ---------------------------------------------------------------------------
+# 2D skyline (Pareto frontier): the O(n log n) sweep vs the O(n^2) spec
+
+SKYLINE_ORACLE = """
+SELECT p1.p_partkey, p1.p_size, p1.p_retailprice
+FROM part p1
+WHERE NOT EXISTS (
+    SELECT 1 FROM part p2
+    WHERE p2.p_size <= p1.p_size
+      AND p2.p_retailprice >= p1.p_retailprice
+      AND (p2.p_size < p1.p_size OR p2.p_retailprice > p1.p_retailprice)
+)
+ORDER BY p1.p_size, p1.p_partkey
+"""
+
+
+@query("q_skyline", SKYLINE_ORACLE)
+def skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2D skyline / Pareto frontier: parts not dominated by any other
+    part (dominator: no larger size, no smaller price, strictly better
+    in one). The ORACLE is the O(n²) NOT-EXISTS specification; the
+    implementation is the O(n log n) sweep a 100 TB table needs:
+
+    a point survives iff (a) its price strictly exceeds the best price
+    at any STRICTLY smaller size and (b) it ties the best price AT its
+    own size. Both bests reduce per-size first — one map-combined
+    aggregate to |distinct sizes| rows — then a running max over that
+    tiny table (the single-partition Window touches |sizes| rows, not
+    the corpus — same pattern as q_pct_change) broadcasts back to the
+    full table for a map-side verdict. The n² pair space is never
+    materialized; equal (size, price) duplicates all survive, as in
+    the spec."""
+    p = load_table(spark, sf_dir, "part")
+    per_size = p.groupBy("p_size").agg(F.max("p_retailprice").alias("best_here"))
+    w = Window.orderBy("p_size").rowsBetween(Window.unboundedPreceding, -1)
+    frontier = per_size.select(
+        "p_size",
+        "best_here",
+        F.max("best_here").over(w).alias("best_smaller"),
+    )
+    return (
+        p.join(F.broadcast(frontier), "p_size")
+        .filter(
+            (F.col("best_smaller").isNull() | (F.col("p_retailprice") > F.col("best_smaller")))
+            & (F.col("p_retailprice") == F.col("best_here"))
+        )
+        .select("p_partkey", "p_size", "p_retailprice")
+        .orderBy("p_size", "p_partkey")
+    )

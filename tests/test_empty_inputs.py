@@ -100,6 +100,8 @@ EMPTY_SAFE = [
     "q_scd2_lookup",
     "q_permissive_ingest",
     "q_embed_pool",
+    "q_session_window",
+    "q_skyline",
 ]
 
 # global aggregates return one constant row on empty input (their

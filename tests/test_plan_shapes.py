@@ -442,3 +442,10 @@ def test_round4_op_shapes(spark):
     # hash-partitionings on the SAME key
     p = prof(spark, "q_cogroup_diff")
     assert p.get("FlatMapCoGroupsInPandas", 0) == 1
+
+    # skyline: the O(n^2) NOT-EXISTS pair space must never materialize —
+    # per-size reduce + tiny-frontier broadcast only
+    p = prof(spark, "q_skyline")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.get("BroadcastHashJoin", 0) >= 1
