@@ -61,6 +61,7 @@ _GATE_FRONT = [
     "q_table_checksum",
     "q_session_window",
     "q_skyline",
+    "q_observed_load",
     # refresh: oracle-bearing queries whose last driver row is round 1
     "q_rollup",
     "q_cube",

@@ -949,3 +949,54 @@ def skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_size", "p_retailprice")
         .orderBy("p_size", "p_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# in-pass data-quality metrics via the Observation API
+
+OBSERVED_LOAD_ORACLE = """
+SELECT event_type, COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM events
+WHERE value > 0
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("q_observed_load", OBSERVED_LOAD_ORACLE)
+def observed_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production load pattern: business aggregate AND data-quality
+    metrics from ONE scan via ``df.observe`` — row count, null keys,
+    negative/zero values, value bounds ride along as accumulator-style
+    metrics on the same pass instead of a second quality scan (at
+    100 TB the second scan is the entire cost of naive DQ checks).
+
+    The returned DataFrame is the aggregate (oracle-checked); the
+    observation metrics are read after the action completes —
+    tests/test_pipeline_ops.py pins that they equal independently
+    computed values. On streaming use the same API per micro-batch."""
+    from pyspark.sql import Observation
+
+    e = load_table(spark, sf_dir, "events")
+    obs = Observation("load_dq")
+    observed = e.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("user_id").isNull().cast("long")).alias("null_users"),
+        F.sum((F.col("value") <= 0).cast("long")).alias("nonpos_values"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
+    out = (
+        observed.filter(F.col("value") > 0)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+    # stash the Observation for callers that want the metrics (tests);
+    # reading obs.get blocks until an action has run on `out`
+    out.observation = obs  # type: ignore[attr-defined]
+    return out

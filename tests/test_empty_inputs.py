@@ -102,6 +102,7 @@ EMPTY_SAFE = [
     "q_embed_pool",
     "q_session_window",
     "q_skyline",
+    "q_observed_load",
 ]
 
 # global aggregates return one constant row on empty input (their

@@ -193,3 +193,54 @@ def test_scd2_lookup_matches_brute_force(spark):
     for st, (n, v) in expect.items():
         assert got[st][0] == n, st
         assert abs(got[st][1] - round(v, 4)) < 1e-6, st
+
+
+def test_observed_load_metrics_match_independent_scan(spark):
+    """The one-pass Observation metrics equal separately computed
+    values — no sampling, no approximation."""
+    from pyspark.sql import functions as F
+
+    from pcap_to_parquet_spark.sources.tables import load_table
+
+    df = QUERIES["q_observed_load"](spark, SF0001)
+    df.collect()  # action materializes the observation
+    m = df.observation.get
+    e = load_table(spark, SF0001, "events")
+    want = e.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("user_id").isNull().cast("long")).alias("null_users"),
+        F.sum((F.col("value") <= 0).cast("long")).alias("nonpos_values"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    ).first()
+    assert m["n_rows"] == want.n_rows > 0
+    assert m["null_users"] == want.null_users
+    assert m["nonpos_values"] == want.nonpos_values
+    assert m["max_value"] == want.max_value
+
+
+def test_table_checksum_is_additive(spark):
+    """checksum(T) = checksum(T half A) + checksum(T half B): the
+    property that lets a mismatch narrow by partition with the same
+    formula."""
+    from pyspark.sql import functions as F
+
+    from pcap_to_parquet_spark.sources.tables import load_table
+
+    full = {r.tbl: (r.n_rows, r.checksum) for r in QUERIES["q_table_checksum"](spark, SF0001).collect()}
+    d = load_table(spark, SF0001, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.coalesce("text", F.lit("")))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    parts = (
+        d.groupBy((F.col("doc_id") % 2).alias("half"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(h).alias("ck"))
+        .collect()
+    )
+    assert sum(r.n for r in parts) == full["documents"][0]
+    assert sum(r.ck for r in parts) == full["documents"][1]
