@@ -62,6 +62,7 @@ _GATE_FRONT = [
     "q_session_window",
     "q_skyline",
     "q_observed_load",
+    "q_xml_ingest",
     # refresh: oracle-bearing queries whose last driver row is round 1
     "q_rollup",
     "q_cube",

@@ -103,6 +103,7 @@ EMPTY_SAFE = [
     "q_session_window",
     "q_skyline",
     "q_observed_load",
+    "q_xml_ingest",
 ]
 
 # global aggregates return one constant row on empty input (their
