@@ -63,6 +63,7 @@ _GATE_FRONT = [
     "q_skyline",
     "q_observed_load",
     "q_xml_ingest",
+    "q_cidr_enrich",
     # refresh: oracle-bearing queries whose last driver row is round 1
     "q_rollup",
     "q_cube",

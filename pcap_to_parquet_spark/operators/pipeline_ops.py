@@ -1062,3 +1062,87 @@ def xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# CIDR longest-prefix-match enrichment (the packet-enrichment join,
+# expressed as a broadcast lookup chain — no range join, no explode)
+
+# (label, dotted_prefix_as_u32, prefix_len) — literal routing table
+_SUBNETS = [
+    ("rack-5", (10 << 24) | (16 << 16) | (5 << 8), 24),
+    ("dc-east-core", (10 << 24) | (16 << 16), 16),
+    ("dc-east", (10 << 24) | (16 << 16), 12),
+    ("corp", 10 << 24, 8),
+]
+
+_IP_SQL = (
+    "(10 * 16777216 + (user_id % 32) * 65536 "
+    "+ (event_id % 256) * 256 + (event_id // 256) % 256)"
+)
+
+_CIDR_ORACLE_JOINS = "\n".join(
+    f"LEFT JOIN sn{ln} ON (ip // {1 << (32 - ln)}) = {pfx >> (32 - ln)}"
+    for _, pfx, ln in _SUBNETS
+)
+
+CIDR_ENRICH_ORACLE = f"""
+WITH ev AS (SELECT user_id, {_IP_SQL} AS ip FROM events),
+{", ".join(f"sn{ln} AS (SELECT '{lbl}' AS label{ln})" for lbl, _, ln in _SUBNETS)},
+matched AS (
+    SELECT ev.user_id,
+           COALESCE({", ".join(f"label{ln}" for _, _, ln in _SUBNETS)}) AS label
+    FROM ev
+    {_CIDR_ORACLE_JOINS}
+)
+SELECT label, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+FROM matched
+GROUP BY label
+ORDER BY label
+"""
+
+
+@query("q_cidr_enrich", CIDR_ENRICH_ORACLE)
+def cidr_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-prefix-match IP enrichment — the packet-to-subnet join
+    every network-analytics pipeline runs (the reference's packets
+    would feed this directly; here the IP derives deterministically
+    from events so the oracle can see it). The classic formulations
+    are a range join (interval containment — quadratic risk) or an
+    explode-by-prefix-length; with the routing table's prefix lengths
+    known, LPM collapses to a PRIORITY CHAIN OF BROADCAST LOOKUPS:
+    mask the IP to each length (longest first), left-join each tiny
+    prefix table, COALESCE in priority order. Zero shuffles before the
+    final aggregate; each join is a map-side broadcast hash probe —
+    the shape that holds at a billion packets with a real routing
+    table (group prefixes by length; Internet tables have ~30 distinct
+    lengths)."""
+    e = load_table(spark, sf_dir, "events")
+    ip = (
+        F.lit(10 * (1 << 24))
+        + (F.col("user_id") % 32) * (1 << 16)
+        + (F.col("event_id") % 256) * 256
+        + (F.col("event_id") / 256).cast("long") % 256
+    ).alias("ip")
+    ev = e.select("user_id", ip)
+    out = ev
+    labels = []
+    for lbl, pfx, ln in _SUBNETS:  # longest prefix first
+        sn = spark.createDataFrame(
+            [(pfx >> (32 - ln), lbl)], f"key{ln} long, label{ln} string"
+        )
+        out = out.join(
+            F.broadcast(sn),
+            (F.col("ip") / (1 << (32 - ln))).cast("long") == F.col(f"key{ln}"),
+            "left",
+        )
+        labels.append(f"label{ln}")
+    return (
+        out.select("user_id", F.coalesce(*labels).alias("label"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("label")
+    )

@@ -104,6 +104,7 @@ EMPTY_SAFE = [
     "q_skyline",
     "q_observed_load",
     "q_xml_ingest",
+    "q_cidr_enrich",
 ]
 
 # global aggregates return one constant row on empty input (their

@@ -449,3 +449,10 @@ def test_round4_op_shapes(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert p.get("BroadcastHashJoin", 0) >= 1
+
+    # CIDR LPM: a priority chain of broadcast probes — all four prefix
+    # lookups map-side, no range join, no explode
+    p = prof(spark, "q_cidr_enrich")
+    assert p.get("BroadcastHashJoin", 0) == 4
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
