@@ -64,6 +64,7 @@ _GATE_FRONT = [
     "q_observed_load",
     "q_xml_ingest",
     "q_cidr_enrich",
+    "q_image_dhash",
     # refresh: oracle-bearing queries whose last driver row is round 1
     "q_rollup",
     "q_cube",

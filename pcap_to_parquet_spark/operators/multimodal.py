@@ -422,3 +422,90 @@ def video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_idx",
         F.md5(F.upper(F.hex("frame"))).alias("frame_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual hashing: dHash over raw images — multimodal NEAR-DUP
+# fingerprints, the image twin of minhash/simhash for text
+
+_DH_COLS9 = [min(int((i + 0.5) * 16 / 9), 15) for i in range(9)]  # NN 9-of-16
+_DH_ROWS8 = _NN_16_TO_8  # NN 8-of-16 (pixel centers)
+
+
+def _dh_gray_sql(r: int, c: int) -> str:
+    base = 6 * (r * 16 + c) + 1
+    chans = " + ".join(
+        f"('0x' || substr(imghex, {base + 2 * k}, 2))::INT" for k in range(3)
+    )
+    return f"(({chans}) // 3)"
+
+
+_DH_GRAYS = ",\n           ".join(
+    f"{_dh_gray_sql(r, c)} AS g_{ri}_{ci}"
+    for ri, r in enumerate(_DH_ROWS8)
+    for ci, c in enumerate(_DH_COLS9)
+)
+_DH_BITS = " || ".join(
+    f"CASE WHEN g_{ri}_{ci} > g_{ri}_{ci + 1} THEN '1' ELSE '0' END"
+    for ri in range(8)
+    for ci in range(8)
+)
+
+IMAGE_DHASH_ORACLE = f"""
+WITH m AS (
+    SELECT doc_id AS media_id, hex(encode(repeat(text, 9))) AS imghex
+    FROM documents
+    WHERE n_chars >= 96
+),
+grays AS (
+    SELECT media_id,
+           {_DH_GRAYS}
+    FROM m
+),
+hashed AS (SELECT media_id, {_DH_BITS} AS dhash FROM grays)
+SELECT media_id, dhash,
+       CAST(64 - length(replace(dhash, '1', '')) AS BIGINT) AS n_edges
+FROM hashed
+"""
+
+
+@query("q_image_dhash", IMAGE_DHASH_ORACLE)
+def image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-hash (dHash) perceptual fingerprints over raw RGB
+    images — the image-dedup primitive: resize to 9×8 (the engine's
+    oracle-checked NN kernel), integer grayscale, 64 bits of
+    left-vs-right gradient sign. Near-duplicate images (re-encodes,
+    small edits) land within a few Hamming bits, so downstream dedup is
+    exactly the simhash band-bucket join (q_dedup_simhash) on these 64
+    bits. The DuckDB oracle recomputes every sampled pixel, the
+    grayscale division, and all 64 comparisons in blob/hex algebra —
+    the perceptual math itself is value-checked, not just the
+    plumbing.
+
+    Scale shape: two chained mapInPandas (resize, hash) — map-only,
+    Arrow-batched, no shuffle at all; the 64-bit fingerprint is what
+    ships, never pixels."""
+    d = load_table(spark, sf_dir, "documents")
+    media = raw_media_table(d, "image")
+    resized = resize_images(media, 9, 8)
+
+    def do_hash(batches):  # type: ignore[no-untyped-def]
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, hashes, edges = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8).reshape(8, 9, 3)
+                gray = arr.astype(np.int64).sum(axis=-1) // 3
+                bits = (gray[:, :-1] > gray[:, 1:]).astype(np.uint8).ravel()
+                ids.append(mid)
+                hashes.append("".join("1" if b else "0" for b in bits))
+                edges.append(int(bits.sum()))
+            yield pd.DataFrame({"media_id": ids, "dhash": hashes, "n_edges": edges})
+
+    return resized.mapInPandas(
+        do_hash, schema="media_id long, dhash string, n_edges long"
+    )

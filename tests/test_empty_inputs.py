@@ -105,6 +105,7 @@ EMPTY_SAFE = [
     "q_observed_load",
     "q_xml_ingest",
     "q_cidr_enrich",
+    "q_image_dhash",
 ]
 
 # global aggregates return one constant row on empty input (their

@@ -124,3 +124,80 @@ def test_real_codecs_stubbed(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         resize_images(img, 64, 64).collect()
+
+
+def test_image_dhash_locality(spark):
+    """Perceptual property that makes dHash a NEAR-dup key: a one-byte
+    payload perturbation flips at most a few of the 64 bits, while
+    unrelated images differ by many."""
+    from pcap_to_parquet_spark.operators.multimodal import (
+        RAW_IMAGE_MIME,
+        resize_images,
+    )
+
+    def dhash_of(payload: bytes) -> str:
+        arr = np.frombuffer(payload, dtype=np.uint8).reshape(16, 16, 3)
+        small = _nn_resize(arr, 9, 8).astype(np.int64)
+        gray = small.sum(axis=-1) // 3
+        bits = (gray[:, :-1] > gray[:, 1:]).astype(np.uint8).ravel()
+        return "".join("1" if b else "0" for b in bits)
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 256, size=16 * 16 * 3, dtype=np.uint16).astype(np.uint8)
+    tweaked = base.copy()
+    tweaked[100] ^= 0xFF  # one byte of one pixel
+    other = rng.randint(0, 256, size=16 * 16 * 3, dtype=np.uint16).astype(np.uint8)
+    h_base, h_tweak, h_other = (
+        dhash_of(base.tobytes()),
+        dhash_of(tweaked.tobytes()),
+        dhash_of(other.tobytes()),
+    )
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))  # noqa: E731
+    assert ham(h_base, h_tweak) <= 4
+    assert ham(h_base, h_other) >= 16
+
+    # and the query's Spark-side kernel agrees with this reference calc
+    from pyspark.sql.types import (
+        BinaryType, LongType, StringType, StructField, StructType,
+    )
+
+    # route the crafted payloads through the engine's own resize+hash
+    import pandas as pd
+    from pcap_to_parquet_spark.operators import multimodal as mm
+
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1, 2, 3],
+                "payload": [base.tobytes(), tweaked.tobytes(), other.tobytes()],
+                "meta": [
+                    {"kind": "image", "mime": mm.RAW_IMAGE_MIME, "width": 16, "height": 16}
+                ] * 3,
+            }
+        ),
+        schema=StructType(
+            [
+                StructField("media_id", LongType()),
+                StructField("payload", BinaryType()),
+                StructField(
+                    "meta",
+                    StructType(
+                        [
+                            StructField("kind", StringType()),
+                            StructField("mime", StringType()),
+                            StructField("width", LongType()),
+                            StructField("height", LongType()),
+                        ]
+                    ),
+                ),
+            ]
+        ),
+    )
+    resized = resize_images(media, 9, 8)
+    got = {}
+    for r in resized.collect():
+        arr = np.frombuffer(bytes(r.payload), dtype=np.uint8).reshape(8, 9, 3)
+        gray = arr.astype(np.int64).sum(axis=-1) // 3
+        bits = (gray[:, :-1] > gray[:, 1:]).astype(np.uint8).ravel()
+        got[r.media_id] = "".join("1" if b else "0" for b in bits)
+    assert got[1] == h_base and got[2] == h_tweak and got[3] == h_other
