@@ -65,6 +65,9 @@ _GATE_FRONT = [
     "q_xml_ingest",
     "q_cidr_enrich",
     "q_image_dhash",
+    "q_sql_custdist",
+    "q_sql_big_orders",
+    "q_sql_idle_customers",
     # refresh: oracle-bearing queries whose last driver row is round 1
     "q_rollup",
     "q_cube",

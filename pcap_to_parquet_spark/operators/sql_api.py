@@ -332,3 +332,98 @@ def sql_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     bug this query exists to catch."""
     _register_views(spark, sf_dir)
     return spark.sql(_Q21_SQL)
+
+
+# TPC-H Q13 shape: customer order-count distribution (the outer-join
+# histogram — COUNT over a LEFT JOIN, then a histogram of the counts)
+
+_Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+    FROM customer c
+    LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY c.c_custkey
+) per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@query("q_sql_custdist", _Q13_SQL)
+def sql_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: two stacked aggregations over a filtered LEFT
+    join — customers with zero (non-urgent) orders must appear in the
+    c_count=0 bucket, which is why the filter lives in the JOIN
+    CONDITION, not a WHERE (a WHERE would silently turn the outer join
+    inner: the classic outer-join-filter bug this query exists to
+    catch). COUNT(o_orderkey) counts matches only (NULL-skipping), so
+    unmatched customers aggregate to 0."""
+    _register_views(spark, sf_dir)
+    return spark.sql(_Q13_SQL)
+
+
+# TPC-H Q18 shape: large-volume customers via IN <grouped subquery>
+
+_Q18_SQL = """
+SELECT c.c_name, o.o_orderkey,
+       ROUND(o.o_totalprice, 2) AS o_totalprice,
+       CAST(SUM(l.l_quantity) AS DOUBLE) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+)
+GROUP BY c.c_name, o.o_orderkey, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 20
+"""
+
+
+@query("q_sql_big_orders", _Q18_SQL)
+def sql_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN over a grouped HAVING subquery. The
+    subquery re-aggregates the same fact table; Catalyst plans it as
+    an aggregate + LEFT SEMI join on the order key co-partitioned with
+    the main lineitem shuffle — the fact table is scanned twice but
+    shuffled on the same key, so the semi probe is cheap. The LIMIT
+    rides the final order as TakeOrderedAndProject."""
+    _register_views(spark, sf_dir)
+    return spark.sql(_Q18_SQL)
+
+
+# TPC-H Q22 shape: anti join + uncorrelated scalar subquery
+
+_Q22_SQL = """
+SELECT c.c_mktsegment AS segment,
+       COUNT(*) AS numcust,
+       ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (
+    SELECT AVG(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0
+)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+GROUP BY c.c_mktsegment
+ORDER BY segment
+"""
+
+
+@query("q_sql_idle_customers", _Q22_SQL)
+def sql_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: an uncorrelated scalar subquery (the global
+    average becomes a literal once computed — one extra tiny job, then
+    a pushable filter) combined with NOT EXISTS (left-anti join on the
+    customer key against the urgent slice of orders — the predicate
+    lives INSIDE the subquery so the anti join's build side is small).
+    Wealthy customers with no urgent orders, per market segment
+    (every test-SF customer has some order, so the unqualified
+    NOT EXISTS would be vacuously empty; Q2H's name-derived country
+    code collapses to one group in this testdata)."""
+    _register_views(spark, sf_dir)
+    return spark.sql(_Q22_SQL)

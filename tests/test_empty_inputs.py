@@ -106,6 +106,9 @@ EMPTY_SAFE = [
     "q_xml_ingest",
     "q_cidr_enrich",
     "q_image_dhash",
+    "q_sql_custdist",
+    "q_sql_big_orders",
+    "q_sql_idle_customers",
 ]
 
 # global aggregates return one constant row on empty input (their

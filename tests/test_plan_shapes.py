@@ -416,6 +416,17 @@ def test_decorrelated_subquery_shapes(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert p["semi_joins"] >= 1 and p["anti_joins"] >= 1
 
+    # Q18 shape: IN <grouped subquery> -> semi join, never a BNLJ
+    p = prof(spark, "q_sql_big_orders")
+    assert p["semi_joins"] >= 1
+    assert "BroadcastNestedLoopJoin" not in p
+
+    # Q22 shape: NOT EXISTS -> anti join; the scalar avg subquery must
+    # not leave a per-row nested loop behind
+    p = prof(spark, "q_sql_idle_customers")
+    assert p["anti_joins"] >= 1
+    assert "CartesianProduct" not in p
+
 
 def test_round4_op_shapes(spark):
     # bigram LM: model joins are plain hash joins (model side must NOT
