@@ -68,6 +68,7 @@ _GATE_FRONT = [
     "q_sql_custdist",
     "q_sql_big_orders",
     "q_sql_idle_customers",
+    "q_sequence_pack",
     # refresh: oracle-bearing queries whose last driver row is round 1
     "q_rollup",
     "q_cube",

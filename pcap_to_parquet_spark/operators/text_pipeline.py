@@ -556,3 +556,81 @@ def ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ngram_lm_score.__doc__ = ngram_lm_score.__doc__.format(alpha=_LM_ALPHA)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (training-batch assembly) via distributed prefix sum
+
+_PACK_BUDGET = 512
+
+SEQUENCE_PACK_ORACLE = rf"""
+WITH t AS (
+    SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k,
+           len({_TOK_SQL}) AS n_toks
+    FROM documents
+),
+c AS (
+    SELECT doc_id, n_toks,
+           SUM(n_toks) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS cs
+    FROM t
+)
+SELECT CAST((cs - n_toks) // {_PACK_BUDGET} AS BIGINT) AS bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS total_toks
+FROM c
+GROUP BY bin
+ORDER BY bin
+"""
+
+
+@query("q_sequence_pack", SEQUENCE_PACK_ORACLE)
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the training-batch assembly step: documents
+    concatenated in a deterministic shuffle order (md5 of doc_id) and
+    cut into {budget}-token bins; each doc's bin is where its first
+    token lands. Output: docs and tokens starting in each bin.
+
+    The load-bearing piece is the GLOBAL RUNNING SUM, computed as the
+    scale-safe TWO-PHASE PREFIX SUM instead of one unpartitioned
+    window (the single-partition sort that melts at corpus scale):
+    (1) bucket by the first hex char of the shuffle key — bucket is a
+    PREFIX of the order key, so (bucket, key) order IS key order;
+    (2) windowed cumsum WITHIN each bucket, all buckets in parallel;
+    (3) per-bucket totals (16 rows) get a running offset on the driver
+    -sized side and broadcast back; global cumsum = local + offset.
+    The oracle states the same sum as one window — the point is the
+    identical result from the partition-parallel plan."""
+    from pcap_to_parquet_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("k"),
+        F.size(whitespace_tokens("text")).cast("long").alias("n_toks"),
+    ).withColumn("b", F.substring("k", 1, 1))
+    w_local = Window.partitionBy("b").orderBy("k").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    local = t.withColumn("lcs", F.sum("n_toks").over(w_local))
+    btot = local.groupBy("b").agg(F.sum("n_toks").alias("tot"))
+    w_buckets = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = btot.withColumn("off", F.coalesce(F.sum("tot").over(w_buckets), F.lit(0)))
+    packed = (
+        local.join(F.broadcast(offs.select("b", "off")), "b")
+        .withColumn("cs", F.col("lcs") + F.col("off"))
+        .withColumn(
+            "bin",
+            ((F.col("cs") - F.col("n_toks")) / _PACK_BUDGET).cast("long"),
+        )
+    )
+    return (
+        packed.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("total_toks"),
+        )
+        .orderBy("bin")
+    )
+
+
+sequence_pack.__doc__ = sequence_pack.__doc__.format(budget=_PACK_BUDGET)

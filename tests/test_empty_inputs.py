@@ -109,6 +109,7 @@ EMPTY_SAFE = [
     "q_sql_custdist",
     "q_sql_big_orders",
     "q_sql_idle_customers",
+    "q_sequence_pack",
 ]
 
 # global aggregates return one constant row on empty input (their

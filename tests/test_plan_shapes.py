@@ -467,3 +467,11 @@ def test_round4_op_shapes(spark):
     assert p.get("BroadcastHashJoin", 0) == 4
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+    # sequence packing: the corpus-wide cumsum must NOT be one
+    # unpartitioned window over the data — the bucket-partitioned
+    # window and the 16-row offset window both appear, and only the
+    # offset table / final sort may see a single partition
+    p = prof(spark, "q_sequence_pack")
+    assert p.get("Window", 0) >= 2
+    assert p.get("single_partition", 0) <= 2
