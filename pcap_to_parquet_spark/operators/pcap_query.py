@@ -27,7 +27,37 @@ def _fixture_path() -> str:
     return path
 
 
-@query("q_pcap_pipeline")  # rows-only: no pcap in DuckDB
+
+# Golden-packet oracle: the 13 fixture packets' decoded rows as a SQL
+# literal. The fixture is STATIC (built by sources/pcap_fixtures.py, not
+# driver testdata), and every value below is independently hand-computed
+# in tests/test_pcap_decode.py from the byte layout (main.rs:128-252
+# semantics: innermost-wins trailer stacking, signed mm_ns compare, VLAN
+# inner offsets, null-on-malformed). The driver's value-hash compare
+# therefore checks the DECODE, exactly as the golden tests do.
+_PKT_COLS = "src_ip, dst_ip, len, protocol, src_port, dst_port, mm_ts, mm_id, mm_port"
+_PKT_NULLS = ("CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), "
+              "CAST(NULL AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS SMALLINT)")
+GOLDEN_PACKETS_ORACLE = f"""
+SELECT {_PKT_COLS} FROM (VALUES
+    (CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(10 AS BIGINT), CAST(NULL AS VARCHAR), {_PKT_NULLS}),
+    ('10.1.1.1', '10.1.1.2', CAST(38 AS BIGINT), 'ICMP', {_PKT_NULLS}),
+    ('10.2.2.1', '224.0.0.1', CAST(38 AS BIGINT), 'IGMP', {_PKT_NULLS}),
+    ('10.3.3.1', '10.3.3.2', CAST(38 AS BIGINT), CAST(NULL AS VARCHAR), {_PKT_NULLS}),
+    (CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(42 AS BIGINT), CAST(NULL AS VARCHAR), {_PKT_NULLS}),
+    ('10.0.0.1', '10.0.0.2', CAST(50 AS BIGINT), 'UDP', CAST(1234 AS INTEGER), CAST(5678 AS INTEGER), CAST(NULL AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS SMALLINT)),
+    ('172.16.0.1', '172.16.0.2', CAST(54 AS BIGINT), 'UDP', CAST(53 AS INTEGER), CAST(5353 AS INTEGER), CAST(NULL AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS SMALLINT)),
+    ('192.168.1.10', '192.168.1.20', CAST(54 AS BIGINT), 'TCP', CAST(80 AS INTEGER), CAST(443 AS INTEGER), CAST(NULL AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS SMALLINT)),
+    ('10.0.0.1', '10.0.0.2', CAST(66 AS BIGINT), 'UDP', CAST(1234 AS INTEGER), CAST(5678 AS INTEGER), CAST(NULL AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS SMALLINT)),
+    ('10.0.0.1', '10.0.0.2', CAST(66 AS BIGINT), 'UDP', CAST(1234 AS INTEGER), CAST(5678 AS INTEGER), CAST(1699999998500000123 AS BIGINT), CAST(7 AS INTEGER), CAST(3 AS SMALLINT)),
+    ('10.0.0.1', '10.0.0.2', CAST(70 AS BIGINT), 'UDP', CAST(1234 AS INTEGER), CAST(5678 AS INTEGER), CAST(1699999995777777777 AS BIGINT), CAST(9 AS INTEGER), CAST(4 AS SMALLINT)),
+    ('10.0.0.1', '10.0.0.2', CAST(82 AS BIGINT), 'UDP', CAST(1234 AS INTEGER), CAST(5678 AS INTEGER), CAST(1699999997111111111 AS BIGINT), CAST(1 AS INTEGER), CAST(1 AS SMALLINT)),
+    ('10.9.9.1', '10.9.9.2', CAST(114 AS BIGINT), 'UDP', CAST(7 AS INTEGER), CAST(9 AS INTEGER), CAST(NULL AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS SMALLINT))
+) AS t({_PKT_COLS})
+"""
+
+
+@query("q_pcap_pipeline", GOLDEN_PACKETS_ORACLE)
 def pcap_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = read_pcap(spark, _fixture_path())
     return df.orderBy(F.col("len"), F.col("src_ip").asc_nulls_first(), F.col("mm_id").asc_nulls_first())
@@ -70,7 +100,7 @@ def _pcapng_fixture_path() -> str:
     return path
 
 
-@query("q_pcapng_pipeline")  # rows-only: engine extension, no pcapng in DuckDB
+@query("q_pcapng_pipeline", GOLDEN_PACKETS_ORACLE)  # same frames, same goldens
 def pcapng_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The golden packets through the pcapng container — must equal
     q_pcap_pipeline row-for-row (same frames, same decode chain)."""
@@ -80,7 +110,7 @@ def pcapng_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.orderBy(F.col("len"), F.col("src_ip").asc_nulls_first(), F.col("mm_id").asc_nulls_first())
 
 
-@query("q_pcap_datasource")  # rows-only: no pcap in DuckDB
+@query("q_pcap_datasource", GOLDEN_PACKETS_ORACLE)  # connector form, same goldens
 def pcap_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference capability through the Spark 4 Python Data Source
     API: ``spark.read.format("pcap")`` over the golden fixture —

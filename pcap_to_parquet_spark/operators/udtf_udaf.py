@@ -88,7 +88,21 @@ def pcap_records(spark: SparkSession, path: str) -> DataFrame:
     return files.mapInPandas(split_files, schema="ts_sec long, origlen long, data binary")
 
 
-@query("q_pcap_trailers")  # rows-only: UDTF over pcap bytes, no DuckDB analogue
+
+# per-trailer goldens: the 4 (packet, trailer) rows of the static
+# fixture, hand-computed in tests/test_udtf_udaf.py (outermost-first
+# indexing; the 82-byte packet carries a stacked pair)
+PCAP_TRAILERS_ORACLE = """
+SELECT origlen, trailer_idx, mm_ts, mm_id, mm_port FROM (VALUES
+    (CAST(66 AS BIGINT), CAST(0 AS INTEGER), CAST(1699999998500000123 AS BIGINT), CAST(7 AS INTEGER), CAST(3 AS SMALLINT)),
+    (CAST(70 AS BIGINT), CAST(0 AS INTEGER), CAST(1699999995777777777 AS BIGINT), CAST(9 AS INTEGER), CAST(4 AS SMALLINT)),
+    (CAST(82 AS BIGINT), CAST(0 AS INTEGER), CAST(1699999999222222222 AS BIGINT), CAST(2 AS INTEGER), CAST(2 AS SMALLINT)),
+    (CAST(82 AS BIGINT), CAST(1 AS INTEGER), CAST(1699999997111111111 AS BIGINT), CAST(1 AS INTEGER), CAST(1 AS SMALLINT))
+) AS t(origlen, trailer_idx, mm_ts, mm_id, mm_port)
+"""
+
+
+@query("q_pcap_trailers", PCAP_TRAILERS_ORACLE)  # static-fixture goldens
 def pcap_trailers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-trailer rows from the golden pcap via a LATERAL Python UDTF —
     the one-row→many shape (packet → its full trailer stack)."""
