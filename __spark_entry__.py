@@ -69,6 +69,11 @@ _GATE_FRONT = [
     "q_sql_big_orders",
     "q_sql_idle_customers",
     "q_sequence_pack",
+    # oracle upgraded this round (rows-only -> golden VALUES literal)
+    "q_pcap_pipeline",
+    "q_pcapng_pipeline",
+    "q_pcap_datasource",
+    "q_pcap_trailers",
     # refresh: oracle-bearing queries whose last driver row is round 1
     "q_rollup",
     "q_cube",
