@@ -74,6 +74,7 @@ _GATE_FRONT = [
     "q_pcapng_pipeline",
     "q_pcap_datasource",
     "q_pcap_trailers",
+    "q_audio_features",
     # refresh: oracle-bearing queries whose last driver row is round 1
     "q_rollup",
     "q_cube",

@@ -351,13 +351,42 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_audio_features")  # rows-only: int16 decode has no SQL analogue
+AUDIO_FEATURES_ORACLE = """
+WITH m AS (
+    SELECT doc_id AS media_id,
+           substr(hex(encode(repeat(text, 9))), 1, 1536) AS hx
+    FROM documents WHERE n_chars >= 96
+),
+samp AS (
+    SELECT media_id,
+           ('0x' || substr(hx, 4 * i + 1, 2))::INT
+           + 256 * ('0x' || substr(hx, 4 * i + 3, 2))::INT AS raw
+    FROM m, UNNEST(range(384)) AS r(i)
+),
+val AS (
+    SELECT media_id,
+           CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+    FROM samp
+)
+SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+       format('{:.6f}', sqrt(AVG(CAST(v AS DOUBLE) * v))) AS rms,
+       CAST(MAX(ABS(v)) AS INTEGER) AS peak
+FROM val
+GROUP BY media_id
+"""
+
+
+@query("q_audio_features", AUDIO_FEATURES_ORACLE)
 def audio_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCM16 feature extraction over raw audio payloads (tiled text
     bytes as deterministic samples): n_samples / rms / peak computed in
-    numpy. Rows-only: re-interpreting blob bytes as little-endian int16
-    has no reasonable DuckDB expression; the kernel is golden-tested in
-    tests/test_multimodal.py instead."""
+    numpy. The DuckDB oracle re-derives every little-endian int16 from
+    the payload's hex (lo + 256*hi, two's-complement fold) and
+    recomputes rms/peak — the byte-reinterpretation itself is
+    value-checked; the kernel is additionally golden-tested in
+    tests/test_multimodal.py. rms ships as a fixed 6-decimal string:
+    float FORMATTING is the one engine-dependent step, so both engines
+    format instead of hash raw doubles."""
     d = load_table(spark, sf_dir, "documents")
     return audio_features(raw_media_table(d, "audio"))
 

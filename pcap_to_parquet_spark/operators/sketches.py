@@ -116,9 +116,10 @@ _CM_TOK_SQL = r"list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')"
 COUNTMIN_ORACLE = f"""
 WITH tok AS (SELECT unnest({_CM_TOK_SQL}) AS t FROM documents),
 pos AS (
+    -- ONE md5 per occurrence; row i's hash is hex slice [8i, 8i+8) of
+    -- the 32-hex digest (independent-enough rows, 4x less hashing)
     SELECT t, i,
-           ('0x' || substr(md5(t || '#' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
-               % {_CM_W} AS p
+           ('0x' || substr(md5(t), 8 * i + 1, 8))::BIGINT % {_CM_W} AS p
     FROM tok, UNNEST(range({_CM_D})) AS r(i)
 ),
 sk AS (SELECT i, p, COUNT(*) AS c FROM pos GROUP BY i, p),
@@ -157,15 +158,15 @@ def countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("t")
     )
     rows = F.array(*[F.lit(i) for i in range(_CM_D)])
-    pos = tok.select("t", F.explode(rows).alias("i")).select(
+    pos = tok.select("t", F.md5("t").alias("h")).select(
+        "t",
+        F.explode(rows).alias("i"),
+        "h",
+    ).select(
         "t",
         "i",
         (
-            F.conv(
-                F.substring(F.md5(F.concat("t", F.lit("#"), F.col("i").cast("string"))), 1, 8),
-                16,
-                10,
-            ).cast("long")
+            F.conv(F.substring("h", F.col("i") * 8 + 1, 8), 16, 10).cast("long")
             % _CM_W
         ).alias("p"),
     )
