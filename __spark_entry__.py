@@ -75,6 +75,7 @@ _GATE_FRONT = [
     "q_pcap_datasource",
     "q_pcap_trailers",
     "q_audio_features",
+    "q_pcap_flows",
     # refresh: oracle-bearing queries whose last driver row is round 1
     "q_rollup",
     "q_cube",

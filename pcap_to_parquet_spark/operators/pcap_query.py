@@ -125,3 +125,41 @@ def pcap_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.orderBy(
         F.col("len"), F.col("src_ip").asc_nulls_first(), F.col("mm_id").asc_nulls_first()
     )
+
+
+# 5-tuple flow rollup over the golden capture: packets+bytes per flow,
+# hand-checkable from GOLDEN_PACKETS_ORACLE (e.g. the 1234->5678 UDP
+# flow carries packets of len 50+66+66+70+82 = 334 bytes)
+PCAP_FLOWS_ORACLE = """
+SELECT src_ip, dst_ip, protocol, src_port, dst_port, n_packets, n_bytes
+FROM (VALUES
+    ('10.0.0.1', '10.0.0.2', 'UDP', CAST(1234 AS INTEGER), CAST(5678 AS INTEGER), CAST(5 AS BIGINT), CAST(334 AS BIGINT)),
+    ('10.1.1.1', '10.1.1.2', 'ICMP', CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(1 AS BIGINT), CAST(38 AS BIGINT)),
+    ('10.2.2.1', '224.0.0.1', 'IGMP', CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(1 AS BIGINT), CAST(38 AS BIGINT)),
+    ('10.3.3.1', '10.3.3.2', CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(1 AS BIGINT), CAST(38 AS BIGINT)),
+    ('10.9.9.1', '10.9.9.2', 'UDP', CAST(7 AS INTEGER), CAST(9 AS INTEGER), CAST(1 AS BIGINT), CAST(114 AS BIGINT)),
+    ('172.16.0.1', '172.16.0.2', 'UDP', CAST(53 AS INTEGER), CAST(5353 AS INTEGER), CAST(1 AS BIGINT), CAST(54 AS BIGINT)),
+    ('192.168.1.10', '192.168.1.20', 'TCP', CAST(80 AS INTEGER), CAST(443 AS INTEGER), CAST(1 AS BIGINT), CAST(54 AS BIGINT)),
+    (CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(2 AS BIGINT), CAST(52 AS BIGINT))
+) AS t(src_ip, dst_ip, protocol, src_port, dst_port, n_packets, n_bytes)
+"""
+
+
+@query("q_pcap_flows", PCAP_FLOWS_ORACLE)
+def pcap_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NetFlow-style 5-tuple rollup — THE downstream query a capture
+    lake exists for: packets and bytes per (src, dst, proto, sport,
+    dport). Undecodable packets keep their NULL tuple and aggregate
+    into a catch-all flow (SQL GROUP BY null semantics, unlike
+    NetFlow's drop policy — nothing silently vanishes). At 100 TB
+    this is one partial+final aggregate over the decoded scan; with
+    the lake partitioned by (date, type) the scan prunes first.
+    Oracle: the hand-computed flow table of the golden capture."""
+    df = read_pcap(spark, _fixture_path())
+    return (
+        df.groupBy("src_ip", "dst_ip", "protocol", "src_port", "dst_port")
+        .agg(
+            F.count(F.lit(1)).alias("n_packets"),
+            F.sum("len").alias("n_bytes"),
+        )
+    )
