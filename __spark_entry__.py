@@ -76,6 +76,7 @@ _GATE_FRONT = [
     "q_pcap_trailers",
     "q_audio_features",
     "q_pcap_flows",
+    "q_triangle_count",
     # refresh: oracle-bearing queries whose last driver row is round 1
     "q_rollup",
     "q_cube",

@@ -583,3 +583,111 @@ def pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("revenue", 4).alias("revenue"),
         F.round((F.col("revenue") - prev) / prev, 4).alias("pct_change"),
     )
+
+
+# ---------------------------------------------------------------------------
+# triangle counting on the co-order graph (degree-ordered, the
+# distributed graph kernel that bounds wedge explosion)
+
+TRIANGLE_ORACLE = """
+WITH pairs AS (
+    SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+    SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs
+    ) GROUP BY node
+),
+oriented AS (
+    SELECT CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.u ELSE p.v END AS s,
+           CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.v ELSE p.u END AS t
+    FROM pairs p
+    JOIN deg du ON du.node = p.u
+    JOIN deg dv ON dv.node = p.v
+),
+wedges AS (
+    -- canonical (min, max) wedge endpoints: the closing probe is then
+    -- ONE equi-join against the canonical edge set, never an OR join
+    SELECT LEAST(e1.t, e2.t) AS v, GREATEST(e1.t, e2.t) AS w
+    FROM oriented e1 JOIN oriented e2
+      ON e1.s = e2.s AND e1.t < e2.t
+),
+tri AS (
+    SELECT COUNT(*) AS n_triangles
+    FROM wedges wd
+    JOIN pairs e ON e.u = wd.v AND e.v = wd.w
+)
+SELECT (SELECT COUNT(*) FROM pairs) AS n_edges,
+       (SELECT COUNT(*) FROM wedges) AS n_wedges,
+       (SELECT n_triangles FROM tri) AS n_triangles
+"""
+
+
+@query("q_triangle_count", TRIANGLE_ORACLE)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the parts-bought-together graph — the
+    graph kernel behind clustering coefficients and community
+    strength, and the OTHER fundamental distributed-graph shape next
+    to q_dedup_clusters' components loop.
+
+    The load-bearing trick is DEGREE ORIENTATION: each undirected edge
+    points from its (degree, id)-smaller endpoint, so every wedge is
+    enumerated at its lowest-degree vertex — total wedge count drops
+    from sum(d²) over raw degrees (hub-explosive) to the arboricity
+    bound, the difference between melting on the first celebrity node
+    and scaling. Three shuffles total: degree count, wedge self-join
+    on the source, wedge-closing edge probe."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du, dv = deg.alias("du"), deg.alias("dv")
+    p = pairs.alias("p")
+    first_is_smaller = (F.col("du.d") < F.col("dv.d")) | (
+        (F.col("du.d") == F.col("dv.d")) & (F.col("p.u") < F.col("p.v"))
+    )
+    oriented = (
+        p.join(du, F.col("du.node") == F.col("p.u"))
+        .join(dv, F.col("dv.node") == F.col("p.v"))
+        .select(
+            F.when(first_is_smaller, F.col("p.u")).otherwise(F.col("p.v")).alias("s"),
+            F.when(first_is_smaller, F.col("p.v")).otherwise(F.col("p.u")).alias("t"),
+        )
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    # canonical (min, max) endpoints so the closing probe is one
+    # equi-join against the canonical edge set (an OR of orientations
+    # would plan as a nested loop)
+    wedges = e1.join(
+        e2,
+        (F.col("e1.s") == F.col("e2.s")) & (F.col("e1.t") < F.col("e2.t")),
+    ).select(
+        F.least("e1.t", "e2.t").alias("v"), F.greatest("e1.t", "e2.t").alias("w")
+    )
+    e = pairs.alias("e")
+    tri = wedges.alias("wd").join(
+        e,
+        (F.col("e.u") == F.col("wd.v")) & (F.col("e.v") == F.col("wd.w")),
+    )
+    return (
+        pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(wedges.agg(F.count(F.lit(1)).alias("n_wedges")))
+        .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+    )

@@ -122,6 +122,7 @@ CONSTANT_ON_EMPTY = {
     "q_sql_disjunctive": 1,  # global aggregate: one row of zero/NULL
     "q_sql_recursive": 1,  # the recursion anchor row survives
     "q_table_checksum": 3,  # one checksum row per audited table
+    "q_triangle_count": 1,  # global graph census row of zeros
 }
 
 
