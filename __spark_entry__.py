@@ -77,6 +77,8 @@ _GATE_FRONT = [
     "q_audio_features",
     "q_pcap_flows",
     "q_triangle_count",
+    "q_ngram_containment",
+    "q_dedup_survivors",
     # refresh: oracle-bearing queries whose last driver row is round 1
     "q_rollup",
     "q_cube",

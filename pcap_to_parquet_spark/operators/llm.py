@@ -1143,3 +1143,145 @@ def embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# asymmetric containment: partial-copy detection that Jaccard misses
+
+_CONTAIN_THRESH = 0.6
+
+NGRAM_CONTAIN_ORACLE = rf"""
+WITH tok AS (
+    SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS ws
+    FROM documents
+),
+sh_all AS (
+    SELECT DISTINCT doc_id, unnest(
+        list_transform(generate_series(1, len(ws) - 2),
+                       i -> ws[i] || '|' || ws[i+1] || '|' || ws[i+2])) AS sh
+    FROM tok
+    WHERE len(ws) >= 3
+),
+hot AS (SELECT sh FROM sh_all GROUP BY sh HAVING COUNT(*) > {SHINGLE_DF_CAP}),
+sh AS (SELECT s.doc_id, s.sh FROM sh_all s ANTI JOIN hot h USING (sh)),
+n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+SELECT a.doc_id AS contained_doc, b.doc_id AS container_doc,
+       ROUND(COUNT(*)::DOUBLE / ANY_VALUE(na.n), 6) AS containment
+FROM sh a
+JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+JOIN n na ON na.doc_id = a.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING ROUND(COUNT(*)::DOUBLE / ANY_VALUE(na.n), 6) >= {_CONTAIN_THRESH}
+"""
+
+
+@query("q_ngram_containment", NGRAM_CONTAIN_ORACLE)
+def ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT |A∩B| / |A| ≥ {thresh} — the
+    partial-copy detector. A short document quoted inside a long one
+    scores near 1.0 here but far below any Jaccard threshold (the
+    union is dominated by the long side), which is exactly why
+    curation pipelines run containment alongside symmetric near-dup:
+    symmetric misses subset plagiarism and template expansion.
+
+    Same scale discipline as q_ngram_jaccard: inverted-index self-join
+    on shingles generates only candidate pairs, a broadcast hot-shingle
+    anti-join caps document frequency first, and the pair is DIRECTED
+    (both (a,b) and (b,a) emit when both clear the threshold — the
+    relation is not symmetric)."""
+    d = load_table(spark, sf_dir, "documents")
+    sh_all = (
+        fan_out(d)
+        .select("doc_id", whitespace_tokens("text").alias("toks"))
+        .select("doc_id", F.explode(shingles("toks", 3)).alias("sh"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hot = (
+        sh_all.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > SHINGLE_DF_CAP)
+        .select("sh")
+    )
+    sh = sh_all.join(F.broadcast(hot), "sh", "left_anti")
+    n = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("contained_doc"),
+            F.col("b.doc_id").alias("container_doc"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            F.broadcast(n.withColumnRenamed("doc_id", "contained_doc").withColumnRenamed("n", "n_a")),
+            "contained_doc",
+        )
+        .select(
+            "contained_doc",
+            "container_doc",
+            F.round(F.col("n_inter").cast("double") / F.col("n_a"), 6).alias(
+                "containment"
+            ),
+        )
+        .filter(F.col("containment") >= _CONTAIN_THRESH)
+    )
+
+
+ngram_containment.__doc__ = ngram_containment.__doc__.format(thresh=_CONTAIN_THRESH)
+
+
+# ---------------------------------------------------------------------------
+# dedup survivors: the curation DELIVERABLE — one kept doc per cluster
+
+DEDUP_SURVIVORS_ORACLE = (
+    DEDUP_CLUSTERS_ORACLE.rstrip()
+    .replace(
+        "SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id",
+        """,
+labels AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id)
+SELECT l.cluster_id,
+       FIRST(d.doc_id ORDER BY d.n_chars DESC, d.doc_id) AS survivor_doc,
+       COUNT(*) AS n_members,
+       COUNT(*) - 1 AS n_dropped,
+       CAST(MAX(d.n_chars) AS BIGINT) AS survivor_chars
+FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+GROUP BY l.cluster_id
+HAVING COUNT(*) > 1""",
+    )
+)
+
+
+@query("q_dedup_survivors", DEDUP_SURVIVORS_ORACLE)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's actual deliverable: for every NON-TRIVIAL
+    near-dup cluster, the one document to keep — longest text wins,
+    doc_id breaks ties (the keep-longest policy of production curation:
+    the longest member usually subsumes the fragments). Reports the
+    survivor plus how many near-duplicates it absorbs; singleton
+    clusters are the untouched corpus and are excluded.
+
+    Composition at scale: q_dedup_clusters' label propagation (already
+    checkpoint-bounded) followed by ONE max_by aggregate keyed on the
+    cluster id — the survivor choice adds a single shuffle of
+    |clustered docs| rows to the component computation."""
+    labels = dedup_clusters(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        labels.join(d, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.min_by(
+                "doc_id", F.struct((-F.col("n_chars")).alias("neg"), F.col("doc_id"))
+            ).alias("survivor_doc"),
+            F.count(F.lit(1)).alias("n_members"),
+            (F.count(F.lit(1)) - 1).alias("n_dropped"),
+            F.max("n_chars").alias("survivor_chars"),
+        )
+        .filter(F.col("n_members") > 1)
+    )

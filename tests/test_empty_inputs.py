@@ -110,6 +110,8 @@ EMPTY_SAFE = [
     "q_sql_big_orders",
     "q_sql_idle_customers",
     "q_sequence_pack",
+    "q_ngram_containment",
+    "q_dedup_survivors",
 ]
 
 # global aggregates return one constant row on empty input (their
