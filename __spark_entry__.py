@@ -79,6 +79,7 @@ _GATE_FRONT = [
     "q_triangle_count",
     "q_ngram_containment",
     "q_dedup_survivors",
+    "q_pcap_roundtrip",
     # refresh: oracle-bearing queries whose last driver row is round 1
     "q_rollup",
     "q_cube",

@@ -163,3 +163,31 @@ def pcap_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("len").alias("n_bytes"),
         )
     )
+
+
+@query("q_pcap_roundtrip", GOLDEN_PACKETS_ORACLE)
+def pcap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture round-trip — the capability the one-way reference never
+    had: decode the golden capture, WRITE it back as legacy pcap via
+    the data source's writer (``df.write.format("pcap")``), re-decode
+    the written files. The oracle is the same golden literal, so every
+    written frame must re-decode to exactly the original row —
+    including Metamako trailers (re-anchored capture second, trailer
+    flush at origlen) and undecodable rows (non-IP frames that keep
+    their reported length). This is what makes the engine a capture
+    FILTER: read lake → predicate → write pcap hands tcpdump-shaped
+    tools a valid capture of just the matching traffic."""
+    import os
+    import tempfile
+
+    from pcap_to_parquet_spark.sources.pcap_datasource import register_pcap_source
+
+    register_pcap_source(spark)
+    src = _fixture_path()
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"pcap_rt_{os.path.getmtime(src):.0f}_{os.path.getsize(src)}",
+    )
+    if not os.path.isdir(out) or not os.listdir(out):
+        spark.read.format("pcap").load(src).write.format("pcap").mode("append").save(out)
+    return spark.read.format("pcap").load(os.path.join(out, "*.pcap"))

@@ -135,3 +135,27 @@ def test_datasource_filter_pushdown_parity_and_residual(spark, tmp_path):
     )
     assert [type(f).__name__ for f in residual] == ["IsNotNull", "StringStartsWith"]
     assert [type(f).__name__ for f in r.pushed] == ["EqualTo"]
+
+
+def test_writer_roundtrip_and_filtered_export(spark, tmp_path):
+    """df.write.format('pcap') renders frames that re-decode to exactly
+    the written rows (trailers, undecodable rows, reported lengths) —
+    and a FILTERED write exports a valid capture of just the matching
+    traffic."""
+    from pyspark.sql import functions as F
+
+    register_pcap_source(spark)
+    p = tmp_path / "golden.pcap"
+    p.write_bytes(golden_pcap_bytes())
+    df = spark.read.format("pcap").load(str(p))
+
+    full = tmp_path / "full"
+    df.write.format("pcap").mode("append").save(str(full))
+    back = spark.read.format("pcap").load(str(full / "*.pcap"))
+    assert _rows(back) == _rows(df)
+
+    flt = tmp_path / "udp_only"
+    df.filter(F.col("protocol") == "UDP").write.format("pcap").mode("append").save(str(flt))
+    udp_back = spark.read.format("pcap").load(str(flt / "*.pcap"))
+    assert _rows(udp_back) == _rows(df.filter(F.col("protocol") == "UDP"))
+    assert udp_back.count() == 7
