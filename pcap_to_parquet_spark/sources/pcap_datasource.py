@@ -291,6 +291,47 @@ class PcapStreamReader(DataSourceStreamReader):
         pass  # offsets are checkpointed by the engine; nothing to clean
 
 
+def render_packet_record(r):  # type: ignore[no-untyped-def]
+    """One PACKET_DDL row → a (ts_sec, origlen, frame_bytes) pcap
+    record whose re-decode returns exactly the row.
+
+    The decoder anchors trailers at ORIGLEN (main.rs:92,138): render
+    exactly origlen bytes, trailer flush at the end, zero padding
+    between body and trailer (a zero sec field can never pass the
+    ±300 s accept test, so padding is trailer-scan-inert). Rows whose
+    len is smaller than the canonical encoding re-decode best-effort
+    as truncated. Property-fuzzed in tests/test_pcap_datasource.py."""
+    from pcap_to_parquet_spark.sources.pcap_fixtures import (
+        eth,
+        ipv4,
+        mm_trailer,
+        tcp,
+        udp,
+    )
+
+    proto_l4 = {
+        "TCP": (6, lambda r: tcp(r.src_port or 0, r.dst_port or 0)),
+        "UDP": (17, lambda r: udp(r.src_port or 0, r.dst_port or 0)),
+        "ICMP": (1, lambda r: b"\x08\x00\x00\x00"),
+        "IGMP": (2, lambda r: b"\x11\x00\x00\x00"),
+    }
+    origlen = int(r.len)
+    if r.mm_ts is not None:
+        sec, ns = divmod(int(r.mm_ts), 1_000_000_000)
+        tail = mm_trailer(sec, ns, int(r.mm_id or 0), int(r.mm_port or 0))
+        ts_sec = sec  # anchor inside the ±300 s heuristic window
+    else:
+        tail, ts_sec = b"", 1_700_000_000
+    if r.src_ip is None:
+        body = eth(b"\x00" * 28, ethertype=0x0806)  # non-IP frame
+    else:
+        num, l4 = proto_l4.get(r.protocol, (47, lambda r: b"\x00\x00\x08\x00"))
+        body = eth(ipv4(num, r.src_ip, r.dst_ip, l4(r)))
+    room = origlen - len(tail)
+    body = body[:room] if len(body) > room else body + b"\x00" * (room - len(body))
+    return ts_sec, origlen, body + tail
+
+
 class PcapWriter(DataSourceWriter):
     """Rows → legacy pcap: the reverse direction the reference never
     had. Each partition renders its rows as minimal Ethernet/IPv4
@@ -311,47 +352,11 @@ class PcapWriter(DataSourceWriter):
         self.overwrite = overwrite
 
     def write(self, rows) -> WriterCommitMessage:  # type: ignore[no-untyped-def]
-        import struct as st
         import uuid
 
-        from pcap_to_parquet_spark.sources.pcap_fixtures import (
-            eth,
-            ipv4,
-            mm_trailer,
-            pcap_file,
-            tcp,
-            udp,
-        )
+        from pcap_to_parquet_spark.sources.pcap_fixtures import pcap_file
 
-        proto_l4 = {
-            "TCP": (6, lambda r: tcp(r.src_port or 0, r.dst_port or 0)),
-            "UDP": (17, lambda r: udp(r.src_port or 0, r.dst_port or 0)),
-            "ICMP": (1, lambda r: b"\x08\x00\x00\x00"),
-            "IGMP": (2, lambda r: b"\x11\x00\x00\x00"),
-        }
-        records = []
-        for r in rows:
-            origlen = int(r.len)
-            if r.mm_ts is not None:
-                sec, ns = divmod(int(r.mm_ts), 1_000_000_000)
-                tail = mm_trailer(sec, ns, int(r.mm_id or 0), int(r.mm_port or 0))
-                ts_sec = sec  # anchor inside the ±300 s heuristic window
-            else:
-                tail, ts_sec = b"", 1_700_000_000
-            if r.src_ip is None:
-                body = eth(b"\x00" * 28, ethertype=0x0806)  # non-IP frame
-            else:
-                num, l4 = proto_l4.get(r.protocol, (47, lambda r: b"\x00\x00\x08\x00"))
-                body = eth(ipv4(num, r.src_ip, r.dst_ip, l4(r)))
-            # the decoder anchors trailers at ORIGLEN (main.rs:92,138):
-            # render exactly origlen bytes, trailer flush at the end,
-            # zero padding between body and trailer (a zero sec field
-            # can never pass the ±300 s accept test, so padding is
-            # trailer-scan-inert). Rows whose len is smaller than the
-            # canonical encoding re-decode best-effort as truncated.
-            room = origlen - len(tail)
-            body = body[:room] if len(body) > room else body + b"\x00" * (room - len(body))
-            records.append((ts_sec, origlen, body + tail))
+        records = [render_packet_record(r) for r in rows]
         if records:
             os.makedirs(self.path, exist_ok=True)
             name = os.path.join(self.path, f"part-{uuid.uuid4().hex}.pcap")

@@ -159,3 +159,74 @@ def test_writer_roundtrip_and_filtered_export(spark, tmp_path):
     udp_back = spark.read.format("pcap").load(str(flt / "*.pcap"))
     assert _rows(udp_back) == _rows(df.filter(F.col("protocol") == "UDP"))
     assert udp_back.count() == 7
+
+
+def test_writer_render_roundtrips_arbitrary_rows():
+    """Property fuzz (no Spark needed): any decoder-image row renders
+    to a frame whose scalar re-decode returns exactly the row. IPs are
+    drawn outside the ±300 s trailer-second window around the writer's
+    fixed capture second, mirroring the decoder's documented heuristic
+    domain (an IP that happens to encode ~1.7e9 can fake a trailer on
+    ANY capture — reference semantics, not a writer defect)."""
+    from types import SimpleNamespace
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pcap_to_parquet_spark.sources.pcap import decode_packet
+    from pcap_to_parquet_spark.sources.pcap_datasource import render_packet_record
+
+    ip = st.tuples(
+        st.sampled_from([10, 192]),
+        st.integers(0, 255),
+        st.integers(0, 255),
+        st.integers(0, 255),
+    ).map(lambda t: ".".join(map(str, t)))
+    port = st.integers(0, 65535)
+    mm = st.one_of(
+        st.none(),
+        st.tuples(
+            st.integers(1000, 2_000_000_000),  # trailer seconds (i32)
+            st.integers(0, 999_999_999),
+            st.integers(0, 65535),
+            st.integers(0, 255),
+        ),
+    )
+
+    def build(kind, src, dst, sport, dport, extra_len, mm_t):
+        base = {
+            "TCP": 54, "UDP": 54, "ICMP": 38, "IGMP": 38, "GRE": 38, "NONIP": 16,
+        }[kind]
+        length = base + (16 if mm_t else 0) + extra_len
+        return SimpleNamespace(
+            src_ip=None if kind == "NONIP" else src,
+            dst_ip=None if kind == "NONIP" else dst,
+            len=length,
+            protocol=kind if kind in ("TCP", "UDP", "ICMP", "IGMP") else None,
+            src_port=sport if kind in ("TCP", "UDP") else None,
+            dst_port=dport if kind in ("TCP", "UDP") else None,
+            mm_ts=(mm_t[0] * 10**9 + mm_t[1]) if mm_t else None,
+            mm_id=mm_t[2] if mm_t else None,
+            mm_port=mm_t[3] if mm_t else None,
+        )
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        kind=st.sampled_from(["TCP", "UDP", "ICMP", "IGMP", "GRE", "NONIP"]),
+        src=ip, dst=ip, sport=port, dport=port,
+        extra_len=st.integers(0, 120),
+        mm_t=mm,
+    )
+    def check(kind, src, dst, sport, dport, extra_len, mm_t):
+        row = build(kind, src, dst, sport, dport, extra_len, mm_t)
+        ts_sec, origlen, data = render_packet_record(row)
+        got = decode_packet(data, ts_sec, origlen)
+        want = {
+            "src_ip": row.src_ip, "dst_ip": row.dst_ip, "len": row.len,
+            "protocol": row.protocol, "src_port": row.src_port,
+            "dst_port": row.dst_port, "mm_ts": row.mm_ts,
+            "mm_id": row.mm_id, "mm_port": row.mm_port,
+        }
+        assert got == want, (got, want)
+
+    check()
