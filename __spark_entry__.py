@@ -80,6 +80,7 @@ _GATE_FRONT = [
     "q_ngram_containment",
     "q_dedup_survivors",
     "q_pcap_roundtrip",
+    "q_bloom_prefilter",
     # refresh: oracle-bearing queries whose last driver row is round 1
     "q_rollup",
     "q_cube",

@@ -1057,17 +1057,27 @@ def bloom_prefilter(
     exact_dup=0 — rate bounded by (set_fraction)^k, asserted in
     tests/test_llm_ops.py."""
     d = load_table(spark, sf_dir, "documents")
+    # md5-derived digests/positions: byte-identical in DuckDB, which is
+    # what makes the whole filter oracle-checkable (swap xxhash64 back
+    # in production — parity is what md5 buys here)
     corpus = (
         d.filter(F.col("doc_id") % 10 != 0)
-        .select(F.xxhash64("text").alias("h"))
+        .select(F.md5("text").alias("h"))
         .distinct()
     )
-    positions = F.array(
-        *[F.pmod(F.xxhash64("h", F.lit(i)), F.lit(m_bits)) for i in range(k)]
-    )
+
+    def _pos(i):  # noqa: ANN001, ANN202
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat("h", F.lit(f"#{i}"))), 1, 8), 16, 10
+            ).cast("long")
+            % m_bits
+        )
+
+    positions = F.array(*[_pos(i) for i in range(k)])
     bits = corpus.select(F.explode(positions).alias("pos")).distinct()
     batch = d.filter(F.col("doc_id") % 10 == 0).select(
-        "doc_id", F.xxhash64("text").alias("h")
+        "doc_id", F.md5("text").alias("h")
     )
     probed = (
         batch.select("doc_id", F.explode(positions).alias("pos"))
@@ -1090,7 +1100,39 @@ def bloom_prefilter(
     )
 
 
-@query("q_bloom_prefilter")  # rows-only: a sketch has no SQL analogue
+BLOOM_ORACLE = f"""
+WITH corpus AS (
+    SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 <> 0
+),
+bits AS (
+    SELECT DISTINCT
+        ('0x' || substr(md5(h || '#' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+            % {BLOOM_M_BITS} AS pos
+    FROM corpus, UNNEST(range({BLOOM_K})) AS r(i)
+),
+batch AS (
+    SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 = 0
+),
+probe AS (
+    SELECT doc_id,
+        ('0x' || substr(md5(h || '#' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+            % {BLOOM_M_BITS} AS pos
+    FROM batch, UNNEST(range({BLOOM_K})) AS r(i)
+),
+hits AS (
+    SELECT doc_id, COUNT(*) AS n_hit
+    FROM probe p SEMI JOIN bits b USING (pos)
+    GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CASE WHEN EXISTS (SELECT 1 FROM corpus c WHERE c.h = b.h)
+            THEN 1 ELSE 0 END AS exact_dup,
+       CAST(COALESCE(h.n_hit, 0) = {BLOOM_K} AS INTEGER) AS bloom_maybe_dup
+FROM batch b LEFT JOIN hits h ON h.doc_id = b.doc_id
+"""
+
+
+@query("q_bloom_prefilter", BLOOM_ORACLE)
 def bloom_prefilter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_prefilter(spark, sf_dir)
 
