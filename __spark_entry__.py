@@ -33,8 +33,15 @@ SF0001_DIR = "/root/testdata/sf0.001"
 # oracle changed this round (z-order layout rewrite, cow-delete guard,
 # heavy-hitters admission), (c) new round-4 queries as they land, then
 # (d) refreshes the oracle-bearing queries whose last driver row dates
-# from round 1 (33 of them; oldest-green-first). Pinned by
+# from round 1 (oldest-green-first). Pinned by
 # test_gate_front_names_exist.
+#
+# ROUND 5 ROTATION NOTE: the r4 window is exactly 50 oracle-bearing
+# rows (32 never-checked round-4 queries + upgraded pcap oracles +
+# refreshes). Next round, front (a) any round-5 additions, (b) the
+# oracle-bearing queries whose newest driver row is r01/r02 and that
+# missed this window — recompute with the CORRECTNESS_r0{1..4} union,
+# oldest-last-checked first.
 _GATE_FRONT = [
     # never driver-checked (registered past round 3's 50-row window)
     "q_sql_disjunctive",
