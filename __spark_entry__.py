@@ -88,6 +88,7 @@ _GATE_FRONT = [
     "q_dedup_survivors",
     "q_pcap_roundtrip",
     "q_bloom_prefilter",
+    "q_dedup_simhash",
     # refresh: oracle-bearing queries whose last driver row is round 1
     "q_rollup",
     "q_cube",

@@ -189,7 +189,15 @@ def simhash(d: DataFrame) -> DataFrame:
     """(doc_id, simhash): 64-bit SimHash over whitespace tokens
     (frequency-weighted: duplicate tokens kept)."""
     toks = fan_out(d).select("doc_id", F.explode(whitespace_tokens("text")).alias("tok"))
-    h = toks.select("doc_id", F.xxhash64("tok").alias("th"))
+    # signed-64 token hash assembled from two 32-bit md5 slices —
+    # byte-identical in DuckDB, which is what buys the exact oracle
+    # (q_dedup_simhash); swap xxhash64 back for raw production speed
+    hi = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long")
+    th = (hi - F.when(hi >= F.lit(1 << 31), F.lit(1 << 32)).otherwise(0)) * F.lit(
+        1 << 32
+    ) + lo
+    h = toks.select("doc_id", th.alias("th"))
     # bit 63's mask doesn't fit a positive long — use its two's complement
     masks = [(1 << i) if i < 63 else -(1 << 63) for i in range(SIMHASH_BITS)]
     bit_sums = [
@@ -207,7 +215,107 @@ def simhash(d: DataFrame) -> DataFrame:
     return agg.select("doc_id", fp.alias("simhash"))
 
 
-@query("q_dedup_simhash")  # rows-only
+SIMHASH_ORACLE = rf"""
+WITH tok AS (
+    SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS tok
+    FROM documents
+),
+th AS (
+    SELECT doc_id,
+           (('0x' || substr(md5(tok), 1, 8))::BIGINT
+             - CASE WHEN ('0x' || substr(md5(tok), 1, 8))::BIGINT >= 2147483648
+                    THEN 4294967296 ELSE 0 END) * 4294967296
+           + ('0x' || substr(md5(tok), 9, 8))::BIGINT AS th
+    FROM tok
+),
+bits AS (
+    SELECT doc_id,
+           SUM(CASE WHEN (th >> 0) & 1 = 1 THEN 1 ELSE -1 END) AS b0,
+           SUM(CASE WHEN (th >> 1) & 1 = 1 THEN 1 ELSE -1 END) AS b1,
+           SUM(CASE WHEN (th >> 2) & 1 = 1 THEN 1 ELSE -1 END) AS b2,
+           SUM(CASE WHEN (th >> 3) & 1 = 1 THEN 1 ELSE -1 END) AS b3,
+           SUM(CASE WHEN (th >> 4) & 1 = 1 THEN 1 ELSE -1 END) AS b4,
+           SUM(CASE WHEN (th >> 5) & 1 = 1 THEN 1 ELSE -1 END) AS b5,
+           SUM(CASE WHEN (th >> 6) & 1 = 1 THEN 1 ELSE -1 END) AS b6,
+           SUM(CASE WHEN (th >> 7) & 1 = 1 THEN 1 ELSE -1 END) AS b7,
+           SUM(CASE WHEN (th >> 8) & 1 = 1 THEN 1 ELSE -1 END) AS b8,
+           SUM(CASE WHEN (th >> 9) & 1 = 1 THEN 1 ELSE -1 END) AS b9,
+           SUM(CASE WHEN (th >> 10) & 1 = 1 THEN 1 ELSE -1 END) AS b10,
+           SUM(CASE WHEN (th >> 11) & 1 = 1 THEN 1 ELSE -1 END) AS b11,
+           SUM(CASE WHEN (th >> 12) & 1 = 1 THEN 1 ELSE -1 END) AS b12,
+           SUM(CASE WHEN (th >> 13) & 1 = 1 THEN 1 ELSE -1 END) AS b13,
+           SUM(CASE WHEN (th >> 14) & 1 = 1 THEN 1 ELSE -1 END) AS b14,
+           SUM(CASE WHEN (th >> 15) & 1 = 1 THEN 1 ELSE -1 END) AS b15,
+           SUM(CASE WHEN (th >> 16) & 1 = 1 THEN 1 ELSE -1 END) AS b16,
+           SUM(CASE WHEN (th >> 17) & 1 = 1 THEN 1 ELSE -1 END) AS b17,
+           SUM(CASE WHEN (th >> 18) & 1 = 1 THEN 1 ELSE -1 END) AS b18,
+           SUM(CASE WHEN (th >> 19) & 1 = 1 THEN 1 ELSE -1 END) AS b19,
+           SUM(CASE WHEN (th >> 20) & 1 = 1 THEN 1 ELSE -1 END) AS b20,
+           SUM(CASE WHEN (th >> 21) & 1 = 1 THEN 1 ELSE -1 END) AS b21,
+           SUM(CASE WHEN (th >> 22) & 1 = 1 THEN 1 ELSE -1 END) AS b22,
+           SUM(CASE WHEN (th >> 23) & 1 = 1 THEN 1 ELSE -1 END) AS b23,
+           SUM(CASE WHEN (th >> 24) & 1 = 1 THEN 1 ELSE -1 END) AS b24,
+           SUM(CASE WHEN (th >> 25) & 1 = 1 THEN 1 ELSE -1 END) AS b25,
+           SUM(CASE WHEN (th >> 26) & 1 = 1 THEN 1 ELSE -1 END) AS b26,
+           SUM(CASE WHEN (th >> 27) & 1 = 1 THEN 1 ELSE -1 END) AS b27,
+           SUM(CASE WHEN (th >> 28) & 1 = 1 THEN 1 ELSE -1 END) AS b28,
+           SUM(CASE WHEN (th >> 29) & 1 = 1 THEN 1 ELSE -1 END) AS b29,
+           SUM(CASE WHEN (th >> 30) & 1 = 1 THEN 1 ELSE -1 END) AS b30,
+           SUM(CASE WHEN (th >> 31) & 1 = 1 THEN 1 ELSE -1 END) AS b31,
+           SUM(CASE WHEN (th >> 32) & 1 = 1 THEN 1 ELSE -1 END) AS b32,
+           SUM(CASE WHEN (th >> 33) & 1 = 1 THEN 1 ELSE -1 END) AS b33,
+           SUM(CASE WHEN (th >> 34) & 1 = 1 THEN 1 ELSE -1 END) AS b34,
+           SUM(CASE WHEN (th >> 35) & 1 = 1 THEN 1 ELSE -1 END) AS b35,
+           SUM(CASE WHEN (th >> 36) & 1 = 1 THEN 1 ELSE -1 END) AS b36,
+           SUM(CASE WHEN (th >> 37) & 1 = 1 THEN 1 ELSE -1 END) AS b37,
+           SUM(CASE WHEN (th >> 38) & 1 = 1 THEN 1 ELSE -1 END) AS b38,
+           SUM(CASE WHEN (th >> 39) & 1 = 1 THEN 1 ELSE -1 END) AS b39,
+           SUM(CASE WHEN (th >> 40) & 1 = 1 THEN 1 ELSE -1 END) AS b40,
+           SUM(CASE WHEN (th >> 41) & 1 = 1 THEN 1 ELSE -1 END) AS b41,
+           SUM(CASE WHEN (th >> 42) & 1 = 1 THEN 1 ELSE -1 END) AS b42,
+           SUM(CASE WHEN (th >> 43) & 1 = 1 THEN 1 ELSE -1 END) AS b43,
+           SUM(CASE WHEN (th >> 44) & 1 = 1 THEN 1 ELSE -1 END) AS b44,
+           SUM(CASE WHEN (th >> 45) & 1 = 1 THEN 1 ELSE -1 END) AS b45,
+           SUM(CASE WHEN (th >> 46) & 1 = 1 THEN 1 ELSE -1 END) AS b46,
+           SUM(CASE WHEN (th >> 47) & 1 = 1 THEN 1 ELSE -1 END) AS b47,
+           SUM(CASE WHEN (th >> 48) & 1 = 1 THEN 1 ELSE -1 END) AS b48,
+           SUM(CASE WHEN (th >> 49) & 1 = 1 THEN 1 ELSE -1 END) AS b49,
+           SUM(CASE WHEN (th >> 50) & 1 = 1 THEN 1 ELSE -1 END) AS b50,
+           SUM(CASE WHEN (th >> 51) & 1 = 1 THEN 1 ELSE -1 END) AS b51,
+           SUM(CASE WHEN (th >> 52) & 1 = 1 THEN 1 ELSE -1 END) AS b52,
+           SUM(CASE WHEN (th >> 53) & 1 = 1 THEN 1 ELSE -1 END) AS b53,
+           SUM(CASE WHEN (th >> 54) & 1 = 1 THEN 1 ELSE -1 END) AS b54,
+           SUM(CASE WHEN (th >> 55) & 1 = 1 THEN 1 ELSE -1 END) AS b55,
+           SUM(CASE WHEN (th >> 56) & 1 = 1 THEN 1 ELSE -1 END) AS b56,
+           SUM(CASE WHEN (th >> 57) & 1 = 1 THEN 1 ELSE -1 END) AS b57,
+           SUM(CASE WHEN (th >> 58) & 1 = 1 THEN 1 ELSE -1 END) AS b58,
+           SUM(CASE WHEN (th >> 59) & 1 = 1 THEN 1 ELSE -1 END) AS b59,
+           SUM(CASE WHEN (th >> 60) & 1 = 1 THEN 1 ELSE -1 END) AS b60,
+           SUM(CASE WHEN (th >> 61) & 1 = 1 THEN 1 ELSE -1 END) AS b61,
+           SUM(CASE WHEN (th >> 62) & 1 = 1 THEN 1 ELSE -1 END) AS b62,
+           SUM(CASE WHEN (th >> 63) & 1 = 1 THEN 1 ELSE -1 END) AS b63
+    FROM th GROUP BY doc_id
+),
+fp AS (
+    SELECT doc_id, (CASE WHEN b0 > 0 THEN CAST(1 AS BIGINT) ELSE 0 END) + (CASE WHEN b1 > 0 THEN CAST(2 AS BIGINT) ELSE 0 END) + (CASE WHEN b2 > 0 THEN CAST(4 AS BIGINT) ELSE 0 END) + (CASE WHEN b3 > 0 THEN CAST(8 AS BIGINT) ELSE 0 END) + (CASE WHEN b4 > 0 THEN CAST(16 AS BIGINT) ELSE 0 END) + (CASE WHEN b5 > 0 THEN CAST(32 AS BIGINT) ELSE 0 END) + (CASE WHEN b6 > 0 THEN CAST(64 AS BIGINT) ELSE 0 END) + (CASE WHEN b7 > 0 THEN CAST(128 AS BIGINT) ELSE 0 END) + (CASE WHEN b8 > 0 THEN CAST(256 AS BIGINT) ELSE 0 END) + (CASE WHEN b9 > 0 THEN CAST(512 AS BIGINT) ELSE 0 END) + (CASE WHEN b10 > 0 THEN CAST(1024 AS BIGINT) ELSE 0 END) + (CASE WHEN b11 > 0 THEN CAST(2048 AS BIGINT) ELSE 0 END) + (CASE WHEN b12 > 0 THEN CAST(4096 AS BIGINT) ELSE 0 END) + (CASE WHEN b13 > 0 THEN CAST(8192 AS BIGINT) ELSE 0 END) + (CASE WHEN b14 > 0 THEN CAST(16384 AS BIGINT) ELSE 0 END) + (CASE WHEN b15 > 0 THEN CAST(32768 AS BIGINT) ELSE 0 END) + (CASE WHEN b16 > 0 THEN CAST(65536 AS BIGINT) ELSE 0 END) + (CASE WHEN b17 > 0 THEN CAST(131072 AS BIGINT) ELSE 0 END) + (CASE WHEN b18 > 0 THEN CAST(262144 AS BIGINT) ELSE 0 END) + (CASE WHEN b19 > 0 THEN CAST(524288 AS BIGINT) ELSE 0 END) + (CASE WHEN b20 > 0 THEN CAST(1048576 AS BIGINT) ELSE 0 END) + (CASE WHEN b21 > 0 THEN CAST(2097152 AS BIGINT) ELSE 0 END) + (CASE WHEN b22 > 0 THEN CAST(4194304 AS BIGINT) ELSE 0 END) + (CASE WHEN b23 > 0 THEN CAST(8388608 AS BIGINT) ELSE 0 END) + (CASE WHEN b24 > 0 THEN CAST(16777216 AS BIGINT) ELSE 0 END) + (CASE WHEN b25 > 0 THEN CAST(33554432 AS BIGINT) ELSE 0 END) + (CASE WHEN b26 > 0 THEN CAST(67108864 AS BIGINT) ELSE 0 END) + (CASE WHEN b27 > 0 THEN CAST(134217728 AS BIGINT) ELSE 0 END) + (CASE WHEN b28 > 0 THEN CAST(268435456 AS BIGINT) ELSE 0 END) + (CASE WHEN b29 > 0 THEN CAST(536870912 AS BIGINT) ELSE 0 END) + (CASE WHEN b30 > 0 THEN CAST(1073741824 AS BIGINT) ELSE 0 END) + (CASE WHEN b31 > 0 THEN CAST(2147483648 AS BIGINT) ELSE 0 END) + (CASE WHEN b32 > 0 THEN CAST(4294967296 AS BIGINT) ELSE 0 END) + (CASE WHEN b33 > 0 THEN CAST(8589934592 AS BIGINT) ELSE 0 END) + (CASE WHEN b34 > 0 THEN CAST(17179869184 AS BIGINT) ELSE 0 END) + (CASE WHEN b35 > 0 THEN CAST(34359738368 AS BIGINT) ELSE 0 END) + (CASE WHEN b36 > 0 THEN CAST(68719476736 AS BIGINT) ELSE 0 END) + (CASE WHEN b37 > 0 THEN CAST(137438953472 AS BIGINT) ELSE 0 END) + (CASE WHEN b38 > 0 THEN CAST(274877906944 AS BIGINT) ELSE 0 END) + (CASE WHEN b39 > 0 THEN CAST(549755813888 AS BIGINT) ELSE 0 END) + (CASE WHEN b40 > 0 THEN CAST(1099511627776 AS BIGINT) ELSE 0 END) + (CASE WHEN b41 > 0 THEN CAST(2199023255552 AS BIGINT) ELSE 0 END) + (CASE WHEN b42 > 0 THEN CAST(4398046511104 AS BIGINT) ELSE 0 END) + (CASE WHEN b43 > 0 THEN CAST(8796093022208 AS BIGINT) ELSE 0 END) + (CASE WHEN b44 > 0 THEN CAST(17592186044416 AS BIGINT) ELSE 0 END) + (CASE WHEN b45 > 0 THEN CAST(35184372088832 AS BIGINT) ELSE 0 END) + (CASE WHEN b46 > 0 THEN CAST(70368744177664 AS BIGINT) ELSE 0 END) + (CASE WHEN b47 > 0 THEN CAST(140737488355328 AS BIGINT) ELSE 0 END) + (CASE WHEN b48 > 0 THEN CAST(281474976710656 AS BIGINT) ELSE 0 END) + (CASE WHEN b49 > 0 THEN CAST(562949953421312 AS BIGINT) ELSE 0 END) + (CASE WHEN b50 > 0 THEN CAST(1125899906842624 AS BIGINT) ELSE 0 END) + (CASE WHEN b51 > 0 THEN CAST(2251799813685248 AS BIGINT) ELSE 0 END) + (CASE WHEN b52 > 0 THEN CAST(4503599627370496 AS BIGINT) ELSE 0 END) + (CASE WHEN b53 > 0 THEN CAST(9007199254740992 AS BIGINT) ELSE 0 END) + (CASE WHEN b54 > 0 THEN CAST(18014398509481984 AS BIGINT) ELSE 0 END) + (CASE WHEN b55 > 0 THEN CAST(36028797018963968 AS BIGINT) ELSE 0 END) + (CASE WHEN b56 > 0 THEN CAST(72057594037927936 AS BIGINT) ELSE 0 END) + (CASE WHEN b57 > 0 THEN CAST(144115188075855872 AS BIGINT) ELSE 0 END) + (CASE WHEN b58 > 0 THEN CAST(288230376151711744 AS BIGINT) ELSE 0 END) + (CASE WHEN b59 > 0 THEN CAST(576460752303423488 AS BIGINT) ELSE 0 END) + (CASE WHEN b60 > 0 THEN CAST(1152921504606846976 AS BIGINT) ELSE 0 END) + (CASE WHEN b61 > 0 THEN CAST(2305843009213693952 AS BIGINT) ELSE 0 END) + (CASE WHEN b62 > 0 THEN CAST(4611686018427387904 AS BIGINT) ELSE 0 END) + (CASE WHEN b63 > 0 THEN CAST(-9223372036854775808 AS BIGINT) ELSE 0 END) AS simhash
+    FROM bits
+),
+bands AS (
+    SELECT doc_id, simhash, i AS band, (simhash >> (i * 16)) & 65535 AS band_key
+    FROM fp, UNNEST(range(4)) AS r(i)
+),
+pairs AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+    FROM bands x
+    JOIN bands y ON x.band = y.band AND x.band_key = y.band_key
+                AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY doc_a, doc_b
+"""
+
+
+@query("q_dedup_simhash", SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: band the 64-bit fingerprint into 4×16-bit keys,
     bucket-join, keep pairs with hamming distance ≤ 3 (banding is exact
