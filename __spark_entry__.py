@@ -89,6 +89,7 @@ _GATE_FRONT = [
     "q_pcap_roundtrip",
     "q_bloom_prefilter",
     "q_dedup_simhash",
+    "q_stream_session",
     # refresh: oracle-bearing queries whose last driver row is round 1
     "q_rollup",
     "q_cube",

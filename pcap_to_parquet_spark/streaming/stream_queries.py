@@ -204,13 +204,43 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 # session windows (gap-based, merged in state)
 
 
-@query("q_stream_session")  # rows-only: emission depends on watermark closure
+STREAM_SESSION_ORACLE = """
+WITH flagged AS (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) < 1800 * 1000000
+                THEN 0 ELSE 1 END AS new_session
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+    SELECT user_id, ts, value,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+),
+agg AS (
+    SELECT user_id, epoch_us(MIN(ts)) AS session_start,
+           epoch_us(MAX(ts)) + 1800 * 1000000 AS session_end,
+           COUNT(*) AS n_events, ROUND(SUM(value), 4) AS session_value
+    FROM sessions GROUP BY user_id, sid
+),
+horizon AS (SELECT MAX(epoch_us(ts)) - 600 * 1000000 AS wm FROM events)
+SELECT user_id, session_start, n_events, session_value
+FROM agg, horizon
+WHERE session_end <= wm
+ORDER BY user_id, session_start
+"""
+
+
+@query("q_stream_session", STREAM_SESSION_ORACLE)
 def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based session windows (30 min) per user, the streaming twin
-    of batch q_sessionize. Sessions merge in state as events arrive
-    and emit once the watermark passes session_end; the final
-    horizon's open sessions are withheld (hence rows-only vs the
-    batch oracle)."""
+    of batch q_session_window. Sessions merge in state as events
+    arrive and emit once the watermark passes session_end; sessions
+    still open at the final horizon are withheld. The oracle states
+    exactly that emission contract in SQL: gap-based islands with the
+    native convention (merge on diff < gap, end = last + gap) CLIPPED
+    to session_end <= max(ts) - delay — the same two-regime technique
+    as q_stream_left_outer's oracle."""
     e = stream_events(spark, sf_dir)
     agg = (
         e.withWatermark("ts", "10 minutes")
@@ -221,7 +251,7 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "user_id",
-            F.col("session_window.start").alias("session_start"),
+            F.unix_micros("session_window.start").alias("session_start"),
             "n_events",
             "session_value",
         )
