@@ -90,6 +90,7 @@ _GATE_FRONT = [
     "q_bloom_prefilter",
     "q_dedup_simhash",
     "q_stream_session",
+    "q_stream_stateful",
     # refresh: oracle-bearing queries whose last driver row is round 1
     "q_rollup",
     "q_cube",

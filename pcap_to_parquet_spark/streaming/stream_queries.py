@@ -426,13 +426,32 @@ _PROFILE_SCHEMA = (
 )
 
 
-@query("q_stream_stateful")  # rows-only: custom stateful operator
+STREAM_STATEFUL_ORACLE = """
+WITH g AS (
+    SELECT user_id, value,
+           epoch_us(ts) - LAG(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts) AS gap
+    FROM events
+)
+SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value,
+       COALESCE(MAX(gap), 0) AS max_gap_us
+FROM g GROUP BY user_id
+"""
+
+
+@query("q_stream_stateful", STREAM_STATEFUL_ORACLE)
 def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (``applyInPandasWithState``): per-user
     running profile — event count, value sum, max inter-event gap —
     kept as one tiny struct per key with a processing-time timeout.
     The generic shape for anything windowless Spark lacks natively
-    (CUSUM detectors, dwell-time trackers, per-entity counters)."""
+    (CUSUM detectors, dwell-time trackers, per-entity counters).
+
+    Oracle-checkable because update-mode emission under availableNow
+    ingestion yields each key's LATEST running profile, which over the
+    full history equals the batch lag-window SQL (ties in ts cannot
+    change max-gap: equal timestamps difference to zero under any
+    tiebreak)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):  # type: ignore[no-untyped-def]
