@@ -183,10 +183,16 @@ def test_writer_render_roundtrips_arbitrary_rows():
         st.integers(0, 255),
     ).map(lambda t: ".".join(map(str, t)))
     port = st.integers(0, 65535)
+    # trailer seconds drawn ABOVE every 10.x.y.z u32 (~1.8e8) and below
+    # 2^31: a trailer second within ±300 of any embedded big-endian u32
+    # (e.g. an IP address) lets the stacked-trailer slide accept a fake
+    # inner trailer — the reference heuristic's documented false
+    # positive (hypothesis found the collision at sec≈ip_u32), not a
+    # writer defect; 192.x reads as a negative i32 and can never match
     mm = st.one_of(
         st.none(),
         st.tuples(
-            st.integers(1000, 2_000_000_000),  # trailer seconds (i32)
+            st.integers(1_000_000_000, 2_000_000_000),  # trailer seconds (i32)
             st.integers(0, 999_999_999),
             st.integers(0, 65535),
             st.integers(0, 255),
