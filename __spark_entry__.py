@@ -91,6 +91,7 @@ _GATE_FRONT = [
     "q_dedup_simhash",
     "q_stream_session",
     "q_stream_stateful",
+    "q_bitmap_distinct",
     # refresh: oracle-bearing queries whose last driver row is round 1
     "q_rollup",
     "q_cube",

@@ -181,3 +181,53 @@ def countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 countmin_topk.__doc__ = countmin_topk.__doc__.format(d=_CM_D, w=_CM_W)
+
+
+# ---------------------------------------------------------------------------
+# bitmap-exact distinct: mergeable like a sketch, exact like COUNT(DISTINCT)
+
+BITMAP_DISTINCT_ORACLE = """
+SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY day
+UNION ALL
+SELECT -1 AS day, COUNT(DISTINCT user_id) FROM events
+ORDER BY day
+"""
+
+
+@query("q_bitmap_distinct", BITMAP_DISTINCT_ORACLE)
+def bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counting via bitmap aggregates
+    (Spark 3.5+): each (day, bucket) gets a 4KB bitmap of the ids it
+    saw (``bitmap_construct_agg`` over ``bitmap_bit_position``), daily
+    counts sum ``bitmap_count`` over buckets, and the all-time count
+    ORs the daily bitmaps first (``bitmap_or_agg``) — re-aggregation
+    without revisiting raw data, like the HLL rollup (q_hll_rollup)
+    but EXACT, which is why the oracle is plain COUNT(DISTINCT).
+
+    The scale contract: state per group is ceil(id_range/32768)
+    bitmaps x 4KB regardless of row count, buckets merge
+    associatively (partial aggregation works), and the shuffle carries
+    bitmap blobs, not ids. The day -1 row is the merged total."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros("ts") / _US_PER_DAY).cast("bigint").alias("day")
+    per_bucket = (
+        e.select(day, F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+                 F.expr("bitmap_bit_position(user_id)").alias("pos"))
+        .groupBy("day", "bucket")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    daily = per_bucket.groupBy("day").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_users")
+    )
+    total = (
+        per_bucket.groupBy("bucket")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        # coalesce: SUM over zero buckets is NULL, but the count of an
+        # empty table is 0 (what COUNT(DISTINCT) and the oracle say)
+        .agg(F.coalesce(F.sum(F.expr("bitmap_count(bm)")), F.lit(0)).alias("n_users"))
+        .select(F.lit(-1).cast("bigint").alias("day"), "n_users")
+    )
+    return daily.unionByName(total).orderBy("day")

@@ -125,6 +125,7 @@ CONSTANT_ON_EMPTY = {
     "q_sql_recursive": 1,  # the recursion anchor row survives
     "q_table_checksum": 3,  # one checksum row per audited table
     "q_triangle_count": 1,  # global graph census row of zeros
+    "q_bitmap_distinct": 1,  # the merged-total row survives (zero count)
 }
 
 
