@@ -92,6 +92,7 @@ _GATE_FRONT = [
     "q_stream_session",
     "q_stream_stateful",
     "q_bitmap_distinct",
+    "q_try_arithmetic",
     # refresh: oracle-bearing queries whose last driver row is round 1
     "q_rollup",
     "q_cube",

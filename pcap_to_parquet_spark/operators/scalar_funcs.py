@@ -286,3 +286,48 @@ def variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.expr("k div 10").alias("k_bucket"))
         .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("k_total"))
     )
+
+
+# ---------------------------------------------------------------------------
+# ANSI-safe arithmetic: try_* null-on-error semantics
+
+TRY_ARITHMETIC_ORACLE = """
+SELECT user_id % 5 AS cohort,
+       COUNT(*) AS n_events,
+       ROUND(SUM(CASE WHEN user_id % 5 = 0 THEN NULL
+                      ELSE value / (user_id % 5) END), 4) AS safe_ratio_sum,
+       COUNT(CASE WHEN user_id % 5 = 0 THEN NULL ELSE 1 END) AS n_divisible,
+       COUNT(*) - COUNT(CASE WHEN user_id % 5 = 0 THEN NULL ELSE 1 END)
+           AS n_null_division
+FROM events
+GROUP BY cohort
+ORDER BY cohort
+"""
+
+
+@query("q_try_arithmetic", TRY_ARITHMETIC_ORACLE)
+def try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic: Spark 4 runs in ANSI mode, where a
+    division by zero is a query-killing error — on a 100 TB run one
+    bad row torches hours of cluster time. ``try_divide`` (and the
+    try_* family) turns the error into NULL, which then flows through
+    aggregation with standard NULL semantics; the oracle states the
+    same contract as an explicit CASE. The n_null_division column
+    makes the quarantined rows countable instead of silent — the same
+    every-row-lands-somewhere discipline as q_permissive_ingest."""
+    from pcap_to_parquet_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    cohort = (F.col("user_id") % 5).alias("cohort")
+    ratio = F.try_divide("value", F.col("user_id") % 5)
+    return (
+        e.select(cohort, ratio.alias("r"))
+        .groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("r"), 4).alias("safe_ratio_sum"),
+            F.count("r").alias("n_divisible"),
+            (F.count(F.lit(1)) - F.count("r")).alias("n_null_division"),
+        )
+        .orderBy("cohort")
+    )

@@ -112,6 +112,7 @@ EMPTY_SAFE = [
     "q_sequence_pack",
     "q_ngram_containment",
     "q_dedup_survivors",
+    "q_try_arithmetic",
 ]
 
 # global aggregates return one constant row on empty input (their
