@@ -191,3 +191,41 @@ def pcap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.isdir(out) or not os.listdir(out):
         spark.read.format("pcap").load(src).write.format("pcap").mode("append").save(out)
     return spark.read.format("pcap").load(os.path.join(out, "*.pcap"))
+
+
+@query("q_pcap_stream_flows", PCAP_FLOWS_ORACLE)
+def pcap_stream_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING packet analytics end-to-end: the golden capture lands
+    in a watched directory, ``spark.readStream.format("pcap")`` tails
+    it (one partition per arriving file), and the NetFlow rollup runs
+    as a streaming aggregation in complete mode — the live twin of
+    q_pcap_flows with the SAME hand-computed oracle. This is the
+    capture-directory → live flow table pipeline: at scale the
+    aggregation state is one row per active flow, and the same plan
+    keeps running as new captures arrive."""
+    import os
+    import shutil
+    import tempfile
+
+    from pcap_to_parquet_spark.sources.pcap_datasource import register_pcap_source
+    from pcap_to_parquet_spark.streaming.stream_queries import run_to_memory
+
+    register_pcap_source(spark)
+    src = _fixture_path()
+    land = os.path.join(
+        tempfile.gettempdir(),
+        f"pcap_land_{os.path.getmtime(src):.0f}_{os.path.getsize(src)}",
+    )
+    os.makedirs(land, exist_ok=True)
+    if not os.listdir(land):
+        shutil.copy(src, os.path.join(land, "golden.pcap"))
+    flows = (
+        spark.readStream.format("pcap")
+        .load(land)
+        .groupBy("src_ip", "dst_ip", "protocol", "src_port", "dst_port")
+        .agg(
+            F.count(F.lit(1)).alias("n_packets"),
+            F.sum("len").alias("n_bytes"),
+        )
+    )
+    return run_to_memory(flows, "complete")
