@@ -127,21 +127,15 @@ def pcap_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# 5-tuple flow rollup over the golden capture: packets+bytes per flow,
-# hand-checkable from GOLDEN_PACKETS_ORACLE (e.g. the 1234->5678 UDP
-# flow carries packets of len 50+66+66+70+82 = 334 bytes)
-PCAP_FLOWS_ORACLE = """
-SELECT src_ip, dst_ip, protocol, src_port, dst_port, n_packets, n_bytes
-FROM (VALUES
-    ('10.0.0.1', '10.0.0.2', 'UDP', CAST(1234 AS INTEGER), CAST(5678 AS INTEGER), CAST(5 AS BIGINT), CAST(334 AS BIGINT)),
-    ('10.1.1.1', '10.1.1.2', 'ICMP', CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(1 AS BIGINT), CAST(38 AS BIGINT)),
-    ('10.2.2.1', '224.0.0.1', 'IGMP', CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(1 AS BIGINT), CAST(38 AS BIGINT)),
-    ('10.3.3.1', '10.3.3.2', CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(1 AS BIGINT), CAST(38 AS BIGINT)),
-    ('10.9.9.1', '10.9.9.2', 'UDP', CAST(7 AS INTEGER), CAST(9 AS INTEGER), CAST(1 AS BIGINT), CAST(114 AS BIGINT)),
-    ('172.16.0.1', '172.16.0.2', 'UDP', CAST(53 AS INTEGER), CAST(5353 AS INTEGER), CAST(1 AS BIGINT), CAST(54 AS BIGINT)),
-    ('192.168.1.10', '192.168.1.20', 'TCP', CAST(80 AS INTEGER), CAST(443 AS INTEGER), CAST(1 AS BIGINT), CAST(54 AS BIGINT)),
-    (CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(2 AS BIGINT), CAST(52 AS BIGINT))
-) AS t(src_ip, dst_ip, protocol, src_port, dst_port, n_packets, n_bytes)
+# derived straight from the golden-packet literal (one source of
+# truth); hand-check: the 1234->5678 UDP flow carries 50+66+66+70+82
+# = 334 bytes over 5 packets
+PCAP_FLOWS_ORACLE = f"""
+SELECT src_ip, dst_ip, protocol, src_port, dst_port,
+       COUNT(*) AS n_packets,
+       CAST(SUM(len) AS BIGINT) AS n_bytes
+FROM ({GOLDEN_PACKETS_ORACLE}) g
+GROUP BY src_ip, dst_ip, protocol, src_port, dst_port
 """
 
 
