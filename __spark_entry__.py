@@ -94,6 +94,7 @@ _GATE_FRONT = [
     "q_bitmap_distinct",
     "q_try_arithmetic",
     "q_pcap_stream_flows",
+    "q_funnel_bounded",
     # refresh: oracle-bearing queries whose last driver row is round 1
     "q_rollup",
     "q_cube",

@@ -691,3 +691,85 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(wedges.agg(F.count(F.lit(1)).alias("n_wedges")))
         .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
     )
+
+
+# ---------------------------------------------------------------------------
+# time-bounded funnel: conversion only counts within the window
+
+_FUNNEL_WINDOW_US = 24 * 3600 * 1_000_000  # 24 h per step
+
+FUNNEL_BOUNDED_ORACLE = f"""
+WITH v AS (
+    SELECT user_id, MIN(epoch_us(ts)) AS t FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click'
+      AND epoch_us(e.ts) > v.t
+      AND epoch_us(e.ts) <= v.t + {_FUNNEL_WINDOW_US}
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase'
+      AND epoch_us(e.ts) > c.t
+      AND epoch_us(e.ts) <= c.t + {_FUNNEL_WINDOW_US}
+    GROUP BY e.user_id
+)
+SELECT 1 AS stage_idx, 'view' AS stage, (SELECT COUNT(*) FROM v) AS n_users
+UNION ALL
+SELECT 2, 'click_24h', (SELECT COUNT(*) FROM c)
+UNION ALL
+SELECT 3, 'purchase_24h', (SELECT COUNT(*) FROM p)
+"""
+
+
+@query("q_funnel_bounded", FUNNEL_BOUNDED_ORACLE)
+def funnel_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded conversion funnel: each stage must happen within
+    24 h of the previous stage's first qualifying event — the product
+    metric the unbounded funnel (q_funnel) overstates (a purchase six
+    months after the view is not a conversion). Same plan shape: one
+    groupBy-min + equi-join per stage, all keyed on user_id with the
+    ordering AND the deadline as join-side residuals, one partitioning
+    reused end-to-end."""
+    e = load_table(spark, sf_dir, "events")
+    uts = F.unix_micros("ts")
+
+    def first_within(prev: DataFrame, etype: str) -> DataFrame:
+        s = e.filter(F.col("event_type") == etype).select(
+            "user_id", uts.alias("et")
+        ).alias("s")
+        p = prev.alias("p")
+        return (
+            s.join(
+                p,
+                (F.col("s.user_id") == F.col("p.user_id"))
+                & (F.col("s.et") > F.col("p.t"))
+                & (F.col("s.et") <= F.col("p.t") + _FUNNEL_WINDOW_US),
+            )
+            .groupBy(F.col("s.user_id").alias("user_id"))
+            .agg(F.min("s.et").alias("t"))
+        )
+
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(uts).alias("t"))
+    )
+    c = first_within(v, "click")
+    p = first_within(c, "purchase")
+
+    def stage_row(df: DataFrame, idx: int, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(idx).alias("stage_idx"), F.lit(name).alias("stage"), "n_users"
+        )
+
+    return (
+        stage_row(v, 1, "view")
+        .unionAll(stage_row(c, 2, "click_24h"))
+        .unionAll(stage_row(p, 3, "purchase_24h"))
+    )

@@ -121,6 +121,7 @@ CONSTANT_ON_EMPTY = {
     "q_table_profile": 3,  # one profile row per profiled column
     "q_schema_evolution": 1,  # one summary row of zero counts
     "q_funnel": 3,  # one row per stage, all counts zero
+    "q_funnel_bounded": 3,  # one row per stage, all counts zero
     "q_time_travel": 2,  # both snapshot summaries, zero counts
     "q_sql_disjunctive": 1,  # global aggregate: one row of zero/NULL
     "q_sql_recursive": 1,  # the recursion anchor row survives
