@@ -427,3 +427,200 @@ def sql_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     code collapses to one group in this testdata)."""
     _register_views(spark, sf_dir)
     return spark.sql(_Q22_SQL)
+
+
+# TPC-H Q4 shape: correlated EXISTS with a date-arithmetic predicate
+
+_Q4_SQL = """
+SELECT o.o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+)
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+@query("q_sql_late_orders", _Q4_SQL)
+def sql_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): orders in one quarter
+    with at least one line shipped > 90 days after ordering (the
+    testdata has no commit/receipt dates, so order-to-ship lateness
+    stands in for commit-vs-receipt). The correlated EXISTS plans as a
+    LEFT SEMI join on the order key — the quarter filter on orders is
+    pushed to the scan, so the semi join's probe side is already
+    pruned; the date-arithmetic predicate rides the join condition and
+    never materializes a column."""
+    _register_views(spark, sf_dir)
+    return spark.sql(_Q4_SQL)
+
+
+# TPC-H Q7 shape: bidirectional nation-pair volume by year
+
+_Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+FROM (
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           l.l_extendedprice * (1 - l.l_discount) AS volume
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("q_sql_nation_volume", _Q7_SQL)
+def sql_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): trade volume between a nation
+    pair, both directions, by ship year. The disjunctive nation filter
+    sits ABOVE the two nation joins, so Catalyst can still broadcast
+    the 25-row nation table twice and evaluate the OR as a cheap
+    post-join filter; lineitem is the only large input and shuffles
+    once for the final aggregate. year() is cast to BIGINT on both
+    engines (Spark year() is INT, DuckDB's is BIGINT — the driver's
+    value hash is type-sensitive)."""
+    _register_views(spark, sf_dir)
+    return spark.sql(_Q7_SQL)
+
+
+# TPC-H Q8 shape: market share = conditional sum over total, per year
+
+_Q8_SQL = """
+SELECT o_year,
+       ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+             / SUM(volume), 6) AS mkt_share
+FROM (
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           l.l_extendedprice * (1 - l.l_discount) AS volume,
+           n1.n_name AS nation
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n2.n_regionkey
+    WHERE r.r_name = 'EUROPE' AND p.p_type = 'ECONOMY'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@query("q_sql_market_share", _Q8_SQL)
+def sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): one nation's share of a
+    region's import volume per year — the conditional-sum-over-total
+    ratio computed in a single aggregate pass (never two scans). All
+    six dimension joins broadcast (region/nation/supplier/customer/
+    part are all dims); lineitem flows through one shuffle for the
+    year grouping. The p_type filter prunes the part build side
+    before broadcast."""
+    _register_views(spark, sf_dir)
+    return spark.sql(_Q8_SQL)
+
+
+# TPC-H Q14 shape: promo revenue share within a month
+
+_Q14_SQL = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+             / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l.l_shipdate < TIMESTAMP '1996-10-01'
+"""
+
+
+@query("q_sql_promo_share", _Q14_SQL)
+def sql_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): percentage of one month's
+    revenue from PROMO-type parts. A single global aggregate — the
+    month filter reaches the lineitem scan (PushedFilters), part
+    broadcasts, and the plan is scan → broadcast join → one partial +
+    one final aggregate row. The CASE lives inside SUM so both the
+    numerator and denominator come from the same pass."""
+    _register_views(spark, sf_dir)
+    return spark.sql(_Q14_SQL)
+
+
+# TPC-H Q9 shape: product-line profit by supplier nation and year
+
+_Q9_SQL = """
+SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+FROM (
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           l.l_extendedprice * (1 - l.l_discount)
+             - 0.6 * p.p_retailprice * l.l_quantity AS amount
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%bolt%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year
+"""
+
+
+@query("q_sql_product_profit", _Q9_SQL)
+def sql_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): profit on a product line
+    by supplier nation and order year, with 0.6 x retail price x
+    quantity standing in for ps_supplycost (the testdata has no
+    partsupp table). The LIKE filter prunes part BEFORE it broadcasts;
+    the three remaining dims broadcast too, so the only shuffle is the
+    (nation, year) aggregate over the surviving lineitem rows."""
+    _register_views(spark, sf_dir)
+    return spark.sql(_Q9_SQL)
+
+
+# TPC-H Q16 shape: supplier counts per part attribute, with NOT IN
+
+_Q16_SQL = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#4'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (5, 11, 28, 37, 42)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+"""
+
+
+@query("q_sql_parts_suppliers", _Q16_SQL)
+def sql_parts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): how many
+    distinct suppliers ship each qualifying (brand, type, size) combo,
+    with lineitem standing in for partsupp as the part-supplier link
+    and negative-balance suppliers excluded via NOT IN (a null-aware
+    anti join — s_suppkey is non-null here, so it plans as a plain
+    broadcast anti join, not the O(n^2) null-aware fallback). COUNT
+    DISTINCT over (brand, type, size) groups is a two-phase
+    distinct-then-count aggregate on one shuffle."""
+    _register_views(spark, sf_dir)
+    return spark.sql(_Q16_SQL)
