@@ -1435,3 +1435,164 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_members") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash+LSH with md5-derived hashes: the exact-oracle twin of
+# q_dedup_minhash (same algorithm, same band geometry, same constants —
+# only the base hash differs so DuckDB can reproduce every signature)
+
+_MHX_MINS = ",\n           ".join(
+    f"MIN((h * {a} + {b}) % {_MERSENNE}) AS m{i}"
+    for i, (a, b) in enumerate(_MINHASH_AB)
+)
+_MHX_BANDS = "\n    UNION ALL ".join(
+    "SELECT doc_id, {band} AS band, md5({concat}) AS bh FROM mins".format(
+        band=b,
+        concat=" || ',' || ".join(
+            f"CAST(m{b * MINHASH_ROWS + r} AS VARCHAR)" for r in range(MINHASH_ROWS)
+        ),
+    )
+    for b in range(MINHASH_BANDS)
+)
+# a flat 128-term sum exceeds DuckDB's binder recursion limit; count
+# agreeing positions with one list_filter over the signature lists
+_MHX_SIG_LIST = "[" + ", ".join(f"m{i}" for i in range(MINHASH_PERMS)) + "]"
+
+MINHASH_EXACT_ORACLE = rf"""
+WITH tok AS (
+    SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS ws
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, unnest(
+        list_transform(generate_series(1, len(ws) - 2),
+                       i -> ws[i] || '|' || ws[i+1] || '|' || ws[i+2])) AS sh
+    FROM tok WHERE len(ws) >= 3
+),
+hh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM sh),
+mins AS (
+    SELECT doc_id,
+           {_MHX_MINS}
+    FROM hh GROUP BY doc_id
+),
+bands AS (
+    {_MHX_BANDS}
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+sigl AS (SELECT doc_id, {_MHX_SIG_LIST} AS sig FROM mins),
+est AS (
+    SELECT p.doc_a, p.doc_b,
+           ROUND(len(list_filter(generate_series(1, {MINHASH_PERMS}),
+                                 i -> sa.sig[i] = sb.sig[i]))
+                 / {MINHASH_PERMS}.0, 4) AS est_jaccard
+    FROM pairs p
+    JOIN sigl sa ON sa.doc_id = p.doc_a
+    JOIN sigl sb ON sb.doc_id = p.doc_b
+)
+SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.7
+"""
+
+
+@query("q_minhash_exact", MINHASH_EXACT_ORACLE)
+def minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection, EXACT-ORACLE EDITION: identical
+    algorithm, band geometry (16 bands x 8 rows), permutation constants
+    and >= 0.7 threshold as q_dedup_minhash, but the shingle base hash
+    is the first 8 hex chars of md5 instead of the xxhash64 mix — pure
+    integer algebra DuckDB reproduces bit-for-bit, so the whole LSH
+    pipeline (signatures, band buckets, candidate pairs, estimated
+    Jaccard) is value-checked against SQL, not just row-counted.
+
+    Spark-side the signature stage is 100% JVM column algebra: explode
+    distinct shingles, one md5+conv per shingle, then {perms} codegen'd
+    MIN aggregates on ONE shuffle (the same shuffle the banding needs
+    anyway). (a*h + b) stays under 2^63 (31-bit a x 32-bit h), so the
+    arithmetic is overflow-free in both engines. q_dedup_minhash
+    remains the raw-throughput path (map-only numpy signatures, zero
+    shuffle); this twin is the correctness anchor — same plan shape
+    from the bands join onward."""
+    d = load_table(spark, sf_dir, "documents")
+    shingled = (
+        fan_out(d)
+        .select("doc_id", whitespace_tokens("text").alias("toks"))
+        .select("doc_id", F.explode(shingles("toks", 3)).alias("sh"))
+        .distinct()
+    )
+    h32 = F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long")
+    hs = shingled.select("doc_id", h32.alias("h"))
+    mins = hs.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"m{i}")
+            for i, (a, b) in enumerate(_MINHASH_AB)
+        ]
+    )
+    # sig reused by the bands explode and both est joins — cache, as in
+    # q_dedup_minhash (ContextCleaner reclaims when the plan is GC'd)
+    sig = mins.select(
+        "doc_id", F.array(*[f"m{i}" for i in range(MINHASH_PERMS)]).alias("sig")
+    ).cache()
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * MINHASH_ROWS + r + 1)
+                                    for r in range(MINHASH_ROWS)
+                                ],
+                            )
+                        ).alias("bh"),
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bh")
+    pairs = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    est = (
+        pairs.join(
+            sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")),
+            "doc_a",
+        )
+        .join(
+            sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda p, q: p == q), lambda eq: eq
+                    )
+                )
+                / F.lit(float(MINHASH_PERMS)),
+                4,
+            ).alias("est_jaccard"),
+        )
+    )
+    return est.filter(F.col("est_jaccard") >= 0.7)
+
+
+minhash_exact.__doc__ = minhash_exact.__doc__.format(perms=MINHASH_PERMS)

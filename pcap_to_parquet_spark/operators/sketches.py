@@ -231,3 +231,114 @@ def bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit(-1).cast("bigint").alias("day"), "n_users")
     )
     return daily.unionByName(total).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct rollup: the mergeable-sketch pattern
+# with a deterministic, oracle-checkable estimator
+
+_KMV_K = 64
+_KMV_NUM = float((_KMV_K - 1) * 4294967296)  # (K-1) * 2^32, exact in double
+
+KMV_ORACLE = f"""
+WITH h AS (
+    SELECT DISTINCT event_type,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS uh
+    FROM events
+),
+rk AS (
+    SELECT event_type, uh,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY uh) AS rn
+    FROM h
+),
+sk AS (SELECT * FROM rk WHERE rn <= {_KMV_K}),
+per AS (
+    SELECT event_type, MAX(rn) AS k_used,
+           MAX(CASE WHEN rn = {_KMV_K} THEN uh END) AS kth
+    FROM sk GROUP BY event_type
+),
+exact AS (SELECT event_type, COUNT(*) AS exact_distinct FROM h GROUP BY event_type),
+muh AS (SELECT DISTINCT uh FROM sk),
+mrk AS (SELECT uh, ROW_NUMBER() OVER (ORDER BY uh) AS rn FROM muh),
+msk AS (SELECT * FROM mrk WHERE rn <= {_KMV_K}),
+mper AS (
+    SELECT MAX(rn) AS k_used, MAX(CASE WHEN rn = {_KMV_K} THEN uh END) AS kth
+    FROM msk
+),
+mexact AS (SELECT COUNT(DISTINCT uh) AS exact_distinct FROM h)
+SELECT p.event_type AS key,
+       CASE WHEN p.k_used < {_KMV_K} THEN CAST(p.k_used AS DOUBLE)
+            ELSE ROUND({_KMV_NUM} / p.kth, 2) END AS est_distinct,
+       x.exact_distinct
+FROM per p JOIN exact x USING (event_type)
+UNION ALL
+SELECT '__merged__',
+       CASE WHEN m.k_used < {_KMV_K} THEN CAST(m.k_used AS DOUBLE)
+            ELSE ROUND({_KMV_NUM} / m.kth, 2) END,
+       mx.exact_distinct
+FROM mper m, mexact mx
+"""
+
+
+@query("q_kmv_distinct", KMV_ORACLE)
+def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count rollup — the EXACT-ORACLE
+    twin of q_hll_rollup: a group's sketch is its {k} smallest distinct
+    32-bit md5 hashes; the estimator is (k-1)/theta with theta the k-th
+    minimum normalized hash, and a sketch that never filled is exact by
+    construction. Unlike HLL (whose estimator is implementation-
+    specific), every step here is plain integer/double algebra, so the
+    DuckDB oracle reproduces the estimates bit-for-bit.
+
+    The MERGEABILITY is the point: the '__merged__' row estimates the
+    global distinct count from the union of the per-group sketches
+    alone (k smallest of the union of k-smallest sets — KMV's merge is
+    associative), never re-scanning the raw table. At 100 TB: sketch
+    each day/partition (bottom-k is a partial aggregate; the
+    per-group rank window reads only the group's distinct hashes and
+    the merged window reads <= k x n_groups presorted rows), persist
+    the k-value blobs, and answer any rollup from sketches.
+    Output: (key, est_distinct, exact_distinct) — the exact column is
+    computed alongside to expose the sketch error; at real scale you
+    would drop it."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    uh = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    h = e.select("event_type", uh.alias("uh")).distinct()
+    w = Window.partitionBy("event_type").orderBy("uh")
+    sk = h.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= _KMV_K)
+
+    def est() -> F.Column:
+        return F.when(
+            F.col("k_used") < _KMV_K, F.col("k_used").cast("double")
+        ).otherwise(F.round(F.lit(_KMV_NUM) / F.col("kth"), 2))
+
+    per = sk.groupBy("event_type").agg(
+        F.max("rn").alias("k_used"),
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("uh"))).alias("kth"),
+    )
+    exact = h.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_distinct"))
+    per_rows = per.join(exact, "event_type").select(
+        F.col("event_type").alias("key"), est().alias("est_distinct"), "exact_distinct"
+    )
+    # merged sketch: bounded input (<= K rows per group), so the global
+    # rank window is a single tiny task by construction, not a scale risk
+    muh = sk.select("uh").distinct()
+    mrk = muh.withColumn("rn", F.row_number().over(Window.orderBy("uh"))).filter(
+        F.col("rn") <= _KMV_K
+    )
+    mper = mrk.agg(
+        F.max("rn").alias("k_used"),
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("uh"))).alias("kth"),
+    )
+    mexact = h.select("uh").distinct().agg(F.count(F.lit(1)).alias("exact_distinct"))
+    merged_row = mper.crossJoin(mexact).select(
+        F.lit("__merged__").alias("key"), est().alias("est_distinct"), "exact_distinct"
+    )
+    return per_rows.unionByName(merged_row)
+
+
+kmv_distinct.__doc__ = kmv_distinct.__doc__.format(k=_KMV_K)

@@ -634,3 +634,63 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 sequence_pack.__doc__ = sequence_pack.__doc__.format(budget=_PACK_BUDGET)
+
+
+# ---------------------------------------------------------------------------
+# RAG chunking: fixed-size overlapping character windows per document
+
+_CHUNK_SIZE = 200
+_CHUNK_STRIDE = 150  # 50-char overlap between consecutive chunks
+
+DOC_CHUNKS_ORACLE = f"""
+SELECT doc_id,
+       i AS chunk_idx,
+       i * {_CHUNK_STRIDE} AS chunk_start,
+       substr(text, CAST(i * {_CHUNK_STRIDE} + 1 AS INT), {_CHUNK_SIZE}) AS chunk_text,
+       length(substr(text, CAST(i * {_CHUNK_STRIDE} + 1 AS INT), {_CHUNK_SIZE})) AS chunk_len
+FROM documents,
+     UNNEST(generate_series(0,
+        CASE WHEN length(text) <= {_CHUNK_SIZE} THEN 0
+             ELSE CAST(CEIL((length(text) - {_CHUNK_SIZE}) / {_CHUNK_STRIDE}.0) AS BIGINT)
+        END)) AS g(i)
+"""
+
+
+@query("q_doc_chunks", DOC_CHUNKS_ORACLE)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG ingestion chunking: split every document into {size}-char
+    windows advancing by {stride} chars (so consecutive chunks share a
+    {size}-{stride}-char overlap — retrieval context is never cut mid
+    fact at a hard boundary). The last chunk is whatever remains, and
+    a doc shorter than one window is a single chunk of itself.
+
+    Map-only fan-out: sequence + explode + substring is pure column
+    algebra, zero shuffle — at 100 TB this stage pipelines straight
+    from the documents scan into the embedding UDF / parquet sink with
+    no exchange. Chunk count per doc is data-driven (ceil over the
+    doc length), never a collected driver-side loop."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.length("text")
+    n_chunks = F.when(n <= _CHUNK_SIZE, F.lit(1).cast("long")).otherwise(
+        F.ceil((n - _CHUNK_SIZE) / F.lit(float(_CHUNK_STRIDE))).cast("long") + 1
+    )
+    start = F.col("chunk_idx") * _CHUNK_STRIDE
+    chunk = F.substring(F.col("text"), (start + 1).cast("int"), F.lit(_CHUNK_SIZE))
+    return (
+        fan_out(d)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            start.cast("long").alias("chunk_start"),
+            chunk.alias("chunk_text"),
+            F.length(chunk).cast("long").alias("chunk_len"),
+        )
+    )
+
+
+doc_chunks.__doc__ = doc_chunks.__doc__.format(size=_CHUNK_SIZE, stride=_CHUNK_STRIDE)
