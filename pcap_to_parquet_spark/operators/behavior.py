@@ -773,3 +773,238 @@ def funnel_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(stage_row(c, 2, "click_24h"))
         .unionAll(stage_row(p, 3, "purchase_24h"))
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the customer-supplier trade graph, in FIXED-POINT integer
+# arithmetic so five iterations are bit-reproducible in any engine
+
+_PR_SCALE = 1_000_000_000  # pr stored as BIGINT x 1e9
+_PR_ITERS = 5
+_PR_BASE = 150_000_000  # 0.15 x scale
+
+_PR_ITER_SQL = """
+it{n} AS (
+    SELECT e.dst AS node,
+           {base} + (85 * CAST(SUM(p.pr // d.deg) AS BIGINT)) // 100 AS pr
+    FROM edges e
+    JOIN it{prev} p ON p.node = e.src
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+)"""
+
+PAGERANK_ORACLE = (
+    """
+WITH eraw AS (
+    SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+edges AS (SELECT c AS src, s AS dst FROM eraw UNION ALL SELECT s, c FROM eraw),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+it0 AS (SELECT src AS node, CAST("""
+    + str(_PR_SCALE)
+    + """ AS BIGINT) AS pr FROM deg),"""
+    + ",".join(
+        _PR_ITER_SQL.format(n=i, prev=i - 1, base=_PR_BASE)
+        for i in range(1, _PR_ITERS + 1)
+    )
+    + f"""
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       node // 2 AS node_key,
+       pr AS pr_scaled
+FROM it{_PR_ITERS}
+ORDER BY pr DESC, node
+LIMIT 20
+"""
+)
+
+
+@query("q_pagerank", PAGERANK_ORACLE)
+def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer-supplier trade graph (undirected:
+    each distinct trading pair contributes both directed edges), five
+    iterations, damping 0.85 — the influence-propagation kernel next
+    to q_dedup_clusters (components) and q_triangle_count (closure).
+
+    The reproducibility trick is FIXED-POINT INTEGER arithmetic: rank
+    is a BIGINT scaled by 1e9, each round is
+    ``base + (85 * sum(pr div deg)) div 100`` in pure integer ops, so
+    parallel summation order cannot perturb a single bit — float
+    PageRank can't be value-hashed across engines, this can. The sum
+    is CAST back to BIGINT in the oracle because DuckDB widens SUM to
+    int128 (the round-1 curation lesson).
+
+    Scale shape: per-iteration cost is one hash join of the edge list
+    against the rank vector plus one groupBy on the destination — the
+    same co-partitionable shuffle pair every distributed PageRank
+    does. Degrees and edges are static, computed once and
+    checkpointed; only the K x 1e9-scaled rank vector changes per
+    round. No driver-side state ever holds more than the final top-20."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    eraw = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = (
+        eraw.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionAll(eraw.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        .localCheckpoint(eager=True)  # static across iterations
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ewd = edges.join(deg, "src").localCheckpoint(eager=True)
+    pr = deg.select(F.col("src").alias("node"), F.lit(_PR_SCALE).cast("long").alias("pr"))
+    for _ in range(_PR_ITERS):
+        msgs = ewd.join(pr, ewd.src == pr.node).select(
+            "dst", F.expr("pr div deg").alias("contrib")
+        )
+        pr = (
+            msgs.groupBy("dst")
+            .agg(F.sum("contrib").alias("s"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(_PR_BASE) + F.expr(f"(85 * s) div 100")).cast("long").alias("pr"),
+            )
+        )
+    return (
+        pr.select(
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            F.expr("node div 2").alias("node_key"),
+            F.col("pr").alias("pr_scaled"),
+            F.col("node"),
+        )
+        .orderBy(F.col("pr_scaled").desc(), "node")
+        .limit(20)
+        .drop("node")
+    )
+
+
+# ---------------------------------------------------------------------------
+# degree-capped triangle count: the power-law-safe variant
+
+_TRI_DEG_CAP = 32
+
+TRIANGLE_CAP_ORACLE = f"""
+WITH pairs AS (
+    SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+    SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs
+    ) GROUP BY node
+),
+hubs AS (SELECT node FROM deg WHERE d > {_TRI_DEG_CAP}),
+kept AS (
+    SELECT p.u, p.v FROM pairs p
+    ANTI JOIN hubs hu ON hu.node = p.u
+    ANTI JOIN hubs hv ON hv.node = p.v
+),
+kdeg AS (
+    SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM kept UNION ALL SELECT v FROM kept
+    ) GROUP BY node
+),
+oriented AS (
+    SELECT CASE WHEN (du.d, k.u) < (dv.d, k.v) THEN k.u ELSE k.v END AS s,
+           CASE WHEN (du.d, k.u) < (dv.d, k.v) THEN k.v ELSE k.u END AS t
+    FROM kept k
+    JOIN kdeg du ON du.node = k.u
+    JOIN kdeg dv ON dv.node = k.v
+),
+wedges AS (
+    SELECT LEAST(e1.t, e2.t) AS v, GREATEST(e1.t, e2.t) AS w
+    FROM oriented e1 JOIN oriented e2
+      ON e1.s = e2.s AND e1.t < e2.t
+),
+tri AS (
+    SELECT COUNT(*) AS n_triangles
+    FROM wedges wd JOIN kept e ON e.u = wd.v AND e.v = wd.w
+)
+SELECT (SELECT COUNT(*) FROM hubs) AS n_capped_nodes,
+       (SELECT COUNT(*) FROM kept) AS n_edges_kept,
+       (SELECT COUNT(*) FROM pairs) AS n_edges_total,
+       (SELECT n_triangles FROM tri) AS n_triangles
+"""
+
+
+@query("q_triangle_cap", TRIANGLE_CAP_ORACLE)
+def triangle_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-capped triangle counting — the power-law survival mode of
+    q_triangle_count: vertices with degree > {cap} (the celebrity
+    hubs) are removed BEFORE wedge enumeration, bounding per-vertex
+    wedge fan-out at {cap}^2 regardless of how skewed the degree
+    distribution gets. Degree orientation alone caps wedges at the
+    arboricity bound, which is still hub-quadratic on a celebrity
+    graph; the hard cap trades hub triangles (reported via
+    n_capped_nodes so the loss is visible) for a worst-case-bounded
+    shuffle. This is how production graph pipelines survive the
+    @barackobama node. The residual graph is re-degreed and then runs
+    the exact same oriented wedge-join kernel."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds degree count, hub filter, closure probe
+    )
+
+    def degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+
+    hubs = degrees(pairs).filter(F.col("d") > _TRI_DEG_CAP).select("node")
+    kept = (
+        pairs.join(F.broadcast(hubs.withColumnRenamed("node", "u")), "u", "left_anti")
+        .join(F.broadcast(hubs.withColumnRenamed("node", "v")), "v", "left_anti")
+        .select("u", "v")
+    )
+    kdeg = degrees(kept)
+    du, dv = kdeg.alias("du"), kdeg.alias("dv")
+    k = kept.alias("k")
+    first_is_smaller = (F.col("du.d") < F.col("dv.d")) | (
+        (F.col("du.d") == F.col("dv.d")) & (F.col("k.u") < F.col("k.v"))
+    )
+    oriented = (
+        k.join(du, F.col("du.node") == F.col("k.u"))
+        .join(dv, F.col("dv.node") == F.col("k.v"))
+        .select(
+            F.when(first_is_smaller, F.col("k.u")).otherwise(F.col("k.v")).alias("s"),
+            F.when(first_is_smaller, F.col("k.v")).otherwise(F.col("k.u")).alias("t"),
+        )
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = e1.join(
+        e2, (F.col("e1.s") == F.col("e2.s")) & (F.col("e1.t") < F.col("e2.t"))
+    ).select(F.least("e1.t", "e2.t").alias("v"), F.greatest("e1.t", "e2.t").alias("w"))
+    e = kept.alias("e")
+    tri = wedges.alias("wd").join(
+        e, (F.col("e.u") == F.col("wd.v")) & (F.col("e.v") == F.col("wd.w"))
+    )
+    return (
+        hubs.agg(F.count(F.lit(1)).alias("n_capped_nodes"))
+        .crossJoin(kept.agg(F.count(F.lit(1)).alias("n_edges_kept")))
+        .crossJoin(pairs.agg(F.count(F.lit(1)).alias("n_edges_total")))
+        .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+    )
+
+
+triangle_cap.__doc__ = triangle_cap.__doc__.format(cap=_TRI_DEG_CAP)
