@@ -809,3 +809,127 @@ def stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("lag_micros"),
     )
     return run_to_memory(joined, "append")
+
+
+# ---------------------------------------------------------------------------
+# chained stream-stream interval joins: the streaming conversion funnel
+
+STREAM_FUNNEL_ORACLE = """
+SELECT e1.user_id,
+       epoch_us(e1.ts) AS v_us,
+       epoch_us(e2.ts) AS c_us,
+       epoch_us(e3.ts) AS p_us
+FROM events e1
+JOIN events e2
+  ON e2.user_id = e1.user_id AND e2.event_type = 'click'
+ AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 24 HOURS
+JOIN events e3
+  ON e3.user_id = e2.user_id AND e3.event_type = 'purchase'
+ AND e3.ts > e2.ts AND e3.ts <= e2.ts + INTERVAL 24 HOURS
+WHERE e1.event_type = 'view'
+"""
+
+
+@query("q_stream_funnel", STREAM_FUNNEL_ORACLE)
+def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The time-bounded conversion funnel as CHAINED stream-stream
+    interval joins — view -> click within 24 h -> purchase within
+    24 h, all three sides unbounded streams. Spark 4 allows multiple
+    stateful operators in one append query, so the first join's output
+    (with its propagated watermark) feeds the second join directly; no
+    intermediate sink.
+
+    State discipline: every side is watermarked and every join bounds
+    event time in BOTH directions, so buffered state per join is
+    watermark + 24 h of events, independent of stream length. Inner
+    joins emit at match time, so availableNow ingestion reproduces the
+    batch three-way join exactly — q_funnel_bounded's batch semantics,
+    emitted as chains instead of stage counts."""
+    e = stream_events(spark, sf_dir)
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    vc = views.join(
+        clicks,
+        F.expr(
+            "v_user = c_user AND c_ts > v_ts AND c_ts <= v_ts + interval 24 hours"
+        ),
+        # a join output may carry only ONE event-time column into the next
+        # stateful operator: demote v_ts to a plain epoch-micros long and
+        # let c_ts (the column the next interval join bounds) keep the
+        # watermark
+    ).select(
+        F.col("c_user"),
+        F.col("c_ts"),
+        F.unix_micros("v_ts").alias("v_us"),
+    )
+    vcp = vc.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts > c_ts AND p_ts <= c_ts + interval 24 hours"
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "v_us",
+        F.unix_micros("c_ts").alias("c_us"),
+        F.unix_micros("p_ts").alias("p_us"),
+    )
+    return run_to_memory(vcp, "append")
+
+
+# ---------------------------------------------------------------------------
+# streaming windowed top-k: continuous aggregation + serving-side rank
+
+STREAM_TOPK_ORACLE = """
+WITH c AS (
+    SELECT epoch_us(time_bucket(INTERVAL 1 DAY, ts)) AS window_start,
+           event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT window_start, event_type, n, rnk FROM (
+    SELECT c.*, ROW_NUMBER() OVER (
+        PARTITION BY window_start ORDER BY n DESC, event_type) AS rnk
+    FROM c
+) WHERE rnk <= 2
+"""
+
+
+@query("q_stream_topk", STREAM_TOPK_ORACLE)
+def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-now: top-2 event types per daily window over a stream.
+    Ranking is not a streaming-supported operator (a rank can change
+    retroactively within an open window), so this is the canonical
+    TWO-STAGE shape every streaming leaderboard uses: the unbounded
+    part is a plain windowed count (complete mode here; update mode +
+    an upsert sink in production), and the rank runs on the compact
+    materialized aggregate — window x event_type rows, not raw events.
+    The serving query's input is bounded by cardinality, so the rank
+    window is never the scale problem the raw stream would be."""
+    from pyspark.sql import Window as W
+
+    e = stream_events(spark, sf_dir)
+    counts = e.groupBy(
+        F.window("ts", "1 day").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    agg = run_to_memory(
+        counts.select(
+            F.unix_micros(F.col("w.start")).alias("window_start"), "event_type", "n"
+        ),
+        "complete",
+    )
+    rnk = F.row_number().over(
+        W.partitionBy("window_start").orderBy(F.col("n").desc(), "event_type")
+    )
+    return agg.withColumn("rnk", rnk.cast("long")).filter(F.col("rnk") <= 2)
