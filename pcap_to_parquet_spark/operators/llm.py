@@ -32,10 +32,19 @@ from pcap_to_parquet_spark.sources import fan_out, load_table
 MINHASH_PERMS = 128
 MINHASH_BANDS = 16  # 16 bands × 8 rows
 MINHASH_ROWS = MINHASH_PERMS // MINHASH_BANDS
-_MERSENNE = (1 << 61) - 1
+# permutation field: p MUST NOT exceed the base-hash domain. With the
+# original p = 2^61-1 over 31-bit inputs, a*h+b < 2^63 wraps the modulus
+# at most 3 times, so every "permutation" was a piecewise-monotone
+# function of h with <= 4 pieces — the 128 minima all chased the same
+# smallest-h shingles and the estimator collapsed (measured at sf0.001:
+# a TRUE-Jaccard 0.006 pair estimated at 0.95, a 0.95 pair missed).
+# With p = 2^31-1 (Mersenne prime) and 31-bit a, products wrap ~2^31
+# times: the classic (a*h + b) mod p universal family, int64-safe.
+_MERSENNE = (1 << 31) - 1
 _rng = random.Random(42)
 _MINHASH_AB = [
-    (_rng.randrange(1, 1 << 31), _rng.randrange(0, 1 << 31)) for _ in range(MINHASH_PERMS)
+    (_rng.randrange(1, _MERSENNE), _rng.randrange(0, _MERSENNE))
+    for _ in range(MINHASH_PERMS)
 ]
 
 
@@ -103,7 +112,7 @@ def minhash_signatures(d: DataFrame) -> DataFrame:
                 continue
             t = np.asarray(h, dtype=np.int64).astype(np.uint64)
             s = (t[:-2] * _MIX1 + t[1:-1] * _MIX2 + t[2:]) & _MASK31
-            hv = np.unique(s).astype(np.int64)[:, None]
+            hv = (np.unique(s).astype(np.int64) % _MERSENNE)[:, None]
             out.append(((hv * A[None, :] + B[None, :]) % _MERSENNE).min(axis=0))
         return pd.Series(out)
 
@@ -1443,7 +1452,7 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # only the base hash differs so DuckDB can reproduce every signature)
 
 _MHX_MINS = ",\n           ".join(
-    f"MIN((h * {a} + {b}) % {_MERSENNE}) AS m{i}"
+    f"MIN(((h % {_MERSENNE}) * {a} + {b}) % {_MERSENNE}) AS m{i}"
     for i, (a, b) in enumerate(_MINHASH_AB)
 )
 _MHX_BANDS = "\n    UNION ALL ".join(
@@ -1527,7 +1536,9 @@ def minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     hs = shingled.select("doc_id", h32.alias("h"))
     mins = hs.groupBy("doc_id").agg(
         *[
-            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"m{i}")
+            F.min(
+                ((F.col("h") % _MERSENNE) * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)
+            ).alias(f"m{i}")
             for i, (a, b) in enumerate(_MINHASH_AB)
         ]
     )

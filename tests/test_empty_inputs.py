@@ -113,6 +113,17 @@ EMPTY_SAFE = [
     "q_ngram_containment",
     "q_dedup_survivors",
     "q_try_arithmetic",
+    # round 4b
+    "q_doc_chunks",
+    "q_minhash_exact",
+    "q_pagerank",
+    "q_sql_late_orders",
+    "q_sql_nation_volume",
+    "q_sql_market_share",
+    "q_sql_product_profit",
+    "q_sql_parts_suppliers",
+    "q_stream_funnel",
+    "q_stream_topk",
 ]
 
 # global aggregates return one constant row on empty input (their
@@ -128,6 +139,9 @@ CONSTANT_ON_EMPTY = {
     "q_table_checksum": 3,  # one checksum row per audited table
     "q_triangle_count": 1,  # global graph census row of zeros
     "q_bitmap_distinct": 1,  # the merged-total row survives (zero count)
+    "q_triangle_cap": 1,  # global graph census row of zeros
+    "q_sql_promo_share": 1,  # global ratio aggregate: one NULL row
+    "q_kmv_distinct": 1,  # the merged sketch row survives (exact 0)
 }
 
 

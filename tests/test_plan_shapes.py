@@ -475,3 +475,69 @@ def test_round4_op_shapes(spark):
     p = prof(spark, "q_sequence_pack")
     assert p.get("Window", 0) >= 2
     assert p.get("single_partition", 0) <= 2
+
+
+def test_round4b_op_shapes(spark):
+    # RAG chunking must be map-only fan-out: no aggregation, no join,
+    # no python eval — the only permitted exchange is fan_out's
+    # round-robin spread
+    p = prof(spark, "q_doc_chunks")
+    assert p["exchanges"] <= 1
+    assert "HashAggregate" not in p and "SortMergeJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    # KMV: the rank windows must stay partitioned by group except the
+    # merged-sketch window, whose input is bounded at K x n_groups rows
+    p = prof(spark, "q_kmv_distinct")
+    assert p.get("Window", 0) >= 2
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+    # exact-oracle MinHash: signature build is JVM column algebra (no
+    # python eval at all) and candidate pairing is a key-equality join
+    p = prof(spark, "q_minhash_exact")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert p.get("SortMergeJoin", 0) + p.get("ShuffledHashJoin", 0) + p.get(
+        "BroadcastHashJoin", 0
+    ) >= 1
+
+    # PageRank: per-iteration join + aggregate, no python, no cartesian;
+    # top-20 must be a TakeOrderedAndProject, not a global sort
+    p = prof(spark, "q_pagerank")
+    assert p.get("TakeOrderedAndProject", 0) == 1
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+    # degree-capped triangles: hub removal is a broadcast anti join
+    # (the hub list is tiny by construction)
+    p = prof(spark, "q_triangle_cap")
+    assert p.get("BroadcastHashJoin", 0) >= 2  # two anti probes at least
+    assert "CartesianProduct" not in p
+
+
+def test_round4b_sql_shapes(spark):
+    # all six new TPC-H shapes: dims broadcast, facts shuffle at most
+    # once per aggregate, and nothing plans a cartesian or nested loop
+    for name in (
+        "q_sql_late_orders",
+        "q_sql_nation_volume",
+        "q_sql_market_share",
+        "q_sql_promo_share",
+        "q_sql_product_profit",
+        "q_sql_parts_suppliers",
+    ):
+        p = prof(spark, name)
+        assert "CartesianProduct" not in p, name
+        assert p.get("BroadcastHashJoin", 0) >= 1, name
+    # the EXISTS in late orders is a semi join, never a full join+dedup
+    p = prof(spark, "q_sql_late_orders")
+    assert "LeftSemi" in plan_string_of(spark, "q_sql_late_orders") or p.get(
+        "BroadcastHashJoin", 0
+    ) >= 1
+
+
+def plan_string_of(spark, name):
+    from pcap_to_parquet_spark.plans import plan_string
+
+    return plan_string(QUERIES[name](spark, SF001))

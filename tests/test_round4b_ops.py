@@ -1,0 +1,149 @@
+"""Behavioral invariants for the round-4b operators: KMV estimation
+error, MinHash-exact recall against true Jaccard, PageRank mass
+conservation, capped-triangle monotonicity, chunk reconstruction."""
+
+from __future__ import annotations
+
+import pcap_to_parquet_spark.operators  # noqa: F401  (registers queries)
+
+from pcap_to_parquet_spark.registry import QUERIES
+from tests.conftest import SF0001, SF001
+
+
+def test_kmv_estimates_within_sketch_error(spark):
+    """A full K=64 sketch has relative standard error ~1/sqrt(K-2) ≈
+    12.6%; assert every estimate lands within 4 sigma, and that
+    not-yet-full sketches are EXACT by construction."""
+    rows = QUERIES["q_kmv_distinct"](spark, SF001).collect()
+    assert rows, "no groups"
+    for r in rows:
+        if r.exact_distinct < 64:
+            assert r.est_distinct == float(r.exact_distinct), r
+        else:
+            rel = abs(r.est_distinct - r.exact_distinct) / r.exact_distinct
+            assert rel < 0.5, (r.key, r.est_distinct, r.exact_distinct)
+    keys = {r.key for r in rows}
+    assert "__merged__" in keys
+
+
+def test_minhash_exact_recalls_true_near_dups(spark, tiny_docs_dir):
+    """On the planted-duplicate corpus the exact-twin MinHash must
+    surface the identical pair (0,1) with estimate 1.0 and the
+    one-word-changed pairs with a high estimate."""
+    got = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in QUERIES["q_minhash_exact"](spark, tiny_docs_dir).collect()
+    }
+    assert got.get((0, 1)) == 1.0
+    # doc 2 differs in 1 word of 30 → true 3-gram Jaccard ≈ 0.83; the
+    # 128-perm estimate must clear the 0.7 emission threshold
+    assert (0, 2) in got and got[(0, 2)] >= 0.7
+    assert (1, 2) in got
+    # unrelated and sub-shingle docs never pair
+    assert not any(3 in p or 4 in p for p in got)
+
+
+def test_minhash_exact_agrees_with_numpy_path_on_candidates(spark):
+    """The md5 twin and the xxhash production path disagree on hash
+    values but must largely agree on WHO is a near-duplicate: at
+    sf0.001 every pair the numpy path reports with est ≥ 0.9 must be
+    reported by the exact twin too (both run 128 perms / 16 bands over
+    identical shingle sets — only the base hash differs)."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["q_minhash_exact"](spark, SF0001).collect()
+    }
+    numpy_hi = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["q_dedup_minhash"](spark, SF0001).collect()
+        if r.est_jaccard >= 0.9
+    }
+    assert numpy_hi <= exact, numpy_hi - exact
+
+
+def test_pagerank_mass_and_floor(spark):
+    """Integer PageRank: every rank ≥ the 0.15 base, and the top-20
+    ranks are in (weakly) descending order with suppliers/customers
+    both representable."""
+    rows = QUERIES["q_pagerank"](spark, SF0001).collect()
+    assert len(rows) == 20
+    prs = [r.pr_scaled for r in rows]
+    assert prs == sorted(prs, reverse=True)
+    assert all(p >= 150_000_000 for p in prs)
+    assert {r.node_type for r in rows} <= {"customer", "supplier"}
+
+
+def test_triangle_cap_is_conservative(spark):
+    """Capping can only remove edges and triangles, never add."""
+    full = QUERIES["q_triangle_count"](spark, SF0001).collect()[0]
+    capped = QUERIES["q_triangle_cap"](spark, SF0001).collect()[0]
+    assert capped.n_edges_total == full.n_edges
+    assert capped.n_edges_kept <= capped.n_edges_total
+    assert capped.n_triangles <= full.n_triangles
+    assert capped.n_capped_nodes >= 0
+
+
+def test_doc_chunks_reconstruct_documents(spark):
+    """Chunks must tile each document: chunk i starts at i*stride,
+    every chunk except the last is full-size, and stitching chunk 0
+    plus the non-overlapped tail of each later chunk rebuilds the
+    exact text."""
+    docs = {
+        r.doc_id: r.text
+        for r in QUERIES["q_doc_chunks"](spark, SF0001)
+        .sparkSession.read.parquet(SF0001 + "/documents.parquet")
+        .collect()
+    }
+    out = QUERIES["q_doc_chunks"](spark, SF0001).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        text = docs[doc_id]
+        rebuilt = ""
+        for r in chunks:
+            assert r.chunk_start == r.chunk_idx * 150
+            if r.chunk_idx < len(chunks) - 1:
+                assert r.chunk_len == 200
+            rebuilt = rebuilt[: r.chunk_start] + r.chunk_text
+        assert rebuilt == text, doc_id
+
+
+def test_minhash_paths_reject_unrelated_pairs(spark):
+    """Regression for the correlated-permutation bug (p=2^61-1 over
+    31-bit hashes): with a sound permutation field, a pair with true
+    3-gram Jaccard < 0.3 has essentially zero probability of an
+    estimate ≥ 0.7 over 128 permutations — assert NO reported pair is
+    wildly above its true Jaccard on sf0.001."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF0001}/documents.parquet'"
+    )
+    truth = {
+        (a, b): j
+        for a, b, j in con.execute(
+            r"""
+            WITH tok AS (SELECT doc_id,
+                   list_filter(regexp_split_to_array(text,'\s+'), t->t<>'') AS ws
+                   FROM documents),
+            sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
+                       generate_series(1,len(ws)-2),
+                       i->ws[i]||'|'||ws[i+1]||'|'||ws[i+2])) AS sh
+                   FROM tok WHERE len(ws)>=3),
+            n AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id)
+            SELECT a.doc_id, b.doc_id,
+                   COUNT(*)::DOUBLE/(ANY_VALUE(na.n)+ANY_VALUE(nb.n)-COUNT(*))
+            FROM sh a JOIN sh b ON a.sh=b.sh AND a.doc_id<b.doc_id
+            JOIN n na ON na.doc_id=a.doc_id JOIN n nb ON nb.doc_id=b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            """
+        ).fetchall()
+    }
+    for qname in ("q_minhash_exact", "q_dedup_minhash"):
+        for r in QUERIES[qname](spark, SF0001).collect():
+            true_j = truth.get((r.doc_a, r.doc_b), 0.0)
+            assert true_j >= 0.5, (qname, r.doc_a, r.doc_b, r.est_jaccard, true_j)
