@@ -36,12 +36,17 @@ SF0001_DIR = "/root/testdata/sf0.001"
 # from round 1 (oldest-green-first). Pinned by
 # test_gate_front_names_exist.
 #
-# ROUND 5 ROTATION NOTE: the r4 window is exactly 50 oracle-bearing
-# rows (32 never-checked round-4 queries + upgraded pcap oracles +
-# refreshes). Next round, front (a) any round-5 additions, (b) the
-# oracle-bearing queries whose newest driver row is r01/r02 and that
-# missed this window — recompute with the CORRECTNESS_r0{1..4} union,
-# oldest-last-checked first.
+# ROUND 5 ROTATION NOTE: the r4 window (first 50 below) = 13 round-4b
+# additions + the 30 never-driver-checked round-3/4 queries + 2
+# changed + the first 8 of the oracle-upgraded pcap/graph block.
+# Deferred past the window and due FIRST in round 5: the rest of that
+# block (q_dedup_survivors, q_pcap_roundtrip, q_bloom_prefilter,
+# q_dedup_simhash, q_stream_session, q_stream_stateful,
+# q_bitmap_distinct, q_try_arithmetic, q_pcap_stream_flows,
+# q_funnel_bounded) — none has ever had a driver value row; then any
+# round-5 additions; then refresh the queries whose
+# newest driver row is r01/r02 (recompute with the CORRECTNESS_r0{1..4}
+# union, oldest-last-checked first).
 _GATE_FRONT = [
     # never driver-checked (registered past round 3's 50-row window)
     "q_sql_disjunctive",
@@ -76,6 +81,21 @@ _GATE_FRONT = [
     "q_sql_big_orders",
     "q_sql_idle_customers",
     "q_sequence_pack",
+    # new in round 4b (this session): six TPC-H shapes, RAG chunking,
+    # KMV sketch, exact-twin MinHash, graph kernels, streaming funnel
+    "q_sql_late_orders",
+    "q_sql_nation_volume",
+    "q_sql_market_share",
+    "q_sql_promo_share",
+    "q_sql_product_profit",
+    "q_sql_parts_suppliers",
+    "q_doc_chunks",
+    "q_kmv_distinct",
+    "q_minhash_exact",
+    "q_pagerank",
+    "q_triangle_cap",
+    "q_stream_funnel",
+    "q_stream_topk",
     # oracle upgraded this round (rows-only -> golden VALUES literal)
     "q_pcap_pipeline",
     "q_pcapng_pipeline",
