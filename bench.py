@@ -53,6 +53,9 @@ HEADLINE = [
     "q_ngram_lm_score",     # bigram LM train + score (round 4)
     "q_countmin_topk",      # sketch build/merge/probe as relational algebra
     "q_scd2_lookup",        # temporal as-of dim join
+    "q_minhash_exact",      # JVM-side LSH signatures (round 4b)
+    "q_pagerank",           # iterative fixed-point graph kernel (round 4b)
+    "q_knn_join",           # blocked all-vectors ANN retrieval (round 4b)
 ]
 
 # round-over-round reference (same box, sf0.1, local[32]):

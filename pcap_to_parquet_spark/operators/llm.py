@@ -1607,3 +1607,92 @@ def minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 minhash_exact.__doc__ = minhash_exact.__doc__.format(perms=MINHASH_PERMS)
+
+
+# ---------------------------------------------------------------------------
+# k-NN JOIN: top-k neighbors for EVERY vector (blocked by label)
+
+_KNN_K = 3
+
+KNN_JOIN_ORACLE = rf"""
+SELECT vec_id, label, nn_rank, nn_id, cos_sim FROM (
+    SELECT a.vec_id, a.label, b.vec_id AS nn_id,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+               AS cos_sim,
+           ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY ROUND(list_cosine_similarity(
+                                  a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+                        DESC, b.vec_id
+           ) AS nn_rank
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id
+) WHERE nn_rank <= {_KNN_K}
+"""
+
+
+@query("q_knn_join", KNN_JOIN_ORACLE)
+def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN JOIN: the top-{k} cosine neighbors for EVERY vector, not
+    one query point (q_similarity_topk) and not a threshold
+    (q_embed_neardup) — the all-pairs retrieval primitive behind
+    embedding dedup review, hard-negative mining and kNN-LM lookups.
+
+    Blocked by label like q_embed_neardup: one BLAS gram matrix per
+    block in applyInPandas, then a vectorized per-row top-{k} via an
+    integer composite sort key (rounded-similarity desc, id asc) — the
+    SAME deterministic order the oracle's window uses, so ranks are
+    reproducible even under float ties. Only the blocking key
+    shuffles; swap label for an IVF/LSH bucket id at corpus scale (the
+    per-block cost is quadratic in block size by design — that is the
+    ANN blocking contract, not an accident).
+
+    Oracle note: the similarity must be computed in float64 on BOTH
+    sides (embedding::DOUBLE[] in DuckDB) — the float32
+    list_cosine_similarity default disagrees with BLAS float64 in the
+    4th decimal often enough to flip round-boundary ranks at sf0.01."""
+    em = load_table(spark, sf_dir, "embeddings")
+
+    def knn(pdf):  # type: ignore[no-untyped-def]
+        import numpy as np
+        import pandas as pd
+
+        order = pdf["vec_id"].to_numpy().argsort()
+        ids = pdf["vec_id"].to_numpy()[order]
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {"vec_id": [], "label": [], "nn_rank": [], "nn_id": [], "cos_sim": []}
+            ).astype(
+                {
+                    "vec_id": "int64",
+                    "label": "int32",
+                    "nn_rank": "int64",
+                    "nn_id": "int64",
+                    "cos_sim": "float64",
+                }
+            )
+        x = np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
+        norms = np.linalg.norm(x, axis=1)
+        r = np.round((x @ x.T) / np.outer(norms, norms), 4)
+        # integer composite key: (-cos_rounded, id) ascending == the
+        # oracle's (cos_rounded DESC, vec_id ASC); exact in int64
+        key = (-r * 10000).astype(np.int64) * (1 << 32) + ids[None, :]
+        np.fill_diagonal(key, np.iinfo(np.int64).max)  # exclude self
+        k = min(_KNN_K, n - 1)
+        nn = np.argsort(key, axis=1)[:, :k]
+        rows = np.repeat(np.arange(n), k)
+        cols = nn.ravel()
+        return pd.DataFrame(
+            {
+                "vec_id": ids[rows],
+                "label": np.full(len(rows), pdf["label"].iloc[0], dtype="int32"),
+                "nn_rank": np.tile(np.arange(1, k + 1, dtype="int64"), n),
+                "nn_id": ids[cols],
+                "cos_sim": r[rows, cols],
+            }
+        )
+
+    return em.groupBy("label").applyInPandas(
+        knn, schema="vec_id long, label int, nn_rank long, nn_id long, cos_sim double"
+    )

@@ -124,6 +124,7 @@ EMPTY_SAFE = [
     "q_sql_parts_suppliers",
     "q_stream_funnel",
     "q_stream_topk",
+    "q_knn_join",
 ]
 
 # global aggregates return one constant row on empty input (their

@@ -515,6 +515,13 @@ def test_round4b_op_shapes(spark):
     assert p.get("BroadcastHashJoin", 0) >= 2  # two anti probes at least
     assert "CartesianProduct" not in p
 
+    # kNN join: ONE grouped pandas operator on the blocking key — the
+    # quadratic work happens inside blocks, never as a plan-level
+    # cartesian/nested-loop
+    p = prof(spark, "q_knn_join")
+    assert p.get("FlatMapGroupsInPandas", 0) == 1
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
 
 def test_round4b_sql_shapes(spark):
     # all six new TPC-H shapes: dims broadcast, facts shuffle at most
