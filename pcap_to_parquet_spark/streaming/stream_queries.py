@@ -420,7 +420,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # arbitrary stateful op: per-user running profile via applyInPandasWithState
 
-_STATE_SCHEMA = "n long, total double, last_ts long"
+_STATE_SCHEMA = "n long, total double, last_ts long, max_gap long"
 _PROFILE_SCHEMA = (
     "user_id long, n_events long, total_value double, max_gap_us long"
 )
@@ -457,13 +457,17 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     def update(key, pdfs, state: GroupState):  # type: ignore[no-untyped-def]
         import pandas as pd
 
-        n, total, last_ts = state.get if state.exists else (0, 0.0, None)
+        # max_gap must live IN the state: with multi-batch ingestion the
+        # gaps observed by earlier batches would otherwise be lost (the
+        # availableNow single-batch path masked this)
+        n, total, last_ts, max_gap = (
+            state.get if state.exists else (0, 0.0, None, 0)
+        )
         ts_all = []
         for pdf in pdfs:
             for ts, val in zip(pdf["ts"], pdf["value"]):
                 ts_all.append((ts.value // 1000, float(val)))  # ns → µs
         ts_all.sort()
-        max_gap = 0
         prev = last_ts
         for t_us, val in ts_all:
             if prev is not None:
@@ -471,7 +475,7 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             prev = t_us
             n += 1
             total += val
-        state.update((n, round(total, 4), prev))
+        state.update((n, round(total, 4), prev, max_gap))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
@@ -933,3 +937,89 @@ def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.partitionBy("window_start").orderBy(F.col("n").desc(), "event_type")
     )
     return agg.withColumn("rnk", rnk.cast("long")).filter(F.col("rnk") <= 2)
+
+
+# ---------------------------------------------------------------------------
+# streaming KMV distinct sketch: bounded custom state, exact oracle
+
+_SKMV_K = 64
+_SKMV_NUM = float((_SKMV_K - 1) * 4294967296)
+
+STREAM_KMV_ORACLE = f"""
+WITH h AS (
+    SELECT DISTINCT event_type,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS uh
+    FROM events
+),
+rk AS (
+    SELECT event_type, uh,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY uh) AS rn
+    FROM h
+),
+sk AS (SELECT * FROM rk WHERE rn <= {_SKMV_K}),
+per AS (
+    SELECT event_type, MAX(rn) AS k_used,
+           MAX(CASE WHEN rn = {_SKMV_K} THEN uh END) AS kth
+    FROM sk GROUP BY event_type
+)
+SELECT event_type AS key,
+       CASE WHEN k_used < {_SKMV_K} THEN CAST(k_used AS DOUBLE)
+            ELSE ROUND({_SKMV_NUM} / kth, 2) END AS est_distinct
+FROM per
+"""
+
+_SKMV_OUT = StructType(
+    [StructField("key", StringType()), StructField("est_distinct", DoubleType())]
+)
+from pyspark.sql.types import ArrayType  # noqa: E402
+
+_SKMV_STATE = StructType([StructField("mins", ArrayType(LongType()))])
+
+
+@query("q_stream_kmv", STREAM_KMV_ORACLE)
+def stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count sketching ON THE STREAM: per-event-type KMV
+    state — the k smallest distinct 32-bit md5 hashes seen so far —
+    maintained in ``applyInPandasWithState``. This is what a
+    continuous cardinality monitor actually keeps per key: O(k) state
+    forever, independent of stream length, and every micro-batch can
+    emit a current estimate.
+
+    Because KMV is deterministic (unlike HLL's implementation-defined
+    registers), the streaming state after availableNow ingestion
+    equals the batch sketch EXACTLY, so the emitted estimates are
+    value-checked against the same SQL oracle as q_kmv_distinct —
+    a custom stateful streaming operator with a full value-hash
+    correctness gate, not a rows-only waiver."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        (mins,) = state.get if state.exists else ([],)
+        cur = set(mins)
+        for pdf in pdfs:
+            cur.update(int(v) for v in pdf["uh"])
+        best = sorted(cur)[:_SKMV_K]
+        state.update((best,))
+        if len(best) < _SKMV_K:
+            est = float(len(best))
+        else:
+            est = round(_SKMV_NUM / best[-1], 2)
+        yield pd.DataFrame({"key": [key[0]], "est_distinct": [est]})
+
+    e = stream_events(spark, sf_dir)
+    hashed = e.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("uh"),
+    )
+    sketched = hashed.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=_SKMV_OUT,
+        stateStructType=_SKMV_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(sketched, "update")

@@ -125,6 +125,7 @@ EMPTY_SAFE = [
     "q_stream_funnel",
     "q_stream_topk",
     "q_knn_join",
+    "q_stream_kmv",
 ]
 
 # global aggregates return one constant row on empty input (their
