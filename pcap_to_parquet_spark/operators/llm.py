@@ -1696,3 +1696,121 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return em.groupBy("label").applyInPandas(
         knn, schema="vec_id long, label int, nn_rank long, nn_id long, cos_sim double"
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified retrieval: greedy re-rank of a bounded candidate set
+
+_MMR_LAMBDA = 0.7
+_MMR_CANDS = 20
+_MMR_K = 5
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR in SQL: one CTE pair per selection step —
+    the same fixed-iteration unrolling trick as PAGERANK_ORACLE."""
+    steps = []
+    sel_union = "SELECT vec_id FROM s1"
+    steps.append(
+        f"s1 AS (SELECT vec_id, sim, {_MMR_LAMBDA} * sim AS score\n"
+        f"       FROM cands ORDER BY {_MMR_LAMBDA} * sim DESC, vec_id LIMIT 1)"
+    )
+    for k in range(2, _MMR_K + 1):
+        steps.append(
+            f"r{k} AS (SELECT c.vec_id, c.sim,\n"
+            f"         {_MMR_LAMBDA} * c.sim - {round(1 - _MMR_LAMBDA, 10)} * MAX(p.s) AS score\n"
+            f"       FROM cands c JOIN ps p ON p.i = c.vec_id AND p.j IN ({sel_union})\n"
+            f"       WHERE c.vec_id NOT IN ({sel_union})\n"
+            f"       GROUP BY c.vec_id, c.sim),\n"
+            f"s{k} AS (SELECT vec_id, sim, score FROM r{k}\n"
+            f"       ORDER BY score DESC, vec_id LIMIT 1)"
+        )
+        sel_union += f" UNION SELECT vec_id FROM s{k}"
+    outs = "\nUNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS mmr_rank, vec_id,"
+        f" ROUND(sim, 6) AS cos_sim, ROUND(score, 6) AS mmr_score FROM s{k}"
+        for k in range(1, _MMR_K + 1)
+    )
+    return (
+        "WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),\n"
+        "cands AS (\n"
+        "    SELECT b.vec_id, b.embedding::DOUBLE[] AS e,\n"
+        "           list_cosine_similarity(b.embedding::DOUBLE[], q.qe) AS sim\n"
+        f"    FROM embeddings b, q WHERE b.vec_id <> 0\n"
+        f"    ORDER BY sim DESC, b.vec_id LIMIT {_MMR_CANDS}\n"
+        "),\n"
+        "ps AS (SELECT a.vec_id AS i, b.vec_id AS j, list_cosine_similarity(a.e, b.e) AS s\n"
+        "       FROM cands a, cands b WHERE a.vec_id <> b.vec_id),\n"
+        + ",\n".join(steps)
+        + "\n"
+        + outs
+    )
+
+
+MMR_ORACLE = _mmr_oracle()
+
+
+@query("q_mmr_diversify", MMR_ORACLE)
+def mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking — the retrieval
+    diversifier every RAG serving stack runs between ANN and the
+    prompt: greedily pick {k} of the top-{c} candidates maximizing
+    lambda*sim(query, d) - (1-lambda)*max sim(d, selected), so the
+    context window gets relevant-but-non-redundant passages.
+
+    Scale split: candidate generation is the DISTRIBUTED part
+    (TakeOrderedAndProject top-{c} over the corpus — same plan as
+    q_similarity_topk); the greedy loop runs on the {c}-row candidate
+    set, which is bounded by construction (like k-means' centroid
+    pull, this is a legal driver-side constant, not a corpus
+    collect). The oracle unrolls the {k} greedy steps as SQL CTE
+    pairs — fixed-iteration unrolling, as in q_pagerank."""
+    import numpy as np
+
+    em = load_table(spark, sf_dir, "embeddings")
+    qv = em.filter(F.col("vec_id") == 0).select("embedding")
+    cands = (
+        em.crossJoin(F.broadcast(qv.withColumnRenamed("embedding", "qe")))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "embedding",
+            cosine_similarity("embedding", "qe").alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(_MMR_CANDS)
+    ).collect()  # bounded: _MMR_CANDS rows by construction
+    if not cands:
+        return spark.createDataFrame(
+            [], "mmr_rank long, vec_id long, cos_sim double, mmr_score double"
+        )
+    ids = np.array([r.vec_id for r in cands], dtype=np.int64)
+    x = np.array([r.embedding for r in cands], dtype=np.float64)
+    sims = np.array([r.sim for r in cands], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1)
+    pair = (x @ x.T) / np.outer(norms, norms)
+    selected: list[int] = []
+    out = []
+    remaining = list(range(len(ids)))
+    for rank in range(1, min(_MMR_K, len(ids)) + 1):
+        best = None
+        for i in remaining:
+            penalty = max(pair[i, j] for j in selected) if selected else None
+            score = (
+                _MMR_LAMBDA * sims[i]
+                if penalty is None
+                else _MMR_LAMBDA * sims[i] - (1 - _MMR_LAMBDA) * penalty
+            )
+            key = (-score, ids[i])
+            if best is None or key < best[0]:
+                best = (key, i, score)
+        _, i, score = best
+        remaining.remove(i)
+        selected.append(i)
+        out.append((rank, int(ids[i]), round(float(sims[i]), 6), round(float(score), 6)))
+    return spark.createDataFrame(
+        out, "mmr_rank long, vec_id long, cos_sim double, mmr_score double"
+    )
+
+
+mmr_diversify.__doc__ = mmr_diversify.__doc__.format(k=_MMR_K, c=_MMR_CANDS)

@@ -126,6 +126,7 @@ EMPTY_SAFE = [
     "q_stream_topk",
     "q_knn_join",
     "q_stream_kmv",
+    "q_mmr_diversify",
 ]
 
 # global aggregates return one constant row on empty input (their

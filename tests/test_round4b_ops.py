@@ -147,3 +147,49 @@ def test_minhash_paths_reject_unrelated_pairs(spark):
         for r in QUERIES[qname](spark, SF0001).collect():
             true_j = truth.get((r.doc_a, r.doc_b), 0.0)
             assert true_j >= 0.5, (qname, r.doc_a, r.doc_b, r.est_jaccard, true_j)
+
+
+def test_mmr_diversify_properties(spark):
+    """MMR invariants: rank 1 is the raw top-similarity candidate (no
+    penalty yet), ranks are 1..5 over distinct vectors, every
+    penalized score is ≤ λ·sim, and the MMR set is no LESS diverse
+    than the naive top-5 (its max intra-set similarity is ≤ naive's)."""
+    import numpy as np
+
+    rows = sorted(
+        QUERIES["q_mmr_diversify"](spark, SF001).collect(), key=lambda r: r.mmr_rank
+    )
+    assert [r.mmr_rank for r in rows] == [1, 2, 3, 4, 5]
+    assert len({r.vec_id for r in rows}) == 5
+    assert abs(rows[0].mmr_score - round(0.7 * rows[0].cos_sim, 6)) <= 1e-6
+    # later scores subtract 0.3 * max-sim-to-selected, which can be
+    # NEGATIVE for anticorrelated embeddings — only boundedness holds
+    for r in rows[1:]:
+        assert 0.7 * r.cos_sim - 0.3 <= r.mmr_score <= 0.7 * r.cos_sim + 0.3
+
+    em = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(SF001 + "/embeddings.parquet").collect()
+    }
+
+    def max_pair_sim(ids):
+        worst = -1.0
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                va, vb = em[a], em[b]
+                s = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+                worst = max(worst, s)
+        return worst
+
+    qv = em[0]
+    sims = sorted(
+        (
+            (float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v))), vid)
+            for vid, v in em.items()
+            if vid != 0
+        ),
+        reverse=True,
+    )
+    naive5 = [vid for _, vid in sims[:5]]
+    mmr5 = [r.vec_id for r in rows]
+    assert max_pair_sim(mmr5) <= max_pair_sim(naive5) + 1e-9
