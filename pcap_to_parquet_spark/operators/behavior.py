@@ -1008,3 +1008,84 @@ def triangle_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 triangle_cap.__doc__ = triangle_cap.__doc__.format(cap=_TRI_DEG_CAP)
+
+
+# ---------------------------------------------------------------------------
+# linear multi-touch attribution: split purchase value across the
+# touchpoints that preceded it
+
+ATTRIBUTION_ORACLE = """
+WITH purch AS (
+    SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+    SELECT user_id, ts, event_type FROM events
+    WHERE event_type IN ('view', 'click')
+),
+m AS (
+    SELECT p.event_id, p.value, t.event_type,
+           COUNT(*) OVER (PARTITION BY p.event_id) AS n_touch
+    FROM purch p
+    JOIN touch t ON t.user_id = p.user_id
+     AND t.ts < p.ts AND t.ts >= p.ts - INTERVAL 7 DAY
+),
+credited AS (SELECT event_type, value / n_touch AS credit FROM m),
+direct AS (
+    SELECT 'direct' AS event_type, p.value AS credit FROM purch p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM touch t WHERE t.user_id = p.user_id
+          AND t.ts < p.ts AND t.ts >= p.ts - INTERVAL 7 DAY
+    )
+)
+SELECT event_type AS channel, COUNT(*) AS n_credits,
+       ROUND(SUM(credit), 4) AS attributed_value
+FROM (SELECT * FROM credited UNION ALL SELECT * FROM direct)
+GROUP BY event_type
+"""
+
+
+@query("q_attribution", ATTRIBUTION_ORACLE)
+def attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution — the marketing-analytics join:
+    every purchase's value splits EQUALLY across that user's view/click
+    touchpoints in the prior 7 days; untouched purchases credit a
+    'direct' channel, so total attributed value equals total purchase
+    value (conservation pinned in tests).
+
+    Plan shape: one equi-join on user_id with a range residual (never
+    a pure interval cross join), one per-purchase window count to
+    learn the split denominator on the SAME partitioning the join
+    produced, one final channel aggregate. At 100 TB both sides
+    shuffle once on user_id and the window rides the join's exchange."""
+    e = load_table(spark, sf_dir, "events")
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts"), "value"
+    )
+    touch = e.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user"), F.col("ts").alias("t_ts"), "event_type"
+    )
+    joined = purch.join(
+        touch,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("interval 7 days")),
+    )
+    m = joined.withColumn(
+        "n_touch", F.count(F.lit(1)).over(Window.partitionBy("event_id"))
+    )
+    credited = m.select("event_type", (F.col("value") / F.col("n_touch")).alias("credit"))
+    direct = purch.join(
+        touch,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("interval 7 days")),
+        "left_anti",
+    ).select(F.lit("direct").alias("event_type"), F.col("value").alias("credit"))
+    return (
+        credited.unionByName(direct)
+        .groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            F.round(F.sum("credit"), 4).alias("attributed_value"),
+        )
+    )

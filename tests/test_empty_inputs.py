@@ -127,6 +127,7 @@ EMPTY_SAFE = [
     "q_knn_join",
     "q_stream_kmv",
     "q_mmr_diversify",
+    "q_attribution",
 ]
 
 # global aggregates return one constant row on empty input (their

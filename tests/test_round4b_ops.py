@@ -193,3 +193,22 @@ def test_mmr_diversify_properties(spark):
     naive5 = [vid for _, vid in sims[:5]]
     mmr5 = [r.vec_id for r in rows]
     assert max_pair_sim(mmr5) <= max_pair_sim(naive5) + 1e-9
+
+
+def test_attribution_conserves_purchase_value(spark):
+    """Credit conservation: summed attributed value across channels
+    (including 'direct') equals total purchase value to rounding."""
+    from pyspark.sql import functions as F
+
+    from pcap_to_parquet_spark.sources import load_table
+
+    rows = QUERIES["q_attribution"](spark, SF001).collect()
+    total_attr = sum(r.attributed_value for r in rows)
+    total_purch = (
+        load_table(spark, SF001, "events")
+        .filter(F.col("event_type") == "purchase")
+        .agg(F.sum("value"))
+        .collect()[0][0]
+    )
+    assert abs(total_attr - total_purch) < 0.01 * max(len(rows), 1)
+    assert {r.channel for r in rows} <= {"view", "click", "direct"}
