@@ -311,7 +311,7 @@ def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("event_type").orderBy("uh")
     sk = h.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= _KMV_K)
 
-    def est() -> F.Column:
+    def est() -> "F.Column":  # lazy: Column lives on pyspark.sql, not functions
         return F.when(
             F.col("k_used") < _KMV_K, F.col("k_used").cast("double")
         ).otherwise(F.round(F.lit(_KMV_NUM) / F.col("kth"), 2))
