@@ -19,7 +19,7 @@ import random
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pcap_to_parquet_spark.functions.text import shingles, whitespace_tokens
@@ -1814,3 +1814,94 @@ def mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 mmr_diversify.__doc__ = mmr_diversify.__doc__.format(k=_MMR_K, c=_MMR_CANDS)
+
+
+# ---------------------------------------------------------------------------
+# connected components via alternating large-star / small-star rounds —
+# the bounded-intermediate MapReduce CC kernel (same answer, same oracle
+# as q_dedup_clusters' label propagation)
+
+
+@query("q_components_star", DEDUP_CLUSTERS_ORACLE)
+def components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the ≥0.8-Jaccard near-dup graph via
+    ALTERNATING LARGE-STAR / SMALL-STAR rounds (Kiveris et al., 2014)
+    — the kernel q_dedup_clusters' docstring names as its graph-scale
+    replacement, implemented for real and pinned to produce the
+    IDENTICAL clustering (same oracle, plus a direct equality test).
+
+    Why it scales where min-label propagation strains: label
+    propagation's per-round shuffle is proportional to |E| FOREVER
+    (every edge re-sends its endpoint label each round); star rounds
+    CONTRACT the edge set — large-star hangs every larger neighbor
+    under the neighborhood minimum, small-star re-parents the smaller
+    ones, and components collapse into stars in O(log²) rounds with
+    intermediate size provably O(|E|). Each round is one groupBy per
+    direction — the same aggregate shuffle shape, on a shrinking
+    input. Convergence = the canonical edge set reaches a fixpoint
+    (checked with two anti-join counts, never a collect)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("u", "v")
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)  # cut the jaccard lineage once
+    )
+
+    def canonical(e: DataFrame) -> DataFrame:
+        """Undirected edge set as (min, max) pairs, deduped."""
+        return e.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        ).distinct()
+
+    def neighborhoods(e: DataFrame) -> DataFrame:
+        """Symmetric (u, v) adjacency with the neighborhood min m_u
+        attached to every row (min over Γ(u) ∪ {u})."""
+        sym = e.union(e.select(F.col("v"), F.col("u")).toDF("u", "v"))
+        w = Window.partitionBy("u")
+        return sym.withColumn(
+            "m", F.least(F.min("v").over(w), F.col("u"))
+        )
+
+    cur = canonical(edges)
+    converged = False
+    for _ in range(50):
+        nb = neighborhoods(cur)
+        # large-star: strictly larger neighbors hang under the minimum
+        large = nb.filter(F.col("v") > F.col("u")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        after_large = canonical(
+            large.filter(F.col("u") != F.col("v"))
+        ).localCheckpoint(eager=True)
+        nb2 = neighborhoods(after_large)
+        # small-star: u and its ≤ neighbors all re-parent to the minimum
+        small = (
+            nb2.filter(F.col("v") <= F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(nb2.select(F.col("u"), F.col("m")).toDF("u", "v"))
+        )
+        new = canonical(small.filter(F.col("u") != F.col("v"))).localCheckpoint(
+            eager=True
+        )
+        changed = (
+            new.exceptAll(cur).limit(1).count() + cur.exceptAll(new).limit(1).count()
+        )
+        cur = new
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError("components_star: star rounds did not converge in 50 rounds")
+    # fixpoint is a union of stars rooted at component minima: every
+    # edge is (center, member) in canonical form
+    members = cur.select(F.col("v").alias("doc_id"), F.col("u").alias("cluster_id"))
+    centers = cur.select(F.col("u").alias("doc_id"), F.col("u").alias("cluster_id")).distinct()
+    labeled = members.unionByName(centers)
+    singletons = d.select("doc_id").join(labeled.select("doc_id"), "doc_id", "left_anti")
+    return labeled.unionByName(
+        singletons.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    )

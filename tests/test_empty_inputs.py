@@ -128,6 +128,7 @@ EMPTY_SAFE = [
     "q_stream_kmv",
     "q_mmr_diversify",
     "q_attribution",
+    "q_components_star",
 ]
 
 # global aggregates return one constant row on empty input (their

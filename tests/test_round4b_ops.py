@@ -212,3 +212,18 @@ def test_attribution_conserves_purchase_value(spark):
     )
     assert abs(total_attr - total_purch) < 0.01 * max(len(rows), 1)
     assert {r.channel for r in rows} <= {"view", "click", "direct"}
+
+
+def test_star_rounds_match_label_propagation(spark):
+    """Large-star/small-star must produce the exact clustering of
+    q_dedup_clusters' min-label propagation — same components, same
+    min-id cluster labels."""
+    star = {
+        (r.doc_id, r.cluster_id)
+        for r in QUERIES["q_components_star"](spark, SF0001).collect()
+    }
+    prop = {
+        (r.doc_id, r.cluster_id)
+        for r in QUERIES["q_dedup_clusters"](spark, SF0001).collect()
+    }
+    assert star == prop
