@@ -40,7 +40,7 @@ SF0001_DIR = "/root/testdata/sf0.001"
 # additions + the 30 never-driver-checked round-3/4 queries + 2
 # changed + the first 8 of the oracle-upgraded pcap/graph block.
 # Deferred past the window and due FIRST in round 5: the rest of that
-# block (q_pcap_trailers, q_audio_features, q_pcap_flows, q_triangle_count, q_ngram_containment, q_dedup_survivors, q_pcap_roundtrip, q_bloom_prefilter,
+# block (q_pcapng_pipeline, q_pcap_datasource, q_pcap_trailers, q_audio_features, q_pcap_flows, q_triangle_count, q_ngram_containment, q_dedup_survivors, q_pcap_roundtrip, q_bloom_prefilter,
 # q_dedup_simhash, q_stream_session, q_stream_stateful,
 # q_bitmap_distinct, q_try_arithmetic, q_pcap_stream_flows,
 # q_funnel_bounded) — none has ever had a driver value row; then any
@@ -101,6 +101,8 @@ _GATE_FRONT = [
     "q_mmr_diversify",
     "q_attribution",
     "q_components_star",
+    "q_weighted_sample",
+    "q_stream_decontaminate",
     # oracle upgraded this round (rows-only -> golden VALUES literal)
     "q_pcap_pipeline",
     "q_pcapng_pipeline",

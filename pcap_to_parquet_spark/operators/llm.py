@@ -1905,3 +1905,57 @@ def components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labeled.unionByName(
         singletons.select("doc_id", F.col("doc_id").alias("cluster_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis-Spirakis one-pass)
+
+_WS_K = 20
+
+WEIGHTED_SAMPLE_ORACLE = """
+WITH k AS (
+    SELECT doc_id, n_chars,
+           ROUND(POWER(
+               (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+                   / 4294967296.0,
+               1.0 / GREATEST(n_chars, 1)), 9) AS skey
+    FROM documents
+)
+SELECT doc_id, n_chars, skey FROM k
+ORDER BY skey DESC, doc_id
+LIMIT 20
+"""
+
+
+@query("q_weighted_sample", WEIGHTED_SAMPLE_ORACLE)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement in one distributed pass —
+    Efraimidis-Spirakis: key each doc with u^(1/w) (u uniform from its
+    md5, w = its length) and keep the global top-{k} keys. Longer
+    documents win proportionally more often, no per-item acceptance
+    loop, no second pass over the corpus — and top-k by key plans as
+    TakeOrderedAndProject (per-partition heaps + driver merge of k
+    rows), never a global sort. This is how a training-mix sampler
+    draws a length-weighted subset of a 100 TB corpus in one scan.
+
+    Determinism: u is md5-derived, and ranking uses the key ROUNDED to
+    9 decimals with doc_id tiebreak, so cross-engine pow() last-ulp
+    differences cannot flip an order the oracle can see."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        + 1
+    ) / F.lit(4294967296.0)
+    skey = F.round(
+        F.pow(u, 1.0 / F.greatest(F.col("n_chars"), F.lit(1))), 9
+    ).alias("skey")
+    return (
+        d.select("doc_id", "n_chars", skey)
+        .orderBy(F.col("skey").desc(), "doc_id")
+        .limit(_WS_K)
+    )
+
+
+weighted_sample.__doc__ = weighted_sample.__doc__.format(k=_WS_K)

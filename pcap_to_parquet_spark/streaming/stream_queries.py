@@ -1023,3 +1023,90 @@ def stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_to_memory(sketched, "update")
+
+
+# ---------------------------------------------------------------------------
+# streaming decontamination: incoming training docs vs a static
+# held-out shingle set
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents as an unbounded file-source stream (same landing-dir
+    mechanics as stream_events)."""
+    import hashlib
+    import os
+    import tempfile
+
+    tune(spark)
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"docs_stream_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    schema = load_table(spark, sf_dir, "documents").schema
+    return spark.readStream.schema(schema).format("parquet").load(d)
+
+
+STREAM_DECON_ORACLE = """
+WITH split AS (
+    SELECT doc_id, text,
+           CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100 < 80
+                THEN 'train' ELSE 'heldout' END AS split
+    FROM documents
+),
+tok AS (SELECT doc_id, split,
+               list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS ws
+        FROM split),
+sh AS (
+    SELECT DISTINCT doc_id, split, unnest(
+        list_transform(generate_series(1, len(ws) - 2),
+                       i -> ws[i] || '|' || ws[i+1] || '|' || ws[i+2])) AS sh
+    FROM tok WHERE len(ws) >= 3
+),
+heldout_sh AS (SELECT DISTINCT sh FROM sh WHERE split = 'heldout')
+SELECT s.doc_id, COUNT(*) AS n_shared_shingles
+FROM sh s
+JOIN heldout_sh h ON s.sh = h.sh
+WHERE s.split = 'train'
+GROUP BY s.doc_id
+"""
+
+
+@query("q_stream_decontaminate", STREAM_DECON_ORACLE)
+def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination ON THE INGEST PATH: as training documents
+    stream in, each is checked against a STATIC held-out benchmark
+    shingle set (stream-static join — the static side is planned fresh
+    per micro-batch, no stream state for it) and emits how many
+    held-out 3-grams it shares. This is the firehose version of
+    q_decontaminate: the batch pipeline quarantines after the fact,
+    this one flags contaminated documents before they land in the
+    training mix.
+
+    Per-doc shingle dedup happens MAP-SIDE (array_distinct before the
+    explode), so the only streaming state is the per-doc running count
+    in update mode — bounded by docs in flight, not by corpus size."""
+    from pcap_to_parquet_spark.functions.text import shingles, whitespace_tokens
+
+    gate = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    batch_docs = load_table(spark, sf_dir, "documents")
+    heldout_sh = (
+        batch_docs.filter(gate >= 80)
+        .select(whitespace_tokens("text").alias("toks"))
+        .select(F.explode(shingles("toks", 3)).alias("sh"))
+        .distinct()
+    )
+    train = stream_documents(spark, sf_dir).filter(gate < 80)
+    train_sh = train.select(
+        "doc_id", whitespace_tokens("text").alias("toks")
+    ).select("doc_id", F.explode(F.array_distinct(shingles("toks", 3))).alias("sh"))
+    shared = train_sh.join(heldout_sh, "sh").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shared_shingles")
+    )
+    return run_to_memory(shared, "update")

@@ -129,6 +129,8 @@ EMPTY_SAFE = [
     "q_mmr_diversify",
     "q_attribution",
     "q_components_star",
+    "q_weighted_sample",
+    "q_stream_decontaminate",
 ]
 
 # global aggregates return one constant row on empty input (their
