@@ -36,16 +36,29 @@ SF0001_DIR = "/root/testdata/sf0.001"
 # from round 1 (oldest-green-first). Pinned by
 # test_gate_front_names_exist.
 #
-# ROUND 5 ROTATION NOTE: the r4 window (first 50 below) = 13 round-4b
-# additions + the 30 never-driver-checked round-3/4 queries + 2
-# changed + the first 8 of the oracle-upgraded pcap/graph block.
-# Deferred past the window and due FIRST in round 5: the rest of that
-# block (q_pcapng_pipeline, q_pcap_datasource, q_pcap_trailers, q_audio_features, q_pcap_flows, q_triangle_count, q_ngram_containment, q_dedup_survivors, q_pcap_roundtrip, q_bloom_prefilter,
-# q_dedup_simhash, q_stream_session, q_stream_stateful,
-# q_bitmap_distinct, q_try_arithmetic, q_pcap_stream_flows,
-# q_funnel_bounded) — none has ever had a driver value row; then any
-# round-5 additions; then refresh the queries whose
-# newest driver row is r01/r02 (recompute with the CORRECTNESS_r0{1..4}
+# ROUND 5 ROTATION NOTE: the r4 window (first 50 of queries()) = the
+# 30 never-driver-checked round-3/4 queries + 2 changed + the 17
+# round-4b additions + q_pcap_pipeline. Deferred past the window and
+# due FIRST in round 5 (never had a driver VALUE row):
+#   q_pcapng_pipeline
+#   q_pcap_datasource
+#   q_pcap_trailers
+#   q_audio_features
+#   q_pcap_flows
+#   q_triangle_count
+#   q_ngram_containment
+#   q_dedup_survivors
+#   q_pcap_roundtrip
+#   q_bloom_prefilter
+#   q_dedup_simhash
+#   q_stream_session
+#   q_stream_stateful
+#   q_bitmap_distinct
+#   q_try_arithmetic
+#   q_pcap_stream_flows
+#   q_funnel_bounded
+# then any round-5 additions; then refresh the queries whose newest
+# driver row is r01/r02 (recompute with the CORRECTNESS_r0{1..4}
 # union, oldest-last-checked first).
 _GATE_FRONT = [
     # never driver-checked (registered past round 3's 50-row window)
