@@ -108,7 +108,6 @@ _GATE_FRONT = [
     "q_pagerank",
     "q_triangle_cap",
     "q_stream_funnel",
-    "q_stream_topk",
     "q_knn_join",
     "q_stream_kmv",
     "q_mmr_diversify",
@@ -116,8 +115,11 @@ _GATE_FRONT = [
     "q_components_star",
     "q_weighted_sample",
     "q_stream_decontaminate",
+    "q_forecast_eval",
     # oracle upgraded this round (rows-only -> golden VALUES literal)
     "q_pcap_pipeline",
+    # first deferred (position 51): thinnest new oracle, due in round 5
+    "q_stream_topk",
     "q_pcapng_pipeline",
     "q_pcap_datasource",
     "q_pcap_trailers",

@@ -1089,3 +1089,64 @@ def attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("credit"), 4).alias("attributed_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# forecasting baseline + backtest: seasonal-naive with MASE scoring
+
+FORECAST_ORACLE = """
+WITH daily AS (
+    SELECT event_type,
+           CAST(epoch_us(time_bucket(INTERVAL 1 DAY, ts)) // 86400000000 AS BIGINT) AS day,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+),
+lagged AS (
+    SELECT event_type, day, n,
+           LAG(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS pred,
+           ABS(n - LAG(n, 1) OVER (PARTITION BY event_type ORDER BY day)) AS naive_err
+    FROM daily
+)
+SELECT event_type,
+       COUNT(pred) AS n_scored,
+       ROUND(AVG(ABS(n - pred)), 4) AS mae,
+       ROUND(AVG(ABS(n - pred)) / NULLIF(AVG(naive_err), 0), 4) AS mase
+FROM lagged
+GROUP BY event_type
+"""
+
+
+@query("q_forecast_eval", FORECAST_ORACLE)
+def forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtesting — the evaluation half of every demand/load
+    forecasting pipeline: score the SEASONAL-NAIVE baseline (predict
+    today = same weekday last week) per event type with MAE and MASE
+    (MAE scaled by the one-step naive error, the standard
+    scale-free forecast metric; MASE < 1 beats naive). Any real model
+    must clear this baseline — computing it IS the first step of
+    forecasting at scale, and it is two window lags plus one aggregate:
+    per-key daily rollup, lag-7 prediction and lag-1 scale on the SAME
+    (event_type, day) sort, one shuffle total."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.floor(F.unix_micros(F.date_trunc("day", "ts")) / 86_400_000_000)
+        .cast("bigint")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "n",
+        F.lag("n", 7).over(w).alias("pred"),
+        F.abs(F.col("n") - F.lag("n", 1).over(w)).alias("naive_err"),
+    )
+    return lagged.groupBy("event_type").agg(
+        F.count("pred").alias("n_scored"),
+        F.round(F.avg(F.abs(F.col("n") - F.col("pred"))), 4).alias("mae"),
+        F.round(
+            F.avg(F.abs(F.col("n") - F.col("pred")))
+            / F.nullif(F.avg("naive_err"), F.lit(0)),
+            4,
+        ).alias("mase"),
+    )

@@ -131,6 +131,7 @@ EMPTY_SAFE = [
     "q_components_star",
     "q_weighted_sample",
     "q_stream_decontaminate",
+    "q_forecast_eval",
 ]
 
 # global aggregates return one constant row on empty input (their
