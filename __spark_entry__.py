@@ -118,8 +118,10 @@ _GATE_FRONT = [
     "q_forecast_eval",
     # oracle upgraded this round (rows-only -> golden VALUES literal)
     "q_pcap_pipeline",
-    # first deferred (position 51): thinnest new oracle, due in round 5
+    # first deferred (positions 51+): due in round 5
     "q_stream_topk",
+    "q_sql_min_cost_supplier",
+    "q_sql_excess_supplier",
     "q_pcapng_pipeline",
     "q_pcap_datasource",
     "q_pcap_trailers",

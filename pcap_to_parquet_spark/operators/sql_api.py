@@ -624,3 +624,80 @@ def sql_parts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-then-count aggregate on one shuffle."""
     _register_views(spark, sf_dir)
     return spark.sql(_Q16_SQL)
+
+
+# TPC-H Q2 shape: min-cost supplier via a correlated MIN subquery
+
+_Q2_SQL = """
+WITH offers AS (
+    SELECT l_partkey AS pk, l_suppkey AS sk,
+           ROUND(MIN(l_extendedprice / l_quantity), 4) AS cost
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+eligible AS (
+    SELECT o.pk, o.sk, o.cost, ROUND(s.s_acctbal, 2) AS acctbal,
+           s.s_name, n.n_name AS nation
+    FROM offers o
+    JOIN supplier s ON s.s_suppkey = o.sk
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+)
+SELECT e.acctbal, e.s_name, e.nation, p.p_partkey, e.cost
+FROM part p
+JOIN eligible e ON e.pk = p.p_partkey
+WHERE p.p_size = 11
+  AND e.cost = (SELECT MIN(e2.cost) FROM eligible e2 WHERE e2.pk = e.pk)
+ORDER BY e.acctbal DESC, e.nation, e.s_name, p.p_partkey
+LIMIT 10
+"""
+
+
+@query("q_sql_min_cost_supplier", _Q2_SQL)
+def sql_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for each qualifying
+    part, only suppliers matching that part's REGIONAL MINIMUM unit
+    cost survive — the correlated scalar-MIN subquery every optimizer
+    decorrelates into an aggregate + self-join on the correlation key
+    (pk). Unit cost derives from lineitem (price/qty per
+    supplier-part pair) since the testdata carries no partsupp; the
+    per-pair MIN is rounded BEFORE the equality so both engines
+    compare identical doubles. Region/nation/supplier prune the offer
+    side before the part join."""
+    _register_views(spark, sf_dir)
+    return spark.sql(_Q2_SQL)
+
+
+# TPC-H Q20 shape: nested IN with a correlated threshold subquery
+
+_Q20_SQL = """
+SELECT s.s_name, n.n_name AS nation
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE s.s_suppkey IN (
+    SELECT ps.sk FROM (
+        SELECT l_suppkey AS sk, l_partkey AS pk, SUM(l_quantity) AS q
+        FROM lineitem GROUP BY l_suppkey, l_partkey
+    ) ps
+    WHERE ps.pk IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      AND ps.q > (
+        SELECT 0.2 * SUM(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = ps.pk
+    )
+)
+ORDER BY s.s_name
+"""
+
+
+@query("q_sql_excess_supplier", _Q20_SQL)
+def sql_excess_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (excess-share suppliers): suppliers who shipped
+    more than 20% of a red part's total volume — a THREE-DEEP nested
+    predicate: IN over a grouped derived table, which itself filters
+    by an IN (semi join on the part dim) AND a CORRELATED scalar-SUM
+    threshold (decorrelated into a per-part aggregate joined back on
+    the correlation key). Quantities are integral doubles, so every
+    SUM is exact and the 0.2x threshold compare cannot drift between
+    engines."""
+    _register_views(spark, sf_dir)
+    return spark.sql(_Q20_SQL)

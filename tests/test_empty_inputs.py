@@ -132,6 +132,8 @@ EMPTY_SAFE = [
     "q_weighted_sample",
     "q_stream_decontaminate",
     "q_forecast_eval",
+    "q_sql_min_cost_supplier",
+    "q_sql_excess_supplier",
 ]
 
 # global aggregates return one constant row on empty input (their
