@@ -122,6 +122,9 @@ _GATE_FRONT = [
     "q_stream_topk",
     "q_sql_min_cost_supplier",
     "q_sql_excess_supplier",
+    "q_sql_forecast_revenue",
+    "q_sql_important_stock",
+    "q_sql_shipmode_priority",
     "q_pcapng_pipeline",
     "q_pcap_datasource",
     "q_pcap_trailers",

@@ -701,3 +701,89 @@ def sql_excess_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines."""
     _register_views(spark, sf_dir)
     return spark.sql(_Q20_SQL)
+
+
+# TPC-H Q6 shape: the scan-bound forecasting filter-aggregate
+
+_Q6_SQL = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("q_sql_forecast_revenue", _Q6_SQL)
+def sql_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): the purest
+    scan-bound query in the suite — three pushable predicates, zero
+    joins, one global aggregate. Its whole value is the PLAN: every
+    filter must reach the parquet scan (PushedFilters) and the
+    aggregate must be a partial+final pair over whatever rows survive
+    row-group pruning; anything else would read 100 TB to add up a
+    sliver."""
+    _register_views(spark, sf_dir)
+    return spark.sql(_Q6_SQL)
+
+
+# TPC-H Q11 shape: group share over a global scalar (important stock)
+
+_Q11_SQL = """
+WITH v AS (
+    SELECT l.l_partkey, ROUND(SUM(l.l_extendedprice), 2) AS value
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_2'
+    GROUP BY l.l_partkey
+)
+SELECT l_partkey, value FROM v
+WHERE value > (SELECT 0.001 * SUM(value) FROM v)
+ORDER BY value DESC, l_partkey
+"""
+
+
+@query("q_sql_important_stock", _Q11_SQL)
+def sql_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): parts whose one-nation value
+    exceeds a fraction of that nation's TOTAL — the
+    group-vs-global-scalar HAVING. The CTE aggregates once; the scalar
+    subquery re-reads the tiny aggregated result (part-cardinality
+    rows, Catalyst reuses the exchange), so the fact table is scanned
+    exactly once. lineitem value stands in for availqty x supplycost
+    (no partsupp in the testdata)."""
+    _register_views(spark, sf_dir)
+    return spark.sql(_Q11_SQL)
+
+
+# TPC-H Q12 shape: priority counts per lateness bucket
+
+_Q12_SQL = """
+SELECT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+            THEN 'late' ELSE 'on_time' END AS ship_bucket,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY ship_bucket
+ORDER BY ship_bucket
+"""
+
+
+@query("q_sql_shipmode_priority", _Q12_SQL)
+def sql_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes / order priority): line counts
+    split by priority class within each lateness bucket, with
+    order-to-ship lateness standing in for the absent
+    shipmode/commit/receipt columns. The two conditional SUMs share
+    one aggregation pass; the year filter is pushed to the lineitem
+    scan and the orders join carries only the priority column
+    (ReadSchema pruned to two fields)."""
+    _register_views(spark, sf_dir)
+    return spark.sql(_Q12_SQL)

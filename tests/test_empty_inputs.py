@@ -134,6 +134,8 @@ EMPTY_SAFE = [
     "q_forecast_eval",
     "q_sql_min_cost_supplier",
     "q_sql_excess_supplier",
+    "q_sql_important_stock",
+    "q_sql_shipmode_priority",
 ]
 
 # global aggregates return one constant row on empty input (their
@@ -152,6 +154,7 @@ CONSTANT_ON_EMPTY = {
     "q_triangle_cap": 1,  # global graph census row of zeros
     "q_sql_promo_share": 1,  # global ratio aggregate: one NULL row
     "q_kmv_distinct": 1,  # the merged sketch row survives (exact 0)
+    "q_sql_forecast_revenue": 1,  # global aggregate: one NULL row
 }
 
 
