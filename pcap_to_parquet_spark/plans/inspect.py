@@ -37,7 +37,13 @@ NOTABLE_OPS = (
 
 def plan_string(df: DataFrame) -> str:
     """The executed physical plan as text (pre-execution; AQE plans show
-    the initial shape that runtime re-planning only improves on)."""
+    the initial shape that runtime re-planning only improves on).
+
+    Raises spark.sql.maxMetadataStringLength (default 100) first: a
+    scan with several DataFilters truncates its metadata mid-list and
+    the PushedFilters section silently disappears from the string —
+    which read as "no pushdown" for every multi-predicate scan."""
+    df.sparkSession.conf.set("spark.sql.maxMetadataStringLength", "2000")
     return df._jdf.queryExecution().executedPlan().toString()
 
 

@@ -548,3 +548,12 @@ def plan_string_of(spark, name):
     from pcap_to_parquet_spark.plans import plan_string
 
     return plan_string(QUERIES[name](spark, SF001))
+
+
+def test_q6_filters_reach_the_scan(spark):
+    """TPC-H Q6's whole value is pushdown: predicates at the parquet
+    scan, no join, a two-phase global aggregate."""
+    p = prof(spark, "q_sql_forecast_revenue")
+    assert p["pushed_filters"] >= 1
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+    assert p.get("HashAggregate", 0) == 2
