@@ -855,21 +855,7 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(eraw.select(F.col("s").alias("src"), F.col("c").alias("dst")))
         .localCheckpoint(eager=True)  # static across iterations
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ewd = edges.join(deg, "src").localCheckpoint(eager=True)
-    pr = deg.select(F.col("src").alias("node"), F.lit(_PR_SCALE).cast("long").alias("pr"))
-    for _ in range(_PR_ITERS):
-        msgs = ewd.join(pr, ewd.src == pr.node).select(
-            "dst", F.expr("pr div deg").alias("contrib")
-        )
-        pr = (
-            msgs.groupBy("dst")
-            .agg(F.sum("contrib").alias("s"))
-            .select(
-                F.col("dst").alias("node"),
-                (F.lit(_PR_BASE) + F.expr(f"(85 * s) div 100")).cast("long").alias("pr"),
-            )
-        )
+    pr = pagerank_iterations(edges, _PR_ITERS)
     return (
         pr.select(
             F.when(F.col("node") % 2 == 0, F.lit("customer"))
@@ -883,6 +869,30 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .drop("node")
     )
+
+
+def pagerank_iterations(edges: DataFrame, iters: int) -> DataFrame:
+    """Fixed-point PageRank kernel over a DIRECTED edge list (columns
+    src, dst; callers pass both directions for undirected graphs):
+    rank scaled by 1e9 in BIGINT, `base + (85 * sum(pr div deg)) div
+    100` per round. Factored out of q_pagerank so random graphs can
+    fuzz it against a pure-Python integer reference."""
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ewd = edges.join(deg, "src").localCheckpoint(eager=True)
+    pr = deg.select(F.col("src").alias("node"), F.lit(_PR_SCALE).cast("long").alias("pr"))
+    for _ in range(iters):
+        msgs = ewd.join(pr, ewd.src == pr.node).select(
+            "dst", F.expr("pr div deg").alias("contrib")
+        )
+        pr = (
+            msgs.groupBy("dst")
+            .agg(F.sum("contrib").alias("s"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(_PR_BASE) + F.expr("(85 * s) div 100")).cast("long").alias("pr"),
+            )
+        )
+    return pr
 
 
 # ---------------------------------------------------------------------------

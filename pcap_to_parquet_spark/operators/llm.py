@@ -1850,6 +1850,19 @@ def components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)  # cut the jaccard lineage once
     )
+    labeled = star_contract(edges)
+    singletons = d.select("doc_id").join(labeled.select("doc_id"), "doc_id", "left_anti")
+    return labeled.unionByName(
+        singletons.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    )
+
+
+def star_contract(edges: DataFrame) -> DataFrame:
+    """Alternating large-star/small-star contraction of an undirected
+    edge set (columns u, v; no self-loops): returns (doc_id,
+    cluster_id) labels for every node appearing in an edge, cluster_id
+    = component minimum. Factored out of q_components_star so random
+    graphs can fuzz it against a union-find reference."""
 
     def canonical(e: DataFrame) -> DataFrame:
         """Undirected edge set as (min, max) pairs, deduped."""
@@ -1895,16 +1908,12 @@ def components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             converged = True
             break
     if not converged:
-        raise RuntimeError("components_star: star rounds did not converge in 50 rounds")
+        raise RuntimeError("star_contract: star rounds did not converge in 50 rounds")
     # fixpoint is a union of stars rooted at component minima: every
     # edge is (center, member) in canonical form
     members = cur.select(F.col("v").alias("doc_id"), F.col("u").alias("cluster_id"))
     centers = cur.select(F.col("u").alias("doc_id"), F.col("u").alias("cluster_id")).distinct()
-    labeled = members.unionByName(centers)
-    singletons = d.select("doc_id").join(labeled.select("doc_id"), "doc_id", "left_anti")
-    return labeled.unionByName(
-        singletons.select("doc_id", F.col("doc_id").alias("cluster_id"))
-    )
+    return members.unionByName(centers)
 
 
 # ---------------------------------------------------------------------------

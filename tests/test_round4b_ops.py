@@ -227,3 +227,76 @@ def test_star_rounds_match_label_propagation(spark):
         for r in QUERIES["q_dedup_clusters"](spark, SF0001).collect()
     }
     assert star == prop
+
+
+def test_star_contract_fuzz_against_union_find(spark):
+    """Randomized graphs: star contraction must label every node with
+    its component minimum — verified against a pure-Python union-find
+    on 10 random graphs (including dense, sparse, and path-heavy
+    shapes that stress multi-round convergence)."""
+    import random
+
+    from pcap_to_parquet_spark.operators.llm import star_contract
+
+    rng = random.Random(1234)
+    for trial in range(10):
+        n = rng.randint(2, 60)
+        n_edges = rng.randint(1, 2 * n)
+        edges = set()
+        while len(edges) < n_edges:
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                edges.add((a, b))
+        # a long path stresses round count (diameter ~ n)
+        if trial == 9:
+            edges = {(i, i + 1) for i in range(59)}
+        parent = list(range(n + 60))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = {x for e in edges for x in e}
+        expected = {x: find(x) for x in nodes}
+        df = spark.createDataFrame(sorted(edges), "u long, v long")
+        got = {r.doc_id: r.cluster_id for r in star_contract(df).collect()}
+        assert got == expected, (trial, n, len(edges))
+
+
+def test_pagerank_kernel_fuzz_against_python(spark):
+    """Randomized directed graphs: the fixed-point kernel must equal a
+    pure-Python integer reference BIT-FOR-BIT (that's the whole point
+    of fixed-point arithmetic)."""
+    import random
+
+    from pcap_to_parquet_spark.operators.behavior import pagerank_iterations
+
+    rng = random.Random(77)
+    for trial in range(6):
+        n = rng.randint(2, 40)
+        edges = set()
+        for _ in range(rng.randint(1, 3 * n)):
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                edges.add((a, b))
+        if not edges:
+            continue
+        deg = {}
+        for a, _ in edges:
+            deg[a] = deg.get(a, 0) + 1
+        pr = {a: 1_000_000_000 for a in deg}
+        for _ in range(3):
+            acc = {}
+            for a, b in edges:
+                if a in pr:
+                    acc[b] = acc.get(b, 0) + pr[a] // deg[a]
+            pr = {b: 150_000_000 + (85 * s) // 100 for b, s in acc.items()}
+        df = spark.createDataFrame(sorted(edges), "src long, dst long")
+        got = {r.node: r.pr for r in pagerank_iterations(df, 3).collect()}
+        assert got == pr, (trial, n, len(edges))
