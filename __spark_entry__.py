@@ -125,6 +125,8 @@ _GATE_FRONT = [
     "q_sql_forecast_revenue",
     "q_sql_important_stock",
     "q_sql_shipmode_priority",
+    "q_density_clusters",
+    "q_k_anonymity",
     "q_pcapng_pipeline",
     "q_pcap_datasource",
     "q_pcap_trailers",

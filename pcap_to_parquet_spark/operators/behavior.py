@@ -1160,3 +1160,58 @@ def forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit: quasi-identifier group sizes before data release
+
+_KANON_K = 5
+
+K_ANONYMITY_ORACLE = f"""
+WITH g AS (
+    SELECT event_type,
+           CAST(epoch_us(time_bucket(INTERVAL 1 DAY, ts)) // 86400000000 AS BIGINT) AS day,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS users
+    FROM events GROUP BY 1, 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN users < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT) AS small_groups,
+       CAST(SUM(CASE WHEN users < {_KANON_K} THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk
+FROM g
+"""
+
+
+@query("q_k_anonymity", K_ANONYMITY_ORACLE)
+def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit — the pre-release privacy gate on a training
+    dataset: group rows by their quasi-identifier tuple (here:
+    event type x day) and flag groups backed by fewer than {k}
+    distinct users; rows in such groups are re-identification risks
+    and must be suppressed or generalized before the data ships.
+    One aggregation to build the group census, one to summarize it —
+    both partial+final; the audit cost is a single scan regardless of
+    table size. Integer SUMs are CAST to BIGINT on both engines (the
+    DuckDB HUGEINT widening lesson)."""
+    e = load_table(spark, sf_dir, "events")
+    g = e.groupBy(
+        "event_type",
+        F.floor(F.unix_micros(F.date_trunc("day", "ts")) / 86_400_000_000)
+        .cast("bigint")
+        .alias("day"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("users"),
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("users") < _KANON_K, 1).otherwise(0))
+        .cast("long")
+        .alias("small_groups"),
+        F.sum(F.when(F.col("users") < _KANON_K, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+    )
+
+
+k_anonymity.__doc__ = k_anonymity.__doc__.format(k=_KANON_K)

@@ -1968,3 +1968,55 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 weighted_sample.__doc__ = weighted_sample.__doc__.format(k=_WS_K)
+
+
+# ---------------------------------------------------------------------------
+# density clustering over embeddings: near-dup graph + star contraction
+
+DENSITY_CLUSTERS_ORACLE = r"""
+WITH RECURSIVE pairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.45
+),
+edges AS (
+    SELECT vec_a AS a, vec_b AS b FROM pairs
+    UNION SELECT vec_b, vec_a FROM pairs
+),
+reach AS (
+    SELECT vec_id, vec_id AS r FROM embeddings
+    UNION
+    SELECT e.b AS vec_id, reach.r FROM reach JOIN edges e ON e.a = reach.vec_id
+)
+SELECT vec_id, MIN(r) AS cluster_id FROM reach GROUP BY vec_id
+"""
+
+
+@query("q_density_clusters", DENSITY_CLUSTERS_ORACLE)
+def density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density clustering of the embedding space — DBSCAN's core move
+    (eps-neighborhood graph → connected components) composed from two
+    already-verified kernels: q_embed_neardup's label-blocked BLAS
+    pair generation (cos > 0.45) feeding star_contract's
+    large-star/small-star contraction (fuzz-tested against
+    union-find). Every vector gets the min vec_id of its density
+    component; isolated vectors are their own clusters.
+
+    This is the curation step that collapses embedding-level
+    near-duplicate GROUPS (not just pairs) before sampling — and the
+    composition is the point: blocked pairwise + graph contraction,
+    both shuffle-bounded, no new primitive needed."""
+    em = load_table(spark, sf_dir, "embeddings")
+    pairs = embed_neardup(spark, sf_dir).select("vec_a", "vec_b")
+    edges = (
+        pairs.select(F.col("vec_a").alias("u"), F.col("vec_b").alias("v"))
+        .union(pairs.select(F.col("vec_b"), F.col("vec_a")))
+        .toDF("u", "v")
+        .localCheckpoint(eager=True)  # cut the gram-matrix lineage once
+    )
+    labeled = star_contract(edges).toDF("vec_id", "cluster_id")
+    singles = em.select("vec_id").join(labeled.select("vec_id"), "vec_id", "left_anti")
+    return labeled.unionByName(
+        singles.select("vec_id", F.col("vec_id").alias("cluster_id"))
+    )

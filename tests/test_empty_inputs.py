@@ -136,6 +136,7 @@ EMPTY_SAFE = [
     "q_sql_excess_supplier",
     "q_sql_important_stock",
     "q_sql_shipmode_priority",
+    "q_density_clusters",
 ]
 
 # global aggregates return one constant row on empty input (their
@@ -155,6 +156,7 @@ CONSTANT_ON_EMPTY = {
     "q_sql_promo_share": 1,  # global ratio aggregate: one NULL row
     "q_kmv_distinct": 1,  # the merged sketch row survives (exact 0)
     "q_sql_forecast_revenue": 1,  # global aggregate: one NULL row
+    "q_k_anonymity": 1,  # census summary row of zeros
 }
 
 
