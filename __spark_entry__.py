@@ -36,10 +36,19 @@ SF0001_DIR = "/root/testdata/sf0.001"
 # from round 1 (oldest-green-first). Pinned by
 # test_gate_front_names_exist.
 #
-# ROUND 5 ROTATION NOTE: the r4 window (first 50 of queries()) = the
-# 30 never-driver-checked round-3/4 queries + 2 changed + the 17
-# round-4b additions + q_pcap_pipeline. Deferred past the window and
-# due FIRST in round 5 (never had a driver VALUE row):
+# ROUND 5 ROTATION NOTE: the r4 window (first 50 of queries()) covers
+# the 30 never-driver-checked round-3/4 queries, 2 changed queries,
+# 17 round-4b additions and q_pcap_pipeline's golden-VALUES oracle.
+# Due FIRST in round 5 — these 25 have never had a driver VALUE row
+# (late-4b additions plus the oracle-upgraded block):
+#   q_stream_topk
+#   q_sql_min_cost_supplier
+#   q_sql_excess_supplier
+#   q_sql_forecast_revenue
+#   q_sql_important_stock
+#   q_sql_shipmode_priority
+#   q_density_clusters
+#   q_k_anonymity
 #   q_pcapng_pipeline
 #   q_pcap_datasource
 #   q_pcap_trailers
@@ -57,9 +66,8 @@ SF0001_DIR = "/root/testdata/sf0.001"
 #   q_try_arithmetic
 #   q_pcap_stream_flows
 #   q_funnel_bounded
-# then any round-5 additions; then refresh the queries whose newest
-# driver row is r01/r02 (recompute with the CORRECTNESS_r0{1..4}
-# union, oldest-last-checked first).
+# then any round-5 additions; then the refresh tail below (r1-green
+# relational/join/LLM basics — their newest driver row is round 1).
 _GATE_FRONT = [
     # never driver-checked (registered past round 3's 50-row window)
     "q_sql_disjunctive",
