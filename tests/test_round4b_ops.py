@@ -300,3 +300,44 @@ def test_pagerank_kernel_fuzz_against_python(spark):
         df = spark.createDataFrame(sorted(edges), "src long, dst long")
         got = {r.node: r.pr for r in pagerank_iterations(df, 3).collect()}
         assert got == pr, (trial, n, len(edges))
+
+
+def test_doc_chunks_boundary_lengths(spark, tmp_path):
+    """Chunk-count boundaries: empty text (one empty chunk), exactly
+    window-size (one chunk), one char over (two chunks), exactly
+    size+stride (two chunks), one over that (three) — pinned against
+    the same DuckDB oracle on a custom table."""
+    import duckdb
+
+    import pcap_to_parquet_spark.operators.text_pipeline as tp
+    from pcap_to_parquet_spark.registry import ORACLES
+
+    rows = [
+        (0, "", "en", "s", 0),
+        (1, "x" * 200, "en", "s", 200),
+        (2, "y" * 201, "en", "s", 201),
+        (3, "z" * 350, "en", "s", 350),
+        (4, "w" * 351, "en", "s", 351),
+    ]
+    d = tmp_path / "sf"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    got = QUERIES["q_doc_chunks"](spark, str(d)).collect()
+    counts = {}
+    for r in got:
+        counts[r.doc_id] = counts.get(r.doc_id, 0) + 1
+    assert counts == {0: 1, 1: 1, 2: 2, 3: 2, 4: 3}, counts
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    oracle = {
+        (a, b): (c, t, l)
+        for a, b, c, t, l in con.execute(ORACLES["q_doc_chunks"]).fetchall()
+    }
+    mine = {
+        (r.doc_id, r.chunk_idx): (r.chunk_start, r.chunk_text, r.chunk_len)
+        for r in got
+    }
+    assert mine == oracle
