@@ -135,6 +135,7 @@ _GATE_FRONT = [
     "q_sql_shipmode_priority",
     "q_density_clusters",
     "q_k_anonymity",
+    "q_text_source",
     "q_pcapng_pipeline",
     "q_pcap_datasource",
     "q_pcap_trailers",

@@ -24,3 +24,4 @@ from pcap_to_parquet_spark.operators import (  # noqa: F401
     windows,
 )
 from pcap_to_parquet_spark import streaming  # noqa: E402,F401  (streaming queries)
+from pcap_to_parquet_spark.sources import text_formats  # noqa: E402,F401  (q_text_source)

@@ -137,6 +137,7 @@ EMPTY_SAFE = [
     "q_sql_important_stock",
     "q_sql_shipmode_priority",
     "q_density_clusters",
+    "q_text_source",
 ]
 
 # global aggregates return one constant row on empty input (their
