@@ -136,6 +136,9 @@ _GATE_FRONT = [
     "q_density_clusters",
     "q_k_anonymity",
     "q_text_source",
+    "q_kmv_window",
+    "q_lpa_communities",
+    "q_winsorized_mean",
     "q_pcapng_pipeline",
     "q_pcap_datasource",
     "q_pcap_trailers",

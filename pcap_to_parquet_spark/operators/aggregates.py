@@ -262,3 +262,56 @@ def list_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("items").cast("bigint").alias("n_events"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# winsorized robust mean: clip to exact per-group percentiles, then average
+
+WINSOR_ORACLE = """
+WITH q AS (
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.01) AS lo,
+           quantile_cont(l_extendedprice, 0.99) AS hi
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       COUNT(*) AS n,
+       ROUND(AVG(l.l_extendedprice), 4) AS raw_mean,
+       ROUND(AVG(LEAST(GREATEST(l.l_extendedprice, q.lo), q.hi)), 4) AS winsor_mean
+FROM lineitem l JOIN q ON q.l_returnflag = l.l_returnflag
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+"""
+
+
+@query("q_winsorized_mean", WINSOR_ORACLE)
+def winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (p01/p99-clipped) group means — the robust-statistics
+    gate for metrics that a handful of outliers would otherwise own.
+    Two passes by necessity (the clip bounds are exact per-group
+    percentiles of the same data): pass one computes the tiny
+    per-group bound table, pass two broadcasts it back and averages
+    the clipped values — never a per-row rank, never a global sort.
+    Spark's exact `percentile` and DuckDB's `quantile_cont` share the
+    (n-1)*p interpolation definition, so the bounds agree."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.01)").alias("lo"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("hi"),
+    )
+    clipped = li.join(F.broadcast(q), "l_returnflag").select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi")).alias(
+            "w"
+        ),
+    )
+    return (
+        clipped.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("l_extendedprice"), 4).alias("raw_mean"),
+            F.round(F.avg("w"), 4).alias("winsor_mean"),
+        )
+        .orderBy("l_returnflag")
+    )

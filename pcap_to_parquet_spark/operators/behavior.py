@@ -1215,3 +1215,99 @@ def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 k_anonymity.__doc__ = k_anonymity.__doc__.format(k=_KANON_K)
+
+
+# ---------------------------------------------------------------------------
+# community detection: synchronous label propagation, fixed rounds
+
+_LPA_ROUNDS = 3
+
+_LPA_ROUND_SQL = """
+c{n} AS (
+    SELECT e.dst AS node, l.lab, COUNT(*) AS cnt
+    FROM edges e JOIN l{prev} l ON l.node = e.src
+    GROUP BY e.dst, l.lab
+),
+l{n} AS (
+    SELECT node, lab FROM (
+        SELECT node, lab,
+               ROW_NUMBER() OVER (PARTITION BY node ORDER BY cnt DESC, lab) AS rn
+        FROM c{n}
+    ) WHERE rn = 1
+)"""
+
+LPA_ORACLE = (
+    """
+WITH pairs AS (
+    SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (SELECT u AS src, v AS dst FROM pairs UNION ALL SELECT v, u FROM pairs),
+l0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges),"""
+    + ",".join(
+        _LPA_ROUND_SQL.format(n=i, prev=i - 1) for i in range(1, _LPA_ROUNDS + 1)
+    )
+    + f"""
+SELECT lab AS community, COUNT(*) AS n_members
+FROM l{_LPA_ROUNDS}
+GROUP BY lab
+HAVING COUNT(*) >= 3
+ORDER BY n_members DESC, community
+"""
+)
+
+
+@query("q_lpa_communities", LPA_ORACLE)
+def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation over the
+    parts-bought-together graph: every node adopts its neighborhood's
+    most frequent label each round (ties to the smallest label — the
+    determinism LPA normally lacks), three rounds, then communities
+    of ≥3 members are reported. Distinct from connected components
+    (q_components_star finds reachability; LPA finds DENSE regions —
+    a bridge edge joins components but rarely flips a majority vote).
+
+    Per round: one join of the edge list against the label vector,
+    one (node, label) count, one per-node arg-max via max_by on a
+    (count, -label) struct — all partial-aggregable, the same
+    co-partitioned shuffle pair as PageRank. Fixed rounds keep it
+    oracle-expressible (unrolled CTEs, as q_pagerank)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(pairs.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    for _ in range(_LPA_ROUNDS):
+        cnt = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("nd"), "lab")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = cnt.groupBy(F.col("nd").alias("node")).agg(
+            F.max_by("lab", F.struct(F.col("cnt"), (-F.col("lab")).alias("neg"))).alias(
+                "lab"
+            )
+        )
+    return (
+        labels.groupBy(F.col("lab").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") >= 3)
+        .orderBy(F.col("n_members").desc(), "community")
+    )

@@ -342,3 +342,105 @@ def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 kmv_distinct.__doc__ = kmv_distinct.__doc__.format(k=_KMV_K)
+
+
+# ---------------------------------------------------------------------------
+# KMV over sliding time windows: sketch once per day, answer any window
+
+_KMVW_K = 64
+_KMVW_NUM = float((_KMVW_K - 1) * 4294967296)
+_KMVW_DAYS = 7
+
+KMV_WINDOW_ORACLE = f"""
+WITH h AS (
+    SELECT DISTINCT
+           CAST(epoch_us(time_bucket(INTERVAL 1 DAY, ts)) // 86400000000 AS BIGINT) AS day,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS uh
+    FROM events
+),
+rk AS (
+    SELECT day, uh, ROW_NUMBER() OVER (PARTITION BY day ORDER BY uh) AS rn
+    FROM h
+),
+daily AS (SELECT day, uh FROM rk WHERE rn <= {_KMVW_K}),
+days AS (SELECT DISTINCT day FROM daily),
+win AS (
+    SELECT d.day, x.uh
+    FROM days d
+    JOIN daily x ON x.day BETWEEN d.day - {_KMVW_DAYS - 1} AND d.day
+    GROUP BY d.day, x.uh
+),
+wrk AS (
+    SELECT day, uh, ROW_NUMBER() OVER (PARTITION BY day ORDER BY uh) AS rn
+    FROM win
+),
+wsk AS (SELECT day, uh, rn FROM wrk WHERE rn <= {_KMVW_K}),
+per AS (
+    SELECT day, MAX(rn) AS k_used,
+           MAX(CASE WHEN rn = {_KMVW_K} THEN uh END) AS kth
+    FROM wsk GROUP BY day
+)
+SELECT day,
+       CASE WHEN k_used < {_KMVW_K} THEN CAST(k_used AS DOUBLE)
+            ELSE ROUND({_KMVW_NUM} / kth, 2) END AS est_distinct_7d
+FROM per
+"""
+
+
+@query("q_kmv_window", KMV_WINDOW_ORACLE)
+def kmv_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct counting from MERGED DAILY SKETCHES —
+    the query that justifies sketching at all: a 7-day distinct-user
+    estimate for EVERY day, computed purely by merging that week's
+    per-day KMV sketches (union the k-min sets, re-take the k
+    smallest). The raw table is touched exactly once, to build the
+    daily sketches; every window after that reads <= 7k tiny sketch
+    rows. Exact COUNT DISTINCT cannot do this — distinct does not
+    decompose over windows, which at 100 TB means either re-scanning
+    a week of raw data per day or storing per-user state; sketch
+    merge replaces both with an O(days x k) join.
+
+    The estimator is deterministic KMV (as q_kmv_distinct), so every
+    estimate value-hashes against the SQL oracle."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    uh = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    h = e.select(
+        F.floor(F.unix_micros(F.date_trunc("day", "ts")) / _US_PER_DAY)
+        .cast("bigint")
+        .alias("day"),
+        uh.alias("uh"),
+    ).distinct()
+    daily = (
+        h.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("day").orderBy("uh"))
+        )
+        .filter(F.col("rn") <= _KMVW_K)
+        .select("day", "uh")
+    )
+    days = daily.select("day").distinct()
+    win = (
+        days.alias("d")
+        .join(
+            daily.alias("x"),
+            F.col("x.day").between(F.col("d.day") - (_KMVW_DAYS - 1), F.col("d.day")),
+        )
+        .select(F.col("d.day").alias("day"), "x.uh")
+        .distinct()
+    )
+    wsk = win.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("day").orderBy("uh"))
+    ).filter(F.col("rn") <= _KMVW_K)
+    per = wsk.groupBy("day").agg(
+        F.max("rn").alias("k_used"),
+        F.max(F.when(F.col("rn") == _KMVW_K, F.col("uh"))).alias("kth"),
+    )
+    return per.select(
+        "day",
+        F.when(F.col("k_used") < _KMVW_K, F.col("k_used").cast("double"))
+        .otherwise(F.round(F.lit(_KMVW_NUM) / F.col("kth"), 2))
+        .alias("est_distinct_7d"),
+    )

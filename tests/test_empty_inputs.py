@@ -138,6 +138,9 @@ EMPTY_SAFE = [
     "q_sql_shipmode_priority",
     "q_density_clusters",
     "q_text_source",
+    "q_kmv_window",
+    "q_lpa_communities",
+    "q_winsorized_mean",
 ]
 
 # global aggregates return one constant row on empty input (their
