@@ -36,11 +36,12 @@ SF0001_DIR = "/root/testdata/sf0.001"
 # from round 1 (oldest-green-first). Pinned by
 # test_gate_front_names_exist.
 #
-# ROUND 5 ROTATION NOTE: the r4 window (first 50 of queries()) covers
-# the 30 never-driver-checked round-3/4 queries, 2 changed queries,
-# 17 round-4b additions and q_pcap_pipeline's golden-VALUES oracle.
-# Due FIRST in round 5 — these 25 have never had a driver VALUE row
-# (late-4b additions plus the oracle-upgraded block):
+# ROUND 5 ROTATION NOTE: the r4 window (first 50 of queries(), locally
+# rehearsed 50/50 green at sf0.01) covers the 30 never-driver-checked
+# round-3/4 queries, 2 changed queries, 17 round-4b additions and
+# q_pcap_pipeline's golden-VALUES oracle. Due FIRST in round 5 — these
+# have never had a driver VALUE row (late-4b additions, then the
+# oracle-upgraded block):
 #   q_stream_topk
 #   q_sql_min_cost_supplier
 #   q_sql_excess_supplier
@@ -49,6 +50,10 @@ SF0001_DIR = "/root/testdata/sf0.001"
 #   q_sql_shipmode_priority
 #   q_density_clusters
 #   q_k_anonymity
+#   q_text_source
+#   q_kmv_window
+#   q_lpa_communities
+#   q_winsorized_mean
 #   q_pcapng_pipeline
 #   q_pcap_datasource
 #   q_pcap_trailers
@@ -66,6 +71,15 @@ SF0001_DIR = "/root/testdata/sf0.001"
 #   q_try_arithmetic
 #   q_pcap_stream_flows
 #   q_funnel_bounded
+#   q_rollup
+#   q_cube
+#   q_grouping_sets
+#   q_inner_join
+#   q_broadcast_join
+#   q_outer_join
+#   q_full_outer_join
+#   q_semi_join
+#   q_anti_join
 # then any round-5 additions; then the refresh tail below (r1-green
 # relational/join/LLM basics — their newest driver row is round 1).
 _GATE_FRONT = [

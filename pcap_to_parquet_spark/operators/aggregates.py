@@ -315,3 +315,53 @@ def winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# equi-width numeric histogram (width_bucket semantics, plain arithmetic)
+
+_HIST_BUCKETS = 20
+_HIST_LO, _HIST_HI = 900.0, 105000.0
+
+_HIST_BUCKET_SQL = (
+    f"CASE WHEN l_extendedprice < {_HIST_LO} THEN 0 "
+    f"WHEN l_extendedprice >= {_HIST_HI} THEN {_HIST_BUCKETS + 1} "
+    f"ELSE CAST(FLOOR((l_extendedprice - {_HIST_LO}) / ({_HIST_HI} - {_HIST_LO})"
+    f" * {_HIST_BUCKETS}) AS BIGINT) + 1 END"
+)
+
+NUMERIC_HIST_ORACLE = f"""
+SELECT CAST({_HIST_BUCKET_SQL} AS BIGINT) AS bucket,
+       COUNT(*) AS n,
+       ROUND(MIN(l_extendedprice), 2) AS lo,
+       ROUND(MAX(l_extendedprice), 2) AS hi
+FROM lineitem
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@query("q_numeric_histogram", NUMERIC_HIST_ORACLE)
+def numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of a measure — the profiling primitive
+    behind every distribution dashboard — with width_bucket semantics
+    spelled as plain arithmetic (DuckDB has no width_bucket): bucket 0
+    and n+1 are the underflow/overflow bins, interior bucket =
+    floor((x-lo)/(hi-lo)*n)+1, bit-identical IEEE on both engines. One partial+final aggregation; the
+    per-bucket observed [min, max] rides along to expose empty-range
+    buckets. At 100 TB this is the one-scan alternative to sorting
+    for quantiles when fixed bins suffice."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.expr(f"CAST({_HIST_BUCKET_SQL} AS BIGINT)").alias("bucket"),
+            "l_extendedprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )

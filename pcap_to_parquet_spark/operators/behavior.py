@@ -1311,3 +1311,74 @@ def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_members") >= 3)
         .orderBy(F.col("n_members").desc(), "community")
     )
+
+
+# ---------------------------------------------------------------------------
+# drift detection: cumulative-deviation (CUSUM-style) flags per series
+
+CUSUM_ORACLE = """
+WITH daily AS (
+    SELECT event_type,
+           CAST(epoch_us(time_bucket(INTERVAL 1 DAY, ts)) // 86400000000 AS BIGINT) AS day,
+           AVG(value) AS x
+    FROM events GROUP BY 1, 2
+),
+g AS (
+    SELECT event_type, AVG(x) AS mu, STDDEV_SAMP(x) AS sd
+    FROM daily GROUP BY event_type
+),
+c AS (
+    SELECT d.event_type, d.day, d.x,
+           SUM(d.x - g.mu) OVER (PARTITION BY d.event_type ORDER BY d.day) AS cdev,
+           g.sd
+    FROM daily d JOIN g ON g.event_type = d.event_type
+)
+SELECT event_type, day, ROUND(x, 4) AS day_mean,
+       ROUND(cdev, 4) + 0 AS cum_dev,
+       ABS(cdev) > 2 * sd AS is_drift
+FROM c
+"""
+
+
+@query("q_cusum_drift", CUSUM_ORACLE)
+def cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-drift detection, CUSUM-style: per event type, the running
+    sum of each day's deviation from the series mean; days where the
+    cumulative deviation exceeds 2 sigma of the daily means flag a
+    sustained shift that no single-day threshold would catch (the
+    point of cumulative charts — many small same-sign deviations
+    accumulate).
+
+    Scale shape: the running sum is a window PARTITIONED BY the series
+    key — thousands of monitored metrics parallelize across
+    partitions, and each series' window is bounded by its day count
+    (the anti-pattern is the global unpartitioned cumsum). The series
+    stats join back as a tiny broadcast."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.floor(F.unix_micros(F.date_trunc("day", "ts")) / 86_400_000_000)
+        .cast("bigint")
+        .alias("day"),
+    ).agg(F.avg("value").alias("x"))
+    g = daily.groupBy("event_type").agg(
+        F.avg("x").alias("mu"), F.stddev_samp("x").alias("sd")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    c = daily.join(F.broadcast(g), "event_type").select(
+        "event_type",
+        "day",
+        "x",
+        F.sum(F.col("x") - F.col("mu")).over(w).alias("cdev"),
+        "sd",
+    )
+    return c.select(
+        "event_type",
+        "day",
+        F.round("x", 4).alias("day_mean"),
+        # + 0 canonicalizes IEEE -0.0 (the full-series cumsum rounds to
+        # zero with engine-dependent sign) — without it the value hash
+        # sees '-0.0' vs '0.0'
+        (F.round("cdev", 4) + F.lit(0)).alias("cum_dev"),
+        (F.abs(F.col("cdev")) > 2 * F.col("sd")).alias("is_drift"),
+    )

@@ -694,3 +694,91 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 doc_chunks.__doc__ = doc_chunks.__doc__.format(size=_CHUNK_SIZE, stride=_CHUNK_STRIDE)
+
+
+# ---------------------------------------------------------------------------
+# sentence-aware chunking: pack whole sentences into ~fixed-size chunks
+
+_SCHUNK_BUDGET = 240
+
+
+SENTENCE_CHUNKS_ORACLE = f"""
+WITH sent AS (
+    SELECT doc_id, i AS sent_idx, ss[i] AS s
+    FROM (
+        SELECT doc_id,
+               list_filter(
+                   string_split(
+                       regexp_replace(text, '([.!?])\\s+', '\\1' || chr(30), 'g'),
+                       chr(30)),
+                   x -> x <> '') AS ss
+        FROM documents
+    ), UNNEST(generate_series(1, len(ss))) AS g(i)
+),
+cum AS (
+    SELECT doc_id, sent_idx, s, length(s) AS slen,
+           SUM(length(s)) OVER (PARTITION BY doc_id ORDER BY sent_idx) AS cs
+    FROM sent
+),
+chunked AS (
+    SELECT doc_id, (cs - slen) // {_SCHUNK_BUDGET} AS chunk_idx, s, slen
+    FROM cum
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_sentences,
+       CAST(SUM(slen) AS BIGINT) AS chunk_chars
+FROM chunked
+GROUP BY doc_id, chunk_idx
+"""
+
+
+@query("q_sentence_chunks", SENTENCE_CHUNKS_ORACLE)
+def sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-aware RAG chunking — the retrieval-quality upgrade
+    over q_doc_chunks' fixed windows: split on sentence boundaries
+    (lookbehind on ./!/? + whitespace), then assign each sentence to
+    the chunk where its FIRST character lands under a running
+    {budget}-char budget — sentences are never split mid-thought.
+    The assignment is a per-document prefix sum (one window over the
+    doc's sentences — bounded by document length, partitioned by
+    doc_id, never global) followed by integer division: the same
+    deterministic packing rule as q_sequence_pack, at sentence
+    granularity."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    sent = (
+        fan_out(d)
+        .select(
+            "doc_id",
+            # RE2 (DuckDB) has no lookbehind: both engines mark sentence
+            # ends with a capture-group replace, then split on the 0x1e
+            # sentinel (Java replacement syntax $1, RE2's \1 — same effect)
+            F.filter(
+                F.split(
+                    F.regexp_replace("text", r"([.!?])\s+", "$1\x1e"), "\x1e"
+                ),
+                lambda x: x != "",
+            ).alias("ss"),
+        )
+        .select("doc_id", F.posexplode("ss").alias("sent_idx", "s"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("sent_idx")
+    cum = sent.select(
+        "doc_id",
+        "sent_idx",
+        F.length("s").alias("slen"),
+        F.sum(F.length("s")).over(w).alias("cs"),
+    )
+    chunked = cum.select(
+        "doc_id",
+        F.expr(f"(cs - slen) div {_SCHUNK_BUDGET}").alias("chunk_idx"),
+        "slen",
+    )
+    return chunked.groupBy("doc_id", "chunk_idx").agg(
+        F.count(F.lit(1)).alias("n_sentences"),
+        F.sum("slen").alias("chunk_chars"),
+    )
+
+
+sentence_chunks.__doc__ = sentence_chunks.__doc__.format(budget=_SCHUNK_BUDGET)

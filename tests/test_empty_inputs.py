@@ -141,6 +141,9 @@ EMPTY_SAFE = [
     "q_kmv_window",
     "q_lpa_communities",
     "q_winsorized_mean",
+    "q_sentence_chunks",
+    "q_numeric_histogram",
+    "q_cusum_drift",
 ]
 
 # global aggregates return one constant row on empty input (their
