@@ -54,6 +54,11 @@ SF0001_DIR = "/root/testdata/sf0.001"
 #   q_kmv_window
 #   q_lpa_communities
 #   q_winsorized_mean
+#   q_sentence_chunks
+#   q_numeric_histogram
+#   q_cusum_drift
+#   q_rfm_segments
+#   q_gini
 #   q_pcapng_pipeline
 #   q_pcap_datasource
 #   q_pcap_trailers
@@ -80,6 +85,30 @@ SF0001_DIR = "/root/testdata/sf0.001"
 #   q_full_outer_join
 #   q_semi_join
 #   q_anti_join
+#   q_range_join
+#   q_asof_join
+#   q_self_join
+#   q_binned_range_join
+#   q_dedup_exact
+#   q_train_test_split
+#   q_data_mixing
+#   q_embed_neardup
+#   q_similarity_topk
+#   q_text_stats
+#   q_quality_score
+#   q_lang_id
+#   q_fingerprint
+#   q_filter_project
+#   q_case_when
+#   q_null_semantics
+#   q_sort_limit
+#   q_distinct
+#   q_union
+#   q_intersect
+#   q_except
+#   q_pivot
+#   q_unpivot
+#   q_subquery_scalar
 # then any round-5 additions; then the refresh tail below (r1-green
 # relational/join/LLM basics — their newest driver row is round 1).
 _GATE_FRONT = [
@@ -153,6 +182,11 @@ _GATE_FRONT = [
     "q_kmv_window",
     "q_lpa_communities",
     "q_winsorized_mean",
+    "q_sentence_chunks",
+    "q_numeric_histogram",
+    "q_cusum_drift",
+    "q_rfm_segments",
+    "q_gini",
     "q_pcapng_pipeline",
     "q_pcap_datasource",
     "q_pcap_trailers",

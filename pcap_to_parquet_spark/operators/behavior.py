@@ -1382,3 +1382,155 @@ def cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("cdev", 4) + F.lit(0)).alias("cum_dev"),
         (F.abs(F.col("cdev")) > 2 * F.col("sd")).alias("is_drift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation: recency/frequency/monetary quintile labels per user
+
+_RFM_ASOF_DAY = 11600  # fixed "today" (epoch days) so recency is deterministic
+
+
+RFM_ORACLE = f"""
+WITH base AS (
+    SELECT user_id,
+           {_RFM_ASOF_DAY} - MAX(CAST(epoch_us(ts) // 86400000000 AS BIGINT)) AS recency_d,
+           COUNT(*) AS frequency,
+           ROUND(SUM(value), 4) AS monetary
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id
+),
+n AS (SELECT COUNT(*) AS n FROM base),
+rk AS (
+    SELECT b.*,
+           ROW_NUMBER() OVER (ORDER BY recency_d, user_id) AS rr,
+           ROW_NUMBER() OVER (ORDER BY frequency DESC, user_id) AS rf,
+           ROW_NUMBER() OVER (ORDER BY monetary DESC, user_id) AS rm,
+           n.n
+    FROM base b, n
+),
+scored AS (
+    SELECT user_id, recency_d, frequency, monetary,
+           CAST(5 - ((rr - 1) * 5) // n AS BIGINT) AS r_score,
+           CAST(5 - ((rf - 1) * 5) // n AS BIGINT) AS f_score,
+           CAST(5 - ((rm - 1) * 5) // n AS BIGINT) AS m_score
+    FROM rk
+)
+SELECT r_score, f_score, m_score,
+       COUNT(*) AS n_users,
+       ROUND(SUM(monetary), 4) AS segment_value
+FROM scored
+GROUP BY r_score, f_score, m_score
+"""
+
+
+@query("q_rfm_segments", RFM_ORACLE)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the marketing-analytics workhorse: each
+    purchasing user scored 1-5 on Recency, Frequency and Monetary
+    value (5 = best quintile), then the 125 possible segments sized
+    and valued. Quintiles via ROW_NUMBER with an explicit user_id
+    tiebreak and integer arithmetic (never ntile over a float order —
+    ties would make the buckets engine-dependent); 'today' is a fixed
+    epoch day so recency is reproducible.
+
+    The per-metric ranks are global windows over the USER aggregate
+    (one row per purchaser — orders of magnitude smaller than the
+    event log); at larger-than-memory user counts swap each rank for
+    the two-phase prefix-sum shape of q_sequence_pack. The heavy
+    input, events, is touched once."""
+    e = load_table(spark, sf_dir, "events")
+    base = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            (
+                F.lit(_RFM_ASOF_DAY)
+                - F.max(F.floor(F.unix_micros("ts") / 86_400_000_000).cast("bigint"))
+            ).alias("recency_d"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("value"), 4).alias("monetary"),
+        )
+    )
+    from pyspark.sql import Window
+
+    n = base.agg(F.count(F.lit(1)).alias("n"))
+    rk = (
+        base.crossJoin(F.broadcast(n))
+        .withColumn("rr", F.row_number().over(Window.orderBy("recency_d", "user_id")))
+        .withColumn(
+            "rf", F.row_number().over(Window.orderBy(F.col("frequency").desc(), "user_id"))
+        )
+        .withColumn(
+            "rm", F.row_number().over(Window.orderBy(F.col("monetary").desc(), "user_id"))
+        )
+    )
+    scored = rk.select(
+        "monetary",
+        F.expr("CAST(5 - ((rr - 1) * 5) div n AS BIGINT)").alias("r_score"),
+        F.expr("CAST(5 - ((rf - 1) * 5) div n AS BIGINT)").alias("f_score"),
+        F.expr("CAST(5 - ((rm - 1) * 5) div n AS BIGINT)").alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.sum("monetary"), 4).alias("segment_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient: revenue concentration across customers
+
+GINI_ORACLE = """
+WITH per_cust AS (
+    SELECT o_custkey, SUM(o_totalprice) AS v
+    FROM orders GROUP BY o_custkey
+),
+rk AS (
+    SELECT v, ROW_NUMBER() OVER (ORDER BY v, o_custkey) AS i,
+           COUNT(*) OVER () AS n, SUM(v) OVER () AS tot
+    FROM per_cust
+)
+SELECT CAST(COALESCE(MAX(n), 0) AS BIGINT) AS n_customers,
+       ROUND(MAX(tot), 2) AS total_revenue,
+       ROUND((2.0 * SUM(i * v) / (MAX(n) * MAX(tot))) - (MAX(n) + 1.0) / MAX(n), 6)
+           AS gini
+FROM rk
+"""
+
+
+@query("q_gini", GINI_ORACLE)
+def gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration — the inequality
+    metric behind 'do 20% of customers drive 80% of revenue':
+    G = 2*Σ(i*v_i)/(n*Σv) - (n+1)/n over values sorted ascending
+    (deterministic tiebreak on the customer key). One aggregate, one
+    rank window over the customer-level rollup (tiny next to orders),
+    one final reduction. Concentration metrics like this decide
+    sampling and mixing weights in data curation, and skew-handling
+    strategy in the engine itself — a high Gini on a join key is the
+    salting signal."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("v"))
+    from pyspark.sql import Window
+
+    rk = (
+        per_cust.withColumn(
+            "i", F.row_number().over(Window.orderBy("v", "o_custkey")).cast("long")
+        )
+        .crossJoin(
+            F.broadcast(
+                per_cust.agg(
+                    F.count(F.lit(1)).alias("n"), F.sum("v").alias("tot")
+                )
+            )
+        )
+    )
+    return rk.agg(
+        F.coalesce(F.max("n"), F.lit(0)).cast("long").alias("n_customers"),
+        F.round(F.max("tot"), 2).alias("total_revenue"),
+        F.round(
+            (2.0 * F.sum(F.col("i") * F.col("v")))
+            / (F.max("n") * F.max("tot"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )

@@ -144,6 +144,7 @@ EMPTY_SAFE = [
     "q_sentence_chunks",
     "q_numeric_histogram",
     "q_cusum_drift",
+    "q_rfm_segments",
 ]
 
 # global aggregates return one constant row on empty input (their
@@ -164,6 +165,7 @@ CONSTANT_ON_EMPTY = {
     "q_kmv_distinct": 1,  # the merged sketch row survives (exact 0)
     "q_sql_forecast_revenue": 1,  # global aggregate: one NULL row
     "q_k_anonymity": 1,  # census summary row of zeros
+    "q_gini": 1,  # global concentration summary row
 }
 
 
