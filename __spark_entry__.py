@@ -76,41 +76,9 @@ SF0001_DIR = "/root/testdata/sf0.001"
 #   q_try_arithmetic
 #   q_pcap_stream_flows
 #   q_funnel_bounded
-#   q_rollup
-#   q_cube
-#   q_grouping_sets
-#   q_inner_join
-#   q_broadcast_join
-#   q_outer_join
-#   q_full_outer_join
-#   q_semi_join
-#   q_anti_join
-#   q_range_join
-#   q_asof_join
-#   q_self_join
-#   q_binned_range_join
-#   q_dedup_exact
-#   q_train_test_split
-#   q_data_mixing
-#   q_embed_neardup
-#   q_similarity_topk
-#   q_text_stats
-#   q_quality_score
-#   q_lang_id
-#   q_fingerprint
-#   q_filter_project
-#   q_case_when
-#   q_null_semantics
-#   q_sort_limit
-#   q_distinct
-#   q_union
-#   q_intersect
-#   q_except
-#   q_pivot
-#   q_unpivot
-#   q_subquery_scalar
-# then any round-5 additions; then the refresh tail below (r1-green
-# relational/join/LLM basics — their newest driver row is round 1).
+# then any round-5 additions; then the refresh tail (q_rollup onward in
+# _GATE_FRONT below: r1-green relational/join/LLM basics whose newest
+# driver row is round 1).
 _GATE_FRONT = [
     # never driver-checked (registered past round 3's 50-row window)
     "q_sql_disjunctive",
