@@ -76,6 +76,8 @@ SF0001_DIR = "/root/testdata/sf0.001"
 #   q_try_arithmetic
 #   q_pcap_stream_flows
 #   q_funnel_bounded
+#   q_char_entropy
+#   q_rolling_corr
 # then any round-5 additions; then the refresh tail (q_rollup onward in
 # _GATE_FRONT below: r1-green relational/join/LLM basics whose newest
 # driver row is round 1).
@@ -155,6 +157,8 @@ _GATE_FRONT = [
     "q_cusum_drift",
     "q_rfm_segments",
     "q_gini",
+    "q_char_entropy",
+    "q_rolling_corr",
     "q_pcapng_pipeline",
     "q_pcap_datasource",
     "q_pcap_trailers",

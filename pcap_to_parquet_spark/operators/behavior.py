@@ -1534,3 +1534,76 @@ def gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# rolling correlation between two metric series
+
+_RCORR_W = 14
+
+ROLLING_CORR_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(epoch_us(time_bucket(INTERVAL 1 DAY, ts)) // 86400000000 AS BIGINT) AS day,
+           SUM(CASE WHEN event_type = 'view' THEN value ELSE 0 END) AS x,
+           SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS y
+    FROM events GROUP BY 1
+),
+w AS (
+    SELECT day,
+           COUNT(*) OVER win AS n,
+           SUM(x) OVER win AS sx, SUM(y) OVER win AS sy,
+           SUM(x * y) OVER win AS sxy,
+           SUM(x * x) OVER win AS sxx, SUM(y * y) OVER win AS syy
+    FROM daily
+    WINDOW win AS (ORDER BY day ROWS BETWEEN {_RCORR_W - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT day,
+       ROUND((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS view_purchase_corr
+FROM w
+WHERE n = {_RCORR_W}
+"""
+
+
+@query("q_rolling_corr", ROLLING_CORR_ORACLE)
+def rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {w}-day Pearson correlation between the view and
+    purchase value series — the co-movement monitor behind 'did the
+    funnel decouple this week'. Spelled as five running sums over ONE
+    row-frame window (never a per-day re-scan): correlation from
+    (n, Σx, Σy, Σxy, Σx², Σy²) is the textbook one-pass identity, and
+    a rows-frame window computes all five in a single sort. The daily
+    rollup is tiny; at many-series scale add the series key to the
+    window partition (as q_cusum_drift does)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.floor(F.unix_micros(F.date_trunc("day", "ts")) / 86_400_000_000)
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "view", F.col("value")).otherwise(0.0)).alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+        ).alias("y"),
+    )
+    win = Window.orderBy("day").rowsBetween(-(_RCORR_W - 1), 0)
+    w = daily.select(
+        "day",
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum("x").over(win).alias("sx"),
+        F.sum("y").over(win).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(win).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(win).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(win).alias("syy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return (
+        w.filter(F.col("n") == _RCORR_W)
+        .select("day", F.round(corr, 4).alias("view_purchase_corr"))
+    )
+
+
+rolling_corr.__doc__ = rolling_corr.__doc__.format(w=_RCORR_W)

@@ -782,3 +782,57 @@ def sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 sentence_chunks.__doc__ = sentence_chunks.__doc__.format(budget=_SCHUNK_BUDGET)
+
+
+# ---------------------------------------------------------------------------
+# character-entropy quality signal
+
+
+CHAR_ENTROPY_ORACLE = """
+WITH ch AS (
+    SELECT doc_id, unnest(string_split(text, '')) AS c
+    FROM documents WHERE length(text) > 0
+),
+freq AS (
+    SELECT doc_id, c, COUNT(*) AS k,
+           SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS n
+    FROM ch GROUP BY doc_id, c
+)
+SELECT doc_id,
+       ROUND(SUM(-(k * 1.0 / n) * ln(k * 1.0 / n) / ln(2.0)), 4) AS char_entropy_bits,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_chars
+FROM freq
+GROUP BY doc_id
+"""
+
+
+@query("q_char_entropy", CHAR_ENTROPY_ORACLE)
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document (bits/char) — the
+    quality gate that catches what length and stopword ratios miss:
+    near-zero entropy flags repeated-character junk and padding,
+    abnormally high entropy flags base64/binary blobs masquerading as
+    text. Pure column algebra: explode characters, per-doc frequency,
+    one -p*log2(p) aggregate; the per-doc char distribution is bounded
+    by the alphabet, so the intermediate is |alphabet| x docs, not
+    corpus-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    ch = (
+        fan_out(d.filter(F.length("text") > 0))
+        .select("doc_id", F.explode(F.split("text", "")).alias("c"))
+    )
+    freq = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("k"))
+    n = F.sum("k").over(Window.partitionBy("doc_id"))
+    p = F.col("k") * 1.0 / F.col("n")
+    return (
+        freq.withColumn("n", n)
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(-p * F.log(p) / F.log(F.lit(2.0))), 4
+            ).alias("char_entropy_bits"),
+            F.count(F.lit(1)).alias("n_distinct_chars"),
+        )
+    )

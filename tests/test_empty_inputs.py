@@ -145,6 +145,8 @@ EMPTY_SAFE = [
     "q_numeric_histogram",
     "q_cusum_drift",
     "q_rfm_segments",
+    "q_char_entropy",
+    "q_rolling_corr",
 ]
 
 # global aggregates return one constant row on empty input (their
