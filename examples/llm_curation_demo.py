@@ -1,0 +1,49 @@
+"""End-to-end LLM training-data curation demo over the testdata corpus.
+
+Chains the engine's curation operators the way a pre-training pipeline
+would: quality gates -> exact + fuzzy dedup -> decontamination -> RAG
+chunking -> length-weighted sampling. Each stage is one of the
+registered queries (so each is independently oracle-verified); this
+script shows how they compose.
+
+Run: python examples/llm_curation_demo.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pcap_to_parquet_spark.session import get_spark
+import pcap_to_parquet_spark.operators  # noqa: F401
+from pcap_to_parquet_spark.registry import QUERIES
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("curation-demo")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    stages = [
+        ("quality scores (length/punct/stopword gates)", "q_quality_score"),
+        ("character entropy (junk/base64 flags)", "q_char_entropy"),
+        ("exact dedup (content-hash groups)", "q_dedup_exact"),
+        ("near-dup pairs (MinHash+LSH, exact-oracle twin)", "q_minhash_exact"),
+        ("near-dup clusters (star contraction)", "q_components_star"),
+        ("survivor selection (keep-longest per cluster)", "q_dedup_survivors"),
+        ("benchmark decontamination (shared 3-grams)", "q_decontaminate"),
+        ("RAG chunks (200-char windows, 50 overlap)", "q_doc_chunks"),
+        ("length-weighted sample (one-pass E-S)", "q_weighted_sample"),
+        ("train/test split + mixing weights", "q_data_mixing"),
+    ]
+    for title, name in stages:
+        n = QUERIES[name](spark, sf_dir).count()
+        print(f"{title:55s} -> {n:6d} rows   ({name})")
+    print("\nEvery stage above is a registered query with a DuckDB value"
+          "\noracle (see __spark_entry__.py); compose them freely.")
+
+
+if __name__ == "__main__":
+    main()
