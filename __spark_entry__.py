@@ -78,6 +78,8 @@ SF0001_DIR = "/root/testdata/sf0.001"
 #   q_funnel_bounded
 #   q_char_entropy
 #   q_rolling_corr
+#   q_mad_outliers
+#   q_top_paths
 # then any round-5 additions; then the refresh tail (q_rollup onward in
 # _GATE_FRONT below: r1-green relational/join/LLM basics whose newest
 # driver row is round 1).
@@ -159,6 +161,8 @@ _GATE_FRONT = [
     "q_gini",
     "q_char_entropy",
     "q_rolling_corr",
+    "q_mad_outliers",
+    "q_top_paths",
     "q_pcapng_pipeline",
     "q_pcap_datasource",
     "q_pcap_trailers",

@@ -365,3 +365,67 @@ def numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# median-absolute-deviation outlier census (robust twin of z-score)
+
+
+MAD_ORACLE = """
+WITH med AS (
+    SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS m
+    FROM lineitem GROUP BY l_returnflag
+),
+dev AS (
+    SELECT l.l_returnflag, l.l_extendedprice, ABS(l.l_extendedprice - med.m) AS d, med.m
+    FROM lineitem l JOIN med ON med.l_returnflag = l.l_returnflag
+),
+mad AS (
+    SELECT l_returnflag, quantile_cont(d, 0.5) AS mad, ANY_VALUE(m) AS m
+    FROM dev GROUP BY l_returnflag
+)
+SELECT d.l_returnflag,
+       ROUND(ANY_VALUE(mad.m), 2) AS median_price,
+       ROUND(ANY_VALUE(mad.mad), 2) AS mad,
+       CAST(SUM(CASE WHEN d.d > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       COUNT(*) AS n
+FROM dev d JOIN mad ON mad.l_returnflag = d.l_returnflag
+GROUP BY d.l_returnflag
+ORDER BY d.l_returnflag
+"""
+
+
+@query("q_mad_outliers", MAD_ORACLE)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier census — the robust twin of
+    q_anomaly_zscore: median and MAD are immune to the very outliers
+    being hunted (a single 1e9 row drags a mean/stddev threshold but
+    moves neither median). Two exact-percentile passes (group medians,
+    then medians of absolute deviations) with the tiny per-group stats
+    broadcast back — the same two-pass broadcast shape as
+    q_winsorized_mean, never a per-row rank."""
+    li = load_table(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("m")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag",
+        F.abs(F.col("l_extendedprice") - F.col("m")).alias("d"),
+        "m",
+    )
+    mad = dev.groupBy("l_returnflag").agg(
+        F.expr("percentile(d, 0.5)").alias("mad"), F.first("m").alias("m")
+    )
+    return (
+        dev.join(F.broadcast(mad.select("l_returnflag", "mad")), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.first("m"), 2).alias("median_price"),
+            F.round(F.first("mad"), 2).alias("mad"),
+            F.sum(F.when(F.col("d") > 3 * F.col("mad"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

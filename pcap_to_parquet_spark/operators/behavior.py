@@ -1607,3 +1607,85 @@ def rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 rolling_corr.__doc__ = rolling_corr.__doc__.format(w=_RCORR_W)
+
+
+# ---------------------------------------------------------------------------
+# top user paths: most common event-type sequences within sessions
+
+_PATH_GAP_US = 300_000_000  # 5 min session gap, as q_sessionize
+
+
+TOP_PATHS_ORACLE = f"""
+WITH ordered AS (
+    SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+           LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events
+),
+marked AS (
+    SELECT *, CASE WHEN prev IS NULL OR us - prev > {_PATH_GAP_US} THEN 1 ELSE 0 END AS brk
+    FROM ordered
+),
+sess AS (
+    SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id) AS sess_no
+    FROM marked
+),
+paths AS (
+    SELECT user_id, sess_no,
+           string_agg(event_type, '>' ORDER BY us, event_id) AS path
+    FROM sess GROUP BY user_id, sess_no
+)
+SELECT path, COUNT(*) AS n_sessions
+FROM paths
+GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 15
+"""
+
+
+@query("q_top_paths", TOP_PATHS_ORACLE)
+def top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user paths — product analytics' 'what do sessions actually
+    look like': events sessionized by the 5-minute gap rule (the
+    q_sessionize mechanic), each session rendered as its ordered
+    event-type sequence, then the 15 most common paths. Ordering
+    inside a path is pinned by (ts, event_id) so concatenation is
+    deterministic on both engines — Spark builds the string by
+    sorting an array of (us, event_id, type) structs (collect_list
+    alone has no order guarantee), DuckDB with an ORDER BY string_agg.
+    Per-session work is bounded by session length; the heavy shuffle
+    is one user_id partition."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    marked = e.select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    ).withColumn(
+        "brk",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | (F.col("us") - F.lag("us").over(w) > _PATH_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "sess_no", F.sum("brk").over(Window.partitionBy("user_id").orderBy("us", "event_id"))
+    )
+    paths = (
+        sess.groupBy("user_id", "sess_no")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("us", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(15)
+    )

@@ -147,6 +147,8 @@ EMPTY_SAFE = [
     "q_rfm_segments",
     "q_char_entropy",
     "q_rolling_corr",
+    "q_top_paths",
+    "q_mad_outliers",
 ]
 
 # global aggregates return one constant row on empty input (their
