@@ -80,6 +80,8 @@ SF0001_DIR = "/root/testdata/sf0.001"
 #   q_rolling_corr
 #   q_mad_outliers
 #   q_top_paths
+#   q_lorenz_deciles
+#   q_new_vs_returning
 # then any round-5 additions; then the refresh tail (q_rollup onward in
 # _GATE_FRONT below: r1-green relational/join/LLM basics whose newest
 # driver row is round 1).
@@ -163,6 +165,8 @@ _GATE_FRONT = [
     "q_rolling_corr",
     "q_mad_outliers",
     "q_top_paths",
+    "q_lorenz_deciles",
+    "q_new_vs_returning",
     "q_pcapng_pipeline",
     "q_pcap_datasource",
     "q_pcap_trailers",

@@ -1689,3 +1689,127 @@ def top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# Lorenz deciles: cumulative revenue share by customer decile
+
+
+LORENZ_ORACLE = """
+WITH per_cust AS (
+    SELECT o_custkey, SUM(o_totalprice) AS v
+    FROM orders GROUP BY o_custkey
+),
+rk AS (
+    SELECT v,
+           ROW_NUMBER() OVER (ORDER BY v DESC, o_custkey) AS rn,
+           COUNT(*) OVER () AS n,
+           SUM(v) OVER () AS tot
+    FROM per_cust
+),
+dec AS (
+    SELECT CAST(((rn - 1) * 10) // n + 1 AS BIGINT) AS decile, v, n, tot
+    FROM rk
+),
+per_dec AS (
+    SELECT decile, COUNT(*) AS n_customers,
+           ROUND(SUM(v), 2) AS revenue,
+           ROUND(SUM(v) / ANY_VALUE(tot), 6) AS share
+    FROM dec GROUP BY decile
+)
+SELECT decile, n_customers, revenue, share,
+       ROUND(SUM(share) OVER (ORDER BY decile), 6) AS cum_share
+FROM per_dec
+ORDER BY decile
+"""
+
+
+@query("q_lorenz_deciles", LORENZ_ORACLE)
+def lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz concentration table — 'the top decile of customers is X%
+    of revenue': customers ranked by value (deterministic key
+    tiebreak), cut into ten equal-count buckets by integer arithmetic
+    (never ntile over a float order), each decile's revenue share and
+    the running cumulative share. Companion to q_gini (the same curve
+    reduced to one number); the per-customer rollup is the only
+    window input, orders shuffle once."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("v"))
+    rk = per_cust.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.col("v").desc(), "o_custkey"))
+    ).crossJoin(
+        F.broadcast(
+            per_cust.agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("tot"))
+        )
+    )
+    dec = rk.select(
+        F.expr("CAST(((rn - 1) * 10) div n + 1 AS BIGINT)").alias("decile"),
+        "v",
+        "tot",
+    )
+    per_dec = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("v"), 2).alias("revenue"),
+        F.round(F.sum("v") / F.first("tot"), 6).alias("share"),
+    )
+    return per_dec.select(
+        "decile",
+        "n_customers",
+        "revenue",
+        "share",
+        F.round(F.sum("share").over(Window.orderBy("decile")), 6).alias("cum_share"),
+    ).orderBy("decile")
+
+
+# ---------------------------------------------------------------------------
+# new vs returning daily actives
+
+
+NEW_RETURNING_ORACLE = """
+WITH ud AS (
+    SELECT DISTINCT user_id,
+           CAST(epoch_us(time_bucket(INTERVAL 1 DAY, ts)) // 86400000000 AS BIGINT) AS day
+    FROM events
+),
+first_day AS (SELECT user_id, MIN(day) AS d0 FROM ud GROUP BY user_id)
+SELECT ud.day,
+       CAST(SUM(CASE WHEN ud.day = f.d0 THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+       CAST(SUM(CASE WHEN ud.day > f.d0 THEN 1 ELSE 0 END) AS BIGINT) AS returning_users
+FROM ud JOIN first_day f ON f.user_id = ud.user_id
+GROUP BY ud.day
+ORDER BY ud.day
+"""
+
+
+@query("q_new_vs_returning", NEW_RETURNING_ORACLE)
+def new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily actives split into new vs returning — the growth
+    accounting every product dashboard leads with. Each user's first
+    active day comes from one aggregate over the (user, day) distinct
+    pairs; the split is then a single conditional count per day. The
+    first-day table is user-cardinality and joins back on the key the
+    distinct pairs are already shuffled by — at 100 TB this is two
+    co-partitioned aggregates, not a self-join of the raw log."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id",
+        F.floor(F.unix_micros(F.date_trunc("day", "ts")) / 86_400_000_000)
+        .cast("bigint")
+        .alias("day"),
+    ).distinct()
+    first_day = ud.groupBy("user_id").agg(F.min("day").alias("d0"))
+    return (
+        ud.join(first_day, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("day") == F.col("d0"), 1).otherwise(0))
+            .cast("long")
+            .alias("new_users"),
+            F.sum(F.when(F.col("day") > F.col("d0"), 1).otherwise(0))
+            .cast("long")
+            .alias("returning_users"),
+        )
+        .orderBy("day")
+    )

@@ -149,6 +149,8 @@ EMPTY_SAFE = [
     "q_rolling_corr",
     "q_top_paths",
     "q_mad_outliers",
+    "q_lorenz_deciles",
+    "q_new_vs_returning",
 ]
 
 # global aggregates return one constant row on empty input (their
