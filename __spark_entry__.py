@@ -184,6 +184,10 @@ _GATE_FRONT = [
     "q_try_arithmetic",
     "q_pcap_stream_flows",
     "q_funnel_bounded",
+    # new in round 4c (after the r4 window froze): duplicated-span
+    # coverage, PMI phrase mining — due in round 5 with the block above
+    "q_dup_span_coverage",
+    "q_pmi_bigrams",
     # refresh: oracle-bearing queries whose last driver row is round 1
     "q_rollup",
     "q_cube",

@@ -2020,3 +2020,122 @@ def density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labeled.unionByName(
         singles.select("vec_id", F.col("vec_id").alias("cluster_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# product-quantization ANN: subspace codebooks + asymmetric distance
+
+PQ_M = 8  # subspaces (64-dim embedding -> 8 x 8-dim subvectors)
+PQ_K = 16  # codes per subspace codebook
+PQ_ITERS = 3
+PQ_SHORTLIST = 50  # ADC candidates kept for the exact rerank
+
+
+@query("q_pq_ann")  # rows-only: trained quantizer, approximate by construction
+def pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): split each
+    64-dim embedding into {m} subvectors, learn a {k}-entry L2
+    codebook per subspace (deterministic Lloyd iterations seeded from
+    the {k} smallest vec_ids), encode every vector as {m} one-byte
+    codes, and answer the query by ASYMMETRIC distance — a {m}×{k}
+    lookup table of exact query-subvector-to-centroid distances,
+    summed over each database vector's codes — then EXACTLY rerank the
+    {short}-candidate ADC shortlist, the two-stage shape every
+    production PQ deployment uses (the quantizer ranks cheaply; float
+    vectors are fetched only for the shortlist).
+
+    This is the memory-bound ANN shape for a 100 TB corpus: the
+    encoded table is {m} bytes/vector (64× smaller than float32), the
+    codebooks are driver-sized constants broadcast into vectorized
+    pandas UDFs, training touches only (sub, code) partial sums —
+    bounded by partitions × {m}·{k} tiny rows, never vectors — ADC
+    scoring is a map-only scan with a TakeOrderedAndProject
+    shortlist, and the rerank touches {short} rows. Compose with the
+    IVF list pruning of q_similarity_ivf for IVF-PQ. Recall vs exact
+    L2 (0.8@10 on the weakly-clustered synthetic embeddings, vs 0.2
+    for raw ADC) is pinned in tests/test_llm_ops.py."""
+    em = fan_out(load_table(spark, sf_dir, "embeddings")).cache()
+    d_sub = 64 // PQ_M
+
+    init = em.orderBy("vec_id").limit(PQ_K).collect()
+    # codebooks[s] : (PQ_K, d_sub) — subspace s's centroid matrix
+    books = np.stack(
+        [np.asarray(r.embedding, dtype=np.float64).reshape(PQ_M, d_sub) for r in init]
+    ).transpose(1, 0, 2)
+
+    partial_schema = "sub int, code int, cnt long, sums array<double>"
+
+    for _ in range(PQ_ITERS):
+        b = books  # capture current codebooks by value
+
+        def partials(batches, _b=b):
+            # per-batch (sub, code) -> (count, sum-vector): the ONLY
+            # thing that leaves the executors during training
+            for pdf in batches:
+                x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                x = x.reshape(len(x), PQ_M, d_sub)
+                out = []
+                for s in range(PQ_M):
+                    d2 = ((x[:, s, None, :] - _b[s][None, :, :]) ** 2).sum(axis=2)
+                    code = d2.argmin(axis=1)
+                    for c in np.unique(code):
+                        sel = x[code == c, s, :]
+                        out.append((s, int(c), len(sel), sel.sum(axis=0).tolist()))
+                yield pd.DataFrame(out, columns=["sub", "code", "cnt", "sums"])
+
+        rows = em.select("embedding").mapInPandas(partials, partial_schema).collect()
+        # deterministic driver-side reduce: sort partials by content so
+        # float summation order never depends on task scheduling
+        acc = np.zeros((PQ_M, PQ_K, d_sub))
+        cnt = np.zeros((PQ_M, PQ_K))
+        for r in sorted(rows, key=lambda r: (r.sub, r.code, r.cnt, tuple(r.sums))):
+            acc[r.sub, r.code] += np.asarray(r.sums)
+            cnt[r.sub, r.code] += r.cnt
+        nz = cnt > 0  # empty codes keep their previous centroid
+        books = books.copy()
+        books[nz] = acc[nz] / cnt[nz][:, None]
+
+    bfinal = books
+    qrow = em.filter(F.col("vec_id") == 0).select("embedding").collect()
+    qsub = np.asarray(qrow[0].embedding, dtype=np.float64).reshape(PQ_M, d_sub)
+    # ADC lookup table: exact query-subvector -> centroid distances
+    adc = ((qsub[:, None, :] - bfinal) ** 2).sum(axis=2)  # (PQ_M, PQ_K)
+
+    @F.pandas_udf("double")
+    def pq_dist(e: pd.Series) -> pd.Series:
+        x = np.stack(e.to_numpy()).astype(np.float64).reshape(len(e), PQ_M, d_sub)
+        d2 = ((x[:, :, None, :] - bfinal[None]) ** 2).sum(axis=3)  # (n, M, K)
+        codes = d2.argmin(axis=2)  # encode ...
+        # ... then score via the ADC table only (codes, not vectors)
+        return pd.Series(adc[np.arange(PQ_M)[None, :], codes].sum(axis=1))
+
+    shortlist = (
+        em.filter(F.col("vec_id") != 0)
+        .select("vec_id", pq_dist("embedding").alias("adc"))
+        .orderBy(F.col("adc").asc(), F.col("vec_id"))
+        .limit(PQ_SHORTLIST)
+    )
+    # exact rerank of the shortlist only: the 50-row candidate set
+    # broadcasts; float vectors are read for candidates, never scored
+    # corpus-wide
+    qvec = em.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    l2 = F.sqrt(
+        F.aggregate(
+            F.zip_with("embedding", "qv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda s, v: s + v.cast("double"),
+        )
+    )
+    out = (
+        em.join(F.broadcast(shortlist.select("vec_id")), "vec_id")
+        .join(F.broadcast(qvec))
+        .select("vec_id", "label", l2.alias("raw"))
+        .orderBy(F.col("raw").asc(), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id", "label", F.round("raw", 4).alias("l2_dist"))
+    )
+    em.unpersist()
+    return out
+
+
+pq_ann.__doc__ = pq_ann.__doc__.format(m=PQ_M, k=PQ_K, short=50)

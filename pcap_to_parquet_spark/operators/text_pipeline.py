@@ -836,3 +836,192 @@ def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_distinct_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document duplicated-span coverage (exact substring duplication)
+
+_DUPSPAN_N = 5  # span length in tokens
+
+DUP_SPAN_ORACLE = rf"""
+WITH tok AS (SELECT doc_id, {_TOK_SQL} AS ws FROM documents),
+g AS (
+    SELECT doc_id,
+           unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS pos,
+           unnest(list_transform(generate_series(1, greatest(len(ws) - 4, 0)),
+                  i -> ws[i] || '|' || ws[i+1] || '|' || ws[i+2] || '|' || ws[i+3] || '|' || ws[i+4])) AS sh
+    FROM tok
+),
+dupg AS (SELECT sh FROM g GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2),
+spans AS (SELECT g.doc_id, g.pos AS s, g.pos + 4 AS e FROM g JOIN dupg USING (sh)),
+isl AS (
+    SELECT doc_id, s, e,
+           CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                THEN 1 ELSE 0 END AS new_i
+    FROM spans
+),
+isl2 AS (
+    SELECT doc_id, s, e,
+           SUM(new_i) OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS island
+    FROM isl
+),
+cov AS (
+    SELECT doc_id, SUM(mx - mn + 1) AS dup_tokens
+    FROM (SELECT doc_id, island, MIN(s) AS mn, MAX(e) AS mx FROM isl2 GROUP BY doc_id, island)
+    GROUP BY doc_id
+),
+n AS (SELECT doc_id, len(ws) AS n_tokens FROM tok WHERE len(ws) > 0)
+SELECT n.doc_id, CAST(n.n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(cov.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       ROUND(COALESCE(cov.dup_tokens, 0) * 1.0 / n.n_tokens, 4) AS dup_frac
+FROM n LEFT JOIN cov USING (doc_id)
+"""
+
+
+@query("q_dup_span_coverage", DUP_SPAN_ORACLE)
+def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span coverage: the fraction of each
+    document's tokens covered by some {n}-token span that also occurs
+    verbatim in ANOTHER document — the exact-substring duplication
+    measure of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), computed span-wise instead of via a
+    corpus suffix array. A doc near 1.0 is a copy; mid-range fractions
+    flag template boilerplate that document-level dedup never sees.
+
+    Scale shape: positional {n}-gram inventory is map-only (aligned
+    slices, no UDF); duplicated grams come from one groupBy carrying
+    (gram, doc_id) pairs with map-side partial aggregation; the
+    interval-union ("islands") step — overlapping duplicated spans
+    must not double-count tokens — is two window passes over each
+    doc's matched positions only (matched spans, not the corpus,
+    sort within the doc partition). Nothing corpus-sized is ever
+    collected or broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = fan_out(d).select("doc_id", whitespace_tokens("text").alias("ws"))
+    g = tok.select(
+        "doc_id", F.posexplode(shingles("ws", _DUPSPAN_N)).alias("pos", "sh")
+    )
+    dupg = (
+        g.groupBy("sh")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("sh")
+    )
+    spans = g.join(dupg, "sh").select(
+        "doc_id", F.col("pos").alias("s"), (F.col("pos") + _DUPSPAN_N - 1).alias("e")
+    )
+    w = Window.partitionBy("doc_id").orderBy("s")
+    prev_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    isl = spans.withColumn(
+        "new_i", F.when(F.col("s") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0)
+    ).withColumn("island", F.sum("new_i").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    cov = (
+        isl.groupBy("doc_id", "island")
+        .agg(F.min("s").alias("mn"), F.max("e").alias("mx"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("mx") - F.col("mn") + 1).alias("dup_tokens"))
+    )
+    n = tok.select("doc_id", F.size("ws").cast("long").alias("n_tokens")).filter(
+        F.col("n_tokens") > 0
+    )
+    dup = F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long")
+    return n.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        dup.alias("dup_tokens"),
+        F.round(dup * 1.0 / F.col("n_tokens"), 4).alias("dup_frac"),
+    )
+
+
+dup_span_coverage.__doc__ = dup_span_coverage.__doc__.format(n=_DUPSPAN_N)
+
+
+# ---------------------------------------------------------------------------
+# PMI phrase mining over adjacent token pairs
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP = 20
+
+PMI_ORACLE = rf"""
+WITH tok AS (SELECT doc_id, {_TOK_SQL} AS ws FROM documents),
+uni AS (SELECT unnest(ws) AS t FROM tok),
+ucnt AS (SELECT t, COUNT(*) AS n FROM uni GROUP BY t),
+bg AS (
+    SELECT unnest(list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+                  i -> [ws[i], ws[i+1]])) AS ab
+    FROM tok
+),
+bcnt AS (SELECT ab[1] AS a, ab[2] AS b, COUNT(*) AS n_ab FROM bg GROUP BY ab[1], ab[2]),
+tot AS (SELECT (SELECT SUM(n) FROM ucnt) AS nn, (SELECT SUM(n_ab) FROM bcnt) AS nb)
+SELECT bcnt.a || ' ' || bcnt.b AS bigram,
+       CAST(n_ab AS BIGINT) AS n_ab,
+       ROUND(ln((n_ab * 1.0 / nb) / ((ua.n * 1.0 / nn) * (ub.n * 1.0 / nn))), 4) AS pmi
+FROM bcnt, tot
+JOIN ucnt ua ON ua.t = bcnt.a
+JOIN ucnt ub ON ub.t = bcnt.b
+WHERE n_ab >= {_PMI_MIN_COUNT}
+ORDER BY ln((n_ab * 1.0 / nb) / ((ua.n * 1.0 / nn) * (ub.n * 1.0 / nn))) DESC, bigram
+LIMIT {_PMI_TOP}
+"""
+
+
+@query("q_pmi_bigrams", PMI_ORACLE)
+def pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{top} adjacent-token pairs by pointwise mutual information
+    (min count {mc}) — the phrase-detection statistic behind word2vec
+    phrase merging and tokenizer-vocabulary heuristics: PMI =
+    ln(p(ab) / (p(a)·p(b))) with unigram and bigram probabilities from
+    the same corpus scan.
+
+    Scale shape: unigram and bigram counting are one partial-agg
+    groupBy each off a shared map-only tokenization; the PMI join
+    attaches VOCABULARY-sized count tables (broadcast both — the
+    vocabulary of a 100 TB corpus still fits an executor), and the two
+    corpus totals ride along as a broadcast 1-row cross join. Final
+    top-{top} is a TakeOrderedAndProject, never a global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = fan_out(d).select(whitespace_tokens("text").alias("ws"))
+    ucnt = (
+        tok.select(F.explode("ws").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    k = F.greatest(F.size("ws") - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice("ws", 1, k),
+        F.slice("ws", 2, k),
+        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+    )
+    bcnt = (
+        tok.select(F.explode(pairs).alias("p"))
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    tot = ucnt.agg(F.sum("n").alias("nn")).crossJoin(
+        bcnt.agg(F.sum("n_ab").alias("nb"))
+    )
+    pmi = F.log(
+        (F.col("n_ab") * 1.0 / F.col("nb"))
+        / ((F.col("ua_n") * 1.0 / F.col("nn")) * (F.col("ub_n") * 1.0 / F.col("nn")))
+    )
+    return (
+        bcnt.filter(F.col("n_ab") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(ucnt.select(F.col("t").alias("a"), F.col("n").alias("ua_n"))), "a")
+        .join(F.broadcast(ucnt.select(F.col("t").alias("b"), F.col("n").alias("ub_n"))), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.concat("a", F.lit(" "), "b").alias("bigram"),
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.round(pmi, 4).alias("pmi"),
+            pmi.alias("_pmi_exact"),
+        )
+        .orderBy(F.col("_pmi_exact").desc(), "bigram")
+        .limit(_PMI_TOP)
+        .drop("_pmi_exact")
+    )
+
+
+pmi_bigrams.__doc__ = pmi_bigrams.__doc__.format(top=_PMI_TOP, mc=_PMI_MIN_COUNT)

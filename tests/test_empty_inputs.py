@@ -151,6 +151,9 @@ EMPTY_SAFE = [
     "q_mad_outliers",
     "q_lorenz_deciles",
     "q_new_vs_returning",
+    # round 4
+    "q_dup_span_coverage",
+    "q_pmi_bigrams",
 ]
 
 # global aggregates return one constant row on empty input (their
