@@ -185,9 +185,13 @@ _GATE_FRONT = [
     "q_pcap_stream_flows",
     "q_funnel_bounded",
     # new in round 4c (after the r4 window froze): duplicated-span
-    # coverage, PMI phrase mining — due in round 5 with the block above
+    # coverage + removal, PMI phrase mining, temperature mixing — due
+    # in round 5 with the block above
     "q_dup_span_coverage",
     "q_pmi_bigrams",
+    "q_dup_span_removal",
+    "q_temperature_mix",
+    "q_quality_classifier",
     # refresh: oracle-bearing queries whose last driver row is round 1
     "q_rollup",
     "q_cube",

@@ -56,6 +56,8 @@ HEADLINE = [
     "q_minhash_exact",      # JVM-side LSH signatures (round 4b)
     "q_pagerank",           # iterative fixed-point graph kernel (round 4b)
     "q_knn_join",           # blocked all-vectors ANN retrieval (round 4b)
+    "q_dup_span_coverage",  # positional-gram index + interval union (round 4c)
+    "q_pq_ann",             # PQ codebook train + ADC + rerank (round 4c)
 ]
 
 # round-over-round reference (same box, sf0.1, local[32]):

@@ -28,21 +28,26 @@ def main() -> None:
 
     stages = [
         ("quality scores (length/punct/stopword gates)", "q_quality_score"),
+        ("trained quality classifier (distributed LR)", "q_quality_classifier"),
         ("character entropy (junk/base64 flags)", "q_char_entropy"),
         ("exact dedup (content-hash groups)", "q_dedup_exact"),
         ("near-dup pairs (MinHash+LSH, exact-oracle twin)", "q_minhash_exact"),
         ("near-dup clusters (star contraction)", "q_components_star"),
         ("survivor selection (keep-longest per cluster)", "q_dedup_survivors"),
+        ("duplicated-span coverage (exact-substring meter)", "q_dup_span_coverage"),
+        ("duplicated-span removal (boilerplate strip)", "q_dup_span_removal"),
         ("benchmark decontamination (shared 3-grams)", "q_decontaminate"),
         ("RAG chunks (200-char windows, 50 overlap)", "q_doc_chunks"),
         ("length-weighted sample (one-pass E-S)", "q_weighted_sample"),
+        ("temperature-rebalanced language mix (alpha=0.5)", "q_temperature_mix"),
         ("train/test split + mixing weights", "q_data_mixing"),
     ]
     for title, name in stages:
         n = QUERIES[name](spark, sf_dir).count()
         print(f"{title:55s} -> {n:6d} rows   ({name})")
-    print("\nEvery stage above is a registered query with a DuckDB value"
-          "\noracle (see __spark_entry__.py); compose them freely.")
+    print("\nEvery stage above is a registered query, value-checked against"
+          "\na DuckDB oracle (iterative kernels carry invariant tests"
+          "\ninstead — see __spark_entry__.py); compose them freely.")
 
 
 if __name__ == "__main__":

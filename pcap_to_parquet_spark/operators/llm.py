@@ -2053,7 +2053,7 @@ def pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist, and the rerank touches {short} rows. Compose with the
     IVF list pruning of q_similarity_ivf for IVF-PQ. Recall vs exact
     L2 (0.8@10 on the weakly-clustered synthetic embeddings, vs 0.2
-    for raw ADC) is pinned in tests/test_llm_ops.py."""
+    for raw ADC) is pinned in tests/test_round4c_ops.py."""
     em = fan_out(load_table(spark, sf_dir, "embeddings")).cache()
     d_sub = 64 // PQ_M
 
@@ -2139,3 +2139,206 @@ def pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 pq_ann.__doc__ = pq_ann.__doc__.format(m=PQ_M, k=PQ_K, short=50)
+
+
+# ---------------------------------------------------------------------------
+# distributed PCA over the embedding column (moment-sketch + driver eig)
+
+PCA_COMPONENTS = 16
+
+
+@query("q_pca_embed")  # rows-only: eigendecomposition has no SQL analogue
+def pca_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA of the 64-dim embedding column, reduced to
+    {k} components — the embedding-compression / whitening step before
+    clustering or ANN indexing. The covariance matrix is assembled
+    from per-batch MOMENT SKETCHES (count, sum vector, X^T X Gram
+    partial) — the only thing that ever leaves the executors is
+    O(d²) numbers per batch, so a 100 TB corpus costs one map-only
+    scan plus a driver-side 64×64 eigendecomposition. Projection is a
+    second map-only pass with the component matrix as a broadcast
+    constant.
+
+    Output is the {k}-row component summary: eigenvalue, cumulative
+    explained-variance ratio, and the DISTRIBUTED variance of the
+    actual projections — which must reproduce the eigenvalue, the
+    end-to-end proof that sketch, eig and projection agree (pinned in
+    tests/test_round4c_ops.py)."""
+    em = fan_out(load_table(spark, sf_dir, "embeddings")).cache()
+    d_dim = 64
+
+    def moments(batches):
+        for pdf in batches:
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "cnt": [len(x)],
+                    "s": [x.sum(axis=0).tolist()],
+                    "g": [(x.T @ x).ravel().tolist()],
+                }
+            )
+
+    parts = em.select("embedding").mapInPandas(
+        moments, "cnt long, s array<double>, g array<double>"
+    ).collect()
+    # content-sorted driver reduce: summation order independent of
+    # task scheduling (same determinism rule as q_pq_ann's trainer)
+    n = 0
+    s = np.zeros(d_dim)
+    g = np.zeros((d_dim, d_dim))
+    for r in sorted(parts, key=lambda r: (r.cnt, tuple(r.s))):
+        n += r.cnt
+        s += np.asarray(r.s)
+        g += np.asarray(r.g).reshape(d_dim, d_dim)
+    mu = s / n
+    cov = (g - n * np.outer(mu, mu)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:PCA_COMPONENTS]
+    lam = evals[order]
+    w = evecs[:, order]  # (d, k) orthonormal
+    total_var = float(evals.sum())
+
+    @F.pandas_udf("array<double>")
+    def project(e: pd.Series) -> pd.Series:
+        x = np.stack(e.to_numpy()).astype(np.float64)
+        return pd.Series(list((x - mu) @ w))
+
+    proj_var = (
+        em.select(F.posexplode(project("embedding")).alias("component", "y"))
+        .groupBy("component")
+        .agg(F.var_samp("y").alias("proj_var"))
+    )
+    em.unpersist()
+    lam_df = proj_var.sparkSession.createDataFrame(
+        [
+            (int(i), float(lam[i]), float(np.cumsum(lam)[i] / total_var))
+            for i in range(PCA_COMPONENTS)
+        ],
+        "component int, eigenvalue double, cum_explained double",
+    )
+    return (
+        lam_df.join(proj_var, "component")
+        .orderBy("component")
+        .select(
+            "component",
+            F.round("eigenvalue", 6).alias("eigenvalue"),
+            F.round("cum_explained", 6).alias("cum_explained"),
+            F.round("proj_var", 6).alias("proj_var"),
+        )
+    )
+
+
+pca_embed.__doc__ = pca_embed.__doc__.format(k=PCA_COMPONENTS)
+
+
+# ---------------------------------------------------------------------------
+# distributed logistic-regression quality classifier (supervised kernel)
+
+LR_ITERS = 12
+LR_RATE = 1.0
+_LR_FEATURES = ["bias", "log_tokens", "mean_tok_len", "stopword_ratio", "vowel_ratio"]
+
+
+@query("q_quality_classifier")  # rows-only: iterative training, no SQL analogue
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic regression — the fastText-style quality
+    classifier every curation pipeline trains (CCNet, GPT-3's
+    WebText-vs-CommonCrawl filter): cheap text features, a binary
+    target (here: is the doc English — the only supervised signal the
+    synthetic corpus carries), full-batch gradient descent.
+
+    This is the SUPERVISED member of the iterative-kernel family
+    (k-means, PageRank, PCA): per iteration ONE map-only pass emits
+    per-batch (count, gradient-sum, loss-sum) partials — O(d) numbers
+    per batch, never rows — reduced on the driver in content-sorted
+    order so float summation is schedule-independent; the weight
+    vector is a broadcast constant. 100 TB costs iters × one scan.
+    Feature extraction is pure column algebra ahead of the loop and
+    is materialized once.
+
+    Output: one row per feature with the learned coefficient plus the
+    training loss/accuracy trajectory endpoints; loss decrease and
+    better-than-majority accuracy are pinned in
+    tests/test_round4c_ops.py."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = whitespace_tokens("text")
+    n_toks = F.greatest(F.size(toks), F.lit(1))
+    stop = F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "to")))
+    vowels = F.length(F.regexp_replace("text", "[^aeiou]", ""))
+    raw = fan_out(d).select(
+        F.log(F.lit(1.0) + n_toks).cast("double").alias("f1"),
+        (F.length(F.regexp_replace("text", r"\s", "")).cast("double") / n_toks).alias("f2"),
+        (stop.cast("double") / n_toks).alias("f3"),
+        (vowels.cast("double") / F.greatest(F.length("text"), F.lit(1))).alias("f4"),
+        (F.col("lang") == "en").cast("double").alias("y"),
+    )
+    # standardize from a one-row aggregate (full-batch GD with a fixed
+    # rate needs unit-scale features or it oscillates — measured:
+    # raw mean_tok_len ~5 diverged 0.69 -> 0.89 loss in 12 rounds);
+    # zero-variance features scale to 0 via the greatest() floor
+    st = raw.agg(
+        *[F.avg(f).alias(f"m{f}") for f in ("f1", "f2", "f3", "f4")],
+        *[F.stddev_samp(f).alias(f"s{f}") for f in ("f1", "f2", "f3", "f4")],
+    ).collect()[0]
+    norm = [
+        (F.col(f) - F.lit(float(st[f"m{f}"] or 0.0)))
+        / F.lit(float(max(st[f"s{f}"] or 0.0, 1e-9)))
+        for f in ("f1", "f2", "f3", "f4")
+    ]
+    feats = raw.select(F.array(F.lit(1.0), *norm).alias("x"), "y").cache()
+    dim = len(_LR_FEATURES)
+    schema = (
+        "feature string, coef double, loss_initial double, "
+        "loss_final double, train_acc double"
+    )
+    if st["mf1"] is None:  # empty corpus: nothing to train on
+        feats.unpersist()
+        return spark.createDataFrame([], schema)
+    wvec = np.zeros(dim)
+    trajectory = []
+    for _ in range(LR_ITERS):
+        wcur = wvec
+
+        def partials(batches, _w=wcur):
+            for pdf in batches:
+                x = np.stack(pdf["x"].to_numpy()).astype(np.float64)
+                y = pdf["y"].to_numpy().astype(np.float64)
+                p = 1.0 / (1.0 + np.exp(-(x @ _w)))
+                eps = 1e-12
+                loss = -(y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps)).sum()
+                grad = x.T @ (p - y)
+                acc = float(((p >= 0.5) == (y >= 0.5)).sum())
+                yield pd.DataFrame(
+                    {"cnt": [len(y)], "grad": [grad.tolist()], "loss": [loss], "hit": [acc]}
+                )
+
+        rows = feats.mapInPandas(
+            partials, "cnt long, grad array<double>, loss double, hit double"
+        ).collect()
+        n = sum(r.cnt for r in rows)
+        g = np.zeros(dim)
+        loss = 0.0
+        hit = 0.0
+        # content-sorted reduce: same determinism rule as q_pq_ann/q_pca_embed
+        for r in sorted(rows, key=lambda r: (r.cnt, r.loss, tuple(r.grad))):
+            g += np.asarray(r.grad)
+            loss += r.loss
+            hit += r.hit
+        trajectory.append((loss / n, hit / n))
+        wvec = wvec - LR_RATE * g / n
+    feats.unpersist()
+    first_loss, first_acc = trajectory[0]
+    last_loss, last_acc = trajectory[-1]
+    return spark.createDataFrame(
+        [
+            (
+                _LR_FEATURES[i],
+                float(round(wvec[i], 6)),
+                float(round(first_loss, 6)),
+                float(round(last_loss, 6)),
+                float(round(last_acc, 6)),
+            )
+            for i in range(dim)
+        ],
+        schema,
+    )

@@ -880,6 +880,24 @@ FROM n LEFT JOIN cov USING (doc_id)
 """
 
 
+def _dup_spans(tok: DataFrame) -> DataFrame:
+    """(doc_id, s, e) spans of every 5-token window whose gram also
+    occurs in ANOTHER document; shared by the coverage measure and the
+    removal transform."""
+    g = tok.select(
+        "doc_id", F.posexplode(shingles("ws", _DUPSPAN_N)).alias("pos", "sh")
+    )
+    dupg = (
+        g.groupBy("sh")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("sh")
+    )
+    return g.join(dupg, "sh").select(
+        "doc_id", F.col("pos").alias("s"), (F.col("pos") + _DUPSPAN_N - 1).alias("e")
+    )
+
+
 @query("q_dup_span_coverage", DUP_SPAN_ORACLE)
 def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplicated-span coverage: the fraction of each
@@ -900,18 +918,7 @@ def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     collected or broadcast."""
     d = load_table(spark, sf_dir, "documents")
     tok = fan_out(d).select("doc_id", whitespace_tokens("text").alias("ws"))
-    g = tok.select(
-        "doc_id", F.posexplode(shingles("ws", _DUPSPAN_N)).alias("pos", "sh")
-    )
-    dupg = (
-        g.groupBy("sh")
-        .agg(F.count_distinct("doc_id").alias("ndocs"))
-        .filter(F.col("ndocs") >= 2)
-        .select("sh")
-    )
-    spans = g.join(dupg, "sh").select(
-        "doc_id", F.col("pos").alias("s"), (F.col("pos") + _DUPSPAN_N - 1).alias("e")
-    )
+    spans = _dup_spans(tok)
     w = Window.partitionBy("doc_id").orderBy("s")
     prev_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
     isl = spans.withColumn(
@@ -1025,3 +1032,165 @@ def pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 pmi_bigrams.__doc__ = pmi_bigrams.__doc__.format(top=_PMI_TOP, mc=_PMI_MIN_COUNT)
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span REMOVAL: the transform the coverage measure meters
+
+DUP_REMOVE_ORACLE = rf"""
+WITH tok AS (SELECT doc_id, {_TOK_SQL} AS ws FROM documents),
+g AS (
+    SELECT doc_id,
+           unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS pos,
+           unnest(list_transform(generate_series(1, greatest(len(ws) - 4, 0)),
+                  i -> ws[i] || '|' || ws[i+1] || '|' || ws[i+2] || '|' || ws[i+3] || '|' || ws[i+4])) AS sh
+    FROM tok
+),
+dupg AS (SELECT sh FROM g GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2),
+covered AS (
+    SELECT DISTINCT g.doc_id, unnest(generate_series(g.pos, g.pos + 4)) AS pos
+    FROM g JOIN dupg USING (sh)
+),
+toks AS (
+    SELECT doc_id, unnest(generate_series(1, len(ws))) AS pos, unnest(ws) AS t
+    FROM tok WHERE len(ws) > 0
+),
+kept AS (
+    SELECT tk.doc_id, tk.pos, tk.t
+    FROM toks tk ANTI JOIN covered c ON c.doc_id = tk.doc_id AND c.pos = tk.pos
+),
+agg AS (
+    SELECT doc_id, COUNT(*) AS n_kept, string_agg(t, ' ' ORDER BY pos) AS clean_text
+    FROM kept GROUP BY doc_id
+),
+n AS (SELECT doc_id, len(ws) AS n_tokens FROM tok WHERE len(ws) > 0)
+SELECT n.doc_id,
+       CAST(n.n_tokens - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(agg.clean_text, '') AS clean_text
+FROM n LEFT JOIN agg USING (doc_id)
+"""
+
+
+@query("q_dup_span_removal", DUP_REMOVE_ORACLE)
+def dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring deduplication as a TRANSFORM: strip every token
+    covered by a cross-document duplicated 5-gram from every document
+    (the Lee et al. 2022 policy of cutting all copies of a duplicated
+    span — at real-corpus duplication rates, keeping zero copies of
+    boilerplate is the point) and re-emit the cleaned text. The
+    q_dup_span_coverage twin meters what this removes.
+
+    Scale shape: duplicated spans come from the same inverted-index
+    groupBy as the coverage measure; covered positions are a bounded
+    explode of matched spans (≤ 5 × matches, not corpus-sized); the
+    strip is one anti-join of positional tokens against covered
+    positions, and reassembly is a per-doc sort of that doc's own
+    kept tokens — all shuffles are keyed on doc_id or gram, nothing
+    collects."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = fan_out(d).select("doc_id", whitespace_tokens("text").alias("ws"))
+    covered = (
+        _dup_spans(tok)
+        .select("doc_id", F.explode(F.sequence("s", "e")).alias("pos"))
+        .distinct()
+    )
+    toks = tok.filter(F.size("ws") > 0).select(
+        "doc_id", F.posexplode("ws").alias("pos", "t")
+    )
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "t"))),
+                lambda s: s.getField("t"),
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    n = tok.select("doc_id", F.size("ws").cast("long").alias("n_tokens")).filter(
+        F.col("n_tokens") > 0
+    )
+    return n.join(agg, "doc_id", "left").select(
+        "doc_id",
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).cast("long").alias("n_removed"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# temperature-rebalanced domain mixing (multilingual-style alpha sampling)
+
+_TEMP_ALPHA = 0.5
+_TEMP_GATE = 1_000_000
+
+TEMPERATURE_MIX_ORACLE = rf"""
+WITH lc AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+mn AS (SELECT MIN(n) AS n_min FROM lc),
+rates AS (
+    SELECT lang, n, FLOOR(sqrt(n_min * 1.0 / n) * {_TEMP_GATE}) AS gate_bar
+    FROM lc, mn
+),
+gated AS (
+    SELECT d.lang,
+           CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))::INT
+                     % {_TEMP_GATE} < r.gate_bar
+                THEN 1 ELSE 0 END AS keep
+    FROM documents d JOIN rates r USING (lang)
+)
+SELECT g.lang, CAST(r.n AS BIGINT) AS n_docs,
+       CAST(SUM(g.keep) AS BIGINT) AS n_kept,
+       ROUND(r.gate_bar * 1.0 / {_TEMP_GATE}, 6) AS target_rate
+FROM gated g JOIN rates r USING (lang)
+GROUP BY g.lang, r.n, r.gate_bar
+"""
+
+
+@query("q_temperature_mix", TEMPERATURE_MIX_ORACLE)
+def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-rebalanced language mixing (α = {alpha}): downsample
+    each language toward share ∝ n^α — the XLM-R/mC4 recipe that keeps
+    low-resource languages from drowning — normalized so the smallest
+    language keeps every document: keep-rate_L = sqrt(n_min / n_L).
+    Sampling is a deterministic content-addressed md5 gate per doc (the
+    engine-independent coin every split/mixing op here uses), so the
+    sample is reproducible and the oracle recomputes it exactly; the
+    rate is floored onto a {gate}-grid so a last-ulp sqrt difference
+    between engines cannot flip a keep decision.
+
+    Scale shape: one |languages|-row count aggregate, its min as a
+    broadcast scalar, rates broadcast back onto the corpus scan, and
+    the keep decision is map-only column algebra — one partial-agg
+    shuffle end to end."""
+    d = load_table(spark, sf_dir, "documents")
+    lc = fan_out(d).groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    mn = lc.agg(F.min("n").alias("n_min"))
+    rates = lc.crossJoin(F.broadcast(mn)).select(
+        "lang",
+        "n",
+        F.floor(F.sqrt(F.col("n_min") * 1.0 / F.col("n")) * _TEMP_GATE).alias("gate_bar"),
+    )
+    gate = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % _TEMP_GATE
+    )
+    gated = d.join(F.broadcast(rates), "lang").select(
+        "lang",
+        "n",
+        "gate_bar",
+        F.when(gate < F.col("gate_bar"), 1).otherwise(0).alias("keep"),
+    )
+    return gated.groupBy("lang", "n", "gate_bar").agg(
+        F.sum("keep").cast("long").alias("n_kept")
+    ).select(
+        "lang",
+        F.col("n").cast("long").alias("n_docs"),
+        "n_kept",
+        F.round(F.col("gate_bar") * 1.0 / _TEMP_GATE, 6).alias("target_rate"),
+    )
+
+
+temperature_mix.__doc__ = temperature_mix.__doc__.format(
+    alpha=_TEMP_ALPHA, gate=_TEMP_GATE
+)

@@ -154,6 +154,9 @@ EMPTY_SAFE = [
     # round 4
     "q_dup_span_coverage",
     "q_pmi_bigrams",
+    "q_dup_span_removal",
+    "q_temperature_mix",
+    "q_quality_classifier",
 ]
 
 # global aggregates return one constant row on empty input (their

@@ -68,3 +68,90 @@ def test_pq_ann_recall_vs_exact(spark):
     for r in rows:
         true_d = float(np.sqrt(np.sum((vecs[r.vec_id] - q) ** 2)))
         assert abs(r.l2_dist - round(true_d, 4)) < 1e-9, r
+
+
+def test_dup_span_removal_planted(spark, tiny_docs_dir):
+    """Exact copies are fully stripped; the one-word-changed doc keeps
+    exactly the changed token; untouched docs round-trip verbatim."""
+    rows = {r.doc_id: r for r in QUERIES["q_dup_span_removal"](spark, tiny_docs_dir).collect()}
+    assert rows[0].n_removed == 30 and rows[0].clean_text == ""
+    assert rows[1].n_removed == 30 and rows[1].clean_text == ""
+    assert rows[2].n_removed == 29 and rows[2].clean_text == "CHANGED"
+    base = " ".join(f"z{i}" for i in range(30))
+    assert rows[3].n_removed == 0 and rows[3].clean_text == base
+    assert rows[4].n_removed == 0 and rows[4].clean_text == "too short"
+
+
+def test_temperature_mix_invariants(spark):
+    """The smallest language keeps everything (rate 1.0); keep-rates
+    fall as language size grows; realized counts track the target rate
+    (the md5 gate is a uniform coin)."""
+    rows = sorted(
+        QUERIES["q_temperature_mix"](spark, "/root/testdata/sf0.01").collect(),
+        key=lambda r: r.n_docs,
+    )
+    assert rows[0].target_rate == 1.0
+    rates = [r.target_rate for r in rows]
+    assert rates == sorted(rates, reverse=True)
+    for r in rows:
+        assert 0 < r.n_kept <= r.n_docs
+        assert abs(r.n_kept - r.target_rate * r.n_docs) <= 0.15 * r.n_docs, r
+
+
+def test_pca_embed_sketch_matches_projection(spark):
+    """The distributed variance of the projected data must reproduce
+    each eigenvalue of the sketch-assembled covariance — sketch, eig
+    and projection proven consistent end to end; ratios must be
+    descending and cumulative share monotone below 1."""
+    rows = QUERIES["q_pca_embed"](spark, SF0001).collect()
+    assert len(rows) == 16
+    for r in rows:
+        assert abs(r.eigenvalue - r.proj_var) <= 2e-6, r
+    ev = [r.eigenvalue for r in rows]
+    assert ev == sorted(ev, reverse=True)
+    cums = [r.cum_explained for r in rows]
+    assert cums == sorted(cums) and cums[-1] <= 1.0
+
+
+def test_quality_classifier_learns_planted_signal(spark, tmp_path):
+    """On a corpus where the label IS expressible in the features
+    (English docs stuffed with stopwords, German docs with none) the
+    distributed trainer must separate almost perfectly; this pins that
+    gradient partials, the driver reduce, and the update actually
+    learn — the real-corpus fixture only exercises the mechanics."""
+    rows = []
+    for i in range(120):
+        if i % 2 == 0:
+            text = " ".join(["the", "a", "of", "and", "to"] * 6)
+            lang = "en"
+        else:
+            text = " ".join(f"wort{j}" for j in range(30))
+            lang = "de"
+        rows.append((i, text, lang, "src0", len(text)))
+    d = tmp_path / "planted"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(2).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    out = {r.feature: r for r in QUERIES["q_quality_classifier"](spark, str(d)).collect()}
+    any_row = out["bias"]
+    assert any_row.train_acc >= 0.95, any_row
+    assert any_row.loss_final < any_row.loss_initial / 2, any_row
+    # the stopword-ratio coefficient must carry the positive signal
+    assert out["stopword_ratio"].coef > 0
+
+
+def test_quality_classifier_mechanics_on_fixture(spark):
+    """On the real (near-unseparable) fixture the trainer still must
+    monotonically improve on the w=0 loss (ln 2) and never fall below
+    coin-flip accuracy; coefficients stay finite."""
+    import math
+
+    rows = QUERIES["q_quality_classifier"](spark, SF0001).collect()
+    assert {r.feature for r in rows} == {
+        "bias", "log_tokens", "mean_tok_len", "stopword_ratio", "vowel_ratio"
+    }
+    r0 = rows[0]
+    assert abs(r0.loss_initial - math.log(2)) < 1e-6
+    assert r0.loss_final < r0.loss_initial
+    assert r0.train_acc >= 0.5
+    assert all(abs(r.coef) < 100 for r in rows)
