@@ -1813,3 +1813,67 @@ def new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# truncated exponentially-weighted moving average (bounded-frame EWMA)
+
+_EWMA_ALPHA = 0.2
+_EWMA_SPAN = 20  # frame rows; tail weight 0.8^19 ≈ 1.4% — negligible
+
+EWMA_ORACLE = f"""
+WITH w AS (
+    SELECT user_id, event_id,
+           list(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {_EWMA_SPAN - 1} PRECEDING AND CURRENT ROW) AS arr
+    FROM events
+)
+SELECT user_id, event_id,
+       ROUND(
+           list_sum(list_transform(arr, (x, i) -> x * pow({1 - _EWMA_ALPHA}, len(arr) - i)))
+           / ((1 - pow({1 - _EWMA_ALPHA}, len(arr))) / {_EWMA_ALPHA}),
+           4) AS ewma
+FROM w
+"""
+
+
+@query("q_ewma", EWMA_ORACLE)
+def ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average over a bounded
+    {span}-row frame (α = {alpha}; the truncated tail carries <1.5% of
+    the mass) — the smoothed-trend metric next to q_rolling_median's
+    robust one, and the numerically safe distributed EWMA shape: the
+    textbook recursion s_t = αy_t + (1-α)s_{{t-1}} is sequential per
+    key and its closed-form window rewrite Σ y_j (1-α)^(-j) overflows
+    doubles on long histories, while a bounded frame is an
+    order-preserving collect + in-row weighted fold in pure column
+    algebra (whole-stage codegen, no UDF), one exchange on user_id.
+    The weight normalizer is the closed-form geometric sum, not a
+    second fold."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_SPAN - 1), Window.currentRow)
+    )
+    # materialize the frame array into a named column BEFORE the
+    # higher-order fold: window functions cannot appear inside a
+    # lambda, and the measured HOF-recompute trap (functions/text.py)
+    # re-evaluates unmaterialized expressions per element
+    framed = e.select(
+        "user_id",
+        "event_id",
+        F.collect_list("value").over(w).alias("arr"),  # oldest .. current
+    )
+    decay = F.lit(1.0 - _EWMA_ALPHA)
+    n = F.size("arr")
+    weighted = F.transform("arr", lambda x, i: x * F.pow(decay, n - 1 - i))
+    num = F.aggregate(weighted, F.lit(0.0), lambda s, v: s + v)
+    den = (F.lit(1.0) - F.pow(decay, n)) / F.lit(_EWMA_ALPHA)
+    return framed.select(
+        "user_id", "event_id", F.round(num / den, 4).alias("ewma")
+    )
+
+
+ewma.__doc__ = ewma.__doc__.format(span=_EWMA_SPAN, alpha=_EWMA_ALPHA)

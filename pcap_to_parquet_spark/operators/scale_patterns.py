@@ -181,6 +181,27 @@ GROUP BY day
 """
 
 
+def _event_type_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as a Hive-partitioned (by event_type) parquet
+    lake; built once per (input, logic-version) key and reused by
+    every query that wants partition-wise physics (static pruning in
+    q_partitioned_lake, dynamic partition pruning in q_dpp_join)."""
+    from pcap_to_parquet_spark.sources import keyed_tmp_dirs, load_table
+
+    src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    (out,) = keyed_tmp_dirs("lake", src, "v1-by-event-type", "by_type")
+    ev = load_table(spark, sf_dir, "events")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        ev.write.mode("overwrite").partitionBy("event_type").option(
+            "compression", "zstd"
+        ).parquet(out)
+    # explicit schema: an EMPTY input writes no partition directories,
+    # and schema inference over a bare _SUCCESS dir raises — the empty
+    # lake must read back as an empty frame (same rule as the
+    # streaming sink's readback)
+    return spark.read.schema(ev.schema).parquet(out)
+
+
 @query("q_partitioned_lake", PARTITIONED_LAKE_ORACLE)
 def partitioned_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioned lake layout end-to-end: write events partitioned by
@@ -196,20 +217,7 @@ def partitioned_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     reused when valid — same staleness contract as the streaming sink;
     superseded keyed dirs are swept per source family
     (sources.tables.keyed_tmp_dirs)."""
-    from pcap_to_parquet_spark.sources import keyed_tmp_dirs, load_table
-
-    src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
-    (out,) = keyed_tmp_dirs("lake", src, "v1-by-event-type", "by_type")
-    ev = load_table(spark, sf_dir, "events")
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        ev.write.mode("overwrite").partitionBy("event_type").option(
-            "compression", "zstd"
-        ).parquet(out)
-    # explicit schema: an EMPTY input writes no partition directories,
-    # and schema inference over a bare _SUCCESS dir raises — the empty
-    # lake must read back as an empty frame (same rule as the
-    # streaming sink's readback)
-    lake = spark.read.schema(ev.schema).parquet(out)
+    lake = _event_type_lake(spark, sf_dir)
     return (
         lake.filter(F.col("event_type") == "purchase")
         .groupBy(
@@ -671,4 +679,49 @@ def cow_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dynamic partition pruning: runtime dim filter prunes lake directories
+
+DPP_JOIN_ORACLE = """
+WITH hot AS (
+    SELECT event_type FROM events GROUP BY event_type HAVING AVG(value) > 50
+)
+SELECT e.event_type, COUNT(*) AS n_events, ROUND(SUM(e.value), 4) AS total_value
+FROM events e JOIN hot USING (event_type)
+GROUP BY e.event_type
+"""
+
+
+@query("q_dpp_join", DPP_JOIN_ORACLE)
+def dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning: q_partitioned_lake's filter is known
+    at plan time; here the qualifying event_types are only known at
+    RUNTIME (an aggregate decides them), yet the partitioned scan must
+    still skip the losing directories. Spark plants a DynamicPruning
+    subquery on the scan's partition column, reuses the dim's
+    broadcast as the filter, and the lake reads only qualifying
+    partitions — the date-dim ⋈ fact pattern that makes star-schema
+    queries feasible at 100 TB without hand-written predicates.
+    tests/test_plan_shapes.py pins the dynamicpruning expression in
+    the scan's partition filters."""
+    lake = _event_type_lake(spark, sf_dir)
+    from pcap_to_parquet_spark.sources import load_table
+
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.avg("value").alias("avg_value"))
+        .filter(F.col("avg_value") > 50)
+        .select("event_type")
+    )
+    return (
+        lake.join(F.broadcast(dim), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
     )

@@ -1110,3 +1110,86 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_shared_shingles")
     )
     return run_to_memory(shared, "update")
+
+
+# ---------------------------------------------------------------------------
+# streaming EWMA: O(1)-state recursion, the stateful twin of q_ewma
+
+_SEWMA_ALPHA = 0.2
+
+STREAM_EWMA_ORACLE = f"""
+WITH ordered AS (
+    SELECT user_id,
+           list(value ORDER BY ts, event_id) AS arr
+    FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(arr) AS BIGINT) AS n_events,
+       ROUND(
+           arr[1] * pow({1 - _SEWMA_ALPHA}, len(arr) - 1)
+           + list_sum(list_transform(arr, (x, i) ->
+               CASE WHEN i = 1 THEN 0.0
+                    ELSE {_SEWMA_ALPHA} * x * pow({1 - _SEWMA_ALPHA}, len(arr) - i)
+               END)),
+           4) AS ewma
+FROM ordered
+"""
+
+
+@query("q_stream_ewma", STREAM_EWMA_ORACLE)
+def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA as a STATEFUL STREAMING operator: the textbook
+    recursion s = αy + (1-α)s that q_ewma's docstring rules out for
+    batch (sequential per key, overflow-prone closed form) is exactly
+    what ``applyInPandasWithState`` is for — the state is ONE double
+    per key forever, the canonical O(1)-state metric (latency EMA,
+    rate estimators, per-entity health scores).
+
+    Update-mode emission yields each key's latest smoothed value;
+    rows are applied in (ts, event_id) order WITHIN each micro-batch's
+    accumulated input. A recursion cannot retroactively reorder state,
+    so cross-batch order must come from ingestion — time-partitioned
+    files arriving chronologically, the standard event-log layout;
+    tests/test_streaming.py pins that a chronologically chopped
+    multi-batch run reproduces the single-batch result. Oracle-
+    checkable because the final state over the full history equals the
+    closed-form weighted sum — safe in the oracle at verification
+    scale, where per-user histories are short and decay powers only
+    shrink."""
+    e = stream_events(spark, sf_dir)
+    return run_to_memory(ewma_stateful(e), "update").orderBy("user_id")
+
+
+def ewma_stateful(e: DataFrame) -> DataFrame:
+    """The stateful-EWMA transformation on any events stream; factored
+    so tests can drive it with a chopped (multi-micro-batch) source."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        n, s = state.get if state.exists else (0, 0.0)
+        rows = []
+        for pdf in pdfs:
+            for ts, eid, val in zip(pdf["ts"], pdf["event_id"], pdf["value"]):
+                rows.append((ts.value, int(eid), float(val)))
+        rows.sort()
+        for _, _, val in rows:
+            s = val if n == 0 else _SEWMA_ALPHA * val + (1 - _SEWMA_ALPHA) * s
+            n += 1
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "ewma": [round(s, 4)]}
+        )
+
+    return (
+        e.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, ewma double",
+            stateStructType="n long, s double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

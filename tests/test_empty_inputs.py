@@ -157,6 +157,8 @@ EMPTY_SAFE = [
     "q_dup_span_removal",
     "q_temperature_mix",
     "q_quality_classifier",
+    "q_ewma",
+    "q_dpp_join",
 ]
 
 # global aggregates return one constant row on empty input (their

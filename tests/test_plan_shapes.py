@@ -557,3 +557,17 @@ def test_q6_filters_reach_the_scan(spark):
     assert p["pushed_filters"] >= 1
     assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
     assert p.get("HashAggregate", 0) == 2
+
+
+def test_dpp_join_prunes_partitions_at_runtime(spark):
+    """The runtime-dim join over the partitioned lake must carry a
+    DynamicPruning expression in the scan's partition filters — the
+    directory skip happens even though the qualifying event_types are
+    only known after the dim aggregate runs."""
+    from pcap_to_parquet_spark.plans.inspect import plan_string
+
+    plan = plan_string(QUERIES["q_dpp_join"](spark, SF001))
+    assert "dynamicpruningexpression" in plan.lower(), plan[:2000]
+    p = prof(spark, "q_dpp_join")
+    assert "CartesianProduct" not in p
+    assert p.get("BroadcastHashJoin", 0) >= 1  # dim broadcast reused as filter

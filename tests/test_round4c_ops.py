@@ -155,3 +155,33 @@ def test_quality_classifier_mechanics_on_fixture(spark):
     assert r0.loss_final < r0.loss_initial
     assert r0.train_acc >= 0.5
     assert all(abs(r.coef) < 100 for r in rows)
+
+
+def test_ewma_first_row_and_pull(spark):
+    """Each user's chronologically-first event has EWMA == its own
+    value (frame of one, normalizer 1); every EWMA lies within the
+    running min/max of its frame (a weighted mean cannot escape its
+    inputs)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pcap_to_parquet_spark.sources import load_table
+
+    got = {(r.user_id, r.event_id): r.ewma for r in QUERIES["q_ewma"](spark, SF0001).collect()}
+    e = load_table(spark, SF0001, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(-19, Window.currentRow)
+    rows = e.select(
+        "user_id",
+        "event_id",
+        F.round("value", 4).alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.min("value").over(wf).alias("lo"),
+        F.max("value").over(wf).alias("hi"),
+    ).collect()
+    assert len(rows) == len(got)
+    for r in rows:
+        ew = got[(r.user_id, r.event_id)]
+        if r.rn == 1:
+            assert abs(ew - r.v) < 1e-9, r
+        assert r.lo - 1e-4 <= ew <= r.hi + 1e-4, (r, ew)

@@ -100,3 +100,52 @@ def test_stream_dedup_microbatch_invariance(spark, tmp_path):
         .collect()
     }
     assert got == exp
+
+
+def test_stream_ewma_ordered_multibatch_matches_single(spark, tmp_path):
+    """Chronologically chopped ingestion (the event-log layout the
+    operator documents) must leave the per-key EWMA recursion
+    unchanged: 4 time-range files streamed one per trigger == the
+    single-batch run. Files are written sequentially so modification
+    times make the file source replay them in time order."""
+    import time as _time
+
+    from pcap_to_parquet_spark.streaming.stream_queries import ewma_stateful
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.schema(events_raw_schema(SF0001)).parquet(
+        f"{SF0001}/events.parquet"
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("ts", "event_id")
+    ranked = raw.withColumn("_chunk", F.ntile(4).over(w))
+    d = str(tmp_path / "events_by_time")
+    for i in range(1, 5):
+        part = ranked.filter(F.col("_chunk") == i).drop("_chunk")
+        part.coalesce(1).write.parquet(f"{d}/chunk={i}")
+        _time.sleep(1.1)  # distinct mtimes -> deterministic replay order
+
+    def run(stream_df):
+        e = normalize_event_ts(stream_df)
+        rows = run_to_memory(ewma_stateful(e), "update").collect()
+        # update-mode memory sink keeps every micro-batch's emission;
+        # the operator's contract is each key's LATEST state
+        latest = {}
+        for r in rows:
+            if r.user_id not in latest or r.n_events > latest[r.user_id].n_events:
+                latest[r.user_id] = r
+        return {tuple(r) for r in latest.values()}
+
+    chopped = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    whole = (
+        spark.readStream.schema(raw.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    assert run(chopped) == run(whole)
