@@ -2055,8 +2055,20 @@ def pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     L2 (0.8@10 on the weakly-clustered synthetic embeddings, vs 0.2
     for raw ADC) is pinned in tests/test_round4c_ops.py."""
     em = fan_out(load_table(spark, sf_dir, "embeddings")).cache()
-    d_sub = 64 // PQ_M
+    books = pq_train(em)
+    out = pq_search(em, em, books)
+    em.unpersist()
+    return out
 
+
+pq_ann.__doc__ = pq_ann.__doc__.format(m=PQ_M, k=PQ_K, short=50)
+
+
+def pq_train(em: DataFrame):  # type: ignore[no-untyped-def]
+    """Learn the (PQ_M, PQ_K, d_sub) subspace codebooks over ``em``;
+    deterministic Lloyd rounds seeded from the PQ_K smallest vec_ids.
+    Only (sub, code) partial sums leave the executors."""
+    d_sub = 64 // PQ_M
     init = em.orderBy("vec_id").limit(PQ_K).collect()
     # codebooks[s] : (PQ_K, d_sub) — subspace s's centroid matrix
     books = np.stack(
@@ -2094,7 +2106,13 @@ def pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         nz = cnt > 0  # empty codes keep their previous centroid
         books = books.copy()
         books[nz] = acc[nz] / cnt[nz][:, None]
+    return books
 
+
+def pq_search(candidates: DataFrame, em: DataFrame, books) -> DataFrame:  # type: ignore[no-untyped-def]
+    """ADC-shortlist + exact-rerank top-10 of ``candidates`` for the
+    vec_id==0 query vector in ``em``, using trained ``books``."""
+    d_sub = 64 // PQ_M
     bfinal = books
     qrow = em.filter(F.col("vec_id") == 0).select("embedding").collect()
     qsub = np.asarray(qrow[0].embedding, dtype=np.float64).reshape(PQ_M, d_sub)
@@ -2110,7 +2128,7 @@ def pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.Series(adc[np.arange(PQ_M)[None, :], codes].sum(axis=1))
 
     shortlist = (
-        em.filter(F.col("vec_id") != 0)
+        candidates.filter(F.col("vec_id") != 0)
         .select("vec_id", pq_dist("embedding").alias("adc"))
         .orderBy(F.col("adc").asc(), F.col("vec_id"))
         .limit(PQ_SHORTLIST)
@@ -2126,7 +2144,7 @@ def pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s, v: s + v.cast("double"),
         )
     )
-    out = (
+    return (
         em.join(F.broadcast(shortlist.select("vec_id")), "vec_id")
         .join(F.broadcast(qvec))
         .select("vec_id", "label", l2.alias("raw"))
@@ -2134,11 +2152,54 @@ def pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id", "label", F.round("raw", 4).alias("l2_dist"))
     )
+
+
+@query("q_ivf_pq")  # rows-only: composed approximate index
+def ivf_pq(spark: SparkSession, sf_dir: str, n_probes: int = 3) -> DataFrame:
+    """IVF-PQ, the composition the two index halves exist for (and the
+    FAISS default at billion scale): q_similarity_ivf's inverted lists
+    prune WHICH vectors are considered (read n_probes/10 of the
+    corpus), q_pq_ann's codebooks make each considered vector cost
+    {m} bytes and a table lookup. Codebooks are trained corpus-wide
+    (standard: one quantizer, many lists), candidates are the probed
+    lists only, and the ADC shortlist is exactly reranked. Recall
+    relative to plain IVF at the same probe count is pinned in
+    tests/test_round4c_ops.py — PQ's quantization loss must cost at
+    most a small recall delta once the rerank runs."""
+    em = fan_out(load_table(spark, sf_dir, "embeddings")).cache()
+    books = pq_train(em)
+    # probe selection: label-centroid lists, exactly similarity_ivf's
+    comp = em.select(
+        "label",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias("pos", "val"),
+    )
+    centroids = (
+        comp.groupBy("label", "pos")
+        .agg(F.avg("val").alias("cval"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pv"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.transform("pv", lambda s: s.getField("cval")).alias("centroid"),
+        )
+    )
+    qvec = em.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_embedding"))
+    probe = (
+        centroids.join(F.broadcast(qvec))
+        .select("c_label", cosine_similarity("q_embedding", "centroid").alias("c_cos"))
+        .orderBy(F.col("c_cos").desc(), F.col("c_label"))
+        .limit(n_probes)
+        .select("c_label")
+    )
+    candidates = em.join(
+        F.broadcast(probe), em.label == F.col("c_label"), "left_semi"
+    )
+    out = pq_search(candidates, em, books)
     em.unpersist()
     return out
 
 
-pq_ann.__doc__ = pq_ann.__doc__.format(m=PQ_M, k=PQ_K, short=50)
+ivf_pq.__doc__ = ivf_pq.__doc__.format(m=PQ_M)
 
 
 # ---------------------------------------------------------------------------

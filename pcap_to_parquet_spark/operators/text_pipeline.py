@@ -1194,3 +1194,78 @@ def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 temperature_mix.__doc__ = temperature_mix.__doc__.format(
     alpha=_TEMP_ALPHA, gate=_TEMP_GATE
 )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training: the iterative tokenizer-vocabulary kernel
+
+_BPE_ROUNDS = 10
+
+
+@query("q_bpe_merges")  # rows-only: iterative greedy algorithm, no SQL analogue
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge training (Sennrich et al. 2016), the
+    tokenizer-vocabulary kernel q_vocab_build's frequency list feeds:
+    {rounds} rounds of (count adjacent symbol pairs) → (merge the most
+    frequent pair corpus-wide, ties broken lexicographically).
+
+    The scale trick is the one real BPE trainers use: iterate over the
+    WORD-FREQUENCY table, not the corpus — one corpus scan builds
+    (word, count), and every round after that touches only the
+    vocabulary (weighted pair counts via explode, one argmax row to
+    the driver, map-side left-to-right greedy re-segmentation as a
+    pure column-algebra array fold). A 100 TB corpus and a 1 GB corpus
+    pay the same per-round cost. Outputs the learned merge table
+    (round, left, right, merged, pair_count); greedy left-to-right
+    semantics and max-count monotonicity are pinned in
+    tests/test_round4c_ops.py."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        fan_out(d)
+        .select(F.explode(whitespace_tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.split("word", "").alias("syms"), "cnt")
+        .localCheckpoint(eager=True)  # vocabulary-sized; rounds re-read it
+    )
+    merges = []
+    for rnd in range(_BPE_ROUNDS):
+        k = F.greatest(F.size("syms") - 1, F.lit(0))
+        pair = F.zip_with(
+            F.slice("syms", 1, k),
+            F.slice("syms", 2, k),
+            lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+        )
+        top = (
+            words.select(F.explode(pair).alias("p"), "cnt")
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.col("n").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] is None:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        merges.append((rnd, a, b, a + b, n))
+        # left-to-right greedy re-segmentation: fold each word's symbol
+        # array, merging (a, b) when b arrives right after an unmerged a
+        merged = F.aggregate(
+            "syms",
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        words = words.select(merged.alias("syms"), "cnt").localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "round int, left string, right string, merged string, pair_count long"
+    )
+
+
+bpe_merges.__doc__ = bpe_merges.__doc__.format(rounds=_BPE_ROUNDS)

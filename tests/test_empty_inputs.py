@@ -159,6 +159,7 @@ EMPTY_SAFE = [
     "q_quality_classifier",
     "q_ewma",
     "q_dpp_join",
+    "q_bpe_merges",
 ]
 
 # global aggregates return one constant row on empty input (their

@@ -185,3 +185,105 @@ def test_ewma_first_row_and_pull(spark):
         if r.rn == 1:
             assert abs(ew - r.v) < 1e-9, r
         assert r.lo - 1e-4 <= ew <= r.hi + 1e-4, (r, ew)
+
+
+def _bpe_reference(word_counts, rounds):
+    """Plain-Python BPE trainer: same greedy left-to-right merge and
+    (count desc, pair asc) tie-break as the distributed operator."""
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for rnd in range(rounds):
+        pairs = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = pairs.get((syms[i], syms[i + 1]), 0) + c
+        if not pairs:
+            break
+        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rnd, a, b, a + b, n))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_merges_match_pure_python_reference(spark, tmp_path):
+    """The distributed trainer must reproduce a plain-Python BPE's
+    merge table exactly — pair choice, tie-break, greedy left-to-right
+    re-segmentation (incl. the aaa/aa overlap rule) — on a corpus with
+    repeats, ties and single-char words."""
+    words = (
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+        + ["aaaa"] * 4 + ["a"] * 7 + ["banana"] * 2
+    )
+    docs = [
+        (i, " ".join(words[i::3]), "en", "src0", 1) for i in range(3)
+    ]
+    d = tmp_path / "bpe"
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+
+    got = [tuple(r) for r in QUERIES["q_bpe_merges"](spark, str(d)).collect()]
+    wc = {}
+    for w in words:
+        wc[w] = wc.get(w, 0) + 1
+    want = _bpe_reference(wc, 10)
+    assert got == want
+    counts = [r[4] for r in got]
+    assert counts == sorted(counts, reverse=True)  # max-count monotonicity
+
+
+def test_ivf_pq_stays_in_probed_lists_and_recovers_them(spark):
+    """IVF-PQ may only return vectors from the 3 probed lists (the
+    pruning contract), and within those lists the PQ shortlist + exact
+    rerank must recover most of the list-restricted true top-10 (the
+    quantization contract)."""
+    from pcap_to_parquet_spark.sources import load_table
+
+    rows = QUERIES["q_ivf_pq"](spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 10
+    dists = [r.l2_dist for r in rows]
+    assert dists == sorted(dists)
+
+    em = load_table(spark, "/root/testdata/sf0.01", "embeddings").collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in em}
+    labels = {r.vec_id: r.label for r in em}
+    q = vecs[0]
+
+    # mirror the probe selection: cosine of q to each label's mean
+    cent = {}
+    for v, lab in labels.items():
+        cent.setdefault(lab, []).append(vecs[v])
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    probed = {
+        lab
+        for lab, _ in sorted(
+            ((lab, cos(q, np.mean(vs, axis=0))) for lab, vs in cent.items()),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:3]
+    }
+    assert all(labels[r.vec_id] in probed for r in rows)
+
+    in_lists = {
+        k for k in vecs if k != 0 and labels[k] in probed
+    }
+    best_in_lists = {
+        k
+        for _, k in sorted(
+            (float(np.sum((vecs[k] - q) ** 2)), k) for k in in_lists
+        )[:10]
+    }
+    got = {r.vec_id for r in rows}
+    assert len(best_in_lists & got) / 10 >= 0.7
