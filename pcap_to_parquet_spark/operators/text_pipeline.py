@@ -1248,24 +1248,71 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
         merges.append((rnd, a, b, a + b, n))
-        # left-to-right greedy re-segmentation: fold each word's symbol
-        # array, merging (a, b) when b arrives right after an unmerged a
-        merged = F.aggregate(
-            "syms",
-            F.array().cast("array<string>"),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(a))
-                & (x == F.lit(b)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
-        words = words.select(merged.alias("syms"), "cnt").localCheckpoint(eager=True)
+        words = words.select(
+            _apply_merge("syms", a, b).alias("syms"), "cnt"
+        ).localCheckpoint(eager=True)
     return spark.createDataFrame(
         merges, "round int, left string, right string, merged string, pair_count long"
     )
 
 
 bpe_merges.__doc__ = bpe_merges.__doc__.format(rounds=_BPE_ROUNDS)
+
+
+def _apply_merge(syms, a: str, b: str):  # type: ignore[no-untyped-def]
+    """Left-to-right greedy re-segmentation: fold the symbol array,
+    merging (a, b) into a+b when b arrives right after an unmerged a
+    (the aaa + (a,a) → [aa, a] overlap rule falls out of the fold)."""
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+@query("q_bpe_encode")  # rows-only: applies the iteratively-trained merge table
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merge table (q_bpe_merges) to the corpus —
+    the ENCODE half of the tokenizer: per document, how many subword
+    symbols its words decompose into after the {rounds} trained merges.
+
+    The scale trick mirrors real encoders: the merge chain is applied
+    to the DISTINCT VOCABULARY once (each merge is one greedy
+    column-algebra fold, chained in training order), and the corpus is
+    then a broadcast join of tokens against the word → n_symbols map —
+    encode cost scales with the vocabulary, the corpus pays one scan
+    and a vocabulary-sized hash lookup. Per-doc symbol counts are
+    pinned against a plain-Python encoder in
+    tests/test_round4c_ops.py."""
+    merge_rows = bpe_merges(spark, sf_dir).collect()
+    d = load_table(spark, sf_dir, "documents")
+    tok = fan_out(d).select("doc_id", F.explode(whitespace_tokens("text")).alias("word"))
+    vocab = tok.select("word").distinct()
+    syms = F.split("word", "")
+    for r in merge_rows:
+        syms = _apply_merge(syms, r.left, r.right)
+    vocab_enc = vocab.select("word", F.size(syms).alias("n_syms"))
+    return (
+        tok.join(F.broadcast(vocab_enc), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_syms").cast("long").alias("n_symbols"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_symbols",
+            F.round(F.col("n_symbols") * 1.0 / F.col("n_words"), 4).alias(
+                "syms_per_word"
+            ),
+        )
+    )
+
+
+bpe_encode.__doc__ = bpe_encode.__doc__.format(rounds=_BPE_ROUNDS)

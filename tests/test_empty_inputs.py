@@ -160,6 +160,7 @@ EMPTY_SAFE = [
     "q_ewma",
     "q_dpp_join",
     "q_bpe_merges",
+    "q_bpe_encode",
 ]
 
 # global aggregates return one constant row on empty input (their

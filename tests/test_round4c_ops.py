@@ -287,3 +287,43 @@ def test_ivf_pq_stays_in_probed_lists_and_recovers_them(spark):
     }
     got = {r.vec_id for r in rows}
     assert len(best_in_lists & got) / 10 >= 0.7
+
+
+def test_bpe_encode_matches_reference_encoder(spark, tmp_path):
+    """Per-doc symbol counts after applying the trained merges must
+    equal a plain-Python encoder running the same merge table."""
+    words = (
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+        + ["aaaa"] * 4 + ["a"] * 7 + ["banana"] * 2
+    )
+    docs = [(i, " ".join(words[i::3]), "en", "src0", 1) for i in range(3)]
+    d = tmp_path / "bpe_enc"
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+
+    wc = {}
+    for w in words:
+        wc[w] = wc.get(w, 0) + 1
+    merges = _bpe_reference(wc, 10)
+
+    def encode_len(word):
+        syms = list(word)
+        for _, a, b, _, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    got = {r.doc_id: r for r in QUERIES["q_bpe_encode"](spark, str(d)).collect()}
+    for i, text, *_ in docs:
+        ws = text.split()
+        want = sum(encode_len(w) for w in ws)
+        assert got[i].n_words == len(ws)
+        assert got[i].n_symbols == want, (i, got[i], want)
