@@ -1877,3 +1877,62 @@ def ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ewma.__doc__ = ewma.__doc__.format(span=_EWMA_SPAN, alpha=_EWMA_ALPHA)
+
+
+# ---------------------------------------------------------------------------
+# per-entity Holt linear smoothing (many-small-models, applyInPandas)
+
+_HOLT_ALPHA = 0.5
+_HOLT_BETA = 0.3
+
+
+@query("q_holt_forecast")  # rows-only: sequential per-key recursion
+def holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear (level + trend) exponential smoothing per user —
+    the MANY-SMALL-MODELS pattern: thousands of per-entity time-series
+    models trained in parallel, one tiny sequential model per key.
+    This is what ``groupBy().applyInPandas`` exists for: the recursion
+    l_t = αy_t + (1-α)(l+b), b_t = β(l_t-l) + (1-β)b is inherently
+    sequential WITHIN a key but embarrassingly parallel ACROSS keys,
+    so the cluster cost is one shuffle on user_id and a per-group
+    numpy pass — no driver loop, no global window (contrast q_ewma's
+    windowed shape, which trades the trend term for pure column
+    algebra).
+
+    Output per user: final level, trend, and 1-step-ahead forecast;
+    reproduced exactly by a plain-Python reference in
+    tests/test_round4c_ops.py."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        y = pdf["value"].to_numpy(dtype="float64")
+        uid = int(pdf["user_id"].iloc[0])
+        if len(y) == 1:
+            lvl, trd = float(y[0]), 0.0
+        else:
+            lvl, trd = float(y[0]), float(y[1] - y[0])
+            for v in y[1:]:
+                prev = lvl
+                lvl = _HOLT_ALPHA * float(v) + (1 - _HOLT_ALPHA) * (lvl + trd)
+                trd = _HOLT_BETA * (lvl - prev) + (1 - _HOLT_BETA) * trd
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_events": [len(y)],
+                "level": [round(lvl, 4)],
+                "trend": [round(trd, 4)],
+                "forecast": [round(lvl + trd, 4)],
+            }
+        )
+
+    return (
+        e.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(
+            fit,
+            "user_id long, n_events long, level double, trend double, forecast double",
+        )
+    )

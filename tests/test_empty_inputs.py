@@ -161,6 +161,7 @@ EMPTY_SAFE = [
     "q_dpp_join",
     "q_bpe_merges",
     "q_bpe_encode",
+    "q_holt_forecast",
 ]
 
 # global aggregates return one constant row on empty input (their

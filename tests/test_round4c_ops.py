@@ -327,3 +327,35 @@ def test_bpe_encode_matches_reference_encoder(spark, tmp_path):
         want = sum(encode_len(w) for w in ws)
         assert got[i].n_words == len(ws)
         assert got[i].n_symbols == want, (i, got[i], want)
+
+
+def test_holt_forecast_matches_reference(spark):
+    """Every user's (level, trend, forecast) must equal a plain-Python
+    Holt recursion over the same (ts, event_id)-ordered values."""
+    from pcap_to_parquet_spark.sources import load_table
+
+    got = {r.user_id: r for r in QUERIES["q_holt_forecast"](spark, SF0001).collect()}
+    events = sorted(
+        load_table(spark, SF0001, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    series = {}
+    for r in events:
+        series.setdefault(r.user_id, []).append(float(r.value))
+    assert set(got) == set(series)
+    for uid, y in series.items():
+        if len(y) == 1:
+            lvl, trd = y[0], 0.0
+        else:
+            lvl, trd = y[0], y[1] - y[0]
+            for v in y[1:]:
+                prev = lvl
+                lvl = 0.5 * v + 0.5 * (lvl + trd)
+                trd = 0.3 * (lvl - prev) + 0.7 * trd
+        r = got[uid]
+        assert r.n_events == len(y)
+        assert abs(r.level - round(lvl, 4)) < 1e-9, uid
+        assert abs(r.trend - round(trd, 4)) < 1e-9, uid
+        assert abs(r.forecast - round(lvl + trd, 4)) < 1e-9, uid
