@@ -429,3 +429,89 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# grouped multiple regression: closed-form normal equations per group
+
+MULTI_REGRESSION_ORACLE = """
+WITH f AS (
+    SELECT event_type,
+           CAST(hour(ts) AS DOUBLE) AS x1,
+           CAST(day(ts) AS DOUBLE) AS x2,
+           value AS y
+    FROM events
+),
+s AS (
+    SELECT event_type, COUNT(*) AS n,
+           SUM(x1) AS sx1, SUM(x2) AS sx2, SUM(y) AS sy,
+           SUM(x1 * x1) AS sx1x1, SUM(x1 * x2) AS sx1x2,
+           SUM(x2 * x2) AS sx2x2, SUM(x1 * y) AS sx1y, SUM(x2 * y) AS sx2y
+    FROM f GROUP BY event_type
+),
+c AS (
+    SELECT event_type, n,
+           sx1x1 - sx1 * sx1 / n AS a11,
+           sx1x2 - sx1 * sx2 / n AS a12,
+           sx2x2 - sx2 * sx2 / n AS a22,
+           sx1y - sx1 * sy / n AS c1,
+           sx2y - sx2 * sy / n AS c2,
+           sx1 / n AS mx1, sx2 / n AS mx2, sy / n AS my
+    FROM s
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       ROUND((a22 * c1 - a12 * c2) / (a11 * a22 - a12 * a12), 4) AS hour_slope,
+       ROUND((a11 * c2 - a12 * c1) / (a11 * a22 - a12 * a12), 4) AS day_slope,
+       ROUND(my - (a22 * c1 - a12 * c2) / (a11 * a22 - a12 * a12) * mx1
+                - (a11 * c2 - a12 * c1) / (a11 * a22 - a12 * a12) * mx2,
+             4) AS intercept
+FROM c
+"""
+
+
+@query("q_multi_regression", MULTI_REGRESSION_ORACLE)
+def multi_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature OLS per group (value ~ hour-of-day + day-of-month)
+    solved in closed form from ONE aggregation pass: the nine normal-
+    equation sums reduce map-side like any partial aggregate, the 2×2
+    system inverts in plain column algebra (centered cross-moments for
+    conditioning), and no row ever moves except into the groupBy —
+    multiple regression at 100 TB for the cost of a hash aggregate.
+    The single-feature special case is the built-in regr_slope
+    (q_corr_stats); this is the shape you use the moment the model
+    grows a second feature and the built-ins stop."""
+    e = load_table(spark, sf_dir, "events")
+    f = e.select(
+        "event_type",
+        F.hour("ts").cast("double").alias("x1"),
+        F.dayofmonth("ts").cast("double").alias("x2"),
+        F.col("value").alias("y"),
+    )
+    s = f.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("sx1"),
+        F.sum("x2").alias("sx2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("sx1x1"),
+        F.sum(F.col("x1") * F.col("x2")).alias("sx1x2"),
+        F.sum(F.col("x2") * F.col("x2")).alias("sx2x2"),
+        F.sum(F.col("x1") * F.col("y")).alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("sx2y"),
+    )
+    n = F.col("n")
+    a11 = F.col("sx1x1") - F.col("sx1") * F.col("sx1") / n
+    a12 = F.col("sx1x2") - F.col("sx1") * F.col("sx2") / n
+    a22 = F.col("sx2x2") - F.col("sx2") * F.col("sx2") / n
+    c1 = F.col("sx1y") - F.col("sx1") * F.col("sy") / n
+    c2 = F.col("sx2y") - F.col("sx2") * F.col("sy") / n
+    det = a11 * a22 - a12 * a12
+    b1 = (a22 * c1 - a12 * c2) / det
+    b2 = (a11 * c2 - a12 * c1) / det
+    intercept = F.col("sy") / n - b1 * F.col("sx1") / n - b2 * F.col("sx2") / n
+    return s.select(
+        "event_type",
+        n.cast("long").alias("n"),
+        F.round(b1, 4).alias("hour_slope"),
+        F.round(b2, 4).alias("day_slope"),
+        F.round(intercept, 4).alias("intercept"),
+    )

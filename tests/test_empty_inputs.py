@@ -162,6 +162,7 @@ EMPTY_SAFE = [
     "q_bpe_merges",
     "q_bpe_encode",
     "q_holt_forecast",
+    "q_multi_regression",
 ]
 
 # global aggregates return one constant row on empty input (their

@@ -359,3 +359,34 @@ def test_holt_forecast_matches_reference(spark):
         assert abs(r.level - round(lvl, 4)) < 1e-9, uid
         assert abs(r.trend - round(trd, 4)) < 1e-9, uid
         assert abs(r.forecast - round(lvl + trd, 4)) < 1e-9, uid
+
+
+def test_multi_regression_matches_numpy_lstsq(spark):
+    """The closed-form normal-equation coefficients must match
+    numpy's least-squares solution per group — validates the algebra
+    itself, beyond the SQL-oracle parity the driver checks."""
+    from pcap_to_parquet_spark.sources import load_table
+
+    got = {r.event_type: r for r in QUERIES["q_multi_regression"](spark, SF0001).collect()}
+    rows = (
+        load_table(spark, SF0001, "events")
+        .selectExpr(
+            "event_type",
+            "CAST(hour(ts) AS DOUBLE) AS x1",
+            "CAST(day(ts) AS DOUBLE) AS x2",
+            "value AS y",
+        )
+        .collect()
+    )
+    groups = {}
+    for r in rows:
+        groups.setdefault(r.event_type, []).append((r.x1, r.x2, r.y))
+    assert set(got) == set(groups)
+    for et, data in groups.items():
+        a = np.array([[1.0, x1, x2] for x1, x2, _ in data])
+        y = np.array([v for *_, v in data])
+        coef, *_ = np.linalg.lstsq(a, y, rcond=None)
+        r = got[et]
+        assert abs(r.intercept - round(float(coef[0]), 4)) <= 2e-4, et
+        assert abs(r.hour_slope - round(float(coef[1]), 4)) <= 2e-4, et
+        assert abs(r.day_slope - round(float(coef[2]), 4)) <= 2e-4, et
