@@ -38,6 +38,8 @@ def main() -> None:
         ("duplicated-span removal (boilerplate strip)", "q_dup_span_removal"),
         ("benchmark decontamination (shared 3-grams)", "q_decontaminate"),
         ("RAG chunks (200-char windows, 50 overlap)", "q_doc_chunks"),
+        ("BPE merge training (word-frequency rounds)", "q_bpe_merges"),
+        ("BPE encode (vocabulary-level merge apply)", "q_bpe_encode"),
         ("length-weighted sample (one-pass E-S)", "q_weighted_sample"),
         ("temperature-rebalanced language mix (alpha=0.5)", "q_temperature_mix"),
         ("train/test split + mixing weights", "q_data_mixing"),

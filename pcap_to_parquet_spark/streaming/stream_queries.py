@@ -1193,3 +1193,69 @@ def ewma_stateful(e: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming Holt: level+trend state, the stateful twin of q_holt_forecast
+
+_SH_ALPHA = 0.5
+_SH_BETA = 0.3
+
+
+@query("q_stream_holt")  # rows-only: coupled recursions, no closed form to oracle
+def stream_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Holt linear smoothing as a STATEFUL STREAMING operator:
+    three numbers of state per key (count, level, trend) carry the
+    whole model, so the forecast updates in-place as events arrive —
+    the online form of q_holt_forecast, whose batch output it must
+    equal exactly under availableNow ingestion (pinned in
+    tests/test_round4c_ops.py; same initialization l₁=y₁, b₁=y₂-y₁
+    applied across the batch boundary via the stored level)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        n, lvl, trd = state.get if state.exists else (0, 0.0, 0.0)
+        rows = []
+        for pdf in pdfs:
+            for ts, eid, val in zip(pdf["ts"], pdf["event_id"], pdf["value"]):
+                rows.append((ts.value, int(eid), float(val)))
+        rows.sort()
+        for _, _, v in rows:
+            n += 1
+            if n == 1:
+                lvl = v
+            else:
+                if n == 2:
+                    trd = v - lvl  # b1 = y2 - y1, works across batches
+                prev = lvl
+                lvl = _SH_ALPHA * v + (1 - _SH_ALPHA) * (lvl + trd)
+                trd = _SH_BETA * (lvl - prev) + (1 - _SH_BETA) * trd
+        state.update((n, lvl, trd))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "level": [round(lvl, 4)],
+                "trend": [round(trd, 4)],
+                "forecast": [round(lvl + trd, 4)],
+            }
+        )
+
+    e = stream_events(spark, sf_dir)
+    out = (
+        e.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "user_id long, n_events long, level double, "
+                "trend double, forecast double"
+            ),
+            stateStructType="n long, lvl double, trd double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return run_to_memory(out, "update").orderBy("user_id")

@@ -390,3 +390,12 @@ def test_multi_regression_matches_numpy_lstsq(spark):
         assert abs(r.intercept - round(float(coef[0]), 4)) <= 2e-4, et
         assert abs(r.hour_slope - round(float(coef[1]), 4)) <= 2e-4, et
         assert abs(r.day_slope - round(float(coef[2]), 4)) <= 2e-4, et
+
+
+def test_stream_holt_equals_batch_holt(spark):
+    """The streaming Holt state after availableNow ingestion must equal
+    the batch applyInPandas model for every user — same recursion, same
+    initialization, bit-identical float path."""
+    batch = {tuple(r) for r in QUERIES["q_holt_forecast"](spark, SF0001).collect()}
+    stream = {tuple(r) for r in QUERIES["q_stream_holt"](spark, SF0001).collect()}
+    assert stream == batch
