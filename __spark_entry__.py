@@ -86,7 +86,7 @@ SF0001_DIR = "/root/testdata/sf0.001"
 #   q_dup_span_coverage q_pmi_bigrams q_dup_span_removal
 #   q_temperature_mix q_quality_classifier q_ewma q_stream_ewma
 #   q_dpp_join q_pq_ann q_pca_embed q_bpe_merges q_bpe_encode q_ivf_pq
-#   q_holt_forecast q_multi_regression q_stream_holt
+#   q_holt_forecast q_multi_regression q_stream_holt q_opq_train
 # — with these, positions 50-99 hold EVERY never-driver-checked query
 # (40 as of end of round 4), so round 5 just promotes that block;
 # then any round-5 additions; then the refresh tail (q_rollup onward in
@@ -210,6 +210,7 @@ _GATE_FRONT = [
     "q_holt_forecast",
     "q_multi_regression",
     "q_stream_holt",
+    "q_opq_train",
     # refresh: oracle-bearing queries whose last driver row is round 1
     "q_rollup",
     "q_cube",

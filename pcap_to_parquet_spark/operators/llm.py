@@ -2403,3 +2403,82 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         schema,
     )
+
+
+# ---------------------------------------------------------------------------
+# OPQ: learned rotation that minimizes PQ quantization error
+
+OPQ_ITERS = 3
+
+
+@query("q_opq_train")  # rows-only: alternating minimization, no SQL analogue
+def opq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimized Product Quantization (Ge et al. 2013): learn an
+    orthogonal rotation R so that PQ's independent-subspace assumption
+    fits the data better, by alternating (a) train PQ codebooks on the
+    rotated vectors and (b) solve the orthogonal Procrustes problem
+    R = UVᵀ from the SVD of Σ xᵢŷᵢᵀ between data and their quantized
+    reconstructions.
+
+    Distributed shape: every pass is map-only — rotation is a
+    broadcast 64×64 constant inside the codebook trainer (pq_train
+    unchanged), the Procrustes cross-moment Σ xŷᵀ leaves the
+    executors as O(d²) per-batch partials (same moment-sketch
+    discipline as q_pca_embed), and the SVD is a driver-side 64×64.
+    Output: per-iteration mean quantization error, iteration 0 being
+    PLAIN PQ (R = I) — the monotone decrease that is OPQ's whole
+    point is pinned in tests/test_round4c_ops.py."""
+    em = fan_out(load_table(spark, sf_dir, "embeddings")).cache()
+    d_dim, d_sub = 64, 64 // PQ_M
+    r_mat = np.eye(d_dim)
+    errors = []
+
+    for it in range(OPQ_ITERS + 1):
+        r_cur = r_mat
+
+        @F.pandas_udf("array<double>")
+        def rotate(e: pd.Series) -> pd.Series:
+            x = np.stack(e.to_numpy()).astype(np.float64)
+            return pd.Series(list(x @ r_cur))
+
+        rotated = em.select("vec_id", rotate("embedding").alias("embedding"))
+        books = pq_train(rotated)
+
+        def recon_moments(batches, _b=books, _r=r_cur):
+            # per-batch (count, Σ‖y-ŷ‖², Σ xŷᵀ partial): O(d²) out
+            for pdf in batches:
+                x = np.stack(pdf["x"].to_numpy()).astype(np.float64)
+                y = x @ _r
+                ys = y.reshape(len(y), PQ_M, d_sub)
+                codes = (
+                    ((ys[:, :, None, :] - _b[None]) ** 2).sum(axis=3).argmin(axis=2)
+                )
+                yhat = _b[np.arange(PQ_M)[None, :], codes].reshape(len(y), d_dim)
+                err = float(((y - yhat) ** 2).sum())
+                yield pd.DataFrame(
+                    {
+                        "cnt": [len(y)],
+                        "err": [err],
+                        "m": [(x.T @ yhat).ravel().tolist()],
+                    }
+                )
+
+        parts = (
+            em.select(F.col("embedding").alias("x"))
+            .mapInPandas(recon_moments, "cnt long, err double, m array<double>")
+            .collect()
+        )
+        n = 0
+        err = 0.0
+        m = np.zeros((d_dim, d_dim))
+        # content-sorted reduce, as in pq_train/pca_embed
+        for r in sorted(parts, key=lambda r: (r.cnt, r.err)):
+            n += r.cnt
+            err += r.err
+            m += np.asarray(r.m).reshape(d_dim, d_dim)
+        errors.append((it, float(round(err / n, 6))))
+        if it < OPQ_ITERS:
+            u, _, vt = np.linalg.svd(m)
+            r_mat = u @ vt  # orthogonal Procrustes optimum
+    em.unpersist()
+    return spark.createDataFrame(errors, "iteration int, mean_sq_error double")

@@ -399,3 +399,18 @@ def test_stream_holt_equals_batch_holt(spark):
     batch = {tuple(r) for r in QUERIES["q_holt_forecast"](spark, SF0001).collect()}
     stream = {tuple(r) for r in QUERIES["q_stream_holt"](spark, SF0001).collect()}
     assert stream == batch
+
+
+def test_opq_error_monotonically_beats_plain_pq(spark):
+    """Iteration 0 is plain PQ (R = I); each Procrustes update must not
+    increase quantization error, and the learned rotation must end
+    meaningfully below the plain-PQ baseline (measured: 0.561 → 0.481
+    at sf0.01)."""
+    rows = sorted(
+        QUERIES["q_opq_train"](spark, "/root/testdata/sf0.01").collect(),
+        key=lambda r: r.iteration,
+    )
+    errs = [r.mean_sq_error for r in rows]
+    assert len(errs) == 4
+    assert all(b <= a + 1e-9 for a, b in zip(errs, errs[1:]))
+    assert errs[-1] < errs[0] * 0.95
