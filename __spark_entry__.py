@@ -87,8 +87,10 @@ SF0001_DIR = "/root/testdata/sf0.001"
 #   q_temperature_mix q_quality_classifier q_ewma q_stream_ewma
 #   q_dpp_join q_pq_ann q_pca_embed q_bpe_merges q_bpe_encode q_ivf_pq
 #   q_holt_forecast q_multi_regression q_stream_holt q_opq_train
-# — with these, positions 50-99 hold EVERY never-driver-checked query
-# (40 as of end of round 4), so round 5 just promotes that block;
+# — with these, positions 50-98 hold EVERY never-driver-checked query
+# (49 as of end of round 4), so round 5 just promotes that block;
+# then the 8 oracle-upgraded re-checks (rows-only driver rows exist,
+# value rows don't — they follow the strictly-never-checked set);
 # then any round-5 additions; then the refresh tail (q_rollup onward in
 # _GATE_FRONT below: r1-green relational/join/LLM basics whose newest
 # driver row is round 1).
@@ -174,19 +176,11 @@ _GATE_FRONT = [
     "q_top_paths",
     "q_lorenz_deciles",
     "q_new_vs_returning",
-    "q_pcapng_pipeline",
-    "q_pcap_datasource",
-    "q_pcap_trailers",
-    "q_audio_features",
     "q_pcap_flows",
     "q_triangle_count",
     "q_ngram_containment",
     "q_dedup_survivors",
     "q_pcap_roundtrip",
-    "q_bloom_prefilter",
-    "q_dedup_simhash",
-    "q_stream_session",
-    "q_stream_stateful",
     "q_bitmap_distinct",
     "q_try_arithmetic",
     "q_pcap_stream_flows",
@@ -211,6 +205,16 @@ _GATE_FRONT = [
     "q_multi_regression",
     "q_stream_holt",
     "q_opq_train",
+    # oracle-upgraded re-checks (clean rows-only driver rows exist;
+    # strictly-never-checked queries above outrank their VALUE re-check)
+    "q_pcapng_pipeline",
+    "q_pcap_datasource",
+    "q_pcap_trailers",
+    "q_audio_features",
+    "q_bloom_prefilter",
+    "q_dedup_simhash",
+    "q_stream_session",
+    "q_stream_stateful",
     # refresh: oracle-bearing queries whose last driver row is round 1
     "q_rollup",
     "q_cube",
