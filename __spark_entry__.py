@@ -87,6 +87,7 @@ SF0001_DIR = "/root/testdata/sf0.001"
 #   q_temperature_mix q_quality_classifier q_ewma q_stream_ewma
 #   q_dpp_join q_pq_ann q_pca_embed q_bpe_merges q_bpe_encode q_ivf_pq
 #   q_holt_forecast q_multi_regression q_stream_holt q_opq_train
+#   q_residual_quant
 # — with these, positions 50-98 hold EVERY never-driver-checked query
 # (49 as of end of round 4), so round 5 just promotes that block;
 # then the 8 oracle-upgraded re-checks (rows-only driver rows exist,
@@ -205,6 +206,7 @@ _GATE_FRONT = [
     "q_multi_regression",
     "q_stream_holt",
     "q_opq_train",
+    "q_residual_quant",
     # oracle-upgraded re-checks (clean rows-only driver rows exist;
     # strictly-never-checked queries above outrank their VALUE re-check)
     "q_pcapng_pipeline",

@@ -2482,3 +2482,110 @@ def opq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             r_mat = u @ vt  # orthogonal Procrustes optimum
     em.unpersist()
     return spark.createDataFrame(errors, "iteration int, mean_sq_error double")
+
+
+# ---------------------------------------------------------------------------
+# residual quantization: coarse codebook + PQ on the residuals
+
+RQ_COARSE_K = 16
+
+
+@query("q_residual_quant")  # rows-only: two-level trained quantizer
+def residual_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual quantization, the IVF-PQ encoding trick isolated and
+    measured: a coarse {ck}-centroid codebook captures the vector's
+    neighborhood, PQ codebooks then quantize the RESIDUAL x - c(x) —
+    which is what FAISS actually stores in an IVF-PQ index (encoding
+    residuals re-centers every list at the origin, so the PQ codebook
+    spends its codes on local structure instead of absolute position).
+
+    Distributed shape: the coarse book trains with the same
+    partial-sums Lloyd loop as pq_train restricted to one 64-dim
+    "subspace"; residuals are a map-only subtraction under a broadcast
+    centroid matrix; the PQ stage and the error measurement reuse the
+    existing kernels' moment discipline. Output compares mean squared
+    reconstruction error of plain PQ vs coarse-only vs
+    coarse+residual-PQ — the two-level encoder must beat both of its
+    halves (pinned in tests/test_round4c_ops.py)."""
+    em = fan_out(load_table(spark, sf_dir, "embeddings")).cache()
+    d_dim, d_sub = 64, 64 // PQ_M
+
+    # --- coarse codebook: Lloyd rounds with (code, cnt, sum) partials
+    init = em.orderBy("vec_id").limit(RQ_COARSE_K).collect()
+    coarse = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in init])
+    for _ in range(PQ_ITERS):
+        c_cur = coarse
+
+        def cparts(batches, _c=c_cur):
+            for pdf in batches:
+                x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                code = ((x[:, None, :] - _c[None]) ** 2).sum(axis=2).argmin(axis=1)
+                out = []
+                for c in np.unique(code):
+                    sel = x[code == c]
+                    out.append((int(c), len(sel), sel.sum(axis=0).tolist()))
+                yield pd.DataFrame(out, columns=["code", "cnt", "sums"])
+
+        rows = em.select("embedding").mapInPandas(
+            cparts, "code int, cnt long, sums array<double>"
+        ).collect()
+        acc = np.zeros((RQ_COARSE_K, d_dim))
+        cnt = np.zeros(RQ_COARSE_K)
+        for r in sorted(rows, key=lambda r: (r.code, r.cnt, tuple(r.sums))):
+            acc[r.code] += np.asarray(r.sums)
+            cnt[r.code] += r.cnt
+        nz = cnt > 0
+        coarse = coarse.copy()
+        coarse[nz] = acc[nz] / cnt[nz][:, None]
+
+    cfinal = coarse
+
+    # --- residual stream: map-only subtraction under the broadcast book
+    @F.pandas_udf("array<double>")
+    def residual(e: pd.Series) -> pd.Series:
+        x = np.stack(e.to_numpy()).astype(np.float64)
+        code = ((x[:, None, :] - cfinal[None]) ** 2).sum(axis=2).argmin(axis=1)
+        return pd.Series(list(x - cfinal[code]))
+
+    resid = em.select("vec_id", residual("embedding").alias("embedding"))
+    books_resid = pq_train(resid)
+    books_plain = pq_train(em)
+
+    def errors(batches, _c=cfinal, _br=books_resid, _bp=books_plain):
+        # per-batch squared errors of the three encoders: O(1) out
+        for pdf in batches:
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            code = ((x[:, None, :] - _c[None]) ** 2).sum(axis=2).argmin(axis=1)
+            e_coarse = float(((x - _c[code]) ** 2).sum())
+            r = (x - _c[code]).reshape(len(x), PQ_M, d_sub)
+            rc = ((r[:, :, None, :] - _br[None]) ** 2).sum(axis=3).argmin(axis=2)
+            rhat = _br[np.arange(PQ_M)[None, :], rc].reshape(len(x), d_dim)
+            e_rq = float(((x - (_c[code] + rhat)) ** 2).sum())
+            xs = x.reshape(len(x), PQ_M, d_sub)
+            pc = ((xs[:, :, None, :] - _bp[None]) ** 2).sum(axis=3).argmin(axis=2)
+            phat = _bp[np.arange(PQ_M)[None, :], pc].reshape(len(x), d_dim)
+            e_pq = float(((x - phat) ** 2).sum())
+            yield pd.DataFrame(
+                {"cnt": [len(x)], "e_pq": [e_pq], "e_coarse": [e_coarse], "e_rq": [e_rq]}
+            )
+
+    parts = em.select("embedding").mapInPandas(
+        errors, "cnt long, e_pq double, e_coarse double, e_rq double"
+    ).collect()
+    n = sum(r.cnt for r in parts)
+    tot = {
+        k: sum(getattr(r, k) for r in sorted(parts, key=lambda r: (r.cnt, r.e_pq)))
+        for k in ("e_pq", "e_coarse", "e_rq")
+    }
+    em.unpersist()
+    return spark.createDataFrame(
+        [
+            ("pq_only", float(round(tot["e_pq"] / n, 6))),
+            ("coarse_only", float(round(tot["e_coarse"] / n, 6))),
+            ("coarse_plus_residual_pq", float(round(tot["e_rq"] / n, 6))),
+        ],
+        "encoder string, mean_sq_error double",
+    )
+
+
+residual_quant.__doc__ = residual_quant.__doc__.format(ck=RQ_COARSE_K)
