@@ -27,133 +27,29 @@ SF0001_DIR = "/root/testdata/sf0.001"
 
 # The driver's correctness gate verifies the first 50 entries of queries()
 # in iteration order, so the order is rotated per round. Union of rounds
-# 1-3 windows: all 120 previously-registered oracle-bearing queries have
-# a green driver row somewhere. Round 4 fronts (a) the 7 late-round-3
-# queries that have never been driver-checked, (b) queries whose code or
-# oracle changed this round (z-order layout rewrite, cow-delete guard,
-# heavy-hitters admission), (c) new round-4 queries as they land, then
-# (d) refreshes the oracle-bearing queries whose last driver row dates
-# from round 1 (oldest-green-first). Pinned by
-# test_gate_front_names_exist.
+# 1-4 windows: all 183 queries ever driver-checked are green (r4: 50/50,
+# first all-green window). Round 5 fronts the 50 queries that have NEVER
+# received a driver row (32 deferred round-3/4 queries + the 18 round-4c
+# additions registered after the r4 window froze, q_residual_quant
+# included per ADVICE r4). Pinned by test_gate_front_names_exist.
 #
-# ROUND 5 ROTATION NOTE: the r4 window (first 50 of queries(), locally
-# rehearsed 50/50 green at sf0.01) covers the 30 never-driver-checked
-# round-3/4 queries, 2 changed queries, 17 round-4b additions and
-# q_pcap_pipeline's golden-VALUES oracle. Due FIRST in round 5 — these
-# have never had a driver VALUE row (late-4b additions, then the
-# oracle-upgraded block):
-#   q_stream_topk
-#   q_sql_min_cost_supplier
-#   q_sql_excess_supplier
-#   q_sql_forecast_revenue
-#   q_sql_important_stock
-#   q_sql_shipmode_priority
-#   q_density_clusters
-#   q_k_anonymity
-#   q_text_source
-#   q_kmv_window
-#   q_lpa_communities
-#   q_winsorized_mean
-#   q_sentence_chunks
-#   q_numeric_histogram
-#   q_cusum_drift
-#   q_rfm_segments
-#   q_gini
-#   q_pcapng_pipeline
-#   q_pcap_datasource
-#   q_pcap_trailers
-#   q_audio_features
-#   q_pcap_flows
-#   q_triangle_count
-#   q_ngram_containment
-#   q_dedup_survivors
-#   q_pcap_roundtrip
-#   q_bloom_prefilter
-#   q_dedup_simhash
-#   q_stream_session
-#   q_stream_stateful
-#   q_bitmap_distinct
-#   q_try_arithmetic
-#   q_pcap_stream_flows
-#   q_funnel_bounded
-#   q_char_entropy
-#   q_rolling_corr
-#   q_mad_outliers
-#   q_top_paths
-#   q_lorenz_deciles
-#   q_new_vs_returning
-# plus the round-4c additions (registered after the r4 window froze):
-#   q_dup_span_coverage q_pmi_bigrams q_dup_span_removal
-#   q_temperature_mix q_quality_classifier q_ewma q_stream_ewma
-#   q_dpp_join q_pq_ann q_pca_embed q_bpe_merges q_bpe_encode q_ivf_pq
-#   q_holt_forecast q_multi_regression q_stream_holt q_opq_train
-#   q_residual_quant
-# — with these, positions 50-98 hold EVERY never-driver-checked query
-# (49 as of end of round 4), so round 5 just promotes that block;
-# then the 8 oracle-upgraded re-checks (rows-only driver rows exist,
-# value rows don't — they follow the strictly-never-checked set);
-# then any round-5 additions; then the refresh tail (q_rollup onward in
-# _GATE_FRONT below: r1-green relational/join/LLM basics whose newest
-# driver row is round 1).
+# ROUND 6 ROTATION NOTE: after round 5's driver run, every registered
+# query has at least one driver row. Due FIRST in round 6:
+#   (a) any round-5 additions (registered after this window froze —
+#       see the "new in round 5" marker below),
+#   (b) the 8 oracle-upgraded re-checks (q_pcapng_pipeline,
+#       q_pcap_datasource, q_pcap_trailers, q_audio_features,
+#       q_bloom_prefilter, q_dedup_simhash, q_stream_session,
+#       q_stream_stateful — their only driver rows predate their
+#       exact oracles),
+#   (c) rows-only queries upgraded to exact oracles in round 5
+#       (q_holt_forecast, q_bpe_merges, q_bpe_encode — driver rows
+#       from r5 are rows-only; re-check for VALUE rows),
+#   (d) the refresh tail (q_rollup onward: r1-green relational/join/
+#       LLM basics whose newest driver row is round 1 — 3+ rounds old).
 _GATE_FRONT = [
-    # never driver-checked (registered past round 3's 50-row window)
-    "q_sql_disjunctive",
-    "q_fuzzy_join",
-    "q_sql_lateral",
-    "q_sql_recursive",
-    "q_variant_shred",
-    "q_dynamic_overwrite",
-    "q_cow_delete",
-    # changed this round: z-order layout normalization + cell-aligned
-    # files; heavy-hitters per-partition (not per-batch) admission
-    "q_zorder_lake",
-    "q_heavy_hitters",
-    # new in round 4 (insert above this line as they land)
-    "q_sql_small_qty",
-    "q_sql_waiting_supplier",
-    "q_ngram_lm_score",
-    "q_cogroup_diff",
-    "q_quantile_bucketize",
-    "q_countmin_topk",
-    "q_scd2_lookup",
-    "q_permissive_ingest",
-    "q_embed_pool",
-    "q_table_checksum",
-    "q_session_window",
-    "q_skyline",
-    "q_observed_load",
-    "q_xml_ingest",
-    "q_cidr_enrich",
-    "q_image_dhash",
-    "q_sql_custdist",
-    "q_sql_big_orders",
-    "q_sql_idle_customers",
-    "q_sequence_pack",
-    # new in round 4b (this session): six TPC-H shapes, RAG chunking,
-    # KMV sketch, exact-twin MinHash, graph kernels, streaming funnel
-    "q_sql_late_orders",
-    "q_sql_nation_volume",
-    "q_sql_market_share",
-    "q_sql_promo_share",
-    "q_sql_product_profit",
-    "q_sql_parts_suppliers",
-    "q_doc_chunks",
-    "q_kmv_distinct",
-    "q_minhash_exact",
-    "q_pagerank",
-    "q_triangle_cap",
-    "q_stream_funnel",
-    "q_knn_join",
-    "q_stream_kmv",
-    "q_mmr_diversify",
-    "q_attribution",
-    "q_components_star",
-    "q_weighted_sample",
-    "q_stream_decontaminate",
-    "q_forecast_eval",
-    # oracle upgraded this round (rows-only -> golden VALUES literal)
-    "q_pcap_pipeline",
-    # first deferred (positions 51+): due in round 5
+    # ---- ROUND 5 WINDOW (positions 0-49): never driver-checked ----
+    # deferred round-3/4 queries (32)
     "q_stream_topk",
     "q_sql_min_cost_supplier",
     "q_sql_excess_supplier",
@@ -186,9 +82,7 @@ _GATE_FRONT = [
     "q_try_arithmetic",
     "q_pcap_stream_flows",
     "q_funnel_bounded",
-    # new in round 4c (after the r4 window froze): duplicated-span
-    # coverage + removal, PMI phrase mining, temperature mixing — due
-    # in round 5 with the block above
+    # round-4c additions (18; registered after the r4 window froze)
     "q_dup_span_coverage",
     "q_pmi_bigrams",
     "q_dup_span_removal",
@@ -207,6 +101,8 @@ _GATE_FRONT = [
     "q_stream_holt",
     "q_opq_train",
     "q_residual_quant",
+    # ---- END ROUND 5 WINDOW (the 50 above are positions 0-49) ----
+    # new in round 5 (insert below this line as they land; due round 6)
     # oracle-upgraded re-checks (clean rows-only driver rows exist;
     # strictly-never-checked queries above outrank their VALUE re-check)
     "q_pcapng_pipeline",
@@ -251,6 +147,58 @@ _GATE_FRONT = [
     "q_pivot",
     "q_unpivot",
     "q_subquery_scalar",
+    # former round-4 window (all green in CORRECTNESS_r04; newest driver
+    # rows in the registry — lowest refresh priority)
+    "q_sql_disjunctive",
+    "q_fuzzy_join",
+    "q_sql_lateral",
+    "q_sql_recursive",
+    "q_variant_shred",
+    "q_dynamic_overwrite",
+    "q_cow_delete",
+    "q_zorder_lake",
+    "q_heavy_hitters",
+    "q_sql_small_qty",
+    "q_sql_waiting_supplier",
+    "q_ngram_lm_score",
+    "q_cogroup_diff",
+    "q_quantile_bucketize",
+    "q_countmin_topk",
+    "q_scd2_lookup",
+    "q_permissive_ingest",
+    "q_embed_pool",
+    "q_table_checksum",
+    "q_session_window",
+    "q_skyline",
+    "q_observed_load",
+    "q_xml_ingest",
+    "q_cidr_enrich",
+    "q_image_dhash",
+    "q_sql_custdist",
+    "q_sql_big_orders",
+    "q_sql_idle_customers",
+    "q_sequence_pack",
+    "q_sql_late_orders",
+    "q_sql_nation_volume",
+    "q_sql_market_share",
+    "q_sql_promo_share",
+    "q_sql_product_profit",
+    "q_sql_parts_suppliers",
+    "q_doc_chunks",
+    "q_kmv_distinct",
+    "q_minhash_exact",
+    "q_pagerank",
+    "q_triangle_cap",
+    "q_stream_funnel",
+    "q_knn_join",
+    "q_stream_kmv",
+    "q_mmr_diversify",
+    "q_attribution",
+    "q_components_star",
+    "q_weighted_sample",
+    "q_stream_decontaminate",
+    "q_forecast_eval",
+    "q_pcap_pipeline",
 ]
 
 

@@ -58,6 +58,10 @@ HEADLINE = [
     "q_knn_join",           # blocked all-vectors ANN retrieval (round 4b)
     "q_dup_span_coverage",  # positional-gram index + interval union (round 4c)
     "q_pq_ann",             # PQ codebook train + ADC + rerank (round 4c)
+    "q_ivf_pq",             # coarse-quantizer + residual-PQ ANN (round 5)
+    "q_bpe_merges",         # iterative BPE trainer, 10 driver rounds (round 5)
+    "q_components_star",    # large-star/small-star connected components (round 5)
+    "q_triangle_count",     # degree-oriented wedge enumeration (round 5)
 ]
 
 # round-over-round reference (same box, sf0.1, local[32]):

@@ -434,6 +434,8 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # grouped multiple regression: closed-form normal equations per group
 
+_MULTI_REG_DET_EPS = 1e-9
+
 MULTI_REGRESSION_ORACLE = """
 WITH f AS (
     SELECT event_type,
@@ -458,14 +460,20 @@ c AS (
            sx2y - sx2 * sy / n AS c2,
            sx1 / n AS mx1, sx2 / n AS mx2, sy / n AS my
     FROM s
+),
+g AS (
+    -- singular-design guard: NULL when |det| ~ 0 (same gate as Spark)
+    SELECT *, CASE WHEN abs(a11 * a22 - a12 * a12) > 1e-9
+                   THEN a11 * a22 - a12 * a12 END AS det
+    FROM c
 )
 SELECT event_type, CAST(n AS BIGINT) AS n,
-       ROUND((a22 * c1 - a12 * c2) / (a11 * a22 - a12 * a12), 4) AS hour_slope,
-       ROUND((a11 * c2 - a12 * c1) / (a11 * a22 - a12 * a12), 4) AS day_slope,
-       ROUND(my - (a22 * c1 - a12 * c2) / (a11 * a22 - a12 * a12) * mx1
-                - (a11 * c2 - a12 * c1) / (a11 * a22 - a12 * a12) * mx2,
+       ROUND((a22 * c1 - a12 * c2) / det, 4) AS hour_slope,
+       ROUND((a11 * c2 - a12 * c1) / det, 4) AS day_slope,
+       ROUND(my - (a22 * c1 - a12 * c2) / det * mx1
+                - (a11 * c2 - a12 * c1) / det * mx2,
              4) AS intercept
-FROM c
+FROM g
 """
 
 
@@ -505,8 +513,13 @@ def multi_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 = F.col("sx1y") - F.col("sx1") * F.col("sy") / n
     c2 = F.col("sx2y") - F.col("sx2") * F.col("sy") / n
     det = a11 * a22 - a12 * a12
-    b1 = (a22 * c1 - a12 * c2) / det
-    b2 = (a11 * c2 - a12 * c1) / det
+    # singular-design guard: a group whose hour/day features are
+    # constant or collinear has |det| ~ 0; emit NULL instead of the
+    # IEEE inf/NaN both engines would otherwise produce (NaN-vs-NULL
+    # comparator semantics diverge). Same literal gate in the oracle.
+    det_ok = F.abs(det) > F.lit(_MULTI_REG_DET_EPS)
+    b1 = F.when(det_ok, (a22 * c1 - a12 * c2) / det)
+    b2 = F.when(det_ok, (a11 * c2 - a12 * c1) / det)
     intercept = F.col("sy") / n - b1 * F.col("sx1") / n - b2 * F.col("sx2") / n
     return s.select(
         "event_type",

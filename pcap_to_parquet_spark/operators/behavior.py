@@ -639,7 +639,12 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sum(d²) over raw degrees (hub-explosive) to the arboricity
     bound, the difference between melting on the first celebrity node
     and scaling. Three shuffles total: degree count, wedge self-join
-    on the source, wedge-closing edge probe."""
+    on the source, wedge-closing edge probe. The distinct edge list
+    and the oriented edge list are localCheckpointed ONCE and reused
+    (same lineage discipline as q_pagerank's edge set — without it
+    every downstream consumer re-runs the co-purchase self-join), and
+    the wedge count rides the closing probe as a left join so wedges
+    are enumerated exactly once."""
     li = load_table(spark, sf_dir, "lineitem")
     op = li.select("l_orderkey", "l_partkey").distinct()
     a, b = op.alias("a"), op.alias("b")
@@ -651,6 +656,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
+        .localCheckpoint(eager=True)  # |E|-bounded; reused by 3 stages
     )
     deg = (
         pairs.select(F.col("u").alias("node"))
@@ -670,6 +676,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(first_is_smaller, F.col("p.u")).otherwise(F.col("p.v")).alias("s"),
             F.when(first_is_smaller, F.col("p.v")).otherwise(F.col("p.u")).alias("t"),
         )
+        .localCheckpoint(eager=True)  # |E|-bounded; wedge self-join input
     )
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     # canonical (min, max) endpoints so the closing probe is one
@@ -682,15 +689,22 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least("e1.t", "e2.t").alias("v"), F.greatest("e1.t", "e2.t").alias("w")
     )
     e = pairs.alias("e")
-    tri = wedges.alias("wd").join(
-        e,
-        (F.col("e.u") == F.col("wd.v")) & (F.col("e.v") == F.col("wd.w")),
+    # wedge count + closing probe in ONE pass over the wedge stream:
+    # pairs is distinct, so the left join matches at most one edge per
+    # wedge — count(*) is the wedge count, count(e.u) the triangles
+    closed = (
+        wedges.alias("wd")
+        .join(
+            e,
+            (F.col("e.u") == F.col("wd.v")) & (F.col("e.v") == F.col("wd.w")),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_wedges"),
+            F.count("e.u").alias("n_triangles"),
+        )
     )
-    return (
-        pairs.agg(F.count(F.lit(1)).alias("n_edges"))
-        .crossJoin(wedges.agg(F.count(F.lit(1)).alias("n_wedges")))
-        .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
-    )
+    return pairs.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(closed)
 
 
 # ---------------------------------------------------------------------------
@@ -1886,7 +1900,41 @@ _HOLT_ALPHA = 0.5
 _HOLT_BETA = 0.3
 
 
-@query("q_holt_forecast")  # rows-only: sequential per-key recursion
+HOLT_ORACLE = """
+WITH RECURSIVE ordered AS (
+    SELECT user_id, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY user_id) AS n
+    FROM events
+), seed AS (
+    SELECT o1.user_id, o1.n, 1 AS rn,
+           CAST(o1.value AS DOUBLE) AS lvl,
+           CASE WHEN o1.n = 1 THEN 0.0
+                ELSE CAST(o2.value - o1.value AS DOUBLE) END AS trd
+    FROM ordered o1
+    LEFT JOIN ordered o2 ON o2.user_id = o1.user_id AND o2.rn = 2
+    WHERE o1.rn = 1
+), state AS (
+    SELECT * FROM seed
+    UNION ALL
+    SELECT s.user_id, s.n, s.rn + 1,
+           0.5 * o.value + (1 - 0.5) * (s.lvl + s.trd) AS lvl,
+           0.3 * ((0.5 * o.value + (1 - 0.5) * (s.lvl + s.trd)) - s.lvl)
+               + (1 - 0.3) * s.trd AS trd
+    FROM state s
+    JOIN ordered o ON o.user_id = s.user_id AND o.rn = s.rn + 1
+    WHERE s.rn < s.n
+)
+SELECT user_id, n AS n_events,
+       ROUND(lvl, 4) AS level,
+       ROUND(trd, 4) AS trend,
+       ROUND(lvl + trd, 4) AS forecast
+FROM state WHERE rn = n
+"""
+
+
+@query("q_holt_forecast", HOLT_ORACLE)
 def holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt linear (level + trend) exponential smoothing per user —
     the MANY-SMALL-MODELS pattern: thousands of per-entity time-series

@@ -2061,19 +2061,28 @@ def pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-pq_ann.__doc__ = pq_ann.__doc__.format(m=PQ_M, k=PQ_K, short=50)
+pq_ann.__doc__ = pq_ann.__doc__.format(m=PQ_M, k=PQ_K, short=PQ_SHORTLIST)
 
 
-def pq_train(em: DataFrame):  # type: ignore[no-untyped-def]
+def pq_train(em: DataFrame, init_books=None):  # type: ignore[no-untyped-def]
     """Learn the (PQ_M, PQ_K, d_sub) subspace codebooks over ``em``;
-    deterministic Lloyd rounds seeded from the PQ_K smallest vec_ids.
+    deterministic Lloyd rounds seeded from the PQ_K smallest vec_ids,
+    or warm-started from ``init_books`` (OPQ's alternating loop passes
+    the previous iteration's codebooks so each Lloyd restart begins at
+    the prior optimum — the monotone-descent guarantee needs it).
     Only (sub, code) partial sums leave the executors."""
     d_sub = 64 // PQ_M
-    init = em.orderBy("vec_id").limit(PQ_K).collect()
-    # codebooks[s] : (PQ_K, d_sub) — subspace s's centroid matrix
-    books = np.stack(
-        [np.asarray(r.embedding, dtype=np.float64).reshape(PQ_M, d_sub) for r in init]
-    ).transpose(1, 0, 2)
+    if init_books is not None:
+        books = np.array(init_books, dtype=np.float64, copy=True)
+    else:
+        init = em.orderBy("vec_id").limit(PQ_K).collect()
+        # codebooks[s] : (PQ_K, d_sub) — subspace s's centroid matrix
+        books = np.stack(
+            [
+                np.asarray(r.embedding, dtype=np.float64).reshape(PQ_M, d_sub)
+                for r in init
+            ]
+        ).transpose(1, 0, 2)
 
     partial_schema = "sub int, code int, cnt long, sums array<double>"
 
@@ -2357,10 +2366,11 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([], schema)
     wvec = np.zeros(dim)
     trajectory = []
-    for _ in range(LR_ITERS):
-        wcur = wvec
 
-        def partials(batches, _w=wcur):
+    def epoch(_w):
+        """One distributed pass: per-batch (count, grad, loss, hits)."""
+
+        def partials(batches):
             for pdf in batches:
                 x = np.stack(pdf["x"].to_numpy()).astype(np.float64)
                 y = pdf["y"].to_numpy().astype(np.float64)
@@ -2385,8 +2395,16 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             g += np.asarray(r.grad)
             loss += r.loss
             hit += r.hit
+        return n, g, loss, hit
+
+    for _ in range(LR_ITERS):
+        n, g, loss, hit = epoch(wvec)
         trajectory.append((loss / n, hit / n))
         wvec = wvec - LR_RATE * g / n
+    # one extra evaluation pass so loss_final/train_acc are measured AT
+    # the emitted coefficients, not one update behind them
+    n, _, loss, hit = epoch(wvec)
+    trajectory.append((loss / n, hit / n))
     feats.unpersist()
     first_loss, first_acc = trajectory[0]
     last_loss, last_acc = trajectory[-1]
@@ -2432,6 +2450,7 @@ def opq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     d_dim, d_sub = 64, 64 // PQ_M
     r_mat = np.eye(d_dim)
     errors = []
+    books = None
 
     for it in range(OPQ_ITERS + 1):
         r_cur = r_mat
@@ -2442,7 +2461,11 @@ def opq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             return pd.Series(list(x @ r_cur))
 
         rotated = em.select("vec_id", rotate("embedding").alias("embedding"))
-        books = pq_train(rotated)
+        # warm-start from the previous iteration's codebooks: Procrustes
+        # lowered the error at those books' codes, and Lloyd from them
+        # can only lower it further — a cold re-seed could land in a
+        # worse local optimum and break the monotone invariant
+        books = pq_train(rotated, init_books=books)
 
         def recon_moments(batches, _b=books, _r=r_cur):
             # per-batch (count, Σ‖y-ŷ‖², Σ xŷᵀ partial): O(d²) out

@@ -1202,7 +1202,77 @@ temperature_mix.__doc__ = temperature_mix.__doc__.format(
 _BPE_ROUNDS = 10
 
 
-@query("q_bpe_merges")  # rows-only: iterative greedy algorithm, no SQL analogue
+def _bpe_chain_sql(rounds: int, carry_word: bool) -> str:
+    """CTE chain replaying BPE merge training in pure DuckDB SQL.
+
+    Segmentations are strings with a double-chr(1) separator between
+    symbols (and at both ends); merging pair (a, b) is then
+    ``replace(seg, SEP a SEP SEP b SEP, SEP ab SEP)`` — SQL replace's
+    left-to-right non-overlapping scan IS greedy BPE re-segmentation
+    (the aaa + (a,a) → [aa, a] rule falls out), and the double
+    separator means each match consumes only the inner chr(1) of each
+    boundary, so adjacent merge sites never compete for a shared
+    delimiter. Symbols never contain chr(1) (corpus is printable
+    ASCII), so no false boundaries.
+    """
+    word = "word, " if carry_word else ""
+    parts = [
+        r"tok AS (SELECT doc_id, unnest(list_filter("
+        r"regexp_split_to_array(text, '\s+'), t -> t <> '')) AS word "
+        r"FROM documents)",
+        "wc AS (SELECT word, count(*) AS cnt FROM tok GROUP BY word)",
+        f"w0 AS (SELECT {word}repeat(chr(1),2) || "
+        "array_to_string(string_split(word, ''), repeat(chr(1),2)) || "
+        "repeat(chr(1),2) AS seg, cnt FROM wc)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"p{r} AS (SELECT syms[i] AS a, syms[i+1] AS b, sum(cnt) AS n "
+            f"FROM (SELECT list_filter(string_split(seg, repeat(chr(1),2)), "
+            f"s -> s <> '') AS syms, cnt FROM w{r - 1}), "
+            "UNNEST(range(1, len(syms))) AS t(i) GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"m{r} AS (SELECT CAST({r - 1} AS INTEGER) AS round, a, b, "
+            f"a||b AS merged, n FROM p{r} ORDER BY n DESC, a, b LIMIT 1)"
+        )
+        parts.append(
+            f"w{r} AS (SELECT {word}replace(seg, "
+            "chr(1)||m.a||chr(1)||chr(1)||m.b||chr(1), "
+            f"chr(1)||m.a||m.b||chr(1)) AS seg, cnt FROM w{r - 1}, m{r} m)"
+        )
+    return ",\n".join(parts)
+
+
+BPE_MERGES_ORACLE = (
+    "WITH "
+    + _bpe_chain_sql(_BPE_ROUNDS, carry_word=False)
+    + '\nSELECT round, a AS "left", b AS "right", merged, '
+    "CAST(n AS BIGINT) AS pair_count FROM ("
+    + " UNION ALL ".join(f"SELECT * FROM m{r}" for r in range(1, _BPE_ROUNDS + 1))
+    + ")"
+)
+
+BPE_ENCODE_ORACLE = (
+    "WITH "
+    + _bpe_chain_sql(_BPE_ROUNDS, carry_word=True)
+    + f""",
+venc AS (
+    SELECT word,
+           CAST((length(seg) - length(replace(seg, chr(1), ''))) // 2 - 1
+                AS BIGINT) AS n_syms
+    FROM w{_BPE_ROUNDS}
+)
+SELECT t.doc_id,
+       count(*) AS n_words,
+       CAST(sum(v.n_syms) AS BIGINT) AS n_symbols,
+       ROUND(sum(v.n_syms) * 1.0 / count(*), 4) AS syms_per_word
+FROM tok t JOIN venc v USING (word)
+GROUP BY t.doc_id"""
+)
+
+
+@query("q_bpe_merges", BPE_MERGES_ORACLE)
 def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-pair-encoding merge training (Sennrich et al. 2016), the
     tokenizer-vocabulary kernel q_vocab_build's frequency list feeds:
@@ -1275,7 +1345,7 @@ def _apply_merge(syms, a: str, b: str):  # type: ignore[no-untyped-def]
     )
 
 
-@query("q_bpe_encode")  # rows-only: applies the iteratively-trained merge table
+@query("q_bpe_encode", BPE_ENCODE_ORACLE)
 def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the learned BPE merge table (q_bpe_merges) to the corpus —
     the ENCODE half of the tokenizer: per document, how many subword

@@ -172,6 +172,8 @@ def window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["bucket"]: r["cnt"]
         for r in bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
+    # bounded driver collect: one row per bucket, never corpus data
+    assert len(counts) <= n_buckets + 1, len(counts)
     n = sum(counts.values())
     offsets, acc = {}, 0
     for b in sorted(counts):
