@@ -43,8 +43,9 @@ SF0001_DIR = "/root/testdata/sf0.001"
 #       q_stream_stateful — their only driver rows predate their
 #       exact oracles),
 #   (c) rows-only queries upgraded to exact oracles in round 5
-#       (q_holt_forecast, q_bpe_merges, q_bpe_encode — driver rows
-#       from r5 are rows-only; re-check for VALUE rows),
+#       (q_holt_forecast, q_bpe_merges, q_bpe_encode, q_stream_holt —
+#       these ARE in the r5 window, so their r5 rows are already
+#       value rows; nothing extra to do unless one fails),
 #   (d) the refresh tail (q_rollup onward: r1-green relational/join/
 #       LLM basics whose newest driver row is round 1 — 3+ rounds old).
 _GATE_FRONT = [
@@ -103,6 +104,7 @@ _GATE_FRONT = [
     "q_residual_quant",
     # ---- END ROUND 5 WINDOW (the 50 above are positions 0-49) ----
     # new in round 5 (insert below this line as they land; due round 6)
+    "q_dsir_weights",
     # oracle-upgraded re-checks (clean rows-only driver rows exist;
     # strictly-never-checked queries above outrank their VALUE re-check)
     "q_pcapng_pipeline",

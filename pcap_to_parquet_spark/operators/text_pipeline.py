@@ -1386,3 +1386,107 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 bpe_encode.__doc__ = bpe_encode.__doc__.format(rounds=_BPE_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (hashed n-gram log-ratios)
+
+_DSIR_B = 1024  # hash buckets; the paper's 10k scaled to the test corpus
+
+DSIR_ORACLE = rf"""
+WITH tok AS (SELECT doc_id, lang, {_TOK_SQL} AS ws FROM documents),
+feats AS (
+    SELECT doc_id, lang,
+           unnest(list_concat(ws,
+               list_transform(generate_series(1, len(ws) - 1),
+                              i -> ws[i] || '|' || ws[i+1]))) AS f
+    FROM tok
+),
+fb AS (
+    SELECT doc_id, lang,
+           ('0x' || substr(md5(f), 1, 8))::BIGINT % {_DSIR_B} AS bucket
+    FROM feats
+),
+raw AS (SELECT bucket, COUNT(*) AS rn FROM fb GROUP BY bucket),
+tgt AS (SELECT bucket, COUNT(*) AS tn FROM fb WHERE lang = 'en' GROUP BY bucket),
+tot AS (SELECT (SELECT SUM(rn) FROM raw) AS nr, (SELECT COALESCE(SUM(tn), 0) FROM tgt) AS nt),
+ratio AS (
+    SELECT r.bucket,
+           ln((COALESCE(t.tn, 0) + 1.0) / (tot.nt + {_DSIR_B}))
+         - ln((r.rn + 1.0) / (tot.nr + {_DSIR_B})) AS lr
+    FROM raw r LEFT JOIN tgt t USING (bucket), tot
+)
+SELECT fb.doc_id,
+       COUNT(*) AS n_feats,
+       ROUND(SUM(ratio.lr), 6) AS logw
+FROM fb JOIN ratio USING (bucket)
+GROUP BY fb.doc_id
+"""
+
+
+@query("q_dsir_weights", DSIR_ORACLE)
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by how target-like its hashed n-gram profile is,
+    log w(x) = Σ_f [ln p̂_target(f) - ln q̂_raw(f)] over the doc's
+    unigram+bigram features hashed into {b} buckets, both distributions
+    Laplace-smoothed. Resampling is then a top-k / thresholded keep on
+    logw downstream — the selection step that built the DoReMi/DSIR
+    pretraining mixes. The target domain here is lang='en' (any
+    predicate over the corpus works the same way).
+
+    Scale shape: the ONLY aggregates are two {b}-row bucket-count
+    tables (vocabulary-sized, broadcast back), one scalar total, and a
+    per-doc sum — the corpus is scanned twice (count, score), never
+    collected; the bucket hash is the engine-independent md5 gate used
+    by every split/mixing op here, so the oracle replays it exactly.
+    Feature hashing bounds state at ANY corpus size: 100 TB of text
+    still produces exactly {b} bucket rows."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = fan_out(d).select(
+        "doc_id", "lang", whitespace_tokens("text").alias("ws")
+    )
+    feats = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(F.concat(F.col("ws"), shingles("ws", 2, sep="|"))).alias("f"),
+    )
+    fb = feats.select(
+        "doc_id",
+        "lang",
+        (F.conv(F.substring(F.md5("f"), 1, 8), 16, 10).cast("long") % _DSIR_B).alias(
+            "bucket"
+        ),
+    )
+    raw = fb.groupBy("bucket").agg(F.count(F.lit(1)).alias("rn"))
+    tgt = (
+        fb.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("tn"))
+    )
+    tot = raw.agg(F.sum("rn").alias("nr")).crossJoin(
+        tgt.agg(F.coalesce(F.sum("tn"), F.lit(0)).alias("nt"))
+    )
+    ratio = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (
+                F.log((F.coalesce(F.col("tn"), F.lit(0)) + 1.0) / (F.col("nt") + _DSIR_B))
+                - F.log((F.col("rn") + 1.0) / (F.col("nr") + _DSIR_B))
+            ).alias("lr"),
+        )
+    )
+    return (
+        fb.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.sum("lr"), 6).alias("logw"),
+        )
+    )
+
+
+dsir_weights.__doc__ = dsir_weights.__doc__.format(b=_DSIR_B)

@@ -21,6 +21,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from pcap_to_parquet_spark.operators.behavior import HOLT_ORACLE as _HOLT_ORACLE
 from pcap_to_parquet_spark.registry import query
 from pcap_to_parquet_spark.session import tune
 from pcap_to_parquet_spark.sources.tables import (
@@ -1202,7 +1203,7 @@ _SH_ALPHA = 0.5
 _SH_BETA = 0.3
 
 
-@query("q_stream_holt")  # rows-only: coupled recursions, no closed form to oracle
+@query("q_stream_holt", _HOLT_ORACLE)
 def stream_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user Holt linear smoothing as a STATEFUL STREAMING operator:
     three numbers of state per key (count, level, trend) carry the
@@ -1210,7 +1211,9 @@ def stream_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     the online form of q_holt_forecast, whose batch output it must
     equal exactly under availableNow ingestion (pinned in
     tests/test_round4c_ops.py; same initialization l₁=y₁, b₁=y₂-y₁
-    applied across the batch boundary via the stored level)."""
+    applied across the batch boundary via the stored level). Shares
+    the batch query's recursive-CTE oracle: the streaming state after
+    full ingestion IS the batch recursion's final state."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):  # type: ignore[no-untyped-def]

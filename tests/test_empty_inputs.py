@@ -163,6 +163,7 @@ EMPTY_SAFE = [
     "q_bpe_encode",
     "q_holt_forecast",
     "q_multi_regression",
+    "q_dsir_weights",
 ]
 
 # global aggregates return one constant row on empty input (their

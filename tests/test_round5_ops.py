@@ -1,0 +1,51 @@
+"""Round-5 operator tests: DSIR importance weighting.
+
+Oracle parity is the driver's job (tools/check_oracle.py replays it);
+these tests pin the SEMANTICS — that the weights actually rank
+target-like documents above off-distribution ones.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import pcap_to_parquet_spark.operators  # noqa: E402,F401  (registers queries)
+from pcap_to_parquet_spark.registry import QUERIES  # noqa: E402
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def test_dsir_weights_prefer_target_like_docs(spark, tmp_path):
+    """Plant three populations: English target docs, a non-English doc
+    SHARING the target vocabulary, and a non-English doc with disjoint
+    vocabulary. The shared-vocab doc must out-score the disjoint one —
+    DSIR's entire premise (importance weight measures target-likeness
+    of the n-gram profile, not the lang tag itself)."""
+    rows = []
+    for i in range(40):
+        rows.append((i, "the cat sat on the mat and the dog ran", "en", "s", 39))
+    rows.append((100, "the cat sat on the mat and the dog ran", "xx", "s", 39))
+    rows.append((101, "zorp blee qux vantor mizzle kroop fandle glip snarv wex", "xx", "s", 55))
+    d = tmp_path / "dsir"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(2).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    out = {r.doc_id: r for r in QUERIES["q_dsir_weights"](spark, str(d)).collect()}
+    assert set(out) == set(range(40)) | {100, 101}
+    assert out[100].logw > out[101].logw
+    # the shared-vocab doc scores like the target docs (same features)
+    assert abs(out[100].logw - out[0].logw) < 1e-6
+    # feature count = unigrams + bigrams
+    assert out[100].n_feats == 10 + 9
+
+
+def test_dsir_weights_real_corpus_shapes(spark):
+    """Every doc with tokens gets a finite weight; n_feats matches
+    2*len(tokens)-1 for whitespace-tokenized docs."""
+    rows = QUERIES["q_dsir_weights"](spark, SF0001).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.n_feats >= 1
+        assert r.logw == r.logw  # not NaN
