@@ -105,6 +105,7 @@ _GATE_FRONT = [
     # ---- END ROUND 5 WINDOW (the 50 above are positions 0-49) ----
     # new in round 5 (insert below this line as they land; due round 6)
     "q_dsir_weights",
+    "q_semdedup",
     # oracle-upgraded re-checks (clean rows-only driver rows exist;
     # strictly-never-checked queries above outrank their VALUE re-check)
     "q_pcapng_pipeline",

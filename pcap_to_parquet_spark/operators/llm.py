@@ -751,6 +751,91 @@ def embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup: semantic (embedding-space) dedup with a keep-one decision
+
+_SEMDEDUP_TAU = 0.45
+
+SEMDEDUP_ORACLE = rf"""
+WITH pc AS (
+    SELECT b.vec_id,
+           CAST(list_cosine_similarity(a.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]) AS DOUBLE) AS c
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+),
+dom AS (
+    SELECT vec_id,
+           COUNT(*) FILTER (WHERE c >= {_SEMDEDUP_TAU}) AS nd,
+           MAX(c) AS mx
+    FROM pc GROUP BY vec_id
+)
+SELECT e.vec_id, e.label,
+       COALESCE(d.nd, 0) = 0 AS kept,
+       CAST(COALESCE(d.nd, 0) AS BIGINT) AS n_dominators,
+       ROUND(d.mx, 4) AS max_lower_sim
+FROM embeddings e LEFT JOIN dom d USING (vec_id)
+"""
+
+
+@query("q_semdedup", SEMDEDUP_ORACLE)
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding-space semantic dedup
+    that makes the KEEP decision, not just the pair list — where
+    q_embed_neardup reports near-dup pairs, this emits per vector
+    whether it survives: a vector is DROPPED iff some lower-vec_id
+    vector in its block has cosine ≥ {tau} (the monotone dominance
+    rule — each decision depends only on the raw pairwise graph, never
+    on other decisions, so it is one blocked pairwise pass with an
+    exact relational oracle; the paper's greedy leader scan is
+    sequential within a cluster and differs only when a dropped vector
+    is the sole link between two survivors).
+
+    Scale shape: identical to q_embed_neardup — one shuffle on the
+    blocking key (label here; an IVF/LSH bucket id in production, the
+    paper uses k-means cluster ids), one BLAS gram per block, per-vec
+    emit. Dominator counts and the nearest-lower-neighbor similarity
+    ride along for threshold tuning."""
+    em = load_table(spark, sf_dir, "embeddings")
+
+    def decide(pdf):  # type: ignore[no-untyped-def]
+        order = pdf["vec_id"].to_numpy().argsort()
+        ids = pdf["vec_id"].to_numpy()[order]
+        x = np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
+        norms = np.linalg.norm(x, axis=1)
+        cos = (x @ x.T) / np.outer(norms, norms)
+        n = len(ids)
+        nd = np.zeros(n, dtype=np.int64)
+        mx = np.full(n, np.nan)
+        for j in range(1, n):
+            lower = cos[:j, j]
+            nd[j] = int((lower >= _SEMDEDUP_TAU).sum())
+            mx[j] = lower.max()
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "label": pdf["label"].iloc[0],
+                "kept": nd == 0,
+                "n_dominators": nd,
+                # None (SQL NULL), not NaN, for the no-lower-neighbor row
+                "max_lower_sim": [
+                    None if np.isnan(v) else round(float(v), 4) for v in mx
+                ],
+            }
+        )
+
+    return em.groupBy("label").applyInPandas(
+        decide,
+        schema=(
+            "vec_id long, label int, kept boolean, "
+            "n_dominators long, max_lower_sim double"
+        ),
+    )
+
+
+semdedup.__doc__ = semdedup.__doc__.format(tau=_SEMDEDUP_TAU)
+
+
+# ---------------------------------------------------------------------------
 # similarity search: brute-force top-k and IVF variant
 
 SIM_TOPK_ORACLE = r"""

@@ -164,6 +164,7 @@ EMPTY_SAFE = [
     "q_holt_forecast",
     "q_multi_regression",
     "q_dsir_weights",
+    "q_semdedup",
 ]
 
 # global aggregates return one constant row on empty input (their

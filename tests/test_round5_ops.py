@@ -49,3 +49,25 @@ def test_dsir_weights_real_corpus_shapes(spark):
     for r in rows:
         assert r.n_feats >= 1
         assert r.logw == r.logw  # not NaN
+
+
+def test_semdedup_dominance_rule(spark, tmp_path):
+    """Planted block: v0 and v1 identical (cos=1), v2 orthogonal.
+    v1 must be dropped (dominated by v0), v0 and v2 kept; a second
+    label's singleton is kept with NULL nearest-lower similarity."""
+    rows = [
+        (0, [1.0] + [0.0] * 63, 1),
+        (1, [1.0] + [0.0] * 63, 1),
+        (2, [0.0, 1.0] + [0.0] * 62, 1),
+        (10, [0.5] * 64, 2),
+    ]
+    d = tmp_path / "sem"
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+    out = {r.vec_id: r for r in QUERIES["q_semdedup"](spark, str(d)).collect()}
+    assert out[0].kept and out[0].max_lower_sim is None
+    assert not out[1].kept and out[1].n_dominators == 1
+    assert out[1].max_lower_sim == 1.0
+    assert out[2].kept and abs(out[2].max_lower_sim) < 1e-9
+    assert out[10].kept and out[10].max_lower_sim is None
