@@ -106,6 +106,7 @@ _GATE_FRONT = [
     # new in round 5 (insert below this line as they land; due round 6)
     "q_dsir_weights",
     "q_semdedup",
+    "q_rrf_fusion",
     # oracle-upgraded re-checks (clean rows-only driver rows exist;
     # strictly-never-checked queries above outrank their VALUE re-check)
     "q_pcapng_pipeline",

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pcap_to_parquet_spark.functions.text import shingles, whitespace_tokens
+from pcap_to_parquet_spark.functions.vectors import cosine_similarity
 from pcap_to_parquet_spark.registry import query
 from pcap_to_parquet_spark.sources import load_table, fan_out
 
@@ -268,12 +269,12 @@ LIMIT 20
 """
 
 
-@query("q_bm25", BM25_ORACLE)
-def bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 (k1=1.2, b=0.75) document scoring for a fixed query term
     set — the classical lexical retrieval ranker (the sparse half of a
     hybrid search pipeline, and the relevance filter of web-corpus
-    curation).
+    curation). Returns ALL matching docs scored; q_bm25 takes the
+    top-20 and q_rrf_fusion consumes the full ranking.
 
     Scale shape — ONE corpus scan: the query terms are a small fixed
     set, so each doc's per-term tf and its length dl are map-side
@@ -333,8 +334,17 @@ def bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .select("doc_id", sum(term_score[1:], term_score[0]).alias("score"))
     )
+    return scored
+
+
+@query("q_bm25", BM25_ORACLE)
+def bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 BM25 ranking — see :func:`_bm25_scored` for the scoring
+    shape; this adds only TakeOrderedAndProject (top-k per partition,
+    no global sort)."""
     return (
-        scored.orderBy(F.round("score", 9).desc(), "doc_id")
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.round("score", 9).desc(), "doc_id")
         .limit(20)
         .select("doc_id", F.round("score", 4).alias("bm25"))
     )
@@ -1490,3 +1500,123 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 dsir_weights.__doc__ = dsir_weights.__doc__.format(b=_DSIR_B)
+
+
+# ---------------------------------------------------------------------------
+# reciprocal rank fusion: hybrid lexical + semantic retrieval
+
+_RRF_K = 60
+
+RRF_ORACLE = rf"""
+WITH tok AS (
+    SELECT doc_id, unnest({_TOK_SQL}) AS token FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT AVG(dl) AS avgdl, COUNT(*) AS n FROM dl),
+tf AS (
+    SELECT doc_id, token, COUNT(*) AS tf FROM tok
+    WHERE token IN ({_TERMS_SQL}) GROUP BY doc_id, token
+),
+df AS (
+    SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok
+    WHERE token IN ({_TERMS_SQL}) GROUP BY token
+),
+scored AS (
+    SELECT tf.doc_id,
+           SUM(LN(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * ({_BM25_K1} + 1)
+               / (tf.tf + {_BM25_K1}
+                  * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl))) AS score
+    FROM tf
+    JOIN df USING (token)
+    JOIN dl USING (doc_id)
+    CROSS JOIN stats s
+    GROUP BY tf.doc_id
+),
+lex AS (
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY ROUND(score, 9) DESC, doc_id)
+                AS BIGINT) AS lex_rank
+    FROM scored
+),
+sem0 AS (
+    SELECT b.vec_id AS doc_id,
+           CAST(list_cosine_similarity(q.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]) AS DOUBLE) AS c
+    FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE b.vec_id <> 0
+),
+sem AS (
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY ROUND(c, 9) DESC, doc_id)
+                AS BIGINT) AS sem_rank
+    FROM sem0
+),
+fused AS (
+    SELECT doc_id, l.lex_rank, s.sem_rank,
+           COALESCE(1.0 / ({_RRF_K} + l.lex_rank), 0)
+         + COALESCE(1.0 / ({_RRF_K} + s.sem_rank), 0) AS rrf
+    FROM lex l FULL JOIN sem s USING (doc_id)
+)
+SELECT doc_id, lex_rank, sem_rank, ROUND(rrf, 6) AS rrf_score
+FROM fused
+ORDER BY ROUND(rrf, 9) DESC, doc_id
+LIMIT 20
+"""
+
+
+@query("q_rrf_fusion", RRF_ORACLE)
+def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank fusion (Cormack et al. 2009) of the two
+    retrieval systems this engine already runs — BM25 lexical ranking
+    (q_bm25's full score list) and brute-force cosine ranking against
+    the vec_id-0 query (q_similarity_topk's shape) — fused as
+    rrf(d) = Σ_systems 1/({k} + rank_s(d)), absent systems contribute
+    0. This is the standard hybrid-search merge step of a RAG stack:
+    rank-space fusion needs no score calibration between systems.
+
+    Scale shape: each system's ranking is a window over its RESULT
+    list (matching docs / corpus vectors — the retrieval outputs,
+    orders of magnitude smaller than the raw corpus at production
+    selectivity, same single-partition-window justification as
+    q_vocab_build), fused with one full outer join on doc_id and
+    TakeOrderedAndProject for the final top-20. Both rankings order on
+    ROUND(·, 9) before the id tiebreak for cross-libm determinism."""
+    lex = _bm25_scored(spark, sf_dir)
+    w_lex = Window.orderBy(F.round("score", 9).desc(), "doc_id")
+    lex_r = lex.select(
+        "doc_id", F.row_number().over(w_lex).cast("long").alias("lex_rank")
+    )
+    em = load_table(spark, sf_dir, "embeddings")
+    qvec = em.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    sem0 = (
+        em.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qvec))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_similarity("q_embedding", "embedding").alias("c"),
+        )
+    )
+    w_sem = Window.orderBy(F.round("c", 9).desc(), "doc_id")
+    sem_r = sem0.select(
+        "doc_id", F.row_number().over(w_sem).cast("long").alias("sem_rank")
+    )
+    fused = lex_r.join(sem_r, "doc_id", "full").select(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        (
+            F.coalesce(1.0 / (_RRF_K + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("sem_rank")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return (
+        fused.orderBy(F.round("rrf", 9).desc(), "doc_id")
+        .limit(20)
+        .select("doc_id", "lex_rank", "sem_rank", F.round("rrf", 6).alias("rrf_score"))
+    )
+
+
+rrf_fusion.__doc__ = rrf_fusion.__doc__.format(k=_RRF_K)

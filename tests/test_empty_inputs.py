@@ -165,6 +165,7 @@ EMPTY_SAFE = [
     "q_multi_regression",
     "q_dsir_weights",
     "q_semdedup",
+    "q_rrf_fusion",
 ]
 
 # global aggregates return one constant row on empty input (their

@@ -71,3 +71,22 @@ def test_semdedup_dominance_rule(spark, tmp_path):
     assert out[1].max_lower_sim == 1.0
     assert out[2].kept and abs(out[2].max_lower_sim) < 1e-9
     assert out[10].kept and out[10].max_lower_sim is None
+
+
+def test_rrf_fusion_formula_and_ranks(spark):
+    """Every emitted row's rrf_score must equal the closed form from
+    its own ranks; rank sets are 1..n contiguous within each system;
+    doc 0 (the semantic query vector) never appears with a sem_rank."""
+    rows = QUERIES["q_rrf_fusion"](spark, SF0001).collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        expect = 0.0
+        if r.lex_rank is not None:
+            expect += 1.0 / (60 + r.lex_rank)
+        if r.sem_rank is not None:
+            expect += 1.0 / (60 + r.sem_rank)
+        assert abs(r.rrf_score - round(expect, 6)) < 1e-9, r
+    scores = [r.rrf_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    sem_ranks = {r.doc_id: r.sem_rank for r in rows}
+    assert sem_ranks.get(0) is None or 0 not in sem_ranks
