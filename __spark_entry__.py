@@ -107,6 +107,7 @@ _GATE_FRONT = [
     "q_dsir_weights",
     "q_semdedup",
     "q_rrf_fusion",
+    "q_ndcg_eval",
     # oracle-upgraded re-checks (clean rows-only driver rows exist;
     # strictly-never-checked queries above outrank their VALUE re-check)
     "q_pcapng_pipeline",

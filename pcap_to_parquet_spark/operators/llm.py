@@ -2697,3 +2697,99 @@ def residual_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 residual_quant.__doc__ = residual_quant.__doc__.format(ck=RQ_COARSE_K)
+
+
+# ---------------------------------------------------------------------------
+# retrieval evaluation: nDCG@10 of the cosine ranking vs label relevance
+
+_NDCG_K = 10
+
+NDCG_ORACLE = rf"""
+WITH q AS (SELECT embedding, label FROM embeddings WHERE vec_id = 0),
+ranked AS (
+    SELECT b.vec_id,
+           CAST(b.label = q.label AS INT) AS rel,
+           ROW_NUMBER() OVER (
+               ORDER BY ROUND(CAST(list_cosine_similarity(
+                   q.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS DOUBLE), 9)
+                        DESC, b.vec_id) AS rnk
+    FROM embeddings b, q
+    WHERE b.vec_id <> 0
+),
+n_rel AS (SELECT SUM(rel) AS nr FROM ranked),
+dcg AS (
+    SELECT SUM(rel / log2(rnk + 1)) AS dcg
+    FROM ranked WHERE rnk <= {_NDCG_K}
+),
+idcg AS (
+    SELECT SUM(1.0 / log2(i + 1)) AS idcg
+    FROM n_rel, UNNEST(range(1, CAST(LEAST({_NDCG_K}, nr) AS BIGINT) + 1)) AS t(i)
+)
+SELECT CAST(COALESCE(n_rel.nr, 0) AS BIGINT) AS n_relevant,
+       ROUND(dcg.dcg, 6) AS dcg_at_k,
+       ROUND(idcg.idcg, 6) AS idcg_at_k,
+       ROUND(dcg.dcg / idcg.idcg, 6) AS ndcg_at_k
+FROM n_rel, dcg, idcg
+"""
+
+
+@query("q_ndcg_eval", NDCG_ORACLE)
+def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation: nDCG@{k} of the brute-force
+    cosine ranking (q_similarity_topk's retriever) against label-match
+    relevance — the metric loop that closes an embedding-retrieval
+    pipeline (swap label equality for human judgments and this is the
+    BEIR harness kernel).
+
+    Scale shape: one broadcast of the query row, one corpus scan for
+    similarities, a window over the RESULT ranking (result-list-sized,
+    as in q_rrf_fusion), and three scalar aggregates cross-joined into
+    the single metric row; the ideal DCG is closed-form column algebra
+    over a generated 1..min(k, n_rel) sequence, not a second ranking
+    pass. Ranking orders on ROUND(·, 9) for cross-libm determinism."""
+    em = load_table(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_embedding"), F.col("label").alias("q_label")
+    )
+    ranked = (
+        em.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            (F.col("label") == F.col("q_label")).cast("int").alias("rel"),
+            cosine_similarity("q_embedding", "embedding").alias("c"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(Window.orderBy(F.round("c", 9).desc(), "vec_id")),
+        )
+    )
+    n_rel = ranked.agg(F.coalesce(F.sum("rel"), F.lit(0)).alias("nr"))
+    dcg = (
+        ranked.filter(F.col("rnk") <= _NDCG_K)
+        .agg(F.sum(F.col("rel") / F.log2(F.col("rnk") + 1.0)).alias("dcg"))
+    )
+    # nr=0 guard: sequence(1, 0) would count DOWN in Spark
+    idcg = n_rel.select(
+        F.when(
+            F.col("nr") > 0,
+            F.aggregate(
+                F.sequence(F.lit(1), F.least(F.lit(_NDCG_K), F.col("nr"))),
+                F.lit(0.0),
+                lambda acc, i: acc + 1.0 / F.log2(i + 1.0),
+            ),
+        ).alias("idcg")
+    )
+    return (
+        n_rel.crossJoin(dcg)
+        .crossJoin(idcg)
+        .select(
+            F.col("nr").cast("long").alias("n_relevant"),
+            F.round("dcg", 6).alias("dcg_at_k"),
+            F.round("idcg", 6).alias("idcg_at_k"),
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_k"),
+        )
+    )
+
+
+ndcg_eval.__doc__ = ndcg_eval.__doc__.format(k=_NDCG_K)

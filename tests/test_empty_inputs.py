@@ -186,6 +186,7 @@ CONSTANT_ON_EMPTY = {
     "q_kmv_distinct": 1,  # the merged sketch row survives (exact 0)
     "q_sql_forecast_revenue": 1,  # global aggregate: one NULL row
     "q_k_anonymity": 1,  # census summary row of zeros
+    "q_ndcg_eval": 1,  # the metric row survives, all NULL
     "q_gini": 1,  # global concentration summary row
 }
 
