@@ -108,6 +108,9 @@ _GATE_FRONT = [
     "q_semdedup",
     "q_rrf_fusion",
     "q_ndcg_eval",
+    "q_hard_negatives",
+    # oracle upgraded in round 5 (rows-only -> exact probe replay)
+    "q_similarity_ivf",
     # oracle-upgraded re-checks (clean rows-only driver rows exist;
     # strictly-never-checked queries above outrank their VALUE re-check)
     "q_pcapng_pipeline",

@@ -166,6 +166,7 @@ EMPTY_SAFE = [
     "q_dsir_weights",
     "q_semdedup",
     "q_rrf_fusion",
+    "q_hard_negatives",
 ]
 
 # global aggregates return one constant row on empty input (their
