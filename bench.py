@@ -62,6 +62,8 @@ HEADLINE = [
     "q_bpe_merges",         # iterative BPE trainer, 10 driver rounds (round 5)
     "q_components_star",    # large-star/small-star connected components (round 5)
     "q_triangle_count",     # degree-oriented wedge enumeration (round 5)
+    "q_dsir_weights",       # hashed-ngram importance weights (round 5)
+    "q_semdedup",           # blocked-gram semantic dedup decision (round 5)
 ]
 
 # round-over-round reference (same box, sf0.1, local[32]):

@@ -480,7 +480,7 @@ _DH_BITS = " || ".join(
     for ci in range(8)
 )
 
-IMAGE_DHASH_ORACLE = f"""
+_DHASH_CTE = f"""
 WITH m AS (
     SELECT doc_id AS media_id, hex(encode(repeat(text, 9))) AS imghex
     FROM documents
@@ -491,7 +491,9 @@ grays AS (
            {_DH_GRAYS}
     FROM m
 ),
-hashed AS (SELECT media_id, {_DH_BITS} AS dhash FROM grays)
+hashed AS (SELECT media_id, {_DH_BITS} AS dhash FROM grays)"""
+
+IMAGE_DHASH_ORACLE = f"""{_DHASH_CTE}
 SELECT media_id, dhash,
        CAST(64 - length(replace(dhash, '1', '')) AS BIGINT) AS n_edges
 FROM hashed
@@ -538,3 +540,82 @@ def image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resized.mapInPandas(
         do_hash, schema="media_id long, dhash string, n_edges long"
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual image near-dup: banded Hamming join over dHash fingerprints
+
+_INEAR_BANDS = 16  # 4 bits per band over the 64-bit dHash
+_INEAR_MAXH = 15   # pigeonhole: <=15 differing bits MUST leave a band intact
+
+IMAGE_NEARDUP_ORACLE = f"""{_DHASH_CTE}
+SELECT a.media_id AS media_a, b.media_id AS media_b,
+       CAST(bit_count(xor(a.dhash::BIT, b.dhash::BIT)) AS BIGINT) AS hamming
+FROM hashed a JOIN hashed b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.dhash::BIT, b.dhash::BIT)) <= {_INEAR_MAXH}
+"""
+
+
+@query("q_image_neardup", IMAGE_NEARDUP_ORACLE)
+def image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup pairs: band the 64-bit dHash
+    (q_image_dhash) into {bands} bands of 4 bits, bucket-join on any
+    shared band, then exact-Hamming-filter at ≤ {maxh} bits — the
+    image half of the dedup family (re-encodes and small edits land
+    within a few bits of each other).
+
+    The banding is EXACT here, not approximate: by pigeonhole, two
+    hashes differing in ≤ {maxh} bits cannot differ in all {bands}
+    bands, so every qualifying pair shares at least one bucket — the
+    oracle brute-forces all pairs and must agree perfectly. Hamming
+    itself is two 32-bit conv/XOR/bit_count ops, pure JVM column
+    algebra.
+
+    Scale shape: the same banded-LSH discipline as q_dedup_minhash —
+    candidate generation shuffles only (band, 4-bit value) keys,
+    pairwise work happens inside buckets, and the full n² pair space
+    is never materialized."""
+    h = image_dhash(spark, sf_dir).select("media_id", "dhash")
+    bands = h.select(
+        "media_id",
+        "dhash",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_INEAR_BANDS - 1)),
+                lambda i: F.col("dhash").substr(i * 4 + 1, F.lit(4)),
+            )
+        ).alias("band_idx", "band_bits"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            F.col("a.dhash").alias("ha"),
+            F.col("b.dhash").alias("hb"),
+        )
+        .distinct()  # a pair may share several bands
+    )
+
+    def _half(col: str, start: int):  # type: ignore[no-untyped-def]
+        return F.conv(F.substring(col, start, 32), 2, 10).cast("long")
+
+    hamming = F.bit_count(
+        _half("ha", 1).bitwiseXOR(_half("hb", 1))
+    ) + F.bit_count(_half("ha", 33).bitwiseXOR(_half("hb", 33)))
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= _INEAR_MAXH)
+        .select("media_a", "media_b", "hamming")
+    )
+
+
+image_neardup.__doc__ = image_neardup.__doc__.format(
+    bands=_INEAR_BANDS, maxh=_INEAR_MAXH
+)

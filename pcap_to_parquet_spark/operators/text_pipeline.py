@@ -1417,14 +1417,17 @@ fb AS (
            ('0x' || substr(md5(f), 1, 8))::BIGINT % {_DSIR_B} AS bucket
     FROM feats
 ),
-raw AS (SELECT bucket, COUNT(*) AS rn FROM fb GROUP BY bucket),
-tgt AS (SELECT bucket, COUNT(*) AS tn FROM fb WHERE lang = 'en' GROUP BY bucket),
-tot AS (SELECT (SELECT SUM(rn) FROM raw) AS nr, (SELECT COALESCE(SUM(tn), 0) FROM tgt) AS nt),
+counts AS (
+    SELECT bucket, COUNT(*) AS rn,
+           COUNT(*) FILTER (WHERE lang = 'en') AS tn
+    FROM fb GROUP BY bucket
+),
+tot AS (SELECT SUM(rn) AS nr, SUM(tn) AS nt FROM counts),
 ratio AS (
-    SELECT r.bucket,
-           ln((COALESCE(t.tn, 0) + 1.0) / (tot.nt + {_DSIR_B}))
-         - ln((r.rn + 1.0) / (tot.nr + {_DSIR_B})) AS lr
-    FROM raw r LEFT JOIN tgt t USING (bucket), tot
+    SELECT c.bucket,
+           ln((c.tn + 1.0) / (tot.nt + {_DSIR_B}))
+         - ln((c.rn + 1.0) / (tot.nr + {_DSIR_B})) AS lr
+    FROM counts c, tot
 )
 SELECT fb.doc_id,
        COUNT(*) AS n_feats,
@@ -1469,25 +1472,19 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket"
         ),
     )
-    raw = fb.groupBy("bucket").agg(F.count(F.lit(1)).alias("rn"))
-    tgt = (
-        fb.filter(F.col("lang") == "en")
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("tn"))
+    # raw and target bucket counts in ONE aggregation pass (the target
+    # count is a conditional sum, not a second filtered scan)
+    counts = fb.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("rn"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("tn"),
     )
-    tot = raw.agg(F.sum("rn").alias("nr")).crossJoin(
-        tgt.agg(F.coalesce(F.sum("tn"), F.lit(0)).alias("nt"))
-    )
-    ratio = (
-        raw.join(tgt, "bucket", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "bucket",
-            (
-                F.log((F.coalesce(F.col("tn"), F.lit(0)) + 1.0) / (F.col("nt") + _DSIR_B))
-                - F.log((F.col("rn") + 1.0) / (F.col("nr") + _DSIR_B))
-            ).alias("lr"),
-        )
+    tot = counts.agg(F.sum("rn").alias("nr"), F.sum("tn").alias("nt"))
+    ratio = counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.log((F.col("tn") + 1.0) / (F.col("nt") + _DSIR_B))
+            - F.log((F.col("rn") + 1.0) / (F.col("nr") + _DSIR_B))
+        ).alias("lr"),
     )
     return (
         fb.join(F.broadcast(ratio), "bucket")

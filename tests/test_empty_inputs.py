@@ -167,6 +167,7 @@ EMPTY_SAFE = [
     "q_semdedup",
     "q_rrf_fusion",
     "q_hard_negatives",
+    "q_image_neardup",
 ]
 
 # global aggregates return one constant row on empty input (their

@@ -90,3 +90,25 @@ def test_rrf_fusion_formula_and_ranks(spark):
     assert scores == sorted(scores, reverse=True)
     sem_ranks = {r.doc_id: r.sem_rank for r in rows}
     assert sem_ranks.get(0) is None or 0 not in sem_ranks
+
+
+def test_image_neardup_banding_is_lossless(spark, tmp_path):
+    """Two identical synthetic images must pair at Hamming 0; the
+    banded candidate join may not lose any pair the brute-force oracle
+    would find (pigeonhole at <=15 bits over 16 bands)."""
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    other = "completely different content with other words entirely here " * 3
+    rows = [
+        (1, base, "en", "s", len(base)),
+        (2, base, "en", "s", len(base)),  # identical -> hamming 0
+        (3, other, "en", "s", len(other)),
+    ]
+    d = tmp_path / "imgdup"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    pairs = {
+        (r.media_a, r.media_b): r.hamming
+        for r in QUERIES["q_image_neardup"](spark, str(d)).collect()
+    }
+    assert pairs.get((1, 2)) == 0
