@@ -110,6 +110,7 @@ _GATE_FRONT = [
     "q_ndcg_eval",
     "q_hard_negatives",
     "q_image_neardup",
+    "q_audio_neardup",
     # oracle upgraded in round 5 (rows-only -> exact probe replay)
     "q_similarity_ivf",
     # oracle-upgraded re-checks (clean rows-only driver rows exist;

@@ -619,3 +619,125 @@ def image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 image_neardup.__doc__ = image_neardup.__doc__.format(
     bands=_INEAR_BANDS, maxh=_INEAR_MAXH
 )
+
+
+# ---------------------------------------------------------------------------
+# audio near-dup: banded Hamming join over energy-delta fingerprints
+
+_ANEAR_WINDOWS = 64  # 6 samples per window over the 384-sample clip
+_ANEAR_MAXH = 15     # 63 delta bits in 16 bands -> pigeonhole-exact
+
+AUDIO_NEARDUP_ORACLE = f"""
+WITH m AS (
+    SELECT doc_id AS media_id,
+           substr(hex(encode(repeat(text, 9))), 1, 1536) AS hx
+    FROM documents WHERE n_chars >= 96
+),
+val AS (
+    SELECT media_id, i,
+           CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+    FROM (
+        SELECT media_id, i,
+               ('0x' || substr(hx, 4 * i + 1, 2))::INT
+               + 256 * ('0x' || substr(hx, 4 * i + 3, 2))::INT AS raw
+        FROM m, UNNEST(range(384)) AS r(i))
+),
+win AS (
+    SELECT media_id, i // 6 AS w, SUM(CAST(v AS BIGINT) * v) AS e
+    FROM val GROUP BY media_id, i // 6
+),
+fp AS (
+    SELECT media_id,
+           string_agg(CASE WHEN e > next_e THEN '1' ELSE '0' END,
+                      '' ORDER BY w) AS fp
+    FROM (SELECT media_id, w, e,
+                 LEAD(e) OVER (PARTITION BY media_id ORDER BY w) AS next_e
+          FROM win)
+    WHERE next_e IS NOT NULL
+    GROUP BY media_id
+)
+SELECT a.media_id AS media_a, b.media_id AS media_b,
+       CAST(bit_count(xor(a.fp::BIT, b.fp::BIT)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.fp::BIT, b.fp::BIT)) <= {_ANEAR_MAXH}
+"""
+
+
+@query("q_audio_neardup", AUDIO_NEARDUP_ORACLE)
+def audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs — the acoustic-fingerprint dedup shape
+    (Chromaprint's skeleton): window the PCM16 clip into {w} windows,
+    per-window ENERGY (Σv², exact int64 — no float anywhere in the
+    fingerprint), one sign-of-delta bit per consecutive window pair
+    ({w}-1 bits), then the same banded-Hamming join as
+    q_image_neardup: 16 bands, exact at Hamming ≤ {maxh} by
+    pigeonhole, brute-force oracle must agree perfectly.
+
+    Scale shape: fingerprinting is one map-only mapInPandas pass;
+    candidate generation shuffles (band, bits) keys only; the n² pair
+    space never materializes."""
+    d = load_table(spark, sf_dir, "documents")
+    media = raw_media_table(d, "audio")
+
+    def fingerprint(batches):  # type: ignore[no-untyped-def]
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, fps = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                samples = np.frombuffer(
+                    b[: len(b) - (len(b) % 2)], dtype="<i2"
+                ).astype(np.int64)
+                win = samples[: _ANEAR_WINDOWS * 6].reshape(_ANEAR_WINDOWS, 6)
+                e = (win * win).sum(axis=1)  # exact integer energies
+                bits = (e[:-1] > e[1:]).astype(np.uint8)
+                ids.append(mid)
+                fps.append("".join("1" if x else "0" for x in bits))
+            yield pd.DataFrame({"media_id": ids, "fp": fps})
+
+    h = media.mapInPandas(fingerprint, schema="media_id long, fp string")
+    bands = h.select(
+        "media_id",
+        "fp",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(15)),
+                lambda i: F.col("fp").substr(i * 4 + 1, F.lit(4)),
+            )
+        ).alias("band_idx", "band_bits"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            F.col("a.fp").alias("ha"),
+            F.col("b.fp").alias("hb"),
+        )
+        .distinct()
+    )
+
+    def _half(col: str, start: int):  # type: ignore[no-untyped-def]
+        return F.conv(F.substring(col, start, 32), 2, 10).cast("long")
+
+    hamming = F.bit_count(
+        _half("ha", 1).bitwiseXOR(_half("hb", 1))
+    ) + F.bit_count(_half("ha", 33).bitwiseXOR(_half("hb", 33)))
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= _ANEAR_MAXH)
+        .select("media_a", "media_b", "hamming")
+    )
+
+
+audio_neardup.__doc__ = audio_neardup.__doc__.format(
+    w=_ANEAR_WINDOWS, maxh=_ANEAR_MAXH
+)

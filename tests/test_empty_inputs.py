@@ -168,6 +168,7 @@ EMPTY_SAFE = [
     "q_rrf_fusion",
     "q_hard_negatives",
     "q_image_neardup",
+    "q_audio_neardup",
 ]
 
 # global aggregates return one constant row on empty input (their

@@ -112,3 +112,25 @@ def test_image_neardup_banding_is_lossless(spark, tmp_path):
         for r in QUERIES["q_image_neardup"](spark, str(d)).collect()
     }
     assert pairs.get((1, 2)) == 0
+
+
+def test_audio_neardup_identical_clips_pair(spark, tmp_path):
+    """Identical texts produce identical PCM payloads and must pair at
+    Hamming 0; the fingerprint is built from exact integer energies so
+    there is no float path to diverge."""
+    base = "sound alike words repeated for the audio fingerprint test " * 3
+    other = "totally different acoustic content in this second sample " * 3
+    rows = [
+        (1, base, "en", "s", len(base)),
+        (2, base, "en", "s", len(base)),
+        (3, other, "en", "s", len(other)),
+    ]
+    d = tmp_path / "audup"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    pairs = {
+        (r.media_a, r.media_b): r.hamming
+        for r in QUERIES["q_audio_neardup"](spark, str(d)).collect()
+    }
+    assert pairs.get((1, 2)) == 0
