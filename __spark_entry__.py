@@ -111,6 +111,7 @@ _GATE_FRONT = [
     "q_hard_negatives",
     "q_image_neardup",
     "q_audio_neardup",
+    "q_video_neardup",
     # oracle upgraded in round 5 (rows-only -> exact probe replay)
     "q_similarity_ivf",
     # oracle-upgraded re-checks (clean rows-only driver rows exist;

@@ -741,3 +741,142 @@ def audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 audio_neardup.__doc__ = audio_neardup.__doc__.format(
     w=_ANEAR_WINDOWS, maxh=_ANEAR_MAXH
 )
+
+
+# ---------------------------------------------------------------------------
+# video near-dup: per-sampled-frame fingerprints, banded Hamming join
+
+_VNEAR_MAXH = 25  # 126 bits in 32 aligned bands -> pigeonhole-exact <= 31
+
+VIDEO_NEARDUP_ORACLE = f"""
+WITH m AS (
+    SELECT doc_id AS media_id,
+           substr(hex(encode(repeat(text, 33))), 1, 6144) AS vhex
+    FROM documents WHERE n_chars >= 96
+),
+f AS (
+    SELECT media_id, fi AS frame_idx,
+           substr(vhex, CAST(fi * 3072 + 1 AS INT), 1536) AS fhex
+    FROM m, UNNEST(generate_series(0, 1)) AS t(fi)
+),
+byteval AS (
+    SELECT media_id, frame_idx, i,
+           ('0x' || substr(fhex, 2 * i + 1, 2))::INT AS v
+    FROM f, UNNEST(range(768)) AS r(i)
+),
+win AS (
+    SELECT media_id, frame_idx, i // 12 AS w, SUM(CAST(v AS BIGINT) * v) AS e
+    FROM byteval GROUP BY media_id, frame_idx, i // 12
+),
+fp AS (
+    SELECT media_id, frame_idx,
+           string_agg(CASE WHEN e > next_e THEN '1' ELSE '0' END,
+                      '' ORDER BY w) AS fp
+    FROM (SELECT media_id, frame_idx, w, e,
+                 LEAD(e) OVER (PARTITION BY media_id, frame_idx
+                               ORDER BY w) AS next_e
+          FROM win)
+    WHERE next_e IS NOT NULL GROUP BY media_id, frame_idx
+)
+SELECT a.media_id AS media_a, b.media_id AS media_b,
+       CAST(SUM(bit_count(xor(a.fp::BIT, b.fp::BIT))) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.frame_idx = b.frame_idx AND a.media_id < b.media_id
+GROUP BY media_a, media_b
+HAVING SUM(bit_count(xor(a.fp::BIT, b.fp::BIT))) <= {_VNEAR_MAXH}
+"""
+
+
+@query("q_video_neardup", VIDEO_NEARDUP_ORACLE)
+def video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup pairs, completing the per-modality dedup family:
+    fingerprint each SAMPLED frame (q_video_frames' every-2nd-frame
+    stream) with 63 exact-integer energy-delta sign bits (the
+    q_audio_neardup kernel over the frame's 768 bytes), then pair
+    videos whose frame-aligned fingerprints sum to Hamming ≤ {maxh}
+    over the 126 combined bits. Banding is again lossless: the two
+    aligned frames contribute 32 bands, and ≤ {maxh} < 32 differing
+    bits must leave one band intact — so the band-bucket join finds
+    every pair the brute-force oracle does.
+
+    Scale shape: fingerprints are map-only over the frame fan-out,
+    candidates shuffle (frame_idx, band, bits) keys, and the final
+    pair Hamming is one aggregation over the (pair, frame) joins —
+    the n² video space never materializes."""
+    d = load_table(spark, sf_dir, "documents")
+    media = raw_media_table(d, "video", width=16, height=16, n_frames=4)
+    frames = sample_frames(media, every_nth=2)
+
+    def fingerprint(batches):  # type: ignore[no-untyped-def]
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, fps = [], [], []
+            for mid, fi, frame in zip(
+                pdf["media_id"], pdf["frame_idx"], pdf["frame"]
+            ):
+                b = np.frombuffer(bytes(frame), dtype=np.uint8).astype(np.int64)
+                win = b[: 64 * 12].reshape(64, 12)
+                e = (win * win).sum(axis=1)
+                bits = (e[:-1] > e[1:]).astype(np.uint8)
+                ids.append(mid)
+                idxs.append(int(fi))
+                fps.append("".join("1" if x else "0" for x in bits))
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "fp": fps})
+
+    h = frames.mapInPandas(fingerprint, schema="media_id long, frame_idx int, fp string")
+    bands = h.select(
+        "media_id",
+        "frame_idx",
+        "fp",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(15)),
+                lambda i: F.col("fp").substr(i * 4 + 1, F.lit(4)),
+            )
+        ).alias("band_idx", "band_bits"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.frame_idx") == F.col("b.frame_idx"))
+            & (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+        )
+        .distinct()
+    )
+
+    def _half(col: str, start: int):  # type: ignore[no-untyped-def]
+        return F.conv(F.substring(col, start, 32), 2, 10).cast("long")
+
+    fa, fb = h.alias("fa"), h.alias("fb")
+    per_frame = (
+        cand.join(fa, F.col("fa.media_id") == F.col("media_a"))
+        .join(
+            fb,
+            (F.col("fb.media_id") == F.col("media_b"))
+            & (F.col("fb.frame_idx") == F.col("fa.frame_idx")),
+        )
+        .select(
+            "media_a",
+            "media_b",
+            (
+                F.bit_count(_half("fa.fp", 1).bitwiseXOR(_half("fb.fp", 1)))
+                + F.bit_count(_half("fa.fp", 33).bitwiseXOR(_half("fb.fp", 33)))
+            ).alias("fh"),
+        )
+    )
+    return (
+        per_frame.groupBy("media_a", "media_b")
+        .agg(F.sum("fh").cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= _VNEAR_MAXH)
+    )
+
+
+video_neardup.__doc__ = video_neardup.__doc__.format(maxh=_VNEAR_MAXH)

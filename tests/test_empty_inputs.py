@@ -169,6 +169,7 @@ EMPTY_SAFE = [
     "q_hard_negatives",
     "q_image_neardup",
     "q_audio_neardup",
+    "q_video_neardup",
 ]
 
 # global aggregates return one constant row on empty input (their

@@ -134,3 +134,24 @@ def test_audio_neardup_identical_clips_pair(spark, tmp_path):
         for r in QUERIES["q_audio_neardup"](spark, str(d)).collect()
     }
     assert pairs.get((1, 2)) == 0
+
+
+def test_video_neardup_identical_clips_pair(spark, tmp_path):
+    """Identical texts produce identical frame streams and must pair
+    at total Hamming 0 across both sampled frames."""
+    base = "moving pictures with the very same pixels frame after frame " * 3
+    other = "an entirely different clip with other bytes in every frame " * 3
+    rows = [
+        (1, base, "en", "s", len(base)),
+        (2, base, "en", "s", len(base)),
+        (3, other, "en", "s", len(other)),
+    ]
+    d = tmp_path / "viddup"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    pairs = {
+        (r.media_a, r.media_b): r.hamming
+        for r in QUERIES["q_video_neardup"](spark, str(d)).collect()
+    }
+    assert pairs.get((1, 2)) == 0
