@@ -43,6 +43,16 @@ def main() -> None:
         ("length-weighted sample (one-pass E-S)", "q_weighted_sample"),
         ("temperature-rebalanced language mix (alpha=0.5)", "q_temperature_mix"),
         ("train/test split + mixing weights", "q_data_mixing"),
+        # round 5: target-domain selection, semantic + multimodal dedup,
+        # hybrid retrieval and its evaluation
+        ("DSIR importance weights (target-likeness)", "q_dsir_weights"),
+        ("semantic dedup keep-decision (SemDeDup)", "q_semdedup"),
+        ("image near-dup (banded dHash Hamming)", "q_image_neardup"),
+        ("audio near-dup (energy-delta fingerprints)", "q_audio_neardup"),
+        ("video near-dup (frame-aligned fingerprints)", "q_video_neardup"),
+        ("hybrid retrieval fusion (BM25 + cosine RRF)", "q_rrf_fusion"),
+        ("retrieval quality (nDCG@10)", "q_ndcg_eval"),
+        ("contrastive hard negatives (per anchor)", "q_hard_negatives"),
     ]
     for title, name in stages:
         n = QUERIES[name](spark, sf_dir).count()

