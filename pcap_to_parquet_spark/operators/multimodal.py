@@ -35,7 +35,7 @@ from pyspark.sql.types import (
 )
 
 from pcap_to_parquet_spark.registry import query
-from pcap_to_parquet_spark.sources import load_table
+from pcap_to_parquet_spark.sources import fan_out, load_table
 
 MEDIA_SCHEMA = StructType(
     [
@@ -252,7 +252,10 @@ def raw_media_table(documents: DataFrame, kind: str, width: int = 16, height: in
     need = frame_bytes * (n_frames if kind == "video" else 1)
     reps = -(-need // 96) + 1  # docs are filtered to n_chars >= 96
     mime = {"image": RAW_IMAGE_MIME, "video": RAW_VIDEO_MIME, "audio": RAW_AUDIO_MIME}[kind]
-    return documents.filter(F.col("n_chars") >= 96).select(
+    # fan out BEFORE the payload projection: a small parquet arrives as
+    # one split, and every downstream decode kernel is mapInPandas —
+    # without this the whole media pipeline runs on one core
+    return fan_out(documents).filter(F.col("n_chars") >= 96).select(
         F.col("doc_id").alias("media_id"),
         F.substring(F.encode(F.repeat("text", reps), "UTF-8"), 1, need).alias("payload"),
         F.struct(
@@ -543,10 +546,112 @@ def image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# perceptual image near-dup: banded Hamming join over dHash fingerprints
+# shared multi-index-hashing candidate generation for the near-dup family
+#
+# Naive banding at these radii needs bands of <= 4 bits (pigeonhole
+# demands more bands than the radius), and a 4-bit band has only 16
+# possible values — at corpus scale every bucket holds n/16 items and
+# the "candidate" join degenerates to ~n²/16 pairs (measured: the 10×
+# scale set pinned one core for >25 min). Multi-index hashing
+# (Norouzi & Fleet 2012) fixes the entropy: 8-bit bands (256 values)
+# with 1-bit PROBE EXPANSION — a pair within radius r over k bands has
+# some band with <= floor(r/k) errors, so with floor(r/k) = 1 it
+# matches either a band exactly or one of its single-bit flips. Probes
+# expand one join side ~(1+band_len)x; buckets prune 16x harder.
 
-_INEAR_BANDS = 16  # 4 bits per band over the 64-bit dHash
-_INEAR_MAXH = 15   # pigeonhole: <=15 differing bits MUST leave a band intact
+
+def _band_bounds(fp_len: int, n_bands: int) -> list:
+    """1-based (start, length) per band; leading bands take the extra
+    bits when fp_len % n_bands != 0."""
+    base, extra = divmod(fp_len, n_bands)
+    bounds, pos = [], 1
+    for i in range(n_bands):
+        ln = base + (1 if i < extra else 0)
+        bounds.append((pos, ln))
+        pos += ln
+    return bounds
+
+
+def _probe_variants(band):  # type: ignore[no-untyped-def]
+    """Array: the band string plus every single-bit flip of it."""
+    n = F.length(band)
+    return F.transform(
+        F.sequence(F.lit(0), n),
+        lambda i: F.when(i == F.lit(0), band).otherwise(
+            F.concat(
+                band.substr(F.lit(1), (i - 1).cast("int")),
+                F.when(band.substr(i.cast("int"), F.lit(1)) == "0", F.lit("1"))
+                .otherwise(F.lit("0")),
+                band.substr((i + 1).cast("int"), n.cast("int")),
+            )
+        ),
+    )
+
+
+def _mih_pairs(h, fp_len: int, n_bands: int, frame_aligned: bool = False):  # type: ignore[no-untyped-def]
+    """DISTINCT candidate (media_a, media_b) pairs whose fingerprints
+    agree on some band within one bit flip (per frame-aligned band when
+    ``frame_aligned``). COMPLETE for total Hamming <= the caller's
+    radius whenever floor(radius / total_bands) <= 1 — the pigeonhole
+    bound the near-dup ops are sized to."""
+    bounds = _band_bounds(fp_len, n_bands)
+    frame = ["frame_idx"] if frame_aligned else []
+
+    def tag(bi: int):  # type: ignore[no-untyped-def]
+        # single-arg lambda on purpose: a 2-arg transform lambda would
+        # receive (element, array_index) and shadow the band id
+        return lambda v: F.struct(F.lit(bi).alias("band_idx"), v.alias("key"))
+
+    def keys(expand: bool):  # type: ignore[no-untyped-def]
+        per_band = []
+        for bi, (st, ln) in enumerate(bounds):
+            band = F.col("fp").substr(F.lit(st), F.lit(ln))
+            variants = _probe_variants(band) if expand else F.array(band)
+            per_band.append(F.transform(variants, tag(bi)))
+        return F.explode(F.flatten(F.array(*per_band))).alias("bk")
+
+    probed = h.select("media_id", *frame, keys(True)).select(
+        "media_id", *frame, "bk.band_idx", "bk.key"
+    )
+    exact = h.select("media_id", *frame, keys(False)).select(
+        "media_id", *frame, "bk.band_idx", "bk.key"
+    )
+    a, b = probed.alias("a"), exact.alias("b")
+    cond = (
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.media_id") < F.col("b.media_id"))
+    )
+    if frame_aligned:
+        cond = cond & (F.col("a.frame_idx") == F.col("b.frame_idx"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+        )
+        .distinct()
+    )
+
+
+def _hamming_col(ca: str, cb: str):  # type: ignore[no-untyped-def]
+    """Hamming distance between two <=64-char bitstring columns as
+    conv/XOR/bit_count column algebra (two 32-bit halves)."""
+
+    def _half(col: str, start: int):  # type: ignore[no-untyped-def]
+        return F.conv(F.substring(col, start, 32), 2, 10).cast("long")
+
+    return (
+        F.bit_count(_half(ca, 1).bitwiseXOR(_half(cb, 1)))
+        + F.bit_count(_half(ca, 33).bitwiseXOR(_half(cb, 33)))
+    ).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# perceptual image near-dup: MIH Hamming join over dHash fingerprints
+
+_INEAR_BANDS = 8   # 8-bit bands over the 64-bit dHash (MIH, 1-bit probes)
+_INEAR_MAXH = 15   # floor(15 / 8 bands) = 1 -> probe radius 1 is complete
 
 IMAGE_NEARDUP_ORACLE = f"""{_DHASH_CTE}
 SELECT a.media_id AS media_a, b.media_id AS media_b,
@@ -558,59 +663,33 @@ WHERE bit_count(xor(a.dhash::BIT, b.dhash::BIT)) <= {_INEAR_MAXH}
 
 @query("q_image_neardup", IMAGE_NEARDUP_ORACLE)
 def image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual image near-dup pairs: band the 64-bit dHash
-    (q_image_dhash) into {bands} bands of 4 bits, bucket-join on any
-    shared band, then exact-Hamming-filter at ≤ {maxh} bits — the
-    image half of the dedup family (re-encodes and small edits land
-    within a few bits of each other).
+    """Perceptual image near-dup pairs: multi-index-hash the 64-bit
+    dHash (q_image_dhash) into {bands} 8-bit bands with 1-bit probe
+    expansion, bucket-join, then exact-Hamming-filter at ≤ {maxh}
+    bits — the image half of the dedup family (re-encodes and small
+    edits land within a few bits of each other).
 
-    The banding is EXACT here, not approximate: by pigeonhole, two
-    hashes differing in ≤ {maxh} bits cannot differ in all {bands}
-    bands, so every qualifying pair shares at least one bucket — the
-    oracle brute-forces all pairs and must agree perfectly. Hamming
-    itself is two 32-bit conv/XOR/bit_count ops, pure JVM column
-    algebra.
+    The candidate generation is EXACT, not approximate: a pair within
+    {maxh} bits has some band with ≤ floor({maxh}/{bands}) = 1 errors
+    (pigeonhole), which the 1-bit probes cover — so the brute-force
+    oracle must agree perfectly. See _mih_pairs for why naive 4-bit
+    banding (the pigeonhole-only design) collapses at corpus scale.
+    Hamming itself is two 32-bit conv/XOR/bit_count ops, pure JVM
+    column algebra.
 
-    Scale shape: the same banded-LSH discipline as q_dedup_minhash —
-    candidate generation shuffles only (band, 4-bit value) keys,
-    pairwise work happens inside buckets, and the full n² pair space
-    is never materialized."""
-    h = image_dhash(spark, sf_dir).select("media_id", "dhash")
-    bands = h.select(
-        "media_id",
-        "dhash",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(_INEAR_BANDS - 1)),
-                lambda i: F.col("dhash").substr(i * 4 + 1, F.lit(4)),
-            )
-        ).alias("band_idx", "band_bits"),
+    Scale shape: candidate generation shuffles (band, 8-bit value)
+    keys — ~9× expanded on one side, 256-way pruned per band — and
+    the n² pair space never materializes."""
+    h = image_dhash(spark, sf_dir).select(
+        "media_id", F.col("dhash").alias("fp")
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_bits") == F.col("b.band_bits"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
-        )
-        .select(
-            F.col("a.media_id").alias("media_a"),
-            F.col("b.media_id").alias("media_b"),
-            F.col("a.dhash").alias("ha"),
-            F.col("b.dhash").alias("hb"),
-        )
-        .distinct()  # a pair may share several bands
-    )
-
-    def _half(col: str, start: int):  # type: ignore[no-untyped-def]
-        return F.conv(F.substring(col, start, 32), 2, 10).cast("long")
-
-    hamming = F.bit_count(
-        _half("ha", 1).bitwiseXOR(_half("hb", 1))
-    ) + F.bit_count(_half("ha", 33).bitwiseXOR(_half("hb", 33)))
+    cand = _mih_pairs(h, fp_len=64, n_bands=_INEAR_BANDS)
+    ha = h.select(F.col("media_id").alias("media_a"), F.col("fp").alias("ha"))
+    hb = h.select(F.col("media_id").alias("media_b"), F.col("fp").alias("hb"))
     return (
-        cand.withColumn("hamming", hamming.cast("long"))
+        cand.join(ha, "media_a")
+        .join(hb, "media_b")
+        .withColumn("hamming", _hamming_col("ha", "hb"))
         .filter(F.col("hamming") <= _INEAR_MAXH)
         .select("media_a", "media_b", "hamming")
     )
@@ -625,7 +704,7 @@ image_neardup.__doc__ = image_neardup.__doc__.format(
 # audio near-dup: banded Hamming join over energy-delta fingerprints
 
 _ANEAR_WINDOWS = 64  # 6 samples per window over the 384-sample clip
-_ANEAR_MAXH = 15     # 63 delta bits in 16 bands -> pigeonhole-exact
+_ANEAR_MAXH = 15     # 63 bits, 8 MIH bands: floor(15/8)=1-bit probes complete
 
 AUDIO_NEARDUP_ORACLE = f"""
 WITH m AS (
@@ -669,9 +748,9 @@ def audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Chromaprint's skeleton): window the PCM16 clip into {w} windows,
     per-window ENERGY (Σv², exact int64 — no float anywhere in the
     fingerprint), one sign-of-delta bit per consecutive window pair
-    ({w}-1 bits), then the same banded-Hamming join as
-    q_image_neardup: 16 bands, exact at Hamming ≤ {maxh} by
-    pigeonhole, brute-force oracle must agree perfectly.
+    ({w}-1 bits), then the same multi-index-hash join as
+    q_image_neardup: 8 bands with 1-bit probes, complete at Hamming ≤
+    {maxh} by pigeonhole, brute-force oracle must agree perfectly.
 
     Scale shape: fingerprinting is one map-only mapInPandas pass;
     candidate generation shuffles (band, bits) keys only; the n² pair
@@ -698,41 +777,13 @@ def audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "fp": fps})
 
     h = media.mapInPandas(fingerprint, schema="media_id long, fp string")
-    bands = h.select(
-        "media_id",
-        "fp",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(15)),
-                lambda i: F.col("fp").substr(i * 4 + 1, F.lit(4)),
-            )
-        ).alias("band_idx", "band_bits"),
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_bits") == F.col("b.band_bits"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
-        )
-        .select(
-            F.col("a.media_id").alias("media_a"),
-            F.col("b.media_id").alias("media_b"),
-            F.col("a.fp").alias("ha"),
-            F.col("b.fp").alias("hb"),
-        )
-        .distinct()
-    )
-
-    def _half(col: str, start: int):  # type: ignore[no-untyped-def]
-        return F.conv(F.substring(col, start, 32), 2, 10).cast("long")
-
-    hamming = F.bit_count(
-        _half("ha", 1).bitwiseXOR(_half("hb", 1))
-    ) + F.bit_count(_half("ha", 33).bitwiseXOR(_half("hb", 33)))
+    cand = _mih_pairs(h, fp_len=_ANEAR_WINDOWS - 1, n_bands=8)
+    ha = h.select(F.col("media_id").alias("media_a"), F.col("fp").alias("ha"))
+    hb = h.select(F.col("media_id").alias("media_b"), F.col("fp").alias("hb"))
     return (
-        cand.withColumn("hamming", hamming.cast("long"))
+        cand.join(ha, "media_a")
+        .join(hb, "media_b")
+        .withColumn("hamming", _hamming_col("ha", "hb"))
         .filter(F.col("hamming") <= _ANEAR_MAXH)
         .select("media_a", "media_b", "hamming")
     )
@@ -793,9 +844,10 @@ def video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream) with 63 exact-integer energy-delta sign bits (the
     q_audio_neardup kernel over the frame's 768 bytes), then pair
     videos whose frame-aligned fingerprints sum to Hamming ≤ {maxh}
-    over the 126 combined bits. Banding is again lossless: the two
-    aligned frames contribute 32 bands, and ≤ {maxh} < 32 differing
-    bits must leave one band intact — so the band-bucket join finds
+    over the 126 combined bits. Candidate generation is again
+    complete: the two aligned frames contribute 16 MIH bands, so a
+    pair within {maxh} has some band with ≤ floor({maxh}/16) = 1
+    errors, which the 1-bit probes cover — the bucket join finds
     every pair the brute-force oracle does.
 
     Scale shape: fingerprints are map-only over the frame fan-out,
@@ -825,36 +877,7 @@ def video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "fp": fps})
 
     h = frames.mapInPandas(fingerprint, schema="media_id long, frame_idx int, fp string")
-    bands = h.select(
-        "media_id",
-        "frame_idx",
-        "fp",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(15)),
-                lambda i: F.col("fp").substr(i * 4 + 1, F.lit(4)),
-            )
-        ).alias("band_idx", "band_bits"),
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.frame_idx") == F.col("b.frame_idx"))
-            & (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_bits") == F.col("b.band_bits"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
-        )
-        .select(
-            F.col("a.media_id").alias("media_a"),
-            F.col("b.media_id").alias("media_b"),
-        )
-        .distinct()
-    )
-
-    def _half(col: str, start: int):  # type: ignore[no-untyped-def]
-        return F.conv(F.substring(col, start, 32), 2, 10).cast("long")
-
+    cand = _mih_pairs(h, fp_len=63, n_bands=8, frame_aligned=True)
     fa, fb = h.alias("fa"), h.alias("fb")
     per_frame = (
         cand.join(fa, F.col("fa.media_id") == F.col("media_a"))
@@ -863,14 +886,7 @@ def video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("fb.media_id") == F.col("media_b"))
             & (F.col("fb.frame_idx") == F.col("fa.frame_idx")),
         )
-        .select(
-            "media_a",
-            "media_b",
-            (
-                F.bit_count(_half("fa.fp", 1).bitwiseXOR(_half("fb.fp", 1)))
-                + F.bit_count(_half("fa.fp", 33).bitwiseXOR(_half("fb.fp", 33)))
-            ).alias("fh"),
-        )
+        .select("media_a", "media_b", _hamming_col("fa.fp", "fb.fp").alias("fh"))
     )
     return (
         per_frame.groupBy("media_a", "media_b")

@@ -157,12 +157,13 @@ def test_video_neardup_identical_clips_pair(spark, tmp_path):
     assert pairs.get((1, 2)) == 0
 
 
-def test_banding_pigeonhole_property():
-    """Pure-math property behind q_image/audio/video_neardup: ANY two
-    64-bit strings within Hamming 15 share at least one of the 16
-    4-bit bands — so the band-bucket join is a complete candidate
-    generator, never a recall trade-off. Checked exhaustively on
-    random pairs plus adversarial spread patterns."""
+def test_mih_pigeonhole_property():
+    """Pure-math property behind q_image/audio/video_neardup's
+    multi-index hashing: ANY two 64-bit strings within Hamming 15 have
+    some 8-bit band differing in <= 1 bit — so the 1-bit probe
+    expansion is a complete candidate generator, never a recall
+    trade-off. Checked on random pairs plus the adversarial spread
+    (one flip per band everywhere but one)."""
     import random
 
     rng = random.Random(7)
@@ -172,14 +173,23 @@ def test_banding_pigeonhole_property():
         b = list(a)
         for i in flips:
             b[i] ^= 1
-        shares_band = any(
-            a[4 * k : 4 * k + 4] == b[4 * k : 4 * k + 4] for k in range(16)
+        near_band = any(
+            sum(x != y for x, y in zip(a[8 * k : 8 * k + 8], b[8 * k : 8 * k + 8]))
+            <= 1
+            for k in range(8)
         )
-        assert shares_band, flips
-    # adversarial: one flip in each of 15 distinct bands still leaves
-    # the 16th band intact
+        assert near_band, flips
+    # adversarial: 2 flips in each of 7 bands (14 total) leaves the
+    # 8th band exact; 15 flips can spread at most 2-per-band over 7
+    # bands plus 1 in the last -> still within one probe
     a = [0] * 64
     b = list(a)
-    for k in range(15):
-        b[4 * k] = 1
-    assert a[60:64] == b[60:64]
+    for k in range(7):
+        b[8 * k] = 1
+        b[8 * k + 1] = 1
+    b[56] = 1
+    diffs = [
+        sum(x != y for x, y in zip(a[8 * k : 8 * k + 8], b[8 * k : 8 * k + 8]))
+        for k in range(8)
+    ]
+    assert min(diffs) <= 1 and sum(diffs) == 15
