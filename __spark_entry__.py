@@ -112,6 +112,9 @@ _GATE_FRONT = [
     "q_image_neardup",
     "q_audio_neardup",
     "q_video_neardup",
+    "q_adamic_adar",
+    "q_shard_assign",
+    "q_rake_keywords",
     # oracle upgraded in round 5 (rows-only -> exact probe replay)
     "q_similarity_ivf",
     # oracle-upgraded re-checks (clean rows-only driver rows exist;

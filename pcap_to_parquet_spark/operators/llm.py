@@ -2901,3 +2901,79 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 hard_negatives.__doc__ = hard_negatives.__doc__.format(a=_HN_ANCHORS)
+
+
+# ---------------------------------------------------------------------------
+# deterministic epoch shuffle: shard + position assignment for training
+
+_SHARD_SEED = "epoch7"
+_SHARD_N = 16
+_SHARD_MOD = 1_000_000_007
+
+SHARD_ASSIGN_ORACLE = f"""
+WITH h AS (
+    SELECT doc_id,
+           md5('{_SHARD_SEED}:' || CAST(doc_id AS VARCHAR)) AS hx
+    FROM documents
+),
+asg AS (
+    SELECT doc_id, hx,
+           ('0x' || substr(hx, 1, 4))::INT % {_SHARD_N} AS shard,
+           ROW_NUMBER() OVER (
+               PARTITION BY ('0x' || substr(hx, 1, 4))::INT % {_SHARD_N}
+               ORDER BY hx, doc_id) AS pos
+    FROM h
+)
+SELECT shard,
+       COUNT(*) AS n_docs,
+       MIN(CASE WHEN pos = 1 THEN doc_id END) AS head_doc,
+       CAST(SUM(doc_id * pos) % {_SHARD_MOD} AS BIGINT) AS order_checksum
+FROM asg
+GROUP BY shard
+ORDER BY shard
+"""
+
+
+@query("q_shard_assign", SHARD_ASSIGN_ORACLE)
+def shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: every document gets a (shard,
+    position) from a seeded content hash — the global random
+    permutation a training run needs, without any engine-dependent
+    randomness or a driver-side shuffle. [engine — not in reference]
+
+    Re-keying the seed string ("epoch7" -> "epoch8") yields a fresh
+    independent permutation, so epochs are reshuffles by construction
+    and any worker can recompute its own shard's order statelessly —
+    the property that makes resumable data loading work.
+
+    Scale design: the assignment is pure column algebra (md5 + modulo,
+    whole-stage codegen); the only shuffle is the per-shard
+    ROW_NUMBER, which partitions by shard and sort-merges within — at
+    a real corpus you'd raise _SHARD_N to O(cores) so each sort fits
+    an executor, or swap row_number for a two-level (file, offset)
+    scheme via repartitionByRange(hash) + monotonically increasing
+    ids rescoped per file. Output is one summary row per shard (count,
+    first doc, full order checksum), so the permutation is
+    value-verified end-to-end with |shards| rows, not |corpus| rows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    hx = F.md5(F.concat(F.lit(_SHARD_SEED + ":"), F.col("doc_id").cast("string")))
+    asg = d.select(
+        "doc_id",
+        hx.alias("hx"),
+        (F.conv(F.substring(hx, 1, 4), 16, 10).cast("int") % _SHARD_N).alias("shard"),
+    ).withColumn(
+        "pos",
+        F.row_number().over(Window.partitionBy("shard").orderBy("hx", "doc_id")),
+    )
+    return (
+        asg.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(F.when(F.col("pos") == 1, F.col("doc_id"))).alias("head_doc"),
+            (F.sum(F.col("doc_id") * F.col("pos")) % _SHARD_MOD).alias(
+                "order_checksum"
+            ),
+        )
+        .orderBy("shard")
+    )

@@ -1617,3 +1617,105 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 rrf_fusion.__doc__ = rrf_fusion.__doc__.format(k=_RRF_K)
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction: stopword-delimited phrases scored by deg/freq
+
+_RAKE_STOP = (
+    "the|a|an|and|or|of|to|in|on|for|with|at|by|from|as|is|are|was|were|be|"
+    "been|it|this|that|these|those|its|into|their|our|your|my|we|you|they|"
+    "not|no|but|if|then|than|so|such|can|will|has|have|had|do|does|did|all|"
+    "any|each|more|most|some|only|same|too|very|just|also|there|here|when|"
+    "where|why|how|what|which|who|while|because|until|through|over|under"
+)
+
+RAKE_ORACLE = f"""
+WITH norm AS (
+    SELECT regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', '|', 'g'),
+               '\\b({_RAKE_STOP})\\b', '|', 'g') AS t
+    FROM documents
+),
+phr AS (
+    SELECT trim(regexp_replace(u.p, ' +', ' ', 'g')) AS phrase
+    FROM norm, unnest(string_split(t, '|')) AS u(p)
+),
+occ AS (
+    SELECT phrase, COUNT(*) AS n_occ
+    FROM phr WHERE phrase <> '' GROUP BY phrase
+),
+pw AS (  -- one row per word occurrence, weighted by the occurrence count
+    SELECT o.phrase, o.n_occ, u.w AS word,
+           len(string_split(o.phrase, ' ')) AS plen
+    FROM occ o, unnest(string_split(o.phrase, ' ')) AS u(w)
+),
+ws AS (  -- deg(w)/freq(w): phrase length counted once per OCCURRENCE
+    SELECT word,
+           CAST(SUM(plen * n_occ) AS DOUBLE) / SUM(n_occ) AS wscore
+    FROM pw GROUP BY word
+),
+ps AS (
+    SELECT pw.phrase, MIN(pw.n_occ) AS n_occ,
+           ROUND(SUM(ws.wscore), 4) AS rake_score
+    FROM pw JOIN ws ON ws.word = pw.word
+    GROUP BY pw.phrase
+)
+SELECT phrase, n_occ, rake_score
+FROM ps
+ORDER BY rake_score DESC, phrase
+LIMIT 20
+"""
+
+
+@query("q_rake_keywords", RAKE_ORACLE)
+def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction: candidate phrases are maximal runs
+    between stopwords/punctuation; each word scores deg/freq (average
+    length of the phrases it appears in) and a phrase scores the sum
+    of its word scores — the classic unsupervised keyphrase kernel
+    (Rose et al. 2010), here as pure distributed column algebra.
+    [engine — not in reference]
+
+    Scale design: the whole chain is regexp_replace + split + explode
+    inside whole-stage codegen — no Python. Phrases are collapsed to
+    DISTINCT (phrase, n_occ) BEFORE word explosion, so the word-stat
+    join keys on |distinct phrases|, not |corpus tokens|; the word
+    score table is |vocabulary|-bounded (a broadcast at any corpus
+    size, though the optimizer is left to choose); the final top-20 is
+    a TakeOrdered. deg(w) counts each corpus OCCURRENCE of a phrase
+    (weighting by n_occ), matching the original corpus-level RAKE
+    definition rather than the per-distinct-phrase shortcut.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", "|"),
+        r"\b(" + _RAKE_STOP + r")\b",
+        "|",
+    )
+    phr = (
+        d.select(F.explode(F.split(t, r"\|")).alias("p"))
+        .select(F.trim(F.regexp_replace("p", " +", " ")).alias("phrase"))
+        .where(F.col("phrase") != "")
+    )
+    occ = phr.groupBy("phrase").agg(F.count(F.lit(1)).alias("n_occ"))
+    pw = occ.select(
+        "phrase",
+        "n_occ",
+        F.size(F.split("phrase", " ")).alias("plen"),
+        F.explode(F.split("phrase", " ")).alias("word"),
+    )
+    ws = pw.groupBy("word").agg(
+        (
+            F.sum(F.col("plen") * F.col("n_occ")).cast("double") / F.sum("n_occ")
+        ).alias("wscore")
+    )
+    ps = (
+        pw.join(ws, "word")
+        .groupBy("phrase")
+        .agg(
+            F.min("n_occ").alias("n_occ"),
+            F.round(F.sum("wscore"), 4).alias("rake_score"),
+        )
+    )
+    return ps.orderBy(F.desc("rake_score"), "phrase").limit(20)

@@ -170,6 +170,9 @@ EMPTY_SAFE = [
     "q_image_neardup",
     "q_audio_neardup",
     "q_video_neardup",
+    "q_adamic_adar",
+    "q_shard_assign",
+    "q_rake_keywords",
 ]
 
 # global aggregates return one constant row on empty input (their

@@ -193,3 +193,78 @@ def test_mih_pigeonhole_property():
         for k in range(8)
     ]
     assert min(diffs) <= 1 and sum(diffs) == 15
+
+
+def test_adamic_adar_planted_square(spark, tmp_path):
+    """Planted 4-cycle 1-2-3-4-1: the two diagonals (1,3) and (2,4)
+    are the only non-edges, each with two common neighbors of degree
+    2, so both score 2/ln(2) and nothing else appears."""
+    import math
+
+    rows = []
+    ok = 0
+    for a, b in [(1, 2), (2, 3), (3, 4), (1, 4)]:
+        rows.append((ok, a))
+        rows.append((ok, b))
+        ok += 1
+    li = spark.createDataFrame(
+        [(o, p) for o, p in rows], "l_orderkey long, l_partkey long"
+    )
+    d = tmp_path / "aa"
+    li.write.mode("overwrite").parquet(str(d / "lineitem.parquet"))
+    out = {(r.u, r.v): r for r in QUERIES["q_adamic_adar"](spark, str(d)).collect()}
+    assert set(out) == {(1, 3), (2, 4)}
+    want = round(2 / math.log(2), 4)
+    for r in out.values():
+        assert r.aa_score == want
+        assert r.n_common == 2
+
+
+def test_adamic_adar_excludes_existing_edges(spark):
+    """No candidate pair may already be a co-purchase edge."""
+    df = QUERIES["q_adamic_adar"](spark, SF0001)
+    import duckdb
+
+    cand = [(r.u, r.v) for r in df.collect()]
+    assert len(cand) > 0
+    edges = set(
+        duckdb.sql(
+            f"""SELECT DISTINCT a.l_partkey, b.l_partkey
+        FROM '{SF0001}/lineitem.parquet' a JOIN '{SF0001}/lineitem.parquet' b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"""
+        ).fetchall()
+    )
+    assert not (set(cand) & edges)
+
+
+def test_shard_assign_is_deterministic_full_partition(spark):
+    """Shards partition the corpus exactly once; two runs agree
+    bit-for-bit (the resumable-loading property)."""
+    import duckdb
+
+    a = QUERIES["q_shard_assign"](spark, SF0001).collect()
+    b = QUERIES["q_shard_assign"](spark, SF0001).collect()
+    assert a == b
+    n = duckdb.sql(f"SELECT COUNT(*) FROM '{SF0001}/documents.parquet'").fetchone()[0]
+    assert sum(r.n_docs for r in a) == n
+    assert len({r.shard for r in a}) == len(a)
+
+
+def test_rake_keywords_scores_multiword_phrases(spark, tmp_path):
+    """Planted corpus: 'deep learning' appears as a stopword-delimited
+    phrase twice, 'cat' once. RAKE must score the bigram phrase
+    higher (deg/freq rewards co-occurrence runs) and compute the
+    textbook score: each of deep/learning has deg 2, freq 1 per
+    occurrence -> wscore 2, phrase score 4; 'cat' scores 1."""
+    rows = [
+        (0, "deep learning is the deep learning", "en", "s", 30),
+        (1, "a cat", "en", "s", 5),
+    ]
+    d = tmp_path / "rake"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    out = {r.phrase: r for r in QUERIES["q_rake_keywords"](spark, str(d)).collect()}
+    assert out["deep learning"].rake_score == 4.0
+    assert out["deep learning"].n_occ == 2
+    assert out["cat"].rake_score == 1.0
