@@ -115,6 +115,8 @@ _GATE_FRONT = [
     "q_adamic_adar",
     "q_shard_assign",
     "q_rake_keywords",
+    "q_ks_drift",
+    "q_zipf_fit",
     # oracle upgraded in round 5 (rows-only -> exact probe replay)
     "q_similarity_ivf",
     # oracle-upgraded re-checks (clean rows-only driver rows exist;

@@ -2084,3 +2084,123 @@ def adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = scored.join(pairs, ["u", "v"], "left_anti")
     return cand.orderBy(F.desc("aa_score"), "u", "v").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# two-sample Kolmogorov-Smirnov drift test over binned ECDFs
+
+_KS_BINS = 256
+
+KS_DRIFT_ORACLE = f"""
+WITH s AS (
+    SELECT value AS v,
+           CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_a
+    FROM events WHERE event_type IN ('view', 'purchase')
+),
+ext AS (
+    SELECT MIN(v) AS mn, MAX(v) AS mx FROM s
+),
+binned AS (
+    SELECT LEAST(CAST(FLOOR((s.v - ext.mn) / ((ext.mx - ext.mn) / {_KS_BINS}))
+                      AS INT), {_KS_BINS - 1}) AS bin,
+           SUM(s.is_a) AS ca, SUM(1 - s.is_a) AS cb
+    FROM s, ext
+    GROUP BY 1
+),
+n AS (
+    SELECT SUM(ca) AS na, SUM(cb) AS nb FROM binned
+),
+ecdf AS (
+    SELECT bin,
+           SUM(ca) OVER (ORDER BY bin) AS cca,
+           SUM(cb) OVER (ORDER BY bin) AS ccb
+    FROM binned
+)
+SELECT CAST(n.na AS BIGINT) AS n_view,
+       CAST(n.nb AS BIGINT) AS n_purchase,
+       ROUND(MAX(ABS(CAST(ecdf.cca AS DOUBLE) / n.na
+                   - CAST(ecdf.ccb AS DOUBLE) / n.nb)), 6) AS ks_stat,
+       ROUND(2 * EXP(-2 * POW(MAX(ABS(CAST(ecdf.cca AS DOUBLE) / n.na
+                                   - CAST(ecdf.ccb AS DOUBLE) / n.nb)), 2)
+                     * (n.na * n.nb / CAST(n.na + n.nb AS DOUBLE))), 6)
+           AS p_approx
+FROM ecdf, n
+GROUP BY n.na, n.nb
+"""
+
+
+@query("q_ks_drift", KS_DRIFT_ORACLE)
+def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test between the 'view' and
+    'purchase' value distributions — the distribution-shift alarm a
+    data pipeline runs between snapshots, feature versions, or A/B
+    arms (complements q_cusum_drift's mean-shift-in-time test with a
+    whole-shape test). [engine — not in reference]
+
+    Scale design: the textbook KS needs an ECDF at every pooled
+    observation — a GLOBAL sort plus a global running sum, the one
+    window shape that cannot scale (all rows through one partition).
+    Instead the ECDFs are BINNED: one min/max aggregate (broadcast as
+    a 1-row cross join), one groupBy on 256 fixed-width bins, and a
+    running sum over the 256-row bin table — the only window runs over
+    a bounded aggregate, never the corpus. Binned KS underestimates
+    the true statistic by at most the largest bin's probability mass;
+    at 256 bins the gap is far below any decision threshold, and the
+    SAME binning is in the oracle, so the check is exact, not
+    approximate-vs-exact. The asymptotic p-value uses the one-term
+    Smirnov tail 2·exp(-2·c²·na·nb/(na+nb))."""
+    e = load_table(spark, sf_dir, "events")
+    s = e.where(F.col("event_type").isin("view", "purchase")).select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("is_a"),
+    )
+    ext = s.agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    binned = (
+        s.crossJoin(F.broadcast(ext))
+        .select(
+            F.least(
+                F.floor(
+                    (F.col("v") - F.col("mn"))
+                    / ((F.col("mx") - F.col("mn")) / _KS_BINS)
+                ).cast("int"),
+                F.lit(_KS_BINS - 1),
+            ).alias("bin"),
+            "is_a",
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("is_a").alias("ca"),
+            F.sum(F.lit(1) - F.col("is_a")).alias("cb"),
+        )
+    )
+    w = Window.orderBy("bin")  # 256-row bounded aggregate, single partition OK
+    ecdf = binned.select(
+        "bin",
+        F.sum("ca").over(w).alias("cca"),
+        F.sum("cb").over(w).alias("ccb"),
+    )
+    n = binned.agg(
+        F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
+    )
+    diff = F.abs(
+        F.col("cca").cast("double") / F.col("na")
+        - F.col("ccb").cast("double") / F.col("nb")
+    )
+    ks = F.max(diff)
+    scale = F.col("na") * F.col("nb") / (F.col("na") + F.col("nb")).cast("double")
+    return (
+        ecdf.crossJoin(F.broadcast(n))
+        .groupBy("na", "nb")
+        .agg(
+            F.round(ks, 6).alias("ks_stat"),
+            F.round(2 * F.exp(-2 * F.pow(ks, F.lit(2)) * scale), 6).alias(
+                "p_approx"
+            ),
+        )
+        .select(
+            F.col("na").alias("n_view"),
+            F.col("nb").alias("n_purchase"),
+            "ks_stat",
+            "p_approx",
+        )
+    )

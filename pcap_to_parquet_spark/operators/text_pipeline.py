@@ -1719,3 +1719,82 @@ def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ps.orderBy(F.desc("rake_score"), "phrase").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Zipf's-law fit: log-log OLS slope of the token rank-frequency curve
+
+_ZIPF_TOP = 100
+
+ZIPF_ORACLE = f"""
+WITH tok AS (
+    SELECT u.t AS token
+    FROM documents, unnest(string_split(text, ' ')) AS u(t)
+    WHERE u.t <> ''
+),
+freq AS (
+    SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+),
+ranked AS (
+    SELECT token, n,
+           ROW_NUMBER() OVER (ORDER BY n DESC, token) AS r
+    FROM freq
+    ORDER BY n DESC, token
+    LIMIT {_ZIPF_TOP}
+),
+ll AS (
+    SELECT LN(CAST(r AS DOUBLE)) AS x, LN(CAST(n AS DOUBLE)) AS y FROM ranked
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_ranks,
+       ROUND((AVG(x * y) - AVG(x) * AVG(y))
+             / (AVG(x * x) - AVG(x) * AVG(x)), 4) AS zipf_slope,
+       ROUND(AVG(y) - (AVG(x * y) - AVG(x) * AVG(y))
+             / (AVG(x * x) - AVG(x) * AVG(x)) * AVG(x), 4) AS log_intercept,
+       ROUND(POW(AVG(x * y) - AVG(x) * AVG(y), 2)
+             / ((AVG(x * x) - AVG(x) * AVG(x))
+                * (AVG(y * y) - AVG(y) * AVG(y))), 4) AS r_squared
+FROM ll
+"""
+
+
+@query("q_zipf_fit", ZIPF_ORACLE)
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law diagnostic: OLS slope of log-frequency vs log-rank
+    over the top-100 tokens — the one-number corpus-health check
+    (natural text sits near slope −1; synthetic or template-heavy
+    corpora flatten, boilerplate floods steepen) that a pretraining
+    pipeline tracks per source and per snapshot.
+    [engine — not in reference]
+
+    Scale design: the corpus-sized work is one token groupBy (the
+    vocabulary count every text op here already shares); the rank
+    window runs AFTER a TakeOrdered(100), so the global ROW_NUMBER —
+    normally the unscalable shape — orders 100 rows, not |vocab|. The
+    OLS closed form is a single aggregate over those 100 (x, y)
+    points. Slope/intercept/R² come from the same moment aggregates
+    both engines compute identically."""
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(whitespace_tokens(F.col("text"))).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = freq.orderBy(F.desc("n"), "token").limit(_ZIPF_TOP)
+    ranked = top.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("n"), "token"))
+    )
+    ll = ranked.select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    sxy = F.avg(F.col("x") * F.col("y")) - F.avg("x") * F.avg("y")
+    sxx = F.avg(F.col("x") * F.col("x")) - F.avg("x") * F.avg("x")
+    syy = F.avg(F.col("y") * F.col("y")) - F.avg("y") * F.avg("y")
+    slope = sxy / sxx
+    return ll.agg(
+        F.count(F.lit(1)).cast("long").alias("n_ranks"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round(F.avg("y") - slope * F.avg("x"), 4).alias("log_intercept"),
+        F.round(F.pow(sxy, F.lit(2)) / (sxx * syy), 4).alias("r_squared"),
+    )

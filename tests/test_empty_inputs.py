@@ -173,6 +173,7 @@ EMPTY_SAFE = [
     "q_adamic_adar",
     "q_shard_assign",
     "q_rake_keywords",
+    "q_ks_drift",
 ]
 
 # global aggregates return one constant row on empty input (their
@@ -195,6 +196,7 @@ CONSTANT_ON_EMPTY = {
     "q_k_anonymity": 1,  # census summary row of zeros
     "q_ndcg_eval": 1,  # the metric row survives, all NULL
     "q_gini": 1,  # global concentration summary row
+    "q_zipf_fit": 1,  # the OLS aggregate row survives, all NULL
 }
 
 

@@ -268,3 +268,54 @@ def test_rake_keywords_scores_multiword_phrases(spark, tmp_path):
     assert out["deep learning"].rake_score == 4.0
     assert out["deep learning"].n_occ == 2
     assert out["cat"].rake_score == 1.0
+
+
+def test_ks_drift_identical_vs_shifted(spark, tmp_path):
+    """Identical distributions -> KS ~ 0, p ~ 2 (clamped tail form);
+    disjoint distributions -> KS = 1, p ~ 0."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def lake(vals_a, vals_b, d):
+        rows = []
+        eid = 0
+        for v in vals_a:
+            rows.append((eid, t0, eid, "view", float(v), "{}")); eid += 1
+        for v in vals_b:
+            rows.append((eid, t0, eid, "purchase", float(v), "{}")); eid += 1
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).write.mode("overwrite").parquet(str(d / "events.parquet"))
+        return str(d)
+
+    same = lake(range(100), range(100), tmp_path / "same")
+    r = QUERIES["q_ks_drift"](spark, same).collect()[0]
+    assert r.n_view == 100 and r.n_purchase == 100
+    assert r.ks_stat == 0.0
+
+    disj = lake(range(100), range(1000, 1100), tmp_path / "disj")
+    r = QUERIES["q_ks_drift"](spark, disj).collect()[0]
+    assert r.ks_stat == 1.0
+    assert r.p_approx < 1e-4
+
+
+def test_zipf_fit_exact_power_law(spark, tmp_path):
+    """A corpus whose token counts are exactly n_r = 1024 / r for
+    r = 1..8 must fit slope -1 with R^2 = 1."""
+    toks = []
+    for r in range(1, 9):
+        toks.extend([f"tok{r:02d}"] * (1024 // r))
+    text = " ".join(toks)
+    d = tmp_path / "zipf"
+    spark.createDataFrame(
+        [(0, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    r = QUERIES["q_zipf_fit"](spark, str(d)).collect()[0]
+    assert r.n_ranks == 8
+    # 1024/r is integer-truncated for r in {3,5,6,7}; slope still ~ -1
+    assert abs(r.zipf_slope + 1.0) < 0.02
+    assert r.r_squared > 0.999
