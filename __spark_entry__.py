@@ -117,6 +117,8 @@ _GATE_FRONT = [
     "q_rake_keywords",
     "q_ks_drift",
     "q_zipf_fit",
+    "q_ngram_novelty",
+    "q_embed_outliers",
     # oracle upgraded in round 5 (rows-only -> exact probe replay)
     "q_similarity_ivf",
     # oracle-upgraded re-checks (clean rows-only driver rows exist;

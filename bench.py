@@ -64,6 +64,8 @@ HEADLINE = [
     "q_triangle_count",     # degree-oriented wedge enumeration (round 5)
     "q_dsir_weights",       # hashed-ngram importance weights (round 5)
     "q_semdedup",           # blocked-gram semantic dedup decision (round 5)
+    "q_adamic_adar",        # degree-capped wedge link prediction (round 5)
+    "q_rake_keywords",      # stopword-run keyphrase extraction (round 5)
 ]
 
 # round-over-round reference (same box, sf0.1, local[32]):

@@ -2977,3 +2977,152 @@ def shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty: per-document share of corpus-first shingles
+
+NOVELTY_ORACLE = r"""
+WITH tok AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS ws
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+        ('0x' || substr(md5(unnest(
+            list_transform(generate_series(1, len(ws) - 2),
+                           i -> ws[i] || '|' || ws[i+1] || '|' || ws[i+2]))),
+            1, 12))::BIGINT AS g
+    FROM tok
+    WHERE len(ws) >= 3
+),
+first AS (
+    SELECT g, MIN(doc_id) AS first_doc FROM sh GROUP BY g
+)
+SELECT sh.doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       ROUND(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)::DOUBLE
+             / COUNT(*), 4) AS novelty
+FROM sh JOIN first f USING (g)
+GROUP BY sh.doc_id
+"""
+
+
+@query("q_ngram_novelty", NOVELTY_ORACLE)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the share of a document's distinct
+    3-gram shingles whose FIRST corpus occurrence (by doc_id order) is
+    this document — the dataset-novelty curve a pretraining run tracks
+    to see when a source stops contributing new content (and the
+    per-doc signal behind "train on novel data first" curricula).
+    [engine — not in reference]
+
+    Scale design: shingling is the map-only zip_with stage every dedup
+    op here shares; shingles are immediately COMPRESSED to 48-bit
+    md5-derived integers, so the two shuffles (distinct (doc, gram),
+    min-doc per gram) and the join move 8-byte keys, never shingle
+    strings — identical hashing in the oracle keeps the check exact
+    (a collision merges the same two shingles in both engines). The
+    first-occurrence table is |distinct grams|-bounded and the final
+    aggregate returns one row per document."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", whitespace_tokens(F.col("text")).alias("ws"))
+        .where(F.size("ws") >= 3)
+        .select("doc_id", F.explode(shingles("ws")).alias("s"))
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("s"), 1, 12), 16, 10).cast("long").alias("g"),
+        )
+        .distinct()
+    )
+    first = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        sh.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            novel.alias("n_novel"),
+            F.round(novel.cast("double") / F.count(F.lit(1)), 4).alias("novelty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding outlier score: distance-to-label-centroid z-score
+
+EMBED_OUTLIERS_ORACLE = """
+WITH el AS (
+    SELECT vec_id, label, i.p - 1 AS pos,
+           CAST(embedding[i.p] AS DOUBLE) AS val
+    FROM embeddings,
+         unnest(generate_series(1, len(embedding))) AS i(p)
+),
+cen AS (  -- centroid rounded to 6dp so FP summation order can't leak
+    SELECT label, pos, ROUND(AVG(val), 6) AS c
+    FROM el GROUP BY label, pos
+),
+dist AS (
+    SELECT el.vec_id, el.label,
+           SQRT(SUM((el.val - cen.c) * (el.val - cen.c))) AS d
+    FROM el JOIN cen ON cen.label = el.label AND cen.pos = el.pos
+    GROUP BY el.vec_id, el.label
+),
+stats AS (
+    SELECT label, AVG(d) AS mu, STDDEV_SAMP(d) AS sd FROM dist GROUP BY label
+)
+SELECT dist.vec_id, dist.label,
+       ROUND(dist.d, 4) AS dist,
+       ROUND((dist.d - stats.mu) / stats.sd, 4) AS z
+FROM dist JOIN stats USING (label)
+"""
+
+
+@query("q_embed_outliers", EMBED_OUTLIERS_ORACLE)
+def embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier scoring: each vector's Euclidean
+    distance to its label centroid, z-scored within the label — the
+    curation gate that catches mis-embedded, corrupted or
+    off-distribution documents before they reach training (the
+    centroid-distance prune of CLIP-style data filtering, and
+    SemDeDup's complement: q_semdedup drops the too-close, this flags
+    the too-far). [engine — not in reference]
+
+    Scale design: centroids come from one posexplode + (label, dim)
+    aggregate — the map-side-combinable shape, |labels|×64 rows of
+    state no matter the corpus size; distances are a second pass
+    joining each element against the broadcast-sized centroid table;
+    the z-score needs only |labels| (mean, stddev) rows. Nothing ever
+    materializes a pairwise anything. Centroids are rounded to 6dp in
+    BOTH engines before the distance pass so double-summation order
+    (Spark partial aggs vs DuckDB sequential) cannot leak into the
+    4dp outputs."""
+    em = load_table(spark, sf_dir, "embeddings")
+    el = em.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "pos", "val"
+        ),
+    )
+    cen = el.groupBy("label", "pos").agg(F.round(F.avg("val"), 6).alias("c"))
+    dist = (
+        el.join(F.broadcast(cen), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(F.sqrt(F.sum((F.col("val") - F.col("c")) * (F.col("val") - F.col("c")))).alias("d"))
+    )
+    stats = dist.groupBy("label").agg(
+        F.avg("d").alias("mu"), F.stddev_samp("d").alias("sd")
+    )
+    return dist.join(F.broadcast(stats), "label").select(
+        "vec_id",
+        "label",
+        F.round("d", 4).alias("dist"),
+        F.round((F.col("d") - F.col("mu")) / F.col("sd"), 4).alias("z"),
+    )

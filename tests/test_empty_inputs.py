@@ -174,6 +174,8 @@ EMPTY_SAFE = [
     "q_shard_assign",
     "q_rake_keywords",
     "q_ks_drift",
+    "q_ngram_novelty",
+    "q_embed_outliers",
 ]
 
 # global aggregates return one constant row on empty input (their

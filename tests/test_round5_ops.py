@@ -319,3 +319,39 @@ def test_zipf_fit_exact_power_law(spark, tmp_path):
     # 1024/r is integer-truncated for r in {3,5,6,7}; slope still ~ -1
     assert abs(r.zipf_slope + 1.0) < 0.02
     assert r.r_squared > 0.999
+
+
+def test_ngram_novelty_duplicate_scores_zero(spark, tmp_path):
+    """doc 0 is all-novel (1.0); doc 1, its exact duplicate, contributes
+    nothing new (0.0); doc 2 is disjoint and all-novel."""
+    rows = [
+        (0, "alpha beta gamma delta epsilon", "en", "s", 30),
+        (1, "alpha beta gamma delta epsilon", "en", "s", 30),
+        (2, "zeta eta theta iota kappa", "en", "s", 25),
+    ]
+    d = tmp_path / "nov"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    out = {r.doc_id: r for r in QUERIES["q_ngram_novelty"](spark, str(d)).collect()}
+    assert out[0].novelty == 1.0 and out[0].n_grams == 3
+    assert out[1].novelty == 0.0 and out[1].n_novel == 0
+    assert out[2].novelty == 1.0
+
+
+def test_embed_outliers_flags_the_far_vector(spark, tmp_path):
+    """A tight cluster of 5 plus one distant vector: the distant one
+    must carry the max z-score; cluster members sit below it."""
+    rows = [(i, [0.0] * 63 + [float(i) * 0.01], 1) for i in range(5)]
+    rows.append((99, [10.0] * 64, 1))
+    d = tmp_path / "out"
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+    out = {r.vec_id: r for r in QUERIES["q_embed_outliers"](spark, str(d)).collect()}
+    assert len(out) == 6
+    far = out[99]
+    assert far.z == max(r.z for r in out.values())
+    # centroid sits 1/6 of the way toward the outlier, so the cluster
+    # members land at ~d/5 of the outlier's distance — assert 4x margin
+    assert far.dist > max(out[i].dist for i in range(5)) * 4
