@@ -119,6 +119,7 @@ _GATE_FRONT = [
     "q_zipf_fit",
     "q_ngram_novelty",
     "q_embed_outliers",
+    "q_kcore",
     # oracle upgraded in round 5 (rows-only -> exact probe replay)
     "q_similarity_ivf",
     # oracle-upgraded re-checks (clean rows-only driver rows exist;

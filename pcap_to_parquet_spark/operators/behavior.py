@@ -2204,3 +2204,137 @@ def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_approx",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core peel: bounded-round degeneracy core of the co-purchase graph
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 12
+_KCORE_SUPPORT = 2  # min co-purchase count for an edge (basket pruning)
+
+
+def _kcore_chain_sql(k: int, rounds: int) -> str:
+    """Generate the unrolled peel chain: each round keeps nodes whose
+    degree among SURVIVORS is >= k, then restricts the edge set —
+    the q_pagerank/q_bpe_merges unrolling pattern (fixed rounds ==
+    deterministic semantics both engines replay exactly)."""
+    parts = [
+        """
+WITH op AS MATERIALIZED (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e0 AS MATERIALIZED (
+    -- support >= 2 basket pruning: a single shared order is noise,
+    -- and without it the co-purchase graph is near-complete
+    SELECT a.l_partkey AS u, b.l_partkey AS v
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+a{r} AS MATERIALIZED (
+    SELECT node FROM (
+        SELECT u AS node FROM e{r - 1} UNION ALL SELECT v FROM e{r - 1}
+    ) GROUP BY node HAVING COUNT(*) >= {k}
+),
+e{r} AS MATERIALIZED (
+    SELECT e.u, e.v FROM e{r - 1} e
+    SEMI JOIN a{r} au ON au.node = e.u
+    SEMI JOIN a{r} av ON av.node = e.v
+)"""
+        )
+    return "".join(parts)
+
+
+KCORE_ORACLE = (
+    _kcore_chain_sql(_KCORE_K, _KCORE_ROUNDS)
+    + f"""
+SELECT (SELECT COUNT(*) FROM (SELECT u AS n FROM e0 UNION SELECT v FROM e0))
+           AS n_nodes,
+       (SELECT COUNT(*) FROM a{_KCORE_ROUNDS}) AS n_core_nodes,
+       (SELECT COUNT(*) FROM e{_KCORE_ROUNDS}) AS n_core_edges,
+       (SELECT COUNT(*) FROM a{_KCORE_ROUNDS})
+           = (SELECT COUNT(*) FROM a{_KCORE_ROUNDS - 1}) AS converged
+"""
+)
+
+
+@query("q_kcore", KCORE_ORACLE)
+def kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the co-purchase graph ({k}-core, {rounds} peel
+    rounds): iteratively drop nodes with fewer than {k} surviving
+    neighbors — the degeneracy kernel behind community seeding, spam
+    subgraph mining and graph sparsification, and the third
+    fixed-point graph shape here next to q_dedup_clusters (label
+    propagation) and q_pagerank (value iteration). Edges carry a
+    support >= {support} basket-pruning threshold (pairs sharing a
+    single order are noise, and without the cut the co-purchase graph
+    is near-complete, making any small k vacuous).
+    [engine — not in reference]
+
+    Scale design: each round is ONE degree aggregate plus two
+    semi-joins, all keyed on node ids — the same partitioning every
+    round, no corpus-sized state beyond the shrinking edge list, which
+    is localCheckpointed per round so the 8-round lineage never
+    re-runs the co-purchase self-join. Rounds are FIXED at {rounds}
+    (not run-to-convergence) so Spark and the oracle compute the same
+    function; the `converged` flag reports whether the peel reached
+    its fixed point (survivor sets shrink monotonically, so equal
+    consecutive COUNTS imply equal sets)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= _KCORE_SUPPORT)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = (
+        edges.select(F.col("u").alias("n"))
+        .union(edges.select(F.col("v").alias("n")))
+        .distinct()
+        .count()
+    )
+    alive_counts: list[int] = []
+    for _ in range(_KCORE_ROUNDS):
+        alive = (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") >= _KCORE_K)
+            .select("node")
+            .localCheckpoint(eager=True)  # survivor set, feeds both semi-joins
+        )
+        # driver-side scalar only — |alive| is bounded metadata, never rows
+        alive_counts.append(alive.count())
+        edges = (
+            edges.join(alive.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(alive.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)  # shrinking edge list, 8-round lineage cut
+        )
+    return spark.range(1).select(
+        F.lit(n_nodes).cast("long").alias("n_nodes"),
+        F.lit(alive_counts[-1]).cast("long").alias("n_core_nodes"),
+        F.lit(edges.count()).cast("long").alias("n_core_edges"),
+        F.lit(alive_counts[-1] == alive_counts[-2]).alias("converged"),
+    )
+
+
+kcore.__doc__ = kcore.__doc__.format(
+    k=_KCORE_K, rounds=_KCORE_ROUNDS, support=_KCORE_SUPPORT
+)

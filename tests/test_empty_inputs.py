@@ -199,6 +199,7 @@ CONSTANT_ON_EMPTY = {
     "q_ndcg_eval": 1,  # the metric row survives, all NULL
     "q_gini": 1,  # global concentration summary row
     "q_zipf_fit": 1,  # the OLS aggregate row survives, all NULL
+    "q_kcore": 1,  # graph census row of zeros, converged=true
 }
 
 

@@ -355,3 +355,27 @@ def test_embed_outliers_flags_the_far_vector(spark, tmp_path):
     # centroid sits 1/6 of the way toward the outlier, so the cluster
     # members land at ~d/5 of the outlier's distance — assert 4x margin
     assert far.dist > max(out[i].dist for i in range(5)) * 4
+
+
+def test_kcore_peels_pendant_keeps_clique(spark, tmp_path):
+    """Planted graph: a 4-clique (every pair co-purchased in 2 orders)
+    plus a pendant node hanging off it. The 3-core is exactly the
+    clique; the pendant (degree 1) peels in round one."""
+    rows = []
+    ok = 0
+    clique = [1, 2, 3, 4]
+    pairs = [(a, b) for a in clique for b in clique if a < b] + [(1, 5)]
+    for a, b in pairs:
+        for _ in range(2):  # support >= 2 threshold
+            rows.append((ok, a))
+            rows.append((ok, b))
+            ok += 1
+    d = tmp_path / "kcore"
+    spark.createDataFrame(rows, "l_orderkey long, l_partkey long").write.mode(
+        "overwrite"
+    ).parquet(str(d / "lineitem.parquet"))
+    r = QUERIES["q_kcore"](spark, str(d)).collect()[0]
+    assert r.n_nodes == 5
+    assert r.n_core_nodes == 4
+    assert r.n_core_edges == 6
+    assert r.converged
