@@ -120,6 +120,7 @@ _GATE_FRONT = [
     "q_ngram_novelty",
     "q_embed_outliers",
     "q_kcore",
+    "q_unigram_lm",
     # oracle upgraded in round 5 (rows-only -> exact probe replay)
     "q_similarity_ivf",
     # oracle-upgraded re-checks (clean rows-only driver rows exist;

@@ -1798,3 +1798,258 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("y") - slope * F.avg("x"), 4).alias("log_intercept"),
         F.round(F.pow(sxy, F.lit(2)) / (sxx * syy), 4).alias("r_squared"),
     )
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM tokenizer (SentencePiece-style) trained by true EM
+
+_ULM_MAXLEN = 16  # words longer than this are dropped from training
+_ULM_PIECE_MAX = 4
+_ULM_VOCAB = 48  # multi-char piece budget (single chars always kept)
+_ULM_ROUNDS = 2
+_ULM_TOP = 30
+
+
+def _ulm_sql() -> str:
+    """Generate the unrolled EM oracle: seed vocabulary, then per EM
+    round a forward chain (alpha), a backward chain (beta) and the
+    expected-count M-step — all as MATERIALIZED CTEs (the q_kcore
+    lesson: DuckDB inlines plain CTEs, and each step references the
+    previous one several times)."""
+    L, P = _ULM_MAXLEN, _ULM_PIECE_MAX
+    parts = [
+        f"""
+WITH tok AS MATERIALIZED (
+    SELECT u.t AS word, COUNT(*) AS freq
+    FROM documents, unnest(string_split(text, ' ')) AS u(t)
+    WHERE u.t <> '' AND len(u.t) <= {L}
+    GROUP BY u.t
+),
+cand AS MATERIALIZED (
+    SELECT substr(t.word, i.i, l.l) AS piece,
+           CAST(SUM(t.freq) AS BIGINT) AS cnt
+    FROM tok t,
+         unnest(generate_series(1, {L})) AS i(i),
+         unnest(generate_series(1, {P})) AS l(l)
+    WHERE i.i + l.l - 1 <= len(t.word)
+    GROUP BY 1
+),
+seed AS MATERIALIZED (
+    SELECT piece, cnt FROM cand WHERE len(piece) = 1
+    UNION ALL
+    SELECT piece, cnt FROM (
+        SELECT piece, cnt FROM cand WHERE len(piece) > 1
+        ORDER BY cnt DESC, piece LIMIT {_ULM_VOCAB})
+),
+v0 AS MATERIALIZED (
+    SELECT piece,
+           CAST(cnt AS DOUBLE) / (SELECT SUM(cnt) FROM seed) AS p
+    FROM seed
+)"""
+    ]
+    for r in range(1, _ULM_ROUNDS + 1):
+        pv = f"v{r - 1}"
+        # forward: alc{r}_{j} accumulates alpha rows for positions 0..j
+        parts.append(
+            f""",
+alc{r}_0 AS MATERIALIZED (
+    SELECT word, freq, 0 AS j, CAST(1 AS DOUBLE) AS a FROM tok
+)"""
+        )
+        for j in range(1, L + 1):
+            parts.append(
+                f""",
+al{r}_{j} AS MATERIALIZED (
+    SELECT a.word, a.freq, {j} AS j, SUM(a.a * v.p) AS a
+    FROM alc{r}_{j - 1} a
+    JOIN {pv} v ON v.piece = substr(a.word, a.j + 1, {j} - a.j)
+    WHERE a.j BETWEEN {max(0, j - P)} AND {j - 1} AND len(a.word) >= {j}
+    GROUP BY a.word, a.freq
+),
+alc{r}_{j} AS MATERIALIZED (
+    SELECT * FROM alc{r}_{j - 1} UNION ALL SELECT * FROM al{r}_{j}
+)"""
+            )
+        # backward: btc{r}_{j} accumulates beta rows for positions >= j
+        parts.append(
+            f""",
+btc{r}_{L} AS MATERIALIZED (
+    SELECT word, len(word) AS j, CAST(1 AS DOUBLE) AS b FROM tok
+)"""
+        )
+        for j in range(L - 1, -1, -1):
+            parts.append(
+                f""",
+bt{r}_{j} AS MATERIALIZED (
+    SELECT b.word, {j} AS j, SUM(b.b * v.p) AS b
+    FROM btc{r}_{j + 1} b
+    JOIN {pv} v ON v.piece = substr(b.word, {j} + 1, b.j - {j})
+    WHERE b.j BETWEEN {j + 1} AND {min(L, j + P)}
+      AND len(b.word) > {j}
+    GROUP BY b.word
+),
+btc{r}_{j} AS MATERIALIZED (
+    SELECT * FROM btc{r}_{j + 1} UNION ALL SELECT * FROM bt{r}_{j}
+)"""
+            )
+        parts.append(
+            f""",
+zz{r} AS MATERIALIZED (
+    SELECT word, a AS za FROM alc{r}_{L} WHERE j = len(word)
+),
+cnt{r} AS MATERIALIZED (
+    SELECT v.piece, SUM(a.freq * a.a * v.p * b.b / z.za) AS c
+    FROM alc{r}_{L} a
+    JOIN btc{r}_0 b ON b.word = a.word
+                   AND b.j - a.j BETWEEN 1 AND {P}
+    JOIN {pv} v ON v.piece = substr(a.word, a.j + 1, b.j - a.j)
+    JOIN zz{r} z ON z.word = a.word
+    GROUP BY v.piece
+),
+v{r} AS MATERIALIZED (
+    SELECT piece, c / (SELECT SUM(c) FROM cnt{r}) AS p FROM cnt{r}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT piece, ROUND(LN(p), 4) AS logp
+FROM v{_ULM_ROUNDS}
+ORDER BY ROUND(p, 12) DESC, piece
+LIMIT {_ULM_TOP}
+"""
+    )
+    return "".join(parts)
+
+
+ULM_ORACLE = _ulm_sql()
+
+
+@query("q_unigram_lm", ULM_ORACLE)
+def unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (Kudo 2018 — the SentencePiece
+    model): seed a substring vocabulary, then run {rounds} rounds of
+    TRUE EM — forward-backward expected piece counts under the current
+    piece probabilities, renormalize — and emit the top-{top} pieces
+    by final probability. With q_bpe_merges/q_bpe_encode this
+    completes both major subword-tokenizer families.
+    [engine — not in reference]
+
+    Scale design (the q_bpe_merges discipline): every EM pass runs
+    over the DISTINCT VOCABULARY, never the corpus — the corpus is
+    touched once to build (word, freq). Per round, the cluster work is
+    one mapInPandas over the weighted vocabulary with the piece table
+    as a broadcast (vocab-bounded model state, the only thing ever
+    collected), and one |pieces|-row aggregate. The per-word
+    forward-backward is O(len·{piece_max}) on ≤{maxlen}-char words —
+    bounded CPU inside an Arrow batch, the applyInPandas-class
+    exception to the no-Python-hot-path rule.
+
+    The oracle replays the IDENTICAL math: the DP unrolls as a
+    {maxlen}-step materialized-CTE chain per direction per round
+    (alpha/beta recurrences are joins against the piece table), so the
+    trained distribution is value-checked END TO END — seed selection,
+    both EM rounds, final ranking — not just sanity-checked. Product
+    order in the expected-count term matches left-to-right between
+    numpy and SQL; cross-engine float noise is ~1e-16 against 4dp
+    outputs and a 12dp rank key."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select(F.explode(whitespace_tokens(F.col("text"))).alias("word"))
+        .where((F.col("word") != "") & (F.length("word") <= _ULM_MAXLEN))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint(eager=True)  # vocab-bounded; reused every round
+    )
+    cand = (
+        tok.select(
+            "word",
+            "freq",
+            F.explode(F.sequence(F.lit(1), F.length("word"))).alias("i"),
+        )
+        .select(
+            "word",
+            "freq",
+            "i",
+            F.explode(F.sequence(F.lit(1), F.lit(_ULM_PIECE_MAX))).alias("l"),
+        )
+        .where(F.col("i") + F.col("l") - 1 <= F.length("word"))
+        .select(F.expr("substring(word, i, l)").alias("piece"), "freq")
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+    )
+    chars = cand.where(F.length("piece") == 1)
+    multi = (
+        cand.where(F.length("piece") > 1)
+        .orderBy(F.desc("cnt"), "piece")
+        .limit(_ULM_VOCAB)
+    )
+    seed = chars.unionAll(multi).collect()  # vocab-bounded model state
+    if not seed:  # empty corpus: no vocabulary, no model
+        return spark.createDataFrame([], "piece string, logp double")
+    total = float(sum(r.cnt for r in seed))
+    probs = {r.piece: r.cnt / total for r in seed}
+
+    pmax = _ULM_PIECE_MAX
+    for _ in range(_ULM_ROUNDS):
+        bc = spark.sparkContext.broadcast(probs)
+
+        def estep(batches):  # noqa: ANN001
+            pv = bc.value
+            for pdf in batches:
+                counts: dict[str, float] = {}
+                for word, freq in zip(pdf["word"], pdf["freq"]):
+                    lw = len(word)
+                    alpha = [0.0] * (lw + 1)
+                    alpha[0] = 1.0
+                    for j in range(1, lw + 1):
+                        s = 0.0
+                        for piece_len in range(1, min(pmax, j) + 1):
+                            pc = pv.get(word[j - piece_len : j])
+                            if pc:
+                                s += alpha[j - piece_len] * pc
+                        alpha[j] = s
+                    beta = [0.0] * (lw + 1)
+                    beta[lw] = 1.0
+                    for j in range(lw - 1, -1, -1):
+                        s = 0.0
+                        for piece_len in range(1, min(pmax, lw - j) + 1):
+                            pc = pv.get(word[j : j + piece_len])
+                            if pc:
+                                s += beta[j + piece_len] * pc
+                        beta[j] = s
+                    z = alpha[lw]
+                    if z <= 0.0:
+                        continue
+                    for i in range(lw):
+                        for piece_len in range(1, min(pmax, lw - i) + 1):
+                            piece = word[i : i + piece_len]
+                            pc = pv.get(piece)
+                            if pc:
+                                c = freq * alpha[i] * pc * beta[i + piece_len] / z
+                                if c:
+                                    counts[piece] = counts.get(piece, 0.0) + c
+                yield pd.DataFrame(
+                    {"piece": list(counts), "c": list(counts.values())}
+                )
+
+        crows = (
+            tok.mapInPandas(estep, "piece string, c double")
+            .groupBy("piece")
+            .agg(F.sum("c").alias("c"))
+            .collect()  # |pieces|-bounded
+        )
+        ctot = float(sum(r.c for r in crows))
+        probs = {r.piece: r.c / ctot for r in crows}
+
+    import math
+
+    final = sorted(probs.items(), key=lambda kv: (-round(kv[1], 12), kv[0]))
+    rows = [(p, round(math.log(pr), 4)) for p, pr in final[:_ULM_TOP]]
+    return spark.createDataFrame(rows, "piece string, logp double")
+
+
+unigram_lm.__doc__ = unigram_lm.__doc__.format(
+    rounds=_ULM_ROUNDS, top=_ULM_TOP, maxlen=_ULM_MAXLEN, piece_max=_ULM_PIECE_MAX
+)

@@ -176,6 +176,7 @@ EMPTY_SAFE = [
     "q_ks_drift",
     "q_ngram_novelty",
     "q_embed_outliers",
+    "q_unigram_lm",
 ]
 
 # global aggregates return one constant row on empty input (their

@@ -379,3 +379,27 @@ def test_kcore_peels_pendant_keeps_clique(spark, tmp_path):
     assert r.n_core_nodes == 4
     assert r.n_core_edges == 6
     assert r.converged
+
+
+def test_unigram_lm_em_concentrates_on_repeated_piece(spark, tmp_path):
+    """Corpus dominated by 'ababab': EM must put more mass on the
+    multi-char piece 'ab' than on the rare word 'cd''s pieces, and
+    the output must be a valid ranked log-distribution."""
+    import math
+
+    rows = [
+        (0, "ababab ababab ababab ababab", "en", "s", 27),
+        (1, "cd", "en", "s", 2),
+    ]
+    d = tmp_path / "ulm"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    out = QUERIES["q_unigram_lm"](spark, str(d)).collect()
+    logps = {r.piece: r.logp for r in out}
+    assert "ab" in logps and "cd" in logps
+    assert logps["ab"] > logps["cd"]
+    vals = [r.logp for r in out]
+    assert vals == sorted(vals, reverse=True)
+    # a (sub-)distribution: the emitted pieces' probs sum to <= 1
+    assert sum(math.exp(v) for v in vals) <= 1.0 + 1e-6
