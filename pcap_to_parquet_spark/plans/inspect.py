@@ -57,6 +57,11 @@ def plan_profile(df: DataFrame) -> dict[str, int]:
         if n:
             prof[op] = n
     prof["exchanges"] = len(re.findall(r"\bExchange\b", plan))
+    # deliberate parallelism fan-outs (fan_out's repartition): these
+    # are row-preserving round-robin redistributions, not keyed data
+    # shuffles — plan tests asserting "no shuffle" should compare
+    # exchanges against this count instead of zero
+    prof["fanout_exchanges"] = len(re.findall(r"\bRoundRobinPartitioning\b", plan))
     prof["semi_joins"] = len(re.findall(r"\bLeftSemi\b", plan))
     prof["anti_joins"] = len(re.findall(r"\bLeftAnti\b", plan))
     prof["single_partition"] = len(re.findall(r"\bSinglePartition\b", plan))
