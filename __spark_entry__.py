@@ -121,6 +121,7 @@ _GATE_FRONT = [
     "q_embed_outliers",
     "q_kcore",
     "q_unigram_lm",
+    "q_srp_lsh",
     # oracle upgraded in round 5 (rows-only -> exact probe replay)
     "q_similarity_ivf",
     # oracle-upgraded re-checks (clean rows-only driver rows exist;

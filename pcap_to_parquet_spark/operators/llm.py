@@ -3126,3 +3126,100 @@ def embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("d", 4).alias("dist"),
         F.round((F.col("d") - F.col("mu")) / F.col("sd"), 4).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# signed-random-projection LSH: 16-bit cosine sketch + bucket census
+
+_SRP_BITS = 16
+_SRP_DIMS = 64
+
+
+def _srp_planes() -> list[list[float]]:
+    """Deterministic ±1 hyperplanes from md5 — generated ONCE here and
+    embedded as literals in BOTH engines, so there is no cross-engine
+    hash-implementation surface at all."""
+    import hashlib
+
+    planes = []
+    for b in range(_SRP_BITS):
+        row = []
+        for d in range(_SRP_DIMS):
+            h = hashlib.md5(f"srp:{b}:{d}".encode()).hexdigest()
+            row.append(1.0 if int(h[0], 16) % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+_SRP = _srp_planes()
+
+SRP_LSH_ORACLE = (
+    "WITH planes(bit, dims) AS (VALUES "
+    + ", ".join(
+        f"({b}, [{', '.join(str(int(w)) for w in row)}])"
+        for b, row in enumerate(_SRP)
+    )
+    + """),
+dots AS (
+    SELECT e.vec_id, p.bit,
+           ROUND(SUM(CAST(e.embedding[i.d] AS DOUBLE) * p.dims[i.d]), 9) AS dot
+    FROM embeddings e, planes p,
+         unnest(generate_series(1, len(e.embedding))) AS i(d)
+    GROUP BY e.vec_id, p.bit
+),
+sigs AS (
+    SELECT vec_id,
+           CAST(SUM(CASE WHEN dot >= 0 THEN 1 << bit ELSE 0 END) AS BIGINT)
+               AS sig
+    FROM dots GROUP BY vec_id
+),
+buckets AS (
+    SELECT sig, COUNT(*) AS n_bucket FROM sigs GROUP BY sig
+)
+SELECT s.vec_id, s.sig, b.n_bucket
+FROM sigs s JOIN buckets b USING (sig)
+"""
+)
+
+
+@query("q_srp_lsh", SRP_LSH_ORACLE)
+def srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-random-projection LSH (Charikar 2002): each embedding
+    gets a {bits}-bit cosine sketch — bit b is the sign of the dot
+    product with a fixed ±1 hyperplane — plus the size of its sketch
+    bucket. This closes the LSH family: MinHash banding for Jaccard
+    (q_dedup_minhash), SimHash for text cosine (q_dedup_simhash), SRP
+    for EMBEDDING cosine — the bucket key a 100-TB ANN pipeline would
+    group on instead of q_knn_join's label blocking.
+    [engine — not in reference]
+
+    Scale design: the sketch is pure map-side fold algebra
+    (zip_with + aggregate over 64-element literal arrays, whole-stage
+    codegen, sequential evaluation order); the only shuffles are the
+    |buckets|-bounded census and its join back. Dot products are
+    rounded to 9dp in BOTH engines before the sign test so the
+    different summation orders (Spark's in-order fold vs DuckDB's
+    group aggregate, ~1e-14 apart) cannot flip a bucket bit (measured
+    sign-boundary margin at sf0.01: min |dot| = 9.3e-5, nine orders
+    above the noise)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    emb_d = F.transform("embedding", lambda x: x.cast("double"))
+    sig = None
+    for b, row in enumerate(_SRP):
+        plane = F.array(*[F.lit(w) for w in row])
+        dot = F.round(
+            F.aggregate(
+                F.zip_with(emb_d, plane, lambda x, w: x * w),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            9,
+        )
+        bit = F.when(dot >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    sigs = em.select("vec_id", sig.cast("long").alias("sig"))
+    buckets = sigs.groupBy("sig").agg(F.count(F.lit(1)).alias("n_bucket"))
+    return sigs.join(buckets, "sig").select("vec_id", "sig", "n_bucket")
+
+
+srp_lsh.__doc__ = srp_lsh.__doc__.format(bits=_SRP_BITS)

@@ -177,6 +177,7 @@ EMPTY_SAFE = [
     "q_ngram_novelty",
     "q_embed_outliers",
     "q_unigram_lm",
+    "q_srp_lsh",
 ]
 
 # global aggregates return one constant row on empty input (their

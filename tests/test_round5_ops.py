@@ -403,3 +403,23 @@ def test_unigram_lm_em_concentrates_on_repeated_piece(spark, tmp_path):
     assert vals == sorted(vals, reverse=True)
     # a (sub-)distribution: the emitted pieces' probs sum to <= 1
     assert sum(math.exp(v) for v in vals) <= 1.0 + 1e-6
+
+
+def test_srp_lsh_sign_invariance_and_buckets(spark, tmp_path):
+    """SRP property: a vector and its positive scaling share a sketch
+    (cosine-invariant); a vector and its negation differ in EVERY bit
+    (all hyperplane signs flip); bucket sizes count sketch collisions."""
+    v = [float((i * 37 % 13) - 6) for i in range(64)]
+    rows = [
+        (0, v, 1),
+        (1, [x * 2.5 for x in v], 1),   # same direction
+        (2, [-x for x in v], 1),        # antipode
+    ]
+    d = tmp_path / "srp"
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+    out = {r.vec_id: r for r in QUERIES["q_srp_lsh"](spark, str(d)).collect()}
+    assert out[0].sig == out[1].sig
+    assert out[0].n_bucket == 2 and out[2].n_bucket == 1
+    assert out[0].sig ^ out[2].sig == (1 << 16) - 1  # every bit flips
