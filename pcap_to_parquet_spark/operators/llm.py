@@ -2425,7 +2425,105 @@ LR_RATE = 1.0
 _LR_FEATURES = ["bias", "log_tokens", "mean_tok_len", "stopword_ratio", "vowel_ratio"]
 
 
-@query("q_quality_classifier")  # rows-only: iterative training, no SQL analogue
+
+def _lr_sql() -> str:
+    """Unrolled full-batch gradient-descent oracle for
+    q_quality_classifier: feature extraction, standardization, LR_ITERS
+    weight updates and the final evaluation pass, all as MATERIALIZED
+    CTEs — the q_unigram_lm/q_kcore pattern extended to a TRAINED
+    MODEL. Cross-engine float surfaces: summation order (~1e-15) and
+    exp/log libm ulps, both far under the 6dp output rounding."""
+    fs = ["x0", "x1", "x2", "x3", "x4"]
+    dot = " + ".join(f"w.c{i} * f.{c}" for i, c in enumerate(fs))
+    parts = [
+        r"""
+WITH toks AS MATERIALIZED (
+    SELECT list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS ws,
+           text, lang
+    FROM documents
+),
+raw AS MATERIALIZED (
+    SELECT LN(1.0 + GREATEST(len(ws), 1)) AS f1,
+           CAST(len(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+               / GREATEST(len(ws), 1) AS f2,
+           CAST(len(list_filter(ws,
+                t -> list_contains(['the', 'a', 'of', 'and', 'to'], t)))
+                AS DOUBLE) / GREATEST(len(ws), 1) AS f3,
+           CAST(len(regexp_replace(text, '[^aeiou]', '', 'g')) AS DOUBLE)
+               / GREATEST(len(text), 1) AS f4,
+           CAST(lang = 'en' AS INT) AS y
+    FROM toks
+),
+st AS MATERIALIZED (
+    SELECT AVG(f1) m1, AVG(f2) m2, AVG(f3) m3, AVG(f4) m4,
+           STDDEV_SAMP(f1) s1, STDDEV_SAMP(f2) s2,
+           STDDEV_SAMP(f3) s3, STDDEV_SAMP(f4) s4
+    FROM raw
+),
+feats AS MATERIALIZED (
+    SELECT CAST(1 AS DOUBLE) AS x0,
+           (r.f1 - st.m1) / GREATEST(COALESCE(st.s1, 0), 1e-9) AS x1,
+           (r.f2 - st.m2) / GREATEST(COALESCE(st.s2, 0), 1e-9) AS x2,
+           (r.f3 - st.m3) / GREATEST(COALESCE(st.s3, 0), 1e-9) AS x3,
+           (r.f4 - st.m4) / GREATEST(COALESCE(st.s4, 0), 1e-9) AS x4,
+           CAST(r.y AS DOUBLE) AS y
+    FROM raw r, st
+),
+w0 AS MATERIALIZED (
+    SELECT CAST(0 AS DOUBLE) c0, CAST(0 AS DOUBLE) c1, CAST(0 AS DOUBLE) c2,
+           CAST(0 AS DOUBLE) c3, CAST(0 AS DOUBLE) c4
+)"""
+    ]
+    for r in range(1, LR_ITERS + 2):  # one extra pass for the final metrics
+        parts.append(
+            f""",
+p{r} AS MATERIALIZED (
+    SELECT f.*, 1.0 / (1.0 + EXP(-({dot}))) AS p
+    FROM feats f, w{r - 1} w
+),
+g{r} AS MATERIALIZED (
+    SELECT COUNT(*) AS n,
+           {", ".join(f"SUM((p - y) * {c}) AS g{i}" for i, c in enumerate(fs))},
+           SUM(-(y * LN(p + 1e-12) + (1 - y) * LN(1 - p + 1e-12))) AS loss,
+           SUM(CASE WHEN (p >= 0.5) = (y >= 0.5) THEN 1 ELSE 0 END) AS hit
+    FROM p{r}
+)"""
+        )
+        if r <= LR_ITERS:
+            parts.append(
+                f""",
+w{r} AS MATERIALIZED (
+    SELECT {", ".join(f"w.c{i} - {LR_RATE} * g.g{i} / g.n AS c{i}" for i in range(5))}
+    FROM w{r - 1} w, g{r} g
+)"""
+            )
+    names = ", ".join(
+        f"({i}, '{n}')" for i, n in enumerate(
+            ["bias", "log_tokens", "mean_tok_len", "stopword_ratio", "vowel_ratio"]
+        )
+    )
+    coefs = " UNION ALL ".join(
+        f"SELECT {i} AS fid, c{i} AS coef FROM w{LR_ITERS}" for i in range(5)
+    )
+    parts.append(
+        f""",
+fn(fid, feature) AS (VALUES {names}),
+coefs AS ({coefs})
+SELECT fn.feature,
+       ROUND(c.coef, 6) AS coef,
+       ROUND(g1.loss / g1.n, 6) AS loss_initial,
+       ROUND(gf.loss / gf.n, 6) AS loss_final,
+       ROUND(gf.hit / gf.n, 6) AS train_acc
+FROM coefs c
+JOIN fn ON fn.fid = c.fid
+CROSS JOIN g1
+CROSS JOIN g{LR_ITERS + 1} gf
+"""
+    )
+    return "".join(parts)
+
+
+@query("q_quality_classifier", _lr_sql())
 def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed logistic regression — the fastText-style quality
     classifier every curation pipeline trains (CCNet, GPT-3's
