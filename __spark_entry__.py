@@ -122,6 +122,8 @@ _GATE_FRONT = [
     "q_kcore",
     "q_unigram_lm",
     "q_srp_lsh",
+    "q_changepoint",
+    "q_degree_powerlaw",
     # oracle upgraded in round 5 (rows-only -> exact probe replay)
     "q_similarity_ivf",
     # oracle-upgraded re-checks (clean rows-only driver rows exist;

@@ -2338,3 +2338,173 @@ def kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 kcore.__doc__ = kcore.__doc__.format(
     k=_KCORE_K, rounds=_KCORE_ROUNDS, support=_KCORE_SUPPORT
 )
+
+
+# ---------------------------------------------------------------------------
+# offline changepoint: best single mean-shift split of the hourly series
+
+CHANGEPOINT_ORACLE = """
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS h, SUM(value) AS v
+    FROM events GROUP BY 1
+),
+stats AS (
+    SELECT h, v,
+           ROW_NUMBER() OVER (ORDER BY h) AS i,
+           SUM(v) OVER (ORDER BY h) AS pre_sum,
+           COUNT(*) OVER () AS n,
+           SUM(v) OVER () AS tot
+    FROM hourly
+),
+scored AS (
+    SELECT h, i, n,
+           pre_sum / i AS mean_left,
+           (tot - pre_sum) / (n - i) AS mean_right,
+           ROUND(CAST(i AS DOUBLE) * (n - i) / n
+                 * POW(pre_sum / i - (tot - pre_sum) / (n - i), 2),
+                 6) AS score
+    FROM stats
+    WHERE i < n
+)
+SELECT epoch_us(h) AS split_us,
+       CAST(i AS BIGINT) AS n_left,
+       CAST(n - i AS BIGINT) AS n_right,
+       ROUND(mean_left, 4) AS mean_left,
+       ROUND(mean_right, 4) AS mean_right,
+       score
+FROM scored
+ORDER BY score DESC, h
+LIMIT 1
+"""
+
+
+@query("q_changepoint", CHANGEPOINT_ORACLE)
+def changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline changepoint detection — the single best mean-shift
+    split of the hourly value series, scored by the between-segment
+    variance statistic n_l·n_r/n·(μ_l−μ_r)² (binary segmentation's
+    first cut, the offline complement of q_cusum_drift's online
+    alarm). [engine — not in reference]
+
+    Scale design: the corpus-sized work is ONE hourly groupBy; the
+    prefix-sum window and the argmax run over the |hours|-bounded
+    aggregate (the q_ks_drift rule: windows over bounded aggregates,
+    never over the corpus). The split is chosen on the 6dp-ROUNDED
+    score with the hour as tiebreak, so cross-engine float noise in
+    the prefix sums (~1e-12) cannot move the argmax."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.sum("value").alias("v")
+    )
+    w = Window.orderBy("h")  # |hours|-bounded aggregate, single partition OK
+    wall = Window.partitionBy()
+    stats = hourly.select(
+        "h",
+        F.row_number().over(w).alias("i"),
+        F.sum("v").over(w).alias("pre_sum"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("v").over(wall).alias("tot"),
+    )
+    ml = F.col("pre_sum") / F.col("i")
+    mr = (F.col("tot") - F.col("pre_sum")) / (F.col("n") - F.col("i"))
+    scored = stats.where(F.col("i") < F.col("n")).select(
+        "h",
+        "i",
+        "n",
+        ml.alias("mean_left"),
+        mr.alias("mean_right"),
+        F.round(
+            F.col("i").cast("double") * (F.col("n") - F.col("i")) / F.col("n")
+            * F.pow(ml - mr, F.lit(2)),
+            6,
+        ).alias("score"),
+    )
+    return (
+        scored.orderBy(F.desc("score"), "h")
+        .limit(1)
+        .select(
+            F.unix_micros("h").alias("split_us"),
+            F.col("i").cast("long").alias("n_left"),
+            (F.col("n") - F.col("i")).cast("long").alias("n_right"),
+            F.round("mean_left", 4).alias("mean_left"),
+            F.round("mean_right", 4).alias("mean_right"),
+            "score",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# degree distribution power-law fit of the co-purchase graph
+
+DEGREE_POWERLAW_ORACLE = """
+WITH op AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e AS (
+    SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+    SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v FROM e
+    ) GROUP BY node
+),
+dd AS (
+    SELECT CAST(d AS DOUBLE) AS d,
+           CAST(MIN(d) OVER () AS DOUBLE) AS dmin
+    FROM deg
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MIN(d) AS BIGINT) AS d_min,
+       CAST(MAX(d) AS BIGINT) AS d_max,
+       ROUND(AVG(d), 4) AS d_mean,
+       ROUND(1.0 + COUNT(*) / SUM(LN(d / dmin)), 4) AS alpha_mle
+FROM dd
+"""
+
+
+@query("q_degree_powerlaw", DEGREE_POWERLAW_ORACLE)
+def degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution census of the co-purchase graph with the
+    Clauset-Shalizi-Newman continuous power-law exponent MLE
+    α = 1 + n / Σ ln(d/d_min) — q_zipf_fit's graph-side sibling, the
+    one-number test for whether a graph is hub-dominated (α < 2.5
+    says salting/degree-capping will matter downstream).
+    [engine — not in reference]
+
+    Scale design: one degree aggregate (the shape every graph op here
+    shares), then a single global aggregate over the |nodes|-bounded
+    degree table; d_min enters via a constant-folded window over that
+    same bounded table, so nothing corpus-sized is ever re-scanned."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    deg = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wall = Window.partitionBy()
+    dd = deg.select(
+        F.col("d").cast("double").alias("d"),
+        F.min("d").over(wall).cast("double").alias("dmin"),
+    )
+    return dd.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.min("d").cast("long").alias("d_min"),
+        F.max("d").cast("long").alias("d_max"),
+        F.round(F.avg("d"), 4).alias("d_mean"),
+        F.round(
+            F.lit(1.0)
+            + F.count(F.lit(1)) / F.sum(F.log(F.col("d") / F.col("dmin"))),
+            4,
+        ).alias("alpha_mle"),
+    )

@@ -178,6 +178,7 @@ EMPTY_SAFE = [
     "q_embed_outliers",
     "q_unigram_lm",
     "q_srp_lsh",
+    "q_changepoint",
 ]
 
 # global aggregates return one constant row on empty input (their
@@ -202,6 +203,7 @@ CONSTANT_ON_EMPTY = {
     "q_gini": 1,  # global concentration summary row
     "q_zipf_fit": 1,  # the OLS aggregate row survives, all NULL
     "q_kcore": 1,  # graph census row of zeros, converged=true
+    "q_degree_powerlaw": 1,  # census aggregate row, zero count + NULLs
 }
 
 

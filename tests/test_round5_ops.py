@@ -423,3 +423,47 @@ def test_srp_lsh_sign_invariance_and_buckets(spark, tmp_path):
     assert out[0].sig == out[1].sig
     assert out[0].n_bucket == 2 and out[2].n_bucket == 1
     assert out[0].sig ^ out[2].sig == (1 << 16) - 1  # every bit flips
+
+
+def test_changepoint_finds_planted_shift(spark, tmp_path):
+    """Series with a hard level shift: hours 0-9 at value 1, hours
+    10-19 at value 100 — the argmax split must be at hour 9 (last
+    left-segment hour) with means 1 and 100."""
+    import datetime as dt
+
+    rows = []
+    for h in range(20):
+        ts = dt.datetime(2024, 1, 1) + dt.timedelta(hours=h)
+        rows.append((h, ts, h, "view", 1.0 if h < 10 else 100.0, "{}"))
+    d = tmp_path / "cp"
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(d / "events.parquet"))
+    r = QUERIES["q_changepoint"](spark, str(d)).collect()[0]
+    assert r.n_left == 10 and r.n_right == 10
+    assert r.mean_left == 1.0 and r.mean_right == 100.0
+    import datetime as dt2
+
+    assert r.split_us == int(dt.datetime(2024, 1, 1, 9).timestamp() * 1_000_000)
+
+
+def test_degree_powerlaw_star_graph(spark, tmp_path):
+    """A star K(1,6) built from 2-item orders: hub degree 6, six
+    leaves of degree 1 -> d_min 1, d_max 6, alpha from the closed
+    form 1 + n/sum(ln d)."""
+    import math
+
+    rows = []
+    for i, leaf in enumerate(range(2, 8)):
+        rows.append((i, 1))
+        rows.append((i, leaf))
+    d = tmp_path / "pl"
+    spark.createDataFrame(rows, "l_orderkey long, l_partkey long").write.mode(
+        "overwrite"
+    ).parquet(str(d / "lineitem.parquet"))
+    r = QUERIES["q_degree_powerlaw"](spark, str(d)).collect()[0]
+    assert r.n_nodes == 7 and r.d_min == 1 and r.d_max == 6
+    want = round(1.0 + 7 / math.log(6.0), 4)
+    assert r.alpha_mle == want
