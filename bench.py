@@ -66,6 +66,8 @@ HEADLINE = [
     "q_semdedup",           # blocked-gram semantic dedup decision (round 5)
     "q_adamic_adar",        # degree-capped wedge link prediction (round 5)
     "q_rake_keywords",      # stopword-run keyphrase extraction (round 5)
+    "q_kcore",              # 12-round peel, per-round checkpoint (round 5)
+    "q_unigram_lm",         # EM tokenizer over the weighted vocab (round 5)
 ]
 
 # round-over-round reference (same box, sf0.1, local[32]):
