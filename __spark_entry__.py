@@ -124,6 +124,8 @@ _GATE_FRONT = [
     "q_srp_lsh",
     "q_changepoint",
     "q_degree_powerlaw",
+    "q_mutual_nn",
+    "q_mutual_info",
     # oracle upgraded in round 5 (rows-only -> exact probe replay)
     "q_similarity_ivf",
     # oracle-upgraded re-checks (clean rows-only driver rows exist;

@@ -3321,3 +3321,202 @@ def srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 srp_lsh.__doc__ = srp_lsh.__doc__.format(bits=_SRP_BITS)
+
+
+# ---------------------------------------------------------------------------
+# mutual nearest neighbors: the bitext-mining / pair-construction kernel
+
+MUTUAL_NN_ORACLE = """
+WITH pc AS (
+    SELECT a.vec_id AS va, b.vec_id AS vb,
+           ROUND(CAST(list_cosine_similarity(a.embedding::DOUBLE[],
+                                             b.embedding::DOUBLE[])
+                      AS DOUBLE), 9) AS c
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id
+),
+t1 AS (
+    SELECT va, vb, c FROM (
+        SELECT va, vb, c,
+               ROW_NUMBER() OVER (PARTITION BY va ORDER BY c DESC, vb) AS rn
+        FROM pc)
+    WHERE rn = 1
+)
+SELECT x.va AS vec_a, x.vb AS vec_b, ROUND(x.c, 6) AS cosine
+FROM t1 x JOIN t1 y ON y.va = x.vb AND y.vb = x.va
+WHERE x.va < x.vb
+"""
+
+
+@query("q_mutual_nn", MUTUAL_NN_ORACLE)
+def mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual nearest neighbors: pairs where each vector is the
+    OTHER's top-1 cosine neighbor — the margin-free core of bitext
+    mining (WMT parallel-corpus construction), cross-snapshot entity
+    matching, and contrastive pair building; far higher precision than
+    one-sided top-1 because both directions must agree.
+    [engine — not in reference]
+
+    Scale design: the same documented ANN-blocking contract as
+    q_knn_join — candidates pair only within a label block (swap the
+    label for an IVF/SRP bucket at 100 TB); top-1 per vector rides a
+    per-block window, and the mutual check is a self-join of the
+    |vectors|-sized top-1 table on the reversed pair. Similarities are
+    computed as the SAME sequential double fold in both engines
+    (zip_with/aggregate vs DuckDB's list loop — bit-identical), with a
+    9dp rank key and vec_id tiebreak as belt-and-braces."""
+    em = load_table(spark, sf_dir, "embeddings")
+    emd = em.select(
+        "label",
+        F.col("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    a, b = emd.alias("a"), emd.alias("b")
+    pc = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("va"),
+        F.col("b.vec_id").alias("vb"),
+        F.round(cosine_similarity(F.col("a.e"), F.col("b.e")), 9).alias("c"),
+    )
+    w = Window.partitionBy("va").orderBy(F.desc("c"), "vb")
+    t1 = (
+        pc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("va", "vb", "c")
+    )
+    x, y = t1.alias("x"), t1.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("y.va") == F.col("x.vb")) & (F.col("y.vb") == F.col("x.va")),
+        )
+        .where(F.col("x.va") < F.col("x.vb"))
+        .select(
+            F.col("x.va").alias("vec_a"),
+            F.col("x.vb").alias("vec_b"),
+            F.round("x.c", 6).alias("cosine"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# mutual information between two categorical columns
+
+MUTUAL_INFO_ORACLE = """
+WITH jt AS (
+    SELECT lang, source, COUNT(*) AS nxy FROM documents GROUP BY 1, 2
+),
+n AS (SELECT SUM(nxy) AS n FROM jt),
+px AS (SELECT lang, SUM(nxy) AS nx FROM jt GROUP BY lang),
+py AS (SELECT source, SUM(nxy) AS ny FROM jt GROUP BY source),
+terms AS (
+    SELECT jt.nxy, px.nx, py.ny, n.n FROM jt, px, py, n
+    WHERE jt.lang = px.lang AND jt.source = py.source
+),
+agg AS (
+    SELECT CAST(MIN(n) AS BIGINT) AS n_docs,
+           SUM(CAST(nxy AS DOUBLE) / n
+               * LN(CAST(nxy AS DOUBLE) * n / (CAST(nx AS DOUBLE) * ny)))
+               AS mi
+    FROM terms
+),
+hx AS (
+    SELECT -SUM(CAST(nx AS DOUBLE) / n.n * LN(CAST(nx AS DOUBLE) / n.n)) AS h
+    FROM px, n
+),
+hy AS (
+    SELECT -SUM(CAST(ny AS DOUBLE) / n.n * LN(CAST(ny AS DOUBLE) / n.n)) AS h
+    FROM py, n
+)
+SELECT agg.n_docs,
+       ROUND(agg.mi, 6) AS mi_nats,
+       ROUND(hx.h, 6) AS h_lang,
+       ROUND(hy.h, 6) AS h_source,
+       ROUND(agg.mi / GREATEST(SQRT(hx.h * hy.h), 1e-12), 6) AS nmi
+FROM agg, hx, hy
+"""
+
+
+@query("q_mutual_info", MUTUAL_INFO_ORACLE)
+def mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between the lang and source columns — the
+    association test a corpus curator runs to see whether a metadata
+    field leaks another (MI ~ 0: independent sampling; high NMI: one
+    column is a proxy for the other, and stratified splits must block
+    on it). Complements q_pmi_bigrams (pointwise, per-pair) with the
+    full distribution-level statistic. [engine — not in reference]
+
+    Scale design: one (lang, source) contingency aggregate — the
+    corpus is touched once and everything after runs on the
+    |langs|×|sources| table; marginals and entropies are broadcast-
+    sized re-aggregations of that same tiny table."""
+    d = load_table(spark, sf_dir, "documents")
+    jt = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("nxy"))
+    jt = jt.localCheckpoint(eager=True)  # |langs|x|sources|-bounded
+    n = jt.agg(F.sum("nxy").cast("long").alias("n"))
+    px = jt.groupBy("lang").agg(F.sum("nxy").alias("nx"))
+    py = jt.groupBy("source").agg(F.sum("nxy").alias("ny"))
+    terms = (
+        jt.join(F.broadcast(px), "lang")
+        .join(F.broadcast(py), "source")
+        .crossJoin(F.broadcast(n))
+    )
+    mi = terms.agg(
+        F.min("n").cast("long").alias("n_docs"),
+        F.sum(
+            F.col("nxy").cast("double")
+            / F.col("n")
+            * F.log(
+                F.col("nxy").cast("double")
+                * F.col("n")
+                / (F.col("nx").cast("double") * F.col("ny"))
+            )
+        ).alias("mi"),
+    )
+    hx = (
+        px.crossJoin(F.broadcast(n))
+        .agg(
+            (
+                -F.sum(
+                    F.col("nx").cast("double")
+                    / F.col("n")
+                    * F.log(F.col("nx").cast("double") / F.col("n"))
+                )
+            ).alias("h")
+        )
+        .withColumnRenamed("h", "h_lang_raw")
+    )
+    hy = (
+        py.crossJoin(F.broadcast(n))
+        .agg(
+            (
+                -F.sum(
+                    F.col("ny").cast("double")
+                    / F.col("n")
+                    * F.log(F.col("ny").cast("double") / F.col("n"))
+                )
+            ).alias("h")
+        )
+        .withColumnRenamed("h", "h_source_raw")
+    )
+    return (
+        mi.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            "n_docs",
+            F.round("mi", 6).alias("mi_nats"),
+            F.round("h_lang_raw", 6).alias("h_lang"),
+            F.round("h_source_raw", 6).alias("h_source"),
+            F.round(
+                F.col("mi")
+                / F.greatest(
+                    F.sqrt(F.col("h_lang_raw") * F.col("h_source_raw")),
+                    F.lit(1e-12),
+                ),
+                6,
+            ).alias("nmi"),
+        )
+    )

@@ -179,6 +179,7 @@ EMPTY_SAFE = [
     "q_unigram_lm",
     "q_srp_lsh",
     "q_changepoint",
+    "q_mutual_nn",
 ]
 
 # global aggregates return one constant row on empty input (their

@@ -467,3 +467,38 @@ def test_degree_powerlaw_star_graph(spark, tmp_path):
     assert r.n_nodes == 7 and r.d_min == 1 and r.d_max == 6
     want = round(1.0 + 7 / math.log(6.0), 4)
     assert r.alpha_mle == want
+
+
+def test_mutual_nn_requires_agreement(spark, tmp_path):
+    """Three vectors in one block: v0 and v1 nearly identical (each
+    other's top-1 -> mutual pair); v2 points elsewhere, its top-1 (v0)
+    does NOT reciprocate, so v2 appears in no pair."""
+    rows = [
+        (0, [1.0, 0.0] + [0.0] * 62, 1),
+        (1, [0.99, 0.14] + [0.0] * 62, 1),
+        (2, [0.2, 0.98] + [0.0] * 62, 1),
+    ]
+    d = tmp_path / "mnn"
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+    pairs = [(r.vec_a, r.vec_b) for r in QUERIES["q_mutual_nn"](spark, str(d)).collect()]
+    assert pairs == [(0, 1)]
+
+
+def test_mutual_info_independent_vs_dependent(spark, tmp_path):
+    """Perfectly dependent columns (source == lang) give NMI = 1;
+    a perfectly balanced independent layout gives MI = 0."""
+    dep = [(i, "t", ["en", "fr"][i % 2], ["en", "fr"][i % 2], 1) for i in range(40)]
+    ind = [
+        (i, "t", ["en", "fr"][i % 2], ["s1", "s2"][(i // 2) % 2], 1)
+        for i in range(40)
+    ]
+    for rows, want_nmi in ((dep, 1.0), (ind, 0.0)):
+        d = tmp_path / f"mi{want_nmi}"
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+        r = QUERIES["q_mutual_info"](spark, str(d)).collect()[0]
+        assert r.n_docs == 40
+        assert abs(r.nmi - want_nmi) < 1e-9, r
