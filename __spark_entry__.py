@@ -126,6 +126,7 @@ _GATE_FRONT = [
     "q_degree_powerlaw",
     "q_mutual_nn",
     "q_mutual_info",
+    "q_winnowing",
     # oracle upgraded in round 5 (rows-only -> exact probe replay)
     "q_similarity_ivf",
     # oracle-upgraded re-checks (clean rows-only driver rows exist;

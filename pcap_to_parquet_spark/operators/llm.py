@@ -3520,3 +3520,98 @@ def mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nmi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing: window-min fingerprint selection + shared-print pairs
+
+_WINNOW_W = 4  # selection window over consecutive shingle positions
+
+WINNOWING_ORACLE = rf"""
+WITH tok AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS ws
+    FROM documents
+),
+sh AS (
+    SELECT doc_id, i.i AS pos,
+           ('0x' || substr(md5(ws[i.i] || '|' || ws[i.i + 1] || '|'
+                               || ws[i.i + 2]), 1, 12))::BIGINT AS h
+    FROM tok, unnest(generate_series(1, len(ws) - 2)) AS i(i)
+    WHERE len(ws) >= 3
+),
+wm AS (
+    SELECT doc_id, h,
+           MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW
+                                 AND {_WINNOW_W - 1} FOLLOWING) AS wmin
+    FROM sh
+),
+prints AS (
+    SELECT DISTINCT doc_id, h FROM wm WHERE h = wmin
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM prints a
+JOIN prints b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+ORDER BY n_shared DESC, doc_a, doc_b
+LIMIT 20
+"""
+
+
+@query("q_winnowing", WINNOWING_ORACLE)
+def winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. 2003 — the MOSS
+    algorithm): hash every 3-gram shingle, keep only each sliding
+    window's MINIMUM hash, and pair documents by shared selected
+    prints — the position-robust local fingerprint that guarantees
+    any sufficiently long match is detected while storing a ~2/(w+1)
+    fraction of the grams. Completes the text-dedup family's
+    fingerprint axis next to q_fingerprint (rolling hash) and
+    q_dedup_minhash (global sketch). [engine — not in reference]
+
+    Scale design: shingle hashing is map-only; the window-min runs
+    PARTITIONED BY DOCUMENT in position order (never a global window);
+    selection divides the candidate-join input by ~(w+1)/2 before the
+    shared-print equi-join, which is the same inverted-index shape as
+    q_ngram_jaccard but over the winnowed subset. Hashes are 48-bit
+    md5 slices identical in both engines; tail windows truncate at the
+    document end the same way in both (a documented variant of the
+    full-window-only original)."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", whitespace_tokens(F.col("text")).alias("ws"))
+        .where(F.size("ws") >= 3)
+        .select("doc_id", F.posexplode(shingles("ws")).alias("pos", "s"))
+        .select(
+            "doc_id",
+            "pos",
+            F.conv(F.substring(F.md5("s"), 1, 12), 16, 10).cast("long").alias("h"),
+        )
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, _WINNOW_W - 1)
+    )
+    prints = (
+        sh.withColumn("wmin", F.min("h").over(w))
+        .where(F.col("h") == F.col("wmin"))
+        .select("doc_id", "h")
+        .distinct()
+    )
+    a, b = prints.alias("a"), prints.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .orderBy(F.desc("n_shared"), "doc_a", "doc_b")
+        .limit(20)
+    )

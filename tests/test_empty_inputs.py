@@ -180,6 +180,7 @@ EMPTY_SAFE = [
     "q_srp_lsh",
     "q_changepoint",
     "q_mutual_nn",
+    "q_winnowing",
 ]
 
 # global aggregates return one constant row on empty input (their

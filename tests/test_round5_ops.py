@@ -502,3 +502,25 @@ def test_mutual_info_independent_vs_dependent(spark, tmp_path):
         r = QUERIES["q_mutual_info"](spark, str(d)).collect()[0]
         assert r.n_docs == 40
         assert abs(r.nmi - want_nmi) < 1e-9, r
+
+
+def test_winnowing_pairs_share_all_prints(spark, tmp_path):
+    """Two identical docs share every selected fingerprint; a disjoint
+    doc pairs with neither; the guarantee: identical docs' n_shared
+    equals their own print count (window-min selection is content-
+    deterministic, position-independent across copies)."""
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    other = "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12"
+    rows = [
+        (0, base, "en", "s", len(base)),
+        (1, base, "en", "s", len(base)),
+        (2, other, "en", "s", len(other)),
+    ]
+    d = tmp_path / "win"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    out = {(r.doc_a, r.doc_b): r.n_shared for r in QUERIES["q_winnowing"](spark, str(d)).collect()}
+    assert set(out) == {(0, 1)}
+    # selection keeps a strict subset of the 10 shingles (w=4 windows)
+    assert 1 <= out[(0, 1)] <= 10
