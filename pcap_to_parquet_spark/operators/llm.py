@@ -3251,13 +3251,15 @@ def _srp_planes() -> list[list[float]]:
 
 _SRP = _srp_planes()
 
+_SRP_PLANES_SQL = "planes(bit, dims) AS (VALUES " + ", ".join(
+    f"({b}, [{', '.join(str(int(w)) for w in row)}])"
+    for b, row in enumerate(_SRP)
+) + ")"
+
 SRP_LSH_ORACLE = (
-    "WITH planes(bit, dims) AS (VALUES "
-    + ", ".join(
-        f"({b}, [{', '.join(str(int(w)) for w in row)}])"
-        for b, row in enumerate(_SRP)
-    )
-    + """),
+    "WITH "
+    + _SRP_PLANES_SQL
+    + """,
 dots AS (
     SELECT e.vec_id, p.bit,
            ROUND(SUM(CAST(e.embedding[i.d] AS DOUBLE) * p.dims[i.d]), 9) AS dot
@@ -3615,3 +3617,159 @@ def winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_shared"), "doc_a", "doc_b")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation: SRP-bucket search vs brute-force ground truth
+
+_RECALL_K = 5
+_RECALL_QUERIES = 10  # vec_id < 10 is the sampled query set
+
+SRP_RECALL_ORACLE = (
+    "WITH "
+    + _SRP_PLANES_SQL
+    + f""",
+dots AS (
+    SELECT e.vec_id, p.bit,
+           ROUND(SUM(CAST(e.embedding[i.d] AS DOUBLE) * p.dims[i.d]), 9) AS dot
+    FROM embeddings e, planes p,
+         unnest(generate_series(1, len(e.embedding))) AS i(d)
+    GROUP BY e.vec_id, p.bit
+),
+sigs AS (
+    SELECT vec_id,
+           CAST(SUM(CASE WHEN dot >= 0 THEN 1 << bit ELSE 0 END) AS BIGINT)
+               AS sig
+    FROM dots GROUP BY vec_id
+),
+pc AS (
+    SELECT q.vec_id AS qid, c.vec_id AS cid, sq.sig = sc.sig AS same_bucket,
+           ROUND(CAST(list_cosine_similarity(q.embedding::DOUBLE[],
+                                             c.embedding::DOUBLE[])
+                      AS DOUBLE), 9) AS cos
+    FROM embeddings q
+    JOIN embeddings c ON c.vec_id <> q.vec_id
+    JOIN sigs sq ON sq.vec_id = q.vec_id
+    JOIN sigs sc ON sc.vec_id = c.vec_id
+    WHERE q.vec_id < {_RECALL_QUERIES}
+),
+exact AS (
+    SELECT qid, cid FROM (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) rn
+        FROM pc) WHERE rn <= {_RECALL_K}
+),
+approx AS (
+    SELECT qid, cid FROM (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) rn
+        FROM pc WHERE same_bucket) WHERE rn <= {_RECALL_K}
+),
+cand AS (
+    SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_candidates
+    FROM pc WHERE same_bucket GROUP BY qid
+)
+SELECT e.qid AS vec_id,
+       COALESCE(c.n_candidates, 0) AS n_candidates,
+       ROUND(CAST(COUNT(a.cid) AS DOUBLE) / {_RECALL_K}, 4) AS recall
+FROM exact e
+LEFT JOIN approx a ON a.qid = e.qid AND a.cid = e.cid
+LEFT JOIN cand c ON c.qid = e.qid
+GROUP BY e.qid, c.n_candidates
+"""
+)
+
+
+@query("q_srp_recall", SRP_RECALL_ORACLE)
+def srp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall evaluation — the metric loop that closes the ANN
+    family: for each of {nq} sampled query vectors, recall@{k} of the
+    SRP same-bucket candidate search (q_srp_lsh's geometry) against
+    the brute-force cosine ground truth, plus the candidate-set size
+    that recall was bought with. This is exactly how production ANN
+    is qualified (sampled queries, exact baseline, recall-vs-cost
+    curve); here the curve's one point is value-checked end to end.
+    [engine — not in reference]
+
+    Scale design: the brute-force side runs ONLY for the {nq}-query
+    sample — a broadcast of {nq} vectors against one corpus scan,
+    never all-pairs; the bucketed side is the same scan filtered by
+    signature equality. Ranks use the shared 9dp-rounded cosine with
+    vec_id tiebreak (bit-identical across engines — sequential double
+    folds on both sides)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    emd = em.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    # signatures via the same fold as q_srp_lsh
+    sig = None
+    for b, row in enumerate(_SRP):
+        plane = F.array(*[F.lit(w) for w in row])
+        dot = F.round(
+            F.aggregate(
+                F.zip_with("e", plane, lambda x, w: x * w),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            9,
+        )
+        bit = F.when(dot >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    sigs = emd.select("vec_id", "e", sig.cast("long").alias("sig"))
+    q = sigs.where(F.col("vec_id") < _RECALL_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col("sig").alias("qsig")
+    )
+    c = sigs.select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce"), F.col("sig").alias("csig")
+    )
+    pc = (
+        F.broadcast(q)
+        .join(c, F.col("cid") != F.col("qid"))
+        .select(
+            "qid",
+            "cid",
+            (F.col("qsig") == F.col("csig")).alias("same_bucket"),
+            F.round(cosine_similarity(F.col("qe"), F.col("ce")), 9).alias("cos"),
+        )
+        .localCheckpoint(eager=True)  # nq x |corpus|; reused by 3 consumers
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), "cid")
+    exact = (
+        pc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _RECALL_K)
+        .select("qid", "cid")
+    )
+    approx = (
+        pc.where("same_bucket")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _RECALL_K)
+        # rename BOTH keys: exact and approx share pc's lineage, and a
+        # same-name equi-join would silently self-resolve
+        .select(F.col("qid").alias("aqid"), F.col("cid").alias("acid"))
+    )
+    cand = (
+        pc.where("same_bucket")
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("aqid") == F.col("qid")) & (F.col("acid") == F.col("cid")),
+            "left",
+        )
+        .drop("aqid")
+        .join(cand, "qid", "left")
+        .groupBy("qid", "n_candidates")
+        .agg(
+            F.round(F.count("acid").cast("double") / _RECALL_K, 4).alias("recall")
+        )
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+            "recall",
+        )
+    )
+
+
+srp_recall.__doc__ = srp_recall.__doc__.format(nq=_RECALL_QUERIES, k=_RECALL_K)

@@ -181,6 +181,7 @@ EMPTY_SAFE = [
     "q_changepoint",
     "q_mutual_nn",
     "q_winnowing",
+    "q_srp_recall",
 ]
 
 # global aggregates return one constant row on empty input (their

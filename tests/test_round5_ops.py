@@ -524,3 +524,22 @@ def test_winnowing_pairs_share_all_prints(spark, tmp_path):
     assert set(out) == {(0, 1)}
     # selection keeps a strict subset of the 10 shingles (w=4 windows)
     assert 1 <= out[(0, 1)] <= 10
+
+
+def test_srp_recall_perfect_when_bucket_holds_truth(spark, tmp_path):
+    """One tight direction cluster: every vector shares the query's
+    SRP bucket, so the bucketed search IS the exact search and
+    recall@5 must be 1.0 for every query."""
+    base = [float((i * 37 % 13) - 6) for i in range(64)]
+    rows = []
+    for i in range(12):
+        rows.append((i, [x * (1.0 + 0.001 * i) for x in base], 1))
+    d = tmp_path / "rec"
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+    out = QUERIES["q_srp_recall"](spark, str(d)).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r.recall == 1.0, r
+        assert r.n_candidates == 11
