@@ -3536,21 +3536,24 @@ WITH tok AS (
     FROM documents
 ),
 sh AS (
+    -- composite key: 40-bit shingle hash << 16 | (65535 - pos), so a
+    -- window MIN is the canonical rightmost-argmin selection
     SELECT doc_id, i.i AS pos,
-           ('0x' || substr(md5(ws[i.i] || '|' || ws[i.i + 1] || '|'
-                               || ws[i.i + 2]), 1, 12))::BIGINT AS h
+           (('0x' || substr(md5(ws[i.i] || '|' || ws[i.i + 1] || '|'
+                                || ws[i.i + 2]), 1, 10))::BIGINT << 16)
+           + (65535 - i.i) AS key
     FROM tok, unnest(generate_series(1, len(ws) - 2)) AS i(i)
-    WHERE len(ws) >= 3
+    WHERE len(ws) >= 3 AND i.i < 65536
 ),
 wm AS (
-    SELECT doc_id, h,
-           MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
-                        ROWS BETWEEN CURRENT ROW
-                                 AND {_WINNOW_W - 1} FOLLOWING) AS wmin
+    SELECT doc_id,
+           MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW
+                                   AND {_WINNOW_W - 1} FOLLOWING) AS wkey
     FROM sh
 ),
 prints AS (
-    SELECT DISTINCT doc_id, h FROM wm WHERE h = wmin
+    SELECT DISTINCT doc_id, wkey >> 16 AS h FROM wm
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(COUNT(*) AS BIGINT) AS n_shared
@@ -3568,7 +3571,9 @@ def winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm): hash every 3-gram shingle, keep only each sliding
     window's MINIMUM hash, and pair documents by shared selected
     prints — the position-robust local fingerprint that guarantees
-    any sufficiently long match is detected while storing a ~2/(w+1)
+    any sufficiently long match is detected (every length-{w} window
+    SELECTS its rightmost-argmin, encoded as an integer MIN over a
+    hash<<16 | reversed-position key) while storing a ~2/(w+1)
     fraction of the grams. Completes the text-dedup family's
     fingerprint axis next to q_fingerprint (rolling hash) and
     q_dedup_minhash (global sketch). [engine — not in reference]
@@ -3585,11 +3590,20 @@ def winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         d.select("doc_id", whitespace_tokens(F.col("text")).alias("ws"))
         .where(F.size("ws") >= 3)
-        .select("doc_id", F.posexplode(shingles("ws")).alias("pos", "s"))
+        # oracle positions are 1-based (generate_series); match exactly
+        .select("doc_id", F.posexplode(shingles("ws")).alias("pos0", "s"))
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.conv(F.substring(F.md5("s"), 1, 10), 16, 10).cast("long").alias("h"),
+        )
+        .where(F.col("pos") < 65536)
         .select(
             "doc_id",
             "pos",
-            F.conv(F.substring(F.md5("s"), 1, 12), 16, 10).cast("long").alias("h"),
+            (
+                F.shiftleft("h", 16) + (F.lit(65535) - F.col("pos"))
+            ).alias("key"),
         )
     )
     w = (
@@ -3598,9 +3612,8 @@ def winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.currentRow, _WINNOW_W - 1)
     )
     prints = (
-        sh.withColumn("wmin", F.min("h").over(w))
-        .where(F.col("h") == F.col("wmin"))
-        .select("doc_id", "h")
+        sh.withColumn("wkey", F.min("key").over(w))
+        .select("doc_id", F.shiftright("wkey", 16).alias("h"))
         .distinct()
     )
     a, b = prints.alias("a"), prints.alias("b")
@@ -3773,3 +3786,6 @@ def srp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 srp_recall.__doc__ = srp_recall.__doc__.format(nq=_RECALL_QUERIES, k=_RECALL_K)
+
+
+winnowing.__doc__ = winnowing.__doc__.format(w=_WINNOW_W)

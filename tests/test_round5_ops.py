@@ -543,3 +543,29 @@ def test_srp_recall_perfect_when_bucket_holds_truth(spark, tmp_path):
     for r in out:
         assert r.recall == 1.0, r
         assert r.n_candidates == 11
+
+
+def test_winnowing_coverage_guarantee():
+    """Pure-math property behind q_winnowing's selection rule: with
+    selected = {argmin of each length-w window under (hash, rightmost)
+    order}, EVERY length-w window contains a selected position — the
+    MOSS detection guarantee. Randomized including adversarial
+    monotone runs (where a naive 'min of the window starting here'
+    rule selects nothing until the tail)."""
+    import random
+
+    w = 4
+    rng = random.Random(11)
+    cases = [[rng.randint(0, 50) for _ in range(30)] for _ in range(300)]
+    cases.append(list(range(30, 0, -1)))  # strictly decreasing run
+    cases.append(list(range(30)))  # strictly increasing
+    cases.append([7] * 30)  # all ties -> rightmost argmin per window
+    for h in cases:
+        n = len(h)
+        keys = [(h[i] << 16) + (65535 - i) for i in range(n)]
+        selected = {
+            max(range(p, min(p + w, n)), key=lambda i: -keys[i])
+            for p in range(n)
+        }
+        for p in range(n - w + 1):
+            assert any(q in selected for q in range(p, p + w)), (h, p)
