@@ -3789,3 +3789,127 @@ srp_recall.__doc__ = srp_recall.__doc__.format(nq=_RECALL_QUERIES, k=_RECALL_K)
 
 
 winnowing.__doc__ = winnowing.__doc__.format(w=_WINNOW_W)
+
+
+# ---------------------------------------------------------------------------
+# k-center greedy coreset: farthest-first diverse subset selection
+
+_CORESET_K = 8
+
+_CORESET_DIST_SQL = """
+    SELECT e.vec_id,
+           ROUND(SQRT(SUM(POW(CAST(e.embedding[i.d] AS DOUBLE)
+                              - CAST(c.embedding[i.d] AS DOUBLE), 2))), 9) AS d
+    FROM embeddings e
+    JOIN embeddings c ON c.vec_id = (SELECT vec_id FROM c{t})
+    CROSS JOIN unnest(generate_series(1, len(e.embedding))) AS i(d)
+    GROUP BY e.vec_id
+"""
+
+
+def _coreset_sql() -> str:
+    """Unrolled farthest-first traversal: c1 = min vec_id; round t
+    picks argmax of the running min-distance (9dp-rounded, vec_id
+    tiebreak). Same MATERIALIZED-CTE chain family as q_kcore /
+    q_unigram_lm / the GD oracle."""
+    parts = [
+        """
+WITH c1 AS MATERIALIZED (
+    SELECT MIN(vec_id) AS vec_id FROM embeddings
+),
+m1 AS MATERIALIZED ("""
+        + _CORESET_DIST_SQL.format(t=1)
+        + ")"
+    ]
+    for t in range(2, _CORESET_K + 1):
+        parts.append(
+            f""",
+c{t} AS MATERIALIZED (
+    SELECT vec_id FROM m{t - 1} ORDER BY d DESC, vec_id LIMIT 1
+),
+d{t} AS MATERIALIZED ("""
+            + _CORESET_DIST_SQL.format(t=t)
+            + f"""),
+m{t} AS MATERIALIZED (
+    SELECT m.vec_id, LEAST(m.d, d.d) AS d
+    FROM m{t - 1} m JOIN d{t} d USING (vec_id)
+)"""
+        )
+    radii = " UNION ALL ".join(
+        f"SELECT {t} AS pick, (SELECT vec_id FROM c{t}) AS vec_id, "
+        + (
+            "CAST(NULL AS DOUBLE) AS radius"
+            if t == 1
+            else f"(SELECT MAX(d) FROM m{t - 1}) AS radius"
+        )
+        for t in range(1, _CORESET_K + 1)
+    )
+    parts.append(
+        f"""
+SELECT CAST(pick AS BIGINT) AS pick, vec_id, ROUND(radius, 4) AS radius
+FROM ({radii}) ORDER BY pick
+"""
+    )
+    return "".join(parts)
+
+
+@query("q_coreset", _coreset_sql())
+def coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center greedy coreset ({k} centers): farthest-first traversal
+    over the embedding space — repeatedly pick the vector FARTHEST
+    from everything chosen so far. The diverse-subset kernel of
+    data-pruning / active-learning curation (Sener & Savarese 2018)
+    and a 2-approximation of the k-center cover; the emitted radius
+    trajectory is the coverage guarantee curve. [engine — not in
+    reference]
+
+    Scale design: the k-round loop holds ONE |corpus|-row (vec_id,
+    running-min-distance) frame, localCheckpointed per round; each
+    round is a map-only distance pass against the newest center (a
+    broadcast scalar) plus one TakeOrdered(1) — k passes total, no
+    pairwise anything, the same shape q_kmeans uses. The driver holds
+    only the k chosen ids. Distances are 9dp-rounded before the
+    argmax in BOTH engines (sequential double folds agree bitwise;
+    rounding is belt-and-braces for the comparison key). If k exceeds
+    the corpus size the traversal deterministically re-picks the
+    min-vec_id point at radius 0 — same in the oracle, so tiny inputs
+    stay value-checked."""
+    em = load_table(spark, sf_dir, "embeddings")
+    emd = em.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    ).localCheckpoint(eager=True)
+    first = emd.agg(F.min("vec_id")).collect()[0][0]
+    if first is None:  # empty corpus
+        return spark.createDataFrame([], "pick long, vec_id long, radius double")
+
+    def dist_to(center_vec):  # noqa: ANN001
+        cv = F.array(*[F.lit(float(x)) for x in center_vec])
+        return F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with("e", cv, lambda x, c: (x - c) * (x - c)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            9,
+        )
+
+    picks = [(1, int(first), None)]
+    center = emd.where(F.col("vec_id") == first).collect()[0]["e"]
+    run = emd.select("vec_id", dist_to(center).alias("d")).localCheckpoint(
+        eager=True
+    )
+    for t in range(2, _CORESET_K + 1):
+        far = run.orderBy(F.desc("d"), "vec_id").limit(1).collect()[0]
+        picks.append((t, int(far["vec_id"]), round(float(far["d"]), 4)))
+        center = emd.where(F.col("vec_id") == far["vec_id"]).collect()[0]["e"]
+        run = (
+            run.join(emd.select("vec_id", dist_to(center).alias("d2")), "vec_id")
+            .select("vec_id", F.least("d", "d2").alias("d"))
+            .localCheckpoint(eager=True)  # one |corpus|-row frame, lineage cut
+        )
+    return spark.createDataFrame(picks, "pick long, vec_id long, radius double")
+
+
+coreset.__doc__ = coreset.__doc__.format(k=_CORESET_K)

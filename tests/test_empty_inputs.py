@@ -182,6 +182,7 @@ EMPTY_SAFE = [
     "q_mutual_nn",
     "q_winnowing",
     "q_srp_recall",
+    "q_coreset",
 ]
 
 # global aggregates return one constant row on empty input (their

@@ -569,3 +569,25 @@ def test_winnowing_coverage_guarantee():
         }
         for p in range(n - w + 1):
             assert any(q in selected for q in range(p, p + w)), (h, p)
+
+
+def test_coreset_farthest_first_on_line(spark, tmp_path):
+    """Points on a line at 0, 1, 10, 100: start at min vec_id (the
+    point at 0), then greedily 100, 10, 1; radii are the maximin
+    distances before each pick and must decrease."""
+    pts = [(0, 0.0), (1, 1.0), (2, 10.0), (3, 100.0)]
+    rows = [(vid, [x] + [0.0] * 63, 1) for vid, x in pts]
+    d = tmp_path / "core"
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+    out = QUERIES["q_coreset"](spark, str(d)).collect()
+    assert [(r.pick, r.vec_id) for r in out[:4]] == [
+        (1, 0), (2, 3), (3, 2), (4, 1)
+    ]
+    assert out[0].radius is None
+    assert out[1].radius == 100.0   # farthest from {0}
+    assert out[2].radius == 10.0    # farthest from {0, 100}
+    assert out[3].radius == 1.0
+    radii = [r.radius for r in out[1:] if r.radius is not None]
+    assert radii == sorted(radii, reverse=True)
