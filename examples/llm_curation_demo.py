@@ -53,6 +53,19 @@ def main() -> None:
         ("hybrid retrieval fusion (BM25 + cosine RRF)", "q_rrf_fusion"),
         ("retrieval quality (nDCG@10)", "q_ndcg_eval"),
         ("contrastive hard negatives (per anchor)", "q_hard_negatives"),
+        # round 5b: corpus diagnostics, the second tokenizer family,
+        # fingerprint/coreset curation and the ANN qualification loop
+        ("n-gram novelty curve (first-occurrence share)", "q_ngram_novelty"),
+        ("embedding outliers (centroid-distance z)", "q_embed_outliers"),
+        ("winnowing fingerprints (shared-print pairs)", "q_winnowing"),
+        ("unigram-LM tokenizer (EM-trained pieces)", "q_unigram_lm"),
+        ("deterministic epoch shuffle (shard, pos)", "q_shard_assign"),
+        ("SRP cosine sketches (bucket census)", "q_srp_lsh"),
+        ("ANN recall@5 vs brute force (sampled)", "q_srp_recall"),
+        ("k-center coreset (farthest-first picks)", "q_coreset"),
+        ("mutual nearest neighbors (bitext kernel)", "q_mutual_nn"),
+        ("Zipf slope + KS drift + lang/source MI",
+         "q_zipf_fit"),
     ]
     for title, name in stages:
         n = QUERIES[name](spark, sf_dir).count()
