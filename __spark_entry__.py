@@ -129,6 +129,7 @@ _GATE_FRONT = [
     "q_winnowing",
     "q_srp_recall",
     "q_coreset",
+    "q_span_mask",
     # oracle upgraded in round 5 (rows-only -> exact probe replay)
     "q_similarity_ivf",
     # oracle-upgraded re-checks (clean rows-only driver rows exist;

@@ -2053,3 +2053,152 @@ def unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 unigram_lm.__doc__ = unigram_lm.__doc__.format(
     rounds=_ULM_ROUNDS, top=_ULM_TOP, maxlen=_ULM_MAXLEN, piece_max=_ULM_PIECE_MAX
 )
+
+
+# ---------------------------------------------------------------------------
+# T5-style span-corruption mask plan: seeded spans, merged, censused
+
+_SPANMASK_SEED = "t5mask"
+_SPANMASK_P = 0.08  # span-start probability per token
+_SPANMASK_MOD = 1_000_000_007
+
+SPAN_MASK_ORACLE = rf"""
+WITH tok AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS ws
+    FROM documents
+),
+pos AS (
+    SELECT doc_id, len(ws) AS n_tokens, i.p AS p,
+           ('0x' || substr(md5('{_SPANMASK_SEED}:' || CAST(doc_id AS VARCHAR)
+                                || ':' || CAST(i.p AS VARCHAR)), 1, 6))::INT
+               AS h
+    FROM tok, unnest(generate_series(1, len(ws))) AS i(p)
+),
+starts AS (  -- span starts where the 24-bit uniform < p; length 2-4
+    SELECT doc_id, p AS s, 2 + (h % 3) AS l
+    FROM pos WHERE h < {int(_SPANMASK_P * (1 << 24))}
+),
+masked AS (
+    SELECT DISTINCT pos.doc_id, pos.p
+    FROM pos JOIN starts
+      ON starts.doc_id = pos.doc_id
+     AND pos.p BETWEEN starts.s AND starts.s + starts.l - 1
+),
+runs AS (
+    SELECT doc_id, p,
+           CASE WHEN LAG(p) OVER (PARTITION BY doc_id ORDER BY p) = p - 1
+                THEN 0 ELSE 1 END AS run_head
+    FROM masked
+)
+SELECT t.doc_id,
+       CAST(len(t.ws) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(COUNT(r.p), 0) AS BIGINT) AS n_masked,
+       ROUND(CAST(COALESCE(COUNT(r.p), 0) AS DOUBLE)
+             / GREATEST(len(t.ws), 1), 4) AS mask_ratio,
+       CAST(COALESCE(SUM(r.run_head), 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(SUM(r.p * r.p), 0) % {_SPANMASK_MOD} AS BIGINT)
+           AS mask_checksum
+FROM tok t LEFT JOIN runs r ON r.doc_id = t.doc_id
+GROUP BY t.doc_id, len(t.ws)
+"""
+
+
+@query("q_span_mask", SPAN_MASK_ORACLE)
+def span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2-style span-corruption PLANNING: deterministically seeded
+    mask spans (start where a per-(doc, pos) 24-bit md5 uniform falls
+    under {p}; lengths 2-4 from the same hash; overlaps merge), with
+    the per-document census a denoising-objective data pipeline needs
+    — token count, masked count/ratio, number of MAXIMAL spans after
+    merging, and a positional checksum so the exact mask set is
+    value-verified without emitting |tokens| rows. Re-seeding the
+    string yields a fresh independent mask epoch (the q_shard_assign
+    property). [engine — not in reference]
+
+    Scale design: hashing is map-side column algebra after one
+    posexplode; the span-merge is a self-join bounded by span length
+    (≤ 4 positions back) keyed on doc_id, and the run census is a lag
+    window PARTITIONED BY DOCUMENT — nothing global, nothing
+    collected."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", whitespace_tokens(F.col("text")).alias("ws")
+    ).select("doc_id", F.size("ws").alias("n_tokens"), "ws")
+    pos = tok.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(F.sequence(F.lit(1), F.col("n_tokens"))).alias("p"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "p",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(_SPANMASK_SEED + ":"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("p").cast("string"),
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        )
+        .cast("int")
+        .alias("h"),
+    )
+    starts = pos.where(F.col("h") < int(_SPANMASK_P * (1 << 24))).select(
+        F.col("doc_id").alias("sdoc"),
+        F.col("p").alias("s"),
+        (F.lit(2) + F.col("h") % 3).alias("l"),
+    )
+    masked = (
+        pos.join(
+            starts,
+            (F.col("sdoc") == F.col("doc_id"))
+            & F.col("p").between(F.col("s"), F.col("s") + F.col("l") - 1),
+        )
+        .select("doc_id", "p")
+        .distinct()
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    runs = masked.select(
+        "doc_id",
+        "p",
+        F.when(F.lag("p").over(w) == F.col("p") - 1, 0).otherwise(1).alias(
+            "run_head"
+        ),
+    )
+    census = runs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_masked"),
+        F.sum("run_head").cast("long").alias("n_spans"),
+        (F.sum(F.col("p") * F.col("p")) % _SPANMASK_MOD)
+        .cast("long")
+        .alias("mask_checksum"),
+    )
+    return (
+        tok.select("doc_id", "n_tokens")
+        .join(census, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("n_masked", F.lit(0)).cast("long").alias("n_masked"),
+            F.round(
+                F.coalesce("n_masked", F.lit(0)).cast("double")
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                4,
+            ).alias("mask_ratio"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("mask_checksum", F.lit(0)).cast("long").alias(
+                "mask_checksum"
+            ),
+        )
+    )
+
+
+span_mask.__doc__ = span_mask.__doc__.format(p=_SPANMASK_P)

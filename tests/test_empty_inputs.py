@@ -183,6 +183,7 @@ EMPTY_SAFE = [
     "q_winnowing",
     "q_srp_recall",
     "q_coreset",
+    "q_span_mask",
 ]
 
 # global aggregates return one constant row on empty input (their

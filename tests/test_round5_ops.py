@@ -591,3 +591,31 @@ def test_coreset_farthest_first_on_line(spark, tmp_path):
     assert out[3].radius == 1.0
     radii = [r.radius for r in out[1:] if r.radius is not None]
     assert radii == sorted(radii, reverse=True)
+
+
+def test_span_mask_census_matches_pure_python(spark, tmp_path):
+    """Replay the seeded mask plan in plain Python for a small doc and
+    pin every census column — starts, lengths, merge, run count."""
+    import hashlib
+
+    text = " ".join(f"tok{i}" for i in range(60))
+    d = tmp_path / "mask"
+    spark.createDataFrame(
+        [(7, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    r = QUERIES["q_span_mask"](spark, str(d)).collect()[0]
+
+    n = 60
+    masked = set()
+    for p in range(1, n + 1):
+        h = int(hashlib.md5(f"t5mask:7:{p}".encode()).hexdigest()[:6], 16)
+        if h < int(0.08 * (1 << 24)):
+            ln = 2 + h % 3
+            masked.update(q for q in range(p, p + ln) if q <= n)
+    spans = sum(1 for p in masked if p - 1 not in masked)
+    assert r.n_tokens == n
+    assert r.n_masked == len(masked)
+    assert r.n_spans == spans
+    assert r.mask_checksum == sum(p * p for p in masked) % 1_000_000_007
+    assert r.mask_ratio == round(len(masked) / n, 4)
