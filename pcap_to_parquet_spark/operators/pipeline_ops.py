@@ -1146,3 +1146,72 @@ def cidr_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# DP-style noisy count release: seeded Laplace noise, replayable
+
+_DP_EPS = 1.0
+_DP_SEED = "dp1"
+
+DP_COUNTS_ORACLE = f"""
+WITH c AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_raw FROM documents
+    GROUP BY source
+),
+u AS (  -- 24-bit md5 uniform in (-0.5, 0.5), zero excluded by +0.5 offset
+    SELECT source, n_raw,
+           (('0x' || substr(md5('{_DP_SEED}:' || source), 1, 6))::INT + 0.5)
+               / 16777216.0 - 0.5 AS v
+    FROM c
+)
+SELECT source, n_raw,
+       ROUND(n_raw - (1.0 / {_DP_EPS})
+             * CASE WHEN v < 0 THEN -1 ELSE 1 END
+             * LN(1.0 - 2.0 * ABS(v)), 4) AS n_noisy
+FROM u
+ORDER BY source
+"""
+
+
+@query("q_dp_counts", DP_COUNTS_ORACLE)
+def dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy-style count release: per-source document
+    counts plus Laplace(1/ε) noise (ε = {eps}), the noise drawn by
+    INVERSE-CDF from a seeded md5 uniform — so the "random" release
+    is bit-replayable by the oracle and by auditors, the property a
+    testable DP pipeline needs (swap the seed for a real CSPRNG draw
+    in production; the sensitivity-1 count query and the noise shape
+    are the real mechanism). Completes the privacy family next to
+    q_k_anonymity (quasi-identifier census) and q_pii_scrub
+    (redaction). Raw counts are emitted alongside ONLY because this
+    is the verification surface — a production release would drop
+    them. [engine — not in reference]
+
+    Scale design: one groupBy; noise is per-GROUP column algebra on
+    the |sources|-bounded aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_raw"))
+    v = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(_DP_SEED + ":"), F.col("source"))), 1, 6
+            ),
+            16,
+            10,
+        ).cast("int")
+        + F.lit(0.5)
+    ) / F.lit(16777216.0) - F.lit(0.5)
+    noise = (
+        F.lit(1.0 / _DP_EPS)
+        * F.when(v < 0, -1).otherwise(1)
+        * F.log(F.lit(1.0) - 2.0 * F.abs(v))
+    )
+    return c.select(
+        "source",
+        "n_raw",
+        F.round(F.col("n_raw") - noise, 4).alias("n_noisy"),
+    ).orderBy("source")
+
+
+dp_counts.__doc__ = dp_counts.__doc__.format(eps=_DP_EPS)

@@ -184,6 +184,7 @@ EMPTY_SAFE = [
     "q_srp_recall",
     "q_coreset",
     "q_span_mask",
+    "q_dp_counts",
 ]
 
 # global aggregates return one constant row on empty input (their

@@ -619,3 +619,25 @@ def test_span_mask_census_matches_pure_python(spark, tmp_path):
     assert r.n_spans == spans
     assert r.mask_checksum == sum(p * p for p in masked) % 1_000_000_007
     assert r.mask_ratio == round(len(masked) / n, 4)
+
+
+def test_dp_counts_noise_replay(spark, tmp_path):
+    """Pure-Python replay of the seeded inverse-CDF Laplace draw: the
+    released noisy count must equal count + the replayed noise, and
+    differ from the raw count (noise is almost surely nonzero)."""
+    import hashlib
+    import math
+
+    rows = [(i, "t", "en", "src_a" if i < 30 else "src_b", 1) for i in range(50)]
+    d = tmp_path / "dp"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    out = {r.source: r for r in QUERIES["q_dp_counts"](spark, str(d)).collect()}
+    for src, n in (("src_a", 30), ("src_b", 20)):
+        h = int(hashlib.md5(f"dp1:{src}".encode()).hexdigest()[:6], 16)
+        v = (h + 0.5) / 16777216.0 - 0.5
+        want = round(n - (1.0) * (-1 if v < 0 else 1) * math.log(1 - 2 * abs(v)), 4)
+        assert out[src].n_raw == n
+        assert out[src].n_noisy == want
+        assert out[src].n_noisy != n
