@@ -3913,3 +3913,91 @@ def coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 coreset.__doc__ = coreset.__doc__.format(k=_CORESET_K)
+
+
+# ---------------------------------------------------------------------------
+# ROC-AUC of the heuristic quality score against the lang=en label
+
+AUC_EVAL_ORACLE = """
+WITH scored AS (
+    SELECT ROUND(CAST(len(regexp_replace(text, '[^aeiou]', '', 'g')) AS DOUBLE)
+                 / GREATEST(len(text), 1), 4) AS s,
+           CAST(lang = 'en' AS INT) AS y
+    FROM documents
+),
+hist AS (
+    SELECT s, SUM(y) AS np, SUM(1 - y) AS nn
+    FROM scored GROUP BY s
+),
+cum AS (
+    SELECT s, np, nn,
+           COALESCE(SUM(nn) OVER (ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS nn_below
+    FROM hist
+),
+tot AS (
+    SELECT SUM(np) AS tp, SUM(nn) AS tn FROM hist
+)
+SELECT CAST(tot.tp AS BIGINT) AS n_pos,
+       CAST(tot.tn AS BIGINT) AS n_neg,
+       ROUND((SUM(cum.np * cum.nn_below) + 0.5 * SUM(cum.np * cum.nn))
+             / (tot.tp * CAST(tot.tn AS DOUBLE)), 6) AS auc
+FROM cum, tot
+GROUP BY tot.tp, tot.tn
+"""
+
+
+@query("q_auc_eval", AUC_EVAL_ORACLE)
+def auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the vowel-ratio quality heuristic against the
+    lang='en' label — the classifier-qualification metric that closes
+    the supervised loop (q_quality_classifier trains, this measures),
+    via the Mann-Whitney pair formulation: AUC = P(score_pos >
+    score_neg) + ½·P(tie). [engine — not in reference]
+
+    Scale design: the textbook rank-based AUC needs a GLOBAL sort of
+    all scores — unscalable. Instead scores are rounded to 4dp and
+    HISTOGRAMMED (one groupBy; ≤10^4·range distinct buckets at any
+    corpus size), and the pair counts come from prefix sums over the
+    bounded histogram — the q_ks_drift rule again: windows over
+    bounded aggregates, never the corpus. Identical rounding in the
+    oracle makes the statistic exact, not approximate-vs-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    vowels = F.length(F.regexp_replace("text", "[^aeiou]", ""))
+    scored = d.select(
+        F.round(
+            vowels.cast("double") / F.greatest(F.length("text"), F.lit(1)), 4
+        ).alias("s"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    hist = scored.groupBy("s").agg(
+        F.sum("y").alias("np"), F.sum(F.lit(1) - F.col("y")).alias("nn")
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.select(  # |buckets|-bounded window, single partition OK
+        "s",
+        "np",
+        "nn",
+        F.coalesce(F.sum("nn").over(w), F.lit(0)).alias("nn_below"),
+    )
+    tot = hist.agg(
+        F.sum("np").cast("long").alias("tp"), F.sum("nn").cast("long").alias("tn")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("tp", "tn")
+        .agg(
+            F.round(
+                (
+                    F.sum(F.col("np") * F.col("nn_below"))
+                    + 0.5 * F.sum(F.col("np") * F.col("nn"))
+                )
+                / (F.col("tp") * F.col("tn").cast("double")),
+                6,
+            ).alias("auc")
+        )
+        .select(
+            F.col("tp").alias("n_pos"), F.col("tn").alias("n_neg"), "auc"
+        )
+    )

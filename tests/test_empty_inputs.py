@@ -185,6 +185,7 @@ EMPTY_SAFE = [
     "q_coreset",
     "q_span_mask",
     "q_dp_counts",
+    "q_auc_eval",
 ]
 
 # global aggregates return one constant row on empty input (their

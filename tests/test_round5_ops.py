@@ -641,3 +641,19 @@ def test_dp_counts_noise_replay(spark, tmp_path):
         assert out[src].n_raw == n
         assert out[src].n_noisy == want
         assert out[src].n_noisy != n
+
+
+def test_auc_eval_separable_and_random(spark, tmp_path):
+    """Perfectly separable scores -> AUC 1; identical scores for both
+    classes -> AUC 0.5 (all mass in the tie term)."""
+    sep = [(i, "aaaa" if i < 20 else "zzzz", "en" if i < 20 else "xx", "s", 4)
+           for i in range(40)]
+    tie = [(i, "aaaa", "en" if i < 20 else "xx", "s", 4) for i in range(40)]
+    for rows, want in ((sep, 1.0), (tie, 0.5)):
+        d = tmp_path / f"auc{want}"
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+        r = QUERIES["q_auc_eval"](spark, str(d)).collect()[0]
+        assert r.n_pos == 20 and r.n_neg == 20
+        assert r.auc == want, r
