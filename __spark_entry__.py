@@ -132,6 +132,7 @@ _GATE_FRONT = [
     "q_span_mask",
     "q_dp_counts",
     "q_auc_eval",
+    "q_lsh_recall",
     # oracle upgraded in round 5 (rows-only -> exact probe replay)
     "q_similarity_ivf",
     # oracle-upgraded re-checks (clean rows-only driver rows exist;

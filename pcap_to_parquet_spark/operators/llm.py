@@ -4001,3 +4001,177 @@ def auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tp").alias("n_pos"), F.col("tn").alias("n_neg"), "auc"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH banding recall audit: banded candidates vs exact-Jaccard truth
+
+_LSHR_SLICE = 100  # audit slice: doc_id < 100
+_LSHR_TAU = 0.7
+
+LSH_RECALL_ORACLE = rf"""
+WITH tok AS (
+    SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS ws
+    FROM documents WHERE doc_id < {_LSHR_SLICE}
+),
+sh AS (
+    SELECT DISTINCT doc_id, unnest(
+        list_transform(generate_series(1, len(ws) - 2),
+                       i -> ws[i] || '|' || ws[i+1] || '|' || ws[i+2])) AS sh
+    FROM tok WHERE len(ws) >= 3
+),
+n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+tp AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sh a
+    JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    JOIN n na ON na.doc_id = a.doc_id
+    JOIN n nb ON nb.doc_id = b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING ROUND(COUNT(*)::DOUBLE
+                 / (ANY_VALUE(na.n) + ANY_VALUE(nb.n) - COUNT(*)), 6)
+           >= {_LSHR_TAU}
+),
+hh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM sh),
+mins AS (
+    SELECT doc_id,
+           {_MHX_MINS}
+    FROM hh GROUP BY doc_id
+),
+bands AS (
+    {_MHX_BANDS}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+)
+SELECT (SELECT COUNT(*) FROM tp) AS n_true_pairs,
+       (SELECT COUNT(*) FROM cand) AS n_candidates,
+       (SELECT COUNT(*) FROM tp SEMI JOIN cand USING (doc_a, doc_b))
+           AS n_caught,
+       ROUND((SELECT COUNT(*) FROM tp SEMI JOIN cand USING (doc_a, doc_b))
+             / GREATEST((SELECT COUNT(*) FROM tp), 1)::DOUBLE, 4) AS recall
+"""
+
+
+@query("q_lsh_recall", LSH_RECALL_ORACLE)
+def lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding recall AUDIT — q_srp_recall's twin for the text
+    side: on a {slice}-document audit slice, compare the 16×8 MinHash
+    banding's candidate pairs (q_minhash_exact's exact geometry)
+    against exact 3-gram Jaccard ≥ {tau} ground truth, reporting true
+    pairs, candidates, caught pairs and recall. This is the sampled
+    qualification loop a production near-dup pipeline runs after
+    every band-geometry change. [engine — not in reference]
+
+    Scale design: exact all-pairs Jaccard is the unscalable half, so
+    it runs ONLY on the fixed audit slice (the sampled-ground-truth
+    pattern, same as q_srp_recall's query sample); the banding half is
+    the production shape restricted to the same slice. Everything is
+    keyed on doc/shingle ids; the three counts are scalar aggregates
+    cross-joined into one row."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < _LSHR_SLICE
+    )
+    shingled = (
+        d.select("doc_id", whitespace_tokens("text").alias("toks"))
+        .where(F.size("toks") >= 3)
+        .select("doc_id", F.explode(shingles("toks", 3)).alias("sh"))
+        .distinct()
+        .localCheckpoint(eager=True)  # slice-bounded; feeds truth + signatures
+    )
+    n = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = shingled.alias("a"), shingled.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    na = n.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = n.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    tp = (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .where(
+            F.round(
+                F.col("c").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("c")),
+                6,
+            )
+            >= _LSHR_TAU
+        )
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    h32 = F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long")
+    mins = (
+        shingled.select("doc_id", h32.alias("h"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    ((F.col("h") % _MERSENNE) * F.lit(aa) + F.lit(bb))
+                    % F.lit(_MERSENNE)
+                ).alias(f"m{i}")
+                for i, (aa, bb) in enumerate(_MINHASH_AB)
+            ]
+        )
+    )
+    bands = None
+    for bi in range(MINHASH_BANDS):
+        part = mins.select(
+            "doc_id",
+            F.lit(bi).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"m{bi * MINHASH_ROWS + r}").cast("string")
+                        for r in range(MINHASH_ROWS)
+                    ],
+                )
+            ).alias("bh"),
+        )
+        bands = part if bands is None else bands.unionAll(part)
+    ba, bb2 = bands.alias("ba"), bands.alias("bb")
+    cand = (
+        ba.join(
+            bb2,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.bh") == F.col("bb.bh"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    caught = tp.join(cand, ["doc_a", "doc_b"], "left_semi")
+    t1 = tp.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
+    t2 = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    t3 = caught.agg(F.count(F.lit(1)).cast("long").alias("n_caught"))
+    return (
+        t1.crossJoin(t2)
+        .crossJoin(t3)
+        .select(
+            "n_true_pairs",
+            "n_candidates",
+            "n_caught",
+            F.round(
+                F.col("n_caught")
+                / F.greatest(F.col("n_true_pairs"), F.lit(1)).cast("double"),
+                4,
+            ).alias("recall"),
+        )
+    )
+
+
+lsh_recall.__doc__ = lsh_recall.__doc__.format(slice=_LSHR_SLICE, tau=_LSHR_TAU)

@@ -211,6 +211,7 @@ CONSTANT_ON_EMPTY = {
     "q_zipf_fit": 1,  # the OLS aggregate row survives, all NULL
     "q_kcore": 1,  # graph census row of zeros, converged=true
     "q_degree_powerlaw": 1,  # census aggregate row, zero count + NULLs
+    "q_lsh_recall": 1,  # audit counts row of zeros, recall 0.0
 }
 
 

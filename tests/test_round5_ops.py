@@ -657,3 +657,24 @@ def test_auc_eval_separable_and_random(spark, tmp_path):
         r = QUERIES["q_auc_eval"](spark, str(d)).collect()[0]
         assert r.n_pos == 20 and r.n_neg == 20
         assert r.auc == want, r
+
+
+def test_lsh_recall_catches_identical_docs(spark, tmp_path):
+    """Two identical docs (Jaccard 1.0) are a true pair AND a banding
+    candidate (identical signatures collide in every band) -> recall
+    1.0; a disjoint doc adds neither."""
+    base = " ".join(f"w{i}" for i in range(30))
+    other = " ".join(f"x{i}" for i in range(30))
+    rows = [
+        (0, base, "en", "s", len(base)),
+        (1, base, "en", "s", len(base)),
+        (2, other, "en", "s", len(other)),
+    ]
+    d = tmp_path / "lshr"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    r = QUERIES["q_lsh_recall"](spark, str(d)).collect()[0]
+    assert r.n_true_pairs == 1
+    assert r.n_caught == 1
+    assert r.recall == 1.0
