@@ -133,6 +133,7 @@ _GATE_FRONT = [
     "q_dp_counts",
     "q_auc_eval",
     "q_lsh_recall",
+    "q_psi_drift",
     # oracle upgraded in round 5 (rows-only -> exact probe replay)
     "q_similarity_ivf",
     # oracle-upgraded re-checks (clean rows-only driver rows exist;

@@ -2508,3 +2508,108 @@ def degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("alpha_mle"),
     )
+
+
+# ---------------------------------------------------------------------------
+# population stability index: binned distribution drift with Laplace floor
+
+_PSI_BINS = 10
+_PSI_ALPHA = 0.5  # Laplace smoothing per bin (PSI is undefined on empty bins)
+
+PSI_DRIFT_ORACLE = f"""
+WITH s AS (
+    SELECT value AS v,
+           CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_a
+    FROM events WHERE event_type IN ('view', 'purchase')
+),
+ext AS (
+    SELECT MIN(v) AS mn, MAX(v) AS mx FROM s
+),
+binned AS (
+    SELECT LEAST(CAST(FLOOR((s.v - ext.mn) / ((ext.mx - ext.mn) / {_PSI_BINS}))
+                      AS INT), {_PSI_BINS - 1}) AS bin,
+           SUM(s.is_a) AS ca, SUM(1 - s.is_a) AS cb
+    FROM s, ext
+    GROUP BY 1
+),
+n AS (
+    SELECT SUM(ca) AS na, SUM(cb) AS nb FROM binned
+),
+frac AS (
+    SELECT (ca + {_PSI_ALPHA}) / (n.na + {_PSI_BINS} * {_PSI_ALPHA}) AS pa,
+           (cb + {_PSI_ALPHA}) / (n.nb + {_PSI_BINS} * {_PSI_ALPHA}) AS pb
+    FROM binned, n
+)
+SELECT COALESCE((SELECT CAST(na AS BIGINT) FROM n), 0) AS n_view,
+       COALESCE((SELECT CAST(nb AS BIGINT) FROM n), 0) AS n_purchase,
+       CAST({_PSI_BINS} AS BIGINT) AS bins,
+       ROUND(SUM((pa - pb) * LN(pa / pb)), 6) AS psi
+FROM frac
+"""
+
+
+@query("q_psi_drift", PSI_DRIFT_ORACLE)
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between the view and purchase value
+    distributions — the industry-standard model-monitoring drift score
+    (PSI < 0.1 stable, > 0.25 action): Σ (p_a − p_b)·ln(p_a/p_b) over
+    {bins} fixed-width bins, with Laplace-{alpha} smoothing per bin so
+    an empty bin (where raw PSI is ±∞) degrades gracefully instead of
+    poisoning the sum. Completes the drift kit: q_cusum_drift
+    (mean-shift-in-time), q_ks_drift (whole-shape test),
+    q_changepoint (offline split), PSI (the monitoring dashboard
+    number). [engine — not in reference]
+
+    Scale design: identical to q_ks_drift — one min/max broadcast,
+    one bin groupBy, and the PSI sum runs over the {bins}-row bin
+    table; no window at all this time (PSI needs no cumulative
+    distribution)."""
+    e = load_table(spark, sf_dir, "events")
+    s = e.where(F.col("event_type").isin("view", "purchase")).select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("is_a"),
+    )
+    ext = s.agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    binned = (
+        s.crossJoin(F.broadcast(ext))
+        .select(
+            F.least(
+                F.floor(
+                    (F.col("v") - F.col("mn"))
+                    / ((F.col("mx") - F.col("mn")) / _PSI_BINS)
+                ).cast("int"),
+                F.lit(_PSI_BINS - 1),
+            ).alias("bin"),
+            "is_a",
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("is_a").alias("ca"),
+            F.sum(F.lit(1) - F.col("is_a")).alias("cb"),
+        )
+    )
+    n = binned.agg(
+        F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
+    )
+    pa = (F.col("ca") + _PSI_ALPHA) / (F.col("na") + _PSI_BINS * _PSI_ALPHA)
+    pb = (F.col("cb") + _PSI_ALPHA) / (F.col("nb") + _PSI_BINS * _PSI_ALPHA)
+    return (
+        binned.crossJoin(F.broadcast(n))
+        .agg(
+            F.min("na").alias("n_view"),
+            F.min("nb").alias("n_purchase"),
+            F.lit(_PSI_BINS).cast("long").alias("bins"),
+            F.round(F.sum((pa - pb) * F.log(pa / pb)), 6).alias("psi"),
+        )
+        .select(
+            F.coalesce(F.col("n_view").cast("long"), F.lit(0)).alias("n_view"),
+            F.coalesce(F.col("n_purchase").cast("long"), F.lit(0)).alias(
+                "n_purchase"
+            ),
+            "bins",
+            "psi",
+        )
+    )
+
+
+psi_drift.__doc__ = psi_drift.__doc__.format(bins=_PSI_BINS, alpha=_PSI_ALPHA)

@@ -212,6 +212,7 @@ CONSTANT_ON_EMPTY = {
     "q_kcore": 1,  # graph census row of zeros, converged=true
     "q_degree_powerlaw": 1,  # census aggregate row, zero count + NULLs
     "q_lsh_recall": 1,  # audit counts row of zeros, recall 0.0
+    "q_psi_drift": 1,  # aggregate row: zero counts, NULL psi
 }
 
 

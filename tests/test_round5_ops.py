@@ -678,3 +678,34 @@ def test_lsh_recall_catches_identical_docs(spark, tmp_path):
     assert r.n_true_pairs == 1
     assert r.n_caught == 1
     assert r.recall == 1.0
+
+
+def test_psi_drift_identical_vs_shifted(spark, tmp_path):
+    """Identical distributions -> PSI ~ 0 (exactly 0 with symmetric
+    smoothing); disjoint distributions -> PSI large (> 1)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def lake(vals_a, vals_b, d):
+        rows = []
+        eid = 0
+        for v in vals_a:
+            rows.append((eid, t0, eid, "view", float(v), "{}")); eid += 1
+        for v in vals_b:
+            rows.append((eid, t0, eid, "purchase", float(v), "{}")); eid += 1
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).write.mode("overwrite").parquet(str(d / "events.parquet"))
+        return str(d)
+
+    same = lake(range(100), range(100), tmp_path / "same")
+    r = QUERIES["q_psi_drift"](spark, same).collect()[0]
+    assert r.n_view == 100 and r.n_purchase == 100 and r.bins == 10
+    assert r.psi == 0.0
+
+    disj = lake(range(100), range(900, 1000), tmp_path / "disj")
+    r = QUERIES["q_psi_drift"](spark, disj).collect()[0]
+    assert r.psi > 1.0
