@@ -43,9 +43,13 @@ SF0001_DIR = "/root/testdata/sf0.001"
 #       q_stream_stateful — their only driver rows predate their
 #       exact oracles),
 #   (c) rows-only queries upgraded to exact oracles in round 5
-#       (q_holt_forecast, q_bpe_merges, q_bpe_encode, q_stream_holt —
-#       these ARE in the r5 window, so their r5 rows are already
-#       value rows; nothing extra to do unless one fails),
+#       (q_holt_forecast, q_bpe_merges, q_bpe_encode, q_stream_holt,
+#       and late in the round q_quality_classifier — all ARE in the
+#       r5 window, so their r5 rows are already value rows; nothing
+#       extra to do unless one fails),
+#   NOTE: the "new in round 5" block below grew to ~30 entries over
+#   the round's second session — it more than half-fills the round-6
+#   window on its own; (b) and (d) follow behind it.
 #   (d) the refresh tail (q_rollup onward: r1-green relational/join/
 #       LLM basics whose newest driver row is round 1 — 3+ rounds old).
 _GATE_FRONT = [
