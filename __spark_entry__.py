@@ -27,87 +27,22 @@ SF0001_DIR = "/root/testdata/sf0.001"
 
 # The driver's correctness gate verifies the first 50 entries of queries()
 # in iteration order, so the order is rotated per round. Union of rounds
-# 1-4 windows: all 183 queries ever driver-checked are green (r4: 50/50,
-# first all-green window). Round 5 fronts the 50 queries that have NEVER
-# received a driver row (32 deferred round-3/4 queries + the 18 round-4c
-# additions registered after the r4 window froze, q_residual_quant
-# included per ADVICE r4). Pinned by test_gate_front_names_exist.
+# 1-5 windows: all 233 queries ever driver-checked are green (r5: 45/50
+# hash-green + 5 seed-bound rows-only, 0 value failures). Pinned by
+# test_gate_front_names_exist.
 #
-# ROUND 6 ROTATION NOTE: after round 5's driver run, every registered
-# query has at least one driver row. Due FIRST in round 6:
-#   (a) any round-5 additions (registered after this window froze —
-#       see the "new in round 5" marker below),
-#   (b) the 8 oracle-upgraded re-checks (q_pcapng_pipeline,
-#       q_pcap_datasource, q_pcap_trailers, q_audio_features,
-#       q_bloom_prefilter, q_dedup_simhash, q_stream_session,
-#       q_stream_stateful — their only driver rows predate their
-#       exact oracles),
-#   (c) rows-only queries upgraded to exact oracles in round 5
-#       (q_holt_forecast, q_bpe_merges, q_bpe_encode, q_stream_holt,
-#       and late in the round q_quality_classifier — all ARE in the
-#       r5 window, so their r5 rows are already value rows; nothing
-#       extra to do unless one fails),
-#   NOTE: the "new in round 5" block below grew to ~30 entries over
-#   the round's second session — it more than half-fills the round-6
-#   window on its own; (b) and (d) follow behind it.
-#   (d) the refresh tail (q_rollup onward: r1-green relational/join/
-#       LLM basics whose newest driver row is round 1 — 3+ rounds old).
+# ROUND 7 ROTATION NOTE: round 6 fronts (a) the 30 round-5 additions
+# that had never received a driver row, (b) q_similarity_ivf (oracle
+# upgraded rows-only -> exact probe replay), (c) the 8 oracle-upgraded
+# re-checks whose only driver rows predate their exact oracles, and
+# (d) the first 11 entries of the r1-refresh tail. Due FIRST in round
+# 7: any "new in round 6" additions (see marker below), then the
+# refresh-tail remainder (q_self_join onward — newest driver rows
+# still round 1), then the former round-4 window (newest rows r4).
 _GATE_FRONT = [
-    # ---- ROUND 5 WINDOW (positions 0-49): never driver-checked ----
-    # deferred round-3/4 queries (32)
-    "q_stream_topk",
-    "q_sql_min_cost_supplier",
-    "q_sql_excess_supplier",
-    "q_sql_forecast_revenue",
-    "q_sql_important_stock",
-    "q_sql_shipmode_priority",
-    "q_density_clusters",
-    "q_k_anonymity",
-    "q_text_source",
-    "q_kmv_window",
-    "q_lpa_communities",
-    "q_winsorized_mean",
-    "q_sentence_chunks",
-    "q_numeric_histogram",
-    "q_cusum_drift",
-    "q_rfm_segments",
-    "q_gini",
-    "q_char_entropy",
-    "q_rolling_corr",
-    "q_mad_outliers",
-    "q_top_paths",
-    "q_lorenz_deciles",
-    "q_new_vs_returning",
-    "q_pcap_flows",
-    "q_triangle_count",
-    "q_ngram_containment",
-    "q_dedup_survivors",
-    "q_pcap_roundtrip",
-    "q_bitmap_distinct",
-    "q_try_arithmetic",
-    "q_pcap_stream_flows",
-    "q_funnel_bounded",
-    # round-4c additions (18; registered after the r4 window froze)
-    "q_dup_span_coverage",
-    "q_pmi_bigrams",
-    "q_dup_span_removal",
-    "q_temperature_mix",
-    "q_quality_classifier",
-    "q_ewma",
-    "q_stream_ewma",
-    "q_dpp_join",
-    "q_pq_ann",
-    "q_pca_embed",
-    "q_bpe_merges",
-    "q_bpe_encode",
-    "q_ivf_pq",
-    "q_holt_forecast",
-    "q_multi_regression",
-    "q_stream_holt",
-    "q_opq_train",
-    "q_residual_quant",
-    # ---- END ROUND 5 WINDOW (the 50 above are positions 0-49) ----
-    # new in round 5 (insert below this line as they land; due round 6)
+    # ---- ROUND 6 WINDOW (positions 0-49) ----
+    # (a) round-5 additions registered after the r5 window froze (30) —
+    #     never driver-checked before this round
     "q_dsir_weights",
     "q_semdedup",
     "q_rrf_fusion",
@@ -138,10 +73,10 @@ _GATE_FRONT = [
     "q_auc_eval",
     "q_lsh_recall",
     "q_psi_drift",
-    # oracle upgraded in round 5 (rows-only -> exact probe replay)
+    # (b) oracle upgraded in round 5 (rows-only -> exact probe replay)
     "q_similarity_ivf",
-    # oracle-upgraded re-checks (clean rows-only driver rows exist;
-    # strictly-never-checked queries above outrank their VALUE re-check)
+    # (c) oracle-upgraded re-checks (their only driver rows predate
+    #     their exact oracles)
     "q_pcapng_pipeline",
     "q_pcap_datasource",
     "q_pcap_trailers",
@@ -150,7 +85,8 @@ _GATE_FRONT = [
     "q_dedup_simhash",
     "q_stream_session",
     "q_stream_stateful",
-    # refresh: oracle-bearing queries whose last driver row is round 1
+    # (d) refresh head: r1-green queries whose newest driver row is
+    #     round 1 (first 11 of the refresh tail)
     "q_rollup",
     "q_cube",
     "q_grouping_sets",
@@ -162,6 +98,9 @@ _GATE_FRONT = [
     "q_anti_join",
     "q_range_join",
     "q_asof_join",
+    # ---- END ROUND 6 WINDOW (the 50 above are positions 0-49) ----
+    # new in round 6 (insert below this line as they land; due round 7)
+    # refresh tail remainder (newest driver row still round 1)
     "q_self_join",
     "q_binned_range_join",
     "q_dedup_exact",
@@ -184,8 +123,7 @@ _GATE_FRONT = [
     "q_pivot",
     "q_unpivot",
     "q_subquery_scalar",
-    # former round-4 window (all green in CORRECTNESS_r04; newest driver
-    # rows in the registry — lowest refresh priority)
+    # former round-4 window (green r04)
     "q_sql_disjunctive",
     "q_fuzzy_join",
     "q_sql_lateral",
@@ -236,6 +174,57 @@ _GATE_FRONT = [
     "q_stream_decontaminate",
     "q_forecast_eval",
     "q_pcap_pipeline",
+    # former round-5 window (green r05 — newest rows, lowest priority)
+    "q_stream_topk",
+    "q_sql_min_cost_supplier",
+    "q_sql_excess_supplier",
+    "q_sql_forecast_revenue",
+    "q_sql_important_stock",
+    "q_sql_shipmode_priority",
+    "q_density_clusters",
+    "q_k_anonymity",
+    "q_text_source",
+    "q_kmv_window",
+    "q_lpa_communities",
+    "q_winsorized_mean",
+    "q_sentence_chunks",
+    "q_numeric_histogram",
+    "q_cusum_drift",
+    "q_rfm_segments",
+    "q_gini",
+    "q_char_entropy",
+    "q_rolling_corr",
+    "q_mad_outliers",
+    "q_top_paths",
+    "q_lorenz_deciles",
+    "q_new_vs_returning",
+    "q_pcap_flows",
+    "q_triangle_count",
+    "q_ngram_containment",
+    "q_dedup_survivors",
+    "q_pcap_roundtrip",
+    "q_bitmap_distinct",
+    "q_try_arithmetic",
+    "q_pcap_stream_flows",
+    "q_funnel_bounded",
+    "q_dup_span_coverage",
+    "q_pmi_bigrams",
+    "q_dup_span_removal",
+    "q_temperature_mix",
+    "q_quality_classifier",
+    "q_ewma",
+    "q_stream_ewma",
+    "q_dpp_join",
+    "q_pq_ann",
+    "q_pca_embed",
+    "q_bpe_merges",
+    "q_bpe_encode",
+    "q_ivf_pq",
+    "q_holt_forecast",
+    "q_multi_regression",
+    "q_stream_holt",
+    "q_opq_train",
+    "q_residual_quant",
 ]
 
 

@@ -82,7 +82,14 @@ def ensure_bucketed(spark: SparkSession, sf_dir: str, table: str, key: str) -> s
     name = _bucketed_name(sf_dir, table)
     if spark.catalog.tableExists(name):
         return name
-    path = os.path.join(tempfile.gettempdir(), "bucketed_tables", name)
+    # Path is keyed by PID: the metastore is per-process but the
+    # filesystem is shared, and mode("overwrite") on a shared path lets
+    # a concurrent Spark process yank parquet files out from under this
+    # one's reader (observed: check_oracle.py racing pytest). Each
+    # process writing its own directory removes the race entirely.
+    path = os.path.join(
+        tempfile.gettempdir(), f"bucketed_tables_{os.getpid()}", name
+    )
     (
         load_table(spark, sf_dir, table)
         .write.bucketBy(N_BUCKETS, key)
