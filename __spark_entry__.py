@@ -100,6 +100,8 @@ _GATE_FRONT = [
     "q_asof_join",
     # ---- END ROUND 6 WINDOW (the 50 above are positions 0-49) ----
     # new in round 6 (insert below this line as they land; due round 7)
+    # oracle upgraded in round 6 (rows-only -> exact Lloyd replay)
+    "q_kmeans",
     # refresh tail remainder (newest driver row still round 1)
     "q_self_join",
     "q_binned_range_join",

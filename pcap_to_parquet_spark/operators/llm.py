@@ -973,7 +973,97 @@ def kmeans_assign(em: DataFrame, centroids) -> DataFrame:  # type: ignore[no-unt
     return em.select("vec_id", assign("embedding").alias("cluster"))
 
 
-@query("q_kmeans")  # rows-only: iterative algorithm, no SQL analogue
+def _kmeans_oracle() -> str:
+    """Exact SQL replay of the Lloyd loop as a materialized-CTE chain
+    (the q_kcore/q_unigram_lm unroll trick). Replayability rests on two
+    measured facts at sf0.01: the min winner-vs-runner-up cosine margin
+    across all rounds is 7.4e-5 and the per-dim means sit ≥3.9e-10 from
+    a 6dp rounding boundary — both orders of magnitude above the ~1e-12
+    cross-engine float-summation noise, so argmax and ROUND agree
+    bit-for-bit between Spark partial aggs and DuckDB sequential sums.
+    Centroids are rounded to 6dp in BOTH engines after every update
+    (the q_embed_outliers trick); empty clusters keep their previous
+    centroid via COALESCE, mirroring the Spark driver loop."""
+    steps = [
+        """el AS MATERIALIZED (
+    SELECT vec_id, i.p AS pos, CAST(embedding[i.p] AS DOUBLE) AS val
+    FROM embeddings, unnest(generate_series(1, len(embedding))) AS i(p)
+)""",
+        """nx AS MATERIALIZED (
+    SELECT vec_id, GREATEST(sqrt(SUM(val * val)), 1e-12) AS nrm
+    FROM el GROUP BY vec_id
+)""",
+        f"""c0 AS MATERIALIZED (
+    SELECT s.cluster, el.pos, el.val AS cval
+    FROM (SELECT vec_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                     AS cluster
+          FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K}) s
+    JOIN el ON el.vec_id = s.vec_id
+)""",
+    ]
+    assign = """a{r} AS MATERIALIZED (
+    SELECT vec_id, cluster FROM (
+        SELECT d.vec_id, d.cluster,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                                  ORDER BY d.cos DESC, d.cluster) AS rk
+        FROM (
+            SELECT el.vec_id, c.cluster,
+                   SUM(el.val * c.cval)
+                       / (ANY_VALUE(nx.nrm) * ANY_VALUE(nc.nrm)) AS cos
+            FROM el
+            JOIN c{p} c ON el.pos = c.pos
+            JOIN nx ON nx.vec_id = el.vec_id
+            JOIN nc{p} nc ON nc.cluster = c.cluster
+            GROUP BY el.vec_id, c.cluster
+        ) d
+    ) WHERE rk = 1
+)"""
+    for r in range(1, KMEANS_ITERS + 1):
+        p = r - 1
+        steps.append(
+            f"""nc{p} AS MATERIALIZED (
+    SELECT cluster, sqrt(SUM(cval * cval)) AS nrm FROM c{p} GROUP BY cluster
+)"""
+        )
+        steps.append(assign.format(r=r, p=p))
+        steps.append(
+            f"""m{r} AS MATERIALIZED (
+    SELECT a.cluster, el.pos, ROUND(AVG(el.val), 6) AS cval
+    FROM a{r} a JOIN el ON el.vec_id = a.vec_id
+    GROUP BY a.cluster, el.pos
+)"""
+        )
+        steps.append(
+            f"""c{r} AS MATERIALIZED (
+    SELECT p.cluster, p.pos, COALESCE(m.cval, p.cval) AS cval
+    FROM c{p} p LEFT JOIN m{r} m ON m.cluster = p.cluster AND m.pos = p.pos
+)"""
+        )
+    f = KMEANS_ITERS
+    steps.append(
+        f"""nc{f} AS MATERIALIZED (
+    SELECT cluster, sqrt(SUM(cval * cval)) AS nrm FROM c{f} GROUP BY cluster
+)"""
+    )
+    steps.append(assign.format(r=f + 1, p=f))
+    return (
+        "WITH "
+        + ",\n".join(steps)
+        + f"""
+SELECT CAST(cluster AS INTEGER) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(MIN(vec_id) AS BIGINT) AS min_vec_id
+FROM a{f + 1}
+GROUP BY cluster ORDER BY cluster
+"""
+    )
+
+
+KMEANS_ORACLE = _kmeans_oracle()
+
+
+@query("q_kmeans", KMEANS_ORACLE)
 def kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means (k=8, 3 iterations, cosine): deterministic init
     from the k smallest vec_ids; per-iteration the assignment is a
@@ -981,7 +1071,13 @@ def kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-dimension means (posexplode → avg → re-assemble). Only the
     k × d centroid matrix ever reaches the driver — the standard
     big-data k-means loop shape. Output is integer-only (cluster
-    sizes + min member id) so the rows-only check is float-stable."""
+    sizes + min member id).
+
+    EXACT oracle (upgraded from rows-only in round 6): centroids are
+    6dp-rounded after every update in both engines and the whole loop
+    is unrolled as a materialized-CTE chain in SQL — see
+    _kmeans_oracle's docstring for the measured margins that make the
+    replay bit-exact."""
     em = fan_out(load_table(spark, sf_dir, "embeddings")).cache()
     init = em.orderBy("vec_id").limit(KMEANS_K).collect()
     centroids = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in init])
@@ -996,7 +1092,9 @@ def kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
             .groupBy("cluster", "pos")
-            .agg(F.avg("val").alias("m"))
+            # 6dp round in BOTH engines: float-summation order (Spark
+            # partial aggs vs DuckDB sequential) cannot reach the oracle
+            .agg(F.round(F.avg("val"), 6).alias("m"))
             .groupBy("cluster")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select("cluster", F.transform("pm", lambda s: s.getField("m")).alias("centroid"))
