@@ -102,6 +102,9 @@ _GATE_FRONT = [
     # new in round 6 (insert below this line as they land; due round 7)
     # oracle upgraded in round 6 (rows-only -> exact Lloyd replay)
     "q_kmeans",
+    "q_pq_ann",
+    "q_ivf_pq",
+    "q_residual_quant",
     # refresh tail remainder (newest driver row still round 1)
     "q_self_join",
     "q_binned_range_join",

@@ -68,6 +68,13 @@ HEADLINE = [
     "q_rake_keywords",      # stopword-run keyphrase extraction (round 5)
     "q_kcore",              # 12-round peel, per-round checkpoint (round 5)
     "q_unigram_lm",         # EM tokenizer over the weighted vocab (round 5)
+    "q_image_neardup",      # multi-index Hamming near-dup, image hashes (r6 add)
+    "q_audio_neardup",      # multi-index Hamming near-dup, audio hashes (r6 add)
+    "q_video_neardup",      # frame-sampled video near-dup (r6 add)
+    "q_winnowing",          # MOSS windowed-argmin fingerprints (r6 add)
+    "q_srp_recall",         # SRP-LSH recall qualification loop (r6 add)
+    "q_lsh_recall",         # MinHash-banding recall audit (r6 add)
+    "q_kmeans",             # 3-round Lloyd, exact-oracle variant (r6 add)
 ]
 
 # round-over-round reference (same box, sf0.1, local[32]):

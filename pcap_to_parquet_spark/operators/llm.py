@@ -2245,7 +2245,133 @@ PQ_ITERS = 3
 PQ_SHORTLIST = 50  # ADC candidates kept for the exact rerank
 
 
-@query("q_pq_ann")  # rows-only: trained quantizer, approximate by construction
+def _pq_subel_sql() -> str:
+    """Shared CTE prologue: per-element table keyed by (sub, spos)."""
+    d_sub = 64 // PQ_M
+    return f"""el AS MATERIALIZED (
+    SELECT vec_id,
+           CAST((i.p - 1) // {d_sub} AS INTEGER) AS sub,
+           CAST((i.p - 1) % {d_sub} AS INTEGER) AS spos,
+           CAST(embedding[i.p] AS DOUBLE) AS val
+    FROM embeddings, unnest(generate_series(1, len(embedding))) AS i(p)
+)"""
+
+
+_PQ_ASSIGN_SQL = """{out} AS MATERIALIZED (
+    SELECT vec_id, sub, code FROM (
+        SELECT d.vec_id, d.sub, d.code,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.sub
+                                  ORDER BY d.d2, d.code) AS rk
+        FROM (
+            SELECT el.vec_id, el.sub, b.code,
+                   SUM((el.val - b.cval) * (el.val - b.cval)) AS d2
+            FROM {el} el JOIN {books} b ON b.sub = el.sub AND b.spos = el.spos
+            {where}
+            GROUP BY el.vec_id, el.sub, b.code
+        ) d
+    ) WHERE rk = 1
+)"""
+
+
+def _pq_train_sql(el: str = "el", pre: str = "") -> list[str]:
+    """Materialized-CTE replay of pq_train's cold path: deterministic
+    init from the PQ_K smallest vec_ids, PQ_ITERS Lloyd rounds with
+    per-(sub, code) argmin-L2 assignment (code-index tiebreak, exactly
+    numpy argmin), 6dp-rounded mean updates matching the np.round the
+    Spark trainer applies, and COALESCE keep-previous for empty codes.
+    Yields {pre}b0..{pre}b{PQ_ITERS} over the (vec_id, sub, spos, val)
+    element table ``el``; {pre}b{PQ_ITERS} is the trained codebook."""
+    steps = [
+        f"""{pre}b0 AS MATERIALIZED (
+    SELECT s.code, el.sub, el.spos, el.val AS cval
+    FROM (SELECT vec_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                     AS code
+          FROM embeddings ORDER BY vec_id LIMIT {PQ_K}) s
+    JOIN {el} el ON el.vec_id = s.vec_id
+)""",
+    ]
+    for r in range(1, PQ_ITERS + 1):
+        steps.append(
+            _PQ_ASSIGN_SQL.format(
+                out=f"{pre}tr{r}", books=f"{pre}b{r - 1}", where="", el=el
+            )
+        )
+        steps.append(
+            f"""{pre}m{r} AS MATERIALIZED (
+    SELECT a.sub, a.code, el.spos, ROUND(AVG(el.val), 6) AS cval
+    FROM {pre}tr{r} a JOIN {el} el ON el.vec_id = a.vec_id AND el.sub = a.sub
+    GROUP BY a.sub, a.code, el.spos
+)""",
+        )
+        steps.append(
+            f"""{pre}b{r} AS MATERIALIZED (
+    SELECT p.sub, p.code, p.spos, COALESCE(m.cval, p.cval) AS cval
+    FROM {pre}b{r - 1} p
+    LEFT JOIN {pre}m{r} m
+      ON m.sub = p.sub AND m.code = p.code AND m.spos = p.spos
+)""",
+        )
+    return steps
+
+
+def _pq_search_sql(candidate_where: str) -> str:
+    """CTE epilogue replaying pq_search over b{PQ_ITERS}: ADC lookup
+    table from the vec_id==0 query, encode candidates, top-{PQ_SHORTLIST}
+    shortlist by (adc, vec_id), exact-L2 rerank to the final 10."""
+    f = PQ_ITERS
+    enc = _PQ_ASSIGN_SQL.format(
+        out="enc",
+        books=f"b{f}",
+        where=f"WHERE el.vec_id != 0 {candidate_where}",
+        el="el",
+    )
+    return (
+        f"""qel AS MATERIALIZED (
+    SELECT sub, spos, val AS qval FROM el WHERE vec_id = 0
+),
+lut AS MATERIALIZED (
+    SELECT b.sub, b.code,
+           SUM((q.qval - b.cval) * (q.qval - b.cval)) AS qd
+    FROM b{f} b JOIN qel q ON q.sub = b.sub AND q.spos = b.spos
+    GROUP BY b.sub, b.code
+),
+"""
+        + enc
+        + f""",
+adct AS MATERIALIZED (
+    SELECT e.vec_id, SUM(l.qd) AS adc
+    FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+    GROUP BY e.vec_id
+),
+short AS MATERIALIZED (
+    SELECT vec_id FROM adct ORDER BY adc, vec_id LIMIT {PQ_SHORTLIST}
+),
+rer AS (
+    SELECT el.vec_id, sqrt(SUM((el.val - q.qval) * (el.val - q.qval))) AS raw
+    FROM el
+    JOIN short USING (vec_id)
+    JOIN qel q ON q.sub = el.sub AND q.spos = el.spos
+    GROUP BY el.vec_id
+)
+SELECT r.vec_id, e.label, ROUND(r.raw, 4) AS l2_dist
+FROM rer r JOIN embeddings e USING (vec_id)
+ORDER BY r.raw, r.vec_id LIMIT 10
+"""
+    )
+
+
+PQ_ANN_ORACLE = (
+    "WITH "
+    + _pq_subel_sql()
+    + ",\n"
+    + ",\n".join(_pq_train_sql())
+    + ",\n"
+    + _pq_search_sql("")
+)
+
+
+@query("q_pq_ann", PQ_ANN_ORACLE)
 def pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jégou et al. 2011): split each
     64-dim embedding into {m} subvectors, learn a {k}-entry L2
@@ -2328,7 +2454,16 @@ def pq_train(em: DataFrame, init_books=None):  # type: ignore[no-untyped-def]
             cnt[r.sub, r.code] += r.cnt
         nz = cnt > 0  # empty codes keep their previous centroid
         books = books.copy()
-        books[nz] = acc[nz] / cnt[nz][:, None]
+        if init_books is None:
+            # cold path (pq_ann / ivf_pq / residual_quant): 6dp-round
+            # each update so the DuckDB replay oracle sees bit-identical
+            # codebooks regardless of float-summation order (measured
+            # mean-to-boundary distance 1.6e-10 vs ~1e-12 noise). The
+            # OPQ warm path stays unrounded — its monotone-descent
+            # invariant is pinned at 1e-9 tolerance.
+            books[nz] = np.round(acc[nz] / cnt[nz][:, None], 6)
+        else:
+            books[nz] = acc[nz] / cnt[nz][:, None]
     return books
 
 
@@ -2377,7 +2512,38 @@ def pq_search(candidates: DataFrame, em: DataFrame, books) -> DataFrame:  # type
     )
 
 
-@query("q_ivf_pq")  # rows-only: composed approximate index
+IVF_PQ_ORACLE = (
+    "WITH "
+    + _pq_subel_sql()
+    + ",\n"
+    + ",\n".join(_pq_train_sql())
+    + """,
+pcomp AS (
+    SELECT label, i - 1 AS pos, CAST(e.embedding[i] AS DOUBLE) AS val
+    FROM embeddings e, UNNEST(range(1, len(e.embedding) + 1)) t(i)
+),
+pcent AS (
+    SELECT label AS c_label, list(cval ORDER BY pos) AS centroid
+    FROM (SELECT label, pos, AVG(val) AS cval FROM pcomp GROUP BY label, pos)
+    GROUP BY label
+),
+pq0 AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+probe AS (
+    SELECT c_label FROM pcent, pq0
+    ORDER BY list_cosine_similarity(pq0.embedding::DOUBLE[], pcent.centroid)
+             DESC, c_label
+    LIMIT 3
+),
+cand AS (
+    SELECT vec_id FROM embeddings
+    WHERE label IN (SELECT c_label FROM probe)
+),
+"""
+    + _pq_search_sql("AND el.vec_id IN (SELECT vec_id FROM cand)")
+)
+
+
+@query("q_ivf_pq", IVF_PQ_ORACLE)  # exact since round 6: probe + Lloyd replay
 def ivf_pq(spark: SparkSession, sf_dir: str, n_probes: int = 3) -> DataFrame:
     """IVF-PQ, the composition the two index halves exist for (and the
     FAISS default at billion scale): q_similarity_ivf's inverted lists
@@ -2825,7 +2991,126 @@ def opq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 RQ_COARSE_K = 16
 
 
-@query("q_residual_quant")  # rows-only: two-level trained quantizer
+def _rq_coarse_sql() -> list[str]:
+    """Full-64-dim Lloyd replay for the coarse codebook: same template
+    as _pq_train_sql but the assignment distance sums over ALL
+    elements of the vector (one code per vec, not per sub)."""
+    steps = [
+        f"""cb0 AS MATERIALIZED (
+    SELECT s.code, el.sub, el.spos, el.val AS cval
+    FROM (SELECT vec_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                     AS code
+          FROM embeddings ORDER BY vec_id LIMIT {RQ_COARSE_K}) s
+    JOIN el ON el.vec_id = s.vec_id
+)""",
+    ]
+    assign = """ca{r} AS MATERIALIZED (
+    SELECT vec_id, code FROM (
+        SELECT d.vec_id, d.code,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                                  ORDER BY d.d2, d.code) AS rk
+        FROM (
+            SELECT el.vec_id, b.code,
+                   SUM((el.val - b.cval) * (el.val - b.cval)) AS d2
+            FROM el JOIN cb{p} b ON b.sub = el.sub AND b.spos = el.spos
+            GROUP BY el.vec_id, b.code
+        ) d
+    ) WHERE rk = 1
+)"""
+    for r in range(1, PQ_ITERS + 1):
+        p = r - 1
+        steps.append(assign.format(r=r, p=p))
+        steps.append(
+            f"""cm{r} AS MATERIALIZED (
+    SELECT a.code, el.sub, el.spos, ROUND(AVG(el.val), 6) AS cval
+    FROM ca{r} a JOIN el ON el.vec_id = a.vec_id
+    GROUP BY a.code, el.sub, el.spos
+)""",
+        )
+        steps.append(
+            f"""cb{r} AS MATERIALIZED (
+    SELECT p.code, p.sub, p.spos, COALESCE(m.cval, p.cval) AS cval
+    FROM cb{p} p
+    LEFT JOIN cm{r} m
+      ON m.code = p.code AND m.sub = p.sub AND m.spos = p.spos
+)""",
+        )
+    steps.append(assign.format(r=PQ_ITERS + 1, p=PQ_ITERS))
+    return steps
+
+
+def _rq_oracle() -> str:
+    """Exact replay of the whole two-level encoder comparison: coarse
+    Lloyd over full vectors, residual stream, cold-path PQ on both the
+    residuals and the raw vectors, then the three mean squared
+    reconstruction errors. Rounding discipline identical to the Spark
+    op (6dp codebooks in both engines; measured boundary margins in
+    the docstrings of the pieces)."""
+    f = PQ_ITERS
+    steps = [_pq_subel_sql()]
+    steps += _rq_coarse_sql()
+    steps.append(
+        f"""rel AS MATERIALIZED (
+    SELECT el.vec_id, el.sub, el.spos, el.val - b.cval AS val
+    FROM el
+    JOIN ca{f + 1} a ON a.vec_id = el.vec_id
+    JOIN cb{f} b ON b.code = a.code AND b.sub = el.sub AND b.spos = el.spos
+)"""
+    )
+    steps += _pq_train_sql(el="rel", pre="r")
+    steps += _pq_train_sql(el="el", pre="p")
+    steps.append(
+        _PQ_ASSIGN_SQL.format(out="renc", books=f"rb{f}", where="", el="rel")
+    )
+    steps.append(
+        _PQ_ASSIGN_SQL.format(out="penc", books=f"pb{f}", where="", el="el")
+    )
+    steps.append(
+        f"""e_coarse AS (
+    SELECT SUM((el.val - b.cval) * (el.val - b.cval)) AS s
+    FROM el
+    JOIN ca{f + 1} a ON a.vec_id = el.vec_id
+    JOIN cb{f} b ON b.code = a.code AND b.sub = el.sub AND b.spos = el.spos
+)"""
+    )
+    steps.append(
+        f"""e_rq AS (
+    SELECT SUM((rel.val - b.cval) * (rel.val - b.cval)) AS s
+    FROM rel
+    JOIN renc e ON e.vec_id = rel.vec_id AND e.sub = rel.sub
+    JOIN rb{f} b ON b.code = e.code AND b.sub = rel.sub AND b.spos = rel.spos
+)"""
+    )
+    steps.append(
+        f"""e_pq AS (
+    SELECT SUM((el.val - b.cval) * (el.val - b.cval)) AS s
+    FROM el
+    JOIN penc e ON e.vec_id = el.vec_id AND e.sub = el.sub
+    JOIN pb{f} b ON b.code = e.code AND b.sub = el.sub AND b.spos = el.spos
+)"""
+    )
+    steps.append("nv AS (SELECT COUNT(*) AS n FROM embeddings)")
+    return (
+        "WITH "
+        + ",\n".join(steps)
+        + """
+SELECT 'pq_only' AS encoder,
+       ROUND((SELECT s FROM e_pq) / (SELECT n FROM nv), 6) AS mean_sq_error
+UNION ALL
+SELECT 'coarse_only',
+       ROUND((SELECT s FROM e_coarse) / (SELECT n FROM nv), 6)
+UNION ALL
+SELECT 'coarse_plus_residual_pq',
+       ROUND((SELECT s FROM e_rq) / (SELECT n FROM nv), 6)
+"""
+    )
+
+
+RESID_QUANT_ORACLE = _rq_oracle()
+
+
+@query("q_residual_quant", RESID_QUANT_ORACLE)  # exact since round 6
 def residual_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Residual quantization, the IVF-PQ encoding trick isolated and
     measured: a coarse {ck}-centroid codebook captures the vector's
@@ -2871,7 +3156,10 @@ def residual_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
             cnt[r.code] += r.cnt
         nz = cnt > 0
         coarse = coarse.copy()
-        coarse[nz] = acc[nz] / cnt[nz][:, None]
+        # 6dp-round like pq_train's cold path: makes the DuckDB Lloyd
+        # replay bit-exact (worst mean sits 1.2e-12 from a rounding
+        # boundary vs ~1e-15 summation noise — measured at sf0.01)
+        coarse[nz] = np.round(acc[nz] / cnt[nz][:, None], 6)
 
     cfinal = coarse
 
