@@ -31,18 +31,105 @@ SF0001_DIR = "/root/testdata/sf0.001"
 # hash-green + 5 seed-bound rows-only, 0 value failures). Pinned by
 # test_gate_front_names_exist.
 #
-# ROUND 7 ROTATION NOTE: round 6 fronts (a) the 30 round-5 additions
-# that had never received a driver row, (b) q_similarity_ivf (oracle
-# upgraded rows-only -> exact probe replay), (c) the 8 oracle-upgraded
-# re-checks whose only driver rows predate their exact oracles, and
-# (d) the first 11 entries of the r1-refresh tail. Due FIRST in round
-# 7: any "new in round 6" additions (see marker below), then the
-# refresh-tail remainder (q_self_join onward — newest driver rows
-# still round 1), then the former round-4 window (newest rows r4).
+# ROUND 8 ROTATION NOTE: round 7 fronts (a) the 4 quantizer queries
+# whose oracles were upgraded rows-only -> exact in round 6 (their
+# latest driver rows were stale no_oracle from r5), (b) the 22-entry
+# r1-refresh remainder (newest driver rows still round 1), and (c) the
+# first 24 entries of the former round-4 window. Due FIRST in round 8:
+# any "new in round 7" additions (see marker below), then the former
+# round-4 window remainder (q_image_dhash onward), then the former
+# round-6 window.
 _GATE_FRONT = [
-    # ---- ROUND 6 WINDOW (positions 0-49) ----
-    # (a) round-5 additions registered after the r5 window froze (30) —
-    #     never driver-checked before this round
+    # ---- ROUND 7 WINDOW (positions 0-49) ----
+    # (a) oracle upgraded in round 6 (rows-only -> exact Lloyd replay);
+    #     their latest driver rows are stale no_oracle from r5
+    "q_kmeans",
+    "q_pq_ann",
+    "q_ivf_pq",
+    "q_residual_quant",
+    # (b) refresh tail remainder: r1-green queries whose newest driver
+    #     row is still round 1 (22)
+    "q_self_join",
+    "q_binned_range_join",
+    "q_dedup_exact",
+    "q_train_test_split",
+    "q_data_mixing",
+    "q_embed_neardup",
+    "q_similarity_topk",
+    "q_text_stats",
+    "q_quality_score",
+    "q_lang_id",
+    "q_fingerprint",
+    "q_filter_project",
+    "q_case_when",
+    "q_null_semantics",
+    "q_sort_limit",
+    "q_distinct",
+    "q_union",
+    "q_intersect",
+    "q_except",
+    "q_pivot",
+    "q_unpivot",
+    "q_subquery_scalar",
+    # (c) former round-4 window head (newest driver rows r4) (24)
+    "q_sql_disjunctive",
+    "q_fuzzy_join",
+    "q_sql_lateral",
+    "q_sql_recursive",
+    "q_variant_shred",
+    "q_dynamic_overwrite",
+    "q_cow_delete",
+    "q_zorder_lake",
+    "q_heavy_hitters",
+    "q_sql_small_qty",
+    "q_sql_waiting_supplier",
+    "q_ngram_lm_score",
+    "q_cogroup_diff",
+    "q_quantile_bucketize",
+    "q_countmin_topk",
+    "q_scd2_lookup",
+    "q_permissive_ingest",
+    "q_embed_pool",
+    "q_table_checksum",
+    "q_session_window",
+    "q_skyline",
+    "q_observed_load",
+    "q_xml_ingest",
+    "q_cidr_enrich",
+    # ---- END ROUND 7 WINDOW (the 50 above are positions 0-49) ----
+    # new in round 7 (insert below this line as they land; due round 8)
+    # oracle upgraded in round 7 (rows-only -> exact Newton–Schulz
+    # polar replay); removed from the former round-5 block below
+    "q_opq_train",
+    # former round-4 window remainder (newest driver rows r4 — due
+    #     next after any round-7 additions)
+    "q_image_dhash",
+    "q_sql_custdist",
+    "q_sql_big_orders",
+    "q_sql_idle_customers",
+    "q_sequence_pack",
+    "q_sql_late_orders",
+    "q_sql_nation_volume",
+    "q_sql_market_share",
+    "q_sql_promo_share",
+    "q_sql_product_profit",
+    "q_sql_parts_suppliers",
+    "q_doc_chunks",
+    "q_kmv_distinct",
+    "q_minhash_exact",
+    "q_pagerank",
+    "q_triangle_cap",
+    "q_stream_funnel",
+    "q_knn_join",
+    "q_stream_kmv",
+    "q_mmr_diversify",
+    "q_attribution",
+    "q_components_star",
+    "q_weighted_sample",
+    "q_stream_decontaminate",
+    "q_forecast_eval",
+    "q_pcap_pipeline",
+    # former round-6 window (green r06)
     "q_dsir_weights",
     "q_semdedup",
     "q_rrf_fusion",
@@ -73,10 +160,7 @@ _GATE_FRONT = [
     "q_auc_eval",
     "q_lsh_recall",
     "q_psi_drift",
-    # (b) oracle upgraded in round 5 (rows-only -> exact probe replay)
     "q_similarity_ivf",
-    # (c) oracle-upgraded re-checks (their only driver rows predate
-    #     their exact oracles)
     "q_pcapng_pipeline",
     "q_pcap_datasource",
     "q_pcap_trailers",
@@ -85,8 +169,6 @@ _GATE_FRONT = [
     "q_dedup_simhash",
     "q_stream_session",
     "q_stream_stateful",
-    # (d) refresh head: r1-green queries whose newest driver row is
-    #     round 1 (first 11 of the refresh tail)
     "q_rollup",
     "q_cube",
     "q_grouping_sets",
@@ -98,88 +180,10 @@ _GATE_FRONT = [
     "q_anti_join",
     "q_range_join",
     "q_asof_join",
-    # ---- END ROUND 6 WINDOW (the 50 above are positions 0-49) ----
-    # new in round 6 (insert below this line as they land; due round 7)
-    # oracle upgraded in round 6 (rows-only -> exact Lloyd replay)
-    "q_kmeans",
-    "q_pq_ann",
-    "q_ivf_pq",
-    "q_residual_quant",
-    # refresh tail remainder (newest driver row still round 1)
-    "q_self_join",
-    "q_binned_range_join",
-    "q_dedup_exact",
-    "q_train_test_split",
-    "q_data_mixing",
-    "q_embed_neardup",
-    "q_similarity_topk",
-    "q_text_stats",
-    "q_quality_score",
-    "q_lang_id",
-    "q_fingerprint",
-    "q_filter_project",
-    "q_case_when",
-    "q_null_semantics",
-    "q_sort_limit",
-    "q_distinct",
-    "q_union",
-    "q_intersect",
-    "q_except",
-    "q_pivot",
-    "q_unpivot",
-    "q_subquery_scalar",
-    # former round-4 window (green r04)
-    "q_sql_disjunctive",
-    "q_fuzzy_join",
-    "q_sql_lateral",
-    "q_sql_recursive",
-    "q_variant_shred",
-    "q_dynamic_overwrite",
-    "q_cow_delete",
-    "q_zorder_lake",
-    "q_heavy_hitters",
-    "q_sql_small_qty",
-    "q_sql_waiting_supplier",
-    "q_ngram_lm_score",
-    "q_cogroup_diff",
-    "q_quantile_bucketize",
-    "q_countmin_topk",
-    "q_scd2_lookup",
-    "q_permissive_ingest",
-    "q_embed_pool",
-    "q_table_checksum",
-    "q_session_window",
-    "q_skyline",
-    "q_observed_load",
-    "q_xml_ingest",
-    "q_cidr_enrich",
-    "q_image_dhash",
-    "q_sql_custdist",
-    "q_sql_big_orders",
-    "q_sql_idle_customers",
-    "q_sequence_pack",
-    "q_sql_late_orders",
-    "q_sql_nation_volume",
-    "q_sql_market_share",
-    "q_sql_promo_share",
-    "q_sql_product_profit",
-    "q_sql_parts_suppliers",
-    "q_doc_chunks",
-    "q_kmv_distinct",
-    "q_minhash_exact",
-    "q_pagerank",
-    "q_triangle_cap",
-    "q_stream_funnel",
-    "q_knn_join",
-    "q_stream_kmv",
-    "q_mmr_diversify",
-    "q_attribution",
-    "q_components_star",
-    "q_weighted_sample",
-    "q_stream_decontaminate",
-    "q_forecast_eval",
-    "q_pcap_pipeline",
-    # former round-5 window (green r05 — newest rows, lowest priority)
+    # former round-5 window (green r05 — newest rows, lowest priority).
+    # NOTE: q_pq_ann / q_ivf_pq / q_residual_quant removed from this
+    # block (they were re-appended wholesale from the old r5 list and
+    # now live in the round-7 window above — ADVICE r6).
     "q_stream_topk",
     "q_sql_min_cost_supplier",
     "q_sql_excess_supplier",
@@ -220,16 +224,12 @@ _GATE_FRONT = [
     "q_ewma",
     "q_stream_ewma",
     "q_dpp_join",
-    "q_pq_ann",
     "q_pca_embed",
     "q_bpe_merges",
     "q_bpe_encode",
-    "q_ivf_pq",
     "q_holt_forecast",
     "q_multi_regression",
     "q_stream_holt",
-    "q_opq_train",
-    "q_residual_quant",
 ]
 
 

@@ -2454,16 +2454,14 @@ def pq_train(em: DataFrame, init_books=None):  # type: ignore[no-untyped-def]
             cnt[r.sub, r.code] += r.cnt
         nz = cnt > 0  # empty codes keep their previous centroid
         books = books.copy()
-        if init_books is None:
-            # cold path (pq_ann / ivf_pq / residual_quant): 6dp-round
-            # each update so the DuckDB replay oracle sees bit-identical
-            # codebooks regardless of float-summation order (measured
-            # mean-to-boundary distance 1.6e-10 vs ~1e-12 noise). The
-            # OPQ warm path stays unrounded — its monotone-descent
-            # invariant is pinned at 1e-9 tolerance.
-            books[nz] = np.round(acc[nz] / cnt[nz][:, None], 6)
-        else:
-            books[nz] = acc[nz] / cnt[nz][:, None]
+        # 6dp-round every update (cold AND warm paths) so the DuckDB
+        # replay oracles see bit-identical codebooks regardless of
+        # float-summation order (measured mean-to-boundary distance
+        # 1.6e-10 vs ~1e-12 noise). Round 7: the OPQ warm path now
+        # rounds too — its monotone-descent invariant is pinned at
+        # 1e-5 tolerance (true decreases are ~0.03, four orders above
+        # the rounding perturbation), which buys the exact OPQ oracle.
+        books[nz] = np.round(acc[nz] / cnt[nz][:, None], 6)
     return books
 
 
@@ -2905,9 +2903,172 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # OPQ: learned rotation that minimizes PQ quantization error
 
 OPQ_ITERS = 3
+OPQ_NS_STEPS = 34  # Newton–Schulz polar iterations (converged ≤31 at cond 4e3)
 
 
-@query("q_opq_train")  # rows-only: alternating minimization, no SQL analogue
+def _opq_polar(m: "np.ndarray") -> "np.ndarray":
+    """Polar factor of ``m`` (= U Vᵀ from its SVD, the orthogonal
+    Procrustes optimum) via the inverse-free Newton–Schulz iteration
+    X_{k+1} = X_k (3I − X_kᵀX_k)/2 from X_0 = m/‖m‖_F. Chosen over
+    np.linalg.svd NOT for speed — it's a 64×64 — but because a fixed
+    count of matrix multiplies is replayable as a DuckDB CTE chain,
+    which is what upgrades q_opq_train from rows-only to an exact
+    oracle. Fro-normalization puts every singular value in (0, 1], the
+    iteration's convergence region; 34 steps reach the fixed point to
+    ~1e-15 for condition numbers up to ~4e3 (measured)."""
+    x = m / np.linalg.norm(m)
+    eye3 = 3.0 * np.eye(m.shape[0])
+    for _ in range(OPQ_NS_STEPS):
+        x = x @ (eye3 - x.T @ x) / 2.0
+    return x
+
+
+def _opq_oracle_sql() -> str:
+    """Full materialized-CTE replay of opq_train: per-iteration
+    6dp-rounded rotation (matrix-vector join), warm-started Lloyd
+    rounds (the _pq_train_sql template continued from the previous
+    iteration's final codebook), encode + SSE, 6dp-rounded
+    cross-moment M = Σ x ŷᵀ, and the Newton–Schulz polar chain (two
+    64×64-matmul CTEs per step) that both engines now run
+    identically. Every engine boundary (rotated values, codebook
+    means, M entries, R entries, the output means) is 6dp-rounded so
+    float-summation order can never flip a value."""
+    d_sub = 64 // PQ_M
+    ctes = [
+        f"""oel AS MATERIALIZED (
+    SELECT vec_id,
+           CAST(i.p - 1 AS INTEGER) AS pos,
+           CAST((i.p - 1) // {d_sub} AS INTEGER) AS sub,
+           CAST((i.p - 1) % {d_sub} AS INTEGER) AS spos,
+           CAST(embedding[i.p] AS DOUBLE) AS val
+    FROM embeddings, unnest(generate_series(1, len(embedding))) AS i(p)
+)""",
+        # iteration 0 rotation is the identity: y = round(x, 6)
+        """rel0 AS MATERIALIZED (
+    SELECT vec_id, sub, spos, ROUND(val, 6) AS val FROM oel
+)""",
+    ]
+    for t in range(OPQ_ITERS + 1):
+        if t == 0:
+            # cold Lloyd: PQ_K-smallest-vec_id init over rel0
+            ctes += _pq_train_sql(el="rel0", pre="i0")
+        else:
+            # rotate: y = round(x @ R_t, 6); R is rrot{t}
+            ctes.append(
+                f"""rel{t} AS MATERIALIZED (
+    SELECT el.vec_id,
+           CAST(rr.c // {d_sub} AS INTEGER) AS sub,
+           CAST(rr.c % {d_sub} AS INTEGER) AS spos,
+           ROUND(SUM(el.val * rr.val), 6) AS val
+    FROM oel el JOIN rrot{t} rr ON rr.r = el.pos
+    GROUP BY el.vec_id, rr.c
+)"""
+            )
+            # warm Lloyd: continue from the previous iteration's final
+            # books — alias them as this chain's b0, then reuse the
+            # round template
+            ctes.append(
+                f"""i{t}b0 AS MATERIALIZED (
+    SELECT sub, code, spos, cval FROM i{t - 1}b{PQ_ITERS}
+)"""
+            )
+            for r in range(1, PQ_ITERS + 1):
+                ctes.append(
+                    _PQ_ASSIGN_SQL.format(
+                        out=f"i{t}tr{r}",
+                        books=f"i{t}b{r - 1}",
+                        where="",
+                        el=f"rel{t}",
+                    )
+                )
+                ctes.append(
+                    f"""i{t}m{r} AS MATERIALIZED (
+    SELECT a.sub, a.code, el.spos, ROUND(AVG(el.val), 6) AS cval
+    FROM i{t}tr{r} a
+    JOIN rel{t} el ON el.vec_id = a.vec_id AND el.sub = a.sub
+    GROUP BY a.sub, a.code, el.spos
+)"""
+                )
+                ctes.append(
+                    f"""i{t}b{r} AS MATERIALIZED (
+    SELECT p.sub, p.code, p.spos, COALESCE(m.cval, p.cval) AS cval
+    FROM i{t}b{r - 1} p
+    LEFT JOIN i{t}m{r} m
+      ON m.sub = p.sub AND m.code = p.code AND m.spos = p.spos
+)"""
+                )
+        # final encode of this iteration's rotated vectors
+        ctes.append(
+            _PQ_ASSIGN_SQL.format(
+                out=f"enc{t}",
+                books=f"i{t}b{PQ_ITERS}",
+                where="",
+                el=f"rel{t}",
+            )
+        )
+        # SSE of the reconstruction
+        ctes.append(
+            f"""sse{t} AS MATERIALIZED (
+    SELECT SUM((el.val - b.cval) * (el.val - b.cval)) AS sse
+    FROM rel{t} el
+    JOIN enc{t} a ON a.vec_id = el.vec_id AND a.sub = el.sub
+    JOIN i{t}b{PQ_ITERS} b
+      ON b.sub = el.sub AND b.code = a.code AND b.spos = el.spos
+)"""
+        )
+        if t < OPQ_ITERS:
+            # cross-moment M = Σ x ŷᵀ over RAW x (6dp-rounded entries)
+            ctes.append(
+                f"""mt{t} AS MATERIALIZED (
+    SELECT x.pos AS r,
+           CAST(b.sub * {d_sub} + b.spos AS INTEGER) AS c,
+           ROUND(SUM(x.val * b.cval), 6) AS val
+    FROM oel x
+    JOIN enc{t} a ON a.vec_id = x.vec_id
+    JOIN i{t}b{PQ_ITERS} b ON b.sub = a.sub AND b.code = a.code
+    GROUP BY x.pos, b.sub, b.spos
+)"""
+            )
+            # Newton–Schulz polar chain: X_0 = M/‖M‖_F, then
+            # Z_k = (3I − X_kᵀX_k)/2 and X_{k+1} = X_k Z_k
+            ctes.append(
+                f"""ns{t}_0 AS MATERIALIZED (
+    SELECT r, c, val / (SELECT SQRT(SUM(val * val)) FROM mt{t}) AS val
+    FROM mt{t}
+)"""
+            )
+            for k in range(1, OPQ_NS_STEPS + 1):
+                ctes.append(
+                    f"""nsz{t}_{k} AS MATERIALIZED (
+    SELECT a.c AS r, b.c AS c,
+           (CASE WHEN a.c = b.c THEN 1.5 ELSE 0.0 END)
+               - 0.5 * SUM(a.val * b.val) AS val
+    FROM ns{t}_{k - 1} a JOIN ns{t}_{k - 1} b ON a.r = b.r
+    GROUP BY a.c, b.c
+)"""
+                )
+                ctes.append(
+                    f"""ns{t}_{k} AS MATERIALIZED (
+    SELECT x.r, z.c, SUM(x.val * z.val) AS val
+    FROM ns{t}_{k - 1} x JOIN nsz{t}_{k} z ON x.c = z.r
+    GROUP BY x.r, z.c
+)"""
+                )
+            ctes.append(
+                f"""rrot{t + 1} AS MATERIALIZED (
+    SELECT r, c, ROUND(val, 6) AS val FROM ns{t}_{OPQ_NS_STEPS}
+)"""
+            )
+    finals = "\nUNION ALL\n".join(
+        f"SELECT CAST({t} AS INTEGER) AS iteration, "
+        f"ROUND(sse / (SELECT COUNT(*) FROM embeddings), 6) "
+        f"AS mean_sq_error FROM sse{t}"
+        for t in range(OPQ_ITERS + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals + "\nORDER BY iteration"
+
+
+@query("q_opq_train", _opq_oracle_sql())  # exact since round 7: NS-polar replay
 def opq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Optimized Product Quantization (Ge et al. 2013): learn an
     orthogonal rotation R so that PQ's independent-subspace assumption
@@ -2920,10 +3081,15 @@ def opq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast 64×64 constant inside the codebook trainer (pq_train
     unchanged), the Procrustes cross-moment Σ xŷᵀ leaves the
     executors as O(d²) per-batch partials (same moment-sketch
-    discipline as q_pca_embed), and the SVD is a driver-side 64×64.
-    Output: per-iteration mean quantization error, iteration 0 being
-    PLAIN PQ (R = I) — the monotone decrease that is OPQ's whole
-    point is pinned in tests/test_round4c_ops.py."""
+    discipline as q_pca_embed), and the polar solve is a driver-side
+    64×64 Newton–Schulz iteration (see _opq_polar — identical to
+    UVᵀ from the SVD, but replayable in SQL, which is what makes
+    this query exact-oracle-checkable since round 7). Every engine
+    boundary is 6dp-rounded: rotated vectors, Lloyd means (pq_train's
+    warm path), the cross-moment, and R itself, so the DuckDB replay
+    is bit-identical. Output: per-iteration mean quantization error,
+    iteration 0 being PLAIN PQ (R = I) — the monotone decrease that
+    is OPQ's whole point is pinned in tests/test_round4c_ops.py."""
     em = fan_out(load_table(spark, sf_dir, "embeddings")).cache()
     d_dim, d_sub = 64, 64 // PQ_M
     r_mat = np.eye(d_dim)
@@ -2936,7 +3102,10 @@ def opq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         @F.pandas_udf("array<double>")
         def rotate(e: pd.Series) -> pd.Series:
             x = np.stack(e.to_numpy()).astype(np.float64)
-            return pd.Series(list(x @ r_cur))
+            # 6dp-round the rotated values: downstream Lloyd then sees
+            # bit-identical inputs in Spark and the DuckDB replay,
+            # whatever each engine's matmul summation order was
+            return pd.Series(list(np.round(x @ r_cur, 6)))
 
         rotated = em.select("vec_id", rotate("embedding").alias("embedding"))
         # warm-start from the previous iteration's codebooks: Procrustes
@@ -2946,10 +3115,12 @@ def opq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         books = pq_train(rotated, init_books=books)
 
         def recon_moments(batches, _b=books, _r=r_cur):
-            # per-batch (count, Σ‖y-ŷ‖², Σ xŷᵀ partial): O(d²) out
+            # per-batch (count, Σ‖y-ŷ‖², Σ xŷᵀ partial): O(d²) out.
+            # Same 6dp rounding as the rotate UDF — encode/err must see
+            # exactly the values the codebooks were trained on.
             for pdf in batches:
                 x = np.stack(pdf["x"].to_numpy()).astype(np.float64)
-                y = x @ _r
+                y = np.round(x @ _r, 6)
                 ys = y.reshape(len(y), PQ_M, d_sub)
                 codes = (
                     ((ys[:, :, None, :] - _b[None]) ** 2).sum(axis=3).argmin(axis=2)
@@ -2979,8 +3150,10 @@ def opq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             m += np.asarray(r.m).reshape(d_dim, d_dim)
         errors.append((it, float(round(err / n, 6))))
         if it < OPQ_ITERS:
-            u, _, vt = np.linalg.svd(m)
-            r_mat = u @ vt  # orthogonal Procrustes optimum
+            # orthogonal Procrustes optimum = polar factor of the
+            # 6dp-rounded cross-moment; rounded again so both engines
+            # rotate with the identical R next iteration
+            r_mat = np.round(_opq_polar(np.round(m, 6)), 6)
     em.unpersist()
     return spark.createDataFrame(errors, "iteration int, mean_sq_error double")
 

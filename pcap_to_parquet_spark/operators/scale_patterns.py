@@ -16,6 +16,7 @@ plans are the shapes that survive 100 TB:
 
 from __future__ import annotations
 
+import atexit
 import glob
 import hashlib
 import os
@@ -71,6 +72,37 @@ def salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bucketed_name(sf_dir: str, table: str) -> str:
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
     return f"bkt_{table}_{tag}"
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except (ProcessLookupError, PermissionError, ValueError):
+        return False
+    return True
+
+
+def _prune_bucketed_dirs() -> None:
+    """Remove bucketed-cache dirs whose owning PID is dead (plus this
+    process's own dir at exit). The PID-keyed path fixes the
+    cross-process overwrite race, but without pruning each run leaks
+    one directory of parquet into /tmp."""
+    import shutil
+
+    own = os.path.join(tempfile.gettempdir(), f"bucketed_tables_{os.getpid()}")
+    for d in glob.glob(os.path.join(tempfile.gettempdir(), "bucketed_tables_*")):
+        suffix = d.rsplit("_", 1)[-1]
+        if not suffix.isdigit():
+            continue
+        if d == own or not _pid_alive(int(suffix)):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+# Prune stale dirs from crashed/finished runs on import, and our own on
+# exit. atexit runs before the JVM shuts down file handles, which is
+# fine: by then no new Spark jobs will read the cache.
+_prune_bucketed_dirs()
+atexit.register(_prune_bucketed_dirs)
 
 
 def ensure_bucketed(spark: SparkSession, sf_dir: str, table: str, key: str) -> str:

@@ -412,7 +412,11 @@ def test_opq_error_monotonically_beats_plain_pq(spark):
     )
     errs = [r.mean_sq_error for r in rows]
     assert len(errs) == 4
-    assert all(b <= a + 1e-9 for a, b in zip(errs, errs[1:]))
+    # tolerance 1e-5 since round 7: every engine boundary (rotated
+    # vectors, Lloyd means, R) is 6dp-rounded for the exact DuckDB
+    # oracle, so a single step may wobble by ~1e-6; true decreases
+    # are ~0.03, four orders larger
+    assert all(b <= a + 1e-5 for a, b in zip(errs, errs[1:]))
     assert errs[-1] < errs[0] * 0.95
 
 
