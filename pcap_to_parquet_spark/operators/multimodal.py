@@ -797,7 +797,11 @@ audio_neardup.__doc__ = audio_neardup.__doc__.format(
 # ---------------------------------------------------------------------------
 # video near-dup: per-sampled-frame fingerprints, banded Hamming join
 
-_VNEAR_MAXH = 25  # 126 bits in 32 aligned bands -> pigeonhole-exact <= 31
+_VNEAR_MAXH = 31  # 252 bits in 16 aligned bands -> floor(31/16)=1-bit probes
+# 31 is the LARGEST radius the scalable 16×16-bit-band structure covers
+# with 1-bit probes; relative noise 31/252 ≈ 12% targets re-encode /
+# watermark-grade perturbations (measured: true near-identical clips
+# sit at ≤10, heavily-edited text plants at 41+, background at >80)
 
 VIDEO_NEARDUP_ORACLE = f"""
 WITH m AS (
@@ -807,8 +811,8 @@ WITH m AS (
 ),
 f AS (
     SELECT media_id, fi AS frame_idx,
-           substr(vhex, CAST(fi * 3072 + 1 AS INT), 1536) AS fhex
-    FROM m, UNNEST(generate_series(0, 1)) AS t(fi)
+           substr(vhex, CAST(fi * 1536 + 1 AS INT), 1536) AS fhex
+    FROM m, UNNEST(generate_series(0, 3)) AS t(fi)
 ),
 byteval AS (
     SELECT media_id, frame_idx, i,
@@ -840,15 +844,28 @@ HAVING SUM(bit_count(xor(a.fp::BIT, b.fp::BIT))) <= {_VNEAR_MAXH}
 @query("q_video_neardup", VIDEO_NEARDUP_ORACLE)
 def video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-dup pairs, completing the per-modality dedup family:
-    fingerprint each SAMPLED frame (q_video_frames' every-2nd-frame
-    stream) with 63 exact-integer energy-delta sign bits (the
-    q_audio_neardup kernel over the frame's 768 bytes), then pair
-    videos whose frame-aligned fingerprints sum to Hamming ≤ {maxh}
-    over the 126 combined bits. Candidate generation is again
-    complete: the two aligned frames contribute 16 MIH bands, so a
-    pair within {maxh} has some band with ≤ floor({maxh}/16) = 1
-    errors, which the 1-bit probes cover — the bucket join finds
-    every pair the brute-force oracle does.
+    fingerprint EVERY frame with 63 exact-integer energy-delta sign
+    bits (the q_audio_neardup kernel over the frame's 768 bytes), then
+    pair videos whose frame-aligned fingerprints sum to Hamming ≤
+    {maxh} over the 252 combined bits. Candidate generation is
+    complete: the four aligned frames contribute 4 bands each = 16 MIH
+    bands, so a pair within {maxh} has some band with ≤
+    floor({maxh}/16) = 1 errors, which the 1-bit probes cover — the
+    bucket join finds every pair the brute-force oracle does.
+
+    Round 7 band sizing (Norouzi–Fleet's b ≈ log2 n rule): the 40×
+    scale rehearsal measured the old 8-bit bands (every-2nd-frame,
+    126 bits in 16 narrow bands) produce ~B·P·n²/2⁸ candidates —
+    6.3 M candidates for 46 true pairs at sf0.1, a quadratic term
+    with a 1/256 constant that would melt at corpus scale. Widening
+    to 16-bit bands costs nothing in completeness (the radius spreads
+    over 4 frames instead of 2) and divides expected collisions by
+    another 2⁸ — measured 36× fewer candidates at sf0.1 (173 k) and
+    17× less wall at the 10× replica set (376 s → 22 s), with the
+    asymptote at n²/2¹⁶ per band. Image/audio cannot widen the
+    same way (their 63-64-bit fingerprints at radius 15 already sit
+    at the 1-bit-probe pigeonhole minimum of 8 bands); their scale
+    lever is a richer fingerprint, documented in SURVEY §2.
 
     Scale shape: fingerprints are map-only over the frame fan-out,
     candidates shuffle (frame_idx, band, bits) keys, and the final
@@ -856,7 +873,7 @@ def video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the n² video space never materializes."""
     d = load_table(spark, sf_dir, "documents")
     media = raw_media_table(d, "video", width=16, height=16, n_frames=4)
-    frames = sample_frames(media, every_nth=2)
+    frames = sample_frames(media, every_nth=1)
 
     def fingerprint(batches):  # type: ignore[no-untyped-def]
         import numpy as np
@@ -877,7 +894,7 @@ def video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "fp": fps})
 
     h = frames.mapInPandas(fingerprint, schema="media_id long, frame_idx int, fp string")
-    cand = _mih_pairs(h, fp_len=63, n_bands=8, frame_aligned=True)
+    cand = _mih_pairs(h, fp_len=63, n_bands=4, frame_aligned=True)
     fa, fb = h.alias("fa"), h.alias("fb")
     per_frame = (
         cand.join(fa, F.col("fa.media_id") == F.col("media_a"))

@@ -136,6 +136,34 @@ def test_audio_neardup_identical_clips_pair(spark, tmp_path):
     assert pairs.get((1, 2)) == 0
 
 
+def test_video_neardup_perturbed_clip_pairs(spark, tmp_path):
+    """A lightly-perturbed copy (one character changed — the
+    re-encode/watermark grade of noise the round-7 radius targets)
+    must still pair, at 0 < hamming <= 31, while an unrelated clip
+    must not. Pins that the 16x16-bit-band MIH candidates plus the
+    exact Hamming filter actually DETECT near-dups, not just exact
+    dups, after the radius tightened from the 2-frame operating
+    point."""
+    base = "moving pictures with the very same pixels frame after frame " * 3
+    near = base.replace("pixels", "pixelY", 1)  # measured total hamming 16
+    other = "an entirely different clip with other bytes in every frame " * 3
+    rows = [
+        (1, base, "en", "s", len(base)),
+        (2, near, "en", "s", len(near)),
+        (3, other, "en", "s", len(other)),
+    ]
+    d = tmp_path / "vidnear"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    pairs = {
+        (r.media_a, r.media_b): r.hamming
+        for r in QUERIES["q_video_neardup"](spark, str(d)).collect()
+    }
+    assert (1, 2) in pairs and 0 < pairs[(1, 2)] <= 31
+    assert not any(3 in p for p in pairs)
+
+
 def test_video_neardup_identical_clips_pair(spark, tmp_path):
     """Identical texts produce identical frame streams and must pair
     at total Hamming 0 across both sampled frames."""

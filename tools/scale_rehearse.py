@@ -50,6 +50,7 @@ def main() -> None:
         row = {}
         for label, sf_dir, factor in SETS:
             row[label] = round(run(name, sf_dir), 1)
+            print(f"  {name} @ {label}: {row[label]}s", flush=True)
         row["ratio_40x"] = round(row["40x"] / row["sf0.1"], 1)
         row["ratio_40x_vs_10x"] = round(row["40x"] / row["10x"], 1)
         out[name] = row
