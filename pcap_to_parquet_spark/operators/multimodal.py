@@ -634,17 +634,21 @@ def _mih_pairs(h, fp_len: int, n_bands: int, frame_aligned: bool = False):  # ty
     )
 
 
-def _hamming_col(ca: str, cb: str):  # type: ignore[no-untyped-def]
-    """Hamming distance between two <=64-char bitstring columns as
-    conv/XOR/bit_count column algebra (two 32-bit halves)."""
+def _hamming_col(ca: str, cb: str, n_bits: int = 64):  # type: ignore[no-untyped-def]
+    """Hamming distance between two bitstring columns of up to
+    ``n_bits`` chars as conv/XOR/bit_count column algebra, one 32-bit
+    chunk at a time (all JVM-side, no Python in the hot path)."""
 
-    def _half(col: str, start: int):  # type: ignore[no-untyped-def]
+    def _chunk(col: str, start: int):  # type: ignore[no-untyped-def]
         return F.conv(F.substring(col, start, 32), 2, 10).cast("long")
 
-    return (
-        F.bit_count(_half(ca, 1).bitwiseXOR(_half(cb, 1)))
-        + F.bit_count(_half(ca, 33).bitwiseXOR(_half(cb, 33)))
-    ).cast("long")
+    total = None
+    for i in range((n_bits + 31) // 32):
+        term = F.bit_count(
+            _chunk(ca, 1 + 32 * i).bitwiseXOR(_chunk(cb, 1 + 32 * i))
+        )
+        total = term if total is None else total + term
+    return total.cast("long")
 
 
 # ---------------------------------------------------------------------------
@@ -703,8 +707,13 @@ image_neardup.__doc__ = image_neardup.__doc__.format(
 # ---------------------------------------------------------------------------
 # audio near-dup: banded Hamming join over energy-delta fingerprints
 
-_ANEAR_WINDOWS = 64  # 6 samples per window over the 384-sample clip
-_ANEAR_MAXH = 15     # 63 bits, 8 MIH bands: floor(15/8)=1-bit probes complete
+_ANEAR_WINDOWS = 128  # 3 samples per window over the 384-sample clip
+_ANEAR_MAXH = 15      # 127 bits, 8 MIH bands: floor(15/8)=1-bit probes complete
+# 128 windows (16-bit bands) instead of the original 64 (8-bit bands):
+# the 10x scale rehearsal measured the 8-bit-band candidate volume
+# ~n^2/256 going super-linear (92 s at 10x); doubling the fingerprint
+# halves the relative radius (15/127 ~ 12%) and moves collisions to
+# n^2/2^15.9 at the SAME absolute radius and band count
 
 AUDIO_NEARDUP_ORACLE = f"""
 WITH m AS (
@@ -722,8 +731,8 @@ val AS (
         FROM m, UNNEST(range(384)) AS r(i))
 ),
 win AS (
-    SELECT media_id, i // 6 AS w, SUM(CAST(v AS BIGINT) * v) AS e
-    FROM val GROUP BY media_id, i // 6
+    SELECT media_id, i // 3 AS w, SUM(CAST(v AS BIGINT) * v) AS e
+    FROM val GROUP BY media_id, i // 3
 ),
 fp AS (
     SELECT media_id,
@@ -769,7 +778,7 @@ def audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 samples = np.frombuffer(
                     b[: len(b) - (len(b) % 2)], dtype="<i2"
                 ).astype(np.int64)
-                win = samples[: _ANEAR_WINDOWS * 6].reshape(_ANEAR_WINDOWS, 6)
+                win = samples[: _ANEAR_WINDOWS * 3].reshape(_ANEAR_WINDOWS, 3)
                 e = (win * win).sum(axis=1)  # exact integer energies
                 bits = (e[:-1] > e[1:]).astype(np.uint8)
                 ids.append(mid)
@@ -783,7 +792,9 @@ def audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(ha, "media_a")
         .join(hb, "media_b")
-        .withColumn("hamming", _hamming_col("ha", "hb"))
+        .withColumn(
+            "hamming", _hamming_col("ha", "hb", n_bits=_ANEAR_WINDOWS - 1)
+        )
         .filter(F.col("hamming") <= _ANEAR_MAXH)
         .select("media_a", "media_b", "hamming")
     )
@@ -862,10 +873,10 @@ def video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     over 4 frames instead of 2) and divides expected collisions by
     another 2⁸ — measured 36× fewer candidates at sf0.1 (173 k) and
     17× less wall at the 10× replica set (376 s → 22 s), with the
-    asymptote at n²/2¹⁶ per band. Image/audio cannot widen the
-    same way (their 63-64-bit fingerprints at radius 15 already sit
-    at the 1-bit-probe pigeonhole minimum of 8 bands); their scale
-    lever is a richer fingerprint, documented in SURVEY §2.
+    asymptote at n²/2¹⁶ per band. q_audio_neardup got the same
+    richer-fingerprint treatment (128×3-sample windows); image keeps
+    its 64-bit dHash, already at the 1-bit-probe pigeonhole minimum
+    band count for its radius — details in SURVEY §2.
 
     Scale shape: fingerprints are map-only over the frame fan-out,
     candidates shuffle (frame_idx, band, bits) keys, and the final
