@@ -98,6 +98,14 @@ _GATE_FRONT = [
     "q_cidr_enrich",
     # ---- END ROUND 7 WINDOW (the 50 above are positions 0-49) ----
     # new in round 7 (insert below this line as they land; due round 8)
+    "q_chi2_test",
+    "q_calibration_ece",
+    "q_l_diversity",
+    "q_acf",
+    "q_seasonal_decompose",
+    "q_conformal_intervals",
+    "q_jackknife_ci",
+    "q_naive_bayes",
     # oracle upgraded in round 7 (rows-only -> exact Newton–Schulz
     # polar replay); removed from the former round-5 block below
     "q_opq_train",

@@ -7,6 +7,7 @@ Each module is a family from SURVEY.md §2 Part B; the pcap pipeline
 from pcap_to_parquet_spark.operators import (  # noqa: F401
     aggregates,
     behavior,
+    evaluation,
     flagship,
     joins,
     llm,

@@ -1,0 +1,767 @@
+"""Statistical qualification: the hypothesis-test / calibration /
+uncertainty layer a curation pipeline runs before shipping a dataset
+or a filter model. [engine — not in reference; the reference delegates
+all querying downstream, README.md:20-40]
+
+Every op here reduces the corpus to a BOUNDED sufficient statistic
+before any driver-visible math — the q_ks_drift rule. Scale
+discipline, per operator:
+
+- chi-square independence works off the |lang|x|source| contingency
+  table (one groupBy; cells bounded by the attribute cardinalities,
+  never the corpus), using the algebraic identity
+  chi2 = N * SUM(n^2/(r*c)) - N so absent cells need no cross join;
+- calibration (ECE) histograms scores into 10 fixed bins — the same
+  bounded-histogram move as q_auc_eval — so the reliability diagram
+  costs one scan at any corpus size;
+- Mondrian split-conformal keeps per-group state only (one mean, one
+  order-statistic quantile per event type); the quantile is an exact
+  k-th order statistic inside a per-group window, never a global sort;
+- the jackknife runs entirely in closed form from the global (S, T)
+  sums — every leave-one-out replicate is (S-x_i)/(T-q_i), one
+  map-side expression per row, two passes total;
+- ACF / seasonal decomposition first collapse the corpus to the DAILY
+  series (|days| rows — bounded by calendar time, not data volume),
+  then do all lag/window algebra on that tiny frame;
+- l-diversity mirrors q_k_anonymity: a group census aggregate whose
+  output is |QI-groups| rows, summarized to one row.
+
+Float-exactness contract (shared with the PQ-family oracles): every
+engine-boundary scalar (a trained mean, a daily sum, a global sum
+feeding cancellation-prone differences) is ROUNDed at a fixed decimal
+in BOTH engines so downstream per-row arithmetic is bit-identical;
+order-dependent double SUMs are left unrounded only where the 1e-12
+relative summation skew is far inside the 9-significant-digit compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pcap_to_parquet_spark.functions.text import whitespace_tokens
+from pcap_to_parquet_spark.registry import query
+from pcap_to_parquet_spark.sources import load_table
+
+# ---------------------------------------------------------------------------
+# chi-square test of independence: lang x source on documents
+
+CHI2_ORACLE = """
+WITH obs AS (
+    SELECT lang, source, COUNT(*) AS n
+    FROM documents GROUP BY lang, source
+),
+r AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS rn FROM obs GROUP BY lang),
+c AS (SELECT source, CAST(SUM(n) AS BIGINT) AS cn FROM obs GROUP BY source),
+t AS (
+    SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_total,
+           CAST((SELECT COUNT(*) FROM r) AS BIGINT) AS nr,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS nc
+    FROM obs
+),
+s AS (
+    SELECT SUM((obs.n * obs.n) / (r.rn * c.cn * 1.0)) AS ratio
+    FROM obs JOIN r ON obs.lang = r.lang JOIN c ON obs.source = c.source
+)
+SELECT t.n_total AS n_total,
+       (t.nr - 1) * (t.nc - 1) AS dof,
+       ROUND(s.ratio * t.n_total - t.n_total, 6) AS chi2,
+       ROUND(SQRT((s.ratio * t.n_total - t.n_total)
+                  / (t.n_total * LEAST(t.nr - 1, t.nc - 1))), 6) AS cramers_v
+FROM s, t
+"""
+
+
+@query("q_chi2_test", CHI2_ORACLE)
+def chi2_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between document
+    language and source, plus Cramér's V effect size — the standard
+    pre-training audit for "is my language mix confounded with where
+    I scraped it from". [engine — not in reference]
+
+    Scale design: the full statistic needs every (lang, source) cell
+    INCLUDING empty ones, which naively means a cross join of the two
+    attribute domains. The identity
+    chi2 = SUM((n-e)^2/e) = N * SUM_observed(n^2/(r*c)) - N
+    (empty cells contribute n^2/e = 0 to the first sum) removes the
+    cross join entirely: one contingency groupBy (output bounded by
+    |lang|x|source|, not corpus size), two marginal aggregates small
+    enough to broadcast, one scan over the cells. Nothing corpus-sized
+    crosses an exchange after the first aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    obs = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    r = obs.groupBy("lang").agg(F.sum("n").cast("long").alias("rn"))
+    c = obs.groupBy("source").agg(F.sum("n").cast("long").alias("cn"))
+    t = obs.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_total"),
+        F.countDistinct("lang").alias("nr"),
+        F.countDistinct("source").alias("nc"),
+    )
+    s = (
+        obs.join(F.broadcast(r), "lang")
+        .join(F.broadcast(c), "source")
+        .agg(
+            F.sum(
+                (F.col("n") * F.col("n")) / (F.col("rn") * F.col("cn") * F.lit(1.0))
+            ).alias("ratio")
+        )
+    )
+    chi2 = F.col("ratio") * F.col("n_total") - F.col("n_total")
+    return s.crossJoin(F.broadcast(t)).select(
+        "n_total",
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).alias("dof"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                chi2
+                / (F.col("n_total") * F.least(F.col("nr") - 1, F.col("nc") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# calibration audit: 10-bin reliability diagram (ECE components)
+
+CALIBRATION_ORACLE = """
+WITH scored AS (
+    SELECT LEAST(ROUND(CAST(len(regexp_replace(text, '[^aeiou]', '', 'g')) AS DOUBLE)
+                       / GREATEST(len(text), 1), 4) * 2.0, 1.0) AS p,
+           CAST(lang = 'en' AS INT) AS y
+    FROM documents
+)
+SELECT LEAST(CAST(FLOOR(p * 10) AS BIGINT), 9) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_bin,
+       ROUND(AVG(p), 6) AS conf,
+       ROUND(AVG(CAST(y AS DOUBLE)), 6) AS acc,
+       ROUND(ABS(AVG(p) - AVG(CAST(y AS DOUBLE))), 6) AS gap
+FROM scored
+GROUP BY 1
+ORDER BY bin
+"""
+
+
+@query("q_calibration_ece", CALIBRATION_ORACLE)
+def calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the vowel-ratio English-detector: bin
+    the heuristic confidence into 10 fixed-width bins and compare
+    per-bin mean confidence against per-bin empirical accuracy — the
+    per-bin |conf - acc| gaps are the components of Expected
+    Calibration Error, the metric that decides whether a filter
+    model's scores can be thresholded at face value.
+    [engine — not in reference]
+
+    Scale design: the entire audit is one groupBy into at most 10
+    groups — the bounded-histogram pattern (q_auc_eval). Confidence
+    is 4dp-rounded BEFORE the x2 squash in both engines so the bin
+    assignment FLOOR(p*10) is a decision on bit-identical doubles,
+    never a float-noise coin flip at a bin edge."""
+    d = load_table(spark, sf_dir, "documents")
+    vowels = F.length(F.regexp_replace("text", "[^aeiou]", ""))
+    p = F.least(
+        F.round(vowels.cast("double") / F.greatest(F.length("text"), F.lit(1)), 4)
+        * 2.0,
+        F.lit(1.0),
+    )
+    scored = d.select(p.alias("p"), (F.col("lang") == "en").cast("int").alias("y"))
+    return (
+        scored.groupBy(
+            F.least(F.floor(F.col("p") * 10), F.lit(9)).cast("long").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_bin"),
+            F.round(F.avg("p"), 6).alias("conf"),
+            F.round(F.avg(F.col("y").cast("double")), 6).alias("acc"),
+            F.round(
+                F.abs(F.avg("p") - F.avg(F.col("y").cast("double"))), 6
+            ).alias("gap"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit: sensitive-value diversity inside QI groups
+
+_LDIV_L = 3
+
+L_DIVERSITY_ORACLE = f"""
+WITH rows_ AS (
+    SELECT event_type,
+           CAST(epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) // 3600000000 AS BIGINT) AS hour,
+           CAST(FLOOR(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) / 10)
+                AS BIGINT) AS sens
+    FROM events
+),
+g AS (
+    SELECT event_type, hour, COUNT(*) AS n,
+           COUNT(DISTINCT sens) AS n_sens
+    FROM rows_ GROUP BY event_type, hour
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(MIN(n_sens) AS BIGINT) AS min_l,
+       CAST(SUM(CASE WHEN n_sens < {_LDIV_L} THEN 1 ELSE 0 END) AS BIGINT)
+           AS violating_groups,
+       CAST(SUM(CASE WHEN n_sens < {_LDIV_L} THEN n ELSE 0 END) AS BIGINT)
+           AS rows_at_risk
+FROM g
+"""
+
+
+@query("q_l_diversity", L_DIVERSITY_ORACLE)
+def l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the stronger sibling of q_k_anonymity: a
+    quasi-identifier group can be large (k-anonymous) yet still leak
+    if every row in it shares one sensitive value. Groups events by
+    (event type x hour) and requires at least {l} DISTINCT sensitive
+    values (the decile of the payload's `k` attribute) per group;
+    groups below that are attribute-disclosure risks.
+    [engine — not in reference]
+
+    Scale design: identical shape to q_k_anonymity — one census
+    aggregate whose output is |QI-groups| rows (bounded by
+    event-types x hours, i.e. calendar time), one summary aggregate;
+    COUNT(DISTINCT sens) inside the census is a per-group distinct
+    over a 10-value domain, which Spark executes as a partial
+    aggregate — no corpus-sized state anywhere."""
+    e = load_table(spark, sf_dir, "events")
+    sens = F.floor(
+        F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("bigint") / 10
+    ).cast("bigint")
+    g = e.select(
+        "event_type",
+        F.floor(F.unix_micros(F.col("ts")) / 3_600_000_000)
+        .cast("bigint")
+        .alias("hour"),
+        sens.alias("sens"),
+    ).groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("sens").alias("n_sens"),
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("n_sens").cast("long").alias("min_l"),
+        F.sum(F.when(F.col("n_sens") < _LDIV_L, 1).otherwise(0))
+        .cast("long")
+        .alias("violating_groups"),
+        F.sum(F.when(F.col("n_sens") < _LDIV_L, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+    )
+
+
+l_diversity.__doc__ = l_diversity.__doc__.format(l=_LDIV_L)
+
+
+# ---------------------------------------------------------------------------
+# autocorrelation of the daily-revenue series, lags 1..7
+
+_ACF_MAX_LAG = 7
+
+ACF_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+           ROUND(SUM(o_totalprice), 2) AS rev
+    FROM orders GROUP BY 1
+),
+m AS (SELECT ROUND(AVG(rev), 6) AS mu, COUNT(*) AS n FROM daily),
+lagged AS (
+    SELECT rev,
+           {", ".join(f"LAG(rev, {k}) OVER (ORDER BY day) AS rev_{k}" for k in range(1, _ACF_MAX_LAG + 1))}
+    FROM daily
+),
+den AS (SELECT SUM((rev - m.mu) * (rev - m.mu)) AS d FROM lagged, m)
+{" UNION ALL ".join(
+    f"SELECT CAST({k} AS BIGINT) AS lag, "
+    f"ROUND(SUM((rev - m.mu) * (rev_{k} - m.mu)) / ANY_VALUE(den.d), 6) AS acf "
+    f"FROM lagged, m, den WHERE rev_{k} IS NOT NULL"
+    for k in range(1, _ACF_MAX_LAG + 1)
+)}
+ORDER BY lag
+"""
+
+
+@query("q_acf", ACF_ORACLE)
+def acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the daily order-revenue series at
+    lags 1..{maxlag} — the first diagnostic anyone runs before
+    fitting the forecasting ops (q_ewma / q_holt_forecast): it says
+    whether yesterday predicts today and whether a weekly cycle
+    exists. Lags are row-lags over the observed-day series ordered by
+    day. [engine — not in reference]
+
+    Scale design: the corpus collapses to the DAILY series first
+    (one groupBy; |days| rows, bounded by calendar time, not data
+    volume), so the lag windows and the centered products all run on
+    a frame small enough for a single-partition window without any
+    scalability concern — the same collapse q_holt_forecast uses.
+    Daily sums are 2dp-rounded and the global mean 6dp-rounded at the
+    engine boundary so both engines difference bit-identical values
+    (the centered products are cancellation-prone)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.floor(F.unix_micros(F.col("o_orderdate").cast("timestamp")) / 86_400_000_000)
+        .cast("bigint")
+        .alias("day")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    m = daily.agg(F.round(F.avg("rev"), 6).alias("mu"))
+    w = Window.orderBy("day")  # |days|-bounded series: single partition OK
+    lag_cols = [
+        F.lag("rev", k).over(w).alias(f"rev_{k}") for k in range(1, _ACF_MAX_LAG + 1)
+    ]
+    lagged = daily.select("rev", *lag_cols).crossJoin(F.broadcast(m))
+    # one pass: denominator + every lag's numerator in a single aggregate
+    # (null lags drop out of SUM, matching the oracle's IS NOT NULL)
+    stats = lagged.agg(
+        F.sum((F.col("rev") - F.col("mu")) * (F.col("rev") - F.col("mu"))).alias("d"),
+        *[
+            F.sum(
+                (F.col("rev") - F.col("mu")) * (F.col(f"rev_{k}") - F.col("mu"))
+            ).alias(f"num_{k}")
+            for k in range(1, _ACF_MAX_LAG + 1)
+        ],
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("long").alias("lag"),
+                F.round(F.col(f"num_{k}") / F.col("d"), 6).alias("acf"),
+            )
+            for k in range(1, _ACF_MAX_LAG + 1)
+        ]
+    )
+    return (
+        stats.select(F.explode(pairs).alias("kv"))
+        .select("kv.lag", "kv.acf")
+        .orderBy("lag")
+    )
+
+
+acf.__doc__ = acf.__doc__.format(maxlag=_ACF_MAX_LAG)
+
+
+# ---------------------------------------------------------------------------
+# classical seasonal decomposition: weekly indices of daily revenue
+
+SEASONAL_ORACLE = """
+WITH daily AS (
+    SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+           ROUND(SUM(o_totalprice), 2) AS rev
+    FROM orders GROUP BY 1
+),
+tr AS (
+    SELECT day, rev,
+           AVG(rev) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS trend,
+           COUNT(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS wn
+    FROM daily
+)
+SELECT CAST(day % 7 AS BIGINT) AS dow,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(AVG(rev - trend), 6) AS seasonal
+FROM tr
+WHERE wn = 7
+GROUP BY 1
+ORDER BY dow
+"""
+
+
+@query("q_seasonal_decompose", SEASONAL_ORACLE)
+def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of daily revenue:
+    trend = 7-day centered moving average over the observed-day
+    series, seasonal index = mean detrended value per day-of-week
+    (day % 7 on the epoch-day integer; 0 = Thursday since day 0 =
+    1970-01-01). The 7 indices say how much each weekday runs above
+    or below trend — the additive-model core of STL.
+    [engine — not in reference]
+
+    Scale design: same collapse as q_acf — the corpus reduces to the
+    |days|-bounded daily series before any window runs, so the
+    centered moving average is a 7-row frame over a tiny frame and
+    the final output is exactly 7 rows. Edge days without a full
+    7-day window are EXCLUDED (wn = 7) rather than averaged short, so
+    the trend is never biased by partial frames; day-of-week comes
+    from integer epoch-day arithmetic, identical in both engines by
+    construction (no locale-dependent date function)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.floor(F.unix_micros(F.col("o_orderdate").cast("timestamp")) / 86_400_000_000)
+        .cast("bigint")
+        .alias("day")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    w = Window.orderBy("day").rowsBetween(-3, 3)  # |days|-bounded series
+    tr = daily.select(
+        "day",
+        "rev",
+        F.avg("rev").over(w).alias("trend"),
+        F.count(F.lit(1)).over(w).alias("wn"),
+    )
+    return (
+        tr.filter(F.col("wn") == 7)
+        .groupBy((F.col("day") % 7).cast("long").alias("dow"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.avg(F.col("rev") - F.col("trend")), 6).alias("seasonal"),
+        )
+        .orderBy("dow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mondrian split-conformal prediction intervals per event type
+
+_CONF_ALPHA = 0.1  # 90% target coverage
+
+CONFORMAL_ORACLE = f"""
+WITH split AS (
+    SELECT event_type, value, user_id % 3 AS part FROM events
+),
+model AS (
+    SELECT event_type, ROUND(AVG(value), 6) AS yhat,
+           CAST(COUNT(*) AS BIGINT) AS n_train
+    FROM split WHERE part = 0 GROUP BY event_type
+),
+cal AS (
+    SELECT s.event_type, ABS(s.value - m.yhat) AS r
+    FROM split s JOIN model m ON s.event_type = m.event_type
+    WHERE s.part = 1
+),
+ranked AS (
+    SELECT event_type, r,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY r) AS rk,
+           CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_cal
+    FROM cal
+),
+qhat AS (
+    SELECT event_type, r AS q, n_cal
+    FROM ranked
+    WHERE rk = LEAST(CAST(CEIL((1 - {_CONF_ALPHA}) * (n_cal + 1)) AS BIGINT), n_cal)
+),
+test AS (
+    SELECT s.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           ROUND(AVG(CASE WHEN ABS(s.value - m.yhat) <= q.q
+                          THEN 1.0 ELSE 0.0 END), 6) AS coverage
+    FROM split s
+    JOIN model m ON s.event_type = m.event_type
+    JOIN qhat q ON s.event_type = q.event_type
+    WHERE s.part = 2
+    GROUP BY s.event_type
+)
+SELECT m.event_type AS event_type, m.n_train AS n_train, q.n_cal AS n_cal,
+       t.n_test AS n_test, m.yhat AS yhat, ROUND(q.q, 6) AS qhat,
+       t.coverage AS coverage
+FROM model m JOIN qhat q ON m.event_type = q.event_type
+JOIN test t ON m.event_type = t.event_type
+ORDER BY event_type
+"""
+
+
+@query("q_conformal_intervals", CONFORMAL_ORACLE)
+def conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mondrian (group-conditional) split-conformal prediction: train
+    a per-event-type mean predictor on fold 0, take the
+    ceil(0.9*(n+1))-th smallest absolute residual on calibration
+    fold 1 as the interval half-width qhat, and measure empirical
+    coverage of yhat ± qhat on held-out fold 2 — the
+    distribution-free uncertainty wrapper (Vovk; Lei et al.) that a
+    data pipeline puts around any point model before acting on its
+    scores. Folds come from user_id % 3 so the split is deterministic
+    and grouping-consistent (a user never straddles folds).
+    [engine — not in reference]
+
+    Scale design: model state is one (mean, count) row per event
+    type; the conformal quantile is an EXACT k-th order statistic via
+    row_number inside a per-group window — the group-bounded-window
+    rule, never a global sort. The trained mean is 6dp-rounded at the
+    engine boundary, so every downstream residual and the coverage
+    indicator compare bit-identical doubles in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    split = e.select("event_type", "value", (F.col("user_id") % 3).alias("part"))
+    model = (
+        split.filter(F.col("part") == 0)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("value"), 6).alias("yhat"),
+            F.count(F.lit(1)).alias("n_train"),
+        )
+    )
+    cal = (
+        split.filter(F.col("part") == 1)
+        .join(F.broadcast(model), "event_type")
+        .select("event_type", F.abs(F.col("value") - F.col("yhat")).alias("r"))
+    )
+    w = Window.partitionBy("event_type").orderBy("r")
+    wall = Window.partitionBy("event_type")
+    ranked = cal.select(
+        "event_type",
+        "r",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wall).alias("n_cal"),
+    )
+    k = F.least(
+        F.ceil((1 - _CONF_ALPHA) * (F.col("n_cal") + 1)).cast("long"), F.col("n_cal")
+    )
+    qhat = ranked.filter(F.col("rk") == k).select(
+        "event_type", F.col("r").alias("q"), "n_cal"
+    )
+    test = (
+        split.filter(F.col("part") == 2)
+        .join(F.broadcast(model), "event_type")
+        .join(F.broadcast(qhat), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.abs(F.col("value") - F.col("yhat")) <= F.col("q"), 1.0
+                    ).otherwise(0.0)
+                ),
+                6,
+            ).alias("coverage"),
+        )
+    )
+    return (
+        model.join(qhat, "event_type")
+        .join(test, "event_type")
+        .select(
+            "event_type",
+            "n_train",
+            "n_cal",
+            "n_test",
+            "yhat",
+            F.round(F.col("q"), 6).alias("qhat"),
+            "coverage",
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# jackknife standard error for the ratio-of-sums estimator
+
+JACKKNIFE_ORACLE = """
+WITH x AS (
+    SELECT l_extendedprice * (1 - l_discount) AS xi, l_quantity AS qi
+    FROM lineitem
+),
+tot AS (
+    SELECT ROUND(SUM(xi), 2) AS s, ROUND(SUM(qi), 2) AS t,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM x
+),
+loo AS (
+    SELECT (tot.s - x.xi) / (tot.t - x.qi) AS li, tot.n AS n
+    FROM x, tot
+),
+m AS (SELECT ROUND(AVG(li), 6) AS ml FROM loo),
+v AS (
+    SELECT SQRT((ANY_VALUE(loo.n) - 1.0) / ANY_VALUE(loo.n)
+                * SUM((li - m.ml) * (li - m.ml))) AS se
+    FROM loo, m
+)
+SELECT tot.n AS n,
+       ROUND(tot.s / tot.t, 6) AS estimate,
+       ROUND(v.se, 9) AS jk_se,
+       ROUND(tot.s / tot.t - 1.959964 * v.se, 6) AS ci_lo,
+       ROUND(tot.s / tot.t + 1.959964 * v.se, 6) AS ci_hi
+FROM tot, v
+"""
+
+
+@query("q_jackknife_ci", JACKKNIFE_ORACLE)
+def jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out jackknife standard error and 95% CI for the
+    ratio-of-sums estimator "discounted revenue per unit shipped"
+    (SUM(price*(1-disc)) / SUM(qty)) — the classic nonlinear
+    statistic where a naive per-row variance is WRONG and the
+    delete-one jackknife (Efron & Stein) is the standard fix.
+    [engine — not in reference]
+
+    Scale design: no resampling pass ever runs — every leave-one-out
+    replicate is closed-form from the two global sums,
+    l_i = (S - x_i)/(T - q_i), one map-side expression per row; the
+    whole estimator is two scans (sums, then centered squares) with
+    one-row state between them. The global sums are 2dp-rounded and
+    the replicate mean 6dp-rounded at the engine boundary: replicates
+    concentrate within ~1e-5 of the estimate, so the centered squares
+    are cancellation-prone and need bit-identical inputs in both
+    engines — the rounding makes the per-row arithmetic exact, and
+    only the final order-insensitive SUM differs at ~1e-14 relative."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = li.select(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("xi"),
+        F.col("l_quantity").alias("qi"),
+    )
+    tot = x.agg(
+        F.round(F.sum("xi"), 2).alias("s"),
+        F.round(F.sum("qi"), 2).alias("t"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    loo = x.crossJoin(F.broadcast(tot)).select(
+        ((F.col("s") - F.col("xi")) / (F.col("t") - F.col("qi"))).alias("li"),
+        "n",
+    )
+    m = loo.agg(F.round(F.avg("li"), 6).alias("ml"))
+    v = (
+        loo.crossJoin(F.broadcast(m))
+        .agg(
+            F.sqrt(
+                (F.first("n") - F.lit(1.0))
+                / F.first("n")
+                * F.sum((F.col("li") - F.col("ml")) * (F.col("li") - F.col("ml")))
+            ).alias("se")
+        )
+    )
+    est = F.col("s") / F.col("t")
+    return tot.crossJoin(F.broadcast(v)).select(
+        "n",
+        F.round(est, 6).alias("estimate"),
+        F.round(F.col("se"), 9).alias("jk_se"),
+        F.round(est - 1.959964 * F.col("se"), 6).alias("ci_lo"),
+        F.round(est + 1.959964 * F.col("se"), 6).alias("ci_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multinomial naive Bayes language classifier: train, score, confusion
+
+NAIVE_BAYES_ORACLE = r"""
+WITH tok AS (
+    SELECT doc_id, lang,
+           unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              t -> t <> '')) AS tok
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, lang, tok, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM tok GROUP BY doc_id, lang, tok
+),
+train AS (SELECT * FROM tf WHERE doc_id % 3 < 2),
+test  AS (SELECT * FROM tf WHERE doc_id % 3 = 2),
+cnt AS (
+    SELECT lang AS c, tok, CAST(SUM(tf) AS BIGINT) AS cnt
+    FROM train GROUP BY lang, tok
+),
+tot AS (SELECT c, CAST(SUM(cnt) AS BIGINT) AS tot FROM cnt GROUP BY c),
+vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM train),
+ntr AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents WHERE doc_id % 3 < 2
+),
+logprior AS (
+    SELECT lang AS c,
+           ROUND(LN(COUNT(*) / CAST(ANY_VALUE(ntr.n) AS DOUBLE)), 6) AS lp
+    FROM documents, ntr WHERE doc_id % 3 < 2 GROUP BY lang
+),
+terms AS (
+    SELECT t.doc_id, t.lang AS true_lang, tot.c,
+           t.tf * ROUND(LN((COALESCE(cnt.cnt, 0) + 1)
+                           / CAST(tot.tot + vocab.v AS DOUBLE)), 6) AS term
+    FROM test t
+    CROSS JOIN tot
+    CROSS JOIN vocab
+    LEFT JOIN cnt ON cnt.c = tot.c AND cnt.tok = t.tok
+),
+scores AS (
+    SELECT s.doc_id, s.true_lang, s.c, s.s + lp.lp AS score
+    FROM (SELECT doc_id, true_lang, c, SUM(term) AS s
+          FROM terms GROUP BY doc_id, true_lang, c) s
+    JOIN logprior lp ON lp.c = s.c
+),
+pred AS (
+    SELECT doc_id, true_lang, c AS pred,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, c) AS rn
+    FROM scores
+)
+SELECT true_lang, pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred WHERE rn = 1
+GROUP BY true_lang, pred
+ORDER BY true_lang, pred
+"""
+
+
+@query("q_naive_bayes", NAIVE_BAYES_ORACLE)
+def naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes language identifier, trained and scored
+    entirely in the engine: Laplace-smoothed token likelihoods from
+    folds 0-1 (doc_id % 3), per-doc log-posterior argmax on held-out
+    fold 2, emitted as the confusion matrix — the supervised sibling
+    of the n-gram heuristic q_lang_id, and the other half of the
+    classifier loop with q_quality_classifier (GD) and q_auc_eval /
+    q_calibration_ece (qualification). Unseen test tokens smooth to
+    cnt=0 (ln(1/(tot_c+V))), which differs per class via tot_c.
+    [engine — not in reference]
+
+    Scale design: model state is vocabulary-bounded (one (class,
+    token) count row, |classes| totals, |classes| priors) and never
+    collected — scoring is a keyed LEFT JOIN of test term frequencies
+    against the count table on (class, token), after a bounded
+    |classes|-way fan-out of the test side; the argmax is a per-doc
+    window over |classes| rows. Each ln() likelihood is 6dp-rounded
+    in both engines so per-term products are bit-identical and only
+    the order-insensitive per-doc SUM differs (~1e-14), far inside
+    the measured best-vs-second posterior margins."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("tok"),
+        )
+        .groupBy("doc_id", "lang", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    train = tf.filter(F.col("doc_id") % 3 < 2)
+    test = tf.filter(F.col("doc_id") % 3 == 2)
+    cnt = train.groupBy(F.col("lang").alias("c"), "tok").agg(
+        F.sum("tf").cast("long").alias("cnt")
+    )
+    tot = cnt.groupBy("c").agg(F.sum("cnt").cast("long").alias("tot"))
+    vocab = train.agg(F.countDistinct("tok").alias("v"))
+    tr_docs = d.filter(F.col("doc_id") % 3 < 2)
+    ntr = tr_docs.agg(F.count(F.lit(1)).alias("n"))
+    logprior = (
+        tr_docs.groupBy(F.col("lang").alias("c"))
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .crossJoin(F.broadcast(ntr))
+        .select("c", F.round(F.log(F.col("nd") / F.col("n").cast("double")), 6).alias("lp"))
+    )
+    terms = (
+        test.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(vocab))
+        .join(cnt, ["c", "tok"], "left")
+        .select(
+            "doc_id",
+            F.col("lang").alias("true_lang"),
+            "c",
+            (
+                F.col("tf")
+                * F.round(
+                    F.log(
+                        (F.coalesce(F.col("cnt"), F.lit(0)) + 1)
+                        / (F.col("tot") + F.col("v")).cast("double")
+                    ),
+                    6,
+                )
+            ).alias("term"),
+        )
+    )
+    scores = (
+        terms.groupBy("doc_id", "true_lang", "c")
+        .agg(F.sum("term").alias("s"))
+        .join(F.broadcast(logprior), "c")
+        .select("doc_id", "true_lang", "c", (F.col("s") + F.col("lp")).alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("c"))
+    return (
+        scores.select("true_lang", F.col("c").alias("pred"), F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .groupBy("true_lang", "pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("true_lang", "pred")
+    )

@@ -186,6 +186,11 @@ EMPTY_SAFE = [
     "q_span_mask",
     "q_dp_counts",
     "q_auc_eval",
+    # round 7
+    "q_calibration_ece",
+    "q_seasonal_decompose",
+    "q_conformal_intervals",
+    "q_naive_bayes",
 ]
 
 # global aggregates return one constant row on empty input (their
@@ -213,6 +218,10 @@ CONSTANT_ON_EMPTY = {
     "q_degree_powerlaw": 1,  # census aggregate row, zero count + NULLs
     "q_lsh_recall": 1,  # audit counts row of zeros, recall 0.0
     "q_psi_drift": 1,  # aggregate row: zero counts, NULL psi
+    "q_chi2_test": 1,  # global test row: n_total 0, NULL statistic
+    "q_l_diversity": 1,  # census summary row: n_groups 0
+    "q_acf": 7,  # one row per lag, NULL acf
+    "q_jackknife_ci": 1,  # global estimator row: n 0, NULLs
 }
 
 
