@@ -106,6 +106,10 @@ _GATE_FRONT = [
     "q_conformal_intervals",
     "q_jackknife_ci",
     "q_naive_bayes",
+    "q_anova_f",
+    "q_benford",
+    "q_ips_eval",
+    "q_bootstrap_ci",
     # oracle upgraded in round 7 (rows-only -> exact Newton–Schulz
     # polar replay); removed from the former round-5 block below
     "q_opq_train",

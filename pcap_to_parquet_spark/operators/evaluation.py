@@ -765,3 +765,389 @@ def naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("true_lang", "pred")
     )
+
+
+# ---------------------------------------------------------------------------
+# one-way ANOVA: does mean event value differ across event types?
+
+ANOVA_ORACLE = """
+WITH g AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS s, ROUND(SUM(value * value), 4) AS ss
+    FROM events GROUP BY event_type
+),
+tot AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS nn, SUM(s) AS st,
+           CAST(COUNT(*) AS BIGINT) AS k
+    FROM g
+),
+parts AS (
+    SELECT SUM(g.n * (g.s / g.n - tot.st / tot.nn)
+                   * (g.s / g.n - tot.st / tot.nn)) AS ssb,
+           SUM(g.ss - g.s * g.s / g.n) AS ssw
+    FROM g, tot
+)
+SELECT tot.k - 1 AS df_between,
+       tot.nn - tot.k AS df_within,
+       ROUND(parts.ssb, 6) AS ss_between,
+       ROUND(parts.ssw, 6) AS ss_within,
+       ROUND((parts.ssb / (tot.k - 1)) / (parts.ssw / (tot.nn - tot.k)), 6)
+           AS f_stat
+FROM parts, tot
+"""
+
+
+@query("q_anova_f", ANOVA_ORACLE)
+def anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic for event value across event types —
+    the k-group generalization of q_ab_ttest, the test a pipeline runs
+    before treating a categorical attribute as behaviorally inert.
+    Between/within sums of squares come from per-group sufficient
+    statistics only: SSW = Σ(ssq_g − s_g²/n_g), SSB = Σ n_g(m_g − m)².
+    [engine — not in reference]
+
+    Scale design: one partial+final aggregate to |event-types| rows of
+    (n, sum, sumsq), then scalar algebra — the corpus is touched once
+    and nothing bigger than the group census crosses an exchange. The
+    per-group sums are 4dp-rounded at the engine boundary (values are
+    O(10^5) with ~1e-10 summation skew, so the 1e-4 grid is 6 orders
+    of magnitude of margin) making all downstream algebra
+    bit-identical across engines."""
+    e = load_table(spark, sf_dir, "events")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("s"),
+        F.round(F.sum(F.col("value") * F.col("value")), 4).alias("ss"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s").alias("st"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    gm = F.col("st") / F.col("nn")
+    mg = F.col("s") / F.col("n")
+    parts = g.crossJoin(F.broadcast(tot)).agg(
+        F.sum(F.col("n") * (mg - gm) * (mg - gm)).alias("ssb"),
+        F.sum(F.col("ss") - F.col("s") * F.col("s") / F.col("n")).alias("ssw"),
+        F.first("nn").alias("nn"),
+        F.first("k").alias("k"),
+    )
+    return parts.select(
+        (F.col("k") - 1).alias("df_between"),
+        (F.col("nn") - F.col("k")).alias("df_within"),
+        F.round(F.col("ssb"), 6).alias("ss_between"),
+        F.round(F.col("ssw"), 6).alias("ss_within"),
+        F.round(
+            (F.col("ssb") / (F.col("k") - 1))
+            / (F.col("ssw") / (F.col("nn") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit on order totals
+
+BENFORD_ORACLE = """
+WITH cents AS (
+    SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS c
+    FROM orders WHERE o_totalprice > 0
+),
+digit AS (
+    SELECT c // CAST(POWER(10, LENGTH(CAST(c AS VARCHAR)) - 1) AS BIGINT) AS d
+    FROM cents
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM digit)
+SELECT d AS digit,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       ROUND(COUNT(*) / CAST(ANY_VALUE(tot.n) AS DOUBLE), 6) AS obs_freq,
+       ROUND(LOG10(1.0 + 1.0 / d), 6) AS exp_freq,
+       ROUND(ANY_VALUE(tot.n)
+             * (COUNT(*) / CAST(ANY_VALUE(tot.n) AS DOUBLE)
+                - LOG10(1.0 + 1.0 / d))
+             * (COUNT(*) / CAST(ANY_VALUE(tot.n) AS DOUBLE)
+                - LOG10(1.0 + 1.0 / d))
+             / LOG10(1.0 + 1.0 / d), 6) AS chi2_part
+FROM digit, tot
+GROUP BY d
+ORDER BY d
+"""
+
+
+@query("q_benford", BENFORD_ORACLE)
+def benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fraud/synthetic-data screen: natural multiplicative amounts put
+    ~30.1% of first digits at 1, and a flat or spiky digit histogram
+    flags fabricated or truncated values. Emits the observed vs
+    log10(1+1/d) expected frequency and the per-digit chi-square
+    contribution. [engine — not in reference]
+
+    Scale design: a 9-bucket histogram — one groupBy, bounded output.
+    The first digit is extracted by INTEGER arithmetic on the cent
+    amount (c // 10^(len(str(c))-1)), never via float log10 of the
+    value, whose rounding at exact powers of ten differs between
+    engines; string length of an integer is representation-stable
+    everywhere."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.filter(F.col("o_totalprice") > 0).select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("c")
+    )
+    digit = cents.select(
+        (
+            F.col("c")
+            / F.pow(F.lit(10.0), F.length(F.col("c").cast("string")) - 1).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("d")
+    )
+    tot = digit.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        digit.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("d").alias("digit"))
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.round(F.count(F.lit(1)) / F.first("n").cast("double"), 6).alias(
+                "obs_freq"
+            ),
+            F.round(F.log10(F.lit(1.0) + 1.0 / F.col("digit")), 6).alias("exp_freq"),
+            F.round(
+                F.first("n")
+                * (
+                    F.count(F.lit(1)) / F.first("n").cast("double")
+                    - F.log10(F.lit(1.0) + 1.0 / F.col("digit"))
+                )
+                * (
+                    F.count(F.lit(1)) / F.first("n").cast("double")
+                    - F.log10(F.lit(1.0) + 1.0 / F.col("digit"))
+                )
+                / F.log10(F.lit(1.0) + 1.0 / F.col("digit")),
+                6,
+            ).alias("chi2_part"),
+        )
+        .orderBy("digit")
+    )
+
+
+# ---------------------------------------------------------------------------
+# off-policy evaluation: IPS / SNIPS of a greedy target policy
+
+IPS_ORACLE = """
+WITH logged AS (
+    SELECT user_id % 10 AS x, event_type AS a, value AS r FROM events
+),
+prop AS (
+    SELECT x, a, ROUND(COUNT(*) / CAST(SUM(COUNT(*)) OVER (PARTITION BY x)
+                                       AS DOUBLE), 6) AS p
+    FROM logged GROUP BY x, a
+),
+qhat AS (
+    SELECT x, a, ROUND(AVG(r), 6) AS q FROM logged GROUP BY x, a
+),
+target AS (
+    SELECT x, a AS pi FROM (
+        SELECT x, a, ROW_NUMBER() OVER (PARTITION BY x
+                                        ORDER BY q DESC, a) AS rn
+        FROM qhat
+    ) WHERE rn = 1
+),
+w AS (
+    SELECT l.r,
+           CASE WHEN l.a = t.pi THEN 1.0 / p.p ELSE 0.0 END AS w
+    FROM logged l
+    JOIN prop p ON p.x = l.x AND p.a = l.a
+    JOIN target t ON t.x = l.x
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COALESCE(SUM(CASE WHEN w > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_matched,
+       ROUND(SUM(r * w) / COUNT(*), 6) AS ips_value,
+       ROUND(SUM(r * w) / SUM(w), 6) AS snips_value,
+       ROUND(SUM(w) * SUM(w) / SUM(w * w), 6) AS ess
+FROM w
+"""
+
+
+@query("q_ips_eval", IPS_ORACLE)
+def ips_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation by inverse propensity scoring: treat the
+    event log as a logged bandit (context = user decile, action =
+    event type, reward = value), learn the greedy target policy
+    pi(x) = argmax_a avg-reward(x,a), and estimate its value under
+    the LOGGED propensities via IPS, the self-normalized SNIPS
+    estimator (Swaminathan & Joachims), and the effective sample size
+    (sum w)^2 / sum w^2 — the counterfactual "what would this policy
+    have earned" question every recommendation pipeline asks before
+    an online test. [engine — not in reference]
+
+    Scale design: propensities, value model and target policy are all
+    |contexts x actions| aggregates (bounded census state, broadcast
+    back); the scoring pass is one keyed join per row and one global
+    aggregate. Propensities and value estimates are 6dp-rounded at
+    the engine boundary so the argmax and every importance weight are
+    decisions on bit-identical doubles."""
+    e = load_table(spark, sf_dir, "events")
+    logged = e.select(
+        (F.col("user_id") % 10).alias("x"),
+        F.col("event_type").alias("a"),
+        F.col("value").alias("r"),
+    )
+    cnt = logged.groupBy("x", "a").agg(
+        F.count(F.lit(1)).alias("nxa"),
+        F.round(F.avg("r"), 6).alias("q"),
+    )
+    wx = Window.partitionBy("x")
+    prop = cnt.select(
+        "x",
+        "a",
+        "q",
+        F.round(F.col("nxa") / F.sum("nxa").over(wx).cast("double"), 6).alias("p"),
+    )
+    wr = Window.partitionBy("x").orderBy(F.col("q").desc(), F.col("a"))
+    target = (
+        prop.select("x", "a", F.row_number().over(wr).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("x", F.col("a").alias("pi"))
+    )
+    w = (
+        logged.join(F.broadcast(prop.select("x", "a", "p")), ["x", "a"])
+        .join(F.broadcast(target), "x")
+        .select(
+            "r",
+            F.when(F.col("a") == F.col("pi"), 1.0 / F.col("p"))
+            .otherwise(0.0)
+            .alias("w"),
+        )
+    )
+    return w.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.when(F.col("w") > 0, 1).otherwise(0)), F.lit(0)).cast("long").alias("n_matched"),
+        F.round(F.sum(F.col("r") * F.col("w")) / F.count(F.lit(1)), 6).alias(
+            "ips_value"
+        ),
+        F.round(F.sum(F.col("r") * F.col("w")) / F.sum("w"), 6).alias("snips_value"),
+        F.round(F.sum("w") * F.sum("w") / F.sum(F.col("w") * F.col("w")), 6).alias(
+            "ess"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# bootstrap CI for mean daily revenue, deterministic LCG resampling
+
+_BOOT_B = 200
+
+BOOTSTRAP_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+           ROUND(SUM(o_totalprice), 2) AS rev
+    FROM orders GROUP BY 1
+),
+series AS (
+    SELECT rev, ROW_NUMBER() OVER (ORDER BY day) - 1 AS rn FROM daily
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM series),
+draws AS (
+    SELECT b.b, ((1103515245 * (b.b * 100003 + i.i) + 12345) % 2147483648)
+                % n.nd AS idx
+    FROM generate_series(0, {_BOOT_B - 1}) AS b(b)
+    CROSS JOIN n
+    CROSS JOIN (SELECT rn AS i FROM series) i
+),
+means AS (
+    SELECT d.b, AVG(s.rev) AS m
+    FROM draws d JOIN series s ON s.rn = d.idx
+    GROUP BY d.b
+),
+ranked AS (
+    SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rk FROM means
+)
+SELECT n.nd AS n_days,
+       CAST({_BOOT_B} AS BIGINT) AS n_boot,
+       (SELECT ROUND(AVG(rev), 6) FROM series) AS estimate,
+       (SELECT ROUND(m, 6) FROM ranked
+        WHERE rk = CAST(FLOOR(0.025 * ({_BOOT_B} + 1)) AS BIGINT)) AS ci_lo,
+       (SELECT ROUND(m, 6) FROM ranked
+        WHERE rk = CAST(CEIL(0.975 * ({_BOOT_B} + 1)) AS BIGINT)) AS ci_hi
+FROM n
+"""
+
+
+@query("q_bootstrap_ci", BOOTSTRAP_ORACLE)
+def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nonparametric bootstrap 95% CI for mean daily revenue: {b}
+    resamples of the daily series drawn with replacement by a
+    DETERMINISTIC LCG (glibc constants keyed on (replicate, draw)),
+    replicate means ranked, CI endpoints taken as exact order
+    statistics — the resampling complement to q_jackknife_ci for
+    statistics whose influence function is awkward in closed form.
+    [engine — not in reference]
+
+    Scale design: resampling blows up by B ONLY on the |days|-bounded
+    daily series, never the corpus — the draws frame is B x days rows
+    joined back by index, then collapses to B means; at 100 TB the
+    series is still calendar-sized. Seeded integer LCG arithmetic
+    replays identically in both engines (no engine RNG anywhere), so
+    the "random" resample is exact; daily sums are 2dp-rounded at the
+    boundary so replicate means differ only by summation order
+    (~1e-10 abs) — vs adjacent-order-statistic gaps of thousands."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.floor(F.unix_micros(F.col("o_orderdate").cast("timestamp")) / 86_400_000_000)
+        .cast("bigint")
+        .alias("day")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    series = daily.select(
+        "rev", (F.row_number().over(Window.orderBy("day")) - 1).alias("rn")
+    )
+    n = series.agg(F.count(F.lit(1)).alias("nd"))
+    b = spark.range(_BOOT_B).select(F.col("id").alias("b"))
+    draws = (
+        series.select(F.col("rn").alias("i"))
+        .crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "b",
+            (
+                (1103515245 * (F.col("b") * 100003 + F.col("i")) + 12345)
+                % 2147483648
+                % F.col("nd")
+            ).alias("idx"),
+        )
+    )
+    means = (
+        draws.join(series.withColumnRenamed("rn", "idx"), "idx")
+        .groupBy("b")
+        .agg(F.avg("rev").alias("m"))
+    )
+    ranked = means.select(
+        "m", F.row_number().over(Window.orderBy("m")).alias("rk")
+    )
+    import math as _math
+
+    k_lo = int(_math.floor(0.025 * (_BOOT_B + 1)))
+    k_hi = int(_math.ceil(0.975 * (_BOOT_B + 1)))
+    est = series.agg(F.round(F.avg("rev"), 6).alias("estimate"))
+    lo = ranked.filter(F.col("rk") == k_lo).select(
+        F.round(F.col("m"), 6).alias("ci_lo")
+    )
+    hi = ranked.filter(F.col("rk") == k_hi).select(
+        F.round(F.col("m"), 6).alias("ci_hi")
+    )
+    return (
+        n.select(F.col("nd").alias("n_days"))
+        .crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n_days",
+            F.lit(_BOOT_B).cast("long").alias("n_boot"),
+            "estimate",
+            "ci_lo",
+            "ci_hi",
+        )
+    )
+
+
+bootstrap_ci.__doc__ = bootstrap_ci.__doc__.format(b=_BOOT_B)

@@ -191,6 +191,8 @@ EMPTY_SAFE = [
     "q_seasonal_decompose",
     "q_conformal_intervals",
     "q_naive_bayes",
+    "q_benford",
+    "q_bootstrap_ci",
 ]
 
 # global aggregates return one constant row on empty input (their
@@ -222,6 +224,8 @@ CONSTANT_ON_EMPTY = {
     "q_l_diversity": 1,  # census summary row: n_groups 0
     "q_acf": 7,  # one row per lag, NULL acf
     "q_jackknife_ci": 1,  # global estimator row: n 0, NULLs
+    "q_anova_f": 1,  # global test row, NULL sums of squares
+    "q_ips_eval": 1,  # global estimator row: n 0, n_matched 0
 }
 
 
