@@ -75,6 +75,10 @@ HEADLINE = [
     "q_srp_recall",         # SRP-LSH recall qualification loop (r6 add)
     "q_lsh_recall",         # MinHash-banding recall audit (r6 add)
     "q_kmeans",             # 3-round Lloyd, exact-oracle variant (r6 add)
+    "q_naive_bayes",        # in-engine multinomial NB train+score (r7 add)
+    "q_conformal_intervals",  # Mondrian split-conformal coverage (r7 add)
+    "q_bootstrap_ci",       # 200-replicate LCG bootstrap of daily mean (r7 add)
+    "q_ips_eval",           # off-policy IPS/SNIPS scoring pass (r7 add)
 ]
 
 # round-over-round reference (same box, sf0.1, local[32]):

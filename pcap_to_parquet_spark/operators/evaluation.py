@@ -66,7 +66,7 @@ s AS (
 SELECT t.n_total AS n_total,
        (t.nr - 1) * (t.nc - 1) AS dof,
        ROUND(s.ratio * t.n_total - t.n_total, 6) AS chi2,
-       ROUND(SQRT((s.ratio * t.n_total - t.n_total)
+       ROUND(SQRT(GREATEST(s.ratio * t.n_total - t.n_total, 0.0)
                   / (t.n_total * LEAST(t.nr - 1, t.nc - 1))), 6) AS cramers_v
 FROM s, t
 """
@@ -113,7 +113,7 @@ def chi2_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 6).alias("chi2"),
         F.round(
             F.sqrt(
-                chi2
+                F.greatest(chi2, F.lit(0.0))
                 / (F.col("n_total") * F.least(F.col("nr") - 1, F.col("nc") - 1))
             ),
             6,
@@ -791,8 +791,8 @@ SELECT tot.k - 1 AS df_between,
        tot.nn - tot.k AS df_within,
        ROUND(parts.ssb, 6) AS ss_between,
        ROUND(parts.ssw, 6) AS ss_within,
-       ROUND((parts.ssb / (tot.k - 1)) / (parts.ssw / (tot.nn - tot.k)), 6)
-           AS f_stat
+       ROUND((parts.ssb * (tot.nn - tot.k))
+             / NULLIF(parts.ssw * (tot.k - 1), 0.0), 6) AS f_stat
 FROM parts, tot
 """
 
@@ -838,8 +838,10 @@ def anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("ssb"), 6).alias("ss_between"),
         F.round(F.col("ssw"), 6).alias("ss_within"),
         F.round(
-            (F.col("ssb") / (F.col("k") - 1))
-            / (F.col("ssw") / (F.col("nn") - F.col("k"))),
+            F.try_divide(
+                F.col("ssb") * (F.col("nn") - F.col("k")),
+                F.col("ssw") * (F.col("k") - 1),
+            ),
             6,
         ).alias("f_stat"),
     )
