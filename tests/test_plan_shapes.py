@@ -575,3 +575,46 @@ def test_dpp_join_prunes_partitions_at_runtime(spark):
     p = prof(spark, "q_dpp_join")
     assert "CartesianProduct" not in p
     assert p.get("BroadcastHashJoin", 0) >= 1  # dim broadcast reused as filter
+
+
+def test_round7_qualification_shapes(spark):
+    """Pin the scale claims of the statistical-qualification family:
+    census-sized state broadcasts, no cartesian blow-ups, no Python in
+    the hot path."""
+    # chi2: marginals broadcast back onto the contingency cells
+    p = prof(spark, "q_chi2_test")
+    assert p.get("BroadcastHashJoin", 0) >= 2  # row + column marginals
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+    # ECE: one aggregation pipeline into <=10 bins, nothing else
+    p = prof(spark, "q_calibration_ece")
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert p.get("HashAggregate", 0) >= 2  # partial + final
+
+    # conformal: model and qhat are broadcast census frames
+    p = prof(spark, "q_conformal_intervals")
+    assert p.get("BroadcastHashJoin", 0) >= 2
+    assert "CartesianProduct" not in p
+
+    # jackknife: two scans, one-row state between them — broadcast
+    # nested-loop for the 1-row crossJoins is the bounded pattern
+    p = prof(spark, "q_jackknife_ci")
+    assert "SortMergeJoin" not in p
+    assert p.get("BatchEvalPython", 0) == 0
+
+    # naive Bayes: the scoring join is keyed on (class, token); the
+    # class fan-out and the count-table join must never be cartesian
+    p = prof(spark, "q_naive_bayes")
+    assert "CartesianProduct" not in p
+    assert p.get("BatchEvalPython", 0) == 0
+
+    # IPS: propensity/value census broadcast onto the log
+    p = prof(spark, "q_ips_eval")
+    assert p.get("BroadcastHashJoin", 0) >= 2
+    assert "CartesianProduct" not in p
+
+    # bootstrap: the B-fold blowup joins back by index on the
+    # days-bounded series — a hash join, never nested-loop over draws
+    p = prof(spark, "q_bootstrap_ci")
+    assert "CartesianProduct" not in p
