@@ -36,6 +36,8 @@ relative summation skew is far inside the 9-significant-digit compare.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1126,10 +1128,8 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = means.select(
         "m", F.row_number().over(Window.orderBy("m")).alias("rk")
     )
-    import math as _math
-
-    k_lo = int(_math.floor(0.025 * (_BOOT_B + 1)))
-    k_hi = int(_math.ceil(0.975 * (_BOOT_B + 1)))
+    k_lo = int(math.floor(0.025 * (_BOOT_B + 1)))
+    k_hi = int(math.ceil(0.975 * (_BOOT_B + 1)))
     est = series.agg(F.round(F.avg("rev"), 6).alias("estimate"))
     lo = ranked.filter(F.col("rk") == k_lo).select(
         F.round(F.col("m"), 6).alias("ci_lo")

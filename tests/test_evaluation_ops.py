@@ -183,7 +183,6 @@ def test_conformal_quantile_and_coverage_exact_on_planted_folds(spark, tmp_path)
 
 
 def test_jackknife_matches_numpy_reference(spark):
-    import numpy as np
     import pyarrow.parquet as pq
 
     t = pq.read_table(f"{SF0001}/lineitem.parquet")
