@@ -69,7 +69,8 @@ SELECT t.n_total AS n_total,
        (t.nr - 1) * (t.nc - 1) AS dof,
        ROUND(s.ratio * t.n_total - t.n_total, 6) AS chi2,
        ROUND(SQRT(GREATEST(s.ratio * t.n_total - t.n_total, 0.0)
-                  / (t.n_total * LEAST(t.nr - 1, t.nc - 1))), 6) AS cramers_v
+                  / NULLIF(t.n_total * LEAST(t.nr - 1, t.nc - 1), 0)), 6)
+           AS cramers_v
 FROM s, t
 """
 
@@ -115,8 +116,10 @@ def chi2_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 6).alias("chi2"),
         F.round(
             F.sqrt(
-                F.greatest(chi2, F.lit(0.0))
-                / (F.col("n_total") * F.least(F.col("nr") - 1, F.col("nc") - 1))
+                F.try_divide(
+                    F.greatest(chi2, F.lit(0.0)),
+                    F.col("n_total") * F.least(F.col("nr") - 1, F.col("nc") - 1),
+                )
             ),
             6,
         ).alias("cramers_v"),
