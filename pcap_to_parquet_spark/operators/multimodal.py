@@ -634,6 +634,53 @@ def _mih_pairs(h, fp_len: int, n_bands: int, frame_aligned: bool = False):  # ty
     )
 
 
+def _expand_rep_pairs(rep_pairs, members):  # type: ignore[no-untyped-def]
+    """Expand verified REPRESENTATIVE pairs back to all media pairs.
+
+    The dedup-collapse half of the near-dup ops: media sharing one
+    fingerprint signature form a group represented by their min
+    media_id; the MIH join and the exact-Hamming verify run on ONE row
+    per distinct signature, and this helper restores the full pair
+    set — cross-group pairs inherit the verified distance (Hamming is
+    a function of the signatures alone), within-group pairs are
+    distance 0 by definition. Work above this point is linear in the
+    DISTINCT-signature count; only the true answer (which is
+    inherently quadratic in duplication multiplicity) is quadratic,
+    and it is produced by expansion joins, never by the bucket join.
+
+    ``rep_pairs``: (rep_a, rep_b, hamming), rep_a < rep_b, verified.
+    ``members``: (rep, media_id) — every media, keyed by its group rep.
+    """
+    ma = members.select(F.col("rep").alias("rep_a"), F.col("media_id").alias("xa"))
+    mb = members.select(F.col("rep").alias("rep_b"), F.col("media_id").alias("xb"))
+    inter = (
+        rep_pairs.join(ma, "rep_a")
+        .join(mb, "rep_b")
+        .select(
+            F.least("xa", "xb").alias("media_a"),
+            F.greatest("xa", "xb").alias("media_b"),
+            "hamming",
+        )
+    )
+    m1 = members.select("rep", F.col("media_id").alias("media_a"))
+    m2 = members.select("rep", F.col("media_id").alias("media_b"))
+    intra = (
+        m1.join(m2, "rep")
+        .filter(F.col("media_a") < F.col("media_b"))
+        .select("media_a", "media_b", F.lit(0).cast("long").alias("hamming"))
+    )
+    return inter.unionAll(intra)
+
+
+def _collapse_by_fp(h):  # type: ignore[no-untyped-def]
+    """(reps, members) for single-fingerprint media: group identical
+    fp strings, represent by min media_id."""
+    grp = h.groupBy("fp").agg(F.min("media_id").alias("rep"))
+    members = h.join(grp, "fp").select("rep", "media_id")
+    reps = grp.select(F.col("rep").alias("media_id"), "fp")
+    return reps, members
+
+
 def _hamming_col(ca: str, cb: str, n_bits: int = 64):  # type: ignore[no-untyped-def]
     """Hamming distance between two bitstring columns of up to
     ``n_bits`` chars as conv/XOR/bit_count column algebra, one 32-bit
@@ -683,20 +730,32 @@ def image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: candidate generation shuffles (band, 8-bit value)
     keys — ~9× expanded on one side, 256-way pruned per band — and
-    the n² pair space never materializes."""
+    the n² pair space never materializes. Identical fingerprints are
+    COLLAPSED to one representative before the MIH join (the 100×
+    replica rehearsal showed exact-duplicate groups turning the
+    bucket join quadratic in duplication multiplicity): the join and
+    Hamming verify run once per distinct dHash, and _expand_rep_pairs
+    restores the full pair set afterwards — dedup-before-pairgen, the
+    production composition."""
     h = image_dhash(spark, sf_dir).select(
         "media_id", F.col("dhash").alias("fp")
     )
-    cand = _mih_pairs(h, fp_len=64, n_bands=_INEAR_BANDS)
-    ha = h.select(F.col("media_id").alias("media_a"), F.col("fp").alias("ha"))
-    hb = h.select(F.col("media_id").alias("media_b"), F.col("fp").alias("hb"))
-    return (
-        cand.join(ha, "media_a")
-        .join(hb, "media_b")
+    reps, members = _collapse_by_fp(h)
+    cand = _mih_pairs(reps, fp_len=64, n_bands=_INEAR_BANDS)
+    ra = reps.select(F.col("media_id").alias("media_a"), F.col("fp").alias("ha"))
+    rb = reps.select(F.col("media_id").alias("media_b"), F.col("fp").alias("hb"))
+    rep_pairs = (
+        cand.join(ra, "media_a")
+        .join(rb, "media_b")
         .withColumn("hamming", _hamming_col("ha", "hb"))
         .filter(F.col("hamming") <= _INEAR_MAXH)
-        .select("media_a", "media_b", "hamming")
+        .select(
+            F.col("media_a").alias("rep_a"),
+            F.col("media_b").alias("rep_b"),
+            "hamming",
+        )
     )
+    return _expand_rep_pairs(rep_pairs, members)
 
 
 image_neardup.__doc__ = image_neardup.__doc__.format(
@@ -786,18 +845,24 @@ def audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "fp": fps})
 
     h = media.mapInPandas(fingerprint, schema="media_id long, fp string")
-    cand = _mih_pairs(h, fp_len=_ANEAR_WINDOWS - 1, n_bands=8)
-    ha = h.select(F.col("media_id").alias("media_a"), F.col("fp").alias("ha"))
-    hb = h.select(F.col("media_id").alias("media_b"), F.col("fp").alias("hb"))
-    return (
-        cand.join(ha, "media_a")
-        .join(hb, "media_b")
+    reps, members = _collapse_by_fp(h)  # dedup-before-pairgen
+    cand = _mih_pairs(reps, fp_len=_ANEAR_WINDOWS - 1, n_bands=8)
+    ra = reps.select(F.col("media_id").alias("media_a"), F.col("fp").alias("ha"))
+    rb = reps.select(F.col("media_id").alias("media_b"), F.col("fp").alias("hb"))
+    rep_pairs = (
+        cand.join(ra, "media_a")
+        .join(rb, "media_b")
         .withColumn(
             "hamming", _hamming_col("ha", "hb", n_bits=_ANEAR_WINDOWS - 1)
         )
         .filter(F.col("hamming") <= _ANEAR_MAXH)
-        .select("media_a", "media_b", "hamming")
+        .select(
+            F.col("media_a").alias("rep_a"),
+            F.col("media_b").alias("rep_b"),
+            "hamming",
+        )
     )
+    return _expand_rep_pairs(rep_pairs, members)
 
 
 audio_neardup.__doc__ = audio_neardup.__doc__.format(
@@ -905,8 +970,23 @@ def video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "fp": fps})
 
     h = frames.mapInPandas(fingerprint, schema="media_id long, frame_idx int, fp string")
-    cand = _mih_pairs(h, fp_len=63, n_bands=4, frame_aligned=True)
-    fa, fb = h.alias("fa"), h.alias("fb")
+    # dedup-before-pairgen: the signature is the frame-ordered concat
+    # of per-frame fingerprints; MIH + verify run once per distinct
+    # signature, _expand_rep_pairs restores the full pair set
+    sig = h.groupBy("media_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("frame_idx", "fp"))),
+                lambda s: s["fp"],
+            ),
+            "",
+        ).alias("sig")
+    )
+    grp = sig.groupBy("sig").agg(F.min("media_id").alias("rep"))
+    members = sig.join(grp, "sig").select("rep", "media_id")
+    reps_h = h.join(grp.select(F.col("rep").alias("media_id")), "media_id")
+    cand = _mih_pairs(reps_h, fp_len=63, n_bands=4, frame_aligned=True)
+    fa, fb = reps_h.alias("fa"), reps_h.alias("fb")
     per_frame = (
         cand.join(fa, F.col("fa.media_id") == F.col("media_a"))
         .join(
@@ -916,11 +996,17 @@ def video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("media_a", "media_b", _hamming_col("fa.fp", "fb.fp").alias("fh"))
     )
-    return (
+    rep_pairs = (
         per_frame.groupBy("media_a", "media_b")
         .agg(F.sum("fh").cast("long").alias("hamming"))
         .filter(F.col("hamming") <= _VNEAR_MAXH)
+        .select(
+            F.col("media_a").alias("rep_a"),
+            F.col("media_b").alias("rep_b"),
+            "hamming",
+        )
     )
+    return _expand_rep_pairs(rep_pairs, members)
 
 
 video_neardup.__doc__ = video_neardup.__doc__.format(maxh=_VNEAR_MAXH)
