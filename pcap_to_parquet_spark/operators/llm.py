@@ -722,7 +722,18 @@ def embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one Arrow batch and the only shuffle is the blocking key. A
     pure column-algebra join variant (zip_with/aggregate per pair) was
     10× slower: lambda HOFs evaluate interpreted, and the pairwise
-    join re-ran three of them per candidate pair."""
+    join re-ran three of them per candidate pair.
+
+    Byte-identical vectors are COLLAPSED to one representative per
+    (label, embedding) group before the gram pass (the 100× replica
+    rehearsal measured the per-block O(n²d) gram going quadratic in
+    duplication multiplicity — 354 s and a 3 GB cosine matrix per
+    block): the BLAS work runs on distinct vectors only, then verified
+    representative pairs expand back through group membership
+    (cross-group pairs inherit the representative cosine — it is a
+    function of the two vectors alone; within-group pairs are cosine
+    1.0 by identity). Same dedup-before-pairgen move as the
+    multimodal MIH ops."""
     em = load_table(spark, sf_dir, "embeddings")
 
     def gram(pdf):  # type: ignore[no-untyped-def]
@@ -745,9 +756,32 @@ def embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    return em.groupBy("label").applyInPandas(
+    grp = em.groupBy("label", "embedding").agg(F.min("vec_id").alias("rep"))
+    members = em.join(grp, ["label", "embedding"]).select("label", "rep", "vec_id")
+    reps = grp.select(F.col("rep").alias("vec_id"), "label", "embedding")
+    rep_pairs = reps.groupBy("label").applyInPandas(
         gram, schema="vec_a long, vec_b long, label int, cos_sim double"
     )
+    ma = members.select(F.col("rep").alias("vec_a"), F.col("vec_id").alias("xa"))
+    mb = members.select(F.col("rep").alias("vec_b"), F.col("vec_id").alias("xb"))
+    inter = (
+        rep_pairs.join(ma, "vec_a")
+        .join(mb, "vec_b")
+        .select(
+            F.least("xa", "xb").alias("vec_a"),
+            F.greatest("xa", "xb").alias("vec_b"),
+            "label",
+            "cos_sim",
+        )
+    )
+    m1 = members.select("rep", "label", F.col("vec_id").alias("vec_a"))
+    m2 = members.select("rep", F.col("vec_id").alias("vec_b"))
+    intra = (
+        m1.join(m2, "rep")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "label", F.lit(1.0).alias("cos_sim"))
+    )
+    return inter.unionAll(intra)
 
 
 # ---------------------------------------------------------------------------
@@ -794,41 +828,100 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking key (label here; an IVF/LSH bucket id in production, the
     paper uses k-means cluster ids), one BLAS gram per block, per-vec
     emit. Dominator counts and the nearest-lower-neighbor similarity
-    ride along for threshold tuning."""
+    ride along for threshold tuning.
+
+    Byte-identical vectors COLLAPSE to one representative per (label,
+    embedding) group before the gram (the 100× replica rehearsal
+    showed the per-block O(n²d) gram quadratic in duplication
+    multiplicity). The gram over G distinct vectors emits two bounded
+    rep-level structures per target group: the τ-thresholded dominance
+    edges (for exact counts) and the running-max-cosine STAIRCASE in
+    rep-id order (≈log G rows per group in expectation — enough to
+    answer "max cosine among groups whose min id precedes x" for any
+    member x, because the max over a prefix of an increasing staircase
+    is its last step). Per-member results are then pure rank/join
+    arithmetic: a member's dominators are its rank-1 earlier own-group
+    twins (cosine 1 by identity) plus, per dominance edge, the source
+    group's members with smaller vec_id."""
     em = load_table(spark, sf_dir, "embeddings")
 
-    def decide(pdf):  # type: ignore[no-untyped-def]
+    def rep_model(pdf):  # type: ignore[no-untyped-def]
+        # pdf holds ONE REPRESENTATIVE per distinct vector in a label
         order = pdf["vec_id"].to_numpy().argsort()
         ids = pdf["vec_id"].to_numpy()[order]
         x = np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
         norms = np.linalg.norm(x, axis=1)
         cos = (x @ x.T) / np.outer(norms, norms)
         n = len(ids)
-        nd = np.zeros(n, dtype=np.int64)
-        mx = np.full(n, np.nan)
-        for j in range(1, n):
-            lower = cos[:j, j]
-            nd[j] = int((lower >= _SEMDEDUP_TAU).sum())
-            mx[j] = lower.max()
-        return pd.DataFrame(
-            {
-                "vec_id": ids,
-                "label": pdf["label"].iloc[0],
-                "kept": nd == 0,
-                "n_dominators": nd,
-                # None (SQL NULL), not NaN, for the no-lower-neighbor row
-                "max_lower_sim": [
-                    None if np.isnan(v) else round(float(v), 4) for v in mx
-                ],
-            }
-        )
+        tgt, src, c, tag = [], [], [], []
+        for j in range(n):
+            run = -np.inf
+            for i in range(n):
+                if i == j:
+                    continue
+                if cos[i, j] >= _SEMDEDUP_TAU:  # dominance edge (count)
+                    tgt.append(ids[j]); src.append(ids[i])
+                    c.append(float(cos[i, j])); tag.append("d")
+                if cos[i, j] > run:  # staircase step (max, unthresholded)
+                    run = float(cos[i, j])
+                    tgt.append(ids[j]); src.append(ids[i])
+                    c.append(run); tag.append("s")
+        return pd.DataFrame({"tgt": tgt, "src": src, "c": c, "tag": tag})
 
-    return em.groupBy("label").applyInPandas(
-        decide,
-        schema=(
-            "vec_id long, label int, kept boolean, "
-            "n_dominators long, max_lower_sim double"
-        ),
+    grp = em.groupBy("label", "embedding").agg(F.min("vec_id").alias("rep"))
+    members = (
+        em.join(grp, ["label", "embedding"])
+        .select("label", "rep", "vec_id")
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.partitionBy("rep").orderBy("vec_id")),
+        )
+    )
+    reps = grp.select(F.col("rep").alias("vec_id"), "label", "embedding")
+    model = reps.groupBy("label").applyInPandas(
+        rep_model, schema="tgt long, src long, c double, tag string"
+    )
+    x = members.select(
+        "label", "vec_id", (F.col("rank") - 1).alias("own_nd"), F.col("rep").alias("tgt")
+    )
+    # cross-group dominator COUNT: per dominance edge, source-group
+    # members with smaller vec_id (row volume = the true answer)
+    mb = members.select(F.col("rep").alias("src"), F.col("vec_id").alias("b_id"))
+    cross_nd = (
+        x.join(model.filter(F.col("tag") == "d").select("tgt", "src"), "tgt")
+        .join(mb, "src")
+        .filter(F.col("b_id") < F.col("vec_id"))
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("cnd"))
+    )
+    # cross-group MAX cosine among groups whose min id (= rep) < x:
+    # staircase is increasing in src order, so prefix-max = plain MAX
+    cross_mx = (
+        x.join(
+            model.filter(F.col("tag") == "s").select("tgt", "src", "c"), "tgt"
+        )
+        .filter(F.col("src") < F.col("vec_id"))
+        .groupBy("vec_id")
+        .agg(F.max("c").alias("cmx"))
+    )
+    out = (
+        x.join(cross_nd, "vec_id", "left")
+        .join(cross_mx, "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            (F.col("own_nd") + F.coalesce(F.col("cnd"), F.lit(0))).alias("nd"),
+            F.greatest(
+                F.when(F.col("own_nd") >= 1, F.lit(1.0)), F.col("cmx")
+            ).alias("mx"),
+        )
+    )
+    return out.select(
+        "vec_id",
+        "label",
+        (F.col("nd") == 0).alias("kept"),
+        F.col("nd").cast("long").alias("n_dominators"),
+        F.round(F.col("mx"), 4).alias("max_lower_sim"),
     )
 
 
