@@ -737,3 +737,60 @@ def test_psi_drift_identical_vs_shifted(spark, tmp_path):
     disj = lake(range(100), range(900, 1000), tmp_path / "disj")
     r = QUERIES["q_psi_drift"](spark, disj).collect()[0]
     assert r.psi > 1.0
+
+
+def test_embed_neardup_and_semdedup_collapse_parity(spark, tmp_path):
+    """Duplication-multiplicity parity: plant 4 distinct vectors x 3
+    exact copies each and compare BOTH collapsed ops against a numpy
+    brute force over all 12 vectors — the dedup-before-pairgen
+    expansion must reproduce the raw pairwise answer exactly."""
+    import itertools
+
+    import numpy as np
+
+    rng = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.9, 0.1, 0.0, 0.0],   # cos vs v0 ~ 0.993 -> dominated
+        [0.0, 1.0, 0.0, 0.0],   # orthogonal to v0
+        [0.0, 0.0, 1.0, 1.0],
+    ]
+    rows = []
+    vid = 0
+    for copy in range(3):
+        for v in rng:
+            rows.append((vid, [float(x) for x in v], 7))
+            vid += 1
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    x = np.array([r[1] for r in sorted(rows)], dtype=np.float64)
+    ids = np.array([r[0] for r in sorted(rows)])
+    norms = np.linalg.norm(x, axis=1)
+    cos = (x @ x.T) / np.outer(norms, norms)
+
+    # brute-force expected pairs (> 0.45) and semdedup stats
+    exp_pairs = {
+        (int(ids[i]), int(ids[j])): round(float(cos[i, j]), 4)
+        for i, j in itertools.combinations(range(len(ids)), 2)
+        if cos[i, j] > 0.45
+    }
+    got_pairs = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in QUERIES["q_embed_neardup"](spark, str(tmp_path)).collect()
+    }
+    assert got_pairs == exp_pairs
+
+    exp_nd = {
+        int(ids[j]): int((cos[:j, j] >= 0.45).sum()) for j in range(len(ids))
+    }
+    exp_mx = {
+        int(ids[j]): (None if j == 0 else round(float(cos[:j, j].max()), 4))
+        for j in range(len(ids))
+    }
+    out = {r.vec_id: r for r in QUERIES["q_semdedup"](spark, str(tmp_path)).collect()}
+    assert set(out) == set(exp_nd)
+    for v, r in out.items():
+        assert r.n_dominators == exp_nd[v], (v, r)
+        assert r.kept == (exp_nd[v] == 0), v
+        assert r.max_lower_sim == exp_mx[v], (v, r.max_lower_sim, exp_mx[v])
