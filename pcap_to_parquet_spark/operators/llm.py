@@ -756,9 +756,14 @@ def embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    grp = em.groupBy("label", "embedding").agg(F.min("vec_id").alias("rep"))
-    members = em.join(grp, ["label", "embedding"]).select("label", "rep", "vec_id")
-    reps = grp.select(F.col("rep").alias("vec_id"), "label", "embedding")
+    wv = Window.partitionBy("label", "embedding")
+    m = em.withColumn("rep", F.min("vec_id").over(wv)).localCheckpoint(
+        eager=True
+    )  # one materialization feeds reps + both expansion sides
+    members = m.select("label", "rep", "vec_id")
+    reps = m.filter(F.col("vec_id") == F.col("rep")).select(
+        "vec_id", "label", "embedding"
+    )
     rep_pairs = reps.groupBy("label").applyInPandas(
         gram, schema="vec_a long, vec_b long, label int, cos_sim double"
     )
@@ -868,16 +873,16 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     c.append(run); tag.append("s")
         return pd.DataFrame({"tgt": tgt, "src": src, "c": c, "tag": tag})
 
-    grp = em.groupBy("label", "embedding").agg(F.min("vec_id").alias("rep"))
-    members = (
-        em.join(grp, ["label", "embedding"])
-        .select("label", "rep", "vec_id")
-        .withColumn(
-            "rank",
-            F.row_number().over(Window.partitionBy("rep").orderBy("vec_id")),
-        )
+    wv = Window.partitionBy("label", "embedding")
+    m = (
+        em.withColumn("rep", F.min("vec_id").over(wv))
+        .withColumn("rank", F.row_number().over(wv.orderBy("vec_id")))
+        .localCheckpoint(eager=True)  # one materialization, many readers
     )
-    reps = grp.select(F.col("rep").alias("vec_id"), "label", "embedding")
+    members = m.select("label", "rep", "vec_id", "rank")
+    reps = m.filter(F.col("vec_id") == F.col("rep")).select(
+        "vec_id", "label", "embedding"
+    )
     model = reps.groupBy("label").applyInPandas(
         rep_model, schema="tgt long, src long, c double, tag string"
     )

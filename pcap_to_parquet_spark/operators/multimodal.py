@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
@@ -674,10 +674,18 @@ def _expand_rep_pairs(rep_pairs, members):  # type: ignore[no-untyped-def]
 
 def _collapse_by_fp(h):  # type: ignore[no-untyped-def]
     """(reps, members) for single-fingerprint media: group identical
-    fp strings, represent by min media_id."""
-    grp = h.groupBy("fp").agg(F.min("media_id").alias("rep"))
-    members = h.join(grp, "fp").select("rep", "media_id")
-    reps = grp.select(F.col("rep").alias("media_id"), "fp")
+    fp strings, represent by min media_id. One window pass (min over
+    the fp partition) instead of groupBy+join-back — half the
+    shuffles; partition size is the duplication multiplicity."""
+    # one materialization of the (media_id, fp, rep) fingerprint table:
+    # every downstream consumer (MIH probe/exact sides, verify sides,
+    # membership expansion) re-reads this instead of re-running the
+    # decode lineage — the fingerprint table is tiny next to payloads
+    m = h.withColumn(
+        "rep", F.min("media_id").over(Window.partitionBy("fp"))
+    ).localCheckpoint(eager=True)
+    members = m.select("rep", "media_id")
+    reps = m.filter(F.col("media_id") == F.col("rep")).select("media_id", "fp")
     return reps, members
 
 
@@ -982,9 +990,14 @@ def video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "",
         ).alias("sig")
     )
-    grp = sig.groupBy("sig").agg(F.min("media_id").alias("rep"))
-    members = sig.join(grp, "sig").select("rep", "media_id")
-    reps_h = h.join(grp.select(F.col("rep").alias("media_id")), "media_id")
+    sigm = sig.withColumn(
+        "rep", F.min("media_id").over(Window.partitionBy("sig"))
+    ).localCheckpoint(eager=True)  # (media, sig, rep): one materialization
+    members = sigm.select("rep", "media_id")
+    reps_h = h.join(
+        sigm.filter(F.col("media_id") == F.col("rep")).select("media_id"),
+        "media_id",
+    )
     cand = _mih_pairs(reps_h, fp_len=63, n_bands=4, frame_aligned=True)
     fa, fb = reps_h.alias("fa"), reps_h.alias("fb")
     per_frame = (
