@@ -36,9 +36,12 @@ SF0001_DIR = "/root/testdata/sf0.001"
 # latest driver rows were stale no_oracle from r5), (b) the 22-entry
 # r1-refresh remainder (newest driver rows still round 1), and (c) the
 # first 24 entries of the former round-4 window. Due FIRST in round 8:
-# any "new in round 7" additions (see marker below), then the former
-# round-4 window remainder (q_image_dhash onward), then the former
-# round-6 window.
+# the "new in round 7" additions (see marker below) AND the four
+# dedup-collapse reworks whose implementation changed after their last
+# driver row (q_image_neardup, q_audio_neardup, q_video_neardup,
+# q_semdedup — q_embed_neardup is already in the r7 window), then the
+# former round-4 window remainder (q_image_dhash onward), then the
+# former round-6 window.
 _GATE_FRONT = [
     # ---- ROUND 7 WINDOW (positions 0-49) ----
     # (a) oracle upgraded in round 6 (rows-only -> exact Lloyd replay);
