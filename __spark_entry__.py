@@ -31,76 +31,21 @@ SF0001_DIR = "/root/testdata/sf0.001"
 # hash-green + 5 seed-bound rows-only, 0 value failures). Pinned by
 # test_gate_front_names_exist.
 #
-# ROUND 8 ROTATION NOTE: round 7 fronts (a) the 4 quantizer queries
-# whose oracles were upgraded rows-only -> exact in round 6 (their
-# latest driver rows were stale no_oracle from r5), (b) the 22-entry
-# r1-refresh remainder (newest driver rows still round 1), and (c) the
-# first 24 entries of the former round-4 window. Due FIRST in round 8:
-# the "new in round 7" additions (see marker below) AND the four
-# dedup-collapse reworks whose implementation changed after their last
-# driver row (q_image_neardup, q_audio_neardup, q_video_neardup,
-# q_semdedup — q_embed_neardup is already in the r7 window), then the
-# former round-4 window remainder (q_image_dhash onward), then the
-# former round-6 window.
+# ROUND 9 ROTATION NOTE: round 8 fronts (a) the 12 round-7
+# statistical-qualification additions (never driver-checked),
+# (b) q_opq_train (oracle upgraded rows-only -> exact in round 7),
+# (c) the four dedup-collapse reworks whose implementation changed
+# after their last driver row (q_image_neardup, q_audio_neardup,
+# q_video_neardup, q_semdedup), (d) the 26-entry former round-4
+# remainder (newest driver rows r4 — stalest), and (e) the first 7 of
+# the former round-5 window. Due FIRST in round 9: any "new in round 8"
+# additions (see marker below), then the former round-5 window
+# remainder (q_k_anonymity onward, rows r5), then the former round-6
+# window remainder, then the round-7 window (rows r7, freshest).
 _GATE_FRONT = [
-    # ---- ROUND 7 WINDOW (positions 0-49) ----
-    # (a) oracle upgraded in round 6 (rows-only -> exact Lloyd replay);
-    #     their latest driver rows are stale no_oracle from r5
-    "q_kmeans",
-    "q_pq_ann",
-    "q_ivf_pq",
-    "q_residual_quant",
-    # (b) refresh tail remainder: r1-green queries whose newest driver
-    #     row is still round 1 (22)
-    "q_self_join",
-    "q_binned_range_join",
-    "q_dedup_exact",
-    "q_train_test_split",
-    "q_data_mixing",
-    "q_embed_neardup",
-    "q_similarity_topk",
-    "q_text_stats",
-    "q_quality_score",
-    "q_lang_id",
-    "q_fingerprint",
-    "q_filter_project",
-    "q_case_when",
-    "q_null_semantics",
-    "q_sort_limit",
-    "q_distinct",
-    "q_union",
-    "q_intersect",
-    "q_except",
-    "q_pivot",
-    "q_unpivot",
-    "q_subquery_scalar",
-    # (c) former round-4 window head (newest driver rows r4) (24)
-    "q_sql_disjunctive",
-    "q_fuzzy_join",
-    "q_sql_lateral",
-    "q_sql_recursive",
-    "q_variant_shred",
-    "q_dynamic_overwrite",
-    "q_cow_delete",
-    "q_zorder_lake",
-    "q_heavy_hitters",
-    "q_sql_small_qty",
-    "q_sql_waiting_supplier",
-    "q_ngram_lm_score",
-    "q_cogroup_diff",
-    "q_quantile_bucketize",
-    "q_countmin_topk",
-    "q_scd2_lookup",
-    "q_permissive_ingest",
-    "q_embed_pool",
-    "q_table_checksum",
-    "q_session_window",
-    "q_skyline",
-    "q_observed_load",
-    "q_xml_ingest",
-    "q_cidr_enrich",
-    # ---- END ROUND 7 WINDOW (the 50 above are positions 0-49) ----
-    # new in round 7 (insert below this line as they land; due round 8)
+    # ---- ROUND 8 WINDOW (positions 0-49) ----
+    # (a) new in round 7: statistical-qualification ops, never
+    #     driver-checked (12)
     "q_chi2_test",
     "q_calibration_ece",
     "q_l_diversity",
@@ -113,11 +58,16 @@ _GATE_FRONT = [
     "q_benford",
     "q_ips_eval",
     "q_bootstrap_ci",
-    # oracle upgraded in round 7 (rows-only -> exact Newton–Schulz
-    # polar replay); removed from the former round-5 block below
+    # (b) oracle upgraded in round 7 (rows-only -> exact Newton–Schulz
+    #     polar replay); latest driver row is stale no_oracle
     "q_opq_train",
-    # former round-4 window remainder (newest driver rows r4 — due
-    #     next after any round-7 additions)
+    # (c) dedup-collapse reworks: implementation changed after their
+    #     last driver row (window-collapse to representatives) (4)
+    "q_image_neardup",
+    "q_audio_neardup",
+    "q_video_neardup",
+    "q_semdedup",
+    # (d) former round-4 window remainder (newest driver rows r4) (26)
     "q_image_dhash",
     "q_sql_custdist",
     "q_sql_big_orders",
@@ -144,15 +94,63 @@ _GATE_FRONT = [
     "q_stream_decontaminate",
     "q_forecast_eval",
     "q_pcap_pipeline",
-    # former round-6 window (green r06)
+    # (e) former round-5 window head (newest driver rows r5) (7)
+    "q_stream_topk",
+    "q_sql_min_cost_supplier",
+    "q_sql_excess_supplier",
+    "q_sql_forecast_revenue",
+    "q_sql_important_stock",
+    "q_sql_shipmode_priority",
+    "q_density_clusters",
+    # ---- END ROUND 8 WINDOW (the 50 above are positions 0-49) ----
+    # new in round 8 (insert below this line as they land; due round 9)
+    # former round-5 window remainder (newest driver rows r5 — due
+    #     next after any round-8 additions)
+    "q_k_anonymity",
+    "q_text_source",
+    "q_kmv_window",
+    "q_lpa_communities",
+    "q_winsorized_mean",
+    "q_sentence_chunks",
+    "q_numeric_histogram",
+    "q_cusum_drift",
+    "q_rfm_segments",
+    "q_gini",
+    "q_char_entropy",
+    "q_rolling_corr",
+    "q_mad_outliers",
+    "q_top_paths",
+    "q_lorenz_deciles",
+    "q_new_vs_returning",
+    "q_pcap_flows",
+    "q_triangle_count",
+    "q_ngram_containment",
+    "q_dedup_survivors",
+    "q_pcap_roundtrip",
+    "q_bitmap_distinct",
+    "q_try_arithmetic",
+    "q_pcap_stream_flows",
+    "q_funnel_bounded",
+    "q_dup_span_coverage",
+    "q_pmi_bigrams",
+    "q_dup_span_removal",
+    "q_temperature_mix",
+    "q_quality_classifier",
+    "q_ewma",
+    "q_stream_ewma",
+    "q_dpp_join",
+    "q_pca_embed",
+    "q_bpe_merges",
+    "q_bpe_encode",
+    "q_holt_forecast",
+    "q_multi_regression",
+    "q_stream_holt",
+    # former round-6 window remainder (green r06; the neardup/semdedup
+    # entries moved into the round-8 window above)
     "q_dsir_weights",
-    "q_semdedup",
     "q_rrf_fusion",
     "q_ndcg_eval",
     "q_hard_negatives",
-    "q_image_neardup",
-    "q_audio_neardup",
-    "q_video_neardup",
     "q_adamic_adar",
     "q_shard_assign",
     "q_rake_keywords",
@@ -195,56 +193,57 @@ _GATE_FRONT = [
     "q_anti_join",
     "q_range_join",
     "q_asof_join",
-    # former round-5 window (green r05 — newest rows, lowest priority).
-    # NOTE: q_pq_ann / q_ivf_pq / q_residual_quant removed from this
-    # block (they were re-appended wholesale from the old r5 list and
-    # now live in the round-7 window above — ADVICE r6).
-    "q_stream_topk",
-    "q_sql_min_cost_supplier",
-    "q_sql_excess_supplier",
-    "q_sql_forecast_revenue",
-    "q_sql_important_stock",
-    "q_sql_shipmode_priority",
-    "q_density_clusters",
-    "q_k_anonymity",
-    "q_text_source",
-    "q_kmv_window",
-    "q_lpa_communities",
-    "q_winsorized_mean",
-    "q_sentence_chunks",
-    "q_numeric_histogram",
-    "q_cusum_drift",
-    "q_rfm_segments",
-    "q_gini",
-    "q_char_entropy",
-    "q_rolling_corr",
-    "q_mad_outliers",
-    "q_top_paths",
-    "q_lorenz_deciles",
-    "q_new_vs_returning",
-    "q_pcap_flows",
-    "q_triangle_count",
-    "q_ngram_containment",
-    "q_dedup_survivors",
-    "q_pcap_roundtrip",
-    "q_bitmap_distinct",
-    "q_try_arithmetic",
-    "q_pcap_stream_flows",
-    "q_funnel_bounded",
-    "q_dup_span_coverage",
-    "q_pmi_bigrams",
-    "q_dup_span_removal",
-    "q_temperature_mix",
-    "q_quality_classifier",
-    "q_ewma",
-    "q_stream_ewma",
-    "q_dpp_join",
-    "q_pca_embed",
-    "q_bpe_merges",
-    "q_bpe_encode",
-    "q_holt_forecast",
-    "q_multi_regression",
-    "q_stream_holt",
+    # round-7 window (green r07 — newest rows, lowest priority)
+    "q_kmeans",
+    "q_pq_ann",
+    "q_ivf_pq",
+    "q_residual_quant",
+    "q_self_join",
+    "q_binned_range_join",
+    "q_dedup_exact",
+    "q_train_test_split",
+    "q_data_mixing",
+    "q_embed_neardup",
+    "q_similarity_topk",
+    "q_text_stats",
+    "q_quality_score",
+    "q_lang_id",
+    "q_fingerprint",
+    "q_filter_project",
+    "q_case_when",
+    "q_null_semantics",
+    "q_sort_limit",
+    "q_distinct",
+    "q_union",
+    "q_intersect",
+    "q_except",
+    "q_pivot",
+    "q_unpivot",
+    "q_subquery_scalar",
+    "q_sql_disjunctive",
+    "q_fuzzy_join",
+    "q_sql_lateral",
+    "q_sql_recursive",
+    "q_variant_shred",
+    "q_dynamic_overwrite",
+    "q_cow_delete",
+    "q_zorder_lake",
+    "q_heavy_hitters",
+    "q_sql_small_qty",
+    "q_sql_waiting_supplier",
+    "q_ngram_lm_score",
+    "q_cogroup_diff",
+    "q_quantile_bucketize",
+    "q_countmin_topk",
+    "q_scd2_lookup",
+    "q_permissive_ingest",
+    "q_embed_pool",
+    "q_table_checksum",
+    "q_session_window",
+    "q_skyline",
+    "q_observed_load",
+    "q_xml_ingest",
+    "q_cidr_enrich",
 ]
 
 

@@ -195,7 +195,7 @@ L_DIVERSITY_ORACLE = f"""
 WITH rows_ AS (
     SELECT event_type,
            CAST(epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) // 3600000000 AS BIGINT) AS hour,
-           CAST(FLOOR(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) / 10)
+           CAST(FLOOR(TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) / 10)
                 AS BIGINT) AS sens
     FROM events
 ),
@@ -279,7 +279,7 @@ lagged AS (
 den AS (SELECT SUM((rev - m.mu) * (rev - m.mu)) AS d FROM lagged, m)
 {" UNION ALL ".join(
     f"SELECT CAST({k} AS BIGINT) AS lag, "
-    f"ROUND(SUM((rev - m.mu) * (rev_{k} - m.mu)) / ANY_VALUE(den.d), 6) AS acf "
+    f"ROUND(SUM((rev - m.mu) * (rev_{k} - m.mu)) / NULLIF(ANY_VALUE(den.d), 0), 6) AS acf "
     f"FROM lagged, m, den WHERE rev_{k} IS NOT NULL"
     for k in range(1, _ACF_MAX_LAG + 1)
 )}
@@ -331,7 +331,7 @@ def acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[
             F.struct(
                 F.lit(k).cast("long").alias("lag"),
-                F.round(F.col(f"num_{k}") / F.col("d"), 6).alias("acf"),
+                F.round(F.try_divide(F.col(f"num_{k}"), F.col("d")), 6).alias("acf"),
             )
             for k in range(1, _ACF_MAX_LAG + 1)
         ]
@@ -831,13 +831,15 @@ def anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gm = F.col("st") / F.col("nn")
     mg = F.col("s") / F.col("n")
+    # k/nn come from tot directly (second broadcast crossJoin), not
+    # F.first inside the parts aggregate: on an empty events table the
+    # empty crossJoin would make them NULL while the oracle's tot CTE
+    # still yields k = 0 (COUNT over empty) -> df_between = -1.
     parts = g.crossJoin(F.broadcast(tot)).agg(
         F.sum(F.col("n") * (mg - gm) * (mg - gm)).alias("ssb"),
         F.sum(F.col("ss") - F.col("s") * F.col("s") / F.col("n")).alias("ssw"),
-        F.first("nn").alias("nn"),
-        F.first("k").alias("k"),
     )
-    return parts.select(
+    return parts.crossJoin(F.broadcast(tot)).select(
         (F.col("k") - 1).alias("df_between"),
         (F.col("nn") - F.col("k")).alias("df_within"),
         F.round(F.col("ssb"), 6).alias("ss_between"),
@@ -861,7 +863,7 @@ WITH cents AS (
     FROM orders WHERE o_totalprice > 0
 ),
 digit AS (
-    SELECT c // CAST(POWER(10, LENGTH(CAST(c AS VARCHAR)) - 1) AS BIGINT) AS d
+    SELECT CAST(SUBSTRING(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS d
     FROM cents
 ),
 tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM digit)
@@ -891,24 +893,17 @@ def benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     contribution. [engine — not in reference]
 
     Scale design: a 9-bucket histogram — one groupBy, bounded output.
-    The first digit is extracted by INTEGER arithmetic on the cent
-    amount (c // 10^(len(str(c))-1)), never via float log10 of the
-    value, whose rounding at exact powers of ten differs between
-    engines; string length of an integer is representation-stable
-    everywhere."""
+    The first digit is the FIRST CHARACTER of the cent amount's
+    decimal string (the amounts are strictly positive bigints, so no
+    sign to strip) — the same expression in both engines, never float
+    log10/pow of the value, whose rounding at exact powers of ten is
+    engine-dependent at the precision limit."""
     o = load_table(spark, sf_dir, "orders")
     cents = o.filter(F.col("o_totalprice") > 0).select(
         F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("c")
     )
     digit = cents.select(
-        (
-            F.col("c")
-            / F.pow(F.lit(10.0), F.length(F.col("c").cast("string")) - 1).cast(
-                "bigint"
-            )
-        )
-        .cast("bigint")
-        .alias("d")
+        F.substring(F.col("c").cast("string"), 1, 1).cast("bigint").alias("d")
     )
     tot = digit.agg(F.count(F.lit(1)).alias("n"))
     return (

@@ -77,8 +77,13 @@ def _bucketed_name(sf_dir: str, table: str) -> str:
 def _pid_alive(pid: int) -> bool:
     try:
         os.kill(pid, 0)
-    except (ProcessLookupError, PermissionError, ValueError):
+    except (ProcessLookupError, ValueError):
         return False
+    except PermissionError:
+        # EPERM means the process exists but is owned by another user;
+        # treating it as dead would rmtree a live process's cache dir
+        # and reintroduce the cross-process race on shared hosts.
+        return True
     return True
 
 
