@@ -104,6 +104,15 @@ _GATE_FRONT = [
     "q_density_clusters",
     # ---- END ROUND 8 WINDOW (the 50 above are positions 0-49) ----
     # new in round 8 (insert below this line as they land; due round 9)
+    "q_spearman_corr",
+    "q_kendall_tau",
+    "q_mann_whitney",
+    "q_t_closeness",
+    "q_isotonic_calibration",
+    "q_pacf",
+    "q_mrr_eval",
+    "q_map_eval",
+    "q_referential_integrity",
     # former round-5 window remainder (newest driver rows r5 — due
     #     next after any round-8 additions)
     "q_k_anonymity",

@@ -1151,3 +1151,778 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 bootstrap_ci.__doc__ = bootstrap_ci.__doc__.format(b=_BOOT_B)
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation: daily revenue vs daily order count
+
+SPEARMAN_ORACLE = """
+WITH daily AS (
+    SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+           ROUND(SUM(o_totalprice), 2) AS rev,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM orders GROUP BY 1
+),
+r AS (
+    SELECT rev, cnt,
+           RANK() OVER (ORDER BY rev)
+               + (COUNT(*) OVER (PARTITION BY rev) - 1) / 2.0 AS ra,
+           RANK() OVER (ORDER BY cnt)
+               + (COUNT(*) OVER (PARTITION BY cnt) - 1) / 2.0 AS rb
+    FROM daily
+),
+s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(ra) AS sa, SUM(rb) AS sb,
+           SUM(ra * ra) AS saa, SUM(rb * rb) AS sbb,
+           SUM(ra * rb) AS sab,
+           SUM(rev) AS xa, SUM(cnt * 1.0) AS xb,
+           SUM(rev * rev) AS xaa, SUM(cnt * cnt * 1.0) AS xbb,
+           SUM(rev * cnt) AS xab
+    FROM r
+)
+SELECT n AS n_days,
+       ROUND((n * sab - sa * sb)
+             / NULLIF(SQRT((n * saa - sa * sa) * (n * sbb - sb * sb)), 0),
+             6) AS rho_spearman,
+       ROUND((n * xab - xa * xb)
+             / NULLIF(SQRT((n * xaa - xa * xa) * (n * xbb - xb * xb)), 0),
+             6) AS r_pearson
+FROM s
+"""
+
+
+@query("q_spearman_corr", SPEARMAN_ORACLE)
+def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (with the Pearson coefficient for
+    contrast) between daily order revenue and daily order count — the
+    monotone-association check an analyst runs before trusting a
+    linear model between two pipeline health metrics: Spearman is
+    outlier-robust where Pearson is not. Ties get textbook average
+    ranks (min-rank + (ties-1)/2). [engine — not in reference]
+
+    Scale design: the corpus collapses to the DAILY series first
+    (|days| rows, bounded by calendar time — the q_acf collapse), so
+    the unpartitioned rank windows run on a calendar-bounded frame.
+    Average ranks land on the exact 0.5 grid and every rank moment is
+    an exactly-representable double (n^3 << 2^53), so both engines'
+    sums are bit-identical regardless of summation order; only the
+    raw-value Pearson moments carry float noise, 8 orders of
+    magnitude inside the final 6dp round."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.floor(F.unix_micros(F.col("o_orderdate").cast("timestamp")) / 86_400_000_000)
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    ra = F.rank().over(Window.orderBy("rev")) + (
+        F.count(F.lit(1)).over(Window.partitionBy("rev")) - 1
+    ) / 2.0
+    rb = F.rank().over(Window.orderBy("cnt")) + (
+        F.count(F.lit(1)).over(Window.partitionBy("cnt")) - 1
+    ) / 2.0
+    r = daily.select("rev", "cnt", ra.alias("ra"), rb.alias("rb"))
+    s = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ra").alias("sa"),
+        F.sum("rb").alias("sb"),
+        F.sum(F.col("ra") * F.col("ra")).alias("saa"),
+        F.sum(F.col("rb") * F.col("rb")).alias("sbb"),
+        F.sum(F.col("ra") * F.col("rb")).alias("sab"),
+        F.sum("rev").alias("xa"),
+        F.sum(F.col("cnt") * 1.0).alias("xb"),
+        F.sum(F.col("rev") * F.col("rev")).alias("xaa"),
+        F.sum(F.col("cnt") * F.col("cnt") * 1.0).alias("xbb"),
+        F.sum(F.col("rev") * F.col("cnt")).alias("xab"),
+    )
+    n = F.col("n")
+    return s.select(
+        n.alias("n_days"),
+        F.round(
+            F.try_divide(
+                n * F.col("sab") - F.col("sa") * F.col("sb"),
+                F.nullif(
+                    F.sqrt(
+                        (n * F.col("saa") - F.col("sa") * F.col("sa"))
+                        * (n * F.col("sbb") - F.col("sb") * F.col("sb"))
+                    ),
+                    F.lit(0.0),
+                ),
+            ),
+            6,
+        ).alias("rho_spearman"),
+        F.round(
+            F.try_divide(
+                n * F.col("xab") - F.col("xa") * F.col("xb"),
+                F.nullif(
+                    F.sqrt(
+                        (n * F.col("xaa") - F.col("xa") * F.col("xa"))
+                        * (n * F.col("xbb") - F.col("xb") * F.col("xb"))
+                    ),
+                    F.lit(0.0),
+                ),
+            ),
+            6,
+        ).alias("r_pearson"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b: concordance between the same two daily series
+
+KENDALL_ORACLE = """
+WITH daily AS (
+    SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+           ROUND(SUM(o_totalprice), 2) AS rev,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM orders GROUP BY 1
+),
+p AS (
+    SELECT SUM(CASE WHEN SIGN(a.rev - b.rev) * SIGN(a.cnt - b.cnt) = 1
+                    THEN 1 ELSE 0 END) AS c,
+           SUM(CASE WHEN SIGN(a.rev - b.rev) * SIGN(a.cnt - b.cnt) = -1
+                    THEN 1 ELSE 0 END) AS d
+    FROM daily a JOIN daily b ON a.day < b.day
+),
+n_ AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+t1 AS (SELECT COALESCE(SUM(t * (t - 1) / 2), 0) AS n1
+       FROM (SELECT COUNT(*) AS t FROM daily GROUP BY rev)),
+t2 AS (SELECT COALESCE(SUM(t * (t - 1) / 2), 0) AS n2
+       FROM (SELECT COUNT(*) AS t FROM daily GROUP BY cnt))
+SELECT n_.n AS n_days,
+       CAST(COALESCE(p.c, 0) AS BIGINT) AS n_concordant,
+       CAST(COALESCE(p.d, 0) AS BIGINT) AS n_discordant,
+       ROUND((p.c - p.d)
+             / NULLIF(SQRT((n_.n * (n_.n - 1) / 2.0 - t1.n1)
+                           * (n_.n * (n_.n - 1) / 2.0 - t2.n2)), 0),
+             6) AS tau_b
+FROM p, n_, t1, t2
+"""
+
+
+@query("q_kendall_tau", KENDALL_ORACLE)
+def kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between daily revenue and daily order count —
+    the pair-concordance complement to q_spearman_corr (tau has a
+    direct probabilistic reading: P(concordant) - P(discordant)),
+    with the textbook tie corrections in the denominator.
+    [engine — not in reference]
+
+    Scale design: pairs are enumerated over the DAILY series only, so
+    the O(n^2) pair join is |days|^2 — bounded by the square of
+    calendar time, not by data volume (2,400 days is 2.9M pairs
+    forever, regardless of corpus size). The pair side is broadcast;
+    concordance counts, tie counts, and the tau denominator are all
+    exact integer arithmetic far below 2^53, so both engines agree
+    bit-for-bit before the final 6dp round."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.floor(F.unix_micros(F.col("o_orderdate").cast("timestamp")) / 86_400_000_000)
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    # rename BOTH sides: same-lineage equi-named joins self-resolve
+    a = daily.select(
+        F.col("day").alias("day_a"), F.col("rev").alias("rev_a"),
+        F.col("cnt").alias("cnt_a"),
+    )
+    b = daily.select(
+        F.col("day").alias("day_b"), F.col("rev").alias("rev_b"),
+        F.col("cnt").alias("cnt_b"),
+    )
+    sgn = F.signum(F.col("rev_a") - F.col("rev_b")) * F.signum(
+        F.col("cnt_a") - F.col("cnt_b")
+    )
+    p = (
+        a.join(F.broadcast(b), F.col("day_a") < F.col("day_b"))
+        .agg(
+            F.sum(F.when(sgn == 1, 1).otherwise(0)).alias("c"),
+            F.sum(F.when(sgn == -1, 1).otherwise(0)).alias("d"),
+        )
+    )
+    n_ = daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    t1 = (
+        daily.groupBy("rev")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) / 2), F.lit(0.0)
+            ).alias("n1")
+        )
+    )
+    t2 = (
+        daily.groupBy("cnt")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) / 2), F.lit(0.0)
+            ).alias("n2")
+        )
+    )
+    n0 = F.col("n") * (F.col("n") - 1) / 2.0
+    return (
+        p.crossJoin(F.broadcast(n_))
+        .crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+        .select(
+            F.col("n").alias("n_days"),
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("n_concordant"),
+            F.coalesce(F.col("d"), F.lit(0)).cast("long").alias("n_discordant"),
+            F.round(
+                F.try_divide(
+                    F.col("c") - F.col("d"),
+                    F.nullif(
+                        F.sqrt((n0 - F.col("n1")) * (n0 - F.col("n2"))),
+                        F.lit(0.0),
+                    ),
+                ),
+                6,
+            ).alias("tau_b"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U: rank-sum test of `value` between two event types
+
+_MW_A = "click"
+_MW_B = "view"
+
+MANN_WHITNEY_ORACLE = f"""
+WITH src AS (
+    SELECT ROUND(value, 2) AS v,
+           CAST(event_type = '{_MW_A}' AS INT) AS is_a
+    FROM events WHERE event_type IN ('{_MW_A}', '{_MW_B}')
+),
+h AS (
+    SELECT v, CAST(SUM(is_a) AS BIGINT) AS na_v,
+           CAST(COUNT(*) AS BIGINT) AS t
+    FROM src GROUP BY v
+),
+rk AS (
+    SELECT na_v, t,
+           SUM(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - t
+               + (t + 1) / 2.0 AS midrank
+    FROM h
+),
+s AS (
+    SELECT CAST(COALESCE(SUM(na_v), 0) AS BIGINT) AS na,
+           CAST(COALESCE(SUM(t - na_v), 0) AS BIGINT) AS nb,
+           SUM(na_v * midrank) AS ra,
+           SUM(t * t * t - t) AS ties
+    FROM rk
+)
+SELECT na AS n_a, nb AS n_b,
+       ra - na * (na + 1) / 2.0 AS u_stat,
+       ROUND((ra - na * (na + 1) / 2.0 - na * nb / 2.0)
+             / NULLIF(SQRT(na * nb / 12.0
+                           * ((na + nb + 1)
+                              - ties / ((na + nb) * (na + nb - 1.0)))), 0),
+             6) AS z_score
+FROM s
+"""
+
+
+@query("q_mann_whitney", MANN_WHITNEY_ORACLE)
+def mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test of event value between the
+    '{a}' and '{b}' event types — the nonparametric counterpart of
+    q_ab_ttest for when values are heavy-tailed and a mean comparison
+    would be dominated by outliers. Emits U for group '{a}' and the
+    tie-corrected normal z approximation. [engine — not in reference]
+
+    Scale design: ranks never touch individual rows. Values are
+    snapped to a fixed 2dp grid and the test runs on the VALUE
+    HISTOGRAM: midranks fall out of the cumulative counts (cum - t +
+    (t+1)/2), the rank sum is sum(na_v * midrank), and the tie
+    correction is sum(t^3 - t) — all from one groupBy whose output is
+    bounded by the value grid (range / resolution), not by row count.
+    The single-partition window runs over that bounded histogram.
+    Midranks land on the exact 0.5 grid, so every moment is an
+    exactly-representable double and both engines agree bit-for-bit
+    before the final 6dp round of z."""
+    e = load_table(spark, sf_dir, "events")
+    src = e.filter(F.col("event_type").isin(_MW_A, _MW_B)).select(
+        F.round("value", 2).alias("v"),
+        (F.col("event_type") == _MW_A).cast("int").alias("is_a"),
+    )
+    h = src.groupBy("v").agg(
+        F.sum("is_a").cast("long").alias("na_v"),
+        F.count(F.lit(1)).alias("t"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    rk = h.select(
+        "na_v",
+        "t",
+        (F.sum("t").over(w) - F.col("t") + (F.col("t") + 1) / 2.0).alias("midrank"),
+    )
+    s = rk.agg(
+        F.coalesce(F.sum("na_v"), F.lit(0)).cast("long").alias("na"),
+        F.coalesce(F.sum(F.col("t") - F.col("na_v")), F.lit(0)).cast("long").alias("nb"),
+        F.sum(F.col("na_v") * F.col("midrank")).alias("ra"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("ties"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    u = F.col("ra") - na * (na + 1) / 2.0
+    return s.select(
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        u.alias("u_stat"),
+        F.round(
+            F.try_divide(
+                u - na * nb / 2.0,
+                F.nullif(
+                    F.sqrt(
+                        na
+                        * nb
+                        / 12.0
+                        * (
+                            (na + nb + 1)
+                            - F.col("ties") / ((na + nb) * (na + nb - 1.0))
+                        )
+                    ),
+                    F.lit(0.0),
+                ),
+            ),
+            6,
+        ).alias("z_score"),
+    )
+
+
+mann_whitney.__doc__ = mann_whitney.__doc__.format(a=_MW_A, b=_MW_B)
+
+
+# ---------------------------------------------------------------------------
+# t-closeness audit: ordered EMD of sensitive values inside QI groups
+
+_TCLOSE_T = 0.2
+
+T_CLOSENESS_ORACLE = f"""
+WITH rows_ AS (
+    SELECT event_type,
+           CAST(epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) // 3600000000 AS BIGINT) AS hour,
+           CAST(FLOOR(TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) / 10)
+                AS BIGINT) AS sens
+    FROM events
+),
+clean AS (SELECT * FROM rows_ WHERE sens IS NOT NULL),
+gdist AS (SELECT sens, CAST(COUNT(*) AS BIGINT) AS gn FROM clean GROUP BY sens),
+tot AS (SELECT CAST(SUM(gn) AS BIGINT) AS nn,
+               CAST(COUNT(*) AS BIGINT) AS m FROM gdist),
+grp AS (SELECT event_type, hour, CAST(COUNT(*) AS BIGINT) AS ng
+        FROM clean GROUP BY event_type, hour),
+cell AS (
+    SELECT event_type, hour, sens, CAST(COUNT(*) AS BIGINT) AS n
+    FROM clean GROUP BY event_type, hour, sens
+),
+grid AS (
+    SELECT g.event_type, g.hour, g.ng, gdist.sens, gdist.gn,
+           COALESCE(cell.n, 0) AS n
+    FROM grp g CROSS JOIN gdist
+    LEFT JOIN cell ON cell.event_type = g.event_type
+                  AND cell.hour = g.hour AND cell.sens = gdist.sens
+),
+cum AS (
+    SELECT event_type, hour, ng,
+           SUM(n) OVER (PARTITION BY event_type, hour ORDER BY sens
+                        ROWS UNBOUNDED PRECEDING) AS cg,
+           SUM(gn) OVER (PARTITION BY event_type, hour ORDER BY sens
+                         ROWS UNBOUNDED PRECEDING) AS cglob
+    FROM grid
+),
+tg AS (
+    SELECT event_type, hour,
+           ROUND(SUM(ABS(cg / (ng * 1.0) - cglob / (tot.nn * 1.0)))
+                 / (tot.m - 1), 6) AS t
+    FROM cum, tot GROUP BY event_type, hour, tot.m
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(ANY_VALUE(tot.m) AS BIGINT) AS m_categories,
+       ROUND(MAX(t), 6) AS max_t,
+       ROUND(AVG(t), 6) AS avg_t,
+       CAST(SUM(CASE WHEN t > {_TCLOSE_T} THEN 1 ELSE 0 END) AS BIGINT)
+           AS violating_groups
+FROM tg, tot
+"""
+
+
+@query("q_t_closeness", T_CLOSENESS_ORACLE)
+def t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li et al. 2007), completing the privacy
+    trio with q_k_anonymity and q_l_diversity: for each
+    (event_type, hour) quasi-identifier group, the distance between
+    the group's sensitive-value distribution and the global one must
+    not exceed t. For an ORDERED sensitive attribute the Earth Mover's
+    Distance is the mean absolute difference of the two CDFs —
+    sum |cumP_g - cumP| / (m - 1). Threshold t = {t}.
+    [engine — not in reference]
+
+    Scale design: one census per grain (global / group / cell — three
+    groupBys over one scan each), then the CDF grid is |groups| x |m|
+    rows where m is the sensitive-category cardinality (~10), built by
+    crossing the group census with the broadcast global census — never
+    the corpus. Cumulative sums run in per-group windows over m rows.
+    All cumulative counts are exact integers; the CDF divisions are
+    deterministic IEEE ops on identical integers in both engines, and
+    each per-group EMD is 6dp-rounded before the threshold compare and
+    the max/avg summary."""
+    e = load_table(spark, sf_dir, "events")
+    sens = F.floor(
+        F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("bigint") / 10
+    ).cast("bigint")
+    clean = e.select(
+        "event_type",
+        F.floor(F.unix_micros(F.date_trunc("hour", "ts")) / 3_600_000_000)
+        .cast("bigint")
+        .alias("hour"),
+        sens.alias("sens"),
+    ).filter(F.col("sens").isNotNull())
+    glob = clean.groupBy("sens").agg(F.count(F.lit(1)).alias("gn"))
+    tot = glob.agg(
+        F.sum("gn").cast("long").alias("nn"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    grp = clean.groupBy("event_type", "hour").agg(F.count(F.lit(1)).alias("ng"))
+    cell = clean.groupBy("event_type", "hour", "sens").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # rename the glob key before the grid join (same-lineage hazard)
+    grid = (
+        grp.crossJoin(F.broadcast(glob.select(F.col("sens").alias("gsens"), "gn")))
+        .join(
+            cell.select(
+                F.col("event_type").alias("c_et"),
+                F.col("hour").alias("c_hour"),
+                F.col("sens").alias("c_sens"),
+                "n",
+            ),
+            (F.col("event_type") == F.col("c_et"))
+            & (F.col("hour") == F.col("c_hour"))
+            & (F.col("gsens") == F.col("c_sens")),
+            "left",
+        )
+        .select(
+            "event_type",
+            "hour",
+            "ng",
+            F.col("gsens").alias("sens"),
+            "gn",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+    )
+    w = Window.partitionBy("event_type", "hour").orderBy("sens").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = grid.select(
+        "event_type",
+        "hour",
+        "ng",
+        F.sum("n").over(w).alias("cg"),
+        F.sum("gn").over(w).alias("cglob"),
+    )
+    tg = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("event_type", "hour", "m")
+        .agg(
+            F.round(
+                F.sum(
+                    F.abs(
+                        F.col("cg") / (F.col("ng") * 1.0)
+                        - F.col("cglob") / (F.col("nn") * 1.0)
+                    )
+                )
+                / (F.col("m") - 1),
+                6,
+            ).alias("t")
+        )
+    )
+    return tg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.first("m").cast("long").alias("m_categories"),
+        F.round(F.max("t"), 6).alias("max_t"),
+        F.round(F.avg("t"), 6).alias("avg_t"),
+        F.sum((F.col("t") > _TCLOSE_T).cast("int")).cast("long").alias(
+            "violating_groups"
+        ),
+    )
+
+
+t_closeness.__doc__ = t_closeness.__doc__.format(t=_TCLOSE_T)
+
+
+# ---------------------------------------------------------------------------
+# isotonic calibration: PAV fit of the vowel-detector reliability curve
+
+_ISO_BINS = 20
+
+ISOTONIC_ORACLE = f"""
+WITH scored AS (
+    SELECT LEAST(ROUND(CAST(len(regexp_replace(text, '[^aeiou]', '', 'g')) AS DOUBLE)
+                       / GREATEST(len(text), 1), 4) * 2.0, 1.0) AS p,
+           CAST(lang = 'en' AS INT) AS y
+    FROM documents
+),
+b0 AS (
+    SELECT LEAST(CAST(FLOOR(p * {_ISO_BINS}) AS BIGINT), {_ISO_BINS - 1}) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS w,
+           CAST(SUM(y) AS BIGINT) AS s
+    FROM scored GROUP BY 1
+),
+b AS (
+    SELECT bin, w, s,
+           CAST(ROW_NUMBER() OVER (ORDER BY bin) AS BIGINT) AS i,
+           SUM(w) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cw,
+           SUM(s) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cs
+    FROM b0
+),
+pr AS (
+    SELECT j.i AS ji, k.i AS ki,
+           (k.cs - (j.cs - j.s)) / ((k.cw - (j.cw - j.w)) * 1.0) AS a
+    FROM b j JOIN b k ON j.i <= k.i
+),
+mn AS (
+    SELECT i.i AS ii, pr.ji, MIN(pr.a) AS m
+    FROM b i JOIN pr ON pr.ji <= i.i AND pr.ki >= i.i
+    GROUP BY i.i, pr.ji
+),
+fit AS (SELECT ii, MAX(m) AS f FROM mn GROUP BY ii)
+SELECT b.bin AS bin, b.w AS n_bin,
+       ROUND(b.s / (b.w * 1.0), 6) AS raw_rate,
+       ROUND(fit.f, 6) AS iso_rate
+FROM b JOIN fit ON fit.ii = b.i
+ORDER BY bin
+"""
+
+
+@query("q_isotonic_calibration", ISOTONIC_ORACLE)
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration of the vowel-ratio English-detector
+    whose reliability diagram q_calibration_ece draws: fit the
+    monotone step function that minimizes squared error to the per-bin
+    empirical accuracies — the standard score-calibration step before
+    thresholding a filter model. Instead of the sequential
+    pool-adjacent-violators sweep, the fit uses PAV's minimax
+    CLOSED FORM, fitted(i) = max_(j<=i) min_(k>=i) avg(y over bins
+    j..k), which is order-free and hence expressible in both engines.
+    [engine — not in reference]
+
+    Scale design: the corpus is reduced to a {b}-bin (weight, sum)
+    histogram in one groupBy — from there the minimax runs on at most
+    {b}^2 interval averages and {b}^3 join rows, constants independent
+    of data volume. Interval averages are exact-integer prefix-sum
+    differences divided once (identical IEEE doubles in both engines);
+    min/max are exact, so the fit matches bit-for-bit before the 6dp
+    round."""
+    d = load_table(spark, sf_dir, "documents")
+    vowels = F.length(F.regexp_replace("text", "[^aeiou]", ""))
+    p = F.least(
+        F.round(vowels.cast("double") / F.greatest(F.length("text"), F.lit(1)), 4)
+        * 2.0,
+        F.lit(1.0),
+    )
+    scored = d.select(p.alias("p"), (F.col("lang") == "en").cast("int").alias("y"))
+    b0 = scored.groupBy(
+        F.least(F.floor(F.col("p") * _ISO_BINS), F.lit(_ISO_BINS - 1))
+        .cast("long")
+        .alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("w"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    ww = Window.orderBy("bin")  # <= {b}-row frame: single partition fine
+    cw = ww.rowsBetween(Window.unboundedPreceding, 0)
+    b = b0.select(
+        "bin",
+        "w",
+        "s",
+        F.row_number().over(ww).cast("long").alias("i"),
+        F.sum("w").over(cw).alias("cw"),
+        F.sum("s").over(cw).alias("cs"),
+    )
+    bj = b.select(
+        F.col("i").alias("ji"), F.col("w").alias("jw"), F.col("s").alias("js"),
+        F.col("cw").alias("jcw"), F.col("cs").alias("jcs"),
+    )
+    bk = b.select(
+        F.col("i").alias("ki"), F.col("cw").alias("kcw"), F.col("cs").alias("kcs"),
+    )
+    pr = bj.join(F.broadcast(bk), F.col("ji") <= F.col("ki")).select(
+        "ji",
+        "ki",
+        (
+            (F.col("kcs") - (F.col("jcs") - F.col("js")))
+            / ((F.col("kcw") - (F.col("jcw") - F.col("jw"))) * 1.0)
+        ).alias("a"),
+    )
+    bi = b.select(F.col("i").alias("ii"))
+    mn = (
+        bi.join(
+            F.broadcast(pr),
+            (F.col("ji") <= F.col("ii")) & (F.col("ki") >= F.col("ii")),
+        )
+        .groupBy("ii", "ji")
+        .agg(F.min("a").alias("m"))
+    )
+    fit = mn.groupBy("ii").agg(F.max("m").alias("f"))
+    return (
+        b.join(F.broadcast(fit), F.col("i") == F.col("ii"))
+        .select(
+            "bin",
+            F.col("w").alias("n_bin"),
+            F.round(F.col("s") / (F.col("w") * 1.0), 6).alias("raw_rate"),
+            F.round(F.col("f"), 6).alias("iso_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+isotonic_calibration.__doc__ = isotonic_calibration.__doc__.format(b=_ISO_BINS)
+
+
+# ---------------------------------------------------------------------------
+# partial autocorrelation of the daily-revenue series, lags 1..4
+
+_PACF_MAX_LAG = 4
+
+PACF_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+           ROUND(SUM(o_totalprice), 2) AS rev
+    FROM orders GROUP BY 1
+),
+m AS (SELECT ROUND(AVG(rev), 6) AS mu FROM daily),
+lagged AS (
+    SELECT rev,
+           {", ".join(f"LAG(rev, {k}) OVER (ORDER BY day) AS rev_{k}" for k in range(1, _PACF_MAX_LAG + 1))}
+    FROM daily
+),
+sums AS (
+    SELECT SUM((rev - m.mu) * (rev - m.mu)) AS d,
+           {", ".join(f"SUM((rev - m.mu) * (rev_{k} - m.mu)) AS n{k}" for k in range(1, _PACF_MAX_LAG + 1))}
+    FROM lagged, m
+),
+r AS (
+    SELECT {", ".join(f"ROUND(n{k} / NULLIF(d, 0), 6) AS r{k}" for k in range(1, _PACF_MAX_LAG + 1))}
+    FROM sums
+),
+lv1 AS (SELECT *, r1 AS p1,
+               (r2 - r1 * r1) / NULLIF(1 - r1 * r1, 0) AS p2 FROM r),
+lv2 AS (SELECT *, r1 - p2 * r1 AS a21 FROM lv1),
+lv3 AS (SELECT *, (r3 - a21 * r2 - p2 * r1)
+                  / NULLIF(1 - a21 * r1 - p2 * r2, 0) AS p3 FROM lv2),
+lv4 AS (SELECT *, a21 - p3 * p2 AS a31, p2 - p3 * a21 AS a32 FROM lv3),
+lv5 AS (SELECT *, (r4 - a31 * r3 - a32 * r2 - p3 * r1)
+                  / NULLIF(1 - a31 * r1 - a32 * r2 - p3 * r3, 0) AS p4 FROM lv4)
+SELECT lag, pacf FROM (
+    SELECT CAST(1 AS BIGINT) AS lag, ROUND(p1, 6) AS pacf FROM lv5
+    UNION ALL SELECT CAST(2 AS BIGINT), ROUND(p2, 6) FROM lv5
+    UNION ALL SELECT CAST(3 AS BIGINT), ROUND(p3, 6) FROM lv5
+    UNION ALL SELECT CAST(4 AS BIGINT), ROUND(p4, 6) FROM lv5
+) ORDER BY lag
+"""
+
+
+@query("q_pacf", PACF_ORACLE)
+def pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of the daily order-revenue series at
+    lags 1..{maxlag} via the Durbin-Levinson recursion — q_acf's
+    companion diagnostic: ACF tails identify MA order, PACF cutoffs
+    identify AR order, together they pick the model the forecasting
+    ops (q_ewma / q_holt_forecast) approximate.
+    [engine — not in reference]
+
+    Scale design: identical collapse to q_acf — the corpus reduces to
+    the calendar-bounded daily series, one pass computes the lag-k
+    autocovariances, and from there Durbin-Levinson is pure scalar
+    algebra on a one-row frame. The recursion's inputs are the
+    6dp-ROUNDED autocorrelations (q_acf's own outputs), and the unroll
+    uses only +,-,*,/ written with identical association in both
+    engines, so every intermediate double is bit-identical — the
+    fixed-unroll trick from the Lloyd/Newton-Schulz oracles applied to
+    a linear recursion."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.floor(F.unix_micros(F.col("o_orderdate").cast("timestamp")) / 86_400_000_000)
+        .cast("bigint")
+        .alias("day")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    m = daily.agg(F.round(F.avg("rev"), 6).alias("mu"))
+    w = Window.orderBy("day")  # |days|-bounded series: single partition OK
+    lag_cols = [
+        F.lag("rev", k).over(w).alias(f"rev_{k}")
+        for k in range(1, _PACF_MAX_LAG + 1)
+    ]
+    lagged = daily.select("rev", *lag_cols).crossJoin(F.broadcast(m))
+    sums = lagged.agg(
+        F.sum((F.col("rev") - F.col("mu")) * (F.col("rev") - F.col("mu"))).alias("d"),
+        *[
+            F.sum(
+                (F.col("rev") - F.col("mu")) * (F.col(f"rev_{k}") - F.col("mu"))
+            ).alias(f"n{k}")
+            for k in range(1, _PACF_MAX_LAG + 1)
+        ],
+    )
+    r = sums.select(
+        *[
+            F.round(
+                F.try_divide(F.col(f"n{k}"), F.nullif(F.col("d"), F.lit(0.0))), 6
+            ).alias(f"r{k}")
+            for k in range(1, _PACF_MAX_LAG + 1)
+        ]
+    )
+    c = F.col
+    lv = (
+        r.withColumn("p1", c("r1"))
+        .withColumn(
+            "p2",
+            F.try_divide(
+                c("r2") - c("r1") * c("r1"),
+                F.nullif(1 - c("r1") * c("r1"), F.lit(0.0)),
+            ),
+        )
+        .withColumn("a21", c("r1") - c("p2") * c("r1"))
+        .withColumn(
+            "p3",
+            F.try_divide(
+                c("r3") - c("a21") * c("r2") - c("p2") * c("r1"),
+                F.nullif(
+                    1 - c("a21") * c("r1") - c("p2") * c("r2"), F.lit(0.0)
+                ),
+            ),
+        )
+        .withColumn("a31", c("a21") - c("p3") * c("p2"))
+        .withColumn("a32", c("p2") - c("p3") * c("a21"))
+        .withColumn(
+            "p4",
+            F.try_divide(
+                c("r4") - c("a31") * c("r3") - c("a32") * c("r2") - c("p3") * c("r1"),
+                F.nullif(
+                    1 - c("a31") * c("r1") - c("a32") * c("r2") - c("p3") * c("r3"),
+                    F.lit(0.0),
+                ),
+            ),
+        )
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("long").alias("lag"),
+                F.round(c(f"p{k}"), 6).alias("pacf"),
+            )
+            for k in range(1, _PACF_MAX_LAG + 1)
+        ]
+    )
+    return (
+        lv.select(F.explode(pairs).alias("kv"))
+        .select("kv.lag", "kv.pacf")
+        .orderBy("lag")
+    )
+
+
+pacf.__doc__ = pacf.__doc__.format(maxlag=_PACF_MAX_LAG)

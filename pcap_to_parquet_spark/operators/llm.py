@@ -4832,3 +4832,186 @@ def lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 lsh_recall.__doc__ = lsh_recall.__doc__.format(slice=_LSHR_SLICE, tau=_LSHR_TAU)
+
+
+# ---------------------------------------------------------------------------
+# retrieval evaluation: MRR@10 and MAP@10 over a multi-query panel
+
+_REVAL_Q = 8  # query panel: vec_id 0..7; corpus: vec_id >= 8
+_REVAL_K = 10
+
+_REVAL_RANKED_SQL = f"""
+q AS (SELECT vec_id AS qid, embedding AS qe, label AS ql
+      FROM embeddings WHERE vec_id < {_REVAL_Q}),
+ranked AS (
+    SELECT q.qid, CAST(b.label = q.ql AS INT) AS rel,
+           ROW_NUMBER() OVER (
+               PARTITION BY q.qid
+               ORDER BY ROUND(CAST(list_cosine_similarity(
+                   q.qe::DOUBLE[], b.embedding::DOUBLE[]) AS DOUBLE), 9)
+                        DESC, b.vec_id) AS rnk
+    FROM embeddings b, q
+    WHERE b.vec_id >= {_REVAL_Q}
+)
+"""
+
+MRR_ORACLE = f"""
+WITH {_REVAL_RANKED_SQL},
+rr AS (
+    SELECT qid,
+           COALESCE(MAX(CASE WHEN rel = 1 THEN 1.0 / rnk END), 0.0) AS rr
+    FROM ranked WHERE rnk <= {_REVAL_K} GROUP BY qid
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       ROUND(AVG(rr), 6) AS mrr_at_k
+FROM rr
+"""
+
+
+@query("q_mrr_eval", MRR_ORACLE)
+def mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank at {k} of the brute-force cosine retriever
+    over an {q}-query panel (vec_id 0..{qm} query the vec_id >= {q}
+    corpus; relevance = label match) — the navigational-search metric
+    that complements q_ndcg_eval's single-query graded view: MRR only
+    cares where the FIRST relevant hit lands. [engine — not in
+    reference]
+
+    Scale design: the query panel is a broadcast ({q} rows) against
+    one corpus scan — the q_knn_join shape — and the ranking window is
+    PARTITIONED BY query over each query's result list, so adding
+    queries scales the partition count, not the partition size. The
+    reciprocal rank is exact rational arithmetic on window ranks
+    (1/rnk has no float-noise ordering hazard once the rank is fixed);
+    the ranking itself orders on ROUND(cos, 9) before the id tiebreak
+    for cross-libm determinism."""
+    em = load_table(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") < _REVAL_Q).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("ql"),
+    )
+    ranked = (
+        em.filter(F.col("vec_id") >= _REVAL_Q)
+        .join(F.broadcast(q))
+        .select(
+            "qid",
+            (F.col("label") == F.col("ql")).cast("int").alias("rel"),
+            cosine_similarity("qe", "embedding").alias("c"),
+            "vec_id",
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.round("c", 9).desc(), "vec_id"
+                )
+            ),
+        )
+    )
+    rr = (
+        ranked.filter(F.col("rnk") <= _REVAL_K)
+        .groupBy("qid")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("rel") == 1, 1.0 / F.col("rnk"))), F.lit(0.0)
+            ).alias("rr")
+        )
+    )
+    return rr.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.round(F.avg("rr"), 6).alias("mrr_at_k"),
+    )
+
+
+mrr_eval.__doc__ = mrr_eval.__doc__.format(k=_REVAL_K, q=_REVAL_Q, qm=_REVAL_Q - 1)
+
+
+MAP_ORACLE = f"""
+WITH {_REVAL_RANKED_SQL},
+nrel AS (SELECT qid, CAST(SUM(rel) AS BIGINT) AS r FROM ranked GROUP BY qid),
+prec AS (
+    SELECT qid, rel, rnk,
+           SUM(rel) OVER (PARTITION BY qid ORDER BY rnk
+                          ROWS UNBOUNDED PRECEDING) / (rnk * 1.0) AS p_at_k
+    FROM ranked WHERE rnk <= {_REVAL_K}
+),
+ap AS (
+    SELECT prec.qid,
+           COALESCE(SUM(CASE WHEN rel = 1 THEN p_at_k END), 0.0)
+               / NULLIF(LEAST(ANY_VALUE(nrel.r), {_REVAL_K}), 0) AS ap
+    FROM prec JOIN nrel ON nrel.qid = prec.qid
+    GROUP BY prec.qid
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       ROUND(AVG(COALESCE(ap, 0.0)), 6) AS map_at_k
+FROM ap
+"""
+
+
+@query("q_map_eval", MAP_ORACLE)
+def map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean average precision at {k} over the same {q}-query panel as
+    q_mrr_eval — the recall-weighted retrieval metric: AP integrates
+    precision at every relevant hit, normalized by min(R, {k}) where R
+    is the query's total relevant count, so it rewards putting ALL the
+    relevant docs early, not just the first. [engine — not in
+    reference]
+
+    Scale design: identical broadcast-panel shape to q_mrr_eval; the
+    precision-at-k prefix sums run in per-query windows over top-{k}
+    result lists ({k} rows per query). All arithmetic is exact
+    rationals on window ranks and integer cumulative counts until the
+    final 6dp round."""
+    em = load_table(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") < _REVAL_Q).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("ql"),
+    )
+    ranked = (
+        em.filter(F.col("vec_id") >= _REVAL_Q)
+        .join(F.broadcast(q))
+        .select(
+            "qid",
+            (F.col("label") == F.col("ql")).cast("int").alias("rel"),
+            cosine_similarity("qe", "embedding").alias("c"),
+            "vec_id",
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.round("c", 9).desc(), "vec_id"
+                )
+            ),
+        )
+    )
+    nrel = ranked.groupBy("qid").agg(F.sum("rel").cast("long").alias("r"))
+    wp = Window.partitionBy("qid").orderBy("rnk").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    prec = ranked.filter(F.col("rnk") <= _REVAL_K).select(
+        "qid",
+        "rel",
+        (F.sum("rel").over(wp) / (F.col("rnk") * 1.0)).alias("p_at_k"),
+    )
+    ap = (
+        prec.join(nrel.select(F.col("qid").alias("nq"), "r"), F.col("qid") == F.col("nq"))
+        .groupBy("qid")
+        .agg(
+            F.try_divide(
+                F.coalesce(
+                    F.sum(F.when(F.col("rel") == 1, F.col("p_at_k"))), F.lit(0.0)
+                ),
+                F.nullif(F.least(F.first("r"), F.lit(_REVAL_K)), F.lit(0)),
+            ).alias("ap")
+        )
+    )
+    return ap.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.round(F.avg(F.coalesce(F.col("ap"), F.lit(0.0))), 6).alias("map_at_k"),
+    )
+
+
+map_eval.__doc__ = map_eval.__doc__.format(k=_REVAL_K, q=_REVAL_Q)

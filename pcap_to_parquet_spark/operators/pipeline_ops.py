@@ -1215,3 +1215,74 @@ def dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 dp_counts.__doc__ = dp_counts.__doc__.format(eps=_DP_EPS)
+
+
+# ---------------------------------------------------------------------------
+# referential-integrity audit: FK orphan census across the star schema
+
+_RI_EDGES = [
+    # (label, child table, child key, parent table, parent key)
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+REFERENTIAL_INTEGRITY_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{label}' AS fk,
+       CAST(COUNT(*) AS BIGINT) AS n_child,
+       CAST(COALESCE(SUM(CASE WHEN p.{pkey} IS NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_orphan,
+       CAST(COUNT(DISTINCT CASE WHEN p.{pkey} IS NULL THEN c.{ckey} END)
+           AS BIGINT) AS n_orphan_keys
+FROM {child} c LEFT JOIN {parent} p ON c.{ckey} = p.{pkey}"""
+    for label, child, ckey, parent, pkey in _RI_EDGES
+) + "\nORDER BY fk"
+
+
+@query("q_referential_integrity", REFERENTIAL_INTEGRITY_ORACLE)
+def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the warehouse's FK graph: for
+    each of the 7 foreign-key edges of the TPC-H star schema, count
+    child rows, orphan rows (child key with no parent), and distinct
+    orphan key values — the first data-quality gate any ingest
+    pipeline runs before joining, because a silently-broken FK turns
+    every downstream inner join into a row-dropper.
+    [engine — not in reference]
+
+    Scale design: each edge is ONE join against the parent's primary
+    key summarized to a single row — nothing but the 7-row census
+    leaves the executors. Parent keys are unique, so the left join
+    never fans out; small dimensions (nation, region) broadcast and
+    the fact-table edges shuffle on the join key exactly once. At
+    lake scale the same audit runs per-partition incrementally; the
+    full-scan form here is the backfill shape."""
+    out = None
+    for label, child, ckey, parent, pkey in _RI_EDGES:
+        c = load_table(spark, sf_dir, child).select(F.col(ckey).alias("ck"))
+        p = load_table(spark, sf_dir, parent).select(F.col(pkey).alias("pk"))
+        row = (
+            c.join(p, F.col("ck") == F.col("pk"), "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_child"),
+                F.coalesce(
+                    F.sum(F.when(F.col("pk").isNull(), 1).otherwise(0)), F.lit(0)
+                )
+                .cast("long")
+                .alias("n_orphan"),
+                F.countDistinct(
+                    F.when(F.col("pk").isNull(), F.col("ck"))
+                ).alias("n_orphan_keys"),
+            )
+            .select(
+                F.lit(label).alias("fk"),
+                "n_child",
+                "n_orphan",
+                "n_orphan_keys",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("fk")

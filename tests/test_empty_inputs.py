@@ -193,6 +193,8 @@ EMPTY_SAFE = [
     "q_naive_bayes",
     "q_benford",
     "q_bootstrap_ci",
+    # round 8
+    "q_isotonic_calibration",
 ]
 
 # global aggregates return one constant row on empty input (their
@@ -226,6 +228,15 @@ CONSTANT_ON_EMPTY = {
     "q_jackknife_ci": 1,  # global estimator row: n 0, NULLs
     "q_anova_f": 1,  # global test row, NULL sums of squares
     "q_ips_eval": 1,  # global estimator row: n 0, n_matched 0
+    # round 8
+    "q_spearman_corr": 1,  # global correlation row: n_days 0, NULLs
+    "q_kendall_tau": 1,  # global concordance row: zero counts, NULL tau
+    "q_mann_whitney": 1,  # global test row: zero counts, NULL u/z
+    "q_t_closeness": 1,  # census summary row: n_groups 0
+    "q_pacf": 4,  # one row per lag, NULL pacf
+    "q_mrr_eval": 1,  # metric row: n_queries 0, NULL mrr
+    "q_map_eval": 1,  # metric row: n_queries 0, NULL map
+    "q_referential_integrity": 7,  # one row per FK edge, zero counts
 }
 
 

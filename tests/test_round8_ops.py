@@ -1,0 +1,280 @@
+"""Round-8 operator tests: planted-data semantics pins for the rank
+statistics, privacy-EMD, calibration-fit, retrieval-metric, and
+FK-audit operators.
+
+Oracle parity is the driver's job (tools/check_oracle.py replays it);
+these pin what the operators MEAN — that Spearman saturates on any
+monotone relation where Pearson doesn't, that a concordant series
+gives tau = 1, that PAV output is monotone and mass-preserving, that
+MRR/MAP hit 1.0 when retrieval is perfect, that orphan keys are
+counted exactly.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import pcap_to_parquet_spark.operators  # noqa: E402,F401  (registers queries)
+from pcap_to_parquet_spark.registry import QUERIES  # noqa: E402
+
+SF0001 = "/root/testdata/sf0.001"
+
+_T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+_ORDER_SCHEMA = (
+    "o_orderkey long, o_custkey long, o_orderstatus string, "
+    "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+)
+_EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+_EMBED_SCHEMA = "vec_id long, embedding array<float>, label int"
+
+
+def _write(spark, path, rows, schema, name):
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        str(path / f"{name}.parquet")
+    )
+
+
+def _orders_by_day(spark, path, day_specs):
+    """day_specs: list of (day_index, [prices]) -> one order per price."""
+    rows = []
+    k = 0
+    for day, prices in day_specs:
+        for p in prices:
+            rows.append(
+                (k, k, "O", float(p), _T0 + dt.timedelta(days=day), "1-URGENT")
+            )
+            k += 1
+    _write(spark, path, rows, _ORDER_SCHEMA, "orders")
+
+
+# ---------------------------------------------------------------------------
+# Spearman / Kendall
+
+
+def test_spearman_saturates_on_monotone_nonlinear(spark, tmp_path):
+    """rev = cnt^3 is perfectly monotone in cnt -> rho exactly 1 while
+    Pearson stays strictly below 1 (the relation is convex)."""
+    specs = [(d, [float(d**2)] * d) for d in range(1, 7)]  # rev = d^3, cnt = d
+    _orders_by_day(spark, tmp_path, specs)
+    r = QUERIES["q_spearman_corr"](spark, str(tmp_path)).collect()[0]
+    assert r.n_days == 6
+    assert r.rho_spearman == 1.0
+    assert 0.0 < r.r_pearson < 1.0
+
+
+def test_spearman_antimonotone_is_minus_one(spark, tmp_path):
+    # cnt = d rises while the DAILY TOTAL (one priced order + d-1 free
+    # ones) falls: rev = 100 - d^2
+    specs = [(d, [float(100 - d**2)] + [0.0] * (d - 1)) for d in range(1, 6)]
+    _orders_by_day(spark, tmp_path, specs)
+    r = QUERIES["q_spearman_corr"](spark, str(tmp_path)).collect()[0]
+    assert r.rho_spearman == -1.0
+
+
+def test_kendall_counts_all_pairs_concordant(spark, tmp_path):
+    """Strictly co-monotone series with no ties: every one of the
+    n(n-1)/2 day pairs is concordant -> tau_b = 1."""
+    specs = [(d, [float(10 * d)] * d) for d in range(1, 6)]  # n = 5 days
+    _orders_by_day(spark, tmp_path, specs)
+    r = QUERIES["q_kendall_tau"](spark, str(tmp_path)).collect()[0]
+    assert r.n_days == 5
+    assert r.n_concordant == 10
+    assert r.n_discordant == 0
+    assert r.tau_b == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney
+
+
+def test_mann_whitney_separated_groups(spark, tmp_path):
+    """Every 'click' value above every 'view' value -> U = na*nb (the
+    maximum) and z > 0; the rank machinery must not lose mass."""
+    rows = []
+    for i in range(5):
+        rows.append((i, _T0, i, "click", 10.0 + i, "{}"))
+        rows.append((100 + i, _T0, i, "view", 1.0 + i, "{}"))
+    _write(spark, tmp_path, rows, _EVENT_SCHEMA, "events")
+    r = QUERIES["q_mann_whitney"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_a, r.n_b) == (5, 5)
+    assert r.u_stat == 25.0
+    assert r.z_score > 2.0
+
+
+def test_mann_whitney_identical_groups_z_zero(spark, tmp_path):
+    """Identical value multisets -> all ranks tie pairwise, U = na*nb/2
+    exactly, z = 0."""
+    rows = []
+    for i in range(6):
+        rows.append((i, _T0, i, "click", float(i % 3), "{}"))
+        rows.append((100 + i, _T0, i, "view", float(i % 3), "{}"))
+    _write(spark, tmp_path, rows, _EVENT_SCHEMA, "events")
+    r = QUERIES["q_mann_whitney"](spark, str(tmp_path)).collect()[0]
+    assert r.u_stat == 18.0  # 6*6/2
+    assert r.z_score == 0.0
+
+
+# ---------------------------------------------------------------------------
+# t-closeness
+
+
+def test_t_closeness_zero_when_groups_mirror_global(spark, tmp_path):
+    """Two groups with IDENTICAL sensitive distributions -> both match
+    the global distribution exactly -> max_t = 0, no violations."""
+    rows = []
+    for g, hour in enumerate([0, 1]):
+        for i in range(10):
+            rows.append(
+                (g * 100 + i, _T0 + dt.timedelta(hours=hour), i, "view",
+                 1.0, f'{{"k": {(i % 5) * 10}}}')
+            )
+    _write(spark, tmp_path, rows, _EVENT_SCHEMA, "events")
+    r = QUERIES["q_t_closeness"](spark, str(tmp_path)).collect()[0]
+    assert r.n_groups == 2
+    assert r.m_categories == 5
+    assert r.max_t == 0.0
+    assert r.violating_groups == 0
+
+
+def test_t_closeness_flags_skewed_group(spark, tmp_path):
+    """One group concentrated on a single sensitive decile against a
+    spread global distribution -> its EMD exceeds t -> flagged."""
+    rows = []
+    # group 0: all in decile 0
+    for i in range(10):
+        rows.append((i, _T0, i, "view", 1.0, '{"k": 0}'))
+    # group 1: uniform over deciles 0..4
+    for i in range(10):
+        rows.append(
+            (100 + i, _T0 + dt.timedelta(hours=1), i, "view", 1.0,
+             f'{{"k": {(i % 5) * 10}}}')
+        )
+    _write(spark, tmp_path, rows, _EVENT_SCHEMA, "events")
+    r = QUERIES["q_t_closeness"](spark, str(tmp_path)).collect()[0]
+    assert r.n_groups == 2
+    assert r.violating_groups >= 1
+    assert r.max_t > 0.2
+
+
+# ---------------------------------------------------------------------------
+# isotonic calibration (PAV)
+
+
+def test_isotonic_fit_is_monotone_and_mass_preserving(spark):
+    """PAV invariants on real data: fitted rates are non-decreasing in
+    score bin, lie in [0,1], and pooling preserves total label mass
+    (sum w*iso == sum w*raw)."""
+    rows = QUERIES["q_isotonic_calibration"](spark, SF0001).collect()
+    assert len(rows) >= 2
+    iso = [r.iso_rate for r in rows]
+    assert iso == sorted(iso)
+    for r in rows:
+        assert 0.0 <= r.iso_rate <= 1.0
+    mass_raw = sum(r.n_bin * r.raw_rate for r in rows)
+    mass_iso = sum(r.n_bin * r.iso_rate for r in rows)
+    assert abs(mass_raw - mass_iso) < 1e-3 * max(mass_raw, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# PACF
+
+
+def test_pacf_lag1_equals_acf_lag1(spark):
+    """Durbin-Levinson level 1 is the ACF itself: pacf(1) == acf(1)
+    to the shared 6dp grid (both consume the same rounded rho_1)."""
+    acf = {r.lag: r.acf for r in QUERIES["q_acf"](spark, SF0001).collect()}
+    pacf = {r.lag: r.pacf for r in QUERIES["q_pacf"](spark, SF0001).collect()}
+    assert set(pacf) == {1, 2, 3, 4}
+    assert pacf[1] == acf[1]
+    for v in pacf.values():
+        assert -1.0 <= v <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# MRR / MAP
+
+
+def _perfect_retrieval_lake(spark, tmp_path, per_label=3):
+    """Queries 0..7 are one-hot basis vectors with label = vec_id; the
+    corpus holds `per_label` exact copies of each query (cos 1 with its
+    own query, 0 with the others) plus orthogonal distractors."""
+    dim = 16
+    rows = []
+    for q in range(8):
+        vec = [0.0] * dim
+        vec[q] = 1.0
+        rows.append((q, vec, q))
+    nxt = 8
+    for q in range(8):
+        vec = [0.0] * dim
+        vec[q] = 1.0
+        for _ in range(per_label):
+            rows.append((nxt, vec, q))
+            nxt += 1
+    for d in range(8):  # distractors on the unused axes, labels 8/9
+        vec = [0.0] * dim
+        vec[8 + d % 8] = 1.0
+        rows.append((nxt, vec, 8 + d % 2))
+        nxt += 1
+    _write(spark, tmp_path, rows, _EMBED_SCHEMA, "embeddings")
+
+
+def test_mrr_is_one_on_perfect_retrieval(spark, tmp_path):
+    _perfect_retrieval_lake(spark, tmp_path)
+    r = QUERIES["q_mrr_eval"](spark, str(tmp_path)).collect()[0]
+    assert r.n_queries == 8
+    assert r.mrr_at_k == 1.0
+
+
+def test_map_is_one_on_perfect_retrieval(spark, tmp_path):
+    """All R relevant docs rank 1..R for every query -> AP = 1."""
+    _perfect_retrieval_lake(spark, tmp_path)
+    r = QUERIES["q_map_eval"](spark, str(tmp_path)).collect()[0]
+    assert r.n_queries == 8
+    assert r.map_at_k == 1.0
+
+
+# ---------------------------------------------------------------------------
+# referential integrity
+
+
+def test_referential_integrity_clean_on_testdata(spark):
+    """The generated lake is FK-consistent: every edge reports zero
+    orphans (this also pins the 7-edge census shape)."""
+    rows = QUERIES["q_referential_integrity"](spark, SF0001).collect()
+    assert len(rows) == 7
+    for r in rows:
+        assert r.n_orphan == 0, r.fk
+        assert r.n_orphan_keys == 0, r.fk
+        assert r.n_child > 0, r.fk
+
+
+def test_referential_integrity_counts_planted_orphans(spark, tmp_path):
+    _write(spark, tmp_path, [(1, 1, 1, 1.0), (1, 999, 1, 1.0), (1, 999, 1, 1.0)],
+           "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double",
+           "lineitem")
+    # only partkey 999 is orphaned (x2 rows, 1 distinct key)
+    _write(spark, tmp_path, [(1, 1, 100.0, _T0)],
+           "o_orderkey long, o_custkey long, o_totalprice double, "
+           "o_orderdate timestamp", "orders")
+    _write(spark, tmp_path, [(1,)], "p_partkey long", "part")
+    _write(spark, tmp_path, [(1, 1)], "s_suppkey long, s_nationkey long",
+           "supplier")
+    _write(spark, tmp_path, [(1, 1)], "c_custkey long, c_nationkey long",
+           "customer")
+    _write(spark, tmp_path, [(1, 1)], "n_nationkey long, n_regionkey long",
+           "nation")
+    _write(spark, tmp_path, [(1,)], "r_regionkey long", "region")
+    rows = {r.fk: r for r in
+            QUERIES["q_referential_integrity"](spark, str(tmp_path)).collect()}
+    e = rows["lineitem.l_partkey->part"]
+    assert (e.n_child, e.n_orphan, e.n_orphan_keys) == (3, 2, 1)
+    assert rows["lineitem.l_orderkey->orders"].n_orphan == 0
+    assert rows["orders.o_custkey->customer"].n_orphan == 0
