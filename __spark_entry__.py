@@ -113,6 +113,11 @@ _GATE_FRONT = [
     "q_mrr_eval",
     "q_map_eval",
     "q_referential_integrity",
+    "q_levene_test",
+    "q_cohens_kappa",
+    "q_brier_decomposition",
+    "q_readability",
+    "q_matryoshka_recall",
     # former round-5 window remainder (newest driver rows r5 — due
     #     next after any round-8 additions)
     "q_k_anonymity",

@@ -1539,7 +1539,7 @@ cum AS (
 tg AS (
     SELECT event_type, hour,
            ROUND(SUM(ABS(cg / (ng * 1.0) - cglob / (tot.nn * 1.0)))
-                 / (tot.m - 1), 6) AS t
+                 / NULLIF(tot.m - 1, 0), 6) AS t
     FROM cum, tot GROUP BY event_type, hour, tot.m
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
@@ -1631,13 +1631,15 @@ def t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "hour", "m")
         .agg(
             F.round(
-                F.sum(
-                    F.abs(
-                        F.col("cg") / (F.col("ng") * 1.0)
-                        - F.col("cglob") / (F.col("nn") * 1.0)
-                    )
-                )
-                / (F.col("m") - 1),
+                F.try_divide(
+                    F.sum(
+                        F.abs(
+                            F.col("cg") / (F.col("ng") * 1.0)
+                            - F.col("cglob") / (F.col("nn") * 1.0)
+                        )
+                    ),
+                    F.nullif(F.col("m") - 1, F.lit(0)),
+                ),
                 6,
             ).alias("t")
         )
@@ -1926,3 +1928,288 @@ def pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 pacf.__doc__ = pacf.__doc__.format(maxlag=_PACF_MAX_LAG)
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe (median-based Levene) test: variance homogeneity
+
+LEVENE_ORACLE = """
+WITH med AS (
+    SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS md
+    FROM events GROUP BY event_type
+),
+dev AS (
+    SELECT e.event_type, ABS(e.value - med.md) AS z
+    FROM events e JOIN med ON med.event_type = e.event_type
+),
+g AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(z), 4) AS s, ROUND(SUM(z * z), 4) AS ss
+    FROM dev GROUP BY event_type
+),
+tot AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS nn, SUM(s) AS st,
+           CAST(COUNT(*) AS BIGINT) AS k
+    FROM g
+),
+parts AS (
+    SELECT SUM(g.n * (g.s / g.n - tot.st / tot.nn)
+                   * (g.s / g.n - tot.st / tot.nn)) AS ssb,
+           SUM(g.ss - g.s * g.s / g.n) AS ssw
+    FROM g, tot
+)
+SELECT tot.k - 1 AS df_between,
+       tot.nn - tot.k AS df_within,
+       ROUND((parts.ssb * (tot.nn - tot.k))
+             / NULLIF(parts.ssw * (tot.k - 1), 0.0), 6) AS w_stat
+FROM parts, tot
+"""
+
+
+@query("q_levene_test", LEVENE_ORACLE)
+def levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test (median-based Levene) of variance
+    homogeneity of event value across event types — the check that
+    gates q_anova_f and q_ab_ttest, whose pooled-variance math assumes
+    equal spreads: it is the one-way ANOVA F applied to absolute
+    deviations from the GROUP MEDIAN (median, not mean, is what makes
+    it robust — Brown & Forsythe 1974). [engine — not in reference]
+
+    Scale design: per-group exact medians (a sort-based aggregate per
+    group, |event-types| output rows) broadcast back onto one corpus
+    scan for the deviations, then the same bounded sufficient-stats
+    ANOVA as q_anova_f — nothing larger than the group census crosses
+    an exchange. Medians are 6dp-rounded and the per-group deviation
+    sums 4dp-rounded at the engine boundaries (both engines define the
+    even-count median as the same linear interpolation)."""
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("md")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("md")).alias("z")
+    )
+    g = dev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("z"), 4).alias("s"),
+        F.round(F.sum(F.col("z") * F.col("z")), 4).alias("ss"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s").alias("st"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    gm = F.col("st") / F.col("nn")
+    mg = F.col("s") / F.col("n")
+    parts = g.crossJoin(F.broadcast(tot)).agg(
+        F.sum(F.col("n") * (mg - gm) * (mg - gm)).alias("ssb"),
+        F.sum(F.col("ss") - F.col("s") * F.col("s") / F.col("n")).alias("ssw"),
+    )
+    return parts.crossJoin(F.broadcast(tot)).select(
+        (F.col("k") - 1).alias("df_between"),
+        (F.col("nn") - F.col("k")).alias("df_within"),
+        F.round(
+            F.try_divide(
+                F.col("ssb") * (F.col("nn") - F.col("k")),
+                F.col("ssw") * (F.col("k") - 1),
+            ),
+            6,
+        ).alias("w_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa: chance-corrected agreement of the heuristic detector
+
+KAPPA_ORACLE = """
+WITH rated AS (
+    SELECT CAST(LEAST(ROUND(CAST(len(regexp_replace(text, '[^aeiou]', '', 'g'))
+                                 AS DOUBLE)
+                            / GREATEST(len(text), 1), 4) * 2.0, 1.0) >= 0.5
+                AS INT) AS a,
+           CAST(lang = 'en' AS INT) AS b
+    FROM documents
+),
+cts AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COALESCE(SUM(a * b), 0) AS BIGINT) AS n11,
+           CAST(COALESCE(SUM(a * (1 - b)), 0) AS BIGINT) AS n10,
+           CAST(COALESCE(SUM((1 - a) * b), 0) AS BIGINT) AS n01,
+           CAST(COALESCE(SUM((1 - a) * (1 - b)), 0) AS BIGINT) AS n00
+    FROM rated
+)
+SELECT n AS n_docs,
+       ROUND((n11 + n00) / NULLIF(n * 1.0, 0), 6) AS p_observed,
+       ROUND(((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+             / NULLIF(n * 1.0 * n, 0), 6) AS p_expected,
+       ROUND(((n11 + n00) / NULLIF(n * 1.0, 0)
+              - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+                / NULLIF(n * 1.0 * n, 0))
+             / NULLIF(1 - ((n11 + n10) * (n11 + n01)
+                           + (n01 + n00) * (n10 + n00)) / NULLIF(n * 1.0 * n, 0), 0),
+             6) AS kappa
+FROM cts
+"""
+
+
+@query("q_cohens_kappa", KAPPA_ORACLE)
+def cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the thresholded vowel-ratio English
+    detector (q_calibration_ece's scorer at p >= 0.5) and the gold
+    language label — chance-corrected agreement, the metric that
+    exposes a classifier that merely predicts the majority class on an
+    imbalanced corpus where raw accuracy would look fine.
+    [engine — not in reference]
+
+    Scale design: the entire statistic reduces to the 2x2 confusion
+    census — four conditional counts in ONE aggregate over one scan,
+    then scalar algebra. Counts are exact integers, the kappa algebra
+    is deterministic IEEE division on identical integers, 6dp-rounded."""
+    d = load_table(spark, sf_dir, "documents")
+    vowels = F.length(F.regexp_replace("text", "[^aeiou]", ""))
+    p = F.least(
+        F.round(vowels.cast("double") / F.greatest(F.length("text"), F.lit(1)), 4)
+        * 2.0,
+        F.lit(1.0),
+    )
+    rated = d.select(
+        (p >= 0.5).cast("int").alias("a"),
+        (F.col("lang") == "en").cast("int").alias("b"),
+    )
+    cts = rated.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum(F.col("a") * F.col("b")), F.lit(0))
+        .cast("long")
+        .alias("n11"),
+        F.coalesce(F.sum(F.col("a") * (1 - F.col("b"))), F.lit(0))
+        .cast("long")
+        .alias("n10"),
+        F.coalesce(F.sum((1 - F.col("a")) * F.col("b")), F.lit(0))
+        .cast("long")
+        .alias("n01"),
+        F.coalesce(F.sum((1 - F.col("a")) * (1 - F.col("b"))), F.lit(0))
+        .cast("long")
+        .alias("n00"),
+    )
+    n = F.col("n")
+    po = F.try_divide(
+        F.col("n11") + F.col("n00"), F.nullif(n * 1.0, F.lit(0.0))
+    )
+    pe = F.try_divide(
+        (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00")),
+        F.nullif(n * 1.0 * n, F.lit(0.0)),
+    )
+    return cts.select(
+        n.alias("n_docs"),
+        F.round(po, 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_expected"),
+        F.round(F.try_divide(po - pe, F.nullif(1 - pe, F.lit(0.0))), 6).alias(
+            "kappa"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brier score with exact Murphy decomposition on the 4dp score grid
+
+BRIER_ORACLE = """
+WITH scored AS (
+    SELECT LEAST(ROUND(CAST(len(regexp_replace(text, '[^aeiou]', '', 'g')) AS DOUBLE)
+                       / GREATEST(len(text), 1), 4) * 2.0, 1.0) AS p,
+           CAST(lang = 'en' AS INT) AS y
+    FROM documents
+),
+cells AS (
+    SELECT p, CAST(COUNT(*) AS BIGINT) AS w, CAST(SUM(y) AS BIGINT) AS sy
+    FROM scored GROUP BY p
+),
+tot AS (
+    SELECT CAST(SUM(w) AS BIGINT) AS n, CAST(SUM(sy) AS BIGINT) AS ny
+    FROM cells
+)
+SELECT tot.n AS n_docs,
+       ROUND(SUM(cells.w * (cells.p - cells.sy / (cells.w * 1.0))
+                         * (cells.p - cells.sy / (cells.w * 1.0))
+                 + cells.sy / (cells.w * 1.0)
+                   * (1 - cells.sy / (cells.w * 1.0)) * cells.w)
+             / (tot.n * 1.0), 6) AS brier,
+       ROUND(SUM(cells.w * (cells.p - cells.sy / (cells.w * 1.0))
+                         * (cells.p - cells.sy / (cells.w * 1.0)))
+             / (tot.n * 1.0), 6) AS reliability,
+       ROUND(SUM(cells.w * (cells.sy / (cells.w * 1.0) - tot.ny / (tot.n * 1.0))
+                         * (cells.sy / (cells.w * 1.0) - tot.ny / (tot.n * 1.0)))
+             / (tot.n * 1.0), 6) AS resolution,
+       ROUND(tot.ny / (tot.n * 1.0) * (1 - tot.ny / (tot.n * 1.0)), 6)
+           AS uncertainty
+FROM cells, tot
+GROUP BY tot.n, tot.ny
+"""
+
+
+@query("q_brier_decomposition", BRIER_ORACLE)
+def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score of the vowel-ratio English detector with Murphy's
+    (1973) decomposition brier = reliability - resolution +
+    uncertainty — the score-level companion to q_calibration_ece:
+    reliability isolates miscalibration, resolution rewards scores
+    that separate the classes, uncertainty is the irreducible base
+    rate. Partitioning on the EXACT 4dp score grid (every distinct
+    score is its own cell) makes the identity hold exactly, where
+    coarse binning would leave a within-bin variance residual.
+    [engine — not in reference]
+
+    Scale design: one groupBy onto the score grid (bounded by score
+    resolution — at most 10^4 cells — never corpus size), then the
+    three decomposition terms are weighted sums over the cells. With
+    binary labels the per-cell means are exact-integer divisions, so
+    both engines agree deterministically before the 6dp round."""
+    d = load_table(spark, sf_dir, "documents")
+    vowels = F.length(F.regexp_replace("text", "[^aeiou]", ""))
+    p = F.least(
+        F.round(vowels.cast("double") / F.greatest(F.length("text"), F.lit(1)), 4)
+        * 2.0,
+        F.lit(1.0),
+    )
+    scored = d.select(p.alias("p"), (F.col("lang") == "en").cast("int").alias("y"))
+    cells = scored.groupBy("p").agg(
+        F.count(F.lit(1)).alias("w"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    tot = cells.agg(
+        F.sum("w").cast("long").alias("n"),
+        F.sum("sy").cast("long").alias("ny"),
+    )
+    ybar = F.col("sy") / (F.col("w") * 1.0)
+    base = F.col("ny") / (F.col("n") * 1.0)
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .groupBy("n", "ny")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("w") * (F.col("p") - ybar) * (F.col("p") - ybar)
+                    + ybar * (1 - ybar) * F.col("w")
+                )
+                / (F.col("n") * 1.0),
+                6,
+            ).alias("brier"),
+            F.round(
+                F.sum(F.col("w") * (F.col("p") - ybar) * (F.col("p") - ybar))
+                / (F.col("n") * 1.0),
+                6,
+            ).alias("reliability"),
+            F.round(
+                F.sum(F.col("w") * (ybar - base) * (ybar - base))
+                / (F.col("n") * 1.0),
+                6,
+            ).alias("resolution"),
+        )
+        .select(
+            F.col("n").alias("n_docs"),
+            "brier",
+            "reliability",
+            "resolution",
+            F.round(base * (1 - base), 6).alias("uncertainty"),
+        )
+    )

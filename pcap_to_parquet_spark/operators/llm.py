@@ -5015,3 +5015,111 @@ def map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 map_eval.__doc__ = map_eval.__doc__.format(k=_REVAL_K, q=_REVAL_Q)
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka evaluation: recall of prefix-dimension retrieval
+
+_MAT_PREFIX = 16  # leading dims scored against the full 64
+_MAT_K = 10
+
+MATRYOSHKA_ORACLE = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe
+           FROM embeddings WHERE vec_id < {_REVAL_Q}),
+full_r AS (
+    SELECT q.qid, b.vec_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY q.qid
+               ORDER BY ROUND(CAST(list_cosine_similarity(
+                   q.qe::DOUBLE[], b.embedding::DOUBLE[]) AS DOUBLE), 9)
+                        DESC, b.vec_id) AS rnk
+    FROM embeddings b, q WHERE b.vec_id >= {_REVAL_Q}
+),
+pre_r AS (
+    SELECT q.qid, b.vec_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY q.qid
+               ORDER BY ROUND(CAST(list_cosine_similarity(
+                   (q.qe[1:{_MAT_PREFIX}])::DOUBLE[],
+                   (b.embedding[1:{_MAT_PREFIX}])::DOUBLE[]) AS DOUBLE), 9)
+                        DESC, b.vec_id) AS rnk
+    FROM embeddings b, q WHERE b.vec_id >= {_REVAL_Q}
+),
+hits AS (
+    SELECT f.qid,
+           CAST(COUNT(p.vec_id) AS BIGINT) AS n_hit
+    FROM full_r f
+    LEFT JOIN pre_r p ON p.qid = f.qid AND p.vec_id = f.vec_id
+                      AND p.rnk <= {_MAT_K}
+    WHERE f.rnk <= {_MAT_K}
+    GROUP BY f.qid
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST({_MAT_PREFIX} AS BIGINT) AS prefix_dim,
+       ROUND(AVG(n_hit / {_MAT_K}.0), 6) AS recall_at_k
+FROM hits
+"""
+
+
+@query("q_matryoshka_recall", MATRYOSHKA_ORACLE)
+def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation evaluation (Kusupati et al. 2022):
+    recall@{k} of retrieval using only the LEADING {p} of 64 embedding
+    dimensions against the full-dimension ranking, averaged over the
+    same {q}-query panel as q_mrr_eval — the measurement that decides
+    whether an index can store truncated vectors (4x cheaper) without
+    losing its head ranking. [engine — not in reference]
+
+    Scale design: two broadcast-panel rankings (full and prefix — the
+    prefix cosine is a map-side F.slice, no second scan shape), each a
+    per-query window over its result list, joined on (query, doc) to
+    count overlap in the top {k}. Both rankings order on ROUND(cos, 9)
+    before the id tiebreak; recall is exact rational arithmetic on
+    integer hit counts."""
+    em = load_table(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") < _REVAL_Q).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+    )
+    corpus = em.filter(F.col("vec_id") >= _REVAL_Q)
+
+    def ranked(sim_col):
+        return F.row_number().over(
+            Window.partitionBy("qid").orderBy(F.round(sim_col, 9).desc(), "vec_id")
+        )
+
+    joined = corpus.join(F.broadcast(q)).select(
+        "qid",
+        "vec_id",
+        cosine_similarity("qe", "embedding").alias("c_full"),
+        cosine_similarity(
+            F.slice("qe", 1, _MAT_PREFIX), F.slice("embedding", 1, _MAT_PREFIX)
+        ).alias("c_pre"),
+    )
+    full_r = joined.select(
+        "qid", "vec_id", ranked(F.col("c_full")).alias("rnk")
+    ).filter(F.col("rnk") <= _MAT_K)
+    pre_r = (
+        joined.select("qid", "vec_id", ranked(F.col("c_pre")).alias("rnk"))
+        .filter(F.col("rnk") <= _MAT_K)
+        .select(F.col("qid").alias("pqid"), F.col("vec_id").alias("pvid"))
+    )
+    hits = (
+        full_r.join(
+            pre_r,
+            (F.col("qid") == F.col("pqid")) & (F.col("vec_id") == F.col("pvid")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(F.count("pvid").cast("long").alias("n_hit"))
+    )
+    return hits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.lit(_MAT_PREFIX).cast("long").alias("prefix_dim"),
+        F.round(F.avg(F.col("n_hit") / float(_MAT_K)), 6).alias("recall_at_k"),
+    )
+
+
+matryoshka_recall.__doc__ = matryoshka_recall.__doc__.format(
+    k=_MAT_K, p=_MAT_PREFIX, q=_REVAL_Q
+)

@@ -195,6 +195,8 @@ EMPTY_SAFE = [
     "q_bootstrap_ci",
     # round 8
     "q_isotonic_calibration",
+    "q_readability",
+    "q_brier_decomposition",
 ]
 
 # global aggregates return one constant row on empty input (their
@@ -237,6 +239,9 @@ CONSTANT_ON_EMPTY = {
     "q_mrr_eval": 1,  # metric row: n_queries 0, NULL mrr
     "q_map_eval": 1,  # metric row: n_queries 0, NULL map
     "q_referential_integrity": 7,  # one row per FK edge, zero counts
+    "q_levene_test": 1,  # global test row, NULL statistic
+    "q_cohens_kappa": 1,  # agreement row: n_docs 0, NULL kappa
+    "q_matryoshka_recall": 1,  # metric row: n_queries 0, NULL recall
 }
 
 

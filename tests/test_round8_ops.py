@@ -278,3 +278,120 @@ def test_referential_integrity_counts_planted_orphans(spark, tmp_path):
     assert (e.n_child, e.n_orphan, e.n_orphan_keys) == (3, 2, 1)
     assert rows["lineitem.l_orderkey->orders"].n_orphan == 0
     assert rows["orders.o_custkey->customer"].n_orphan == 0
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe / Levene
+
+
+def test_levene_zero_when_spreads_match(spark, tmp_path):
+    """Two groups that are shifted copies of each other have identical
+    deviation distributions -> SSB = 0 -> W = 0 exactly."""
+    rows = []
+    for i in range(8):
+        rows.append((i, _T0, i, "click", float(i % 4), "{}"))
+        rows.append((100 + i, _T0, i, "view", 50.0 + (i % 4), "{}"))
+    _write(spark, tmp_path, rows, _EVENT_SCHEMA, "events")
+    r = QUERIES["q_levene_test"](spark, str(tmp_path)).collect()[0]
+    assert r.df_between == 1
+    assert r.df_within == 14
+    assert r.w_stat == 0.0
+
+
+def test_levene_flags_unequal_spread(spark, tmp_path):
+    """Same shape, wildly different spreads -> large W (spreads sit
+    far above the 4dp boundary rounding of the deviation sums)."""
+    rows = []
+    for i in range(12):
+        rows.append((i, _T0, i, "click", 10.0 + (i % 3), "{}"))
+        rows.append((100 + i, _T0, i, "view", 10.0 + (i % 3) * 20.0, "{}"))
+    _write(spark, tmp_path, rows, _EVENT_SCHEMA, "events")
+    r = QUERIES["q_levene_test"](spark, str(tmp_path)).collect()[0]
+    assert r.w_stat > 10.0
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa
+
+
+def test_kappa_bounds_and_identity_on_testdata(spark):
+    """kappa = (po - pe)/(1 - pe) must hold on the emitted row, and
+    all three probabilities live in their textbook ranges."""
+    r = QUERIES["q_cohens_kappa"](spark, SF0001).collect()[0]
+    assert r.n_docs > 0
+    assert 0.0 <= r.p_observed <= 1.0
+    assert 0.0 <= r.p_expected <= 1.0
+    expect = (r.p_observed - r.p_expected) / (1 - r.p_expected)
+    assert abs(r.kappa - round(expect, 6)) < 2e-6
+    assert -1.0 <= r.kappa <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Brier decomposition
+
+
+def test_brier_murphy_identity(spark):
+    """Partitioning on the exact score grid makes Murphy's identity
+    exact: brier = reliability - resolution + uncertainty."""
+    r = QUERIES["q_brier_decomposition"](spark, SF0001).collect()[0]
+    assert r.n_docs > 0
+    assert 0.0 <= r.brier <= 1.0
+    assert abs(r.brier - (r.reliability - r.resolution + r.uncertainty)) < 5e-6
+    assert r.uncertainty <= 0.25 + 1e-9  # p(1-p) maximum
+
+
+# ---------------------------------------------------------------------------
+# readability
+
+
+def test_readability_orders_simple_before_dense(spark, tmp_path):
+    """Short words / short sentences score higher than polysyllabic
+    run-ons; fragment docs fall back to one sentence."""
+    rows = [
+        (0, "The cat sat. The dog ran. It was fun.", "en", "a", 1),
+        (1, "Internationalization considerations necessitate "
+            "exhaustive organizational reconfiguration", "en", "a", 1),
+    ]
+    _write(spark, tmp_path, rows,
+           "doc_id long, text string, lang string, source string, n_chars long",
+           "documents")
+    rows = {r.doc_id: r for r in
+            QUERIES["q_readability"](spark, str(tmp_path)).collect()}
+    assert rows[0].n_sentences == 3
+    assert rows[1].n_sentences == 1  # no terminator -> floored at 1
+    assert rows[0].flesch > rows[1].flesch
+    assert rows[1].n_syllables > rows[1].n_words  # polysyllabic
+
+
+# ---------------------------------------------------------------------------
+# matryoshka recall
+
+
+def test_matryoshka_recall_is_one_when_prefix_carries_signal(spark, tmp_path):
+    """If all the energy lives in the first dims, truncation loses
+    nothing: prefix ranking == full ranking -> recall 1.0."""
+    dim = 64
+    rows = []
+    for q in range(8):
+        vec = [0.0] * dim
+        vec[q] = 1.0  # axes 0..7 < prefix 16
+        rows.append((q, vec, q))
+    nxt = 8
+    for q in range(8):
+        for j in range(12):
+            vec = [0.0] * dim
+            vec[q] = 1.0 + 0.01 * j  # same direction, distinct norms
+            vec[(q + 1) % 8] = 0.001 * j  # tiny tilt: unique ranking
+            rows.append((nxt, vec, q))
+            nxt += 1
+    _write(spark, tmp_path, rows, _EMBED_SCHEMA, "embeddings")
+    r = QUERIES["q_matryoshka_recall"](spark, str(tmp_path)).collect()[0]
+    assert r.n_queries == 8
+    assert r.prefix_dim == 16
+    assert r.recall_at_k == 1.0
+
+
+def test_matryoshka_recall_on_testdata_in_range(spark):
+    r = QUERIES["q_matryoshka_recall"](spark, SF0001).collect()[0]
+    assert r.n_queries == 8
+    assert 0.0 <= r.recall_at_k <= 1.0
