@@ -79,6 +79,10 @@ HEADLINE = [
     "q_conformal_intervals",  # Mondrian split-conformal coverage (r7 add)
     "q_bootstrap_ci",       # 200-replicate LCG bootstrap of daily mean (r7 add)
     "q_ips_eval",           # off-policy IPS/SNIPS scoring pass (r7 add)
+    "q_kendall_tau",        # |days|^2 pair-concordance join (r8 add)
+    "q_isotonic_calibration",  # PAV minimax fit over the score histogram (r8 add)
+    "q_matryoshka_recall",  # dual full/prefix ranking overlap (r8 add)
+    "q_referential_integrity",  # 7-edge FK orphan census (r8 add)
 ]
 
 # round-over-round reference (same box, sf0.1, local[32]):

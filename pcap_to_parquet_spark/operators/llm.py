@@ -5123,3 +5123,103 @@ def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 matryoshka_recall.__doc__ = matryoshka_recall.__doc__.format(
     k=_MAT_K, p=_MAT_PREFIX, q=_REVAL_Q
 )
+
+
+# ---------------------------------------------------------------------------
+# label-noise audit: k-NN majority-vote disagreement on a fixed slice
+
+_LN_SLICE = 100
+_LN_K = 5
+
+LABEL_NOISE_ORACLE = f"""
+WITH s AS (SELECT vec_id AS sid, embedding AS se, label AS sl
+           FROM embeddings WHERE vec_id < {_LN_SLICE}),
+r AS (
+    SELECT s.sid, s.sl, b.label AS nl,
+           ROW_NUMBER() OVER (
+               PARTITION BY s.sid
+               ORDER BY ROUND(CAST(list_cosine_similarity(
+                   s.se::DOUBLE[], b.embedding::DOUBLE[]) AS DOUBLE), 9)
+                        DESC, b.vec_id) AS rnk
+    FROM embeddings b, s WHERE b.vec_id <> s.sid
+),
+votes AS (
+    SELECT sid, sl, nl, CAST(COUNT(*) AS BIGINT) AS c
+    FROM r WHERE rnk <= {_LN_K} GROUP BY sid, sl, nl
+),
+win AS (
+    SELECT sid, sl, nl, c,
+           ROW_NUMBER() OVER (PARTITION BY sid ORDER BY c DESC, nl) AS vr
+    FROM votes
+)
+SELECT sid AS vec_id, sl AS label, nl AS knn_label, c AS n_agree
+FROM win WHERE vr = 1 AND nl <> sl
+ORDER BY vec_id
+"""
+
+
+@query("q_label_noise", LABEL_NOISE_ORACLE)
+def label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit (the confident-learning screen): for each
+    vector in a fixed audit slice (vec_id < {s}), take its {k} exact
+    cosine nearest neighbors in the FULL corpus and flag the row when
+    the neighbor-majority label disagrees with its own — mislabeled
+    training examples sit inside a different class's neighborhood.
+    Majority ties break to the smallest label in both engines.
+    [engine — not in reference]
+
+    Scale design: the q_lsh_recall sampled-audit pattern — exact k-NN
+    runs ONLY for the bounded slice (broadcast {s} rows against one
+    corpus scan, per-slice-member ranking windows over result lists),
+    which is how production audits a 10^9-row corpus: a fixed random
+    slice per ingest batch, never all-pairs. Ranking orders on
+    ROUND(cos, 9) before the id tiebreak; votes are exact integer
+    counts."""
+    em = load_table(spark, sf_dir, "embeddings")
+    s = em.filter(F.col("vec_id") < _LN_SLICE).select(
+        F.col("vec_id").alias("sid"),
+        F.col("embedding").alias("se"),
+        F.col("label").alias("sl"),
+    )
+    r = (
+        em.join(F.broadcast(s), F.col("vec_id") != F.col("sid"))
+        .select(
+            "sid",
+            "sl",
+            F.col("label").alias("nl"),
+            cosine_similarity("se", "embedding").alias("c"),
+            "vec_id",
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("sid").orderBy(
+                    F.round("c", 9).desc(), "vec_id"
+                )
+            ),
+        )
+    )
+    votes = (
+        r.filter(F.col("rnk") <= _LN_K)
+        .groupBy("sid", "sl", "nl")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    win = votes.withColumn(
+        "vr",
+        F.row_number().over(
+            Window.partitionBy("sid").orderBy(F.col("c").desc(), "nl")
+        ),
+    )
+    return (
+        win.filter((F.col("vr") == 1) & (F.col("nl") != F.col("sl")))
+        .select(
+            F.col("sid").alias("vec_id"),
+            F.col("sl").alias("label"),
+            F.col("nl").alias("knn_label"),
+            F.col("c").alias("n_agree"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+label_noise.__doc__ = label_noise.__doc__.format(s=_LN_SLICE, k=_LN_K)

@@ -197,6 +197,7 @@ EMPTY_SAFE = [
     "q_isotonic_calibration",
     "q_readability",
     "q_brier_decomposition",
+    "q_label_noise",
 ]
 
 # global aggregates return one constant row on empty input (their

@@ -395,3 +395,40 @@ def test_matryoshka_recall_on_testdata_in_range(spark):
     r = QUERIES["q_matryoshka_recall"](spark, SF0001).collect()[0]
     assert r.n_queries == 8
     assert 0.0 <= r.recall_at_k <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# label noise
+
+
+def test_label_noise_flags_planted_mislabel(spark, tmp_path):
+    """Two tight, well-separated clusters; one slice member carries the
+    wrong cluster's label -> flagged with a unanimous 5-0 vote, and the
+    correctly-labeled members are NOT flagged."""
+    dim = 16
+    rows = []
+    # slice members (vec_id < 100): 6 in cluster A (label 0) ...
+    for i in range(6):
+        vec = [0.0] * dim
+        vec[0] = 1.0
+        vec[1] = 0.001 * i
+        rows.append((i, vec, 0))
+    # ... and one A-cluster vector mislabeled as 1
+    vec = [0.0] * dim
+    vec[0] = 1.0
+    vec[1] = 0.0007
+    rows.append((6, vec, 1))
+    # corpus cluster B (label 1), far away
+    for j in range(10):
+        vec = [0.0] * dim
+        vec[5] = 1.0
+        vec[6] = 0.001 * j
+        rows.append((200 + j, vec, 1))
+    _write(spark, tmp_path, rows, _EMBED_SCHEMA, "embeddings")
+    flagged = {r.vec_id: r for r in
+               QUERIES["q_label_noise"](spark, str(tmp_path)).collect()}
+    assert 6 in flagged
+    assert flagged[6].label == 1
+    assert flagged[6].knn_label == 0
+    assert flagged[6].n_agree == 5
+    assert all(v == 6 for v in flagged)  # clean members not flagged
