@@ -41,6 +41,17 @@ def main() -> None:
         ("daily-mean uncertainty (LCG bootstrap)", "q_bootstrap_ci"),
         ("counterfactual policy value (IPS/SNIPS)", "q_ips_eval"),
         ("attribute-disclosure gate (l-diversity)", "q_l_diversity"),
+        # round 8: deeper audits on the same report
+        ("are the spreads even comparable (Brown-Forsythe)?", "q_levene_test"),
+        ("monotone association, outlier-robust (Spearman)", "q_spearman_corr"),
+        ("rank-sum shift test (Mann-Whitney)", "q_mann_whitney"),
+        ("detector-vs-label agreement beyond chance (kappa)", "q_cohens_kappa"),
+        ("score quality decomposed (Brier/Murphy)", "q_brier_decomposition"),
+        ("monotone score calibration (isotonic/PAV)", "q_isotonic_calibration"),
+        ("retrieval quality: first hit / all hits (MRR+MAP)", "q_mrr_eval"),
+        ("mislabeled examples by neighborhood vote", "q_label_noise"),
+        ("sensitive-distribution distance gate (t-closeness)", "q_t_closeness"),
+        ("FK orphan census before any join", "q_referential_integrity"),
     ]
     for title, name in sections:
         print(f"\n== {title} [{name}] ==")
