@@ -4997,7 +4997,10 @@ def map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("rel").over(wp) / (F.col("rnk") * 1.0)).alias("p_at_k"),
     )
     ap = (
-        prec.join(nrel.select(F.col("qid").alias("nq"), "r"), F.col("qid") == F.col("nq"))
+        prec.join(
+            F.broadcast(nrel.select(F.col("qid").alias("nq"), "r")),
+            F.col("qid") == F.col("nq"),
+        )
         .groupBy("qid")
         .agg(
             F.try_divide(
@@ -5106,7 +5109,7 @@ def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hits = (
         full_r.join(
-            pre_r,
+            F.broadcast(pre_r),
             (F.col("qid") == F.col("pqid")) & (F.col("vec_id") == F.col("pvid")),
             "left",
         )
