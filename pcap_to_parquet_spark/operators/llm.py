@@ -4892,7 +4892,7 @@ def mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("ql"),
     )
     ranked = (
-        em.filter(F.col("vec_id") >= _REVAL_Q)
+        fan_out(em.filter(F.col("vec_id") >= _REVAL_Q))
         .join(F.broadcast(q))
         .select(
             "qid",
@@ -4970,7 +4970,7 @@ def map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("ql"),
     )
     ranked = (
-        em.filter(F.col("vec_id") >= _REVAL_Q)
+        fan_out(em.filter(F.col("vec_id") >= _REVAL_Q))
         .join(F.broadcast(q))
         .select(
             "qid",
@@ -5084,7 +5084,7 @@ def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
     )
-    corpus = em.filter(F.col("vec_id") >= _REVAL_Q)
+    corpus = fan_out(em.filter(F.col("vec_id") >= _REVAL_Q))
 
     def ranked(sim_col):
         return F.row_number().over(
@@ -5185,7 +5185,7 @@ def label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("sl"),
     )
     r = (
-        em.join(F.broadcast(s), F.col("vec_id") != F.col("sid"))
+        fan_out(em).join(F.broadcast(s), F.col("vec_id") != F.col("sid"))
         .select(
             "sid",
             "sl",
