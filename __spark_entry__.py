@@ -119,6 +119,7 @@ _GATE_FRONT = [
     "q_readability",
     "q_matryoshka_recall",
     "q_label_noise",
+    "q_kaplan_meier",
     # former round-5 window remainder (newest driver rows r5 — due
     #     next after any round-8 additions)
     "q_k_anonymity",

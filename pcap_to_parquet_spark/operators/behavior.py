@@ -2613,3 +2613,124 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 psi_drift.__doc__ = psi_drift.__doc__.format(bins=_PSI_BINS, alpha=_PSI_ALPHA)
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival: product-limit churn curve with censoring
+
+_KM_HORIZON_DAYS = 14  # quiet this long before the corpus end = churned
+
+KAPLAN_MEIER_ORACLE = f"""
+WITH u AS (
+    SELECT user_id,
+           MIN(epoch_us(ts)) // 86400000000 AS first_d,
+           MAX(epoch_us(ts)) // 86400000000 AS last_d
+    FROM events GROUP BY user_id
+),
+g AS (SELECT MAX(last_d) AS gmax FROM u),
+obs AS (
+    SELECT CAST(u.last_d - u.first_d AS BIGINT) AS t,
+           CAST(g.gmax - u.last_d >= {_KM_HORIZON_DAYS} AS INT) AS ev
+    FROM u, g
+),
+census AS (
+    SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+           CAST(COUNT(*) - SUM(ev) AS BIGINT) AS c
+    FROM obs GROUP BY t
+),
+risk AS (
+    SELECT t, d, c,
+           CAST(SUM(d + c) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS n_risk
+    FROM census
+),
+curve AS (
+    SELECT t, d, c, n_risk,
+           SUM(CASE WHEN d > 0 AND d < n_risk
+                    THEN LN(1 - d / (n_risk * 1.0)) ELSE 0 END)
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS lsum,
+           MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS hit_zero
+    FROM risk
+)
+SELECT t AS duration_days, n_risk, d AS n_churned, c AS n_censored,
+       CASE WHEN hit_zero = 1 THEN 0.0 ELSE ROUND(EXP(lsum), 6) END AS survival
+FROM curve ORDER BY duration_days
+"""
+
+
+@query("q_kaplan_meier", KAPLAN_MEIER_ORACLE)
+def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit survival curve of user lifetime
+    (days between first and last event), with right-censoring: a user
+    still active within {h} days of the corpus end hasn't churned yet
+    and only contributes to the risk sets — the estimator that makes
+    retention statements honest when the observation window cuts
+    lifetimes short. S(t) = prod over churn times s <= t of
+    (1 - d_s / n_s). [engine — not in reference]
+
+    Scale design: the corpus collapses to one (first, last) row per
+    user (one groupBy), then to the DURATION census (|distinct
+    durations| <= |days| rows, calendar-bounded), so the risk-set and
+    product-limit windows run single-partition on a tiny frame — the
+    q_acf collapse. The product is a cumulative SUM of LN terms (each
+    an exact rational 1 - d/n, identical doubles in both engines, the
+    LN/EXP parity q_bm25 and q_dsir_weights already rely on) with a
+    cumulative hit-zero flag instead of LN(0), 6dp-rounded."""
+    e = load_table(spark, sf_dir, "events")
+    u = e.select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / 86_400_000_000).cast("bigint").alias("day"),
+    ).groupBy("user_id").agg(
+        F.min("day").alias("first_d"), F.max("day").alias("last_d")
+    )
+    g = u.agg(F.max("last_d").alias("gmax"))
+    obs = u.crossJoin(F.broadcast(g)).select(
+        (F.col("last_d") - F.col("first_d")).cast("bigint").alias("t"),
+        (F.col("gmax") - F.col("last_d") >= _KM_HORIZON_DAYS)
+        .cast("int")
+        .alias("ev"),
+    )
+    census = obs.groupBy("t").agg(
+        F.sum("ev").cast("long").alias("d"),
+        (F.count(F.lit(1)) - F.sum("ev")).cast("long").alias("c"),
+    )
+    w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = census.select(
+        "t",
+        "d",
+        "c",
+        F.sum(F.col("d") + F.col("c")).over(w_desc).cast("long").alias("n_risk"),
+    )
+    w_asc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    curve = risk.select(
+        "t",
+        "d",
+        "c",
+        "n_risk",
+        F.sum(
+            F.when(
+                (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+                F.log(1 - F.col("d") / (F.col("n_risk") * 1.0)),
+            ).otherwise(F.lit(0.0))
+        )
+        .over(w_asc)
+        .alias("lsum"),
+        F.max(F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0))
+        .over(w_asc)
+        .alias("hit_zero"),
+    )
+    return curve.select(
+        F.col("t").alias("duration_days"),
+        "n_risk",
+        F.col("d").alias("n_churned"),
+        F.col("c").alias("n_censored"),
+        F.when(F.col("hit_zero") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("lsum")), 6))
+        .alias("survival"),
+    ).orderBy("duration_days")
+
+
+kaplan_meier.__doc__ = kaplan_meier.__doc__.format(h=_KM_HORIZON_DAYS)

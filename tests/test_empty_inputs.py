@@ -198,6 +198,7 @@ EMPTY_SAFE = [
     "q_readability",
     "q_brier_decomposition",
     "q_label_noise",
+    "q_kaplan_meier",
 ]
 
 # global aggregates return one constant row on empty input (their

@@ -432,3 +432,38 @@ def test_label_noise_flags_planted_mislabel(spark, tmp_path):
     assert flagged[6].knn_label == 0
     assert flagged[6].n_agree == 5
     assert all(v == 6 for v in flagged)  # clean members not flagged
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier
+
+
+def test_kaplan_meier_textbook_curve(spark, tmp_path):
+    """Planted lifetimes 1,1,2,3 (all churned) + one fresh anchor user
+    (censored at t=0): the product-limit steps are 1, 1/2, 1/4, 0 and
+    the censored user only inflates the risk sets."""
+    rows = []
+    # anchor: active at the corpus end (sets gmax, censored, t=0)
+    rows.append((0, _T0 + dt.timedelta(days=100), 99, "view", 1.0, "{}"))
+    # four churned users: first/last pairs giving durations 1,1,2,3
+    for uid, dur in [(1, 1), (2, 1), (3, 2), (4, 3)]:
+        rows.append((10 * uid, _T0, uid, "view", 1.0, "{}"))
+        rows.append((10 * uid + 1, _T0 + dt.timedelta(days=dur), uid, "view",
+                     1.0, "{}"))
+    _write(spark, tmp_path, rows, _EVENT_SCHEMA, "events")
+    curve = {r.duration_days: r for r in
+             QUERIES["q_kaplan_meier"](spark, str(tmp_path)).collect()}
+    assert curve[0].n_risk == 5 and curve[0].n_churned == 0
+    assert curve[0].survival == 1.0
+    assert curve[1].n_risk == 4 and curve[1].n_churned == 2
+    assert curve[1].survival == 0.5
+    assert curve[2].n_risk == 2 and curve[2].survival == 0.25
+    assert curve[3].n_risk == 1 and curve[3].survival == 0.0
+
+
+def test_kaplan_meier_monotone_on_testdata(spark):
+    rows = QUERIES["q_kaplan_meier"](spark, SF0001).collect()
+    surv = [r.survival for r in rows]  # ordered by duration
+    assert all(a >= b for a, b in zip(surv, surv[1:]))
+    assert all(0.0 <= s <= 1.0 for s in surv)
+    assert rows[0].n_risk == sum(r.n_churned + r.n_censored for r in rows)
