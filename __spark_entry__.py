@@ -120,6 +120,10 @@ _GATE_FRONT = [
     "q_matryoshka_recall",
     "q_label_noise",
     "q_kaplan_meier",
+    "q_js_divergence",
+    "q_mcnemar_test",
+    "q_burstiness",
+    "q_weighted_median",
     # former round-5 window remainder (newest driver rows r5 — due
     #     next after any round-8 additions)
     "q_k_anonymity",

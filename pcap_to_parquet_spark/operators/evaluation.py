@@ -2213,3 +2213,80 @@ def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(base * (1 - base), 6).alias("uncertainty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# McNemar's test: paired comparison of two detectors on the same docs
+
+MCNEMAR_ORACLE = """
+WITH rated AS (
+    SELECT CAST((LEAST(ROUND(CAST(len(regexp_replace(text, '[^aeiou]', '', 'g'))
+                                  AS DOUBLE)
+                             / GREATEST(len(text), 1), 4) * 2.0, 1.0) >= 0.5)
+                = (lang = 'en') AS INT) AS a_ok,
+           CAST((POSITION(' the ' IN lower(text)) > 0) = (lang = 'en') AS INT)
+               AS b_ok
+    FROM documents
+),
+cts AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COALESCE(SUM(a_ok * (1 - b_ok)), 0) AS BIGINT) AS b,
+           CAST(COALESCE(SUM((1 - a_ok) * b_ok), 0) AS BIGINT) AS c
+    FROM rated
+)
+SELECT n AS n_docs, b AS n_a_only, c AS n_b_only,
+       ROUND((b - c) * (b - c) / NULLIF((b + c) * 1.0, 0), 6) AS mcnemar_chi2
+FROM cts
+"""
+
+
+@query("q_mcnemar_test", MCNEMAR_ORACLE)
+def mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test comparing two English detectors on the SAME
+    documents — the vowel-ratio scorer (q_calibration_ece's) vs a
+    stopword-presence heuristic (" the " substring): the paired test
+    that only looks at the b/c discordant cells, because shared
+    successes carry no information about which detector is better.
+    This is the statistically-correct way to A/B two filter models on
+    one corpus (an unpaired test wastes the pairing).
+    [engine — not in reference]
+
+    Scale design: one map-side pairing expression and ONE aggregate to
+    the 2x2 discordance census — nothing but four integers leaves the
+    scan. Exact integer algebra, try_divide-guarded, 6dp round."""
+    d = load_table(spark, sf_dir, "documents")
+    vowels = F.length(F.regexp_replace("text", "[^aeiou]", ""))
+    pa = (
+        F.least(
+            F.round(
+                vowels.cast("double") / F.greatest(F.length("text"), F.lit(1)), 4
+            )
+            * 2.0,
+            F.lit(1.0),
+        )
+        >= 0.5
+    )
+    pb = F.instr(F.lower("text"), " the ") > 0
+    gold = F.col("lang") == "en"
+    rated = d.select(
+        (pa == gold).cast("int").alias("a_ok"),
+        (pb == gold).cast("int").alias("b_ok"),
+    )
+    cts = rated.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum(F.col("a_ok") * (1 - F.col("b_ok"))), F.lit(0))
+        .cast("long")
+        .alias("b"),
+        F.coalesce(F.sum((1 - F.col("a_ok")) * F.col("b_ok")), F.lit(0))
+        .cast("long")
+        .alias("c"),
+    )
+    b, c = F.col("b"), F.col("c")
+    return cts.select(
+        F.col("n").alias("n_docs"),
+        b.alias("n_a_only"),
+        c.alias("n_b_only"),
+        F.round(
+            F.try_divide((b - c) * (b - c), F.nullif((b + c) * 1.0, F.lit(0.0))), 6
+        ).alias("mcnemar_chi2"),
+    )

@@ -1286,3 +1286,74 @@ def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("fk")
+
+
+# ---------------------------------------------------------------------------
+# weighted median: quantity-weighted price medians per return flag
+
+WEIGHTED_MEDIAN_ORACLE = """
+WITH census AS (
+    SELECT l_returnflag, l_extendedprice AS v,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+    FROM lineitem GROUP BY l_returnflag, l_extendedprice
+),
+tot AS (
+    SELECT l_returnflag, CAST(SUM(w) AS BIGINT) AS tw
+    FROM census GROUP BY l_returnflag
+),
+cum AS (
+    SELECT c.l_returnflag, c.v, c.w, t.tw,
+           SUM(c.w) OVER (PARTITION BY c.l_returnflag ORDER BY c.v
+                          ROWS UNBOUNDED PRECEDING) AS cw
+    FROM census c JOIN tot t ON t.l_returnflag = c.l_returnflag
+)
+SELECT l_returnflag,
+       CAST(ANY_VALUE(tw) AS BIGINT) AS total_weight,
+       MIN(v) AS weighted_median
+FROM cum WHERE 2 * cw >= tw
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("q_weighted_median", WEIGHTED_MEDIAN_ORACLE)
+def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median of the extended price per return flag
+    — the lower weighted median (smallest value whose cumulative
+    weight reaches half the total), the estimator a curation pipeline
+    uses when rows carry importance weights (sample weights, token
+    counts, dollar volume) and the unweighted median would be wrong.
+    Defined as an exact order statistic — no interpolation — so the
+    decision is pure integer comparison in both engines.
+    [engine — not in reference]
+
+    Scale design: one (group, value) census groupBy (value-grid
+    bounded — 2dp prices), one per-group total, a cumulative-weight
+    window over the per-group census ordered by value, and a MIN over
+    the qualifying suffix. Nothing row-sized survives the first
+    aggregate; all comparisons are exact integers (2*cw >= tw)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    census = li.groupBy(
+        "l_returnflag", F.col("l_extendedprice").alias("v")
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).cast("long").alias("w"))
+    tot = census.groupBy("l_returnflag").agg(
+        F.sum("w").cast("long").alias("tw")
+    )
+    w_cum = Window.partitionBy("l_returnflag").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = census.join(F.broadcast(tot), "l_returnflag").select(
+        "l_returnflag",
+        "v",
+        "tw",
+        F.sum("w").over(w_cum).alias("cw"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.first("tw").cast("long").alias("total_weight"),
+            F.min("v").alias("weighted_median"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -2267,3 +2267,91 @@ def readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("flesch"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence between two sources' token distributions
+
+_JSD_A = "src0"
+_JSD_B = "src1"
+
+JSD_ORACLE = rf"""
+WITH tok AS (
+    SELECT source, unnest({_TOK_SQL}) AS token
+    FROM documents WHERE source IN ('{_JSD_A}', '{_JSD_B}')
+),
+cnt AS (
+    SELECT token,
+           CAST(SUM(CASE WHEN source = '{_JSD_A}' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+           CAST(SUM(CASE WHEN source = '{_JSD_B}' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+    FROM tok GROUP BY token
+),
+tot AS (SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb,
+               CAST(COUNT(*) AS BIGINT) AS nv FROM cnt),
+terms AS (
+    SELECT tot.nv, tot.ta, tot.tb,
+           na / (tot.ta * 1.0) AS p, nb / (tot.tb * 1.0) AS q
+    FROM cnt, tot
+)
+SELECT nv AS n_vocab, ta AS n_tokens_a, tb AS n_tokens_b,
+       ROUND(SUM(CASE WHEN p > 0 THEN p * log2(2 * p / (p + q)) ELSE 0 END) / 2
+             + SUM(CASE WHEN q > 0 THEN q * log2(2 * q / (p + q)) ELSE 0 END) / 2,
+             6) AS jsd
+FROM terms GROUP BY nv, ta, tb
+"""
+
+
+@query("q_js_divergence", JSD_ORACLE)
+def js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the unigram token
+    distributions of two sources ('{a}' vs '{b}') — the symmetric,
+    bounded-in-[0,1] (log2) distribution distance used to quantify
+    domain shift between corpus slices before mixing them; unlike KL
+    it is finite when a token appears in only one source (those terms
+    contribute p/2·log2(2) via the mixture). [engine — not in
+    reference]
+
+    Scale design: one token census groupBy (vocabulary-bounded, the
+    q_vocab_build contract), one broadcast of the two total counts,
+    then a map-side term expression and a single-row aggregate. The
+    per-token probabilities are exact-integer divisions — identical
+    IEEE doubles in both engines — and log2 parity is the same libm
+    contract q_bm25/q_dsir_weights rely on; the final sum is
+    6dp-rounded."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.filter(F.col("source").isin(_JSD_A, _JSD_B))
+        .select("source", F.explode(whitespace_tokens("text")).alias("token"))
+    )
+    cnt = tok.groupBy("token").agg(
+        F.sum((F.col("source") == _JSD_A).cast("int")).cast("long").alias("na"),
+        F.sum((F.col("source") == _JSD_B).cast("int")).cast("long").alias("nb"),
+    )
+    tot = cnt.agg(
+        F.sum("na").cast("long").alias("ta"),
+        F.sum("nb").cast("long").alias("tb"),
+        F.count(F.lit(1)).cast("long").alias("nv"),
+    )
+    terms = cnt.crossJoin(F.broadcast(tot)).select(
+        "nv",
+        "ta",
+        "tb",
+        (F.col("na") / (F.col("ta") * 1.0)).alias("p"),
+        (F.col("nb") / (F.col("tb") * 1.0)).alias("q"),
+    )
+    p, q = F.col("p"), F.col("q")
+    return terms.groupBy("nv", "ta", "tb").agg(
+        F.round(
+            F.sum(F.when(p > 0, p * F.log2(2 * p / (p + q))).otherwise(0.0)) / 2
+            + F.sum(F.when(q > 0, q * F.log2(2 * q / (p + q))).otherwise(0.0)) / 2,
+            6,
+        ).alias("jsd")
+    ).select(
+        F.col("nv").alias("n_vocab"),
+        F.col("ta").alias("n_tokens_a"),
+        F.col("tb").alias("n_tokens_b"),
+        "jsd",
+    )
+
+
+js_divergence.__doc__ = js_divergence.__doc__.format(a=_JSD_A, b=_JSD_B)

@@ -199,6 +199,9 @@ EMPTY_SAFE = [
     "q_brier_decomposition",
     "q_label_noise",
     "q_kaplan_meier",
+    "q_js_divergence",
+    "q_burstiness",
+    "q_weighted_median",
 ]
 
 # global aggregates return one constant row on empty input (their
@@ -244,6 +247,7 @@ CONSTANT_ON_EMPTY = {
     "q_levene_test": 1,  # global test row, NULL statistic
     "q_cohens_kappa": 1,  # agreement row: n_docs 0, NULL kappa
     "q_matryoshka_recall": 1,  # metric row: n_queries 0, NULL recall
+    "q_mcnemar_test": 1,  # paired-test row: zero counts, NULL chi2
 }
 
 

@@ -467,3 +467,97 @@ def test_kaplan_meier_monotone_on_testdata(spark):
     assert all(a >= b for a, b in zip(surv, surv[1:]))
     assert all(0.0 <= s <= 1.0 for s in surv)
     assert rows[0].n_risk == sum(r.n_churned + r.n_censored for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# JS divergence
+
+
+def test_jsd_zero_for_identical_and_one_for_disjoint(spark, tmp_path):
+    """Identical token distributions -> JSD 0; disjoint vocabularies ->
+    JSD exactly 1 (log2 units)."""
+    rows = [
+        (0, "alpha beta gamma", "en", "src0", 1),
+        (1, "alpha beta gamma", "en", "src1", 1),
+    ]
+    _write(spark, tmp_path, rows,
+           "doc_id long, text string, lang string, source string, n_chars long",
+           "documents")
+    r = QUERIES["q_js_divergence"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_tokens_a, r.n_tokens_b) == (3, 3)
+    assert r.jsd == 0.0
+    rows = [
+        (0, "alpha beta", "en", "src0", 1),
+        (1, "delta epsilon", "en", "src1", 1),
+    ]
+    _write(spark, tmp_path, rows,
+           "doc_id long, text string, lang string, source string, n_chars long",
+           "documents")
+    r = QUERIES["q_js_divergence"](spark, str(tmp_path)).collect()[0]
+    assert r.n_vocab == 4
+    assert r.jsd == 1.0
+
+
+# ---------------------------------------------------------------------------
+# McNemar
+
+
+def test_mcnemar_counts_discordant_pairs(spark, tmp_path):
+    """Construct docs where detector A (vowel ratio) is right and the
+    stopword detector B is wrong, and vice versa; chi2 = (b-c)^2/(b+c)
+    on those discordant counts only."""
+    r = QUERIES["q_mcnemar_test"](spark, SF0001).collect()[0]
+    assert r.n_docs > 0
+    assert r.n_a_only >= 0 and r.n_b_only >= 0
+    if r.n_a_only + r.n_b_only > 0:
+        expect = (r.n_a_only - r.n_b_only) ** 2 / (r.n_a_only + r.n_b_only)
+        assert abs(r.mcnemar_chi2 - round(expect, 6)) < 2e-6
+
+
+# ---------------------------------------------------------------------------
+# burstiness
+
+
+def test_burstiness_negative_for_clockwork_stream(spark, tmp_path):
+    """A perfectly periodic stream has sd = 0 -> B = (0-mu)/(0+mu) = -1;
+    a bursty stream (tiny gaps + one huge gap) pushes B toward +1."""
+    rows = []
+    for i in range(20):  # clockwork: every hour exactly
+        rows.append((i, _T0 + dt.timedelta(hours=i), 1, "view", 1.0, "{}"))
+    # bursty: 10 events 1s apart, then 10 days of silence, 10 more
+    for i in range(10):
+        rows.append((100 + i, _T0 + dt.timedelta(seconds=i), 2, "click",
+                     1.0, "{}"))
+        rows.append((200 + i, _T0 + dt.timedelta(days=10, seconds=i), 2,
+                     "click", 1.0, "{}"))
+    _write(spark, tmp_path, rows, _EVENT_SCHEMA, "events")
+    b = {r.event_type: r for r in
+         QUERIES["q_burstiness"](spark, str(tmp_path)).collect()}
+    assert b["view"].n_gaps == 19
+    assert b["view"].sd_gap_us == 0.0
+    assert b["view"].burstiness == -1.0
+    assert b["click"].burstiness > 0.5
+
+
+# ---------------------------------------------------------------------------
+# weighted median
+
+
+def test_weighted_median_respects_weights(spark, tmp_path):
+    """Price 10 carries 9x the weight of price 1000 -> the weighted
+    median is 10 even though the unweighted median of values is 505."""
+    rows = [
+        (1, 1, 1, 1, 9.0, 10.0, 0.0, 0.0, "A"),
+        (1, 2, 1, 2, 1.0, 1000.0, 0.0, 0.0, "A"),
+        (2, 1, 1, 1, 1.0, 50.0, 0.0, 0.0, "R"),
+    ]
+    _write(spark, tmp_path, rows,
+           "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+           "l_quantity double, l_extendedprice double, l_discount double, "
+           "l_tax double, l_returnflag string",
+           "lineitem")
+    out = {r.l_returnflag: r for r in
+           QUERIES["q_weighted_median"](spark, str(tmp_path)).collect()}
+    assert out["A"].total_weight == 10
+    assert out["A"].weighted_median == 10.0
+    assert out["R"].weighted_median == 50.0
