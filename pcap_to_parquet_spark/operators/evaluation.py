@@ -1415,7 +1415,7 @@ s AS (
     SELECT CAST(COALESCE(SUM(na_v), 0) AS BIGINT) AS na,
            CAST(COALESCE(SUM(t - na_v), 0) AS BIGINT) AS nb,
            SUM(na_v * midrank) AS ra,
-           SUM(t * t * t - t) AS ties
+           SUM((t * 1.0) * t * t - t) AS ties
     FROM rk
 )
 SELECT na AS n_a, nb AS n_b,
@@ -1466,7 +1466,7 @@ def mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("na_v"), F.lit(0)).cast("long").alias("na"),
         F.coalesce(F.sum(F.col("t") - F.col("na_v")), F.lit(0)).cast("long").alias("nb"),
         F.sum(F.col("na_v") * F.col("midrank")).alias("ra"),
-        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("ties"),
+        F.sum((F.col("t") * 1.0) * F.col("t") * F.col("t") - F.col("t")).alias("ties"),
     )
     na, nb = F.col("na"), F.col("nb")
     u = F.col("ra") - na * (na + 1) / 2.0
