@@ -38,10 +38,14 @@ SF0001_DIR = "/root/testdata/sf0.001"
 # after their last driver row (q_image_neardup, q_audio_neardup,
 # q_video_neardup, q_semdedup), (d) the 26-entry former round-4
 # remainder (newest driver rows r4 — stalest), and (e) the first 7 of
-# the former round-5 window. Due FIRST in round 9: any "new in round 8"
-# additions (see marker below), then the former round-5 window
-# remainder (q_k_anonymity onward, rows r5), then the former round-6
-# window remainder, then the round-7 window (rows r7, freshest).
+# the former round-5 window. ROUND 9 WINDOW IS ALREADY IN PLACE: the
+# 20 "new in round 8" ops (positions 50-69, never driver-checked —
+# rehearsed green at sf0.01 this round, as was the full registry) plus the
+# 30-entry former round-5 remainder (q_k_anonymity..q_quality_classifier,
+# positions 70-99, rows r5) are exactly the next 50 — promote
+# positions 50-99 to the front wholesale. After that: the former
+# round-6 window remainder, then stream/ewma r5 tail, then the round-7
+# window (rows r7, freshest).
 _GATE_FRONT = [
     # ---- ROUND 8 WINDOW (positions 0-49) ----
     # (a) new in round 7: statistical-qualification ops, never
