@@ -39,13 +39,13 @@ SF0001_DIR = "/root/testdata/sf0.001"
 # q_video_neardup, q_semdedup), (d) the 26-entry former round-4
 # remainder (newest driver rows r4 — stalest), and (e) the first 7 of
 # the former round-5 window. ROUND 9 WINDOW IS ALREADY IN PLACE: the
-# 20 "new in round 8" ops (positions 50-69, never driver-checked —
-# rehearsed green at sf0.01 this round, as was the full registry) plus the
-# 30-entry former round-5 remainder (q_k_anonymity..q_quality_classifier,
-# positions 70-99, rows r5) are exactly the next 50 — promote
-# positions 50-99 to the front wholesale. After that: the former
-# round-6 window remainder, then stream/ewma r5 tail, then the round-7
-# window (rows r7, freshest).
+# 22 "new in round 8" ops (positions 50-71, never driver-checked —
+# rehearsed green at sf0.01 this round, as was the full registry) plus
+# the former round-5 remainder head (q_k_anonymity..q_dup_span_removal,
+# positions 72-99, rows r5) are exactly the next 50 — promote
+# positions 50-99 to the front wholesale. After that: the rest of the
+# r5 remainder (q_temperature_mix onward), the former round-6 window
+# remainder, then the round-7 window (rows r7, freshest).
 _GATE_FRONT = [
     # ---- ROUND 8 WINDOW (positions 0-49) ----
     # (a) new in round 7: statistical-qualification ops, never
@@ -128,6 +128,8 @@ _GATE_FRONT = [
     "q_mcnemar_test",
     "q_burstiness",
     "q_weighted_median",
+    "q_hill_tail",
+    "q_simpson_paradox",
     # former round-5 window remainder (newest driver rows r5 — due
     #     next after any round-8 additions)
     "q_k_anonymity",

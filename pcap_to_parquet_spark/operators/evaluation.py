@@ -2290,3 +2290,187 @@ def mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_divide((b - c) * (b - c), F.nullif((b + c) * 1.0, F.lit(0.0))), 6
         ).alias("mcnemar_chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hill tail-index estimator of the order-value distribution
+
+_HILL_K = 100
+
+HILL_ORACLE = f"""
+WITH ranked AS (
+    SELECT o_totalprice AS x,
+           ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS r
+    FROM orders WHERE o_totalprice > 0
+),
+topk AS (SELECT x, r FROM ranked WHERE r <= {_HILL_K} + 1),
+ref AS (SELECT x AS xk FROM topk WHERE r = {_HILL_K} + 1),
+s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           SUM(LN(t.x / ref.xk)) AS lsum
+    FROM topk t, ref WHERE t.r <= {_HILL_K}
+)
+SELECT k AS k_order_stats,
+       ROUND(lsum / k, 6) AS mean_log_excess,
+       ROUND(k / NULLIF(lsum, 0), 6) AS hill_alpha
+FROM s
+"""
+
+
+@query("q_hill_tail", HILL_ORACLE)
+def hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the tail index over the top-{k} order values:
+    alpha-hat = k / sum(ln(x_(i) / x_(k+1))) — the standard
+    heavy-tail diagnostic for CONTINUOUS amounts, complementing
+    q_zipf_fit / q_degree_powerlaw which fit discrete frequency
+    spectra. alpha near 1-2 means a few whale orders dominate revenue
+    (plan for skew); large alpha means thin tails.
+    [engine — not in reference]
+
+    Scale design: only the top k+1 order statistics matter, so the
+    ranking window collapses to a WindowGroupLimit (top-k pushdown) —
+    the corpus is scanned once and k+1 rows survive. The log-ratio sum
+    runs on the same {k} doubles in both engines (LN parity as in
+    q_bm25), 6dp-rounded; the rank tiebreak on o_orderkey makes the
+    k+1 cut deterministic under duplicate prices."""
+    o = load_table(spark, sf_dir, "orders")
+    ranked = o.filter(F.col("o_totalprice") > 0).select(
+        F.col("o_totalprice").alias("x"),
+        F.row_number()
+        .over(Window.orderBy(F.col("o_totalprice").desc(), "o_orderkey"))
+        .alias("r"),
+    )
+    topk = ranked.filter(F.col("r") <= _HILL_K + 1)
+    ref = topk.filter(F.col("r") == _HILL_K + 1).select(F.col("x").alias("xk"))
+    s = (
+        topk.filter(F.col("r") <= _HILL_K)
+        .crossJoin(F.broadcast(ref))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.sum(F.log(F.col("x") / F.col("xk"))).alias("lsum"),
+        )
+    )
+    return s.select(
+        F.col("k").alias("k_order_stats"),
+        F.round(F.col("lsum") / F.col("k"), 6).alias("mean_log_excess"),
+        F.round(
+            F.try_divide(F.col("k"), F.nullif(F.col("lsum"), F.lit(0.0))), 6
+        ).alias("hill_alpha"),
+    )
+
+
+hill_tail.__doc__ = hill_tail.__doc__.format(k=_HILL_K)
+
+
+# ---------------------------------------------------------------------------
+# Simpson's-paradox audit: does aggregation flip the association sign?
+
+SIMPSON_ORACLE = """
+WITH src AS (
+    SELECT l_returnflag AS g, l_quantity AS x, l_extendedprice AS y
+    FROM lineitem
+),
+grp AS (
+    SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(x), 2) AS sx, ROUND(SUM(y), 2) AS sy,
+           ROUND(SUM(x * x), 2) AS sxx, ROUND(SUM(x * y), 2) AS sxy
+    FROM src GROUP BY g
+),
+sl AS (
+    SELECT g, n,
+           ROUND((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 6)
+               AS slope
+    FROM grp
+),
+tot AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS n, SUM(sx) AS sx, SUM(sy) AS sy,
+           SUM(sxx) AS sxx, SUM(sxy) AS sxy
+    FROM grp
+),
+osl AS (
+    SELECT ROUND((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 6)
+               AS overall_slope
+    FROM tot
+)
+SELECT CAST((SELECT COUNT(*) FROM sl) AS BIGINT) AS n_groups,
+       osl.overall_slope,
+       ROUND(MIN(sl.slope), 6) AS min_group_slope,
+       ROUND(MAX(sl.slope), 6) AS max_group_slope,
+       CAST(MAX(CASE WHEN SIGN(sl.slope) <> SIGN(osl.overall_slope)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS sign_reversal
+FROM sl, osl
+GROUP BY osl.overall_slope
+"""
+
+
+@query("q_simpson_paradox", SIMPSON_ORACLE)
+def simpson_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox audit: fit the OLS slope of extended price on
+    quantity overall and within each return-flag stratum, and flag
+    when any stratum's association sign disagrees with the pooled
+    sign — the aggregation-reversal screen that decides whether a
+    corpus-level correlation is safe to report or an artifact of mix
+    effects. [engine — not in reference]
+
+    Scale design: per-stratum OLS needs only the five sufficient sums
+    (n, Σx, Σy, Σx², Σxy) — one groupBy to |strata| rows, the pooled
+    fit reuses the SAME stratum sums (so the corpus is scanned once),
+    and the verdict is scalar algebra. Sums are 2dp-rounded at the
+    engine boundary; slopes 6dp-rounded before the sign compare."""
+    li = load_table(spark, sf_dir, "lineitem")
+    src = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    grp = src.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("x"), 2).alias("sx"),
+        F.round(F.sum("y"), 2).alias("sy"),
+        F.round(F.sum(F.col("x") * F.col("x")), 2).alias("sxx"),
+        F.round(F.sum(F.col("x") * F.col("y")), 2).alias("sxy"),
+    )
+
+    def slope():
+        n = F.col("n")
+        return F.round(
+            F.try_divide(
+                n * F.col("sxy") - F.col("sx") * F.col("sy"),
+                F.nullif(n * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)),
+            ),
+            6,
+        )
+
+    sl = grp.select("g", "n", slope().alias("slope"))
+    tot = grp.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"),
+        F.sum("sxx").alias("sxx"),
+        F.sum("sxy").alias("sxy"),
+    )
+    osl = tot.select(slope().alias("overall_slope"))
+    return (
+        sl.crossJoin(F.broadcast(osl))
+        .groupBy("overall_slope")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.round(F.min("slope"), 6).alias("min_group_slope"),
+            F.round(F.max("slope"), 6).alias("max_group_slope"),
+            F.max(
+                F.when(
+                    F.signum(F.col("slope")) != F.signum(F.col("overall_slope")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("sign_reversal"),
+        )
+        .select(
+            "n_groups",
+            "overall_slope",
+            "min_group_slope",
+            "max_group_slope",
+            "sign_reversal",
+        )
+    )

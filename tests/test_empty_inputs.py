@@ -202,6 +202,7 @@ EMPTY_SAFE = [
     "q_js_divergence",
     "q_burstiness",
     "q_weighted_median",
+    "q_simpson_paradox",
 ]
 
 # global aggregates return one constant row on empty input (their
@@ -248,6 +249,7 @@ CONSTANT_ON_EMPTY = {
     "q_cohens_kappa": 1,  # agreement row: n_docs 0, NULL kappa
     "q_matryoshka_recall": 1,  # metric row: n_queries 0, NULL recall
     "q_mcnemar_test": 1,  # paired-test row: zero counts, NULL chi2
+    "q_hill_tail": 1,  # estimator row: k 0, NULL alpha
 }
 
 

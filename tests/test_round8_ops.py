@@ -561,3 +561,68 @@ def test_weighted_median_respects_weights(spark, tmp_path):
     assert out["A"].total_weight == 10
     assert out["A"].weighted_median == 10.0
     assert out["R"].weighted_median == 50.0
+
+
+# ---------------------------------------------------------------------------
+# Hill tail index
+
+
+def test_hill_alpha_recovers_pareto_exponent(spark, tmp_path):
+    """Exact Pareto(alpha=2) order statistics: x_(i) = (n/i)^(1/2).
+    The Hill estimator over the top 100 must land near 2."""
+    n = 2000
+    rows = [(i, i, "O", float((n / i) ** 0.5), _T0, "1") for i in range(1, n + 1)]
+    _write(spark, tmp_path, rows, _ORDER_SCHEMA, "orders")
+    r = QUERIES["q_hill_tail"](spark, str(tmp_path)).collect()[0]
+    assert r.k_order_stats == 100
+    assert 1.7 < r.hill_alpha < 2.3
+    assert abs(r.mean_log_excess - 1.0 / r.hill_alpha) < 1e-4
+
+
+def test_hill_on_testdata_positive(spark):
+    r = QUERIES["q_hill_tail"](spark, SF0001).collect()[0]
+    assert r.k_order_stats == 100
+    assert r.hill_alpha > 0
+
+
+# ---------------------------------------------------------------------------
+# Simpson's paradox
+
+
+def test_simpson_flags_planted_reversal(spark, tmp_path):
+    """Two strata with NEGATIVE within-group slopes whose group means
+    are arranged so the pooled slope is positive -> reversal flag."""
+    rows = []
+    k = 0
+    # stratum A: x in [0,4], y = 10 - x (slope -1, low x, low y)
+    for i in range(5):
+        rows.append((k, 1, 1, 1, float(i), 10.0 - i, 0.0, 0.0, "A")); k += 1
+    # stratum R: x in [20,24], y = 100 - (x-20) (slope -1, high x, high y)
+    for i in range(5):
+        rows.append((k, 1, 1, 1, 20.0 + i, 100.0 - i, 0.0, 0.0, "R")); k += 1
+    _write(spark, tmp_path, rows,
+           "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+           "l_quantity double, l_extendedprice double, l_discount double, "
+           "l_tax double, l_returnflag string",
+           "lineitem")
+    r = QUERIES["q_simpson_paradox"](spark, str(tmp_path)).collect()[0]
+    assert r.n_groups == 2
+    assert r.max_group_slope == -1.0 and r.min_group_slope == -1.0
+    assert r.overall_slope > 0
+    assert r.sign_reversal == 1
+
+
+def test_simpson_no_flag_when_consistent(spark, tmp_path):
+    rows = []
+    k = 0
+    for g in ["A", "R"]:
+        for i in range(5):
+            rows.append((k, 1, 1, 1, float(i), 2.0 * i + (5.0 if g == "R" else 0.0),
+                         0.0, 0.0, g)); k += 1
+    _write(spark, tmp_path, rows,
+           "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+           "l_quantity double, l_extendedprice double, l_discount double, "
+           "l_tax double, l_returnflag string",
+           "lineitem")
+    r = QUERIES["q_simpson_paradox"](spark, str(tmp_path)).collect()[0]
+    assert r.sign_reversal == 0
