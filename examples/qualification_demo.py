@@ -52,6 +52,8 @@ def main() -> None:
         ("mislabeled examples by neighborhood vote", "q_label_noise"),
         ("sensitive-distribution distance gate (t-closeness)", "q_t_closeness"),
         ("FK orphan census before any join", "q_referential_integrity"),
+        ("how heavy is the revenue tail (Hill)?", "q_hill_tail"),
+        ("does aggregation flip the story (Simpson)?", "q_simpson_paradox"),
     ]
     for title, name in sections:
         print(f"\n== {title} [{name}] ==")
