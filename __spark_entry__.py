@@ -31,83 +31,22 @@ SF0001_DIR = "/root/testdata/sf0.001"
 # hash-green + 5 seed-bound rows-only, 0 value failures). Pinned by
 # test_gate_front_names_exist.
 #
-# ROUND 9 ROTATION NOTE: round 8 fronts (a) the 12 round-7
-# statistical-qualification additions (never driver-checked),
-# (b) q_opq_train (oracle upgraded rows-only -> exact in round 7),
-# (c) the four dedup-collapse reworks whose implementation changed
-# after their last driver row (q_image_neardup, q_audio_neardup,
-# q_video_neardup, q_semdedup), (d) the 26-entry former round-4
-# remainder (newest driver rows r4 — stalest), and (e) the first 7 of
-# the former round-5 window. ROUND 9 WINDOW IS ALREADY IN PLACE: the
-# 22 "new in round 8" ops (positions 50-71, never driver-checked —
-# rehearsed green at sf0.01 this round, as was the full registry) plus
-# the former round-5 remainder head (q_k_anonymity..q_dup_span_removal,
-# positions 72-99, rows r5) are exactly the next 50 — promote
-# positions 50-99 to the front wholesale. After that: the rest of the
-# r5 remainder (q_temperature_mix onward), the former round-6 window
-# remainder, then the round-7 window (rows r7, freshest).
+# ROUND 10 ROTATION NOTE: round 9 fronts (a) the 22 "new in round 8"
+# ops (never driver-checked before this round; rehearsed green at
+# sf0.01 in both rounds 8 and 9) and (b) the former round-5 window
+# remainder head (q_k_anonymity..q_dup_span_removal, rows r5 — the
+# stalest driver rows in the registry). ROUND 10 WINDOW: promote
+# positions 50-99 wholesale again — any "new in round 9" entries
+# (inserted right after the END ROUND 9 WINDOW marker) followed by the
+# former round-5 remainder tail (q_temperature_mix..q_stream_holt,
+# rows r5) and the former round-6 window remainder head
+# (q_dsir_weights onward, rows r6). After that: the rest of the r6
+# remainder, the round-7 window (rows r7), then the round-8 window
+# (rows r8, freshest).
 _GATE_FRONT = [
-    # ---- ROUND 8 WINDOW (positions 0-49) ----
-    # (a) new in round 7: statistical-qualification ops, never
-    #     driver-checked (12)
-    "q_chi2_test",
-    "q_calibration_ece",
-    "q_l_diversity",
-    "q_acf",
-    "q_seasonal_decompose",
-    "q_conformal_intervals",
-    "q_jackknife_ci",
-    "q_naive_bayes",
-    "q_anova_f",
-    "q_benford",
-    "q_ips_eval",
-    "q_bootstrap_ci",
-    # (b) oracle upgraded in round 7 (rows-only -> exact Newton–Schulz
-    #     polar replay); latest driver row is stale no_oracle
-    "q_opq_train",
-    # (c) dedup-collapse reworks: implementation changed after their
-    #     last driver row (window-collapse to representatives) (4)
-    "q_image_neardup",
-    "q_audio_neardup",
-    "q_video_neardup",
-    "q_semdedup",
-    # (d) former round-4 window remainder (newest driver rows r4) (26)
-    "q_image_dhash",
-    "q_sql_custdist",
-    "q_sql_big_orders",
-    "q_sql_idle_customers",
-    "q_sequence_pack",
-    "q_sql_late_orders",
-    "q_sql_nation_volume",
-    "q_sql_market_share",
-    "q_sql_promo_share",
-    "q_sql_product_profit",
-    "q_sql_parts_suppliers",
-    "q_doc_chunks",
-    "q_kmv_distinct",
-    "q_minhash_exact",
-    "q_pagerank",
-    "q_triangle_cap",
-    "q_stream_funnel",
-    "q_knn_join",
-    "q_stream_kmv",
-    "q_mmr_diversify",
-    "q_attribution",
-    "q_components_star",
-    "q_weighted_sample",
-    "q_stream_decontaminate",
-    "q_forecast_eval",
-    "q_pcap_pipeline",
-    # (e) former round-5 window head (newest driver rows r5) (7)
-    "q_stream_topk",
-    "q_sql_min_cost_supplier",
-    "q_sql_excess_supplier",
-    "q_sql_forecast_revenue",
-    "q_sql_important_stock",
-    "q_sql_shipmode_priority",
-    "q_density_clusters",
-    # ---- END ROUND 8 WINDOW (the 50 above are positions 0-49) ----
-    # new in round 8 (insert below this line as they land; due round 9)
+    # ---- ROUND 9 WINDOW (positions 0-49) ----
+    # (a) new in round 8: never driver-checked (22) — rehearsed green
+    #     at sf0.01 in round 8 and re-rehearsed this round
     "q_spearman_corr",
     "q_kendall_tau",
     "q_mann_whitney",
@@ -130,8 +69,8 @@ _GATE_FRONT = [
     "q_weighted_median",
     "q_hill_tail",
     "q_simpson_paradox",
-    # former round-5 window remainder (newest driver rows r5 — due
-    #     next after any round-8 additions)
+    # (b) former round-5 window remainder head (newest driver rows r5 —
+    #     stalest in the registry) (28)
     "q_k_anonymity",
     "q_text_source",
     "q_kmv_window",
@@ -160,6 +99,9 @@ _GATE_FRONT = [
     "q_dup_span_coverage",
     "q_pmi_bigrams",
     "q_dup_span_removal",
+    # ---- END ROUND 9 WINDOW ----
+    # new in round 9 (insert below this line as they land; due round 10)
+    # former round-5 remainder tail (rows r5 — due next)
     "q_temperature_mix",
     "q_quality_classifier",
     "q_ewma",
@@ -171,8 +113,7 @@ _GATE_FRONT = [
     "q_holt_forecast",
     "q_multi_regression",
     "q_stream_holt",
-    # former round-6 window remainder (green r06; the neardup/semdedup
-    # entries moved into the round-8 window above)
+    # former round-6 window remainder (rows r6)
     "q_dsir_weights",
     "q_rrf_fusion",
     "q_ndcg_eval",
@@ -219,7 +160,7 @@ _GATE_FRONT = [
     "q_anti_join",
     "q_range_join",
     "q_asof_join",
-    # round-7 window (green r07 — newest rows, lowest priority)
+    # round-7 window (rows r7)
     "q_kmeans",
     "q_pq_ann",
     "q_ivf_pq",
@@ -270,6 +211,57 @@ _GATE_FRONT = [
     "q_observed_load",
     "q_xml_ingest",
     "q_cidr_enrich",
+    # round-8 window (rows r8 — freshest, lowest priority)
+    "q_chi2_test",
+    "q_calibration_ece",
+    "q_l_diversity",
+    "q_acf",
+    "q_seasonal_decompose",
+    "q_conformal_intervals",
+    "q_jackknife_ci",
+    "q_naive_bayes",
+    "q_anova_f",
+    "q_benford",
+    "q_ips_eval",
+    "q_bootstrap_ci",
+    "q_opq_train",
+    "q_image_neardup",
+    "q_audio_neardup",
+    "q_video_neardup",
+    "q_semdedup",
+    "q_image_dhash",
+    "q_sql_custdist",
+    "q_sql_big_orders",
+    "q_sql_idle_customers",
+    "q_sequence_pack",
+    "q_sql_late_orders",
+    "q_sql_nation_volume",
+    "q_sql_market_share",
+    "q_sql_promo_share",
+    "q_sql_product_profit",
+    "q_sql_parts_suppliers",
+    "q_doc_chunks",
+    "q_kmv_distinct",
+    "q_minhash_exact",
+    "q_pagerank",
+    "q_triangle_cap",
+    "q_stream_funnel",
+    "q_knn_join",
+    "q_stream_kmv",
+    "q_mmr_diversify",
+    "q_attribution",
+    "q_components_star",
+    "q_weighted_sample",
+    "q_stream_decontaminate",
+    "q_forecast_eval",
+    "q_pcap_pipeline",
+    "q_stream_topk",
+    "q_sql_min_cost_supplier",
+    "q_sql_excess_supplier",
+    "q_sql_forecast_revenue",
+    "q_sql_important_stock",
+    "q_sql_shipmode_priority",
+    "q_density_clusters",
 ]
 
 

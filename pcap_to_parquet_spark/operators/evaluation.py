@@ -1415,7 +1415,9 @@ s AS (
     SELECT CAST(COALESCE(SUM(na_v), 0) AS BIGINT) AS na,
            CAST(COALESCE(SUM(t - na_v), 0) AS BIGINT) AS nb,
            SUM(na_v * midrank) AS ra,
-           SUM((t * 1.0) * t * t - t) AS ties
+           SUM(CAST(t AS DECIMAL(12,0))
+               * (CAST(t AS DECIMAL(12,0)) * CAST(t AS DECIMAL(12,0)) - 1)
+           ) AS ties
     FROM rk
 )
 SELECT na AS n_a, nb AS n_b,
@@ -1423,7 +1425,8 @@ SELECT na AS n_a, nb AS n_b,
        ROUND((ra - na * (na + 1) / 2.0 - na * nb / 2.0)
              / NULLIF(SQRT(na * nb / 12.0
                            * ((na + nb + 1)
-                              - ties / ((na + nb) * (na + nb - 1.0)))), 0),
+                              - CAST(ties AS DOUBLE)
+                                / ((na + nb) * (na + nb - 1.0)))), 0),
              6) AS z_score
 FROM s
 """
@@ -1446,7 +1449,12 @@ def mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     The single-partition window runs over that bounded histogram.
     Midranks land on the exact 0.5 grid, so every moment is an
     exactly-representable double and both engines agree bit-for-bit
-    before the final 6dp round of z."""
+    before the final 6dp round of z. The tie cube accumulates in
+    DECIMAL(38,0) in BOTH engines (per-term t*(t*t-1) stays under
+    10^37 for ties up to 10^12 rows, far past any real grid cell), so
+    exactness never depends on float summation order — a double SUM
+    of t^3-t would lose integer exactness past 2^53 (~2M-row ties),
+    and a bare BIGINT cube would ANSI-overflow there."""
     e = load_table(spark, sf_dir, "events")
     src = e.filter(F.col("event_type").isin(_MW_A, _MW_B)).select(
         F.round("value", 2).alias("v"),
@@ -1462,11 +1470,12 @@ def mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t",
         (F.sum("t").over(w) - F.col("t") + (F.col("t") + 1) / 2.0).alias("midrank"),
     )
+    tt = F.col("t").cast("decimal(12,0)")
     s = rk.agg(
         F.coalesce(F.sum("na_v"), F.lit(0)).cast("long").alias("na"),
         F.coalesce(F.sum(F.col("t") - F.col("na_v")), F.lit(0)).cast("long").alias("nb"),
         F.sum(F.col("na_v") * F.col("midrank")).alias("ra"),
-        F.sum((F.col("t") * 1.0) * F.col("t") * F.col("t") - F.col("t")).alias("ties"),
+        F.sum(tt * (tt * tt - 1)).alias("ties"),
     )
     na, nb = F.col("na"), F.col("nb")
     u = F.col("ra") - na * (na + 1) / 2.0
@@ -1484,7 +1493,8 @@ def mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
                         / 12.0
                         * (
                             (na + nb + 1)
-                            - F.col("ties") / ((na + nb) * (na + nb - 1.0))
+                            - F.col("ties").cast("double")
+                            / ((na + nb) * (na + nb - 1.0))
                         )
                     ),
                     F.lit(0.0),

@@ -1237,8 +1237,13 @@ REFERENTIAL_INTEGRITY_ORACLE = "\nUNION ALL\n".join(
        CAST(COALESCE(SUM(CASE WHEN p.{pkey} IS NULL THEN 1 ELSE 0 END), 0)
             AS BIGINT) AS n_orphan,
        CAST(COUNT(DISTINCT CASE WHEN p.{pkey} IS NULL THEN c.{ckey} END)
-           AS BIGINT) AS n_orphan_keys
-FROM {child} c LEFT JOIN {parent} p ON c.{ckey} = p.{pkey}"""
+           AS BIGINT) AS n_orphan_keys,
+       (SELECT CAST(COALESCE(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END), 0)
+                    AS BIGINT)
+        FROM (SELECT COUNT(*) AS cnt FROM {parent} GROUP BY {pkey}) pc
+       ) AS n_dup_parent_keys
+FROM {child} c
+LEFT JOIN (SELECT DISTINCT {pkey} FROM {parent}) p ON c.{ckey} = p.{pkey}"""
     for label, child, ckey, parent, pkey in _RI_EDGES
 ) + "\nORDER BY fk"
 
@@ -1247,25 +1252,41 @@ FROM {child} c LEFT JOIN {parent} p ON c.{ckey} = p.{pkey}"""
 def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit over the warehouse's FK graph: for
     each of the 7 foreign-key edges of the TPC-H star schema, count
-    child rows, orphan rows (child key with no parent), and distinct
-    orphan key values — the first data-quality gate any ingest
-    pipeline runs before joining, because a silently-broken FK turns
-    every downstream inner join into a row-dropper.
-    [engine — not in reference]
+    child rows, orphan rows (child key with no parent), distinct
+    orphan key values, and duplicated parent primary keys — the first
+    data-quality gate any ingest pipeline runs before joining, because
+    a silently-broken FK turns every downstream inner join into a
+    row-dropper and a duplicated parent PK turns it into a
+    row-multiplier. [engine — not in reference]
 
     Scale design: each edge is ONE join against the parent's primary
     key summarized to a single row — nothing but the 7-row census
-    leaves the executors. Parent keys are unique, so the left join
-    never fans out; small dimensions (nation, region) broadcast and
-    the fact-table edges shuffle on the join key exactly once. At
-    lake scale the same audit runs per-partition incrementally; the
-    full-scan form here is the backfill shape."""
+    leaves the executors. The parent side is DEDUPED (group-by PK)
+    before the join, so a broken parent with duplicate PKs cannot fan
+    the join out and inflate n_child/n_orphan; instead the duplication
+    itself is surfaced as n_dup_parent_keys (count of PK values
+    appearing more than once), computed from the same parent census
+    and broadcast onto the 1-row result. Small dimensions (nation,
+    region) broadcast and the fact-table edges shuffle on the join key
+    exactly once. At lake scale the same audit runs per-partition
+    incrementally; the full-scan form here is the backfill shape."""
     out = None
     for label, child, ckey, parent, pkey in _RI_EDGES:
         c = load_table(spark, sf_dir, child).select(F.col(ckey).alias("ck"))
-        p = load_table(spark, sf_dir, parent).select(F.col(pkey).alias("pk"))
+        pc = (
+            load_table(spark, sf_dir, parent)
+            .groupBy(F.col(pkey).alias("pk"))
+            .agg(F.count(F.lit(1)).alias("pn"))
+        )
+        dup = pc.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("pn") > 1, 1).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_dup_parent_keys")
+        )
         row = (
-            c.join(p, F.col("ck") == F.col("pk"), "left")
+            c.join(pc.select("pk"), F.col("ck") == F.col("pk"), "left")
             .agg(
                 F.count(F.lit(1)).alias("n_child"),
                 F.coalesce(
@@ -1277,11 +1298,13 @@ def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when(F.col("pk").isNull(), F.col("ck"))
                 ).alias("n_orphan_keys"),
             )
+            .crossJoin(F.broadcast(dup))
             .select(
                 F.lit(label).alias("fk"),
                 "n_child",
                 "n_orphan",
                 "n_orphan_keys",
+                "n_dup_parent_keys",
             )
         )
         out = row if out is None else out.unionByName(row)
@@ -1294,7 +1317,7 @@ def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 WEIGHTED_MEDIAN_ORACLE = """
 WITH census AS (
     SELECT l_returnflag, l_extendedprice AS v,
-           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+           CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS w
     FROM lineitem GROUP BY l_returnflag, l_extendedprice
 ),
 tot AS (
@@ -1324,8 +1347,12 @@ def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses when rows carry importance weights (sample weights, token
     counts, dollar volume) and the unweighted median would be wrong.
     Defined as an exact order statistic — no interpolation — so the
-    decision is pure integer comparison in both engines.
-    [engine — not in reference]
+    decision is pure integer comparison in both engines. Weights are
+    FLOORed before the bigint cast in BOTH engines: a bare
+    double->bigint cast truncates in Spark but rounds half-away in
+    DuckDB, so without the explicit floor fractional weights would
+    silently diverge (testdata quantities happen to be integral, which
+    masked it). [engine — not in reference]
 
     Scale design: one (group, value) census groupBy (value-grid
     bounded — 2dp prices), one per-group total, a cumulative-weight
@@ -1335,7 +1362,7 @@ def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     census = li.groupBy(
         "l_returnflag", F.col("l_extendedprice").alias("v")
-    ).agg(F.sum(F.col("l_quantity").cast("bigint")).cast("long").alias("w"))
+    ).agg(F.sum(F.floor("l_quantity").cast("bigint")).cast("long").alias("w"))
     tot = census.groupBy("l_returnflag").agg(
         F.sum("w").cast("long").alias("tw")
     )

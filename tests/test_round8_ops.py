@@ -253,6 +253,7 @@ def test_referential_integrity_clean_on_testdata(spark):
     for r in rows:
         assert r.n_orphan == 0, r.fk
         assert r.n_orphan_keys == 0, r.fk
+        assert r.n_dup_parent_keys == 0, r.fk
         assert r.n_child > 0, r.fk
 
 
@@ -278,6 +279,33 @@ def test_referential_integrity_counts_planted_orphans(spark, tmp_path):
     assert (e.n_child, e.n_orphan, e.n_orphan_keys) == (3, 2, 1)
     assert rows["lineitem.l_orderkey->orders"].n_orphan == 0
     assert rows["orders.o_custkey->customer"].n_orphan == 0
+
+
+def test_referential_integrity_dup_parent_pk_no_fanout(spark, tmp_path):
+    """A duplicated parent primary key must NOT fan the join out and
+    inflate n_child/n_orphan (the parent side is deduped before the
+    join); the duplication is surfaced in n_dup_parent_keys instead."""
+    _write(spark, tmp_path, [(1, 1, 1, 1.0), (2, 1, 1, 1.0)],
+           "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double",
+           "lineitem")
+    # part 1 appears THREE times: broken parent PK
+    _write(spark, tmp_path, [(1,), (1,), (1,), (2,)], "p_partkey long", "part")
+    _write(spark, tmp_path, [(1, 1, 100.0, _T0), (2, 1, 100.0, _T0)],
+           "o_orderkey long, o_custkey long, o_totalprice double, "
+           "o_orderdate timestamp", "orders")
+    _write(spark, tmp_path, [(1, 1)], "s_suppkey long, s_nationkey long",
+           "supplier")
+    _write(spark, tmp_path, [(1, 1)], "c_custkey long, c_nationkey long",
+           "customer")
+    _write(spark, tmp_path, [(1, 1)], "n_nationkey long, n_regionkey long",
+           "nation")
+    _write(spark, tmp_path, [(1,)], "r_regionkey long", "region")
+    rows = {r.fk: r for r in
+            QUERIES["q_referential_integrity"](spark, str(tmp_path)).collect()}
+    e = rows["lineitem.l_partkey->part"]
+    # without the dedup the 2 child rows would report n_child == 6
+    assert (e.n_child, e.n_orphan, e.n_dup_parent_keys) == (2, 0, 1)
+    assert rows["lineitem.l_orderkey->orders"].n_dup_parent_keys == 0
 
 
 # ---------------------------------------------------------------------------
