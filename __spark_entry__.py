@@ -101,6 +101,8 @@ _GATE_FRONT = [
     "q_dup_span_removal",
     # ---- END ROUND 9 WINDOW ----
     # new in round 9 (insert below this line as they land; due round 10)
+    "q_embed_decontaminate",
+    "q_fairness_audit",
     # former round-5 remainder tail (rows r5 — due next)
     "q_temperature_mix",
     "q_quality_classifier",

@@ -2484,3 +2484,119 @@ def simpson_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sign_reversal",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# group-fairness census: demographic parity + equalized odds per source
+
+FAIRNESS_AUDIT_ORACLE = """
+WITH rated AS (
+    SELECT source,
+           CAST(LEAST(ROUND(CAST(len(regexp_replace(text, '[^aeiou]', '', 'g'))
+                                 AS DOUBLE)
+                            / GREATEST(len(text), 1), 4) * 2.0, 1.0) >= 0.5
+                AS INT) AS yhat,
+           CAST(lang = 'en' AS INT) AS y
+    FROM documents
+),
+g AS (
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(yhat), 0) AS BIGINT) AS n_pred_pos,
+           CAST(COALESCE(SUM(yhat * y), 0) AS BIGINT) AS n11,
+           CAST(COALESCE(SUM(yhat * (1 - y)), 0) AS BIGINT) AS n10,
+           CAST(COALESCE(SUM((1 - yhat) * y), 0) AS BIGINT) AS n01,
+           CAST(COALESCE(SUM((1 - yhat) * (1 - y)), 0) AS BIGINT) AS n00
+    FROM rated GROUP BY source
+),
+m AS (SELECT MAX(n_pred_pos * 1.0 / NULLIF(n_docs, 0)) AS max_rate FROM g)
+SELECT source, n_docs, n_pred_pos,
+       ROUND(n_pred_pos * 1.0 / NULLIF(n_docs, 0), 6) AS sel_rate,
+       ROUND((n_pred_pos * 1.0 / NULLIF(n_docs, 0)) / NULLIF(max_rate, 0),
+             6) AS di_ratio,
+       ROUND(n11 * 1.0 / NULLIF(n11 + n01, 0), 6) AS tpr,
+       ROUND(n10 * 1.0 / NULLIF(n10 + n00, 0), 6) AS fpr
+FROM g CROSS JOIN m
+ORDER BY source
+"""
+
+
+@query("q_fairness_audit", FAIRNESS_AUDIT_ORACLE)
+def fairness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-fairness census of the vowel-ratio English detector
+    (q_cohens_kappa's rater) with the document `source` as the
+    protected attribute: per source, the selection rate P(yhat=1 | g)
+    (demographic parity), the disparate-impact ratio against the most-
+    selected group (the four-fifths-rule statistic), and the equalized-
+    odds pair TPR/FPR against the gold language label. A model that is
+    calibrated overall but selects one source at twice the rate of
+    another — or whose error rates differ by group — shows up here
+    before it poisons a curated training mix.
+    [engine — not in reference]
+
+    Scale design: the q_cohens_kappa confusion-census shape extended
+    per group — ONE groupBy over one scan produces the |sources|-row
+    2x2 census (bounded by attribute cardinality, never row count),
+    the max selection rate is a 1-row broadcast back over it, and all
+    rates are deterministic IEEE divisions of exact integer counts,
+    6dp-rounded. try_divide/NULLIF keeps groups with no positives
+    (TPR) or no negatives (FPR) NULL in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    vowels = F.length(F.regexp_replace("text", "[^aeiou]", ""))
+    p = F.least(
+        F.round(vowels.cast("double") / F.greatest(F.length("text"), F.lit(1)), 4)
+        * 2.0,
+        F.lit(1.0),
+    )
+    rated = d.select(
+        "source",
+        (p >= 0.5).cast("int").alias("yhat"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    g = rated.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("yhat"), F.lit(0)).cast("long").alias("n_pred_pos"),
+        F.coalesce(F.sum(F.col("yhat") * F.col("y")), F.lit(0))
+        .cast("long")
+        .alias("n11"),
+        F.coalesce(F.sum(F.col("yhat") * (1 - F.col("y"))), F.lit(0))
+        .cast("long")
+        .alias("n10"),
+        F.coalesce(F.sum((1 - F.col("yhat")) * F.col("y")), F.lit(0))
+        .cast("long")
+        .alias("n01"),
+        F.coalesce(F.sum((1 - F.col("yhat")) * (1 - F.col("y"))), F.lit(0))
+        .cast("long")
+        .alias("n00"),
+    )
+    rate = F.try_divide(
+        F.col("n_pred_pos") * 1.0, F.nullif(F.col("n_docs"), F.lit(0))
+    )
+    m = g.agg(F.max(rate).alias("max_rate"))
+    return (
+        g.crossJoin(F.broadcast(m))
+        .select(
+            "source",
+            "n_docs",
+            "n_pred_pos",
+            F.round(rate, 6).alias("sel_rate"),
+            F.round(
+                F.try_divide(rate, F.nullif(F.col("max_rate"), F.lit(0.0))), 6
+            ).alias("di_ratio"),
+            F.round(
+                F.try_divide(
+                    F.col("n11") * 1.0,
+                    F.nullif(F.col("n11") + F.col("n01"), F.lit(0)),
+                ),
+                6,
+            ).alias("tpr"),
+            F.round(
+                F.try_divide(
+                    F.col("n10") * 1.0,
+                    F.nullif(F.col("n10") + F.col("n00"), F.lit(0)),
+                ),
+                6,
+            ).alias("fpr"),
+        )
+        .orderBy("source")
+    )

@@ -5226,3 +5226,104 @@ def label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 label_noise.__doc__ = label_noise.__doc__.format(s=_LN_SLICE, k=_LN_K)
+
+
+# ---------------------------------------------------------------------------
+# embedding-level decontamination: train rows nearest a held-out panel
+
+_DECON_EVAL = 50
+_DECON_TOP = 20
+_DECON_TAU = 0.95
+
+EMBED_DECONTAMINATE_ORACLE = f"""
+WITH ev AS (SELECT vec_id AS eid, embedding AS ee
+            FROM embeddings WHERE vec_id < {_DECON_EVAL}),
+tr AS (SELECT vec_id, embedding FROM embeddings
+       WHERE vec_id >= {_DECON_EVAL}),
+p AS (
+    SELECT t.vec_id, ev.eid,
+           ROUND(CAST(list_cosine_similarity(
+               t.embedding::DOUBLE[], ev.ee::DOUBLE[]) AS DOUBLE), 9) AS c
+    FROM tr t, ev
+),
+best AS (
+    SELECT vec_id, eid, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY c DESC, eid) AS rnk
+    FROM p
+),
+ranked AS (
+    SELECT vec_id, eid, c,
+           ROW_NUMBER() OVER (ORDER BY c DESC, vec_id) AS gr
+    FROM best WHERE rnk = 1
+)
+SELECT vec_id, eid AS eval_id, ROUND(c, 6) AS max_cos,
+       CAST(c >= {_DECON_TAU} AS INT) AS flagged
+FROM ranked WHERE gr <= {_DECON_TOP}
+ORDER BY vec_id
+"""
+
+
+@query("q_embed_decontaminate", EMBED_DECONTAMINATE_ORACLE)
+def embed_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level train/eval decontamination report — the
+    cosine-similarity twin of q_stream_decontaminate's n-gram screen.
+    Vectors with vec_id < {e} act as the HELD-OUT eval panel; for
+    every training vector the report computes its maximum cosine to
+    the panel (with the argmax eval id, ties to the smallest id) and
+    emits the {t} closest training rows, marking any at or above the
+    hard-contamination threshold tau = {tau} (an eval item that leaked
+    into training verbatim or near-verbatim scores ~1.0). A training
+    pipeline drops flagged rows and audits the ranked tail.
+    [engine — not in reference]
+
+    Scale design: the q_label_noise sampled-panel pattern — the
+    bounded eval panel broadcasts against ONE fan_out corpus scan (the
+    round-8 lesson: a small parquet table arrives as one split, so
+    fan_out first or the panel join runs serial), per-train-vector
+    argmax via a groupBy-sized window over {e}-row lists, then a
+    global top-{t} that Spark collapses to TakeOrdered — no global
+    sort materializes. Ordering compares ROUND(cos, 9) before id
+    tiebreaks so both engines rank identically; output cosines are
+    6dp-rounded."""
+    em = load_table(spark, sf_dir, "embeddings")
+    ev = em.filter(F.col("vec_id") < _DECON_EVAL).select(
+        F.col("vec_id").alias("eid"), F.col("embedding").alias("ee")
+    )
+    tr = em.filter(F.col("vec_id") >= _DECON_EVAL).select(
+        "vec_id", "embedding"
+    )
+    p = fan_out(tr).join(F.broadcast(ev), F.lit(True)).select(
+        "vec_id",
+        "eid",
+        F.round(cosine_similarity("embedding", "ee"), 9).alias("c"),
+    )
+    best = (
+        p.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("c").desc(), "eid")
+            ),
+        )
+        .filter(F.col("rnk") == 1)
+        .drop("rnk")
+    )
+    ranked = best.withColumn(
+        "gr",
+        F.row_number().over(Window.orderBy(F.col("c").desc(), "vec_id")),
+    )
+    return (
+        ranked.filter(F.col("gr") <= _DECON_TOP)
+        .select(
+            "vec_id",
+            F.col("eid").alias("eval_id"),
+            F.round("c", 6).alias("max_cos"),
+            (F.col("c") >= _DECON_TAU).cast("int").alias("flagged"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+embed_decontaminate.__doc__ = embed_decontaminate.__doc__.format(
+    e=_DECON_EVAL, t=_DECON_TOP, tau=_DECON_TAU
+)

@@ -203,6 +203,9 @@ EMPTY_SAFE = [
     "q_burstiness",
     "q_weighted_median",
     "q_simpson_paradox",
+    # round 9
+    "q_embed_decontaminate",
+    "q_fairness_audit",
 ]
 
 # global aggregates return one constant row on empty input (their
