@@ -83,6 +83,11 @@ HEADLINE = [
     "q_isotonic_calibration",  # PAV minimax fit over the score histogram (r8 add)
     "q_matryoshka_recall",  # dual full/prefix ranking overlap (r8 add)
     "q_referential_integrity",  # 7-edge FK orphan census (r8 add)
+    "q_label_noise",        # sampled exact-kNN label audit (r9 add)
+    "q_mrr_eval",           # broadcast-panel retrieval metric (r9 add)
+    "q_kaplan_meier",       # per-user survival census (r9 add)
+    "q_mann_whitney",       # value-grid rank-sum test (r9 add)
+    "q_embed_decontaminate",  # eval-panel contamination report (r9 add)
 ]
 
 # round-over-round reference (same box, sf0.1, local[32]):

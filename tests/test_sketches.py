@@ -6,13 +6,22 @@ from __future__ import annotations
 import pcap_to_parquet_spark.operators  # noqa: F401
 from pyspark.sql import functions as F
 
+import pytest
+
 from pcap_to_parquet_spark.registry import QUERIES
 from pcap_to_parquet_spark.sources.tables import load_table
 
 SF = "/root/testdata/sf0.01"
 
+# the estimator contracts hold at EVERY scale the driver regenerates —
+# parameterized so a data regeneration can't silently degrade a sketch
+# at the bench SF while the sf0.01 pin stays green
+SFS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
-def test_hll_rollup_accuracy(spark):
+
+@pytest.mark.parametrize("sf", SFS)
+def test_hll_rollup_accuracy(spark, sf):
+    SF = sf
     rows = {r.key: r.est_distinct for r in QUERIES["q_hll_rollup"](spark, SF).collect()}
     e = load_table(spark, SF, "events")
     exact_total = e.select(F.countDistinct("user_id")).first()[0]
@@ -24,7 +33,9 @@ def test_hll_rollup_accuracy(spark):
     assert rows["total"] <= sum(days) + 1
 
 
-def test_kll_quantiles_accuracy(spark):
+@pytest.mark.parametrize("sf", SFS)
+def test_kll_quantiles_accuracy(spark, sf):
+    SF = sf
     got = {r.key: r for r in QUERIES["q_kll_quantiles"](spark, SF).collect()}
     li = load_table(spark, SF, "lineitem")
     exact = li.agg(
@@ -42,7 +53,9 @@ def test_kll_quantiles_accuracy(spark):
         assert r.p50 <= r.p90 <= r.p99
 
 
-def test_theta_set_algebra_consistency(spark):
+@pytest.mark.parametrize("sf", SFS)
+def test_theta_set_algebra_consistency(spark, sf):
+    SF = sf
     r = QUERIES["q_theta_audience_overlap"](spark, SF).first()
     e = load_table(spark, SF, "events")
     viewers = {x.user_id for x in e.filter(F.col("event_type") == "view").select("user_id").distinct().collect()}
