@@ -618,3 +618,35 @@ def test_round7_qualification_shapes(spark):
     # days-bounded series — a hash join, never nested-loop over draws
     p = prof(spark, "q_bootstrap_ci")
     assert "CartesianProduct" not in p
+
+
+def test_round9_op_shapes(spark):
+    """Pin the scale claims of the round-9 pair: the decontamination
+    report must collapse its global ranking (never a global sort), and
+    the fairness census must stay one bounded aggregation pipeline."""
+    # embed_decontaminate: broadcast eval panel over a fan_out corpus
+    # scan; per-vector argmax and the global top-20 both group-limit
+    p = prof(spark, "q_embed_decontaminate")
+    assert p.get("BroadcastNestedLoopJoin", 0) == 1  # the 50-row panel
+    assert p.get("WindowGroupLimit", 0) >= 2  # argmax + global top-20
+    assert p.get("TakeOrderedAndProject", 0) >= 1  # top-20, no global sort
+    assert "CartesianProduct" not in p
+    assert p.get("BatchEvalPython", 0) == 0  # cosine stays JVM-side
+    # the only exchanges: fan_out + the vec_id-keyed window shuffle +
+    # the single-partition tail of the 20-row report
+    assert p["exchanges"] <= 3
+
+    # fairness: |sources|-row confusion census + 1-row broadcast max
+    p = prof(spark, "q_fairness_audit")
+    assert p.get("BroadcastNestedLoopJoin", 0) == 1  # the 1-row max rate
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+    assert p.get("BatchEvalPython", 0) == 0
+    assert p.get("HashAggregate", 0) >= 4  # partial+final, census+max
+
+    # referential integrity (reworked this round): the deduped parent
+    # census must keep every edge a hash join — a dup parent PK can no
+    # longer fan out — and the dup census rides a 1-row broadcast
+    p = prof(spark, "q_referential_integrity")
+    assert p.get("BroadcastHashJoin", 0) + p.get("SortMergeJoin", 0) >= 7
+    assert p.get("BroadcastNestedLoopJoin", 0) == 7  # 7 one-row dup censuses
+    assert "CartesianProduct" not in p
