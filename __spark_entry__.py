@@ -42,7 +42,10 @@ SF0001_DIR = "/root/testdata/sf0.001"
 # rows r5) and the former round-6 window remainder head
 # (q_dsir_weights onward, rows r6). After that: the rest of the r6
 # remainder, the round-7 window (rows r7), then the round-8 window
-# (rows r8, freshest).
+# (rows r8, freshest). The round-10 window (positions 50-99 as of end
+# of round 9) was REHEARSED GREEN at sf0.01 in round 9: 49 pass /
+# 0 fail / 1 rows-only (q_pca_embed — the documented eigensolver-bound
+# exception).
 _GATE_FRONT = [
     # ---- ROUND 9 WINDOW (positions 0-49) ----
     # (a) new in round 8: never driver-checked (22) — rehearsed green
