@@ -37,3 +37,30 @@ def shingles(tokens: Column | str, n: int = 3, sep: str = "|") -> Column:
     for j in range(1, n):
         out = F.zip_with(out, F.slice(toks, j + 1, k), lambda x, y: F.concat(x, F.lit(sep), y))
     return out
+
+
+# The heuristic English detector shared by the evaluation family
+# (q_calibration_ece, q_isotonic_calibration, q_cohens_kappa,
+# q_brier_decomposition, q_mcnemar_test, q_fairness_audit): score =
+# min(round(vowel_ratio, 4) * 2, 1). ONE definition on each engine —
+# a tweak applied to only some call sites would silently rate the
+# same document differently across operators, so every Spark use
+# goes through english_score() and every DuckDB oracle interpolates
+# ENGLISH_SCORE_SQL.
+ENGLISH_SCORE_SQL = (
+    "LEAST(ROUND(CAST(len(regexp_replace(text, '[^aeiou]', '', 'g'))"
+    " AS DOUBLE) / GREATEST(len(text), 1), 4) * 2.0, 1.0)"
+)
+
+
+def english_score(text: Column | str = "text") -> Column:
+    """Vowel-ratio English-ness score in [0, 1] (see ENGLISH_SCORE_SQL
+    for the byte-equivalent DuckDB fragment). The 4dp round happens
+    BEFORE the *2 rescale so scores land on an exact grid and a
+    >= 0.5 threshold is never a float-noise coin flip."""
+    vowels = F.length(F.regexp_replace(text, "[^aeiou]", ""))
+    return F.least(
+        F.round(vowels.cast("double") / F.greatest(F.length(text), F.lit(1)), 4)
+        * 2.0,
+        F.lit(1.0),
+    )

@@ -25,4 +25,17 @@ def l2_norm(a: Column | str) -> Column:
 
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine of two float vectors, JVM-side.
+
+    A zero-norm (or NULL) vector has no direction: the division is
+    0.0/0.0 — a DIVIDE_BY_ZERO crash under ANSI mode (Spark 4's
+    default) and NULL otherwise — while DuckDB's
+    ``list_cosine_similarity``, which every oracle uses, returns
+    **-1.0** for the same input. try_divide + COALESCE to -1.0
+    ("never similar") so Spark neither crashes nor diverges from its
+    oracle if a degenerate all-zero embedding ever ships in testdata;
+    -1.0 fails every similarity threshold and sorts last in every
+    descending ranking, exactly like the NULL it replaces."""
+    return F.coalesce(
+        F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b)), F.lit(-1.0)
+    )

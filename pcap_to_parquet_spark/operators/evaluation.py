@@ -41,7 +41,11 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pcap_to_parquet_spark.functions.text import whitespace_tokens
+from pcap_to_parquet_spark.functions.text import (
+    ENGLISH_SCORE_SQL,
+    english_score,
+    whitespace_tokens,
+)
 from pcap_to_parquet_spark.registry import query
 from pcap_to_parquet_spark.sources import load_table
 
@@ -129,10 +133,9 @@ def chi2_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # calibration audit: 10-bin reliability diagram (ECE components)
 
-CALIBRATION_ORACLE = """
+CALIBRATION_ORACLE = f"""
 WITH scored AS (
-    SELECT LEAST(ROUND(CAST(len(regexp_replace(text, '[^aeiou]', '', 'g')) AS DOUBLE)
-                       / GREATEST(len(text), 1), 4) * 2.0, 1.0) AS p,
+    SELECT {ENGLISH_SCORE_SQL} AS p,
            CAST(lang = 'en' AS INT) AS y
     FROM documents
 )
@@ -163,12 +166,7 @@ def calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment FLOOR(p*10) is a decision on bit-identical doubles,
     never a float-noise coin flip at a bin edge."""
     d = load_table(spark, sf_dir, "documents")
-    vowels = F.length(F.regexp_replace("text", "[^aeiou]", ""))
-    p = F.least(
-        F.round(vowels.cast("double") / F.greatest(F.length("text"), F.lit(1)), 4)
-        * 2.0,
-        F.lit(1.0),
-    )
+    p = english_score()
     scored = d.select(p.alias("p"), (F.col("lang") == "en").cast("int").alias("y"))
     return (
         scored.groupBy(
@@ -1675,8 +1673,7 @@ _ISO_BINS = 20
 
 ISOTONIC_ORACLE = f"""
 WITH scored AS (
-    SELECT LEAST(ROUND(CAST(len(regexp_replace(text, '[^aeiou]', '', 'g')) AS DOUBLE)
-                       / GREATEST(len(text), 1), 4) * 2.0, 1.0) AS p,
+    SELECT {ENGLISH_SCORE_SQL} AS p,
            CAST(lang = 'en' AS INT) AS y
     FROM documents
 ),
@@ -1732,12 +1729,7 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max are exact, so the fit matches bit-for-bit before the 6dp
     round."""
     d = load_table(spark, sf_dir, "documents")
-    vowels = F.length(F.regexp_replace("text", "[^aeiou]", ""))
-    p = F.least(
-        F.round(vowels.cast("double") / F.greatest(F.length("text"), F.lit(1)), 4)
-        * 2.0,
-        F.lit(1.0),
-    )
+    p = english_score()
     scored = d.select(p.alias("p"), (F.col("lang") == "en").cast("int").alias("y"))
     b0 = scored.groupBy(
         F.least(F.floor(F.col("p") * _ISO_BINS), F.lit(_ISO_BINS - 1))
@@ -2031,11 +2023,9 @@ def levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Cohen's kappa: chance-corrected agreement of the heuristic detector
 
-KAPPA_ORACLE = """
+KAPPA_ORACLE = f"""
 WITH rated AS (
-    SELECT CAST(LEAST(ROUND(CAST(len(regexp_replace(text, '[^aeiou]', '', 'g'))
-                                 AS DOUBLE)
-                            / GREATEST(len(text), 1), 4) * 2.0, 1.0) >= 0.5
+    SELECT CAST({ENGLISH_SCORE_SQL} >= 0.5
                 AS INT) AS a,
            CAST(lang = 'en' AS INT) AS b
     FROM documents
@@ -2076,12 +2066,7 @@ def cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     then scalar algebra. Counts are exact integers, the kappa algebra
     is deterministic IEEE division on identical integers, 6dp-rounded."""
     d = load_table(spark, sf_dir, "documents")
-    vowels = F.length(F.regexp_replace("text", "[^aeiou]", ""))
-    p = F.least(
-        F.round(vowels.cast("double") / F.greatest(F.length("text"), F.lit(1)), 4)
-        * 2.0,
-        F.lit(1.0),
-    )
+    p = english_score()
     rated = d.select(
         (p >= 0.5).cast("int").alias("a"),
         (F.col("lang") == "en").cast("int").alias("b"),
@@ -2123,10 +2108,9 @@ def cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Brier score with exact Murphy decomposition on the 4dp score grid
 
-BRIER_ORACLE = """
+BRIER_ORACLE = f"""
 WITH scored AS (
-    SELECT LEAST(ROUND(CAST(len(regexp_replace(text, '[^aeiou]', '', 'g')) AS DOUBLE)
-                       / GREATEST(len(text), 1), 4) * 2.0, 1.0) AS p,
+    SELECT {ENGLISH_SCORE_SQL} AS p,
            CAST(lang = 'en' AS INT) AS y
     FROM documents
 ),
@@ -2175,12 +2159,7 @@ def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary labels the per-cell means are exact-integer divisions, so
     both engines agree deterministically before the 6dp round."""
     d = load_table(spark, sf_dir, "documents")
-    vowels = F.length(F.regexp_replace("text", "[^aeiou]", ""))
-    p = F.least(
-        F.round(vowels.cast("double") / F.greatest(F.length("text"), F.lit(1)), 4)
-        * 2.0,
-        F.lit(1.0),
-    )
+    p = english_score()
     scored = d.select(p.alias("p"), (F.col("lang") == "en").cast("int").alias("y"))
     cells = scored.groupBy("p").agg(
         F.count(F.lit(1)).alias("w"),
@@ -2228,11 +2207,9 @@ def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # McNemar's test: paired comparison of two detectors on the same docs
 
-MCNEMAR_ORACLE = """
+MCNEMAR_ORACLE = f"""
 WITH rated AS (
-    SELECT CAST((LEAST(ROUND(CAST(len(regexp_replace(text, '[^aeiou]', '', 'g'))
-                                  AS DOUBLE)
-                             / GREATEST(len(text), 1), 4) * 2.0, 1.0) >= 0.5)
+    SELECT CAST(({ENGLISH_SCORE_SQL} >= 0.5)
                 = (lang = 'en') AS INT) AS a_ok,
            CAST((POSITION(' the ' IN lower(text)) > 0) = (lang = 'en') AS INT)
                AS b_ok
@@ -2265,15 +2242,8 @@ def mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 2x2 discordance census — nothing but four integers leaves the
     scan. Exact integer algebra, try_divide-guarded, 6dp round."""
     d = load_table(spark, sf_dir, "documents")
-    vowels = F.length(F.regexp_replace("text", "[^aeiou]", ""))
     pa = (
-        F.least(
-            F.round(
-                vowels.cast("double") / F.greatest(F.length("text"), F.lit(1)), 4
-            )
-            * 2.0,
-            F.lit(1.0),
-        )
+        english_score()
         >= 0.5
     )
     pb = F.instr(F.lower("text"), " the ") > 0
@@ -2489,12 +2459,10 @@ def simpson_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # group-fairness census: demographic parity + equalized odds per source
 
-FAIRNESS_AUDIT_ORACLE = """
+FAIRNESS_AUDIT_ORACLE = f"""
 WITH rated AS (
     SELECT source,
-           CAST(LEAST(ROUND(CAST(len(regexp_replace(text, '[^aeiou]', '', 'g'))
-                                 AS DOUBLE)
-                            / GREATEST(len(text), 1), 4) * 2.0, 1.0) >= 0.5
+           CAST({ENGLISH_SCORE_SQL} >= 0.5
                 AS INT) AS yhat,
            CAST(lang = 'en' AS INT) AS y
     FROM documents
@@ -2542,12 +2510,7 @@ def fairness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     6dp-rounded. try_divide/NULLIF keeps groups with no positives
     (TPR) or no negatives (FPR) NULL in both engines."""
     d = load_table(spark, sf_dir, "documents")
-    vowels = F.length(F.regexp_replace("text", "[^aeiou]", ""))
-    p = F.least(
-        F.round(vowels.cast("double") / F.greatest(F.length("text"), F.lit(1)), 4)
-        * 2.0,
-        F.lit(1.0),
-    )
+    p = english_score()
     rated = d.select(
         "source",
         (p >= 0.5).cast("int").alias("yhat"),

@@ -1268,8 +1268,14 @@ def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     appearing more than once), computed from the same parent census
     and broadcast onto the 1-row result. Small dimensions (nation,
     region) broadcast and the fact-table edges shuffle on the join key
-    exactly once. At lake scale the same audit runs per-partition
-    incrementally; the full-scan form here is the backfill shape."""
+    exactly once. The parent census is DELIBERATELY evaluated twice
+    per edge (once column-pruned for the join keys, once for the dup
+    count) rather than checkpointed: both consumers prune to the PK
+    column, so the cost is two columnar PK-only scans — cheaper at
+    lake scale than materializing a |parent|-sized census, whose
+    storage would rival the table itself. At lake scale the same
+    audit runs per-partition incrementally; the full-scan form here
+    is the backfill shape."""
     out = None
     for label, child, ckey, parent, pkey in _RI_EDGES:
         c = load_table(spark, sf_dir, child).select(F.col(ckey).alias("ck"))

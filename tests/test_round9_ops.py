@@ -154,3 +154,43 @@ def test_fairness_audit_group_count_on_testdata(spark):
     for r in out:
         assert r.n_docs > 0
         assert r.di_ratio is None or r.di_ratio <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# zero-norm cosine parity (the shared helper vs DuckDB's convention)
+
+
+def test_cosine_zero_norm_matches_duckdb_convention(spark):
+    """Spark's 0.0/0.0 division is NULL, DuckDB's
+    list_cosine_similarity returns -1.0 for a zero-norm vector; the
+    shared helper must coalesce to -1.0 so every cosine op stays
+    oracle-parity-safe if a degenerate embedding ever ships."""
+    import duckdb
+
+    from pcap_to_parquet_spark.functions.vectors import cosine_similarity
+
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [1.0, 0.0])],
+        "a array<double>, b array<double>",
+    ).select(cosine_similarity("a", "b").alias("c"))
+    got = sorted(r.c for r in df.collect())
+    want = sorted(
+        r[0]
+        for r in duckdb.sql(
+            "SELECT list_cosine_similarity(a::DOUBLE[], b::DOUBLE[]) FROM "
+            "(VALUES ([0.0,0.0],[1.0,0.0]), ([1.0,0.0],[1.0,0.0])) t(a,b)"
+        ).fetchall()
+    )
+    assert got == want == [-1.0, 1.0]
+
+
+def test_embed_decontaminate_zero_vector_never_flagged(spark, tmp_path):
+    """An all-zero train vector must report max_cos -1.0 (not NULL) in
+    the (under-20-candidate) report and never be flagged."""
+    rows = [(i, _unit(i), 0) for i in range(_DECON_EVAL)]
+    rows.append((_DECON_EVAL + 0, [0.0] * 8, 1))  # degenerate
+    _write(spark, tmp_path, rows, _EMBED_SCHEMA, "embeddings")
+    out = {r.vec_id: r for r in
+           QUERIES["q_embed_decontaminate"](spark, str(tmp_path)).collect()}
+    z = out[_DECON_EVAL + 0]
+    assert z.max_cos == -1.0 and z.flagged == 0
