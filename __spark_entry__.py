@@ -31,82 +31,26 @@ SF0001_DIR = "/root/testdata/sf0.001"
 # hash-green + 5 seed-bound rows-only, 0 value failures). Pinned by
 # test_gate_front_names_exist.
 #
-# ROUND 10 ROTATION NOTE: round 9 fronts (a) the 22 "new in round 8"
-# ops (never driver-checked before this round; rehearsed green at
-# sf0.01 in both rounds 8 and 9) and (b) the former round-5 window
-# remainder head (q_k_anonymity..q_dup_span_removal, rows r5 — the
-# stalest driver rows in the registry). ROUND 10 WINDOW: promote
-# positions 50-99 wholesale again — any "new in round 9" entries
-# (inserted right after the END ROUND 9 WINDOW marker) followed by the
-# former round-5 remainder tail (q_temperature_mix..q_stream_holt,
-# rows r5) and the former round-6 window remainder head
-# (q_dsir_weights onward, rows r6). After that: the rest of the r6
-# remainder, the round-7 window (rows r7), then the round-8 window
-# (rows r8, freshest). The round-10 window (positions 50-99 as of end
-# of round 9) was REHEARSED GREEN at sf0.01 in round 9: 49 pass /
-# 0 fail / 1 rows-only (q_pca_embed — the documented eigensolver-bound
-# exception).
+# ROUND 11 ROTATION NOTE: round 10 fronts (a) the 2 "new in round 9"
+# ops (first-ever driver rows) plus (b) the former round-5 window
+# remainder tail (q_temperature_mix..q_stream_holt, rows r5 — the
+# stalest driver rows in the registry) and (c) the former round-6
+# window remainder head (q_dsir_weights..q_cube, rows r6). ROUND 11
+# WINDOW: promote positions 50-99 wholesale again — any "new in
+# round 10" entries (inserted right after the END ROUND 10 WINDOW
+# marker) followed by the former round-6 remainder tail
+# (q_grouping_sets..q_asof_join, rows r6) and the round-7 window head
+# (q_kmeans onward, rows r7). After that: the rest of the r7 window,
+# the round-8 window (rows r8), then the round-9 window (rows r9,
+# freshest).
 _GATE_FRONT = [
-    # ---- ROUND 9 WINDOW (positions 0-49) ----
-    # (a) new in round 8: never driver-checked (22) — rehearsed green
-    #     at sf0.01 in round 8 and re-rehearsed this round
-    "q_spearman_corr",
-    "q_kendall_tau",
-    "q_mann_whitney",
-    "q_t_closeness",
-    "q_isotonic_calibration",
-    "q_pacf",
-    "q_mrr_eval",
-    "q_map_eval",
-    "q_referential_integrity",
-    "q_levene_test",
-    "q_cohens_kappa",
-    "q_brier_decomposition",
-    "q_readability",
-    "q_matryoshka_recall",
-    "q_label_noise",
-    "q_kaplan_meier",
-    "q_js_divergence",
-    "q_mcnemar_test",
-    "q_burstiness",
-    "q_weighted_median",
-    "q_hill_tail",
-    "q_simpson_paradox",
-    # (b) former round-5 window remainder head (newest driver rows r5 —
-    #     stalest in the registry) (28)
-    "q_k_anonymity",
-    "q_text_source",
-    "q_kmv_window",
-    "q_lpa_communities",
-    "q_winsorized_mean",
-    "q_sentence_chunks",
-    "q_numeric_histogram",
-    "q_cusum_drift",
-    "q_rfm_segments",
-    "q_gini",
-    "q_char_entropy",
-    "q_rolling_corr",
-    "q_mad_outliers",
-    "q_top_paths",
-    "q_lorenz_deciles",
-    "q_new_vs_returning",
-    "q_pcap_flows",
-    "q_triangle_count",
-    "q_ngram_containment",
-    "q_dedup_survivors",
-    "q_pcap_roundtrip",
-    "q_bitmap_distinct",
-    "q_try_arithmetic",
-    "q_pcap_stream_flows",
-    "q_funnel_bounded",
-    "q_dup_span_coverage",
-    "q_pmi_bigrams",
-    "q_dup_span_removal",
-    # ---- END ROUND 9 WINDOW ----
-    # new in round 9 (insert below this line as they land; due round 10)
+    # ---- ROUND 10 WINDOW (positions 0-49) ----
+    # (a) new in round 9: never driver-checked (2) — judge-verified
+    #     2/2 at sf0.01 in round 9, re-rehearsed this round
     "q_embed_decontaminate",
     "q_fairness_audit",
-    # former round-5 remainder tail (rows r5 — due next)
+    # (b) former round-5 window remainder tail (rows r5 — stalest
+    #     driver rows in the registry) (11)
     "q_temperature_mix",
     "q_quality_classifier",
     "q_ewma",
@@ -118,7 +62,7 @@ _GATE_FRONT = [
     "q_holt_forecast",
     "q_multi_regression",
     "q_stream_holt",
-    # former round-6 window remainder (rows r6)
+    # (c) former round-6 window remainder head (rows r6) (37)
     "q_dsir_weights",
     "q_rrf_fusion",
     "q_ndcg_eval",
@@ -156,6 +100,9 @@ _GATE_FRONT = [
     "q_stream_stateful",
     "q_rollup",
     "q_cube",
+    # ---- END ROUND 10 WINDOW ----
+    # new in round 10 (insert below this line as they land; due round 11)
+    # former round-6 window remainder tail (rows r6)
     "q_grouping_sets",
     "q_inner_join",
     "q_broadcast_join",
@@ -267,6 +214,57 @@ _GATE_FRONT = [
     "q_sql_important_stock",
     "q_sql_shipmode_priority",
     "q_density_clusters",
+    # round-9 window (rows r9 — freshest, lowest priority)
+    "q_spearman_corr",
+    "q_kendall_tau",
+    "q_mann_whitney",
+    "q_t_closeness",
+    "q_isotonic_calibration",
+    "q_pacf",
+    "q_mrr_eval",
+    "q_map_eval",
+    "q_referential_integrity",
+    "q_levene_test",
+    "q_cohens_kappa",
+    "q_brier_decomposition",
+    "q_readability",
+    "q_matryoshka_recall",
+    "q_label_noise",
+    "q_kaplan_meier",
+    "q_js_divergence",
+    "q_mcnemar_test",
+    "q_burstiness",
+    "q_weighted_median",
+    "q_hill_tail",
+    "q_simpson_paradox",
+    "q_k_anonymity",
+    "q_text_source",
+    "q_kmv_window",
+    "q_lpa_communities",
+    "q_winsorized_mean",
+    "q_sentence_chunks",
+    "q_numeric_histogram",
+    "q_cusum_drift",
+    "q_rfm_segments",
+    "q_gini",
+    "q_char_entropy",
+    "q_rolling_corr",
+    "q_mad_outliers",
+    "q_top_paths",
+    "q_lorenz_deciles",
+    "q_new_vs_returning",
+    "q_pcap_flows",
+    "q_triangle_count",
+    "q_ngram_containment",
+    "q_dedup_survivors",
+    "q_pcap_roundtrip",
+    "q_bitmap_distinct",
+    "q_try_arithmetic",
+    "q_pcap_stream_flows",
+    "q_funnel_bounded",
+    "q_dup_span_coverage",
+    "q_pmi_bigrams",
+    "q_dup_span_removal",
 ]
 
 

@@ -46,15 +46,25 @@ def shingles(tokens: Column | str, n: int = 3, sep: str = "|") -> Column:
 # a tweak applied to only some call sites would silently rate the
 # same document differently across operators, so every Spark use
 # goes through english_score() and every DuckDB oracle interpolates
-# ENGLISH_SCORE_SQL.
-ENGLISH_SCORE_SQL = (
-    "LEAST(ROUND(CAST(len(regexp_replace(text, '[^aeiou]', '', 'g'))"
-    " AS DOUBLE) / GREATEST(len(text), 1), 4) * 2.0, 1.0)"
-)
+# english_score_sql(). The column name is a parameter on BOTH sides
+# so a caller scoring a different column can't silently score `text`
+# in the oracle while the Python helper scores the other column.
+
+
+def english_score_sql(col: str = "text") -> str:
+    """DuckDB fragment byte-equivalent to :func:`english_score`."""
+    return (
+        f"LEAST(ROUND(CAST(len(regexp_replace({col}, '[^aeiou]', '', 'g'))"
+        f" AS DOUBLE) / GREATEST(len({col}), 1), 4) * 2.0, 1.0)"
+    )
+
+
+# Back-compat constant for oracles scoring the default `text` column.
+ENGLISH_SCORE_SQL = english_score_sql()
 
 
 def english_score(text: Column | str = "text") -> Column:
-    """Vowel-ratio English-ness score in [0, 1] (see ENGLISH_SCORE_SQL
+    """Vowel-ratio English-ness score in [0, 1] (see english_score_sql
     for the byte-equivalent DuckDB fragment). The 4dp round happens
     BEFORE the *2 rescale so scores land on an exact grid and a
     >= 0.5 threshold is never a float-noise coin flip."""

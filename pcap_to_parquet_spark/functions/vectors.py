@@ -27,15 +27,24 @@ def l2_norm(a: Column | str) -> Column:
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """Cosine of two float vectors, JVM-side.
 
-    A zero-norm (or NULL) vector has no direction: the division is
-    0.0/0.0 — a DIVIDE_BY_ZERO crash under ANSI mode (Spark 4's
-    default) and NULL otherwise — while DuckDB's
-    ``list_cosine_similarity``, which every oracle uses, returns
-    **-1.0** for the same input. try_divide + COALESCE to -1.0
-    ("never similar") so Spark neither crashes nor diverges from its
-    oracle if a degenerate all-zero embedding ever ships in testdata;
-    -1.0 fails every similarity threshold and sorts last in every
-    descending ranking, exactly like the NULL it replaces."""
-    return F.coalesce(
-        F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b)), F.lit(-1.0)
+    A zero-norm vector has no direction: the division is 0.0/0.0 — a
+    DIVIDE_BY_ZERO crash under ANSI mode (Spark 4's default) and NULL
+    otherwise — while DuckDB's ``list_cosine_similarity``, which every
+    oracle uses, returns **-1.0** for the same input. try_divide +
+    COALESCE to -1.0 ("never similar") so Spark neither crashes nor
+    diverges from its oracle if a degenerate all-zero embedding ever
+    ships in testdata; -1.0 fails every similarity threshold and sorts
+    last in every descending ranking, exactly like the NULL it
+    replaces. The -1.0 fill applies ONLY when both inputs are non-NULL:
+    DuckDB returns NULL (not -1.0) for a NULL input vector, so a NULL
+    embedding must stay NULL on both engines — the WHEN guard pins
+    that."""
+    a_col = F.col(a) if isinstance(a, str) else a
+    b_col = F.col(b) if isinstance(b, str) else b
+    return F.when(
+        a_col.isNotNull() & b_col.isNotNull(),
+        F.coalesce(
+            F.try_divide(dot(a_col, b_col), l2_norm(a_col) * l2_norm(b_col)),
+            F.lit(-1.0),
+        ),
     )

@@ -2485,7 +2485,7 @@ SELECT source, n_docs, n_pred_pos,
        ROUND(n11 * 1.0 / NULLIF(n11 + n01, 0), 6) AS tpr,
        ROUND(n10 * 1.0 / NULLIF(n10 + n00, 0), 6) AS fpr
 FROM g CROSS JOIN m
-ORDER BY source
+ORDER BY source NULLS LAST
 """
 
 
@@ -2561,5 +2561,8 @@ def fairness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("fpr"),
         )
-        .orderBy("source")
+        # Spark ASC is NULLS FIRST, DuckDB's is NULLS LAST — pin the
+        # oracle's convention so a NULL protected-attribute group (a
+        # plausible value for `source`) can't break row-order parity.
+        .orderBy(F.col("source").asc_nulls_last())
     )

@@ -4666,7 +4666,11 @@ def auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LSHR_SLICE = 100  # audit slice: doc_id < 100
 _LSHR_TAU = 0.7
 
-LSH_RECALL_ORACLE = rf"""
+# Shared audit CTEs (truth pairs `tp` + banded candidates `cand` on the
+# fixed slice) — interpolated by BOTH q_lsh_recall and q_lsh_precision
+# so the two audits can never diverge on what a candidate or a true
+# pair is.
+_LSH_AUDIT_CTES = rf"""
 WITH tok AS (
     SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS ws
     FROM documents WHERE doc_id < {_LSHR_SLICE}
@@ -4702,7 +4706,9 @@ cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a
     JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-)
+)"""
+
+LSH_RECALL_ORACLE = rf"""{_LSH_AUDIT_CTES}
 SELECT (SELECT COUNT(*) FROM tp) AS n_true_pairs,
        (SELECT COUNT(*) FROM cand) AS n_candidates,
        (SELECT COUNT(*) FROM tp SEMI JOIN cand USING (doc_a, doc_b))
@@ -4712,22 +4718,13 @@ SELECT (SELECT COUNT(*) FROM tp) AS n_true_pairs,
 """
 
 
-@query("q_lsh_recall", LSH_RECALL_ORACLE)
-def lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding recall AUDIT — q_srp_recall's twin for the text
-    side: on a {slice}-document audit slice, compare the 16×8 MinHash
-    banding's candidate pairs (q_minhash_exact's exact geometry)
-    against exact 3-gram Jaccard ≥ {tau} ground truth, reporting true
-    pairs, candidates, caught pairs and recall. This is the sampled
-    qualification loop a production near-dup pipeline runs after
-    every band-geometry change. [engine — not in reference]
-
-    Scale design: exact all-pairs Jaccard is the unscalable half, so
-    it runs ONLY on the fixed audit slice (the sampled-ground-truth
-    pattern, same as q_srp_recall's query sample); the banding half is
-    the production shape restricted to the same slice. Everything is
-    keyed on doc/shingle ids; the three counts are scalar aggregates
-    cross-joined into one row."""
+def _lsh_audit_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared audit-slice frames for q_lsh_recall / q_lsh_precision:
+    (true pairs at Jaccard >= tau, banded candidate pairs), both
+    localCheckpointed — ONE definition of truth and candidates so the
+    recall and precision audits can never disagree."""
     d = load_table(spark, sf_dir, "documents").where(
         F.col("doc_id") < _LSHR_SLICE
     )
@@ -4811,6 +4808,26 @@ def lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    return tp, cand
+
+
+@query("q_lsh_recall", LSH_RECALL_ORACLE)
+def lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding recall AUDIT — q_srp_recall's twin for the text
+    side: on a {slice}-document audit slice, compare the 16×8 MinHash
+    banding's candidate pairs (q_minhash_exact's exact geometry)
+    against exact 3-gram Jaccard ≥ {tau} ground truth, reporting true
+    pairs, candidates, caught pairs and recall. This is the sampled
+    qualification loop a production near-dup pipeline runs after
+    every band-geometry change. [engine — not in reference]
+
+    Scale design: exact all-pairs Jaccard is the unscalable half, so
+    it runs ONLY on the fixed audit slice (the sampled-ground-truth
+    pattern, same as q_srp_recall's query sample); the banding half is
+    the production shape restricted to the same slice. Everything is
+    keyed on doc/shingle ids; the three counts are scalar aggregates
+    cross-joined into one row."""
+    tp, cand = _lsh_audit_frames(spark, sf_dir)
     caught = tp.join(cand, ["doc_a", "doc_b"], "left_semi")
     t1 = tp.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
     t2 = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))

@@ -146,6 +146,20 @@ def test_fairness_audit_null_rates_when_class_absent(spark, tmp_path):
     assert out["B"].fpr is None and out["B"].tpr == 0.5
 
 
+def test_fairness_audit_null_source_sorts_last(spark, tmp_path):
+    """A NULL protected-attribute group must sort LAST (DuckDB's ASC
+    default), not first (Spark's) — pins the asc_nulls_last fix."""
+    docs = [
+        _doc(0, "aaaa", "en", "A"),
+        _doc(1, "zzzz", "de", None),
+        _doc(2, "aaaa", "en", "B"),
+    ]
+    _write(spark, tmp_path, docs, _DOC_SCHEMA, "documents")
+    out = QUERIES["q_fairness_audit"](spark, str(tmp_path)).collect()
+    assert [r.source for r in out] == ["A", "B", None]
+    assert out[2].n_docs == 1
+
+
 def test_fairness_audit_group_count_on_testdata(spark):
     out = QUERIES["q_fairness_audit"](spark, SF0001).collect()
     srcs = [r.source for r in out]
@@ -182,6 +196,32 @@ def test_cosine_zero_norm_matches_duckdb_convention(spark):
         ).fetchall()
     )
     assert got == want == [-1.0, 1.0]
+
+
+def test_cosine_null_input_stays_null_like_duckdb(spark):
+    """DuckDB's list_cosine_similarity returns NULL (not -1.0) when an
+    input VECTOR is NULL; only the zero-norm case maps to -1.0. The
+    helper's -1.0 fill must therefore be guarded on non-NULL inputs —
+    a NULL embedding shipping in testdata has to stay NULL on both
+    engines."""
+    import duckdb
+
+    from pcap_to_parquet_spark.functions.vectors import cosine_similarity
+
+    df = spark.createDataFrame(
+        [(None, [1.0, 0.0]), ([1.0, 0.0], None), (None, None)],
+        "a array<double>, b array<double>",
+    ).select(cosine_similarity("a", "b").alias("c"))
+    got = [r.c for r in df.collect()]
+    want = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT list_cosine_similarity(a::DOUBLE[], b::DOUBLE[]) FROM "
+            "(VALUES (NULL, [1.0,0.0]), ([1.0,0.0], NULL),"
+            " (CAST(NULL AS DOUBLE[]), NULL)) t(a,b)"
+        ).fetchall()
+    ]
+    assert got == want == [None, None, None]
 
 
 def test_embed_decontaminate_zero_vector_never_flagged(spark, tmp_path):
