@@ -102,6 +102,8 @@ _GATE_FRONT = [
     "q_cube",
     # ---- END ROUND 10 WINDOW ----
     # new in round 10 (insert below this line as they land; due round 11)
+    "q_pack_planner",
+    "q_lsh_precision",
     # former round-6 window remainder tail (rows r6)
     "q_grouping_sets",
     "q_inner_join",

@@ -88,6 +88,10 @@ HEADLINE = [
     "q_kaplan_meier",       # per-user survival census (r9 add)
     "q_mann_whitney",       # value-grid rank-sum test (r9 add)
     "q_embed_decontaminate",  # eval-panel contamination report (r9 add)
+    "q_fairness_audit",     # |sources|-row 2x2-confusion census (r10 add)
+    "q_hill_tail",          # order-statistic tail-index estimator (r10 add)
+    "q_pack_planner",       # NFD packing census over the length grid (r10 add)
+    "q_lsh_precision",      # banding candidate-precision audit (r10 add)
 ]
 
 # round-over-round reference (same box, sf0.1, local[32]):
@@ -191,10 +195,23 @@ def main() -> None:
     # Full per-query detail goes to a file: the single-line dict outgrew
     # the driver's stdout tail capture once HEADLINE passed ~40 entries
     # (BENCH_r06 recorded parsed:null from a mid-truncated line).
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
-    with open(detail_path, "w") as f:
+    # The file is ROUND-STAMPED (BENCH_DETAIL_r{N}.json, N inferred from
+    # the recorded BENCH_r* artifacts) so the driver's per-round run
+    # stops clobbering the committed quiet-host detail of earlier rounds
+    # — per-query history stays diffable round over round. The legacy
+    # un-stamped BENCH_DETAIL.json (rounds <= 9) is no longer written.
+    import glob
+    import re
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(repo, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    n_round = (max(rounds) + 1) if rounds else 1
+    detail_name = f"BENCH_DETAIL_r{n_round:02d}.json"
+    with open(os.path.join(repo, detail_name), "w") as f:
         json.dump(full, f, indent=1)
     print(json.dumps(full))
     # Compact final line — small enough to always survive the tail
@@ -208,7 +225,7 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "queries": {"total": total},
-                "detail": "BENCH_DETAIL.json",
+                "detail": detail_name,
             }
         )
     )

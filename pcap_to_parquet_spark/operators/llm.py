@@ -4851,6 +4851,70 @@ def lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 lsh_recall.__doc__ = lsh_recall.__doc__.format(slice=_LSHR_SLICE, tau=_LSHR_TAU)
 
 
+LSH_PRECISION_ORACLE = rf"""{_LSH_AUDIT_CTES}
+SELECT (SELECT COUNT(*) FROM cand) AS n_candidates,
+       (SELECT COUNT(*) FROM cand SEMI JOIN tp USING (doc_a, doc_b))
+           AS n_verified,
+       (SELECT COUNT(*) FROM cand)
+           - (SELECT COUNT(*) FROM cand SEMI JOIN tp USING (doc_a, doc_b))
+           AS n_false_candidates,
+       (SELECT COUNT(*) FROM tp) AS n_true_pairs,
+       ROUND((SELECT COUNT(*) FROM cand SEMI JOIN tp USING (doc_a, doc_b))
+             / GREATEST((SELECT COUNT(*) FROM cand), 1)::DOUBLE, 4)
+           AS cand_precision,
+       ROUND((SELECT COUNT(*) FROM cand)
+             / GREATEST((SELECT COUNT(*) FROM tp), 1)::DOUBLE, 4)
+           AS verify_cost
+"""
+
+
+@query("q_lsh_precision", LSH_PRECISION_ORACLE)
+def lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding candidate-PRECISION audit — the cost side of the
+    band-geometry tradeoff that q_lsh_recall's recall side can't see:
+    on the same audit slice, what share of the banded candidate pairs
+    survive exact-Jaccard verification (cand_precision), how many are
+    false candidates burned by the verifier, and how many candidates
+    the pipeline pays to verify per true pair found (verify_cost).
+    Widening bands raises recall but can admit quadratically many
+    false candidates — this is the number that catches it (the r7
+    rehearsal's 8-bit-band blowup would have shown up here as
+    precision ~1e-5 before it showed up as wall-clock).
+    [engine — not in reference]
+
+    Scale design: identical to q_lsh_recall — both audits share
+    _lsh_audit_frames / _LSH_AUDIT_CTES, one definition of truth and
+    candidates on the fixed sampled slice; this op adds only scalar
+    aggregates over those frames, cross-joined into one row."""
+    tp, cand = _lsh_audit_frames(spark, sf_dir)
+    ver = cand.join(tp, ["doc_a", "doc_b"], "left_semi")
+    t1 = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    t2 = ver.agg(F.count(F.lit(1)).cast("long").alias("n_verified"))
+    t3 = tp.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
+    return (
+        t1.crossJoin(t2)
+        .crossJoin(t3)
+        .select(
+            "n_candidates",
+            "n_verified",
+            (F.col("n_candidates") - F.col("n_verified"))
+            .cast("long")
+            .alias("n_false_candidates"),
+            "n_true_pairs",
+            F.round(
+                F.col("n_verified")
+                / F.greatest(F.col("n_candidates"), F.lit(1)).cast("double"),
+                4,
+            ).alias("cand_precision"),
+            F.round(
+                F.col("n_candidates")
+                / F.greatest(F.col("n_true_pairs"), F.lit(1)).cast("double"),
+                4,
+            ).alias("verify_cost"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # retrieval evaluation: MRR@10 and MAP@10 over a multi-query panel
 

@@ -647,6 +647,157 @@ sequence_pack.__doc__ = sequence_pack.__doc__.format(budget=_PACK_BUDGET)
 
 
 # ---------------------------------------------------------------------------
+# greedy packing planner: next-fit-decreasing bin census on the length grid
+
+PACK_PLANNER_ORACLE = rf"""
+WITH RECURSIVE h AS MATERIALIZED (
+    SELECT LEAST(len({_TOK_SQL}), {_PACK_BUDGET}) AS l,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(len({_TOK_SQL}) > {_PACK_BUDGET} AS INT)) AS BIGINT)
+               AS n_trunc
+    FROM documents
+    WHERE len({_TOK_SQL}) >= 1
+    GROUP BY 1
+),
+ord AS MATERIALIZED (
+    SELECT l, n, ROW_NUMBER() OVER (ORDER BY l DESC) AS i FROM h
+),
+pack AS (
+    SELECT CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS bins,
+           CAST(0 AS BIGINT) AS r
+    UNION ALL
+    SELECT i,
+           bins + CASE WHEN rem > 0
+                       THEN (rem + cap - 1) // cap ELSE 0 END,
+           CASE WHEN rem > 0
+                THEN {_PACK_BUDGET}
+                     - (rem - ((rem + cap - 1) // cap - 1) * cap) * l
+                ELSE r - k0 * l END
+    FROM (
+        SELECT q.*, q.n - q.k0 AS rem
+        FROM (
+            SELECT o.i, o.l, o.n, p.bins, p.r,
+                   {_PACK_BUDGET} // o.l AS cap,
+                   LEAST(o.n, CASE WHEN p.bins > 0
+                                   THEN p.r // o.l ELSE 0 END) AS k0
+            FROM pack p JOIN ord o ON o.i = p.i + 1
+        ) q
+    ) z
+),
+fin AS (SELECT bins AS n_bins FROM pack ORDER BY i DESC LIMIT 1),
+tot AS (
+    SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(l * n), 0) AS BIGINT) AS total_toks,
+           CAST(COALESCE(SUM(n_trunc), 0) AS BIGINT) AS n_truncated
+    FROM h
+)
+SELECT n_docs, total_toks, n_truncated, n_bins,
+       CAST((total_toks + {_PACK_BUDGET} - 1) // {_PACK_BUDGET} AS BIGINT)
+           AS n_bins_lb,
+       ROUND(total_toks * 1.0 / NULLIF(n_bins * {_PACK_BUDGET}, 0), 6)
+           AS fill_rate,
+       ROUND(n_bins * 1.0
+             / NULLIF((total_toks + {_PACK_BUDGET} - 1) // {_PACK_BUDGET}, 0),
+             6) AS pack_overhead
+FROM tot CROSS JOIN fin
+"""
+
+
+@query("q_pack_planner", PACK_PLANNER_ORACLE)
+def pack_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence-packing PLANNER — the pretraining batch-
+    efficiency census q_sequence_pack's fixed concatenation order
+    can't answer: if documents are packed greedily into {budget}-token
+    context windows (docs over budget truncated, none split), how many
+    windows does the corpus need, how full are they (fill_rate), and
+    how far is greedy from the ceil(total/budget) lower bound
+    (pack_overhead)? This is the number that prices a packing strategy
+    before a training run commits to it.
+
+    The greedy variant is NEXT-FIT-DECREASING: lengths processed in
+    decreasing order, one open bin, closed when the next doc doesn't
+    fit. Chosen over first/best-fit deliberately — NFD's packing state
+    is a SINGLE scalar (the open bin's residual) evolving on the token
+    grid, so the whole fold has a closed-form per-length-bucket
+    transition and is exactly replayable as a <=|grid|-step recursive
+    CTE in the oracle (the q_holt_forecast recursion pattern);
+    first-fit's bin-revisiting needs unbounded per-bin state that no
+    fixed replay can express. NFD is itself a classical 2-approximation
+    of optimal bin count, and the report carries the lower bound so the
+    gap is visible. [engine — not in reference]
+
+    Scale design: the corpus-sized work is ONE map-side-combined
+    groupBy building the clipped-length histogram (<= {budget} rows,
+    bounded by the grid, never by corpus size); the greedy fold runs
+    over that bounded histogram as driver-side model state (the
+    q_quality_classifier bounded-state pattern) in O(grid) integer
+    steps, and the totals row is a distributed aggregate the fold
+    result is broadcast onto. At 100 TB the histogram is still
+    <= {budget} rows."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = d.select(
+        F.size(whitespace_tokens("text")).cast("long").alias("raw_l")
+    ).where(F.col("raw_l") >= 1)
+    hist = (
+        raw.select(
+            F.least(F.col("raw_l"), F.lit(_PACK_BUDGET)).alias("l"),
+            (F.col("raw_l") > _PACK_BUDGET).cast("long").alias("tr"),
+        )
+        .groupBy("l")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("tr").cast("long").alias("n_trunc"),
+        )
+        .localCheckpoint(eager=True)  # grid-bounded; feeds fold + totals
+    )
+    # NFD fold over the grid-bounded histogram (bounded model state):
+    # same integer transition as the oracle's recursive CTE.
+    bins, r = 0, 0
+    for row in hist.select("l", "n").orderBy(F.desc("l")).collect():
+        l, n = row.l, row.n
+        k0 = min(n, r // l) if bins > 0 else 0
+        rem = n - k0
+        if rem > 0:
+            cap = _PACK_BUDGET // l
+            newbins = (rem + cap - 1) // cap
+            bins += newbins
+            r = _PACK_BUDGET - (rem - (newbins - 1) * cap) * l
+        else:
+            r -= k0 * l
+    tot = hist.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum(F.col("l") * F.col("n")), F.lit(0))
+        .cast("long")
+        .alias("total_toks"),
+        F.coalesce(F.sum("n_trunc"), F.lit(0)).cast("long").alias("n_truncated"),
+    )
+    n_bins = F.lit(bins).cast("long")
+    lb = F.floor(
+        (F.col("total_toks") + (_PACK_BUDGET - 1)) / _PACK_BUDGET
+    ).cast("long")
+    return tot.select(
+        "n_docs",
+        "total_toks",
+        "n_truncated",
+        n_bins.alias("n_bins"),
+        lb.alias("n_bins_lb"),
+        F.round(
+            F.try_divide(
+                F.col("total_toks") * 1.0,
+                F.nullif(n_bins * _PACK_BUDGET, F.lit(0)),
+            ),
+            6,
+        ).alias("fill_rate"),
+        F.round(F.try_divide(n_bins * 1.0, F.nullif(lb, F.lit(0))), 6).alias(
+            "pack_overhead"
+        ),
+    )
+
+
+pack_planner.__doc__ = pack_planner.__doc__.format(budget=_PACK_BUDGET)
+
+
+# ---------------------------------------------------------------------------
 # RAG chunking: fixed-size overlapping character windows per document
 
 _CHUNK_SIZE = 200

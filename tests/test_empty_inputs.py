@@ -253,6 +253,9 @@ CONSTANT_ON_EMPTY = {
     "q_matryoshka_recall": 1,  # metric row: n_queries 0, NULL recall
     "q_mcnemar_test": 1,  # paired-test row: zero counts, NULL chi2
     "q_hill_tail": 1,  # estimator row: k 0, NULL alpha
+    # round 10
+    "q_pack_planner": 1,  # packing census row: zero counts, NULL rates
+    "q_lsh_precision": 1,  # audit counts row of zeros, ratios 0.0
 }
 
 
