@@ -3,6 +3,8 @@ can't see accuracy; these pin it)."""
 
 from __future__ import annotations
 
+import os
+
 import pcap_to_parquet_spark.operators  # noqa: F401
 from pyspark.sql import functions as F
 
@@ -15,8 +17,22 @@ SF = "/root/testdata/sf0.01"
 
 # the estimator contracts hold at EVERY scale the driver regenerates —
 # parameterized so a data regeneration can't silently degrade a sketch
-# at the bench SF while the sf0.01 pin stays green
-SFS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+# at the bench SF while the sf0.01 pin stays green. The 100× rehearsal
+# set (tools/make_scale.py sf0.1 -> /tmp/sf10 100) joins the sweep when
+# present, so a distribution shift from regenerated data can't silently
+# degrade the sketches at scale either; skipped (not failed) when the
+# rehearsal set hasn't been built on this host.
+_SF10 = "/tmp/sf10"
+SFS = [
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+    pytest.param(
+        _SF10,
+        marks=pytest.mark.skipif(
+            not os.path.isdir(_SF10), reason="100x rehearsal set not built"
+        ),
+    ),
+]
 
 
 @pytest.mark.parametrize("sf", SFS)

@@ -1,0 +1,63 @@
+"""100x wall-ratio probe: ONE op per process invocation.
+
+Usage: python tools/scale100.py q_name [q_name ...]
+
+Runs each named query at sf0.1 and at the 100x rehearsal set
+(/tmp/sf10, built by tools/make_scale.py sf0.1 /tmp/sf10 100) inside
+THIS process and prints a JSON line with both walls and the ratio.
+
+Invoke once per op from a shell loop for heavy ops: the round-9 lesson
+is that sequential graph-scale ops in ONE JVM can OOM unrolling a later
+op's localCheckpoint (ContextCleaner lags behind), so per-op process
+isolation is the honest way to measure — each measurement then includes
+its own JVM warmup, which is why the sf0.1 leg runs first (same warmup
+on both legs, ratio unaffected).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import pcap_to_parquet_spark.operators  # noqa: F401
+from pcap_to_parquet_spark.registry import QUERIES
+from pcap_to_parquet_spark.session import get_spark
+
+SF01 = "/root/testdata/sf0.1"
+SF10 = "/tmp/sf10"
+
+
+def main() -> None:
+    names = sys.argv[1:]
+    if not names:
+        sys.exit("usage: python tools/scale100.py q_name [...]")
+    spark = get_spark("scale100")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(name: str, sf_dir: str) -> float:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    run("q_flagship_revenue", SF01)  # JVM/codegen warmup
+    for name in names:
+        t1 = round(run(name, SF01), 1)
+        t100 = round(run(name, SF10), 1)
+        print(
+            json.dumps(
+                {
+                    "query": name,
+                    "sf0.1_s": t1,
+                    "100x_s": t100,
+                    "wall_ratio_100x": round(t100 / max(t1, 0.05), 1),
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
