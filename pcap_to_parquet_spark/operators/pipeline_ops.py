@@ -1012,7 +1012,7 @@ SELECT source, COUNT(*) AS n_docs,
        COUNT(DISTINCT lang) AS n_langs
 FROM documents
 GROUP BY source
-ORDER BY source
+ORDER BY source NULLS LAST
 """
 
 
@@ -1060,7 +1060,9 @@ def xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
             F.countDistinct("lang").alias("n_langs"),
         )
-        .orderBy("source")
+        # Spark ASC is NULLS FIRST, DuckDB's is NULLS LAST — pin the
+        # oracle's convention (same fix as q_fairness_audit).
+        .orderBy(F.col("source").asc_nulls_last())
     )
 
 
@@ -1170,7 +1172,7 @@ SELECT source, n_raw,
              * CASE WHEN v < 0 THEN -1 ELSE 1 END
              * LN(1.0 - 2.0 * ABS(v)), 4) AS n_noisy
 FROM u
-ORDER BY source
+ORDER BY source NULLS LAST
 """
 
 
@@ -1211,7 +1213,8 @@ def dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_raw",
         F.round(F.col("n_raw") - noise, 4).alias("n_noisy"),
-    ).orderBy("source")
+        # NULLS LAST pins DuckDB's ASC convention (q_fairness_audit fix)
+    ).orderBy(F.col("source").asc_nulls_last())
 
 
 dp_counts.__doc__ = dp_counts.__doc__.format(eps=_DP_EPS)
