@@ -195,21 +195,33 @@ def main() -> None:
     # Full per-query detail goes to a file: the single-line dict outgrew
     # the driver's stdout tail capture once HEADLINE passed ~40 entries
     # (BENCH_r06 recorded parsed:null from a mid-truncated line).
-    # The file is ROUND-STAMPED (BENCH_DETAIL_r{N}.json, N inferred from
-    # the recorded BENCH_r* artifacts) so the driver's per-round run
-    # stops clobbering the committed quiet-host detail of earlier rounds
-    # — per-query history stays diffable round over round. The legacy
-    # un-stamped BENCH_DETAIL.json (rounds <= 9) is no longer written.
+    # The file is ROUND-STAMPED (BENCH_DETAIL_r{N}.json) so the driver's
+    # per-round run stops clobbering the committed quiet-host detail of
+    # earlier rounds — per-query history stays diffable round over round.
+    # The legacy un-stamped BENCH_DETAIL.json (rounds <= 9) is no longer
+    # written. The stamp is max(BENCH_r*) + 1: BENCH_r{N}.json is written
+    # by the driver's gate at the END of round N, so while round N is in
+    # progress max == N-1. That inference is wrong for a re-run AFTER the
+    # gate has already recorded this round's BENCH_r{N} (it would stamp
+    # N+1 and round N+1's genuine run would overwrite it) — for such
+    # post-gate re-runs set SPARK_GRAFT_ROUND explicitly. Within a round,
+    # latest-wins overwrite of the same stamp is intended. Stamping began
+    # at round 10, so the no-artifacts edge floors at 10 rather than
+    # fabricating an r01 that never existed.
     import glob
     import re
 
     repo = os.path.dirname(os.path.abspath(__file__))
-    rounds = [
-        int(m.group(1))
-        for p in glob.glob(os.path.join(repo, "BENCH_r*.json"))
-        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
-    ]
-    n_round = (max(rounds) + 1) if rounds else 1
+    env_round = os.environ.get("SPARK_GRAFT_ROUND")
+    if env_round:
+        n_round = int(env_round)
+    else:
+        rounds = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(repo, "BENCH_r*.json"))
+            if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+        ]
+        n_round = max(max(rounds, default=9) + 1, 10)
     detail_name = f"BENCH_DETAIL_r{n_round:02d}.json"
     with open(os.path.join(repo, detail_name), "w") as f:
         json.dump(full, f, indent=1)

@@ -35,16 +35,19 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     diverges from its oracle if a degenerate all-zero embedding ever
     ships in testdata; -1.0 fails every similarity threshold and sorts
     last in every descending ranking, exactly like the NULL it
-    replaces. The -1.0 fill applies ONLY when both inputs are non-NULL:
-    DuckDB returns NULL (not -1.0) for a NULL input vector, so a NULL
-    embedding must stay NULL on both engines — the WHEN guard pins
-    that."""
+    replaces. The -1.0 fill applies ONLY when the denominator is a real
+    0.0 — i.e. a genuine zero-norm vector. Every other NULL propagates:
+    a NULL input vector stays NULL (DuckDB returns NULL for it too),
+    and a vector CONTAINING a NULL element yields NULL rather than a
+    fabricated -1.0 (DuckDB hard-errors on that input, so the oracle
+    replay fails loudly instead of comparing against an invented
+    score)."""
     a_col = F.col(a) if isinstance(a, str) else a
     b_col = F.col(b) if isinstance(b, str) else b
-    return F.when(
-        a_col.isNotNull() & b_col.isNotNull(),
-        F.coalesce(
-            F.try_divide(dot(a_col, b_col), l2_norm(a_col) * l2_norm(b_col)),
-            F.lit(-1.0),
-        ),
+    den = l2_norm(a_col) * l2_norm(b_col)
+    # den == 0.0 is NULL-safe here: a NULL vector or NULL element makes
+    # den NULL, the WHEN falls through, and try_divide(x, NULL) = NULL.
+    # In the otherwise branch den is non-zero, so no ANSI /0 either way.
+    return F.when(den == 0.0, F.lit(-1.0)).otherwise(
+        F.try_divide(dot(a_col, b_col), den)
     )

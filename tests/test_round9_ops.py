@@ -224,6 +224,31 @@ def test_cosine_null_input_stays_null_like_duckdb(spark):
     assert got == want == [None, None, None]
 
 
+def test_cosine_null_element_yields_null_not_minus_one(spark):
+    """A vector CONTAINING a NULL element must yield NULL, not a
+    fabricated -1.0: DuckDB's list_cosine_similarity hard-errors on
+    that input ('can not contain NULL values'), so the honest Spark
+    behavior is NULL propagation — the oracle replay then fails loudly
+    instead of silently comparing against an invented score."""
+    import duckdb
+
+    from pcap_to_parquet_spark.functions.vectors import cosine_similarity
+
+    df = spark.createDataFrame(
+        [([1.0, None], [1.0, 0.0]), ([1.0, 0.0], [None, None])],
+        "a array<double>, b array<double>",
+    ).select(cosine_similarity("a", "b").alias("c"))
+    assert [r.c for r in df.collect()] == [None, None]
+    try:
+        duckdb.sql(
+            "SELECT list_cosine_similarity([1.0, NULL]::DOUBLE[],"
+            " [1.0, 0.0]::DOUBLE[])"
+        ).fetchall()
+        raise AssertionError("DuckDB accepted a NULL element")
+    except duckdb.Error:
+        pass  # the documented loud failure
+
+
 def test_embed_decontaminate_zero_vector_never_flagged(spark, tmp_path):
     """An all-zero train vector must report max_cos -1.0 (not NULL) in
     the (under-20-candidate) report and never be flagged."""

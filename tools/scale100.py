@@ -44,14 +44,17 @@ def main() -> None:
 
     run("q_flagship_revenue", SF01)  # JVM/codegen warmup
     for name in names:
-        t1 = round(run(name, SF01), 1)
-        t100 = round(run(name, SF10), 1)
+        # Ratio from the UNROUNDED walls (display rounding alone can
+        # swing a sub-second op's ratio by ~25%: 0.24s/0.26s true 1.08
+        # would print 0.2/0.3 = 1.5); the floor applies pre-rounding too.
+        t1 = run(name, SF01)
+        t100 = run(name, SF10)
         print(
             json.dumps(
                 {
                     "query": name,
-                    "sf0.1_s": t1,
-                    "100x_s": t100,
+                    "sf0.1_s": round(t1, 1),
+                    "100x_s": round(t100, 1),
                     "wall_ratio_100x": round(t100 / max(t1, 0.05), 1),
                 }
             ),
