@@ -4235,58 +4235,162 @@ def winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint axis next to q_fingerprint (rolling hash) and
     q_dedup_minhash (global sketch). [engine — not in reference]
 
-    Scale design: shingle hashing is map-only; the window-min runs
-    PARTITIONED BY DOCUMENT in position order (never a global window);
-    selection divides the candidate-join input by ~(w+1)/2 before the
-    shared-print equi-join, which is the same inverted-index shape as
-    q_ngram_jaccard but over the winnowed subset. Hashes are 48-bit
-    md5 slices identical in both engines; tail windows truncate at the
+    Scale design — two levers, both from the repo's 100× rehearsals:
+
+    (1) DEDUP-COLLAPSE (the r8 neardup lesson, previously missing
+    here): winnowing prints are a pure function of the text, so the
+    shared-print self-join went QUADRATIC IN DUPLICATION MULTIPLICITY
+    under the 100-replica plant (~2 B join rows at 100×; measured: the
+    join alone exceeded 11 min from checkpointed prints). Documents
+    collapse to one REPRESENTATIVE per identical-text group
+    (rep = min doc_id over md5(text)); the shingle/print pipeline and
+    the shared-print join run on REPS ONLY; pairs come back as
+    PAIR-CLASSES — within-group (n_shared = the group's own print
+    count, C(sz,2) pairs) and cross-group (n_shared = rep∩rep shared
+    prints, sz_a·sz_b pairs) — and only classes that can reach the
+    global top-20 are expanded through membership. The threshold is
+    exact: classes are bucketed by n_shared, a cumulative pair count
+    over the (tiny, ≤ distinct-n_shared-values) bucket list finds the
+    smallest n_shared that 20 pairs can reach, and every class at or
+    above it expands. Expansion per class is capped at each group's 22
+    smallest doc_ids: the 21 pairs formed by a group's smallest member
+    against its 21 next-smallest (or against the other group's 21
+    smallest) all lexicographically precede ANY pair involving a
+    23rd-or-later member, so no top-20 pair is ever outside the cap.
+
+    (2) MAP-ONLY ARRAY ALGEBRA for the select-phase: the naive plan
+    (posexplode every shingle + a doc-partitioned Window) shuffles AND
+    sorts the full shingle volume just to compare each key with its
+    w-1 neighbors; since the window never crosses a document, the same
+    rightmost-argmin selection is computed in place as a least()-fold
+    of w aligned array slices (the shingles() trick) — measured 3.4×
+    on the select-phase at 100× before the collapse made it
+    rep-bounded. The keyed array lives in its OWN projection and is
+    only referenced as an attribute afterwards — CollapseProject keeps
+    a non-cheap multi-referenced expression in its own project, so the
+    md5 transform runs once per rep. fan_out spreads the tokenize/
+    group map over all cores (a small parquet table arrives as one
+    split; no-op on a many-split 100-TB table). Hashes are 48-bit md5
+    slices identical in both engines; tail windows truncate at the
     document end the same way in both (a documented variant of the
-    full-window-only original)."""
+    full-window-only original); the oracle replays the uncollapsed
+    join verbatim, so the driver check proves collapse-equivalence."""
     d = load_table(spark, sf_dir, "documents")
-    sh = (
-        d.select("doc_id", whitespace_tokens(F.col("text")).alias("ws"))
-        .where(F.size("ws") >= 3)
-        # oracle positions are 1-based (generate_series); match exactly
-        .select("doc_id", F.posexplode(shingles("ws")).alias("pos0", "s"))
+    # Slim (doc_id, g) rows: md5 + the ≥3-token filter run map-side, so
+    # the membership shuffle never carries text.
+    slim = fan_out(
+        d.where(F.size(whitespace_tokens(F.col("text"))) >= 3).select(
+            "doc_id", F.md5("text").alias("g")
+        )
+    )
+    wg = Window.partitionBy("g").orderBy("doc_id")
+    members = slim.withColumn("rnk", F.row_number().over(wg))
+    sizes = slim.groupBy("g").agg(
+        F.count(F.lit(1)).alias("sz"), F.min("doc_id").alias("rep_id")
+    )
+    # Fetch rep text by id (renamed key — never a same-lineage
+    # self-resolving join); only |groups| texts ever get shingled.
+    reps = sizes.select("g", "rep_id").join(
+        d.select(F.col("doc_id").alias("rep_id"), "text"), "rep_id"
+    )
+    keyed = reps.select(
+        "g",
+        # oracle positions are 1-based; transform's index i is 0-based,
+        # so 65535 - pos == 65534 - i. The slice keeps pos < 65536,
+        # matching the oracle's i.i < 65536 filter.
+        F.slice(
+            F.transform(
+                shingles(whitespace_tokens(F.col("text"))),
+                lambda s, i: F.shiftleft(
+                    F.conv(F.substring(F.md5(s), 1, 10), 16, 10).cast("long"),
+                    16,
+                )
+                + (F.lit(65534) - i),
+            ),
+            1,
+            65535,
+        ).alias("keys"),
+    )
+    # Sliding MIN over window [j, j+w-1] as a least()-fold of w aligned
+    # slices: zip_with pads the shorter shifted slice with NULL and
+    # least() skips NULLs, which IS the oracle's tail truncation.
+    arr = F.col("keys")
+    wmin = arr
+    for j in range(1, _WINNOW_W):
+        wmin = F.zip_with(
+            wmin, F.slice(arr, j + 1, F.size(arr)), lambda x, y: F.least(x, y)
+        )
+    rep_prints = keyed.select(
+        "g",
+        F.explode(
+            F.array_distinct(F.transform(wmin, lambda k: F.shiftright(k, 16)))
+        ).alias("h"),
+    ).localCheckpoint(eager=True)
+    pc = rep_prints.groupBy("g").agg(F.count(F.lit(1)).alias("pc"))
+    pa = rep_prints.select(F.col("g").alias("ga"), F.col("h").alias("ha"))
+    pb = rep_prints.select(F.col("g").alias("gb"), F.col("h").alias("hb"))
+    shared = (
+        pa.join(pb, (F.col("ha") == F.col("hb")) & (F.col("ga") < F.col("gb")))
+        .groupBy("ga", "gb")
+        .agg(F.count(F.lit(1)).alias("ns"))
+    )
+    sz_a = sizes.select(F.col("g").alias("ga"), F.col("sz").alias("sza"))
+    sz_b = sizes.select(F.col("g").alias("gb"), F.col("sz").alias("szb"))
+    cross_cls = (
+        shared.join(sz_a, "ga")
+        .join(sz_b, "gb")
         .select(
-            "doc_id",
-            (F.col("pos0") + 1).alias("pos"),
-            F.conv(F.substring(F.md5("s"), 1, 10), 16, 10).cast("long").alias("h"),
+            "ga",
+            "gb",
+            "ns",
+            (F.col("sza") * F.col("szb")).alias("n_pairs"),
         )
-        .where(F.col("pos") < 65536)
+    )
+    within_cls = (
+        sizes.where(F.col("sz") >= 2)
+        .join(pc, "g")
         .select(
-            "doc_id",
-            "pos",
-            (
-                F.shiftleft("h", 16) + (F.lit(65535) - F.col("pos"))
-            ).alias("key"),
+            F.col("g").alias("ga"),
+            F.col("g").alias("gb"),
+            F.col("pc").alias("ns"),
+            # sz*(sz-1) is even; shiftright keeps the count exact in
+            # integer arithmetic (a double division drifts past 2^53)
+            F.shiftright(F.col("sz") * (F.col("sz") - 1), 1).alias("n_pairs"),
         )
     )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, _WINNOW_W - 1)
+    classes = within_cls.unionByName(cross_cls).localCheckpoint(eager=True)
+    # Exact expansion threshold: smallest n_shared the top-20 can
+    # reach. Bucket classes by ns first so the cumulative window runs
+    # over ≤|distinct ns| rows, never over the class list itself.
+    w_ns = Window.orderBy(F.desc("ns")).rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    prints = (
-        sh.withColumn("wkey", F.min("key").over(w))
-        .select("doc_id", F.shiftright("wkey", 16).alias("h"))
-        .distinct()
+    t = (
+        classes.groupBy("ns")
+        .agg(F.sum("n_pairs").alias("np"))
+        .withColumn("cum_prev", F.coalesce(F.sum("np").over(w_ns), F.lit(0)))
+        .where(F.col("cum_prev") < 20)
+        .agg(F.min("ns").alias("t"))
     )
-    a, b = prints.alias("a"), prints.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    sel = classes.join(F.broadcast(t), F.col("ns") >= F.col("t"))
+    m22 = members.where(F.col("rnk") <= 22)
+    ma = m22.select(F.col("g").alias("ga"), F.col("doc_id").alias("ida"))
+    mb = m22.select(F.col("g").alias("gb"), F.col("doc_id").alias("idb"))
+    pairs = (
+        sel.join(ma, "ga")
+        .join(mb, "gb")
+        # within-group (ga == gb): both sides enumerate the same
+        # members, so ida < idb dedups the unordered pair; cross-group:
+        # every (ida, idb) combination is ONE distinct pair regardless
+        # of id order — least/greatest canonicalizes it.
+        .where((F.col("ga") != F.col("gb")) | (F.col("ida") < F.col("idb")))
+        .select(
+            F.least("ida", "idb").alias("doc_a"),
+            F.greatest("ida", "idb").alias("doc_b"),
+            F.col("ns").cast("long").alias("n_shared"),
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
-        .orderBy(F.desc("n_shared"), "doc_a", "doc_b")
-        .limit(20)
     )
+    return pairs.orderBy(F.desc("n_shared"), "doc_a", "doc_b").limit(20)
 
 
 # ---------------------------------------------------------------------------

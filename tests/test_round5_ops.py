@@ -573,6 +573,45 @@ def test_srp_recall_perfect_when_bucket_holds_truth(spark, tmp_path):
         assert r.n_candidates == 11
 
 
+def test_winnowing_collapse_matches_uncollapsed_oracle(spark, tmp_path):
+    """The dedup-collapse rework (prints on representatives, pair-class
+    expansion) must be pair-for-pair identical to the uncollapsed
+    shared-print join the oracle replays. Stress exactly what the
+    collapse changed: a 30-replica group (exercising the 22-smallest-
+    member expansion cap: top-20 is doc 0 against docs 1..20), a
+    3-replica group overlapping it (cross-group classes), a partially
+    overlapping singleton, and a disjoint doc (no class at all)."""
+    import duckdb
+
+    from pcap_to_parquet_spark.registry import ORACLES
+
+    big = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    mid = "w5 w6 w7 w8 w9 w10 x1 x2 x3 x4"
+    part = "w1 w2 w3 w4 w5 y1 y2 y3"
+    rows = [(i, big, "en", "s", len(big)) for i in range(30)]
+    rows += [(100 + i, mid, "en", "s", len(mid)) for i in range(3)]
+    rows.append((200, part, "en", "s", len(part)))
+    rows.append((300, "z1 z2 z3 z4 z5 z6 z7", "en", "s", 20))
+    d = tmp_path / "wc"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    got = [
+        (r.doc_a, r.doc_b, r.n_shared)
+        for r in QUERIES["q_winnowing"](spark, str(d)).collect()
+    ]
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    want = [tuple(r) for r in con.sql(ORACLES["q_winnowing"]).fetchall()]
+    assert got == want
+    assert len(got) == 20
+    # the 30-replica group's pairs dominate: doc 0 against docs 1..20
+    assert got[0][:2] == (0, 1) and all(a == 0 for a, _, _ in got)
+
+
 def test_winnowing_coverage_guarantee():
     """Pure-math property behind q_winnowing's selection rule: with
     selected = {argmin of each length-w window under (hash, rightmost)
