@@ -42,7 +42,12 @@ SF0001_DIR = "/root/testdata/sf0.001"
 # (q_grouping_sets..q_asof_join, rows r6) and the round-7 window head
 # (q_kmeans onward, rows r7). After that: the rest of the r7 window,
 # the round-8 window (rows r8), then the round-9 window (rows r9,
-# freshest).
+# freshest). End-of-round-10 rehearsal: FULL sf0.01 replay of all 301
+# registered queries = 295 pass / 0 fail / 6 rows-only (the documented
+# sketch/seed six), run AFTER every round-10 code change including the
+# winnowing dedup-collapse rework (q_winnowing sits at position ~34 of
+# this window, so the driver value-checks the reworked plan this
+# round).
 _GATE_FRONT = [
     # ---- ROUND 10 WINDOW (positions 0-49) ----
     # (a) new in round 9: never driver-checked (2) — judge-verified
