@@ -4283,18 +4283,25 @@ def winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.md5("text").alias("g")
         )
     )
+    # rnk AND sz come from the SAME window pass (one exchange): a
+    # count over the whole g-partition is just a second window
+    # function on the partitioning the rank already pays for.
     wg = Window.partitionBy("g").orderBy("doc_id")
-    members = slim.withColumn("rnk", F.row_number().over(wg))
-    sizes = slim.groupBy("g").agg(
-        F.count(F.lit(1)).alias("sz"), F.min("doc_id").alias("rep_id")
+    wall = Window.partitionBy("g")
+    members = slim.withColumn("rnk", F.row_number().over(wg)).withColumn(
+        "sz", F.count(F.lit(1)).over(wall)
+    )
+    sizes = members.where(F.col("rnk") == 1).select(
+        "g", "sz", F.col("doc_id").alias("rep_id")
     )
     # Fetch rep text by id (renamed key — never a same-lineage
     # self-resolving join); only |groups| texts ever get shingled.
-    reps = sizes.select("g", "rep_id").join(
+    reps = sizes.join(
         d.select(F.col("doc_id").alias("rep_id"), "text"), "rep_id"
     )
     keyed = reps.select(
         "g",
+        "sz",
         # oracle positions are 1-based; transform's index i is 0-based,
         # so 65535 - pos == 65534 - i. The slice keeps pos < 65536,
         # matching the oracle's i.i < 65536 filter.
@@ -4320,13 +4327,22 @@ def winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         wmin = F.zip_with(
             wmin, F.slice(arr, j + 1, F.size(arr)), lambda x, y: F.least(x, y)
         )
-    rep_prints = keyed.select(
+    # prints stays an ARRAY column here so the per-group print count
+    # (within-class n_shared) is a map-side size() — no groupBy, no
+    # re-join. The ONE localCheckpoint materializes the shingling
+    # exactly once: the plan forks here (explode-for-join vs
+    # within-class census), and without a barrier each branch
+    # re-shingles every rep (measured ~2× the warm wall); two
+    # barriers (the earlier draft) were slower than one, and zero were
+    # slower than two.
+    pr = keyed.select(
         "g",
-        F.explode(
-            F.array_distinct(F.transform(wmin, lambda k: F.shiftright(k, 16)))
-        ).alias("h"),
+        "sz",
+        F.array_distinct(
+            F.transform(wmin, lambda k: F.shiftright(k, 16))
+        ).alias("prints"),
     ).localCheckpoint(eager=True)
-    pc = rep_prints.groupBy("g").agg(F.count(F.lit(1)).alias("pc"))
+    rep_prints = pr.select("g", F.explode("prints").alias("h"))
     pa = rep_prints.select(F.col("g").alias("ga"), F.col("h").alias("ha"))
     pb = rep_prints.select(F.col("g").alias("gb"), F.col("h").alias("hb"))
     shared = (
@@ -4346,19 +4362,15 @@ def winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sza") * F.col("szb")).alias("n_pairs"),
         )
     )
-    within_cls = (
-        sizes.where(F.col("sz") >= 2)
-        .join(pc, "g")
-        .select(
-            F.col("g").alias("ga"),
-            F.col("g").alias("gb"),
-            F.col("pc").alias("ns"),
-            # sz*(sz-1) is even; shiftright keeps the count exact in
-            # integer arithmetic (a double division drifts past 2^53)
-            F.shiftright(F.col("sz") * (F.col("sz") - 1), 1).alias("n_pairs"),
-        )
+    within_cls = pr.where(F.col("sz") >= 2).select(
+        F.col("g").alias("ga"),
+        F.col("g").alias("gb"),
+        F.size("prints").cast("long").alias("ns"),
+        # sz*(sz-1) is even; shiftright keeps the count exact in
+        # integer arithmetic (a double division drifts past 2^53)
+        F.shiftright(F.col("sz") * (F.col("sz") - 1), 1).alias("n_pairs"),
     )
-    classes = within_cls.unionByName(cross_cls).localCheckpoint(eager=True)
+    classes = within_cls.unionByName(cross_cls)
     # Exact expansion threshold: smallest n_shared the top-20 can
     # reach. Bucket classes by ns first so the cumulative window runs
     # over ≤|distinct ns| rows, never over the class list itself.
