@@ -4270,7 +4270,7 @@ def winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     a non-cheap multi-referenced expression in its own project, so the
     md5 transform runs once per rep. fan_out spreads the tokenize/
     group map over all cores (a small parquet table arrives as one
-    split; no-op on a many-split 100-TB table). Hashes are 48-bit md5
+    split; no-op on a many-split 100-TB table). Hashes are 40-bit md5
     slices identical in both engines; tail windows truncate at the
     document end the same way in both (a documented variant of the
     full-window-only original); the oracle replays the uncollapsed
@@ -4299,7 +4299,13 @@ def winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = sizes.join(
         d.select(F.col("doc_id").alias("rep_id"), "text"), "rep_id"
     )
-    keyed = reps.select(
+    # Tokens materialize into a named column BEFORE shingles() (the
+    # functions/text.py rule): shingles references its token column
+    # ~n+2 times and higher-order functions get no codegen CSE, so an
+    # inline whitespace_tokens(text) would re-run the regex split per
+    # reference.
+    toks = reps.select("g", "sz", whitespace_tokens(F.col("text")).alias("ws"))
+    keyed = toks.select(
         "g",
         "sz",
         # oracle positions are 1-based; transform's index i is 0-based,
@@ -4307,7 +4313,7 @@ def winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         # matching the oracle's i.i < 65536 filter.
         F.slice(
             F.transform(
-                shingles(whitespace_tokens(F.col("text"))),
+                shingles("ws"),
                 lambda s, i: F.shiftleft(
                     F.conv(F.substring(F.md5(s), 1, 10), 16, 10).cast("long"),
                     16,

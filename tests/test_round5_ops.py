@@ -612,6 +612,41 @@ def test_winnowing_collapse_matches_uncollapsed_oracle(spark, tmp_path):
     assert got[0][:2] == (0, 1) and all(a == 0 for a, _, _ in got)
 
 
+def test_winnowing_cross_group_classes_reach_top20(spark, tmp_path):
+    """Complement to the collapse-parity test above, whose 30-replica
+    group fills the whole top-20 from ONE within-group class (so its
+    cross-group expansion path never emits a row). Here the replica
+    groups only cover 18 pairs, forcing the threshold down into the
+    cross-group classes — a bug in cross expansion (the ga != gb
+    dedup branch, least/greatest canonicalization, ns attachment)
+    fails THIS test."""
+    import duckdb
+
+    from pcap_to_parquet_spark.registry import ORACLES
+
+    big = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    mid = "w5 w6 w7 w8 w9 w10 x1 x2 x3 x4"
+    rows = [(i, big, "en", "s", len(big)) for i in range(6)]  # 15 pairs
+    rows += [(100 + i, mid, "en", "s", len(mid)) for i in range(3)]  # 3
+    d = tmp_path / "wx"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    got = [
+        (r.doc_a, r.doc_b, r.n_shared)
+        for r in QUERIES["q_winnowing"](spark, str(d)).collect()
+    ]
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    want = [tuple(r) for r in con.sql(ORACLES["q_winnowing"]).fetchall()]
+    assert got == want
+    cross = [(a, b) for a, b, _ in got if a < 100 <= b]
+    assert cross, "top-20 must contain cross-group pairs"
+
+
 def test_winnowing_coverage_guarantee():
     """Pure-math property behind q_winnowing's selection rule: with
     selected = {argmin of each length-w window under (hash, rightmost)
