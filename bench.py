@@ -222,7 +222,19 @@ def main() -> None:
             if (m := re.search(r"BENCH_r(\d+)\.json$", p))
         ]
         n_round = max(max(rounds, default=9) + 1, 10)
+    # Overwrite guard (round-11 ADVICE): the builder's committed
+    # quiet-host run and the driver's per-round run both stamp the same
+    # N (BENCH_r{N}.json doesn't exist until the driver's gate writes
+    # it), so a bare write would clobber the committed artifact. If the
+    # stamped file already exists, keep it and write the first free
+    # letter-suffixed sibling instead (r11b, r11c, ...): provenance of
+    # every run survives, and the round's committed quiet number is
+    # whichever the builder chose to commit.
     detail_name = f"BENCH_DETAIL_r{n_round:02d}.json"
+    suffix = "b"
+    while os.path.exists(os.path.join(repo, detail_name)):
+        detail_name = f"BENCH_DETAIL_r{n_round:02d}{suffix}.json"
+        suffix = chr(ord(suffix) + 1)
     with open(os.path.join(repo, detail_name), "w") as f:
         json.dump(full, f, indent=1)
     print(json.dumps(full))

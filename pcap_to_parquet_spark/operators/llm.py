@@ -4222,60 +4222,17 @@ LIMIT 20
 """
 
 
-@query("q_winnowing", WINNOWING_ORACLE)
-def winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprints (Schleimer et al. 2003 — the MOSS
-    algorithm): hash every 3-gram shingle, keep only each sliding
-    window's MINIMUM hash, and pair documents by shared selected
-    prints — the position-robust local fingerprint that guarantees
-    any sufficiently long match is detected (every length-{w} window
-    SELECTS its rightmost-argmin, encoded as an integer MIN over a
-    hash<<16 | reversed-position key) while storing a ~2/(w+1)
-    fraction of the grams. Completes the text-dedup family's
-    fingerprint axis next to q_fingerprint (rolling hash) and
-    q_dedup_minhash (global sketch). [engine — not in reference]
+def _winnow_collapse(d: DataFrame):
+    """Dedup-collapse + select-phase of q_winnowing, exposed so the
+    regression contract in tests/test_round5_ops.py can assert the
+    O(reps) invariant directly: ``pr`` (the frame the shared-print
+    self-join explodes) must carry ONE row per distinct text group,
+    never one per document — the r10 quadratic was exactly this frame
+    being member-level (~2 B join rows under the 100-replica plant).
 
-    Scale design — two levers, both from the repo's 100× rehearsals:
-
-    (1) DEDUP-COLLAPSE (the r8 neardup lesson, previously missing
-    here): winnowing prints are a pure function of the text, so the
-    shared-print self-join went QUADRATIC IN DUPLICATION MULTIPLICITY
-    under the 100-replica plant (~2 B join rows at 100×; measured: the
-    join alone exceeded 11 min from checkpointed prints). Documents
-    collapse to one REPRESENTATIVE per identical-text group
-    (rep = min doc_id over md5(text)); the shingle/print pipeline and
-    the shared-print join run on REPS ONLY; pairs come back as
-    PAIR-CLASSES — within-group (n_shared = the group's own print
-    count, C(sz,2) pairs) and cross-group (n_shared = rep∩rep shared
-    prints, sz_a·sz_b pairs) — and only classes that can reach the
-    global top-20 are expanded through membership. The threshold is
-    exact: classes are bucketed by n_shared, a cumulative pair count
-    over the (tiny, ≤ distinct-n_shared-values) bucket list finds the
-    smallest n_shared that 20 pairs can reach, and every class at or
-    above it expands. Expansion per class is capped at each group's 22
-    smallest doc_ids: the 21 pairs formed by a group's smallest member
-    against its 21 next-smallest (or against the other group's 21
-    smallest) all lexicographically precede ANY pair involving a
-    23rd-or-later member, so no top-20 pair is ever outside the cap.
-
-    (2) MAP-ONLY ARRAY ALGEBRA for the select-phase: the naive plan
-    (posexplode every shingle + a doc-partitioned Window) shuffles AND
-    sorts the full shingle volume just to compare each key with its
-    w-1 neighbors; since the window never crosses a document, the same
-    rightmost-argmin selection is computed in place as a least()-fold
-    of w aligned array slices (the shingles() trick) — measured 3.4×
-    on the select-phase at 100× before the collapse made it
-    rep-bounded. The keyed array lives in its OWN projection and is
-    only referenced as an attribute afterwards — CollapseProject keeps
-    a non-cheap multi-referenced expression in its own project, so the
-    md5 transform runs once per rep. fan_out spreads the tokenize/
-    group map over all cores (a small parquet table arrives as one
-    split; no-op on a many-split 100-TB table). Hashes are 40-bit md5
-    slices identical in both engines; tail windows truncate at the
-    document end the same way in both (a documented variant of the
-    full-window-only original); the oracle replays the uncollapsed
-    join verbatim, so the driver check proves collapse-equivalence."""
-    d = load_table(spark, sf_dir, "documents")
+    Returns ``(members, sizes, pr)``: members = (doc_id, g, rnk, sz),
+    sizes = one row per group with its rep, pr = (g, sz, prints[])
+    checkpointed where the plan forks."""
     # Slim (doc_id, g) rows: md5 + the ≥3-token filter run map-side, so
     # the membership shuffle never carries text.
     slim = fan_out(
@@ -4348,6 +4305,64 @@ def winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(wmin, lambda k: F.shiftright(k, 16))
         ).alias("prints"),
     ).localCheckpoint(eager=True)
+    return members, sizes, pr
+
+
+@query("q_winnowing", WINNOWING_ORACLE)
+def winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. 2003 — the MOSS
+    algorithm): hash every 3-gram shingle, keep only each sliding
+    window's MINIMUM hash, and pair documents by shared selected
+    prints — the position-robust local fingerprint that guarantees
+    any sufficiently long match is detected (every length-{w} window
+    SELECTS its rightmost-argmin, encoded as an integer MIN over a
+    hash<<16 | reversed-position key) while storing a ~2/(w+1)
+    fraction of the grams. Completes the text-dedup family's
+    fingerprint axis next to q_fingerprint (rolling hash) and
+    q_dedup_minhash (global sketch). [engine — not in reference]
+
+    Scale design — two levers, both from the repo's 100× rehearsals:
+
+    (1) DEDUP-COLLAPSE (the r8 neardup lesson, previously missing
+    here): winnowing prints are a pure function of the text, so the
+    shared-print self-join went QUADRATIC IN DUPLICATION MULTIPLICITY
+    under the 100-replica plant (~2 B join rows at 100×; measured: the
+    join alone exceeded 11 min from checkpointed prints). Documents
+    collapse to one REPRESENTATIVE per identical-text group
+    (rep = min doc_id over md5(text)); the shingle/print pipeline and
+    the shared-print join run on REPS ONLY; pairs come back as
+    PAIR-CLASSES — within-group (n_shared = the group's own print
+    count, C(sz,2) pairs) and cross-group (n_shared = rep∩rep shared
+    prints, sz_a·sz_b pairs) — and only classes that can reach the
+    global top-20 are expanded through membership. The threshold is
+    exact: classes are bucketed by n_shared, a cumulative pair count
+    over the (tiny, ≤ distinct-n_shared-values) bucket list finds the
+    smallest n_shared that 20 pairs can reach, and every class at or
+    above it expands. Expansion per class is capped at each group's 22
+    smallest doc_ids: the 21 pairs formed by a group's smallest member
+    against its 21 next-smallest (or against the other group's 21
+    smallest) all lexicographically precede ANY pair involving a
+    23rd-or-later member, so no top-20 pair is ever outside the cap.
+
+    (2) MAP-ONLY ARRAY ALGEBRA for the select-phase: the naive plan
+    (posexplode every shingle + a doc-partitioned Window) shuffles AND
+    sorts the full shingle volume just to compare each key with its
+    w-1 neighbors; since the window never crosses a document, the same
+    rightmost-argmin selection is computed in place as a least()-fold
+    of w aligned array slices (the shingles() trick) — measured 3.4×
+    on the select-phase at 100× before the collapse made it
+    rep-bounded. The keyed array lives in its OWN projection and is
+    only referenced as an attribute afterwards — CollapseProject keeps
+    a non-cheap multi-referenced expression in its own project, so the
+    md5 transform runs once per rep. fan_out spreads the tokenize/
+    group map over all cores (a small parquet table arrives as one
+    split; no-op on a many-split 100-TB table). Hashes are 40-bit md5
+    slices identical in both engines; tail windows truncate at the
+    document end the same way in both (a documented variant of the
+    full-window-only original); the oracle replays the uncollapsed
+    join verbatim, so the driver check proves collapse-equivalence."""
+    d = load_table(spark, sf_dir, "documents")
+    members, sizes, pr = _winnow_collapse(d)
     rep_prints = pr.select("g", F.explode("prints").alias("h"))
     pa = rep_prints.select(F.col("g").alias("ga"), F.col("h").alias("ha"))
     pb = rep_prints.select(F.col("g").alias("gb"), F.col("h").alias("hb"))

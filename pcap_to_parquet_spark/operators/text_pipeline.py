@@ -772,8 +772,11 @@ def pack_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("n_trunc"), F.lit(0)).cast("long").alias("n_truncated"),
     )
     n_bins = F.lit(bins).cast("long")
-    lb = F.floor(
-        (F.col("total_toks") + (_PACK_BUDGET - 1)) / _PACK_BUDGET
+    # Integer `div`, not floor(double /): the oracle computes the lower
+    # bound with exact integer `//`, and a double quotient loses integer
+    # exactness once total_toks + budget-1 exceeds 2^53 (round-11 ADVICE).
+    lb = F.expr(
+        f"(total_toks + {_PACK_BUDGET - 1}) div {_PACK_BUDGET}"
     ).cast("long")
     return tot.select(
         "n_docs",

