@@ -102,6 +102,8 @@ _GATE_FRONT = [
     "q_cogroup_diff",
     # ---- END ROUND 11 WINDOW ----
     # new in round 11 (insert below this line as they land; due round 12)
+    "q_token_fertility",
+    "q_dedup_threshold_curve",
     # round-7 window remainder (rows r7)
     "q_quantile_bucketize",
     "q_countmin_topk",

@@ -92,6 +92,8 @@ HEADLINE = [
     "q_hill_tail",          # order-statistic tail-index estimator (r10 add)
     "q_pack_planner",       # NFD packing census over the length grid (r10 add)
     "q_lsh_precision",      # banding candidate-precision audit (r10 add)
+    "q_token_fertility",    # per-lang BPE fertility census (r11 add)
+    "q_dedup_threshold_curve",  # removal-vs-tau tuning curve (r11 add)
 ]
 
 # round-over-round reference (same box, sf0.1, local[32]):

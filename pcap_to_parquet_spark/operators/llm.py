@@ -4819,17 +4819,17 @@ sh AS (
     FROM tok WHERE len(ws) >= 3
 ),
 n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-tp AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+jp AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(COUNT(*)::DOUBLE
+                 / (ANY_VALUE(na.n) + ANY_VALUE(nb.n) - COUNT(*)), 6) AS j
     FROM sh a
     JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
     JOIN n na ON na.doc_id = a.doc_id
     JOIN n nb ON nb.doc_id = b.doc_id
     GROUP BY a.doc_id, b.doc_id
-    HAVING ROUND(COUNT(*)::DOUBLE
-                 / (ANY_VALUE(na.n) + ANY_VALUE(nb.n) - COUNT(*)), 6)
-           >= {_LSHR_TAU}
 ),
+tp AS (SELECT doc_a, doc_b FROM jp WHERE j >= {_LSHR_TAU}),
 hh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM sh),
 mins AS (
     SELECT doc_id,
@@ -4855,13 +4855,15 @@ SELECT (SELECT COUNT(*) FROM tp) AS n_true_pairs,
 """
 
 
-def _lsh_audit_frames(
+def _audit_jaccard_pairs(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
-    """Shared audit-slice frames for q_lsh_recall / q_lsh_precision:
-    (true pairs at Jaccard >= tau, banded candidate pairs), both
-    localCheckpointed — ONE definition of truth and candidates so the
-    recall and precision audits can never disagree."""
+    """Audit-slice shingle frame + FULL exact-Jaccard pair table
+    (doc_a, doc_b, j) — the one definition of pairwise text similarity
+    shared by q_lsh_recall / q_lsh_precision (truth = j >= tau) and
+    q_dedup_threshold_curve (the whole curve over j). Both frames are
+    localCheckpointed: slice-bounded, and every consumer forks the plan
+    at least once."""
     d = load_table(spark, sf_dir, "documents").where(
         F.col("doc_id") < _LSHR_SLICE
     )
@@ -4887,20 +4889,33 @@ def _lsh_audit_frames(
     )
     na = n.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     nb = n.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
-    tp = (
+    jp = (
         inter.join(na, "doc_a")
         .join(nb, "doc_b")
-        .where(
+        .select(
+            "doc_a",
+            "doc_b",
             F.round(
                 F.col("c").cast("double")
                 / (F.col("n_a") + F.col("n_b") - F.col("c")),
                 6,
-            )
-            >= _LSHR_TAU
+            ).alias("j"),
         )
-        .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )
+    return shingled, jp
+
+
+def _lsh_audit_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared audit-slice frames for q_lsh_recall / q_lsh_precision:
+    (true pairs at Jaccard >= tau, banded candidate pairs) — truth
+    derives from _audit_jaccard_pairs' checkpointed pair table, so the
+    recall, precision and threshold-curve audits can never disagree on
+    what a true pair is."""
+    shingled, jp = _audit_jaccard_pairs(spark, sf_dir)
+    tp = jp.where(F.col("j") >= _LSHR_TAU).select("doc_a", "doc_b")
     h32 = F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long")
     mins = (
         shingled.select("doc_id", h32.alias("h"))
@@ -5049,6 +5064,77 @@ def lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("verify_cost"),
         )
+    )
+
+
+DEDUP_THRESHOLD_CURVE_ORACLE = rf"""{_LSH_AUDIT_CTES},
+grid AS (SELECT i.i * 1.0 / 10 AS tau
+         FROM unnest(generate_series(1, 9)) AS i(i)),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_slice_docs FROM n)
+SELECT g.tau,
+       CAST(COUNT(jp.doc_a) AS BIGINT) AS n_dup_pairs,
+       CAST(COUNT(DISTINCT jp.doc_b) AS BIGINT) AS n_docs_removed,
+       nd.n_slice_docs,
+       ROUND(COUNT(DISTINCT jp.doc_b) * 1.0 / NULLIF(nd.n_slice_docs, 0), 6)
+           AS removal_frac
+FROM grid g CROSS JOIN nd LEFT JOIN jp ON jp.j >= g.tau
+GROUP BY g.tau, nd.n_slice_docs
+ORDER BY g.tau
+"""
+
+
+@query("q_dedup_threshold_curve", DEDUP_THRESHOLD_CURVE_ORACLE)
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold-sensitivity curve — the tuning curve a curation
+    run consults BEFORE committing a near-dup threshold: for each τ on
+    a 0.1-step grid, how many document pairs on the audit slice sit at
+    exact 3-gram Jaccard ≥ τ, and what fraction of the slice a greedy
+    keep-smallest-id dedup would remove at that τ (a doc is removed iff
+    it is the larger member of at least one qualifying pair — the
+    q_dedup_* family's deterministic survivor rule). Read together with
+    q_lsh_recall / q_lsh_precision (same audit frames), this tells you
+    both what a threshold costs in data and what the banding geometry
+    can deliver at it. [engine — not in reference]
+
+    Scale design: the exact all-pairs half runs ONLY on the fixed
+    audit slice (the sampled-ground-truth pattern); the τ grid is 9
+    broadcast rows, so the curve is one broadcast range-join of the
+    slice-bounded checkpointed pair table against 9 thresholds plus a
+    9-group aggregate — flat at any corpus size by construction. Truth
+    shares _audit_jaccard_pairs / the jp CTE with the recall and
+    precision audits, so the three can never diverge on pair
+    similarity."""
+    shingled, jp = _audit_jaccard_pairs(spark, sf_dir)
+    grid = spark.range(1, 10).select(
+        (F.col("id") * 1.0 / 10).alias("tau")
+    )
+    nd = (
+        shingled.select("doc_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_slice_docs"))
+    )
+    return (
+        grid.crossJoin(F.broadcast(nd))
+        .join(F.broadcast(jp), F.col("j") >= F.col("tau"), "left")
+        .groupBy("tau", "n_slice_docs")
+        .agg(
+            F.count("doc_a").cast("long").alias("n_dup_pairs"),
+            F.countDistinct("doc_b").cast("long").alias("n_docs_removed"),
+        )
+        .select(
+            "tau",
+            "n_dup_pairs",
+            "n_docs_removed",
+            "n_slice_docs",
+            F.round(
+                F.try_divide(
+                    F.col("n_docs_removed") * 1.0,
+                    F.nullif(F.col("n_slice_docs"), F.lit(0)),
+                ),
+                6,
+            ).alias("removal_frac"),
+        )
+        .orderBy("tau")
     )
 
 

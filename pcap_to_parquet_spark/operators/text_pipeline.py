@@ -1552,6 +1552,93 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 bpe_encode.__doc__ = bpe_encode.__doc__.format(rounds=_BPE_ROUNDS)
 
 
+TOKEN_FERTILITY_ORACLE = (
+    "WITH "
+    + _bpe_chain_sql(_BPE_ROUNDS, carry_word=True)
+    + f""",
+venc AS (
+    SELECT word,
+           CAST((length(seg) - length(replace(seg, chr(1), ''))) // 2 - 1
+                AS BIGINT) AS n_syms,
+           CAST(length(word) AS BIGINT) AS n_chars_w
+    FROM w{_BPE_ROUNDS}
+),
+ltok AS (SELECT d.lang, t.word FROM tok t JOIN documents d USING (doc_id))
+SELECT l.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(v.n_syms) AS BIGINT) AS n_tokens,
+       CAST(SUM(v.n_chars_w) AS BIGINT) AS n_chars,
+       ROUND(CAST(SUM(v.n_syms) AS BIGINT) * 1.0 / COUNT(*), 6)
+           AS tokens_per_word,
+       ROUND(CAST(SUM(v.n_chars_w) AS BIGINT) * 1.0
+             / CAST(SUM(v.n_syms) AS BIGINT), 6) AS chars_per_token
+FROM ltok l JOIN venc v USING (word)
+GROUP BY l.lang"""
+)
+
+
+@query("q_token_fertility", TOKEN_FERTILITY_ORACLE)
+def token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility census per language — the number that prices
+    a tokenizer against a multilingual corpus before training: after
+    the {rounds} trained BPE merges (q_bpe_merges), how many subword
+    tokens each language's words decompose into (tokens_per_word, the
+    fertility of the classic multilingual-tokenizer studies) and how
+    many characters each token carries (chars_per_token — the corpus is
+    printable ASCII, so chars == bytes and this is bytes/token). A
+    language whose fertility is 2× another's pays 2× the sequence
+    length — and so 2× the training compute — for the same text.
+    [engine — not in reference]
+
+    Scale design (the q_bpe_encode discipline): the merge chain is
+    replayed on the DISTINCT VOCABULARY only (each merge one greedy
+    column-algebra fold), the corpus pays one scan into (lang, word)
+    tokens plus a broadcast hash join against the vocabulary-sized
+    word → (n_syms, n_chars) map, and the census is one map-side-
+    combined groupBy over |languages| groups. Corpus cost is the token
+    scan; everything else is vocabulary-bounded. The oracle replays the
+    identical greedy chain in SQL (the q_bpe_encode CTE chain) plus a
+    lang join, so the check is exact end to end."""
+    merge_rows = bpe_merges(spark, sf_dir).collect()
+    d = load_table(spark, sf_dir, "documents")
+    tok = fan_out(d).select(
+        "lang", F.explode(whitespace_tokens("text")).alias("word")
+    )
+    vocab = tok.select("word").distinct()
+    syms = F.split("word", "")
+    for r in merge_rows:
+        syms = _apply_merge(syms, r.left, r.right)
+    vocab_enc = vocab.select(
+        "word",
+        F.size(syms).cast("long").alias("n_syms"),
+        F.length("word").cast("long").alias("n_chars_w"),
+    )
+    return (
+        tok.join(F.broadcast(vocab_enc), "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_syms").cast("long").alias("n_tokens"),
+            F.sum("n_chars_w").cast("long").alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_tokens",
+            "n_chars",
+            F.round(F.col("n_tokens") * 1.0 / F.col("n_words"), 6).alias(
+                "tokens_per_word"
+            ),
+            F.round(F.col("n_chars") * 1.0 / F.col("n_tokens"), 6).alias(
+                "chars_per_token"
+            ),
+        )
+    )
+
+
+token_fertility.__doc__ = token_fertility.__doc__.format(rounds=_BPE_ROUNDS)
+
+
 # ---------------------------------------------------------------------------
 # DSIR: data selection via importance resampling (hashed n-gram log-ratios)
 

@@ -206,6 +206,8 @@ EMPTY_SAFE = [
     # round 9
     "q_embed_decontaminate",
     "q_fairness_audit",
+    # round 11
+    "q_token_fertility",
 ]
 
 # global aggregates return one constant row on empty input (their
@@ -256,6 +258,8 @@ CONSTANT_ON_EMPTY = {
     # round 10
     "q_pack_planner": 1,  # packing census row: zero counts, NULL rates
     "q_lsh_precision": 1,  # audit counts row of zeros, ratios 0.0
+    # round 11
+    "q_dedup_threshold_curve": 9,  # tau grid rows: zero counts, NULL frac
 }
 
 
