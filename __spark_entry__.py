@@ -104,6 +104,8 @@ _GATE_FRONT = [
     # new in round 11 (insert below this line as they land; due round 12)
     "q_token_fertility",
     "q_dedup_threshold_curve",
+    "q_filter_attribution",
+    "q_vocab_coverage",
     # round-7 window remainder (rows r7)
     "q_quantile_bucketize",
     "q_countmin_topk",

@@ -94,6 +94,8 @@ HEADLINE = [
     "q_lsh_precision",      # banding candidate-precision audit (r10 add)
     "q_token_fertility",    # per-lang BPE fertility census (r11 add)
     "q_dedup_threshold_curve",  # removal-vs-tau tuning curve (r11 add)
+    "q_filter_attribution",  # quality-filter ablation census (r11 add)
+    "q_vocab_coverage",     # top-K token-coverage curve (r11 add)
 ]
 
 # round-over-round reference (same box, sf0.1, local[32]):

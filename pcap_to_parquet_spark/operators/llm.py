@@ -1295,6 +1295,169 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Filter-attribution rules: each gate on the 6dp-rounded q_quality_score
+# signals so a last-ulp ratio difference can never flip a decision. The
+# high_punct rule fires zero times on the synthetic corpus (no
+# punctuation) — deliberately kept: a dead filter is exactly what the
+# attribution table exists to expose before a curation run commits it.
+_FA_DENS = 0.175
+_FA_PUNCT = 0.10
+_FA_STOP = 0.01
+
+FILTER_ATTRIBUTION_ORACLE = rf"""
+WITH sig AS (
+    SELECT CAST(NOT (n_chars BETWEEN 100 AND 5000) AS INT) AS f_len,
+           CAST(ROUND(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                      t -> t <> ''))::DOUBLE
+                      / GREATEST(n_chars, 1), 6) < {_FA_DENS} AS INT) AS f_dens,
+           CAST(ROUND(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))::DOUBLE
+                      / GREATEST(n_chars, 1), 6) > {_FA_PUNCT} AS INT) AS f_punct,
+           CAST(ROUND(len(list_filter(regexp_split_to_array(text, '\s+'),
+                          t -> t IN ('the', 'a', 'of', 'and', 'to')))::DOUBLE
+                      / GREATEST(len(list_filter(
+                            regexp_split_to_array(text, '\s+'),
+                            t -> t <> '')), 1), 6) < {_FA_STOP} AS INT) AS f_stop
+    FROM documents
+),
+nf AS (SELECT *, f_len + f_dens + f_punct + f_stop AS n_f FROM sig),
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(f_len), 0) AS BIGINT) AS fail_len,
+           CAST(COALESCE(SUM(CASE WHEN f_len = 1 AND n_f = 1 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS uni_len,
+           CAST(COALESCE(SUM(f_dens), 0) AS BIGINT) AS fail_dens,
+           CAST(COALESCE(SUM(CASE WHEN f_dens = 1 AND n_f = 1 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS uni_dens,
+           CAST(COALESCE(SUM(f_punct), 0) AS BIGINT) AS fail_punct,
+           CAST(COALESCE(SUM(CASE WHEN f_punct = 1 AND n_f = 1 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS uni_punct,
+           CAST(COALESCE(SUM(f_stop), 0) AS BIGINT) AS fail_stop,
+           CAST(COALESCE(SUM(CASE WHEN f_stop = 1 AND n_f = 1 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS uni_stop,
+           CAST(COALESCE(SUM(CASE WHEN n_f = 0 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_pass_all
+    FROM nf
+)
+SELECT r.rule, r.n_failing, r.n_unique_failing, t.n_docs, t.n_pass_all,
+       ROUND(r.n_failing * 1.0 / NULLIF(t.n_docs, 0), 6) AS fail_share
+FROM tot t, (
+    SELECT 'length' AS rule, fail_len AS n_failing,
+           uni_len AS n_unique_failing FROM tot
+    UNION ALL SELECT 'low_density', fail_dens, uni_dens FROM tot
+    UNION ALL SELECT 'high_punct', fail_punct, uni_punct FROM tot
+    UNION ALL SELECT 'low_stopword', fail_stop, uni_stop FROM tot
+) r
+ORDER BY r.rule
+"""
+
+
+@query("q_filter_attribution", FILTER_ATTRIBUTION_ORACLE)
+def filter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter ablation census — which rule does the work: for
+    each of the four standard pre-training gates (length window, low
+    token density, high punctuation, low stopword rate — the
+    q_quality_score signal family with committed thresholds), how many
+    documents it fails, how many it UNIQUELY removes (fail only this
+    rule — the docs the pipeline loses by keeping it), the corpus size
+    and the pass-everything count. The overlap structure this exposes
+    (a rule with n_failing > 0 but n_unique_failing == 0 is fully
+    shadowed; high_punct firing zero times here means a dead rule) is
+    what a curation run reads before committing or dropping a filter.
+    [engine — not in reference]
+
+    Scale design: one corpus scan computes the four boolean flags and
+    their sum map-side; the whole census is ONE map-side-combined
+    1-row global aggregate (9 sums), unpivoted to 4 rule rows by an
+    inline of literal structs — no shuffle beyond the partial-agg
+    exchange, flat at any corpus size. Thresholds compare 6dp-rounded
+    signals so both engines make identical decisions at the gate
+    boundary."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = whitespace_tokens("text")
+    n_toks = F.size(toks)
+    denom = F.greatest(F.col("n_chars"), F.lit(1))
+    dens = F.round(n_toks.cast("double") / denom, 6)
+    punct = F.round(
+        F.size(F.regexp_extract_all("text", F.lit(r"[^a-zA-Z0-9 ]"), F.lit(0))).cast(
+            "double"
+        )
+        / denom,
+        6,
+    )
+    stopr = F.round(
+        F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "to"))).cast(
+            "double"
+        )
+        / F.greatest(n_toks, F.lit(1)),
+        6,
+    )
+    flags = fan_out(d).select(
+        (~F.col("n_chars").between(100, 5000)).cast("int").alias("f_len"),
+        (dens < _FA_DENS).cast("int").alias("f_dens"),
+        (punct > _FA_PUNCT).cast("int").alias("f_punct"),
+        (stopr < _FA_STOP).cast("int").alias("f_stop"),
+    )
+    nf = flags.withColumn(
+        "n_f", F.col("f_len") + F.col("f_dens") + F.col("f_punct") + F.col("f_stop")
+    )
+
+    def _uni(flag: str):  # docs failing ONLY this rule
+        return F.sum(
+            F.when((F.col(flag) == 1) & (F.col("n_f") == 1), 1).otherwise(0)
+        )
+
+    tot = nf.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("f_len"), F.lit(0)).cast("long").alias("fail_len"),
+        F.coalesce(_uni("f_len"), F.lit(0)).cast("long").alias("uni_len"),
+        F.coalesce(F.sum("f_dens"), F.lit(0)).cast("long").alias("fail_dens"),
+        F.coalesce(_uni("f_dens"), F.lit(0)).cast("long").alias("uni_dens"),
+        F.coalesce(F.sum("f_punct"), F.lit(0)).cast("long").alias("fail_punct"),
+        F.coalesce(_uni("f_punct"), F.lit(0)).cast("long").alias("uni_punct"),
+        F.coalesce(F.sum("f_stop"), F.lit(0)).cast("long").alias("fail_stop"),
+        F.coalesce(_uni("f_stop"), F.lit(0)).cast("long").alias("uni_stop"),
+        F.coalesce(F.sum(F.when(F.col("n_f") == 0, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("n_pass_all"),
+    )
+
+    def _row(rule: str, fail: str, uni: str):
+        return F.struct(
+            F.lit(rule).alias("rule"),
+            F.col(fail).alias("n_failing"),
+            F.col(uni).alias("n_unique_failing"),
+        )
+
+    return (
+        tot.select(
+            F.inline(
+                F.array(
+                    _row("length", "fail_len", "uni_len"),
+                    _row("low_density", "fail_dens", "uni_dens"),
+                    _row("high_punct", "fail_punct", "uni_punct"),
+                    _row("low_stopword", "fail_stop", "uni_stop"),
+                )
+            ),
+            "n_docs",
+            "n_pass_all",
+        )
+        .select(
+            "rule",
+            "n_failing",
+            "n_unique_failing",
+            "n_docs",
+            "n_pass_all",
+            F.round(
+                F.try_divide(
+                    F.col("n_failing") * 1.0, F.nullif(F.col("n_docs"), F.lit(0))
+                ),
+                6,
+            ).alias("fail_share"),
+        )
+        .orderBy("rule")
+    )
+
+
 LANG_ID_ORACLE = r"""
 WITH scored AS (
     SELECT doc_id, lang,

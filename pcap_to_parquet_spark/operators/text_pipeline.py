@@ -1640,6 +1640,101 @@ token_fertility.__doc__ = token_fertility.__doc__.format(rounds=_BPE_ROUNDS)
 
 
 # ---------------------------------------------------------------------------
+# vocabulary coverage curve: corpus token share covered by the top-K words
+
+_VC_GRID = (100, 300, 1000, 3000, 10000)
+_VC_GRID_SQL = ", ".join(str(k) for k in _VC_GRID)
+
+VOCAB_COVERAGE_ORACLE = rf"""
+WITH tok AS (
+    SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                              t -> t <> '')) AS word
+    FROM documents
+),
+wc AS (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word),
+tot AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS total_toks,
+               CAST(COUNT(*) AS BIGINT) AS n_vocab
+        FROM wc),
+rk AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rnk
+       FROM wc ORDER BY cnt DESC, word LIMIT {max(_VC_GRID)}),
+grid AS (SELECT CAST(unnest([{_VC_GRID_SQL}]) AS BIGINT) AS top_k),
+cov AS (
+    SELECT g.top_k, CAST(COALESCE(SUM(r.cnt), 0) AS BIGINT) AS n_covered
+    FROM grid g LEFT JOIN rk r ON r.rnk <= g.top_k
+    GROUP BY g.top_k
+)
+SELECT c.top_k, c.n_covered, t.n_vocab, t.total_toks,
+       ROUND(c.n_covered * 1.0 / NULLIF(t.total_toks, 0), 6) AS coverage
+FROM cov c CROSS JOIN tot t
+ORDER BY c.top_k
+"""
+
+
+@query("q_vocab_coverage", VOCAB_COVERAGE_ORACLE)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-sizing number read
+    before committing a vocab size: for each K on the {grid} grid,
+    what fraction of all corpus token occurrences the K most frequent
+    words cover (ties broken lexicographically so the ranking is a
+    deterministic total order in both engines). The knee of this curve
+    against q_zipf_fit's exponent is how a vocabulary budget gets
+    chosen; q_token_fertility then prices what falls outside it.
+    [engine — not in reference]
+
+    Scale design: the corpus pays one token scan into a map-side-
+    combined (word, count) aggregate; the ranking is a global
+    TOP-max(K) via orderBy+limit (TakeOrdered — a distributed
+    partial-top-K per partition plus a driver merge, never a full
+    single-partition vocabulary sort), and the window/cumsum runs over
+    those ≤{maxk} rows only. The grid join is {n} broadcast rows
+    against the ≤{maxk}-row ranked frame. A billion-word vocabulary at
+    100 TB costs the same post-aggregate work as this test corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = fan_out(d).select(F.explode(whitespace_tokens("text")).alias("word"))
+    wc = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = wc.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("total_toks"),
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+    )
+    top = wc.orderBy(F.col("cnt").desc(), "word").limit(max(_VC_GRID))
+    w = Window.orderBy(F.col("cnt").desc(), "word")
+    ranked = top.select("cnt", F.row_number().over(w).alias("rnk"))
+    grid = (
+        spark.range(1)
+        .select(F.explode(F.array(*[F.lit(k) for k in _VC_GRID])).alias("k"))
+        .select(F.col("k").cast("long").alias("top_k"))
+    )
+    cov = (
+        ranked.join(F.broadcast(grid), F.col("rnk") <= F.col("top_k"))
+        .groupBy("top_k")
+        .agg(F.sum("cnt").cast("long").alias("n_covered"))
+    )
+    return (
+        grid.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(cov), "top_k", "left")
+        .select(
+            "top_k",
+            F.coalesce(F.col("n_covered"), F.lit(0)).cast("long").alias("n_covered"),
+            "n_vocab",
+            "total_toks",
+            F.round(
+                F.try_divide(
+                    F.coalesce(F.col("n_covered"), F.lit(0)) * 1.0,
+                    F.nullif(F.col("total_toks"), F.lit(0)),
+                ),
+                6,
+            ).alias("coverage"),
+        )
+        .orderBy("top_k")
+    )
+
+
+vocab_coverage.__doc__ = vocab_coverage.__doc__.format(
+    grid=_VC_GRID, maxk=max(_VC_GRID), n=len(_VC_GRID)
+)
+
+
+# ---------------------------------------------------------------------------
 # DSIR: data selection via importance resampling (hashed n-gram log-ratios)
 
 _DSIR_B = 1024  # hash buckets; the paper's 10k scaled to the test corpus

@@ -260,6 +260,8 @@ CONSTANT_ON_EMPTY = {
     "q_lsh_precision": 1,  # audit counts row of zeros, ratios 0.0
     # round 11
     "q_dedup_threshold_curve": 9,  # tau grid rows: zero counts, NULL frac
+    "q_filter_attribution": 4,  # rule rows: zero counts, NULL share
+    "q_vocab_coverage": 5,  # top_k grid rows: zero counts, NULL coverage
 }
 
 

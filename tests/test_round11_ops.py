@@ -125,6 +125,90 @@ def test_threshold_curve_monotone_and_consistent_with_recall(spark):
     assert at_tau.n_dup_pairs == recall.n_true_pairs
 
 
+# ---------------------------------------------------------------------------
+# q_filter_attribution
+
+
+def test_filter_attribution_hand_built_overlap(spark, tmp_path):
+    """Four docs engineered against the committed gates: doc 0 fails
+    ONLY length (short, dense, stopworded); doc 1 fails length AND
+    low_stopword (so neither is unique on it); doc 2 passes everything;
+    doc 3 fails only high_punct. Pins the unique-attribution algebra
+    and the shadowing distinction."""
+    clean = ("the quick fox of the barn and the owl went to the mill "
+             * 12).strip()  # ~55 words, ~670 chars: dense, stopworded
+    rows = [
+        (0, "the cat sat on a mat of the hill", "en", "A", 33),  # short only
+        (1, "zz yy xx ww vv uu tt ss", "en", "A", 23),  # short + no stopwords
+        (2, clean, "en", "A", len(clean)),  # passes all
+        (3, clean + " " + "!@#$%^&*()" * 20, "en", "A",
+         len(clean) + 1 + 200),  # punct-heavy, long enough, stopworded
+    ]
+    _write(spark, tmp_path, rows)
+    out = {r.rule: r for r in QUERIES["q_filter_attribution"](spark, str(tmp_path)).collect()}
+    assert set(out) == {"length", "low_density", "high_punct", "low_stopword"}
+    assert all(r.n_docs == 4 and r.n_pass_all == 1 for r in out.values())
+    assert (out["length"].n_failing, out["length"].n_unique_failing) == (2, 1)
+    assert (out["low_stopword"].n_failing, out["low_stopword"].n_unique_failing) == (1, 0)
+    assert out["high_punct"].n_failing == 1
+    assert out["high_punct"].n_unique_failing == 1
+    assert out["length"].fail_share == 0.5
+
+
+def test_filter_attribution_testdata_invariants(spark):
+    """On real testdata: unique <= failing, pass_all + union-failing
+    accounting is consistent (sum of uniques <= n_docs - n_pass_all <=
+    sum of failings), and the dead high_punct rule fires zero times on
+    the punctuation-free synthetic corpus."""
+    rows = QUERIES["q_filter_attribution"](spark, SF0001).collect()
+    assert len(rows) == 4
+    n_docs = rows[0].n_docs
+    n_pass = rows[0].n_pass_all
+    for r in rows:
+        assert 0 <= r.n_unique_failing <= r.n_failing <= n_docs
+        assert r.n_docs == n_docs and r.n_pass_all == n_pass
+    n_fail_any = n_docs - n_pass
+    assert sum(r.n_unique_failing for r in rows) <= n_fail_any
+    assert n_fail_any <= sum(r.n_failing for r in rows)
+    assert {r.rule: r.n_failing for r in rows}["high_punct"] == 0
+
+
+# ---------------------------------------------------------------------------
+# q_vocab_coverage
+
+
+def test_vocab_coverage_hand_built_curve(spark, tmp_path):
+    """Corpus with word counts a:5 b:3 c:1 d:1 (10 tokens, vocab 4):
+    every grid point K >= 100 exceeds the vocabulary, so the whole
+    curve saturates at coverage 1.0 with n_covered == total_toks."""
+    text = "a a a a a b b b c d"
+    rows = [(0, text, "en", "A", len(text))]
+    _write(spark, tmp_path, rows)
+    out = QUERIES["q_vocab_coverage"](spark, str(tmp_path)).collect()
+    assert [r.top_k for r in out] == [100, 300, 1000, 3000, 10000]
+    for r in out:
+        assert (r.n_covered, r.n_vocab, r.total_toks) == (10, 4, 10)
+        assert r.coverage == 1.0
+
+
+def test_vocab_coverage_monotone_and_bounded(spark):
+    """On real testdata: coverage is non-decreasing in K, bounded by
+    1.0, and n_covered at the largest K equals total_toks whenever the
+    vocabulary fits under it."""
+    rows = sorted(
+        QUERIES["q_vocab_coverage"](spark, SF0001).collect(), key=lambda r: r.top_k
+    )
+    assert len(rows) == 5
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_covered <= b.n_covered
+        assert a.coverage <= b.coverage
+    for r in rows:
+        assert 0 < r.coverage <= 1.0
+        assert r.n_covered <= r.total_toks
+        if r.top_k >= r.n_vocab:
+            assert r.n_covered == r.total_toks and r.coverage == 1.0
+
+
 def test_threshold_curve_planted_duplicates(spark, tmp_path):
     """Two exact-duplicate pairs among four docs: every tau keeps both
     pairs (Jaccard 1.0), greedy keep-smallest removes docs 1 and 3 ->
