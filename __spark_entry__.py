@@ -106,6 +106,9 @@ _GATE_FRONT = [
     "q_dedup_threshold_curve",
     "q_filter_attribution",
     "q_vocab_coverage",
+    "q_split_balance",
+    "q_dedup_bias",
+    "q_lsh_planner",
     # round-7 window remainder (rows r7)
     "q_quantile_bucketize",
     "q_countmin_topk",

@@ -96,6 +96,9 @@ HEADLINE = [
     "q_dedup_threshold_curve",  # removal-vs-tau tuning curve (r11 add)
     "q_filter_attribution",  # quality-filter ablation census (r11 add)
     "q_vocab_coverage",     # top-K token-coverage curve (r11 add)
+    "q_split_balance",      # split representativeness census (r11 add)
+    "q_dedup_bias",         # per-lang dedup selection-bias census (r11 add)
+    "q_lsh_planner",        # band-geometry planning table (r11 add)
 ]
 
 # round-over-round reference (same box, sf0.1, local[32]):

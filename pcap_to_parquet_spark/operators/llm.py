@@ -491,6 +491,96 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# split balance audit: is the hash split representative per language?
+
+SPLIT_BALANCE_ORACLE = r"""
+WITH gated AS (
+    SELECT doc_id, lang,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100 AS gate
+    FROM documents
+),
+s AS (
+    SELECT lang,
+           CASE WHEN gate < 80 THEN 'train'
+                WHEN gate < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM gated
+),
+cell AS (SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+         FROM s GROUP BY split, lang),
+st AS (SELECT split, CAST(SUM(n_docs) AS BIGINT) AS split_total
+       FROM cell GROUP BY split),
+lt AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS lang_total
+       FROM cell GROUP BY lang),
+g AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS grand FROM cell)
+SELECT c.split, c.lang, c.n_docs,
+       ROUND(c.n_docs * 1.0 / st.split_total, 6) AS share_in_split,
+       ROUND(lt.lang_total * 1.0 / g.grand, 6) AS global_share,
+       ROUND(ABS(c.n_docs * 1.0 / st.split_total
+                 - lt.lang_total * 1.0 / g.grand), 6) AS abs_dev
+FROM cell c JOIN st USING (split) JOIN lt USING (lang) CROSS JOIN g
+ORDER BY split, lang
+"""
+
+
+@query("q_split_balance", SPLIT_BALANCE_ORACLE)
+def split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-balance audit of q_train_test_split's hash gate: for every
+    (split, language) cell, the language's share WITHIN the split next
+    to its share of the whole corpus, and the absolute deviation — the
+    representativeness check a team runs before trusting val/test
+    metrics per language (a content-addressed split is unbiased only
+    in expectation; small languages can still land lopsided, and this
+    is the census that says by how much). Reads with q_fairness_audit:
+    that op audits a classifier per group, this one audits the split
+    itself. [engine — not in reference]
+
+    Scale design: the gate is the same map-only md5 arithmetic as
+    q_train_test_split (digits 1-4, so the audit measures exactly the
+    split the pipeline ships); corpus-sized work is ONE |splits×langs|
+    groupBy with map-side combine, after which split/lang/grand totals
+    are re-aggregates of the tiny cell table (broadcast joins back).
+    Flat at any corpus size beyond the single partial-agg exchange."""
+    d = load_table(spark, sf_dir, "documents")
+    gate = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("int") % 100
+    s = d.select(
+        "lang",
+        F.when(gate < 80, "train")
+        .when(gate < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    cell = s.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    st = cell.groupBy("split").agg(
+        F.sum("n_docs").cast("long").alias("split_total")
+    )
+    lt = cell.groupBy("lang").agg(
+        F.sum("n_docs").cast("long").alias("lang_total")
+    )
+    g = cell.agg(F.sum("n_docs").cast("long").alias("grand"))
+    share = F.col("n_docs") * 1.0 / F.col("split_total")
+    gshare = F.col("lang_total") * 1.0 / F.col("grand")
+    return (
+        cell.join(F.broadcast(st), "split")
+        .join(F.broadcast(lt), "lang")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "split",
+            "lang",
+            "n_docs",
+            F.round(share, 6).alias("share_in_split"),
+            F.round(gshare, 6).alias("global_share"),
+            F.round(F.abs(share - gshare), 6).alias("abs_dev"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
 # data mixing: deterministic per-source sampling rates
 
 MIX_RATES = {"src0": 100, "src1": 75, "src2": 50, "src3": 25}  # percent
@@ -1943,7 +2033,11 @@ _MHX_BANDS = "\n    UNION ALL ".join(
 # agreeing positions with one list_filter over the signature lists
 _MHX_SIG_LIST = "[" + ", ".join(f"m{i}" for i in range(MINHASH_PERMS)) + "]"
 
-MINHASH_EXACT_ORACLE = rf"""
+# shared CTE block (shingles → md5 base hashes → signatures → bands →
+# candidate pairs → estimated Jaccard) — interpolated by BOTH
+# q_minhash_exact and q_dedup_bias so the two can never diverge on
+# what the production near-dup pipeline detects.
+_MHX_CTES = rf"""
 WITH tok AS (
     SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS ws
     FROM documents
@@ -1977,7 +2071,9 @@ est AS (
     FROM pairs p
     JOIN sigl sa ON sa.doc_id = p.doc_a
     JOIN sigl sb ON sb.doc_id = p.doc_b
-)
+)"""
+
+MINHASH_EXACT_ORACLE = rf"""{_MHX_CTES}
 SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.7
 """
 
@@ -2082,6 +2178,82 @@ def minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 minhash_exact.__doc__ = minhash_exact.__doc__.format(perms=MINHASH_PERMS)
+
+
+# ---------------------------------------------------------------------------
+# dedup selection-bias census: what does near-dup removal cost each
+# language?
+
+DEDUP_BIAS_ORACLE = rf"""{_MHX_CTES},
+rem AS (SELECT DISTINCT doc_b AS doc_id FROM est WHERE est_jaccard >= 0.7),
+lang_c AS (
+    SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rem.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_removed
+    FROM documents d LEFT JOIN rem ON d.doc_id = rem.doc_id
+    GROUP BY d.lang
+),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS t_docs,
+               CAST(SUM(n_removed) AS BIGINT) AS t_removed
+        FROM lang_c)
+SELECT lang, n_docs, n_removed,
+       ROUND(n_removed * 1.0 / n_docs, 6) AS removal_frac,
+       ROUND((n_removed * 1.0 / n_docs)
+             / NULLIF(t_removed * 1.0 / t_docs, 0), 4) AS rel_risk
+FROM lang_c CROSS JOIN tot
+ORDER BY lang
+"""
+
+
+@query("q_dedup_bias", DEDUP_BIAS_ORACLE)
+def dedup_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup selection-bias census: per language, how many documents
+    the production MinHash near-dup pass (q_minhash_exact's exact
+    geometry and ≥0.7 threshold, keep-smallest-id survivor rule) would
+    remove, the removal fraction, and the relative risk vs the
+    corpus-wide removal rate. Near-dup removal is never language-
+    neutral — templated or machine-translated languages duplicate
+    more — and a curation run reads this table before shipping a
+    dedup pass that silently halves a low-resource language. Completes
+    the fairness axis: q_fairness_audit audits a classifier per group,
+    q_split_balance audits the split, this audits the dedup itself.
+    [engine — not in reference]
+
+    Scale design: the detection half IS q_minhash_exact (same fn —
+    signatures on one shuffle, banded candidate join, never all-pairs;
+    measured 6.3× at the 100× replica plant). On top of it: one
+    distinct over the removed-id set, one key-partitioned left join
+    against documents, and a |languages|-row census with map-side
+    combine; the 1-row totals frame is a broadcast cross join. No new
+    scale risk beyond the already-audited detection kernel."""
+    pairs = minhash_exact(spark, sf_dir)
+    rem = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    lang_c = (
+        d.join(rem.withColumn("rm", F.lit(1)), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.coalesce(F.col("rm"), F.lit(0))).cast("long").alias("n_removed"),
+        )
+    )
+    tot = lang_c.agg(
+        F.sum("n_docs").cast("long").alias("t_docs"),
+        F.sum("n_removed").cast("long").alias("t_removed"),
+    )
+    frac = F.col("n_removed") * 1.0 / F.col("n_docs")
+    gfrac = F.col("t_removed") * 1.0 / F.col("t_docs")
+    return (
+        lang_c.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "n_removed",
+            F.round(frac, 6).alias("removal_frac"),
+            F.round(frac / F.nullif(gfrac, F.lit(0.0)), 4).alias("rel_risk"),
+        )
+        .orderBy("lang")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -5298,6 +5470,121 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("removal_frac"),
         )
         .orderBy("tau")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH band-geometry planner: price every (bands, rows) layout of the
+# 128-perm signature budget against the observed pair-similarity mass
+
+# power-of-two geometries spending the same 128-permutation budget
+_PLAN_GEOMS = [(64, 2), (32, 4), (16, 8), (8, 16), (4, 32)]
+
+
+def _plan_tau50(b: int, r: int) -> float:
+    """S-curve midpoint of the (b, r) banding: the Jaccard at which a
+    pair becomes a candidate with probability 1/2."""
+    return round((1.0 - 0.5 ** (1.0 / b)) ** (1.0 / r), 6)
+
+
+def _plan_p07(b: int, r: int) -> float:
+    """Closed-form catch probability 1-(1-τ^r)^b at the committed
+    dedup threshold τ=0.7."""
+    return round(1.0 - (1.0 - 0.7**r) ** b, 6)
+
+
+def _plan_p_sql(b: int, r: int) -> str:
+    """1-(1-j^r)^b as an exact squaring chain (b and r are powers of
+    two, b*r=128 → 7 squarings total): every step is an IEEE double
+    multiply/subtract both engines execute identically, unlike
+    libm POWER whose last-ulp behavior differs between them."""
+    jr = "j"
+    for _ in range(r.bit_length() - 1):
+        jr = f"({jr} * {jr})"
+    y = f"(1.0 - {jr})"
+    for _ in range(b.bit_length() - 1):
+        y = f"({y} * {y})"
+    return f"(1.0 - {y})"
+
+
+def _plan_p_col(b: int, r: int):
+    """Spark twin of _plan_p_sql: the identical multiply/subtract
+    chain as Column algebra."""
+    jr = F.col("j")
+    for _ in range(r.bit_length() - 1):
+        jr = jr * jr
+    y = F.lit(1.0) - jr
+    for _ in range(b.bit_length() - 1):
+        y = y * y
+    return F.lit(1.0) - y
+
+
+LSH_PLANNER_ORACLE = rf"""{_LSH_AUDIT_CTES},
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             {", ".join(f"ROUND(SUM({_plan_p_sql(b, r)}), 4) AS e{i}" for i, (b, r) in enumerate(_PLAN_GEOMS))}
+      FROM jp)
+{" UNION ALL ".join(
+    f"SELECT CAST({b} AS INT) AS n_bands, CAST({r} AS INT) AS rows_per_band, "
+    f"CAST({_plan_tau50(b, r)!r} AS DOUBLE) AS tau50, "
+    f"CAST({_plan_p07(b, r)!r} AS DOUBLE) AS p_catch_tau07, "
+    f"s.n_pairs, s.e{i} AS exp_candidates FROM s"
+    for i, (b, r) in enumerate(_PLAN_GEOMS))}
+ORDER BY rows_per_band
+"""
+
+
+@query("q_lsh_planner", LSH_PLANNER_ORACLE)
+def lsh_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-geometry PLANNER — the table a curation run reads
+    BEFORE committing a banding: for every power-of-two (bands, rows)
+    layout of the same 128-permutation signature budget, the S-curve
+    midpoint tau50, the closed-form catch probability at the committed
+    τ=0.7, and — priced against the corpus, not theory — the expected
+    number of candidate pairs the banding would emit on the audit
+    slice (Σ over observed pairs of 1-(1-j^r)^b, the verify bill the
+    widening geometry runs up on sub-threshold mass). q_lsh_recall /
+    q_lsh_precision measure the ONE shipped geometry after the fact;
+    this op prices all five alternatives from the same observed
+    similarity table so the choice is a lookup, not a redeploy loop.
+    [engine — not in reference]
+
+    Scale design: the data-dependent half is one aggregate over
+    _audit_jaccard_pairs' slice-bounded checkpointed pair table (the
+    sampled-ground-truth pattern shared with the recall/precision/
+    threshold-curve audits — one definition of pair similarity for the
+    whole family); the five geometry sums ride a single pass, and the
+    closed-form columns are literals. j^r and (1-j^r)^b are exact
+    squaring chains (b·r=128 → 7 IEEE multiplies), not libm POWER, so
+    both engines compute bit-identical per-pair probabilities. Flat at
+    any corpus size by construction."""
+    _shingled, jp = _audit_jaccard_pairs(spark, sf_dir)
+    s = jp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        *[
+            F.round(F.sum(_plan_p_col(b, r)), 4).alias(f"e{i}")
+            for i, (b, r) in enumerate(_PLAN_GEOMS)
+        ],
+    )
+    return (
+        s.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("n_bands"),
+                            F.lit(r).alias("rows_per_band"),
+                            F.lit(_plan_tau50(b, r)).alias("tau50"),
+                            F.lit(_plan_p07(b, r)).alias("p_catch_tau07"),
+                            F.col("n_pairs"),
+                            F.col(f"e{i}").alias("exp_candidates"),
+                        )
+                        for i, (b, r) in enumerate(_PLAN_GEOMS)
+                    ]
+                )
+            ).alias("g")
+        )
+        .select("g.*")
+        .orderBy("rows_per_band")
     )
 
 

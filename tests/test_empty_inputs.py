@@ -208,6 +208,8 @@ EMPTY_SAFE = [
     "q_fairness_audit",
     # round 11
     "q_token_fertility",
+    "q_split_balance",
+    "q_dedup_bias",
 ]
 
 # global aggregates return one constant row on empty input (their
@@ -262,6 +264,7 @@ CONSTANT_ON_EMPTY = {
     "q_dedup_threshold_curve": 9,  # tau grid rows: zero counts, NULL frac
     "q_filter_attribution": 4,  # rule rows: zero counts, NULL share
     "q_vocab_coverage": 5,  # top_k grid rows: zero counts, NULL coverage
+    "q_lsh_planner": 5,  # geometry grid rows: literals, NULL exp mass
 }
 
 

@@ -209,6 +209,140 @@ def test_vocab_coverage_monotone_and_bounded(spark):
             assert r.n_covered == r.total_toks and r.coverage == 1.0
 
 
+# ---------------------------------------------------------------------------
+# q_split_balance
+
+
+def test_split_balance_replays_gate_and_algebra(spark, tmp_path):
+    """20 docs over 2 languages: cell counts must equal a Python replay
+    of the md5 gate, shares must be the documented ratios, and abs_dev
+    must be |share_in_split - global_share| recomputed from the row."""
+    import hashlib
+
+    langs = ["en" if i % 3 else "fr" for i in range(20)]
+    rows = [(i, f"doc {i} text", langs[i], "A", 10) for i in range(20)]
+    _write(spark, tmp_path, rows)
+    expected: dict[tuple[str, str], int] = {}
+    totals: dict[str, int] = {}
+    for i, lang in enumerate(langs):
+        gate = int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % 100
+        split = "train" if gate < 80 else ("val" if gate < 90 else "test")
+        expected[(split, lang)] = expected.get((split, lang), 0) + 1
+        totals[split] = totals.get(split, 0) + 1
+    out = QUERIES["q_split_balance"](spark, str(tmp_path)).collect()
+    assert {(r.split, r.lang): r.n_docs for r in out} == expected
+    for r in out:
+        assert r.share_in_split == round(r.n_docs / totals[r.split], 6)
+        assert r.global_share == round(langs.count(r.lang) / 20, 6)
+        assert abs(r.abs_dev - abs(r.share_in_split - r.global_share)) < 2e-6
+
+
+def test_split_balance_testdata_invariants(spark):
+    """On real testdata: within every split the present-cell shares sum
+    to 1 (every doc has a language), global_share is identical across a
+    language's rows, and every deviation is bounded by 1."""
+    rows = QUERIES["q_split_balance"](spark, SF0001).collect()
+    by_split: dict[str, list] = {}
+    by_lang: dict[str, set] = {}
+    for r in rows:
+        by_split.setdefault(r.split, []).append(r)
+        by_lang.setdefault(r.lang, set()).add(r.global_share)
+        assert 0.0 <= r.abs_dev <= 1.0
+    assert set(by_split) <= {"train", "val", "test"}
+    for split, cells in by_split.items():
+        assert abs(sum(c.share_in_split for c in cells) - 1.0) < 1e-4, split
+    for lang, shares in by_lang.items():
+        assert len(shares) == 1, lang
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_bias
+
+
+def test_dedup_bias_planted_duplicate_language(spark, tmp_path):
+    """en has one exact duplicate pair among 3 docs, fr has none among
+    3: the census must charge en exactly one removal (keep-smallest-id)
+    at relative risk 2.0 (1/3 over the global 1/6), and fr zero."""
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, dup, "en", "A", len(dup)),
+        (1, dup, "en", "A", len(dup)),
+        (2, "one two three four five six seven eight", "en", "A", 40),
+        (3, "un deux trois quatre cinq six sept huit", "fr", "A", 40),
+        (4, "rouge vert bleu jaune noir blanc gris rose", "fr", "A", 42),
+        (5, "nord sud est ouest haut bas gauche droite", "fr", "A", 41),
+    ]
+    _write(spark, tmp_path, rows)
+    out = {r.lang: r for r in QUERIES["q_dedup_bias"](spark, str(tmp_path)).collect()}
+    assert set(out) == {"en", "fr"}
+    assert (out["en"].n_docs, out["en"].n_removed) == (3, 1)
+    assert (out["fr"].n_docs, out["fr"].n_removed) == (3, 0)
+    assert out["en"].removal_frac == round(1 / 3, 6)
+    assert out["en"].rel_risk == 2.0
+    assert out["fr"].rel_risk == 0.0
+
+
+def test_dedup_bias_consistent_with_minhash_exact(spark):
+    """The census is q_minhash_exact's pair table re-aggregated: total
+    removals must equal the distinct larger-member count of that op's
+    output, and n_docs must sum to the corpus size."""
+    bias = QUERIES["q_dedup_bias"](spark, SF0001).collect()
+    pairs = QUERIES["q_minhash_exact"](spark, SF0001).collect()
+    assert sum(r.n_removed for r in bias) == len({p.doc_b for p in pairs})
+    n_docs = spark.read.parquet(f"{SF0001}/documents.parquet").count()
+    assert sum(r.n_docs for r in bias) == n_docs
+
+
+# ---------------------------------------------------------------------------
+# q_lsh_planner
+
+
+def test_lsh_planner_planted_certain_pair(spark, tmp_path):
+    """One exact-duplicate pair (Jaccard 1.0) and two unrelated docs:
+    p(1.0) = 1 for EVERY geometry, so each of the 5 rows expects
+    exactly 1.0 candidates from 1 observed pair."""
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, dup, "en", "A", len(dup)),
+        (1, dup, "en", "A", len(dup)),
+        (2, "one two three four five six seven eight", "en", "A", 40),
+        (3, "un deux trois quatre cinq six sept huit", "fr", "A", 40),
+    ]
+    _write(spark, tmp_path, rows)
+    out = QUERIES["q_lsh_planner"](spark, str(tmp_path)).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r.n_pairs == 1
+        assert r.exp_candidates == 1.0
+
+
+def test_lsh_planner_scurve_and_literals(spark):
+    """On real testdata: 5 rows spending the same 128-perm budget;
+    tau50 rises and the catch probability at τ=0.7 falls as rows per
+    band grow (the S-curve steepens rightward); expected candidate
+    mass is non-increasing; and the closed-form columns match the
+    Python formulas they were generated from."""
+    rows = sorted(
+        QUERIES["q_lsh_planner"](spark, SF0001).collect(),
+        key=lambda r: r.rows_per_band,
+    )
+    assert [(r.n_bands, r.rows_per_band) for r in rows] == [
+        (64, 2), (32, 4), (16, 8), (8, 16), (4, 32)
+    ]
+    assert len({r.n_pairs for r in rows}) == 1
+    for a, b in zip(rows, rows[1:]):
+        assert a.tau50 < b.tau50
+        assert a.p_catch_tau07 >= b.p_catch_tau07
+        assert a.exp_candidates >= b.exp_candidates
+    for r in rows:
+        assert r.tau50 == round(
+            (1.0 - 0.5 ** (1.0 / r.n_bands)) ** (1.0 / r.rows_per_band), 6
+        )
+        assert r.p_catch_tau07 == round(
+            1.0 - (1.0 - 0.7**r.rows_per_band) ** r.n_bands, 6
+        )
+
+
 def test_threshold_curve_planted_duplicates(spark, tmp_path):
     """Two exact-duplicate pairs among four docs: every tau keeps both
     pairs (Jaccard 1.0), greedy keep-smallest removes docs 1 and 3 ->
