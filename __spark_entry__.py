@@ -109,6 +109,7 @@ _GATE_FRONT = [
     "q_split_balance",
     "q_dedup_bias",
     "q_lsh_planner",
+    "q_filter_dedup_overlap",
     # round-7 window remainder (rows r7)
     "q_quantile_bucketize",
     "q_countmin_topk",

@@ -99,6 +99,7 @@ HEADLINE = [
     "q_split_balance",      # split representativeness census (r11 add)
     "q_dedup_bias",         # per-lang dedup selection-bias census (r11 add)
     "q_lsh_planner",        # band-geometry planning table (r11 add)
+    "q_filter_dedup_overlap",  # filter-vs-dedup ordering census (r11 add)
 ]
 
 # round-over-round reference (same box, sf0.1, local[32]):

@@ -1394,9 +1394,10 @@ _FA_DENS = 0.175
 _FA_PUNCT = 0.10
 _FA_STOP = 0.01
 
-FILTER_ATTRIBUTION_ORACLE = rf"""
-WITH sig AS (
-    SELECT CAST(NOT (n_chars BETWEEN 100 AND 5000) AS INT) AS f_len,
+# the four gate flags as SQL select-list items — the ONE SQL definition
+# of "fails the quality filter", shared by q_filter_attribution and
+# q_filter_dedup_overlap (mirrors _fa_flag_cols on the Spark side)
+_FA_FLAGS_SQL = rf"""CAST(NOT (n_chars BETWEEN 100 AND 5000) AS INT) AS f_len,
            CAST(ROUND(len(list_filter(regexp_split_to_array(text, '\s+'),
                                       t -> t <> ''))::DOUBLE
                       / GREATEST(n_chars, 1), 6) < {_FA_DENS} AS INT) AS f_dens,
@@ -1406,7 +1407,11 @@ WITH sig AS (
                           t -> t IN ('the', 'a', 'of', 'and', 'to')))::DOUBLE
                       / GREATEST(len(list_filter(
                             regexp_split_to_array(text, '\s+'),
-                            t -> t <> '')), 1), 6) < {_FA_STOP} AS INT) AS f_stop
+                            t -> t <> '')), 1), 6) < {_FA_STOP} AS INT) AS f_stop"""
+
+FILTER_ATTRIBUTION_ORACLE = rf"""
+WITH sig AS (
+    SELECT {_FA_FLAGS_SQL}
     FROM documents
 ),
 nf AS (SELECT *, f_len + f_dens + f_punct + f_stop AS n_f FROM sig),
@@ -1441,6 +1446,38 @@ ORDER BY r.rule
 """
 
 
+def _fa_flag_cols() -> tuple:
+    """The four committed quality-gate flags as int Columns over a
+    documents frame (text, n_chars) — the ONE definition of "fails the
+    quality filter" shared by q_filter_attribution and
+    q_filter_dedup_overlap, gating on 6dp-rounded signals so both
+    engines decide identically at the boundary."""
+    toks = whitespace_tokens("text")
+    n_toks = F.size(toks)
+    denom = F.greatest(F.col("n_chars"), F.lit(1))
+    dens = F.round(n_toks.cast("double") / denom, 6)
+    punct = F.round(
+        F.size(F.regexp_extract_all("text", F.lit(r"[^a-zA-Z0-9 ]"), F.lit(0))).cast(
+            "double"
+        )
+        / denom,
+        6,
+    )
+    stopr = F.round(
+        F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "to"))).cast(
+            "double"
+        )
+        / F.greatest(n_toks, F.lit(1)),
+        6,
+    )
+    return (
+        (~F.col("n_chars").between(100, 5000)).cast("int"),
+        (dens < _FA_DENS).cast("int"),
+        (punct > _FA_PUNCT).cast("int"),
+        (stopr < _FA_STOP).cast("int"),
+    )
+
+
 @query("q_filter_attribution", FILTER_ATTRIBUTION_ORACLE)
 def filter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-filter ablation census — which rule does the work: for
@@ -1463,29 +1500,12 @@ def filter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     signals so both engines make identical decisions at the gate
     boundary."""
     d = load_table(spark, sf_dir, "documents")
-    toks = whitespace_tokens("text")
-    n_toks = F.size(toks)
-    denom = F.greatest(F.col("n_chars"), F.lit(1))
-    dens = F.round(n_toks.cast("double") / denom, 6)
-    punct = F.round(
-        F.size(F.regexp_extract_all("text", F.lit(r"[^a-zA-Z0-9 ]"), F.lit(0))).cast(
-            "double"
-        )
-        / denom,
-        6,
-    )
-    stopr = F.round(
-        F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "to"))).cast(
-            "double"
-        )
-        / F.greatest(n_toks, F.lit(1)),
-        6,
-    )
+    f_len, f_dens, f_punct, f_stop = _fa_flag_cols()
     flags = fan_out(d).select(
-        (~F.col("n_chars").between(100, 5000)).cast("int").alias("f_len"),
-        (dens < _FA_DENS).cast("int").alias("f_dens"),
-        (punct > _FA_PUNCT).cast("int").alias("f_punct"),
-        (stopr < _FA_STOP).cast("int").alias("f_stop"),
+        f_len.alias("f_len"),
+        f_dens.alias("f_dens"),
+        f_punct.alias("f_punct"),
+        f_stop.alias("f_stop"),
     )
     nf = flags.withColumn(
         "n_f", F.col("f_len") + F.col("f_dens") + F.col("f_punct") + F.col("f_stop")
@@ -2253,6 +2273,130 @@ def dedup_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(frac / F.nullif(gfrac, F.lit(0.0)), 4).alias("rel_risk"),
         )
         .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline-ordering census: how much dedup work do the quality gates
+# save, and do the two filters remove the same documents?
+
+FILTER_DEDUP_OVERLAP_ORACLE = rf"""{_MHX_CTES},
+vp AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.7),
+remd AS (SELECT DISTINCT doc_b AS doc_id FROM vp),
+qf AS (
+    SELECT doc_id, CAST(f_len + f_dens + f_punct + f_stop >= 1 AS INT) AS f_any
+    FROM (SELECT doc_id, {_FA_FLAGS_SQL} FROM documents)
+),
+docs AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(q.f_any), 0) AS BIGINT) AS n_fail_quality,
+           CAST(COALESCE(SUM(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_dup_removed,
+           CAST(COALESCE(SUM(CASE WHEN r.doc_id IS NOT NULL AND q.f_any = 1
+                                  THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_both
+    FROM qf q LEFT JOIN remd r ON q.doc_id = r.doc_id
+),
+pr AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(SUM(CASE WHEN qa.f_any = 0 AND qb.f_any = 0
+                                  THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_pairs_after_filter
+    FROM vp
+    JOIN qf qa ON qa.doc_id = vp.doc_a
+    JOIN qf qb ON qb.doc_id = vp.doc_b
+)
+SELECT d.n_docs, d.n_fail_quality, d.n_dup_removed, d.n_both,
+       d.n_dup_removed - d.n_both AS n_dup_only,
+       p.n_pairs, p.n_pairs_after_filter,
+       ROUND(1.0 - p.n_pairs_after_filter * 1.0 / NULLIF(p.n_pairs, 0), 4)
+           AS pair_reduction
+FROM docs d CROSS JOIN pr p
+"""
+
+
+@query("q_filter_dedup_overlap", FILTER_DEDUP_OVERLAP_ORACLE)
+def filter_dedup_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-ORDERING census for the two big curation passes: if the
+    cheap quality gates (q_filter_attribution's committed rules) run
+    BEFORE the expensive near-dup pass (q_minhash_exact's geometry and
+    threshold), how many of the dup-removed documents were already
+    gone (n_both), how many the dedup still uniquely removes
+    (n_dup_only — its marginal contribution), and what fraction of the
+    verified duplicate pairs involve a quality-failing member
+    (pair_reduction — the verify bill the ordering saves, since a pair
+    needs checking only when both members survive the gates). This is
+    the table that decides filter-then-dedup vs dedup-then-filter
+    before a 100-TB run commits the order. [engine — not in reference]
+
+    Scale design: detection is the already-audited q_minhash_exact
+    kernel; its verified pair table is localCheckpointed (pair-bounded)
+    because the plan forks into the doc census and the pair census.
+    The gate flags are one map-only corpus scan (shared _fa_flag_cols
+    definition); the doc census is a key-partitioned left join against
+    the distinct removed-id set and ONE 1-row aggregate; the pair side
+    joins the small pair table against the flags (broadcast-eligible)
+    and reduces to one row. No new scale risk beyond the detection
+    kernel."""
+    vp = (
+        minhash_exact(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    remd = vp.select(F.col("doc_b").alias("doc_id")).distinct()
+    f_len, f_dens, f_punct, f_stop = _fa_flag_cols()
+    d = load_table(spark, sf_dir, "documents")
+    qf = fan_out(d).select(
+        "doc_id", ((f_len + f_dens + f_punct + f_stop) >= 1).cast("int").alias("f_any")
+    )
+    docs = (
+        qf.join(remd.withColumn("rm", F.lit(1)), "doc_id", "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("f_any"), F.lit(0)).cast("long").alias("n_fail_quality"),
+            F.coalesce(F.sum(F.coalesce(F.col("rm"), F.lit(0))), F.lit(0))
+            .cast("long")
+            .alias("n_dup_removed"),
+            F.coalesce(
+                F.sum(
+                    F.when((F.col("rm") == 1) & (F.col("f_any") == 1), 1).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_both"),
+        )
+    )
+    qa = qf.select(F.col("doc_id").alias("doc_a"), F.col("f_any").alias("fa_a"))
+    qb = qf.select(F.col("doc_id").alias("doc_b"), F.col("f_any").alias("fa_b"))
+    pr = (
+        vp.join(qa, "doc_a")
+        .join(qb, "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.coalesce(
+                F.sum(
+                    F.when((F.col("fa_a") == 0) & (F.col("fa_b") == 0), 1).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_pairs_after_filter"),
+        )
+    )
+    return docs.crossJoin(F.broadcast(pr)).select(
+        "n_docs",
+        "n_fail_quality",
+        "n_dup_removed",
+        "n_both",
+        (F.col("n_dup_removed") - F.col("n_both")).alias("n_dup_only"),
+        "n_pairs",
+        "n_pairs_after_filter",
+        F.round(
+            F.lit(1.0)
+            - F.col("n_pairs_after_filter") * 1.0 / F.nullif(F.col("n_pairs"), F.lit(0)),
+            4,
+        ).alias("pair_reduction"),
     )
 
 
@@ -5524,7 +5668,7 @@ s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
              {", ".join(f"ROUND(SUM({_plan_p_sql(b, r)}), 4) AS e{i}" for i, (b, r) in enumerate(_PLAN_GEOMS))}
       FROM jp)
 {" UNION ALL ".join(
-    f"SELECT CAST({b} AS INT) AS n_bands, CAST({r} AS INT) AS rows_per_band, "
+    f"SELECT CAST({b} AS INT) AS bands, CAST({r} AS INT) AS rows_per_band, "
     f"CAST({_plan_tau50(b, r)!r} AS DOUBLE) AS tau50, "
     f"CAST({_plan_p07(b, r)!r} AS DOUBLE) AS p_catch_tau07, "
     f"s.n_pairs, s.e{i} AS exp_candidates FROM s"
@@ -5571,7 +5715,7 @@ def lsh_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array(
                     *[
                         F.struct(
-                            F.lit(b).alias("n_bands"),
+                            F.lit(b).alias("bands"),
                             F.lit(r).alias("rows_per_band"),
                             F.lit(_plan_tau50(b, r)).alias("tau50"),
                             F.lit(_plan_p07(b, r)).alias("p_catch_tau07"),

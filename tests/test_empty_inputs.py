@@ -265,6 +265,7 @@ CONSTANT_ON_EMPTY = {
     "q_filter_attribution": 4,  # rule rows: zero counts, NULL share
     "q_vocab_coverage": 5,  # top_k grid rows: zero counts, NULL coverage
     "q_lsh_planner": 5,  # geometry grid rows: literals, NULL exp mass
+    "q_filter_dedup_overlap": 1,  # ordering census row: zero counts, NULL ratio
 }
 
 

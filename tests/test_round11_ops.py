@@ -326,7 +326,7 @@ def test_lsh_planner_scurve_and_literals(spark):
         QUERIES["q_lsh_planner"](spark, SF0001).collect(),
         key=lambda r: r.rows_per_band,
     )
-    assert [(r.n_bands, r.rows_per_band) for r in rows] == [
+    assert [(r.bands, r.rows_per_band) for r in rows] == [
         (64, 2), (32, 4), (16, 8), (8, 16), (4, 32)
     ]
     assert len({r.n_pairs for r in rows}) == 1
@@ -336,11 +336,57 @@ def test_lsh_planner_scurve_and_literals(spark):
         assert a.exp_candidates >= b.exp_candidates
     for r in rows:
         assert r.tau50 == round(
-            (1.0 - 0.5 ** (1.0 / r.n_bands)) ** (1.0 / r.rows_per_band), 6
+            (1.0 - 0.5 ** (1.0 / r.bands)) ** (1.0 / r.rows_per_band), 6
         )
         assert r.p_catch_tau07 == round(
-            1.0 - (1.0 - 0.7**r.rows_per_band) ** r.n_bands, 6
+            1.0 - (1.0 - 0.7**r.rows_per_band) ** r.bands, 6
         )
+
+
+# ---------------------------------------------------------------------------
+# q_filter_dedup_overlap
+
+
+def test_filter_dedup_overlap_planted_interaction(spark, tmp_path):
+    """Six docs: a GOOD duplicate pair (both pass quality), a BAD
+    duplicate pair (both fail the length gate), one good and one bad
+    singleton. The census must report 2 dup pairs, 1 surviving the
+    gates (pair_reduction 0.5), and split the 2 removed docs into one
+    already-caught (n_both) and one marginal (n_dup_only)."""
+    good = ("the quick fox of the barn and the owl went to the mill "
+            * 3).strip()  # ~165 chars, stopword-rich, punct-free
+    bad = "zz yy xx"  # 8 chars: fails the length gate
+    good2 = ("a tall ship of the north and the crew came to the bay "
+             * 3).strip()
+    rows = [
+        (0, good, "en", "A", len(good)),
+        (1, good, "en", "A", len(good)),
+        (2, bad, "en", "A", len(bad)),
+        (3, bad, "en", "A", len(bad)),
+        (4, good2, "en", "A", len(good2)),
+        (5, "qq ww ee", "en", "A", 8),
+    ]
+    _write(spark, tmp_path, rows)
+    r = QUERIES["q_filter_dedup_overlap"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_docs, r.n_fail_quality) == (6, 3)
+    assert (r.n_dup_removed, r.n_both, r.n_dup_only) == (2, 1, 1)
+    assert (r.n_pairs, r.n_pairs_after_filter) == (2, 1)
+    assert r.pair_reduction == 0.5
+
+
+def test_filter_dedup_overlap_consistent_with_siblings(spark):
+    """The census re-aggregates frames its sibling ops already verify:
+    n_dup_removed must equal q_dedup_bias's removal total, n_pairs the
+    q_minhash_exact pair count, and n_fail_quality the complement of
+    q_filter_attribution's pass-all count."""
+    r = QUERIES["q_filter_dedup_overlap"](spark, SF0001).collect()[0]
+    bias = QUERIES["q_dedup_bias"](spark, SF0001).collect()
+    assert r.n_dup_removed == sum(b.n_removed for b in bias)
+    assert r.n_pairs == len(QUERIES["q_minhash_exact"](spark, SF0001).collect())
+    attr = QUERIES["q_filter_attribution"](spark, SF0001).collect()[0]
+    assert r.n_fail_quality == attr.n_docs - attr.n_pass_all
+    assert 0 <= r.n_both <= min(r.n_fail_quality, r.n_dup_removed)
+    assert r.n_pairs_after_filter <= r.n_pairs
 
 
 def test_threshold_curve_planted_duplicates(spark, tmp_path):
