@@ -110,6 +110,8 @@ _GATE_FRONT = [
     "q_dedup_bias",
     "q_lsh_planner",
     "q_filter_dedup_overlap",
+    "q_context_fit",
+    "q_cluster_size_census",
     # round-7 window remainder (rows r7)
     "q_quantile_bucketize",
     "q_countmin_topk",

@@ -100,6 +100,8 @@ HEADLINE = [
     "q_dedup_bias",         # per-lang dedup selection-bias census (r11 add)
     "q_lsh_planner",        # band-geometry planning table (r11 add)
     "q_filter_dedup_overlap",  # filter-vs-dedup ordering census (r11 add)
+    "q_context_fit",        # max_seq_len truncation-cost grid (r11 add)
+    "q_cluster_size_census",  # near-dup cluster shape census (r11 add)
 ]
 
 # round-over-round reference (same box, sf0.1, local[32]):

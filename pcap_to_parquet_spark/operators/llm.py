@@ -678,7 +678,11 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # dedup clustering: connected components over near-dup pairs
 
-DEDUP_CLUSTERS_ORACLE = rf"""
+# shared CTE chain (shingles → hot-shingle cap → ≥0.8-Jaccard pairs →
+# symmetric edges → recursive reachability) — interpolated by BOTH
+# q_dedup_clusters and q_cluster_size_census so the component
+# definition can never diverge between the labels and their census.
+_DC_CTES = rf"""
 WITH RECURSIVE tok AS (
     SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS ws
     FROM documents
@@ -710,7 +714,9 @@ reach AS (
     SELECT doc_id, doc_id AS r FROM documents
     UNION
     SELECT e.b AS doc_id, reach.r FROM reach JOIN edges e ON e.a = reach.doc_id
-)
+)"""
+
+DEDUP_CLUSTERS_ORACLE = rf"""{_DC_CTES}
 SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
 """
 
@@ -2028,6 +2034,68 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("survivor_chars"),
         )
         .filter(F.col("n_members") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# cluster-size census: the SHAPE of near-duplication in the corpus
+
+CLUSTER_SIZE_ORACLE = rf"""{_DC_CTES},
+lab AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+cs AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz
+       FROM lab GROUP BY cluster_id)
+SELECT CASE WHEN sz = 1 THEN '1'
+            WHEN sz = 2 THEN '2'
+            WHEN sz <= 4 THEN '3-4'
+            WHEN sz <= 8 THEN '5-8'
+            ELSE '9+' END AS size_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(sz) AS BIGINT) AS n_docs,
+       CAST(MAX(sz) AS BIGINT) AS max_size
+FROM cs
+GROUP BY size_bucket
+ORDER BY size_bucket
+"""
+
+
+@query("q_cluster_size_census", CLUSTER_SIZE_ORACLE)
+def cluster_size_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-SIZE census — the shape question behind every
+    dedup decision: is duplication a long tail of pairs (bucket '2')
+    or a few mega-clusters ('9+', where one survivor replaces hundreds
+    and removal fraction explodes)? Buckets q_dedup_clusters' exact
+    components by size and reports clusters, docs and the largest
+    member per bucket. A pairs-mostly shape says tighten the
+    threshold; a mega-cluster shape says inspect those clusters first
+    (they're usually templates or boilerplate). Bucket labels sort
+    lexicographically in band order by construction.
+    [engine — not in reference]
+
+    Scale design: the components are q_dedup_clusters' already-audited
+    label propagation (checkpoint-bounded rounds); the census adds ONE
+    |clusters|-key aggregate and ONE ≤5-group aggregate on top — both
+    map-side combined. Shares _DC_CTES with the labels oracle, so the
+    census and the labels can never disagree on what a component is."""
+    labels = dedup_clusters(spark, sf_dir)
+    cs = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    bucket = (
+        F.when(F.col("sz") == 1, "1")
+        .when(F.col("sz") == 2, "2")
+        .when(F.col("sz") <= 4, "3-4")
+        .when(F.col("sz") <= 8, "5-8")
+        .otherwise("9+")
+    )
+    return (
+        cs.select(bucket.alias("size_bucket"), "sz")
+        .groupBy("size_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("sz").cast("long").alias("n_docs"),
+            F.max("sz").cast("long").alias("max_size"),
+        )
+        .orderBy("size_bucket")
     )
 
 

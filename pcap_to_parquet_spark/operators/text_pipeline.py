@@ -801,6 +801,115 @@ pack_planner.__doc__ = pack_planner.__doc__.format(budget=_PACK_BUDGET)
 
 
 # ---------------------------------------------------------------------------
+# context-window fit census: truncation cost across a max_seq_len grid
+
+_CTX_GRID = [16, 32, 64, 128, 256]
+
+CONTEXT_FIT_ORACLE = rf"""
+WITH tc AS (
+    SELECT len(list_filter(regexp_split_to_array(text, '\s+'),
+                           t -> t <> '')) AS t
+    FROM documents
+),
+s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(t), 0) AS BIGINT) AS total_toks,
+           {", ".join(
+               f"CAST(COALESCE(SUM(CASE WHEN t > {w} THEN 1 ELSE 0 END), 0) AS BIGINT) AS tr{w}, "
+               f"CAST(COALESCE(SUM(LEAST(t, {w})), 0) AS BIGINT) AS kp{w}"
+               for w in _CTX_GRID)}
+    FROM tc
+)
+SELECT w.window, w.n_truncated,
+       ROUND(w.n_truncated * 1.0 / NULLIF(s.n_docs, 0), 6) AS trunc_share,
+       w.tokens_kept, s.total_toks,
+       ROUND(1.0 - w.tokens_kept * 1.0 / NULLIF(s.total_toks, 0), 6)
+           AS token_waste
+FROM s, (
+    {" UNION ALL ".join(
+        f"SELECT CAST({w} AS INT) AS window, tr{w} AS n_truncated, "
+        f"kp{w} AS tokens_kept FROM s"
+        for w in _CTX_GRID)}
+) w
+ORDER BY w.window
+"""
+
+
+@query("q_context_fit", CONTEXT_FIT_ORACLE)
+def context_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window FIT census — the max_seq_len decision table: for
+    every window size on the grid, how many documents a
+    truncate-don't-split policy cuts (n_truncated, trunc_share) and
+    what fraction of corpus tokens the cut throws away (token_waste,
+    from tokens_kept = Σ min(len, window)). Read next to
+    q_pack_planner (which prices PACKING at one committed budget):
+    this op prices the budget choice itself — the window where
+    token_waste flattens is where a longer context stops buying data.
+    [engine — not in reference]
+
+    Scale design: ONE map-side-combined global aggregate computes the
+    doc count, token total, and the per-window truncation/kept sums in
+    a single corpus pass (2 + 2·|grid| sums); the grid unpivot is an
+    inline of literal structs over that 1-row frame. No shuffle beyond
+    the partial-agg exchange — flat at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    tc = fan_out(d).select(
+        F.size(whitespace_tokens("text")).cast("long").alias("t")
+    )
+    s = tc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("total_toks"),
+        *[
+            c
+            for w in _CTX_GRID
+            for c in (
+                F.coalesce(
+                    F.sum(F.when(F.col("t") > w, 1).otherwise(0)), F.lit(0)
+                )
+                .cast("long")
+                .alias(f"tr{w}"),
+                F.coalesce(F.sum(F.least(F.col("t"), F.lit(w))), F.lit(0))
+                .cast("long")
+                .alias(f"kp{w}"),
+            )
+        ],
+    )
+    return (
+        s.select(
+            F.inline(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(w).alias("window"),
+                            F.col(f"tr{w}").alias("n_truncated"),
+                            F.col(f"kp{w}").alias("tokens_kept"),
+                        )
+                        for w in _CTX_GRID
+                    ]
+                )
+            ),
+            "n_docs",
+            "total_toks",
+        )
+        .select(
+            "window",
+            "n_truncated",
+            F.round(
+                F.col("n_truncated") * 1.0 / F.nullif(F.col("n_docs"), F.lit(0)), 6
+            ).alias("trunc_share"),
+            "tokens_kept",
+            "total_toks",
+            F.round(
+                F.lit(1.0)
+                - F.col("tokens_kept") * 1.0 / F.nullif(F.col("total_toks"), F.lit(0)),
+                6,
+            ).alias("token_waste"),
+        )
+        .orderBy("window")
+    )
+
+
+# ---------------------------------------------------------------------------
 # RAG chunking: fixed-size overlapping character windows per document
 
 _CHUNK_SIZE = 200

@@ -210,6 +210,7 @@ EMPTY_SAFE = [
     "q_token_fertility",
     "q_split_balance",
     "q_dedup_bias",
+    "q_cluster_size_census",
 ]
 
 # global aggregates return one constant row on empty input (their
@@ -266,6 +267,7 @@ CONSTANT_ON_EMPTY = {
     "q_vocab_coverage": 5,  # top_k grid rows: zero counts, NULL coverage
     "q_lsh_planner": 5,  # geometry grid rows: literals, NULL exp mass
     "q_filter_dedup_overlap": 1,  # ordering census row: zero counts, NULL ratio
+    "q_context_fit": 5,  # window grid rows: zero counts, NULL shares
 }
 
 

@@ -389,6 +389,89 @@ def test_filter_dedup_overlap_consistent_with_siblings(spark):
     assert r.n_pairs_after_filter <= r.n_pairs
 
 
+# ---------------------------------------------------------------------------
+# q_context_fit
+
+
+def test_context_fit_hand_built_grid(spark, tmp_path):
+    """Docs of 10, 20 and 40 tokens: at window 16 two docs truncate and
+    kept = 10+16+16 = 42 of 70 tokens (waste 0.4); at 32 one truncates
+    (kept 62); from 64 up the whole corpus fits and waste is zero."""
+    rows = [
+        (i, " ".join(f"w{i}x{j}" for j in range(n)), "en", "A", 6 * n)
+        for i, n in enumerate([10, 20, 40])
+    ]
+    _write(spark, tmp_path, rows)
+    out = {r.window: r for r in QUERIES["q_context_fit"](spark, str(tmp_path)).collect()}
+    assert sorted(out) == [16, 32, 64, 128, 256]
+    assert (out[16].n_truncated, out[16].tokens_kept, out[16].total_toks) == (2, 42, 70)
+    assert out[16].token_waste == 0.4
+    assert out[16].trunc_share == round(2 / 3, 6)
+    assert (out[32].n_truncated, out[32].tokens_kept) == (1, 62)
+    for w in (64, 128, 256):
+        assert (out[w].n_truncated, out[w].token_waste) == (0, 0.0)
+        assert out[w].tokens_kept == 70
+
+
+def test_context_fit_monotone_on_testdata(spark):
+    """On real testdata: growing the window never truncates more docs,
+    never keeps fewer tokens, never wastes more; kept is bounded by the
+    total; and the synthetic corpus (<=128-token docs) fits fully from
+    window 128 up."""
+    rows = sorted(
+        QUERIES["q_context_fit"](spark, SF0001).collect(), key=lambda r: r.window
+    )
+    assert [r.window for r in rows] == [16, 32, 64, 128, 256]
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_truncated >= b.n_truncated
+        assert a.tokens_kept <= b.tokens_kept
+        assert a.token_waste >= b.token_waste
+    for r in rows:
+        assert 0 <= r.tokens_kept <= r.total_toks
+    assert rows[-1].token_waste == 0.0 and rows[-1].n_truncated == 0
+
+
+# ---------------------------------------------------------------------------
+# q_cluster_size_census
+
+
+def test_cluster_size_census_planted_shape(spark, tmp_path):
+    """Two exact-duplicate pairs plus three singletons: the census must
+    report 3 singleton clusters and 2 clusters of size 2 — and nothing
+    larger."""
+    dup1 = "alpha beta gamma delta epsilon zeta eta theta"
+    dup2 = "one two three four five six seven eight nine"
+    rows = [
+        (0, dup1, "en", "A", len(dup1)),
+        (1, dup1, "en", "A", len(dup1)),
+        (2, dup2, "en", "A", len(dup2)),
+        (3, dup2, "en", "A", len(dup2)),
+        (4, "un deux trois quatre cinq six sept huit", "fr", "A", 40),
+        (5, "rouge vert bleu jaune noir blanc gris rose", "fr", "A", 42),
+        (6, "nord sud est ouest haut bas gauche droite", "fr", "A", 41),
+    ]
+    _write(spark, tmp_path, rows)
+    out = {r.size_bucket: r for r in QUERIES["q_cluster_size_census"](spark, str(tmp_path)).collect()}
+    assert set(out) == {"1", "2"}
+    assert (out["1"].n_clusters, out["1"].n_docs, out["1"].max_size) == (3, 3, 1)
+    assert (out["2"].n_clusters, out["2"].n_docs, out["2"].max_size) == (2, 4, 2)
+
+
+def test_cluster_size_census_consistent_with_survivors(spark):
+    """The census re-buckets q_dedup_clusters' labels: doc totals must
+    cover the corpus, and the non-singleton buckets must agree with
+    q_dedup_survivors' cluster count and member totals."""
+    rows = QUERIES["q_cluster_size_census"](spark, SF0001).collect()
+    n_docs = spark.read.parquet(f"{SF0001}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    surv = QUERIES["q_dedup_survivors"](spark, SF0001).collect()
+    nontrivial = [r for r in rows if r.size_bucket != "1"]
+    assert sum(r.n_clusters for r in nontrivial) == len(surv)
+    assert sum(r.n_docs for r in nontrivial) == sum(s.n_members for s in surv)
+    for r in rows:
+        assert r.n_clusters <= r.n_docs
+
+
 def test_threshold_curve_planted_duplicates(spark, tmp_path):
     """Two exact-duplicate pairs among four docs: every tau keeps both
     pairs (Jaccard 1.0), greedy keep-smallest removes docs 1 and 3 ->
