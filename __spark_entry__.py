@@ -120,6 +120,7 @@ _GATE_FRONT = [
     "q_filter_dedup_overlap",
     "q_context_fit",
     "q_cluster_size_census",
+    "q_dedup_source_census",
     # round-7 window remainder (rows r7)
     "q_quantile_bucketize",
     "q_countmin_topk",

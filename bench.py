@@ -102,6 +102,7 @@ HEADLINE = [
     "q_filter_dedup_overlap",  # filter-vs-dedup ordering census (r11 add)
     "q_context_fit",        # max_seq_len truncation-cost grid (r11 add)
     "q_cluster_size_census",  # near-dup cluster shape census (r11 add)
+    "q_dedup_source_census",  # within/cross-source dup provenance (r11 add)
 ]
 
 # round-over-round reference (same box, sf0.1, local[32]):

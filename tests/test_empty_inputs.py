@@ -211,6 +211,7 @@ EMPTY_SAFE = [
     "q_split_balance",
     "q_dedup_bias",
     "q_cluster_size_census",
+    "q_dedup_source_census",
 ]
 
 # global aggregates return one constant row on empty input (their

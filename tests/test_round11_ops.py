@@ -472,6 +472,50 @@ def test_cluster_size_census_consistent_with_survivors(spark):
         assert r.n_clusters <= r.n_docs
 
 
+# ---------------------------------------------------------------------------
+# q_dedup_source_census
+
+
+def test_dedup_source_census_planted_mirror_vs_repost(spark, tmp_path):
+    """Source A re-posts internally (one within pair), sources A and B
+    mirror each other (one cross pair, charged to both): the census
+    must split the pair counts by provenance and place each removal in
+    the right source."""
+    mirror = "alpha beta gamma delta epsilon zeta eta theta"
+    repost = "one two three four five six seven eight nine"
+    rows = [
+        (0, mirror, "en", "A", len(mirror)),
+        (1, mirror, "en", "B", len(mirror)),
+        (2, repost, "en", "A", len(repost)),
+        (3, repost, "en", "A", len(repost)),
+        (4, "un deux trois quatre cinq six sept huit", "fr", "B", 40),
+    ]
+    _write(spark, tmp_path, rows)
+    out = {r.source: r for r in QUERIES["q_dedup_source_census"](spark, str(tmp_path)).collect()}
+    assert set(out) == {"A", "B"}
+    a, b = out["A"], out["B"]
+    assert (a.n_docs, a.n_removed, a.n_within_pairs, a.n_cross_pairs) == (3, 1, 1, 1)
+    assert (b.n_docs, b.n_removed, b.n_within_pairs, b.n_cross_pairs) == (2, 1, 0, 1)
+    assert a.removal_frac == round(1 / 3, 6)
+
+
+def test_dedup_source_census_pair_accounting(spark):
+    """On real testdata: every verified pair is counted exactly once —
+    within pairs once in their source, cross pairs once on each side —
+    so sum(within) + sum(cross)/2 must equal q_minhash_exact's pair
+    count, and removals must re-sum to q_dedup_bias's total."""
+    rows = QUERIES["q_dedup_source_census"](spark, SF0001).collect()
+    n_pairs = len(QUERIES["q_minhash_exact"](spark, SF0001).collect())
+    s_within = sum(r.n_within_pairs for r in rows)
+    s_cross = sum(r.n_cross_pairs for r in rows)
+    assert s_cross % 2 == 0
+    assert s_within + s_cross // 2 == n_pairs
+    bias = QUERIES["q_dedup_bias"](spark, SF0001).collect()
+    assert sum(r.n_removed for r in rows) == sum(b.n_removed for b in bias)
+    n_docs = spark.read.parquet(f"{SF0001}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+
+
 def test_threshold_curve_planted_duplicates(spark, tmp_path):
     """Two exact-duplicate pairs among four docs: every tau keeps both
     pairs (Jaccard 1.0), greedy keep-smallest removes docs 1 and 3 ->
