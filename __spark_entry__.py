@@ -121,6 +121,7 @@ _GATE_FRONT = [
     "q_context_fit",
     "q_cluster_size_census",
     "q_dedup_source_census",
+    "q_stream_filter_attribution",
     # round-7 window remainder (rows r7)
     "q_quantile_bucketize",
     "q_countmin_topk",

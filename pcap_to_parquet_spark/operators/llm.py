@@ -1513,6 +1513,13 @@ def filter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         f_punct.alias("f_punct"),
         f_stop.alias("f_stop"),
     )
+    return _fa_unpivot(_fa_tot(flags))
+
+
+def _fa_tot(flags: DataFrame) -> DataFrame:
+    """1-row gate census (9 sums) over a frame of the four int flags —
+    shared by the batch census and its streaming twin (where this is
+    the complete-mode streaming aggregate)."""
     nf = flags.withColumn(
         "n_f", F.col("f_len") + F.col("f_dens") + F.col("f_punct") + F.col("f_stop")
     )
@@ -1522,7 +1529,7 @@ def filter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((F.col(flag) == 1) & (F.col("n_f") == 1), 1).otherwise(0)
         )
 
-    tot = nf.agg(
+    return nf.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.coalesce(F.sum("f_len"), F.lit(0)).cast("long").alias("fail_len"),
         F.coalesce(_uni("f_len"), F.lit(0)).cast("long").alias("uni_len"),
@@ -1536,6 +1543,11 @@ def filter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_pass_all"),
     )
+
+
+def _fa_unpivot(tot: DataFrame) -> DataFrame:
+    """Unpivot the 1-row census to the 4 rule rows (batch side — runs
+    after the streaming sink in the stream twin)."""
 
     def _row(rule: str, fail: str, uni: str):
         return F.struct(

@@ -1114,6 +1114,50 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# streaming quality-gate census: q_filter_attribution on the ingest path
+
+
+def _stream_filter_attr_oracle() -> str:
+    from pcap_to_parquet_spark.operators.llm import FILTER_ATTRIBUTION_ORACLE
+
+    return FILTER_ATTRIBUTION_ORACLE
+
+
+@query("q_stream_filter_attribution", _stream_filter_attr_oracle())
+def stream_filter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate attribution ON THE INGEST PATH — q_filter_
+    attribution's streaming twin (same oracle, byte-identical output):
+    as documents stream in, the four committed gate flags are computed
+    map-side per micro-batch and folded into ONE complete-mode global
+    aggregate (9 running sums — the whole streaming state is a single
+    row, bounded forever); the 4-rule unpivot runs batch-side after
+    the sink. This is how a curation team watches its filters drift
+    DURING ingestion — a rule whose fail_share climbs mid-crawl is
+    flagging an extraction bug while the crawl is still running,
+    instead of in next week's batch census.
+
+    Exactly-once math: sums are associative, so availableNow
+    micro-batching reproduces the batch numbers exactly — the driver
+    hash-checks this stream against the same DuckDB oracle as the
+    batch op."""
+    from pcap_to_parquet_spark.operators.llm import (
+        _fa_flag_cols,
+        _fa_tot,
+        _fa_unpivot,
+    )
+
+    f_len, f_dens, f_punct, f_stop = _fa_flag_cols()
+    flags = stream_documents(spark, sf_dir).select(
+        f_len.alias("f_len"),
+        f_dens.alias("f_dens"),
+        f_punct.alias("f_punct"),
+        f_stop.alias("f_stop"),
+    )
+    tot = run_to_memory(_fa_tot(flags), "complete")
+    return _fa_unpivot(tot)
+
+
+# ---------------------------------------------------------------------------
 # streaming EWMA: O(1)-state recursion, the stateful twin of q_ewma
 
 _SEWMA_ALPHA = 0.2

@@ -516,6 +516,25 @@ def test_dedup_source_census_pair_accounting(spark):
     assert sum(r.n_docs for r in rows) == n_docs
 
 
+# ---------------------------------------------------------------------------
+# q_stream_filter_attribution
+
+
+def test_stream_filter_attribution_matches_batch(spark):
+    """The ingest-path census must reproduce the batch census exactly:
+    availableNow micro-batching folds the same associative sums, so
+    every rule row is byte-identical to q_filter_attribution's."""
+    batch = sorted(
+        QUERIES["q_filter_attribution"](spark, SF0001).collect(),
+        key=lambda r: r.rule,
+    )
+    stream = sorted(
+        QUERIES["q_stream_filter_attribution"](spark, SF0001).collect(),
+        key=lambda r: r.rule,
+    )
+    assert [r.asDict() for r in stream] == [r.asDict() for r in batch]
+
+
 def test_threshold_curve_planted_duplicates(spark, tmp_path):
     """Two exact-duplicate pairs among four docs: every tau keeps both
     pairs (Jaccard 1.0), greedy keep-smallest removes docs 1 and 3 ->
