@@ -122,6 +122,7 @@ _GATE_FRONT = [
     "q_cluster_size_census",
     "q_dedup_source_census",
     "q_stream_filter_attribution",
+    "q_minhash_perm_sensitivity",
     # round-7 window remainder (rows r7)
     "q_quantile_bucketize",
     "q_countmin_topk",

@@ -104,6 +104,7 @@ HEADLINE = [
     "q_cluster_size_census",  # near-dup cluster shape census (r11 add)
     "q_dedup_source_census",  # within/cross-source dup provenance (r11 add)
     "q_stream_filter_attribution",  # ingest-path gate census twin (r11 add)
+    "q_minhash_perm_sensitivity",  # signature-budget error census (r11 add)
 ]
 
 # round-over-round reference (same box, sf0.1, local[32]):

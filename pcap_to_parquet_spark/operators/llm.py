@@ -5570,18 +5570,12 @@ def _audit_jaccard_pairs(
     return shingled, jp
 
 
-def _lsh_audit_frames(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame]:
-    """Shared audit-slice frames for q_lsh_recall / q_lsh_precision:
-    (true pairs at Jaccard >= tau, banded candidate pairs) — truth
-    derives from _audit_jaccard_pairs' checkpointed pair table, so the
-    recall, precision and threshold-curve audits can never disagree on
-    what a true pair is."""
-    shingled, jp = _audit_jaccard_pairs(spark, sf_dir)
-    tp = jp.where(F.col("j") >= _LSHR_TAU).select("doc_a", "doc_b")
+def _audit_minhash_mins(shingled: DataFrame) -> DataFrame:
+    """128 md5-derived minhash minima per audit-slice doc (the exact
+    geometry of q_minhash_exact) — shared by the banding audits and
+    the permutation-budget sensitivity census."""
     h32 = F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long")
-    mins = (
+    return (
         shingled.select("doc_id", h32.alias("h"))
         .groupBy("doc_id")
         .agg(
@@ -5594,6 +5588,19 @@ def _lsh_audit_frames(
             ]
         )
     )
+
+
+def _lsh_audit_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared audit-slice frames for q_lsh_recall / q_lsh_precision:
+    (true pairs at Jaccard >= tau, banded candidate pairs) — truth
+    derives from _audit_jaccard_pairs' checkpointed pair table, so the
+    recall, precision and threshold-curve audits can never disagree on
+    what a true pair is."""
+    shingled, jp = _audit_jaccard_pairs(spark, sf_dir)
+    tp = jp.where(F.col("j") >= _LSHR_TAU).select("doc_a", "doc_b")
+    mins = _audit_minhash_mins(shingled)
     bands = None
     for bi in range(MINHASH_BANDS):
         part = mins.select(
@@ -5914,6 +5921,129 @@ def lsh_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("g.*")
         .orderBy("rows_per_band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash permutation-budget sensitivity: estimator error vs signature
+# size — the other axis of the sketch budget (q_lsh_planner covers how
+# to SPEND 128 perms; this covers how many to BUY)
+
+_PSENS_PERMS = [16, 32, 64, 128]
+
+MINHASH_PERM_SENS_ORACLE = rf"""{_LSH_AUDIT_CTES},
+sigl AS (SELECT doc_id, {_MHX_SIG_LIST} AS sig FROM mins),
+pe AS (
+    SELECT jp.j,
+           {", ".join(
+               f"len(list_filter(generate_series(1, {p}), i -> sa.sig[i] = sb.sig[i])) / {p}.0 AS est{p}"
+               for p in _PSENS_PERMS)}
+    FROM jp JOIN sigl sa ON sa.doc_id = jp.doc_a
+            JOIN sigl sb ON sb.doc_id = jp.doc_b
+),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             {", ".join(
+                 f"ROUND(AVG(ABS(est{p} - j)), 6) AS mae{p}, "
+                 f"ROUND(MAX(ABS(est{p} - j)), 6) AS mx{p}, "
+                 f"ROUND(AVG(est{p} - j), 6) AS bias{p}"
+                 for p in _PSENS_PERMS)}
+      FROM pe)
+{" UNION ALL ".join(
+    f"SELECT CAST({p} AS INT) AS perms, s.n_pairs, s.mae{p} AS mae, "
+    f"s.mx{p} AS max_abs_err, s.bias{p} AS mean_bias FROM s"
+    for p in _PSENS_PERMS)}
+ORDER BY perms
+"""
+
+
+@query("q_minhash_perm_sensitivity", MINHASH_PERM_SENS_ORACLE)
+def minhash_perm_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash permutation-BUDGET sensitivity census — the other half
+    of the sketch-budget decision: q_lsh_planner prices how to SPEND a
+    128-perm signature across bands; this op prices how many perms to
+    BUY, by scoring the estimator's error against exact Jaccard on the
+    audit slice for each signature prefix (16/32/64/128 perms): mean
+    absolute error, worst-case error, and bias. MAE shrinks ~1/√perms,
+    so this table says whether halving signature storage (and shuffle
+    bytes — at 100 TB the signature table IS the shuffle) costs
+    anything the banding actually needs. [engine — not in reference]
+
+    Scale design: signatures are prefix-closed (perm i is perm i for
+    every budget), so ALL four budgets are scored from ONE signature
+    computation — the same md5-derived minima frame the banding audits
+    use (_audit_minhash_mins, q_minhash_exact's exact geometry), joined
+    once against the slice-bounded checkpointed exact-pair table; the
+    census is one aggregate unpivoted to 4 literal-struct rows.
+    est = agreements/2^k is a dyadic rational, exact in both engines'
+    doubles."""
+    shingled, jp = _audit_jaccard_pairs(spark, sf_dir)
+    sig = _audit_minhash_mins(shingled).select(
+        "doc_id", F.array(*[f"m{i}" for i in range(MINHASH_PERMS)]).alias("sig")
+    )
+    pe = (
+        jp.join(
+            sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")),
+            "doc_a",
+        )
+        .join(
+            sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")),
+            "doc_b",
+        )
+        .select(
+            "j",
+            *[
+                (
+                    F.size(
+                        F.filter(
+                            F.zip_with(
+                                F.slice("sig_a", 1, p),
+                                F.slice("sig_b", 1, p),
+                                lambda x, y: x == y,
+                            ),
+                            lambda eq: eq,
+                        )
+                    )
+                    / F.lit(float(p))
+                ).alias(f"est{p}")
+                for p in _PSENS_PERMS
+            ],
+        )
+    )
+    s = pe.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        *[
+            c
+            for p in _PSENS_PERMS
+            for c in (
+                F.round(F.avg(F.abs(F.col(f"est{p}") - F.col("j"))), 6).alias(
+                    f"mae{p}"
+                ),
+                F.round(F.max(F.abs(F.col(f"est{p}") - F.col("j"))), 6).alias(
+                    f"mx{p}"
+                ),
+                F.round(F.avg(F.col(f"est{p}") - F.col("j")), 6).alias(f"bias{p}"),
+            )
+        ],
+    )
+    return (
+        s.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(p).alias("perms"),
+                            F.col("n_pairs"),
+                            F.col(f"mae{p}").alias("mae"),
+                            F.col(f"mx{p}").alias("max_abs_err"),
+                            F.col(f"bias{p}").alias("mean_bias"),
+                        )
+                        for p in _PSENS_PERMS
+                    ]
+                )
+            ).alias("g")
+        )
+        .select("g.*")
+        .orderBy("perms")
     )
 
 

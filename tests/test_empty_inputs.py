@@ -269,6 +269,7 @@ CONSTANT_ON_EMPTY = {
     "q_lsh_planner": 5,  # geometry grid rows: literals, NULL exp mass
     "q_filter_dedup_overlap": 1,  # ordering census row: zero counts, NULL ratio
     "q_context_fit": 5,  # window grid rows: zero counts, NULL shares
+    "q_minhash_perm_sensitivity": 4,  # budget grid rows: zero count, NULL errs
 }
 
 

@@ -535,6 +535,45 @@ def test_stream_filter_attribution_matches_batch(spark):
     assert [r.asDict() for r in stream] == [r.asDict() for r in batch]
 
 
+# ---------------------------------------------------------------------------
+# q_minhash_perm_sensitivity
+
+
+def test_perm_sensitivity_exact_pair_has_zero_error(spark, tmp_path):
+    """An exact-duplicate pair has identical shingle sets, hence
+    identical minima at EVERY prefix: est = 1.0 = j for all four
+    budgets, so MAE, worst-case and bias are all exactly zero."""
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, dup, "en", "A", len(dup)),
+        (1, dup, "en", "A", len(dup)),
+        (2, "one two three four five six seven eight", "en", "A", 40),
+    ]
+    _write(spark, tmp_path, rows)
+    out = QUERIES["q_minhash_perm_sensitivity"](spark, str(tmp_path)).collect()
+    assert [r.perms for r in sorted(out, key=lambda r: r.perms)] == [16, 32, 64, 128]
+    for r in out:
+        assert r.n_pairs == 1
+        assert (r.mae, r.max_abs_err, r.mean_bias) == (0.0, 0.0, 0.0)
+
+
+def test_perm_sensitivity_error_decays_on_testdata(spark):
+    """On real testdata: four budget rows over the same pair count;
+    MAE bounds |bias| and is bounded by the worst case; the full
+    128-perm signature estimates at least as well as the 16-perm
+    prefix (the ~1/sqrt(perms) decay this census exists to show)."""
+    rows = sorted(
+        QUERIES["q_minhash_perm_sensitivity"](spark, SF0001).collect(),
+        key=lambda r: r.perms,
+    )
+    assert [r.perms for r in rows] == [16, 32, 64, 128]
+    assert len({r.n_pairs for r in rows}) == 1
+    for r in rows:
+        assert 0.0 <= r.mae <= r.max_abs_err <= 1.0
+        assert abs(r.mean_bias) <= r.mae + 1e-9
+    assert rows[-1].mae <= rows[0].mae
+
+
 def test_threshold_curve_planted_duplicates(spark, tmp_path):
     """Two exact-duplicate pairs among four docs: every tau keeps both
     pairs (Jaccard 1.0), greedy keep-smallest removes docs 1 and 3 ->
