@@ -37,8 +37,8 @@ SF0001_DIR = "/root/testdata/sf0.001"
 # (q_grouping_sets..q_asof_join, rows r6 — the stalest driver rows in
 # the registry) and (c) the round-7 window head (q_kmeans..
 # q_cogroup_diff, rows r7). ROUND 12 WINDOW: promote positions 50-99
-# wholesale again — the 13 "new in round 11" entries
-# (q_token_fertility..q_minhash_perm_sensitivity, inserted right
+# wholesale again — the 14 "new in round 11" entries
+# (q_token_fertility..q_ivf_probe_curve, inserted right
 # after the END ROUND 11 WINDOW marker; each already passed a local
 # sf0.01 oracle check + dtype audit the round it landed) followed by the
 # round-7 window remainder (q_quantile_bucketize..q_cidr_enrich,
@@ -123,6 +123,7 @@ _GATE_FRONT = [
     "q_dedup_source_census",
     "q_stream_filter_attribution",
     "q_minhash_perm_sensitivity",
+    "q_ivf_probe_curve",
     # round-7 window remainder (rows r7)
     "q_quantile_bucketize",
     "q_countmin_topk",

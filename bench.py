@@ -105,6 +105,7 @@ HEADLINE = [
     "q_dedup_source_census",  # within/cross-source dup provenance (r11 add)
     "q_stream_filter_attribution",  # ingest-path gate census twin (r11 add)
     "q_minhash_perm_sensitivity",  # signature-budget error census (r11 add)
+    "q_ivf_probe_curve",    # nprobe recall-vs-scan frontier (r11 add)
 ]
 
 # round-over-round reference (same box, sf0.1, local[32]):

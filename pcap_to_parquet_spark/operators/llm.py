@@ -1061,6 +1061,28 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_centroids(em: DataFrame) -> DataFrame:
+    """(c_label, centroid): elementwise-mean embedding per label — the
+    deterministic IVF coarse quantizer shared by q_similarity_ivf and
+    q_ivf_probe_curve (explode (pos, val), avg, re-assemble)."""
+    comp = em.select(
+        "label",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "pos", "val"
+        ),
+    )
+    return (
+        comp.groupBy("label", "pos")
+        .agg(F.avg("val").alias("cval"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pv"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.transform("pv", lambda s: s.getField("cval")).alias("centroid"),
+        )
+    )
+
+
 SIM_IVF_ORACLE = r"""
 WITH comp AS (
     SELECT label, i - 1 AS pos, CAST(e.embedding[i] AS DOUBLE) AS val
@@ -1106,21 +1128,7 @@ def similarity_ivf(
     margin is ~0.028 cosine, 13 orders above cross-engine float
     noise."""
     em = load_table(spark, sf_dir, "embeddings")
-    # centroids: elementwise mean per label — explode (pos, val), avg, re-assemble
-    comp = em.select(
-        "label",
-        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias("pos", "val"),
-    )
-    centroids = (
-        comp.groupBy("label", "pos")
-        .agg(F.avg("val").alias("cval"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pv"))
-        .select(
-            F.col("label").alias("c_label"),
-            F.transform("pv", lambda s: s.getField("cval")).alias("centroid"),
-        )
-    )
+    centroids = _ivf_centroids(em)
     qvec = em.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_embedding"))
     # pick the 2 centroids closest to the query (10 rows — driver-size, still done in-plan)
     probe = (
@@ -1140,6 +1148,217 @@ def similarity_ivf(
         .limit(10)
         .select("vec_id", "label", F.round("raw_cos", 5).alias("cos_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF probe-count tuning curve: recall vs scan cost across the nprobe
+# grid — the deployment decision behind every IVF index
+
+_IVFC_Q = 8  # query panel: vec_id 0..7; corpus: vec_id >= 8
+_IVFC_K = 10
+_IVFC_GRID = [1, 2, 4, 8, 10]
+
+IVF_PROBE_CURVE_ORACLE = rf"""
+WITH comp AS (
+    SELECT label, i - 1 AS pos, CAST(e.embedding[i] AS DOUBLE) AS val
+    FROM embeddings e, UNNEST(range(1, len(e.embedding) + 1)) t(i)
+),
+cent AS (
+    SELECT label AS c_label, list(cval ORDER BY pos) AS centroid
+    FROM (SELECT label, pos, AVG(val) AS cval FROM comp GROUP BY label, pos)
+    GROUP BY label
+),
+q AS (SELECT vec_id AS qid, embedding AS qe
+      FROM embeddings WHERE vec_id < {_IVFC_Q}),
+crank AS (
+    SELECT q.qid, c.c_label,
+           ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+               ROUND(CAST(list_cosine_similarity(q.qe::DOUBLE[], c.centroid)
+                          AS DOUBLE), 9) DESC,
+               c.c_label) AS crn
+    FROM q, cent c
+),
+bc AS (
+    SELECT q.qid, b.vec_id, b.label,
+           ROUND(CAST(list_cosine_similarity(q.qe::DOUBLE[],
+                                             b.embedding::DOUBLE[])
+                      AS DOUBLE), 9) AS c
+    FROM q, embeddings b WHERE b.vec_id >= {_IVFC_Q}
+),
+exact10 AS (
+    SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rn
+        FROM bc) x WHERE rn <= {_IVFC_K}
+),
+grid AS (SELECT unnest([{", ".join(str(p) for p in _IVFC_GRID)}]) AS probes),
+probed AS (
+    SELECT g.probes, cr.qid, cr.c_label
+    FROM grid g JOIN crank cr ON cr.crn <= g.probes
+),
+scanned AS (
+    SELECT p.probes, p.qid, bc.vec_id, bc.c
+    FROM probed p JOIN bc ON bc.qid = p.qid AND bc.label = p.c_label
+),
+ivf10 AS (
+    SELECT probes, qid, vec_id FROM (
+        SELECT probes, qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY probes, qid
+                                  ORDER BY c DESC, vec_id) AS rn
+        FROM scanned) x WHERE rn <= {_IVFC_K}
+),
+hit AS (SELECT i.probes, i.qid, CAST(COUNT(*) AS BIGINT) AS n_hit
+        FROM ivf10 i JOIN exact10 e ON e.qid = i.qid AND e.vec_id = i.vec_id
+        GROUP BY i.probes, i.qid),
+den AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM exact10 GROUP BY qid),
+scn AS (SELECT probes, qid, CAST(COUNT(*) AS BIGINT) AS n_scanned
+        FROM scanned GROUP BY probes, qid),
+corp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus
+         FROM embeddings WHERE vec_id >= {_IVFC_Q}),
+pq AS (
+    SELECT s.probes, s.qid,
+           COALESCE(h.n_hit, 0) * 1.0 / NULLIF(d.n_exact, 0) AS recall,
+           s.n_scanned * 1.0 / NULLIF(corp.n_corpus, 0) AS scan_frac
+    FROM scn s CROSS JOIN corp
+    JOIN den d ON d.qid = s.qid
+    LEFT JOIN hit h ON h.probes = s.probes AND h.qid = s.qid
+)
+SELECT probes, CAST(COUNT(*) AS BIGINT) AS n_queries,
+       ROUND(AVG(recall), 4) AS avg_recall,
+       ROUND(AVG(scan_frac), 4) AS avg_scan_frac
+FROM pq GROUP BY probes ORDER BY probes
+"""
+
+
+@query("q_ivf_probe_curve", IVF_PROBE_CURVE_ORACLE)
+def ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe-count TUNING CURVE — the nprobe decision behind every
+    IVF deployment, measured instead of guessed: for each probe count
+    on the grid, mean recall@{k} against the exact brute-force top-{k}
+    over an {nq}-query panel, next to the mean fraction of the corpus
+    the probe actually scans. q_similarity_ivf ships ONE committed
+    probe count; this op prices the whole recall-vs-scan frontier so
+    the index setting is a lookup — the IVF twin of q_lsh_planner
+    (band geometry) and q_minhash_perm_sensitivity (signature budget),
+    closing the tuning axis for all three ANN/sketch families.
+    [engine — not in reference]
+
+    Scale design: the corpus-sized work is ONE panel-broadcast scan
+    computing the {nq}x|corpus| cosine frame (localCheckpointed — it
+    feeds both the exact ranking and every probe set's ranking);
+    centroid ranking is |panel|x|labels| rows, the probe grid joins are
+    label-keyed on that tiny frame, and every downstream aggregate is
+    per-(probes, qid) on top-{k}-bounded or label-pruned rows.
+    Similarities are 9dp-rounded before ranking (the retrieval-eval
+    discipline) so both engines rank identically; probe-boundary
+    centroid margins are ~1e-2 cosine, far above float noise."""
+    em = load_table(spark, sf_dir, "embeddings")
+    cent = _ivf_centroids(em)
+    panel = em.where(F.col("vec_id") < _IVFC_Q).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    crank = (
+        cent.crossJoin(F.broadcast(panel))
+        .select(
+            "qid",
+            "c_label",
+            F.round(cosine_similarity("qe", "centroid"), 9).alias("cc"),
+        )
+        .withColumn(
+            "crn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.col("cc").desc(), F.col("c_label")
+                )
+            ),
+        )
+    )
+    bc = (
+        em.where(F.col("vec_id") >= _IVFC_Q)
+        .crossJoin(F.broadcast(panel))
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            F.round(cosine_similarity("qe", "embedding"), 9).alias("c"),
+        )
+        .localCheckpoint(eager=True)  # feeds exact ranking + probe rankings
+    )
+    exact10 = (
+        bc.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("vec_id"))
+            ),
+        )
+        .where(F.col("rn") <= _IVFC_K)
+        .select("qid", "vec_id")
+    )
+    grid = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in _IVFC_GRID])).alias("probes")
+    )
+    probed = grid.join(
+        F.broadcast(crank.select("qid", "c_label", "crn")),
+        F.col("crn") <= F.col("probes"),
+    ).select("probes", "qid", "c_label")
+    scanned = bc.join(
+        F.broadcast(probed),
+        (bc.qid == probed.qid) & (bc.label == probed.c_label),
+    ).select(bc.qid, "probes", "vec_id", "c")
+    ivf10 = (
+        scanned.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("probes", "qid").orderBy(
+                    F.col("c").desc(), F.col("vec_id")
+                )
+            ),
+        )
+        .where(F.col("rn") <= _IVFC_K)
+        .select("probes", "qid", "vec_id")
+    )
+    hit = ivf10.join(exact10, ["qid", "vec_id"], "left_semi").groupBy(
+        "probes", "qid"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    den = exact10.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    scn = scanned.groupBy("probes", "qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_scanned")
+    )
+    corp = em.where(F.col("vec_id") >= _IVFC_Q).agg(
+        F.count(F.lit(1)).cast("long").alias("n_corpus")
+    )
+    pq = (
+        scn.crossJoin(F.broadcast(corp))
+        .join(F.broadcast(den), "qid")
+        .join(F.broadcast(hit), ["probes", "qid"], "left")
+        .select(
+            "probes",
+            "qid",
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0))
+                * 1.0
+                / F.nullif(F.col("n_exact"), F.lit(0))
+            ).alias("recall"),
+            (F.col("n_scanned") * 1.0 / F.nullif(F.col("n_corpus"), F.lit(0))).alias(
+                "scan_frac"
+            ),
+        )
+    )
+    return (
+        pq.groupBy("probes")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.round(F.avg("recall"), 4).alias("avg_recall"),
+            F.round(F.avg("scan_frac"), 4).alias("avg_scan_frac"),
+        )
+        .orderBy("probes")
+    )
+
+
+ivf_probe_curve.__doc__ = ivf_probe_curve.__doc__.format(k=_IVFC_K, nq=_IVFC_Q)
 
 
 # ---------------------------------------------------------------------------

@@ -212,6 +212,7 @@ EMPTY_SAFE = [
     "q_dedup_bias",
     "q_cluster_size_census",
     "q_dedup_source_census",
+    "q_ivf_probe_curve",
 ]
 
 # global aggregates return one constant row on empty input (their

@@ -574,6 +574,31 @@ def test_perm_sensitivity_error_decays_on_testdata(spark):
     assert rows[-1].mae <= rows[0].mae
 
 
+# ---------------------------------------------------------------------------
+# q_ivf_probe_curve
+
+
+def test_ivf_probe_curve_monotone_with_exact_endpoint(spark):
+    """On real testdata: recall and scan fraction are non-decreasing
+    in the probe count, and probing ALL lists is exact by construction
+    — recall 1.0 at scan fraction 1.0 (the brute-force endpoint the
+    curve is anchored to)."""
+    rows = sorted(
+        QUERIES["q_ivf_probe_curve"](spark, SF0001).collect(),
+        key=lambda r: r.probes,
+    )
+    assert [r.probes for r in rows] == [1, 2, 4, 8, 10]
+    for r in rows:
+        assert 0.0 <= r.avg_recall <= 1.0
+        assert 0.0 < r.avg_scan_frac <= 1.0
+        assert r.n_queries == rows[0].n_queries
+    for a, b in zip(rows, rows[1:]):
+        assert a.avg_recall <= b.avg_recall + 1e-9
+        assert a.avg_scan_frac <= b.avg_scan_frac + 1e-9
+    assert rows[-1].avg_recall == 1.0
+    assert rows[-1].avg_scan_frac == 1.0
+
+
 def test_threshold_curve_planted_duplicates(spark, tmp_path):
     """Two exact-duplicate pairs among four docs: every tau keeps both
     pairs (Jaccard 1.0), greedy keep-smallest removes docs 1 and 3 ->
