@@ -650,3 +650,47 @@ def test_round9_op_shapes(spark):
     assert p.get("BroadcastHashJoin", 0) + p.get("SortMergeJoin", 0) >= 7
     assert p.get("BroadcastNestedLoopJoin", 0) == 7  # 7 one-row dup censuses
     assert "CartesianProduct" not in p
+
+
+def test_round11_census_shapes(spark):
+    """Pin the scale claims of the round-11 decision-table ops: the
+    map-only censuses must stay one partial-agg exchange with no join
+    of any kind, the minhash-kernel censuses must never plan a
+    cartesian product or drop into Python, and the grid unpivots must
+    stay literal inlines (no extra shuffle)."""
+    # map-only single-pass censuses: fan_out's round-robin spread plus
+    # the partial-agg exchange — never a join shuffle
+    for name in ("q_filter_attribution", "q_context_fit"):
+        p = prof(spark, name)
+        assert p["exchanges"] <= 2, name
+        assert "SortMergeJoin" not in p and "CartesianProduct" not in p, name
+        assert p.get("BatchEvalPython", 0) == 0, name
+
+    # audit-slice grid ops: jp is checkpointed, so the visible plan is
+    # the grid aggregate alone — same map-only shape
+    for name in ("q_lsh_planner",):
+        p = prof(spark, name)
+        assert p["exchanges"] <= 1, name
+        assert "CartesianProduct" not in p, name
+
+    # split balance: cell-table re-aggregates ride broadcast joins —
+    # a shuffle join here would mean Catalyst lost the tiny-side hint
+    p = prof(spark, "q_split_balance")
+    assert p.get("BroadcastHashJoin", 0) >= 2
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+    # minhash-kernel censuses: the banded pair join may sort-merge,
+    # but nothing may plan a cartesian product or per-row Python
+    for name in ("q_dedup_bias", "q_dedup_source_census",
+                 "q_filter_dedup_overlap", "q_minhash_perm_sensitivity"):
+        p = prof(spark, name)
+        assert "CartesianProduct" not in p, name
+        assert p.get("BatchEvalPython", 0) == 0, name
+        assert p.get("BroadcastHashJoin", 0) >= 1, name
+
+    # ivf probe curve: the cosine frame is checkpointed; every grid
+    # join downstream must broadcast (the frames are panel/label-sized)
+    p = prof(spark, "q_ivf_probe_curve")
+    assert "CartesianProduct" not in p
+    assert p.get("BatchEvalPython", 0) == 0
+    assert p.get("BroadcastHashJoin", 0) >= 2
