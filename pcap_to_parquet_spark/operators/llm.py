@@ -1298,13 +1298,20 @@ def ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = spark.range(1).select(
         F.explode(F.array(*[F.lit(p) for p in _IVFC_GRID])).alias("probes")
     )
+    # probed's qid is renamed p_qid BEFORE the join: both bc and probed
+    # derive qid from the same `panel` lineage, and a bc.qid == probed.qid
+    # predicate would be a trivially-true self-comparison that Spark only
+    # rescues via Dataset self-join auto-disambiguation (fragile across
+    # refactors). Distinct attribute names make the equi-join unambiguous.
     probed = grid.join(
         F.broadcast(crank.select("qid", "c_label", "crn")),
         F.col("crn") <= F.col("probes"),
-    ).select("probes", "qid", "c_label")
+    ).select(
+        "probes", F.col("qid").alias("p_qid"), F.col("c_label").alias("p_label")
+    )
     scanned = bc.join(
         F.broadcast(probed),
-        (bc.qid == probed.qid) & (bc.label == probed.c_label),
+        (bc.qid == probed.p_qid) & (bc.label == probed.p_label),
     ).select(bc.qid, "probes", "vec_id", "c")
     ivf10 = (
         scanned.withColumn(
@@ -6076,7 +6083,10 @@ def _plan_p_col(b: int, r: int):
 
 LSH_PLANNER_ORACLE = rf"""{_LSH_AUDIT_CTES},
 s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
-             {", ".join(f"ROUND(SUM({_plan_p_sql(b, r)}), 4) AS e{i}" for i, (b, r) in enumerate(_PLAN_GEOMS))}
+             {", ".join(
+                 f"ROUND(CAST(SUM(CAST(FLOOR({_plan_p_sql(b, r)} * 100000000.0) AS BIGINT)) AS BIGINT)"
+                 f" / 100000000.0, 4) AS e{i}"
+                 for i, (b, r) in enumerate(_PLAN_GEOMS))}
       FROM jp)
 {" UNION ALL ".join(
     f"SELECT CAST({b} AS INT) AS bands, CAST({r} AS INT) AS rows_per_band, "
@@ -6110,13 +6120,26 @@ def lsh_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole family); the five geometry sums ride a single pass, and the
     closed-form columns are literals. j^r and (1-j^r)^b are exact
     squaring chains (b·r=128 → 7 IEEE multiplies), not libm POWER, so
-    both engines compute bit-identical per-pair probabilities. Flat at
-    any corpus size by construction."""
+    both engines compute bit-identical per-pair probabilities — which
+    are then floor-quantized to an 8dp integer grid before the SUM so
+    the reduction is exact integer arithmetic, immune to the
+    partition-order-dependent last-ulp drift of a raw double sum. Flat
+    at any corpus size by construction."""
     _shingled, jp = _audit_jaccard_pairs(spark, sf_dir)
+    # Each per-pair probability is quantized to an 8dp integer grid
+    # (floor of a bit-identical double — deterministic in both engines)
+    # BEFORE the SUM, so the reduction is exact integer arithmetic and
+    # therefore order-insensitive: a raw double SUM's result depends on
+    # partition/accumulation order and a last-ulp difference can flip
+    # the 4dp rounding at a boundary between Spark and DuckDB.
     s = jp.agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         *[
-            F.round(F.sum(_plan_p_col(b, r)), 4).alias(f"e{i}")
+            F.round(
+                F.sum(F.floor(_plan_p_col(b, r) * F.lit(1e8)).cast("long"))
+                / F.lit(1e8),
+                4,
+            ).alias(f"e{i}")
             for i, (b, r) in enumerate(_PLAN_GEOMS)
         ],
     )

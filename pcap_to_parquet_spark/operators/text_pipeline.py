@@ -124,9 +124,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus analysis / quality filtering.
 
     Scale shape: two aggregations (tf keyed on (lang, token), df keyed
-    on token). df output is vocabulary-sized → broadcast into the
-    score join; ranking partitions by lang with Spark's
-    WindowGroupLimit pushing the top-5 heap below the shuffle.
+    on token). df output is vocabulary-sized — which by Heaps' law
+    GROWS with the corpus (a 100 TB web corpus has ~1e8-1e9 distinct
+    whitespace "words"), so the score join is a plain keyed hash join
+    on token, NOT a forced broadcast: AQE picks broadcast while the
+    table is small and falls back to shuffle-hash/sort-merge when it
+    isn't (the q_ngram_lm_score discipline). Ranking partitions by
+    lang with Spark's WindowGroupLimit pushing the top-5 heap below
+    the shuffle.
 
     Ranking orders on ROUND(score, 9) in BOTH engines: DuckDB's libm
     log and the JVM's Math.log are each only ~1-ulp accurate and not
@@ -140,7 +145,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(F.broadcast(df), "token").select(
+    scored = tf.join(df, "token").select(
         "lang",
         "token",
         "tf",
@@ -1257,10 +1262,14 @@ def pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: unigram and bigram counting are one partial-agg
     groupBy each off a shared map-only tokenization; the PMI join
-    attaches VOCABULARY-sized count tables (broadcast both — the
-    vocabulary of a 100 TB corpus still fits an executor), and the two
-    corpus totals ride along as a broadcast 1-row cross join. Final
-    top-{top} is a TakeOrderedAndProject, never a global sort."""
+    attaches the VOCABULARY-sized unigram table twice via plain keyed
+    hash joins on the endpoint tokens — NOT force-broadcast, because a
+    whitespace vocabulary grows with the corpus by Heaps' law (~1e8-1e9
+    distinct tokens at 100 TB) and would OOM a forced broadcast; AQE
+    picks broadcast only while the table actually fits (the
+    q_ngram_lm_score discipline). The two corpus totals ride along as
+    a broadcast 1-row cross join (genuinely bounded). Final top-{top}
+    is a TakeOrderedAndProject, never a global sort."""
     d = load_table(spark, sf_dir, "documents")
     tok = fan_out(d).select(whitespace_tokens("text").alias("ws"))
     ucnt = (
@@ -1289,8 +1298,8 @@ def pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         bcnt.filter(F.col("n_ab") >= _PMI_MIN_COUNT)
-        .join(F.broadcast(ucnt.select(F.col("t").alias("a"), F.col("n").alias("ua_n"))), "a")
-        .join(F.broadcast(ucnt.select(F.col("t").alias("b"), F.col("n").alias("ub_n"))), "b")
+        .join(ucnt.select(F.col("t").alias("a"), F.col("n").alias("ua_n")), "a")
+        .join(ucnt.select(F.col("t").alias("b"), F.col("n").alias("ub_n")), "b")
         .crossJoin(F.broadcast(tot))
         .select(
             F.concat("a", F.lit(" "), "b").alias("bigram"),
@@ -1627,11 +1636,13 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     The scale trick mirrors real encoders: the merge chain is applied
     to the DISTINCT VOCABULARY once (each merge is one greedy
     column-algebra fold, chained in training order), and the corpus is
-    then a broadcast join of tokens against the word → n_symbols map —
-    encode cost scales with the vocabulary, the corpus pays one scan
-    and a vocabulary-sized hash lookup. Per-doc symbol counts are
-    pinned against a plain-Python encoder in
-    tests/test_round4c_ops.py."""
+    then a keyed hash join of tokens against the word → n_symbols map —
+    encode cost scales with the vocabulary, the corpus pays one scan.
+    The map join is NOT force-broadcast: the whitespace vocabulary
+    grows with the corpus by Heaps' law, so AQE chooses broadcast
+    only while the map actually fits (the q_ngram_lm_score
+    discipline). Per-doc symbol counts are pinned against a
+    plain-Python encoder in tests/test_round4c_ops.py."""
     merge_rows = bpe_merges(spark, sf_dir).collect()
     d = load_table(spark, sf_dir, "documents")
     tok = fan_out(d).select("doc_id", F.explode(whitespace_tokens("text")).alias("word"))
@@ -1641,7 +1652,7 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         syms = _apply_merge(syms, r.left, r.right)
     vocab_enc = vocab.select("word", F.size(syms).alias("n_syms"))
     return (
-        tok.join(F.broadcast(vocab_enc), "word")
+        tok.join(vocab_enc, "word")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_words"),
@@ -1702,10 +1713,12 @@ def token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale design (the q_bpe_encode discipline): the merge chain is
     replayed on the DISTINCT VOCABULARY only (each merge one greedy
     column-algebra fold), the corpus pays one scan into (lang, word)
-    tokens plus a broadcast hash join against the vocabulary-sized
-    word → (n_syms, n_chars) map, and the census is one map-side-
-    combined groupBy over |languages| groups. Corpus cost is the token
-    scan; everything else is vocabulary-bounded. The oracle replays the
+    tokens plus a keyed hash join against the word → (n_syms,
+    n_chars) map (NOT force-broadcast — the whitespace vocabulary
+    grows with the corpus by Heaps' law, so AQE picks broadcast only
+    while the map fits), and the census is one map-side-combined
+    groupBy over |languages| groups. Corpus cost is the token scan;
+    everything else is vocabulary-keyed. The oracle replays the
     identical greedy chain in SQL (the q_bpe_encode CTE chain) plus a
     lang join, so the check is exact end to end."""
     merge_rows = bpe_merges(spark, sf_dir).collect()
@@ -1723,7 +1736,7 @@ def token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("word").cast("long").alias("n_chars_w"),
     )
     return (
-        tok.join(F.broadcast(vocab_enc), "word")
+        tok.join(vocab_enc, "word")
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_words"),

@@ -65,10 +65,14 @@ def test_text_pipeline_scale_shapes(spark):
     assert "HashAggregate" not in p and "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
 
+    # The df (document-frequency) table is vocabulary-sized, which grows
+    # with the corpus by Heaps' law — so the score join is deliberately
+    # UNHINTED: AQE may pick broadcast at tiny scale or shuffle at 100 TB.
+    # Pin the invariants, not the join strategy.
     p = prof(spark, "q_tfidf_top_terms")
-    assert p.get("BroadcastHashJoin", 0) >= 1  # vocabulary-sized df broadcast
     assert p.get("WindowGroupLimit", 0) >= 1  # top-5 heap below the shuffle
     assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
 
     p = prof(spark, "q_decontaminate")
     assert p.get("BroadcastHashJoin", 0) >= 1  # held-out shingle set broadcast
