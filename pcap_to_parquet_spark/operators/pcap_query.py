@@ -159,6 +159,110 @@ def pcap_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# round 12: per-flow feature table extending the NetFlow rollup with
+# the timing/size statistics an IDS or traffic classifier consumes
+_FLOW_KEYS = ["src_ip", "dst_ip", "protocol", "src_port", "dst_port"]
+_FLOW_KEYS_SQL = ", ".join(_FLOW_KEYS)
+
+PCAP_FLOW_STATS_ORACLE = f"""
+WITH g AS ({GOLDEN_PACKETS_ORACLE}),
+iat AS (
+    SELECT {_FLOW_KEYS_SQL},
+           mm_ts - LAG(mm_ts) OVER (PARTITION BY {_FLOW_KEYS_SQL}
+                                    ORDER BY mm_ts) AS gap
+    FROM g WHERE mm_ts IS NOT NULL
+),
+flows AS (
+    SELECT {_FLOW_KEYS_SQL},
+           CAST(COUNT(*) AS BIGINT) AS n_packets,
+           CAST(SUM(len) AS BIGINT) AS n_bytes,
+           CAST(MIN(len) AS BIGINT) AS min_len,
+           CAST(MAX(len) AS BIGINT) AS max_len,
+           ROUND(SUM(len) * 1.0 / COUNT(*), 4) AS mean_len,
+           CAST(COUNT(mm_ts) AS BIGINT) AS n_timed,
+           CAST(MAX(mm_ts) - MIN(mm_ts) AS BIGINT) AS duration_ns
+    FROM g GROUP BY {_FLOW_KEYS_SQL}
+),
+gaps AS (
+    SELECT {_FLOW_KEYS_SQL},
+           CAST(MIN(gap) AS BIGINT) AS min_iat_ns,
+           CAST(MAX(gap) AS BIGINT) AS max_iat_ns
+    FROM iat WHERE gap IS NOT NULL
+    GROUP BY {_FLOW_KEYS_SQL}
+)
+SELECT {", ".join("f." + k for k in _FLOW_KEYS)},
+       n_packets, n_bytes, min_len, max_len, mean_len, n_timed,
+       duration_ns,
+       CASE WHEN n_timed > 1 THEN duration_ns // (n_timed - 1) END AS mean_iat_ns,
+       g2.min_iat_ns, g2.max_iat_ns
+FROM flows f LEFT JOIN gaps g2
+  ON {" AND ".join(f"f.{k} = g2.{k}" for k in _FLOW_KEYS)}
+"""
+
+
+@query("q_pcap_flow_stats", PCAP_FLOW_STATS_ORACLE)
+def pcap_flow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-flow FEATURE table — the reference capability deepened past
+    the q_pcap_flows rollup into the statistics a traffic classifier /
+    IDS consumes per 5-tuple: packet and byte counts, min/max/mean
+    frame length, and hardware-timestamp timing features (count of
+    Metamako-stamped packets, flow duration in ns, mean/min/max
+    inter-arrival gap). Undecodable packets keep their NULL tuple and
+    aggregate into the catch-all flow with NULL timing, exactly like
+    q_pcap_flows — nothing silently vanishes.
+
+    Scale design: the size features are ONE partial+final aggregate
+    over the decoded scan (the q_pcap_flows plan with more aggregate
+    expressions — map-side combine does the heavy lifting); the
+    inter-arrival gaps need per-flow ordering, so the timed SUBSET
+    (mm_ts IS NOT NULL — on real captures a small fraction) takes one
+    window shuffle keyed on the SAME 5-tuple, then re-aggregates and
+    left-joins back flow-keyed. Mean inter-arrival is exact integer
+    arithmetic (duration div (n_timed-1) — the telescoping sum of
+    sorted gaps), and all ns arithmetic stays in BIGINT end to end
+    (mm_ts ~1.7e18 exceeds double's 2^53 mantissa).
+    Oracle: hand-computed from the golden-packet VALUES literal
+    (main.rs:128-183 trailer semantics feed the mm_ts column)."""
+    df = read_pcap(spark, _fixture_path())
+    from pyspark.sql import Window
+
+    flows = df.groupBy(*_FLOW_KEYS).agg(
+        F.count(F.lit(1)).cast("long").alias("n_packets"),
+        F.sum("len").cast("long").alias("n_bytes"),
+        F.min("len").cast("long").alias("min_len"),
+        F.max("len").cast("long").alias("max_len"),
+        F.round(F.sum("len") * 1.0 / F.count(F.lit(1)), 4).alias("mean_len"),
+        F.count("mm_ts").cast("long").alias("n_timed"),
+        (F.max("mm_ts") - F.min("mm_ts")).cast("long").alias("duration_ns"),
+    )
+    w = Window.partitionBy(*_FLOW_KEYS).orderBy("mm_ts")
+    gaps = (
+        df.where(F.col("mm_ts").isNotNull())
+        .withColumn("gap", F.col("mm_ts") - F.lag("mm_ts").over(w))
+        .where(F.col("gap").isNotNull())
+        .groupBy(*_FLOW_KEYS)
+        .agg(
+            F.min("gap").cast("long").alias("min_iat_ns"),
+            F.max("gap").cast("long").alias("max_iat_ns"),
+        )
+    )
+    return flows.join(gaps, _FLOW_KEYS, "left").select(
+        *_FLOW_KEYS,
+        "n_packets",
+        "n_bytes",
+        "min_len",
+        "max_len",
+        "mean_len",
+        "n_timed",
+        "duration_ns",
+        F.expr(
+            "CASE WHEN n_timed > 1 THEN duration_ns div (n_timed - 1) END"
+        ).alias("mean_iat_ns"),
+        "min_iat_ns",
+        "max_iat_ns",
+    )
+
+
 @query("q_pcap_roundtrip", GOLDEN_PACKETS_ORACLE)
 def pcap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capture round-trip — the capability the one-way reference never

@@ -17,21 +17,28 @@ from pcap_to_parquet_spark.sources import load_table
 
 GAP_SECONDS = 30 * 60
 
-SESSIONIZE_ORACLE = f"""
-WITH flagged AS (
-    SELECT user_id, ts, event_id, value,
+# Shared gaps-and-islands CTE block: ONE definition of "session" for
+# every session-derived oracle in this module (q_sessionize and the
+# q_session_quality census), so sibling ops cannot diverge on the gap
+# rule or the (ts, event_id) tie-break.
+_SESSIONS_CTES = f"""
+flagged AS (
+    SELECT user_id, ts, event_id, event_type, value,
            CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) <= {GAP_SECONDS} * 1000000
                 THEN 0 ELSE 1 END AS new_session
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sessions AS (
-    SELECT user_id, ts, value,
+    SELECT user_id, ts, event_id, event_type, value,
            CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 AS BIGINT) AS session_id
     FROM flagged
-)
+)"""
+
+SESSIONIZE_ORACLE = f"""
+WITH {_SESSIONS_CTES}
 SELECT user_id, session_id, COUNT(*) AS n_events,
        ROUND(SUM(value), 4) AS session_value,
        epoch_us(MIN(ts)) AS session_start, epoch_us(MAX(ts)) AS session_end
@@ -40,18 +47,25 @@ GROUP BY user_id, session_id
 """
 
 
-@query("q_sessionize", SESSIONIZE_ORACLE)
-def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+def _sessions_frame(e: DataFrame) -> DataFrame:
+    """Spark twin of _SESSIONS_CTES: events + a session_id column via
+    the lag → gap flag → cumulative sum composition. ONE shuffle on
+    user_id shared by both windows."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_ok = (
         F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) <= GAP_SECONDS * 1_000_000
     )
     flagged = e.withColumn("new_session", F.when(gap_ok, 0).otherwise(1))
-    with_session = flagged.withColumn(
+    return flagged.withColumn(
         "session_id",
         F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
     )
+
+
+@query("q_sessionize", SESSIONIZE_ORACLE)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    with_session = _sessions_frame(e)
     # session bounds as epoch-micros BIGINT on both sides: raw timestamp
     # outputs land as datetime64[ns] from Spark but [us] from DuckDB, and
     # the driver's value hash is representation-sensitive (r1 lesson).
@@ -123,5 +137,147 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("session_window.end").alias("session_end"),
             "n_events",
             "session_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# session-quality census per entry event-type (round 12)
+
+SESSION_QUALITY_ORACLE = f"""
+WITH {_SESSIONS_CTES},
+entried AS (
+    SELECT user_id, session_id, ts, event_id,
+           FIRST_VALUE(event_type) OVER (PARTITION BY user_id, session_id
+                                         ORDER BY ts, event_id) AS entry_type
+    FROM sessions
+),
+sess_flat AS (
+    SELECT user_id, session_id, MIN(entry_type) AS entry_type,
+           CAST(COUNT(*) AS BIGINT) AS depth,
+           (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS dwell_s
+    FROM entried GROUP BY user_id, session_id
+),
+base AS (
+    SELECT entry_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN depth = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+           CAST(MAX(depth) AS BIGINT) AS max_depth,
+           CAST(SUM(depth) AS BIGINT) AS sum_depth,
+           CAST(SUM(dwell_s) AS BIGINT) AS sum_dwell
+    FROM sess_flat GROUP BY entry_type
+),
+hd AS (SELECT entry_type, depth, COUNT(*) AS cnt FROM sess_flat
+       GROUP BY entry_type, depth),
+cd AS (SELECT entry_type, depth,
+              SUM(cnt) OVER (PARTITION BY entry_type ORDER BY depth) AS cum,
+              SUM(cnt) OVER (PARTITION BY entry_type) AS tot
+       FROM hd),
+pd AS (SELECT entry_type,
+              CAST(MIN(CASE WHEN cum >= (tot + 1) // 2 THEN depth END) AS BIGINT) AS p50_depth,
+              CAST(MIN(CASE WHEN cum >= (9 * tot + 9) // 10 THEN depth END) AS BIGINT) AS p90_depth
+       FROM cd GROUP BY entry_type),
+hw AS (SELECT entry_type, dwell_s, COUNT(*) AS cnt FROM sess_flat
+       GROUP BY entry_type, dwell_s),
+cw AS (SELECT entry_type, dwell_s,
+              SUM(cnt) OVER (PARTITION BY entry_type ORDER BY dwell_s) AS cum,
+              SUM(cnt) OVER (PARTITION BY entry_type) AS tot
+       FROM hw),
+pw AS (SELECT entry_type,
+              CAST(MIN(CASE WHEN cum >= (tot + 1) // 2 THEN dwell_s END) AS BIGINT) AS p50_dwell_s,
+              CAST(MIN(CASE WHEN cum >= (9 * tot + 9) // 10 THEN dwell_s END) AS BIGINT) AS p90_dwell_s
+       FROM cw GROUP BY entry_type)
+SELECT base.entry_type, n_sessions, n_bounce,
+       ROUND(n_bounce * 1.0 / n_sessions, 6) AS bounce_rate,
+       ROUND(sum_depth * 1.0 / n_sessions, 6) AS mean_depth,
+       max_depth, p50_depth, p90_depth,
+       ROUND(sum_dwell * 1.0 / n_sessions, 6) AS mean_dwell_s,
+       p50_dwell_s, p90_dwell_s
+FROM base JOIN pd ON base.entry_type = pd.entry_type
+          JOIN pw ON base.entry_type = pw.entry_type
+"""
+
+
+@query("q_session_quality", SESSION_QUALITY_ORACLE)
+def session_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-quality census per ENTRY event-type — the engagement
+    decision table a product/funnel team reads per landing action: for
+    sessions grouped by their first event's type, the bounce rate
+    (single-event sessions), the depth distribution (mean/max plus
+    exact p50/p90 events-per-session) and the dwell distribution
+    (mean plus exact p50/p90 session seconds). Composes the shared
+    q_sessionize gaps-and-islands kernel (same gap rule, same
+    (ts, event_id) tie-break — one definition of "session" for the
+    module) with the bounded-census discipline.
+    [engine — not in reference]
+
+    Scale design: sessionization is the module's single user_id
+    shuffle (two windows over one Exchange); the per-session frame is
+    one groupBy (entry type rides as an arg-min struct — no second
+    window pass on the event frame); the quantiles are EXACT but
+    histogram-based: depth and dwell are grouped to
+    (entry_type, value) count frames first, so the rank windows run
+    over histogram-sized inputs (|entry_types| x |distinct values|),
+    never over the corpus — the q_window_dist lesson (no
+    single-partition sort over data-scale rows at 100 TB). All
+    quantile arithmetic is integer (ceil via (n+1) div 2 /
+    (9n+9) div 10), immune to percentile-interpolation divergence
+    between engines."""
+    e = load_table(spark, sf_dir, "events")
+    s = _sessions_frame(e)
+    per = (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("depth"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dwell_us"),
+            F.min(F.struct("ts", "event_id", "event_type")).alias("fe"),
+        )
+        .select(
+            F.col("fe.event_type").alias("entry_type"),
+            "depth",
+            F.expr("dwell_us div 1000000").alias("dwell_s"),
+        )
+    )
+    base = per.groupBy("entry_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(F.when(F.col("depth") == 1, 1).otherwise(0)).cast("long").alias("n_bounce"),
+        F.max("depth").cast("long").alias("max_depth"),
+        F.sum("depth").cast("long").alias("sum_depth"),
+        F.sum("dwell_s").cast("long").alias("sum_dwell"),
+    )
+
+    def grid_quantiles(col: str, p50: str, p90: str) -> DataFrame:
+        # exact quantiles off a histogram: cum/tot windows run over the
+        # (entry_type, value) count frame, not the session frame
+        h = per.groupBy("entry_type", col).agg(F.count(F.lit(1)).alias("cnt"))
+        c = h.withColumn(
+            "cum", F.sum("cnt").over(Window.partitionBy("entry_type").orderBy(col))
+        ).withColumn("tot", F.sum("cnt").over(Window.partitionBy("entry_type")))
+        return c.groupBy("entry_type").agg(
+            F.min(F.when(F.expr("cum >= (tot + 1) div 2"), F.col(col)))
+            .cast("long")
+            .alias(p50),
+            F.min(F.when(F.expr("cum >= (9 * tot + 9) div 10"), F.col(col)))
+            .cast("long")
+            .alias(p90),
+        )
+
+    qd = grid_quantiles("depth", "p50_depth", "p90_depth")
+    qw = grid_quantiles("dwell_s", "p50_dwell_s", "p90_dwell_s")
+    return (
+        base.join(qd, "entry_type")
+        .join(qw, "entry_type")
+        .select(
+            "entry_type",
+            "n_sessions",
+            "n_bounce",
+            F.round(F.col("n_bounce") * 1.0 / F.col("n_sessions"), 6).alias("bounce_rate"),
+            F.round(F.col("sum_depth") * 1.0 / F.col("n_sessions"), 6).alias("mean_depth"),
+            "max_depth",
+            "p50_depth",
+            "p90_depth",
+            F.round(F.col("sum_dwell") * 1.0 / F.col("n_sessions"), 6).alias("mean_dwell_s"),
+            "p50_dwell_s",
+            "p90_dwell_s",
         )
     )

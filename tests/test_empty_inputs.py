@@ -213,6 +213,8 @@ EMPTY_SAFE = [
     "q_cluster_size_census",
     "q_dedup_source_census",
     "q_ivf_probe_curve",
+    # round 12
+    "q_session_quality",
 ]
 
 # global aggregates return one constant row on empty input (their

@@ -698,3 +698,28 @@ def test_round11_census_shapes(spark):
     assert "CartesianProduct" not in p
     assert p.get("BatchEvalPython", 0) == 0
     assert p.get("BroadcastHashJoin", 0) >= 2
+
+
+def test_round12_shapes(spark):
+    """Pin the scale claims of the round-12 depth ops."""
+    # session-quality census: the sessionize windows stay partitioned
+    # by user_id and the quantile rank windows run over histogram-sized
+    # frames partitioned by entry_type — NEVER a single-partition
+    # window (the canonical 100 TB killer), never Python, never a
+    # cartesian; the final census joins are tiny-side broadcasts
+    p = prof(spark, "q_session_quality")
+    assert p["single_partition"] == 0
+    assert "CartesianProduct" not in p
+    assert p.get("BatchEvalPython", 0) == 0
+    assert p.get("BroadcastHashJoin", 0) >= 2
+    assert p.get("Window", 0) >= 3  # sessionize + 2 histogram cum/tot pairs
+
+    # pcap flow features: Arrow-batched decode (MapInPandas is the
+    # decode kernel, not a per-row UDF), ONE window shuffle keyed on
+    # the 5-tuple for inter-arrival gaps, no cartesian
+    p = prof(spark, "q_pcap_flow_stats")
+    assert p["single_partition"] == 0
+    assert "CartesianProduct" not in p
+    assert p.get("BatchEvalPython", 0) == 0
+    assert p.get("Window", 0) == 1
+    assert p.get("HashAggregate", 0) >= 4  # partial+final for flows and gaps

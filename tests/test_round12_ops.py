@@ -1,0 +1,171 @@
+"""Round-12 operator tests: planted-data semantics pins for the
+session-quality census and the pcap per-flow feature table.
+
+Oracle parity is the driver's job (tools/check_oracle.py replays it);
+these pin what the operators MEAN — hand-traced sessions with known
+bounce/depth/dwell distributions, the (ts, event_id) entry tie-break,
+hand-computed golden-capture flow timing, and cross-op consistency
+with q_sessionize / q_pcap_flows.
+"""
+
+from __future__ import annotations
+
+import sys
+from datetime import datetime, timedelta
+
+sys.path.insert(0, "/root/repo")
+
+import pcap_to_parquet_spark.operators  # noqa: E402,F401  (registers queries)
+from pcap_to_parquet_spark.registry import QUERIES  # noqa: E402
+
+SF0001 = "/root/testdata/sf0.001"
+
+_EV_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _events_lake(spark, path, rows):
+    spark.createDataFrame(rows, _EV_SCHEMA).write.mode("overwrite").parquet(
+        str(path / "events.parquet")
+    )
+    return str(path)
+
+
+# ---------------------------------------------------------------------------
+# q_session_quality
+
+
+def test_session_quality_hand_traced(spark, tmp_path):
+    """3 planted sessions: user 1 has a 3-event 'view' session (20 s
+    dwell) and, 2 h later, a 1-event 'error' bounce; user 2 has a
+    1-event 'view' bounce. Every census column is hand-computed."""
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (0, t0, 1, "view", 1.0, "{}"),
+        (1, t0 + timedelta(seconds=10), 1, "click", 1.0, "{}"),
+        (2, t0 + timedelta(seconds=20), 1, "click", 1.0, "{}"),
+        (3, t0 + timedelta(hours=2), 1, "error", 1.0, "{}"),
+        (4, t0, 2, "view", 1.0, "{}"),
+    ]
+    d = _events_lake(spark, tmp_path, rows)
+    out = {r.entry_type: r for r in QUERIES["q_session_quality"](spark, d).collect()}
+    assert set(out) == {"view", "error"}
+
+    v = out["view"]
+    assert (v.n_sessions, v.n_bounce, v.bounce_rate) == (2, 1, 0.5)
+    assert (v.mean_depth, v.max_depth) == (2.0, 3)
+    # depths {1, 3}: p50 rank = ceil(0.5*2) = 1 -> 1; p90 rank = ceil(1.8) = 2 -> 3
+    assert (v.p50_depth, v.p90_depth) == (1, 3)
+    # dwell seconds {0, 20}: mean 10, p50 -> 0, p90 -> 20
+    assert (v.mean_dwell_s, v.p50_dwell_s, v.p90_dwell_s) == (10.0, 0, 20)
+
+    e = out["error"]
+    assert (e.n_sessions, e.n_bounce, e.bounce_rate) == (1, 1, 1.0)
+    assert (e.mean_depth, e.max_depth, e.p50_depth, e.p90_depth) == (1.0, 1, 1, 1)
+    assert (e.mean_dwell_s, e.p50_dwell_s, e.p90_dwell_s) == (0.0, 0, 0)
+
+
+def test_session_quality_entry_tiebreak_on_event_id(spark, tmp_path):
+    """Two events share the session's first timestamp: the entry type
+    must come from the LOWER event_id (the shared q_sessionize
+    (ts, event_id) ordering), not from name order or arrival order."""
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (10, t0, 1, "b_type", 1.0, "{}"),  # higher id, alphabetically later
+        (9, t0, 1, "a_type", 1.0, "{}"),   # lower id wins the tie
+        (11, t0 + timedelta(seconds=5), 1, "b_type", 1.0, "{}"),
+    ]
+    d = _events_lake(spark, tmp_path, rows)
+    out = QUERIES["q_session_quality"](spark, d).collect()
+    assert len(out) == 1
+    assert out[0].entry_type == "a_type"
+    assert out[0].n_sessions == 1 and out[0].max_depth == 3
+
+
+def test_session_quality_gap_boundary(spark, tmp_path):
+    """Exactly 30 min between events continues the session (<= gap);
+    one microsecond more starts a new one — the same boundary rule as
+    q_sessionize's oracle."""
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (0, t0, 1, "view", 1.0, "{}"),
+        (1, t0 + timedelta(minutes=30), 1, "click", 1.0, "{}"),  # same session
+        (2, t0 + timedelta(minutes=60, microseconds=1), 1, "view", 1.0, "{}"),  # new
+    ]
+    d = _events_lake(spark, tmp_path, rows)
+    out = {r.entry_type: r for r in QUERIES["q_session_quality"](spark, d).collect()}
+    assert out["view"].n_sessions == 2  # the 2-event session + the new bounce
+    assert out["view"].max_depth == 2
+    assert out["view"].n_bounce == 1
+
+
+def test_session_quality_consistent_with_sessionize(spark):
+    """The census is q_sessionize aggregated by entry type: total
+    sessions, total events (via mean_depth), and bounce counts must
+    re-sum to the q_sessionize frame on real testdata."""
+    sess = QUERIES["q_sessionize"](spark, SF0001).collect()
+    census = QUERIES["q_session_quality"](spark, SF0001).collect()
+    assert sum(r.n_sessions for r in census) == len(sess)
+    assert sum(r.n_bounce for r in census) == sum(1 for s in sess if s.n_events == 1)
+    total_events = sum(s.n_events for s in sess)
+    approx = sum(r.mean_depth * r.n_sessions for r in census)
+    assert abs(approx - total_events) < 1e-3 * len(sess) + 1e-6
+    # global max depth must appear in exactly the census max
+    assert max(r.max_depth for r in census) == max(s.n_events for s in sess)
+
+
+# ---------------------------------------------------------------------------
+# q_pcap_flow_stats
+
+
+def _flow_rows(spark):
+    rows = QUERIES["q_pcap_flow_stats"](spark, SF0001).collect()
+    return {
+        (r.src_ip, r.dst_ip, r.protocol, r.src_port, r.dst_port): r for r in rows
+    }
+
+
+def test_pcap_flow_stats_golden_udp_flow(spark):
+    """The 10.0.0.1:1234 -> 10.0.0.2:5678 UDP flow, hand-computed from
+    the golden fixture: 5 packets of lens 50/66/66/70/82; 3 carry
+    Metamako timestamps 1699999995777777777 / 1699999997111111111 /
+    1699999998500000123 ns -> gaps 1333333334 and 1388889012."""
+    r = _flow_rows(spark)[("10.0.0.1", "10.0.0.2", "UDP", 1234, 5678)]
+    assert (r.n_packets, r.n_bytes) == (5, 334)
+    assert (r.min_len, r.max_len, r.mean_len) == (50, 82, 66.8)
+    assert r.n_timed == 3
+    assert r.duration_ns == 2722222346
+    assert r.mean_iat_ns == 2722222346 // 2 == 1361111173
+    assert r.min_iat_ns == 1333333334
+    assert r.max_iat_ns == 1388889012
+
+
+def test_pcap_flow_stats_catchall_and_untimed_flows(spark):
+    """Undecodable frames aggregate into the NULL-tuple catch-all flow
+    (10 + 42 byte frames) with NULL timing; single-packet flows have
+    zero-length or NULL timing features, never crash."""
+    flows = _flow_rows(spark)
+    catchall = flows[(None, None, None, None, None)]
+    assert (catchall.n_packets, catchall.n_bytes) == (2, 52)
+    assert catchall.n_timed == 0
+    assert catchall.duration_ns is None
+    assert catchall.mean_iat_ns is None and catchall.min_iat_ns is None
+
+    tcp = flows[("192.168.1.10", "192.168.1.20", "TCP", 80, 443)]
+    assert (tcp.n_packets, tcp.n_timed) == (1, 0)
+    assert tcp.mean_iat_ns is None
+
+
+def test_pcap_flow_stats_consistent_with_pcap_flows(spark):
+    """Same 5-tuple keys, same n_packets / n_bytes as the q_pcap_flows
+    rollup — the feature table strictly extends it."""
+    base = {
+        (r.src_ip, r.dst_ip, r.protocol, r.src_port, r.dst_port): r
+        for r in QUERIES["q_pcap_flows"](spark, SF0001).collect()
+    }
+    stats = _flow_rows(spark)
+    assert set(base) == set(stats)
+    for k, b in base.items():
+        assert (stats[k].n_packets, stats[k].n_bytes) == (b.n_packets, b.n_bytes), k

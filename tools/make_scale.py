@@ -11,8 +11,20 @@ dims are constant across SF). Text/embedding payloads repeat, which
 deliberately stresses the dedup family with a known 10× duplication
 plant.
 
-Usage: python tools/make_scale.py [src_sf_dir] [dst_dir] [factor]
+Usage: python tools/make_scale.py [src_sf_dir] [dst_dir] [factor] [--vocab-growth]
        python tools/make_scale.py /root/testdata/sf0.1 /tmp/sf1 10
+
+--vocab-growth (round 12): verbatim text replication adds ZERO new
+vocabulary, so "vocabulary-bounded" scale claims were never stressed
+on the axis they actually grow on — Heaps' law (a 100-TB web corpus
+has ~1e8-1e9 distinct whitespace tokens, dominated by typos/URLs/ids).
+With this flag, replica i > 0 suffixes '_r{i}' onto the ~20% of tokens
+whose hash lands in bucket 0, so the distinct vocabulary grows
+~(1 + 0.2*(factor-1))x — at factor 100 a ~21x vocabulary under the
+same 100x corpus — and the vocabulary-keyed family (bpe encode,
+fertility, tfidf, pmi, unigram/ngram LMs, vocab build/coverage) gets
+measured against vocabulary growth, not just corpus growth.
+documents.n_chars is recomputed so the metadata stays consistent.
 """
 
 from __future__ import annotations
@@ -43,7 +55,7 @@ OFFSETS: dict[str, dict[str, int]] = {
 FIXED = ["region", "nation"]
 
 
-def build(src: str, dst: str, factor: int) -> None:
+def build(src: str, dst: str, factor: int, vocab_growth: bool = False) -> None:
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     for t in FIXED:
@@ -52,11 +64,29 @@ def build(src: str, dst: str, factor: int) -> None:
             " (FORMAT parquet, COMPRESSION zstd)"
         )
         print(f"{t}: copied")
+    # replica i > 0 renames ~20% of the vocabulary (hash bucket 0) so
+    # distinct tokens grow with the factor instead of staying constant
+    grown_text = (
+        "list_aggregate(list_transform(regexp_split_to_array(text, '\\s+'), "
+        "t -> CASE WHEN i > 0 AND hash(t) % 5 = 0 THEN t || '_r' || i "
+        "ELSE t END), 'string_agg', ' ')"
+    )
     for t, offs in OFFSETS.items():
         cols = [c[0] for c in con.sql(f"DESCRIBE SELECT * FROM '{src}/{t}.parquet'").fetchall()]
         sel = ", ".join(
             f"{c} + i * {offs[c]} AS {c}" if c in offs else c for c in cols
         )
+        if vocab_growth and t == "documents":
+            sel = ", ".join(
+                f"{c} + i * {offs[c]} AS {c}"
+                if c in offs
+                else (
+                    f"{grown_text} AS text"
+                    if c == "text"
+                    else (f"length({grown_text}) AS n_chars" if c == "n_chars" else c)
+                )
+                for c in cols
+            )
         con.sql(
             f"COPY (SELECT {sel} FROM '{src}/{t}.parquet', "
             f"(SELECT unnest(range({factor})) AS i)) "
@@ -67,7 +97,9 @@ def build(src: str, dst: str, factor: int) -> None:
 
 
 if __name__ == "__main__":
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
-    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-    build(src, dst, factor)
+    args = [a for a in sys.argv[1:] if a != "--vocab-growth"]
+    vocab_growth = "--vocab-growth" in sys.argv[1:]
+    src = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
+    dst = args[1] if len(args) > 1 else "/tmp/sf1"
+    factor = int(args[2]) if len(args) > 2 else 10
+    build(src, dst, factor, vocab_growth)

@@ -26,8 +26,12 @@ import pcap_to_parquet_spark.operators  # noqa: F401
 from pcap_to_parquet_spark.registry import QUERIES
 from pcap_to_parquet_spark.session import get_spark
 
+import os
+
 SF01 = "/root/testdata/sf0.1"
-SF10 = "/tmp/sf10"
+# SPARK_GRAFT_SCALE_DIR points the big leg elsewhere, e.g. the
+# vocabulary-growth set built by make_scale.py --vocab-growth
+SF10 = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/sf10")
 
 
 def main() -> None:
