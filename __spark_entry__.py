@@ -107,6 +107,7 @@ _GATE_FRONT = [
     # new in round 12 (insert below this line as they land; due round 13)
     "q_session_quality",
     "q_pcap_flow_stats",
+    "q_session_transitions",
     # round-8 window remainder (rows r8)
     "q_sql_promo_share",
     "q_sql_product_profit",

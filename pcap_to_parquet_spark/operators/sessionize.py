@@ -281,3 +281,94 @@ def session_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_dwell_s",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# within-session behavior graph: first-order transition census (round 12)
+
+SESSION_TRANSITIONS_ORACLE = f"""
+WITH {_SESSIONS_CTES},
+steps AS (
+    SELECT event_type AS from_type,
+           COALESCE(LEAD(event_type) OVER (PARTITION BY user_id, session_id
+                                           ORDER BY ts, event_id),
+                    'END') AS to_type
+    FROM sessions
+),
+tc AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+       FROM steps GROUP BY from_type, to_type),
+tot AS (SELECT from_type, CAST(SUM(n_transitions) AS BIGINT) AS n_from
+        FROM tc GROUP BY from_type),
+ent AS (SELECT tc.from_type,
+               ROUND(SUM(-(n_transitions * 1.0 / n_from)
+                         * ln(n_transitions * 1.0 / n_from) / ln(2.0)), 4)
+                   AS next_entropy_bits
+        FROM tc JOIN tot ON tc.from_type = tot.from_type
+        GROUP BY tc.from_type)
+SELECT tc.from_type, tc.to_type, n_transitions, tot.n_from,
+       ROUND(n_transitions * 1.0 / tot.n_from, 6) AS p_next,
+       ent.next_entropy_bits
+FROM tc JOIN tot ON tc.from_type = tot.from_type
+        JOIN ent ON tc.from_type = ent.from_type
+"""
+
+
+@query("q_session_transitions", SESSION_TRANSITIONS_ORACLE)
+def session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session BEHAVIOR GRAPH — the first-order Markov
+    transition census over event types: for every (from_type, to_type)
+    pair observed inside a session (session end modeled as a 'END'
+    sink, so exit rates are first-class), the transition count, the
+    row-normalized next-step probability, and per from_type the
+    next-event entropy in bits (predictability of what follows each
+    action — the q_char_entropy 4dp-bits discipline). Every event
+    contributes exactly ONE outgoing transition, so the census re-sums
+    to the event count and the 'END' column re-sums to the session
+    count — both pinned as cross-op contracts against q_sessionize.
+    [engine — not in reference]
+
+    Scale design: the lead() window clusters on (user_id, session_id),
+    which hash-partitioning on user_id already satisfies (subset
+    rule), so the step extraction reuses the sessionize Exchange — a
+    re-sort, not a second shuffle; the transition table is
+    |event_types|² + END (bounded), and everything downstream
+    (totals, entropy, probability joins) is census-sized. Entropy
+    terms use exact-integer-ratio probabilities (bit-identical
+    doubles in both engines) with one 4dp round after the sum."""
+    e = load_table(spark, sf_dir, "events")
+    s = _sessions_frame(e)
+    w = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    steps = s.select(
+        F.col("event_type").alias("from_type"),
+        F.coalesce(F.lead("event_type").over(w), F.lit("END")).alias("to_type"),
+    )
+    # the transition table is |event_types|²+END rows and feeds THREE
+    # consumers (totals, entropy, the final join) — localCheckpoint it
+    # so the corpus-scale sessionize pipeline runs ONCE, not per branch
+    # (the q_ivf_probe_curve fork discipline)
+    tc = (
+        steps.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+        .localCheckpoint(eager=True)
+    )
+    tot = tc.groupBy("from_type").agg(
+        F.sum("n_transitions").cast("long").alias("n_from")
+    )
+    p = F.col("n_transitions") * 1.0 / F.col("n_from")
+    ent = (
+        tc.join(tot, "from_type")
+        .groupBy("from_type")
+        .agg(F.round(F.sum(-p * F.log(p) / F.log(F.lit(2.0))), 4).alias("next_entropy_bits"))
+    )
+    return (
+        tc.join(tot, "from_type")
+        .join(ent, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            "n_from",
+            F.round(p, 6).alias("p_next"),
+            "next_entropy_bits",
+        )
+    )

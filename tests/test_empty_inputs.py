@@ -215,6 +215,7 @@ EMPTY_SAFE = [
     "q_ivf_probe_curve",
     # round 12
     "q_session_quality",
+    "q_session_transitions",
 ]
 
 # global aggregates return one constant row on empty input (their

@@ -723,3 +723,16 @@ def test_round12_shapes(spark):
     assert p.get("BatchEvalPython", 0) == 0
     assert p.get("Window", 0) == 1
     assert p.get("HashAggregate", 0) >= 4  # partial+final for flows and gaps
+
+
+def test_session_transitions_checkpoint_bounds_plan(spark):
+    """The transition census feeds three consumers off a
+    localCheckpointed |event_types|²-row frame: the visible plan must
+    be census-sized (≤3 exchanges), with the corpus-scale sessionize
+    pipeline run once at checkpoint time — and never a cartesian,
+    row-Python, or single-partition window."""
+    p = prof(spark, "q_session_transitions")
+    assert p["exchanges"] <= 3
+    assert p["single_partition"] == 0
+    assert "CartesianProduct" not in p
+    assert p.get("BatchEvalPython", 0) == 0

@@ -169,3 +169,62 @@ def test_pcap_flow_stats_consistent_with_pcap_flows(spark):
     assert set(base) == set(stats)
     for k, b in base.items():
         assert (stats[k].n_packets, stats[k].n_bytes) == (b.n_packets, b.n_bytes), k
+
+
+# ---------------------------------------------------------------------------
+# q_session_transitions
+
+
+def test_session_transitions_hand_traced(spark, tmp_path):
+    """One session view->click->click: transitions view->click,
+    click->click, click->END, each count 1; from 'click' the next step
+    is a fair coin (click or END) -> entropy exactly 1.0 bit; from
+    'view' it is deterministic -> 0.0 bits."""
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (0, t0, 1, "view", 1.0, "{}"),
+        (1, t0 + timedelta(seconds=10), 1, "click", 1.0, "{}"),
+        (2, t0 + timedelta(seconds=20), 1, "click", 1.0, "{}"),
+    ]
+    d = _events_lake(spark, tmp_path, rows)
+    out = {(r.from_type, r.to_type): r for r in
+           QUERIES["q_session_transitions"](spark, d).collect()}
+    assert set(out) == {("view", "click"), ("click", "click"), ("click", "END")}
+    assert out[("view", "click")].n_transitions == 1
+    assert out[("view", "click")].p_next == 1.0
+    assert out[("view", "click")].next_entropy_bits == 0.0
+    assert out[("click", "END")].n_from == 2
+    assert out[("click", "END")].p_next == 0.5
+    assert out[("click", "END")].next_entropy_bits == 1.0  # fair coin
+
+
+def test_session_transitions_sessions_do_not_leak(spark, tmp_path):
+    """The last event of session 1 must transition to END, never to
+    the first event of session 2 (2 h later) — the gap rule and the
+    transition extraction share one session definition."""
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (0, t0, 1, "view", 1.0, "{}"),
+        (1, t0 + timedelta(hours=2), 1, "purchase", 1.0, "{}"),
+    ]
+    d = _events_lake(spark, tmp_path, rows)
+    out = {(r.from_type, r.to_type) for r in
+           QUERIES["q_session_transitions"](spark, d).collect()}
+    assert out == {("view", "END"), ("purchase", "END")}
+
+
+def test_session_transitions_resum_to_sessionize(spark):
+    """Conservation contracts on real testdata: every event emits
+    exactly one outgoing transition (sum == event count) and every
+    session terminates exactly once (END column == session count)."""
+    tr = QUERIES["q_session_transitions"](spark, SF0001).collect()
+    sess = QUERIES["q_sessionize"](spark, SF0001).collect()
+    assert sum(r.n_transitions for r in tr) == sum(s.n_events for s in sess)
+    assert sum(r.n_transitions for r in tr if r.to_type == "END") == len(sess)
+    # per-from probabilities are a distribution
+    from collections import defaultdict
+    by_from = defaultdict(float)
+    for r in tr:
+        by_from[r.from_type] += r.p_next
+    for f, tot in by_from.items():
+        assert abs(tot - 1.0) < 1e-4, (f, tot)
