@@ -144,8 +144,10 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # session-quality census per entry event-type (round 12)
 
-SESSION_QUALITY_ORACLE = f"""
-WITH {_SESSIONS_CTES},
+# CTEs ending in sess_flat(entry_type, depth, dwell_s) — the batch
+# census input; the streaming twin swaps in the native session_window
+# convention + watermark clip but reuses the census SQL below verbatim
+_QUALITY_SESS_FLAT = f"""{_SESSIONS_CTES},
 entried AS (
     SELECT user_id, session_id, ts, event_id,
            FIRST_VALUE(event_type) OVER (PARTITION BY user_id, session_id
@@ -157,7 +159,16 @@ sess_flat AS (
            CAST(COUNT(*) AS BIGINT) AS depth,
            (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS dwell_s
     FROM entried GROUP BY user_id, session_id
-),
+)"""
+
+
+def quality_census_sql(sess_flat_ctes: str) -> str:
+    """The census half of the session-quality oracle: one SQL text
+    over any CTE chain that ends in sess_flat(entry_type, depth,
+    dwell_s) — shared by the batch op and the streaming twin so the
+    two censuses cannot diverge."""
+    return f"""
+WITH {sess_flat_ctes},
 base AS (
     SELECT entry_type,
            CAST(COUNT(*) AS BIGINT) AS n_sessions,
@@ -196,6 +207,9 @@ SELECT base.entry_type, n_sessions, n_bounce,
 FROM base JOIN pd ON base.entry_type = pd.entry_type
           JOIN pw ON base.entry_type = pw.entry_type
 """
+
+
+SESSION_QUALITY_ORACLE = quality_census_sql(_QUALITY_SESS_FLAT)
 
 
 @query("q_session_quality", SESSION_QUALITY_ORACLE)
@@ -238,6 +252,15 @@ def session_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("dwell_us div 1000000").alias("dwell_s"),
         )
     )
+    return quality_census(per)
+
+
+def quality_census(per: DataFrame) -> DataFrame:
+    """The census half of the session-quality operators, over any
+    per-session frame (entry_type, depth, dwell_s) — shared by the
+    batch op and the streaming twin (exactly mirroring
+    quality_census_sql, so the two engines and the two modes all
+    compute one census)."""
     base = per.groupBy("entry_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_sessions"),
         F.sum(F.when(F.col("depth") == 1, 1).otherwise(0)).cast("long").alias("n_bounce"),

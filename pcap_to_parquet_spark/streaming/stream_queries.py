@@ -1306,3 +1306,99 @@ def stream_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(out, "update").orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# streaming session-quality census: the live twin of q_session_quality
+# over CLOSED sessions only (round 12)
+
+def _stream_session_quality_oracle() -> str:
+    from pcap_to_parquet_spark.operators.sessionize import quality_census_sql
+
+    # native session_window convention (merge on diff < gap, end =
+    # last + gap) CLIPPED to the final watermark — only sessions the
+    # stream has actually EMITTED are census input (the q_stream_session
+    # two-regime technique), then the exact census SQL shared with the
+    # batch op
+    sess_flat = """flagged AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) < 1800 * 1000000
+                THEN 0 ELSE 1 END AS new_session
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+    SELECT user_id, ts, event_id, event_type,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+),
+entried AS (
+    SELECT user_id, session_id, ts, event_id,
+           FIRST_VALUE(event_type) OVER (PARTITION BY user_id, session_id
+                                         ORDER BY ts, event_id) AS entry_type
+    FROM sessions
+),
+sess_all AS (
+    SELECT user_id, session_id, MIN(entry_type) AS entry_type,
+           CAST(COUNT(*) AS BIGINT) AS depth,
+           (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS dwell_s,
+           epoch_us(MAX(ts)) + 1800 * 1000000 AS session_end
+    FROM entried GROUP BY user_id, session_id
+),
+horizon AS (SELECT MAX(epoch_us(ts)) - 600 * 1000000 AS wm FROM events),
+sess_flat AS (
+    SELECT entry_type, depth, dwell_s FROM sess_all, horizon
+    WHERE session_end <= wm
+)"""
+    return quality_census_sql(sess_flat)
+
+
+@query("q_stream_session_quality", _stream_session_quality_oracle())
+def stream_session_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-quality census ON THE INGEST PATH — q_session_quality's
+    streaming twin over CLOSED sessions: gap-based session windows
+    merge in state as events arrive (native convention: diff < gap,
+    end = last + gap) and emit once the watermark passes session_end;
+    the per-entry-type census (bounce rate, exact p50/p90 depth and
+    dwell) runs as the serving query over the emitted per-session
+    frame. This is the engagement dashboard a product team watches
+    DURING the day — a landing action whose bounce rate climbs mid-
+    deploy is flagging a broken page while the deploy is still
+    rolling, instead of in tomorrow's batch census. Sessions still
+    open at the horizon are withheld, exactly as the oracle's
+    watermark clip states.
+
+    Two-stage shape (the q_stream_topk discipline): the unbounded half
+    is ONE session_window aggregation whose state is per-OPEN-session
+    (bounded by active users); the census half runs on the
+    session-count-bounded materialized frame and is the SAME code as
+    the batch op (quality_census), so the two modes cannot diverge.
+    The entry event rides the aggregation as an arg-min struct —
+    min(struct(ts, event_id, event_type)) — never a second pass."""
+    from pcap_to_parquet_spark.operators.sessionize import quality_census
+
+    e = stream_events(spark, sf_dir)
+    per = (
+        e.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("depth"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+                "dwell_us"
+            ),
+            F.min(F.struct("ts", "event_id", "event_type")).alias("fe"),
+        )
+        .select(
+            F.col("fe.event_type").alias("entry_type"),
+            "depth",
+            F.expr("dwell_us div 1000000").alias("dwell_s"),
+        )
+    )
+    # localCheckpoint before the census fan-out: the memory-sink plan
+    # (MemoryPlan) is not a MultiInstanceRelation, so the census's
+    # three-way self-reference would hit "conflicting references in
+    # Join"; the checkpointed LogicalRDD re-instances cleanly — and the
+    # corpus-side work (the stateful session aggregation) ran exactly
+    # once inside the stream anyway
+    emitted = run_to_memory(per, "append").localCheckpoint(eager=True)
+    return quality_census(emitted)

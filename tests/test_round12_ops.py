@@ -26,10 +26,30 @@ _EV_SCHEMA = (
 )
 
 
-def _events_lake(spark, path, rows):
-    spark.createDataFrame(rows, _EV_SCHEMA).write.mode("overwrite").parquet(
-        str(path / "events.parquet")
-    )
+def _events_lake(spark, path, rows, single_file=False):
+    dest = path / "events.parquet"
+    # write micros, not INT96: the streaming source's footer-dispatched
+    # schema (events_raw_schema) supports nanos-as-long / micros / tz
+    # encodings, and INT96 is none of them
+    old = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        spark.createDataFrame(rows, _EV_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(dest))
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", old)
+    if single_file:
+        # the streaming file source stages sf_dir/events.parquet as a
+        # FILE (like the driver testdata); collapse the directory write
+        import glob
+        import shutil
+
+        part = glob.glob(str(dest / "part-*.parquet"))[0]
+        tmp = str(path / "_events_single.parquet")
+        shutil.move(part, tmp)
+        shutil.rmtree(str(dest))
+        shutil.move(tmp, str(dest))
     return str(path)
 
 
@@ -228,3 +248,63 @@ def test_session_transitions_resum_to_sessionize(spark):
         by_from[r.from_type] += r.p_next
     for f, tot in by_from.items():
         assert abs(tot - 1.0) < 1e-4, (f, tot)
+
+
+# ---------------------------------------------------------------------------
+# q_stream_session_quality
+
+
+def test_stream_session_quality_emits_only_closed_sessions(spark, tmp_path):
+    """Two early sessions close well before the watermark horizon and
+    are censused; the horizon-holder session (whose end = last + gap
+    is past max(ts) - 10 min) is withheld — the emission contract the
+    oracle's clip states."""
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (0, t0, 1, "view", 1.0, "{}"),
+        (1, t0 + timedelta(seconds=10), 1, "click", 1.0, "{}"),
+        (2, t0 + timedelta(seconds=20), 1, "click", 1.0, "{}"),
+        (3, t0, 2, "error", 1.0, "{}"),
+        # horizon holder: its own session stays OPEN (end > wm)
+        (4, t0 + timedelta(hours=3), 3, "purchase", 1.0, "{}"),
+    ]
+    d = _events_lake(spark, tmp_path, rows, single_file=True)
+    out = {r.entry_type: r for r in
+           QUERIES["q_stream_session_quality"](spark, d).collect()}
+    assert set(out) == {"view", "error"}  # purchase withheld
+    v = out["view"]
+    assert (v.n_sessions, v.n_bounce, v.max_depth) == (1, 0, 3)
+    assert (v.p50_dwell_s, v.p90_dwell_s) == (20, 20)
+    e = out["error"]
+    assert (e.n_sessions, e.n_bounce, e.bounce_rate) == (1, 1, 1.0)
+
+
+def test_stream_session_quality_matches_batch_when_all_closed(spark, tmp_path):
+    """With every session closed before the horizon and no event pair
+    at the exact 30-min boundary (where the batch <= and native <
+    conventions differ), the streaming census must equal the batch
+    census row for row — same serving code, same numbers."""
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (0, t0, 1, "view", 1.0, "{}"),
+        (1, t0 + timedelta(seconds=10), 1, "click", 1.0, "{}"),
+        (2, t0 + timedelta(hours=2), 1, "error", 1.0, "{}"),
+        (3, t0, 2, "view", 1.0, "{}"),
+        # closer event so the watermark passes every session's end
+        (4, t0 + timedelta(hours=6), 9, "view", 1.0, "{}"),
+    ]
+    d = _events_lake(spark, tmp_path, rows, single_file=True)
+    batch = {r.entry_type: r.asDict() for r in
+             QUERIES["q_session_quality"](spark, d).collect()}
+    stream = {r.entry_type: r.asDict() for r in
+              QUERIES["q_stream_session_quality"](spark, d).collect()}
+    # the closer's own session is open at the horizon -> withheld from
+    # the stream; drop it from the batch side before comparing
+    batch["view"]["n_sessions"] -= 1
+    batch["view"]["n_bounce"] -= 1
+    for k in ("mean_depth", "bounce_rate", "mean_dwell_s",
+              "p50_depth", "p90_depth", "p50_dwell_s", "p90_dwell_s"):
+        batch["view"].pop(k); stream["view"].pop(k)  # depend on the dropped row
+    batch["view"].pop("max_depth"); stream["view"].pop("max_depth")
+    assert stream["view"] == batch["view"]
+    assert stream["error"] == batch["error"]
