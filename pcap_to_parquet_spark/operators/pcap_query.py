@@ -211,42 +211,40 @@ def pcap_flow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate into the catch-all flow with NULL timing, exactly like
     q_pcap_flows — nothing silently vanishes.
 
-    Scale design: the size features are ONE partial+final aggregate
-    over the decoded scan (the q_pcap_flows plan with more aggregate
-    expressions — map-side combine does the heavy lifting); the
-    inter-arrival gaps need per-flow ordering, so the timed SUBSET
-    (mm_ts IS NOT NULL — on real captures a small fraction) takes one
-    window shuffle keyed on the SAME 5-tuple, then re-aggregates and
-    left-joins back flow-keyed. Mean inter-arrival is exact integer
-    arithmetic (duration div (n_timed-1) — the telescoping sum of
-    sorted gaps), and all ns arithmetic stays in BIGINT end to end
-    (mm_ts ~1.7e18 exceeds double's 2^53 mantissa).
+    Scale design — ONE decoded scan, ONE shuffle: the per-flow lag
+    window orders mm_ts NULLS FIRST, so untimed packets sit ahead of
+    the timed run and every timed packet's lag is either NULL (run
+    head / untimed predecessor) or the previous timed stamp — the gap
+    column is correct without a second filtered pass; the flow
+    aggregate then groups on the window's own partition keys, so the
+    subset rule keeps it on the same Exchange (no re-shuffle, no
+    join-back; the earlier two-branch draft decoded the capture
+    twice). Mean inter-arrival is exact integer arithmetic
+    (duration div (n_timed-1) — the telescoping sum of sorted gaps),
+    and all ns arithmetic stays in BIGINT end to end (mm_ts ~1.7e18
+    exceeds double's 2^53 mantissa).
     Oracle: hand-computed from the golden-packet VALUES literal
     (main.rs:128-183 trailer semantics feed the mm_ts column)."""
     df = read_pcap(spark, _fixture_path())
     from pyspark.sql import Window
 
-    flows = df.groupBy(*_FLOW_KEYS).agg(
-        F.count(F.lit(1)).cast("long").alias("n_packets"),
-        F.sum("len").cast("long").alias("n_bytes"),
-        F.min("len").cast("long").alias("min_len"),
-        F.max("len").cast("long").alias("max_len"),
-        F.round(F.sum("len") * 1.0 / F.count(F.lit(1)), 4).alias("mean_len"),
-        F.count("mm_ts").cast("long").alias("n_timed"),
-        (F.max("mm_ts") - F.min("mm_ts")).cast("long").alias("duration_ns"),
-    )
-    w = Window.partitionBy(*_FLOW_KEYS).orderBy("mm_ts")
-    gaps = (
-        df.where(F.col("mm_ts").isNotNull())
-        .withColumn("gap", F.col("mm_ts") - F.lag("mm_ts").over(w))
-        .where(F.col("gap").isNotNull())
+    w = Window.partitionBy(*_FLOW_KEYS).orderBy(F.col("mm_ts").asc_nulls_first())
+    flows = (
+        df.withColumn("gap", F.col("mm_ts") - F.lag("mm_ts").over(w))
         .groupBy(*_FLOW_KEYS)
         .agg(
+            F.count(F.lit(1)).cast("long").alias("n_packets"),
+            F.sum("len").cast("long").alias("n_bytes"),
+            F.min("len").cast("long").alias("min_len"),
+            F.max("len").cast("long").alias("max_len"),
+            F.round(F.sum("len") * 1.0 / F.count(F.lit(1)), 4).alias("mean_len"),
+            F.count("mm_ts").cast("long").alias("n_timed"),
+            (F.max("mm_ts") - F.min("mm_ts")).cast("long").alias("duration_ns"),
             F.min("gap").cast("long").alias("min_iat_ns"),
             F.max("gap").cast("long").alias("max_iat_ns"),
         )
     )
-    return flows.join(gaps, _FLOW_KEYS, "left").select(
+    return flows.select(
         *_FLOW_KEYS,
         "n_packets",
         "n_bytes",

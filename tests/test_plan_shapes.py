@@ -714,15 +714,19 @@ def test_round12_shapes(spark):
     assert p.get("BroadcastHashJoin", 0) >= 2
     assert p.get("Window", 0) >= 3  # sessionize + 2 histogram cum/tot pairs
 
-    # pcap flow features: Arrow-batched decode (MapInPandas is the
-    # decode kernel, not a per-row UDF), ONE window shuffle keyed on
-    # the 5-tuple for inter-arrival gaps, no cartesian
+    # pcap flow features: ONE Arrow-batched decode (MapInPandas is the
+    # decode kernel, not a per-row UDF), ONE shuffle total — the lag
+    # window's 5-tuple exchange, which the flow aggregate reuses via
+    # the subset rule (a second decode or a join-back would double the
+    # scan at 100 TB)
     p = prof(spark, "q_pcap_flow_stats")
     assert p["single_partition"] == 0
     assert "CartesianProduct" not in p
     assert p.get("BatchEvalPython", 0) == 0
+    assert p.get("MapInPandas", 0) == 1  # decode runs once
     assert p.get("Window", 0) == 1
-    assert p.get("HashAggregate", 0) >= 4  # partial+final for flows and gaps
+    assert p["exchanges"] == 1
+    assert p.get("HashAggregate", 0) == 2  # partial+final on the window's keys
 
 
 def test_session_transitions_checkpoint_bounds_plan(spark):
