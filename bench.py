@@ -119,6 +119,7 @@ HEADLINE = [
     "q_pcap_flow_stats",    # per-flow timing/size features (r12 add)
     "q_session_transitions",  # session Markov/entropy census (r12 add)
     "q_stream_session_quality",  # closed-session census, ingest path (r12 add)
+    "q_fulfillment_latency",  # order-to-ship latency census (r12 add)
 ]
 
 # round-over-round reference (same box, sf0.1, local[32]):

@@ -528,3 +528,131 @@ def multi_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(b2, 4).alias("day_slope"),
         F.round(intercept, 4).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# shared exact-quantile kernel + fulfillment-latency census (round 12)
+
+
+def exact_grid_quantiles(
+    df: DataFrame, key: str, col: str, p50_name: str, p90_name: str
+) -> DataFrame:
+    """EXACT per-key p50/p90 of an integer-valued column, histogram
+    style: group to (key, value) counts first, run the cum/tot rank
+    windows over the histogram-sized frame (|keys| x |distinct
+    values|), never over the data-scale rows — the q_window_dist
+    lesson. All rank arithmetic is integer ((n+1) div 2 and
+    (9n+9) div 10 ceils), immune to percentile-interpolation
+    divergence between engines. Shared by q_session_quality's census
+    and q_fulfillment_latency."""
+    from pyspark.sql import Window
+
+    h = df.groupBy(key, col).agg(F.count(F.lit(1)).alias("cnt"))
+    c = h.withColumn(
+        "cum", F.sum("cnt").over(Window.partitionBy(key).orderBy(col))
+    ).withColumn("tot", F.sum("cnt").over(Window.partitionBy(key)))
+    return c.groupBy(key).agg(
+        F.min(F.when(F.expr("cum >= (tot + 1) div 2"), F.col(col)))
+        .cast("long")
+        .alias(p50_name),
+        F.min(F.when(F.expr("cum >= (9 * tot + 9) div 10"), F.col(col)))
+        .cast("long")
+        .alias(p90_name),
+    )
+
+
+_SLA_DAYS = 90
+
+FULFILLMENT_ORACLE = f"""
+WITH j AS (
+    SELECT o.o_orderpriority AS priority,
+           CAST(datediff('day', CAST(o.o_orderdate AS DATE),
+                         CAST(l.l_shipdate AS DATE)) AS BIGINT) AS lat_days
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+base AS (
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CASE WHEN lat_days > {_SLA_DAYS} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_late,
+           ROUND(SUM(lat_days) * 1.0 / COUNT(*), 6) AS mean_latency_days,
+           CAST(MIN(lat_days) AS BIGINT) AS min_latency_days,
+           CAST(MAX(lat_days) AS BIGINT) AS max_latency_days
+    FROM j GROUP BY priority
+),
+h AS (SELECT priority, lat_days, COUNT(*) AS cnt FROM j GROUP BY priority, lat_days),
+c AS (SELECT priority, lat_days,
+             SUM(cnt) OVER (PARTITION BY priority ORDER BY lat_days) AS cum,
+             SUM(cnt) OVER (PARTITION BY priority) AS tot
+      FROM h),
+p AS (SELECT priority,
+             CAST(MIN(CASE WHEN cum >= (tot + 1) // 2 THEN lat_days END) AS BIGINT)
+                 AS p50_latency_days,
+             CAST(MIN(CASE WHEN cum >= (9 * tot + 9) // 10 THEN lat_days END) AS BIGINT)
+                 AS p90_latency_days
+      FROM c GROUP BY priority)
+SELECT base.priority, n_items, n_late,
+       ROUND(n_late * 1.0 / n_items, 6) AS late_share,
+       mean_latency_days, min_latency_days, max_latency_days,
+       p50_latency_days, p90_latency_days
+FROM base JOIN p ON base.priority = p.priority
+"""
+
+
+@query("q_fulfillment_latency", FULFILLMENT_ORACLE)
+def fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship FULFILLMENT LATENCY census per order priority —
+    the supply-chain decision table behind TPC-H Q12's late-lineitem
+    count: per priority class, item counts, the share shipping past a
+    {sla}-day SLA, and the full latency distribution (mean/min/max +
+    EXACT p50/p90 days via the shared histogram-quantile kernel).
+    [engine — not in reference]
+
+    Scale design: lineitem ⋈ orders is THE canonical big-big equi-join
+    — both sides corpus-scale, so it is deliberately UNHINTED (AQE
+    broadcasts orders at bench scale; at 100 TB both sides shuffle on
+    orderkey, and a lake bucketed on orderkey makes it co-located and
+    shuffle-free). Only (orderkey, orderdate, priority) and
+    (orderkey, shipdate) survive column pruning into the join. The
+    census is one partial+final aggregate per branch and the quantile
+    windows run over the (priority, day) histogram (|priorities| x
+    |distinct latencies| rows), never the join output — the
+    exact_grid_quantiles discipline shared with q_session_quality.
+    Latency is integer days end to end (both engines diff calendar
+    DATEs); day-level means are exact-integer sums divided once."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+        .cast("long")
+        .alias("lat_days"),
+    )
+    base = j.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(F.when(F.col("lat_days") > _SLA_DAYS, 1).otherwise(0))
+        .cast("long")
+        .alias("n_late"),
+        F.round(F.sum("lat_days") * 1.0 / F.count(F.lit(1)), 6).alias(
+            "mean_latency_days"
+        ),
+        F.min("lat_days").cast("long").alias("min_latency_days"),
+        F.max("lat_days").cast("long").alias("max_latency_days"),
+    )
+    q = exact_grid_quantiles(j, "priority", "lat_days", "p50_latency_days", "p90_latency_days")
+    return base.join(q, "priority").select(
+        "priority",
+        "n_items",
+        "n_late",
+        F.round(F.col("n_late") * 1.0 / F.col("n_items"), 6).alias("late_share"),
+        "mean_latency_days",
+        "min_latency_days",
+        "max_latency_days",
+        "p50_latency_days",
+        "p90_latency_days",
+    )
+
+
+fulfillment_latency.__doc__ = fulfillment_latency.__doc__.format(sla=_SLA_DAYS)

@@ -269,24 +269,15 @@ def quality_census(per: DataFrame) -> DataFrame:
         F.sum("dwell_s").cast("long").alias("sum_dwell"),
     )
 
-    def grid_quantiles(col: str, p50: str, p90: str) -> DataFrame:
-        # exact quantiles off a histogram: cum/tot windows run over the
-        # (entry_type, value) count frame, not the session frame
-        h = per.groupBy("entry_type", col).agg(F.count(F.lit(1)).alias("cnt"))
-        c = h.withColumn(
-            "cum", F.sum("cnt").over(Window.partitionBy("entry_type").orderBy(col))
-        ).withColumn("tot", F.sum("cnt").over(Window.partitionBy("entry_type")))
-        return c.groupBy("entry_type").agg(
-            F.min(F.when(F.expr("cum >= (tot + 1) div 2"), F.col(col)))
-            .cast("long")
-            .alias(p50),
-            F.min(F.when(F.expr("cum >= (9 * tot + 9) div 10"), F.col(col)))
-            .cast("long")
-            .alias(p90),
-        )
+    # exact quantiles off a histogram: the shared kernel runs the
+    # cum/tot windows over the (entry_type, value) count frame, not
+    # the session frame
+    from pcap_to_parquet_spark.operators.aggregates import exact_grid_quantiles
 
-    qd = grid_quantiles("depth", "p50_depth", "p90_depth")
-    qw = grid_quantiles("dwell_s", "p50_dwell_s", "p90_dwell_s")
+    qd = exact_grid_quantiles(per, "entry_type", "depth", "p50_depth", "p90_depth")
+    qw = exact_grid_quantiles(
+        per, "entry_type", "dwell_s", "p50_dwell_s", "p90_dwell_s"
+    )
     return (
         base.join(qd, "entry_type")
         .join(qw, "entry_type")

@@ -216,6 +216,7 @@ EMPTY_SAFE = [
     # round 12
     "q_session_quality",
     "q_session_transitions",
+    "q_fulfillment_latency",
 ]
 
 # global aggregates return one constant row on empty input (their

