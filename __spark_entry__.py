@@ -118,6 +118,7 @@ _GATE_FRONT = [
     "q_session_transitions",
     "q_stream_session_quality",
     "q_fulfillment_latency",
+    "q_repeat_cadence",
     # round-8 window remainder (rows r8)
     "q_sql_promo_share",
     "q_sql_product_profit",

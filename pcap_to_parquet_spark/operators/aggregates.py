@@ -656,3 +656,149 @@ def fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 fulfillment_latency.__doc__ = fulfillment_latency.__doc__.format(sla=_SLA_DAYS)
+
+
+# ---------------------------------------------------------------------------
+# customer repeat-order cadence census (round 12)
+
+REPEAT_CADENCE_ORACLE = """
+WITH g AS (
+    SELECT o_custkey,
+           CAST(datediff('day',
+                CAST(LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate, o_orderkey) AS DATE),
+                CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days
+    FROM orders
+),
+cust AS (
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_custkey
+),
+dim AS (
+    SELECT c.c_custkey, n.n_name AS nation
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+cb AS (
+    SELECT dim.nation,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN cust.n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_repeat
+    FROM cust JOIN dim ON cust.o_custkey = dim.c_custkey
+    GROUP BY dim.nation
+),
+jg AS (
+    SELECT dim.nation, g.gap_days
+    FROM g JOIN dim ON g.o_custkey = dim.c_custkey
+    WHERE g.gap_days IS NOT NULL
+),
+base AS (
+    SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           ROUND(SUM(gap_days) * 1.0 / COUNT(*), 6) AS mean_gap_days,
+           CAST(MIN(gap_days) AS BIGINT) AS min_gap_days,
+           CAST(MAX(gap_days) AS BIGINT) AS max_gap_days
+    FROM jg GROUP BY nation
+),
+h AS (SELECT nation, gap_days, COUNT(*) AS cnt FROM jg GROUP BY nation, gap_days),
+c AS (SELECT nation, gap_days,
+             SUM(cnt) OVER (PARTITION BY nation ORDER BY gap_days) AS cum,
+             SUM(cnt) OVER (PARTITION BY nation) AS tot
+      FROM h),
+p AS (SELECT nation,
+             CAST(MIN(CASE WHEN cum >= (tot + 1) // 2 THEN gap_days END) AS BIGINT)
+                 AS p50_gap_days,
+             CAST(MIN(CASE WHEN cum >= (9 * tot + 9) // 10 THEN gap_days END) AS BIGINT)
+                 AS p90_gap_days
+      FROM c GROUP BY nation)
+SELECT cb.nation, n_customers, n_repeat,
+       ROUND(n_repeat * 1.0 / n_customers, 6) AS repeat_rate,
+       CAST(COALESCE(base.n_gaps, 0) AS BIGINT) AS n_gaps,
+       base.mean_gap_days, base.min_gap_days, base.max_gap_days,
+       p.p50_gap_days, p.p90_gap_days
+FROM cb LEFT JOIN base ON cb.nation = base.nation
+        LEFT JOIN p ON cb.nation = p.nation
+"""
+
+
+@query("q_repeat_cadence", REPEAT_CADENCE_ORACLE)
+def repeat_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer REPEAT-ORDER CADENCE census per nation — the retention
+    decision table behind reorder forecasting and churn windows: per
+    nation, ordering customers, the share who ever reorder, and the
+    full inter-order gap distribution (mean/min/max + EXACT p50/p90
+    days between consecutive orders from the same customer). A nation
+    whose p90 cadence is 400 days needs a 400-day attribution window
+    before anyone is labeled churned. [engine — not in reference]
+
+    Scale design: the self-history lag window shuffles orders ONCE on
+    o_custkey, and the per-customer order count groups on the same key
+    (subset rule — no second exchange); nation is a true bounded dim
+    (broadcast-hinted), while the customer dimension join is keyed and
+    UNHINTED (corpus-scale at 100 TB; AQE broadcasts at bench scale).
+    The census is |nations|-bounded and the gap quantiles ride the
+    shared exact_grid_quantiles histogram kernel, never a data-scale
+    rank window. Nations with no repeat customer keep NULL gap
+    features (n_gaps coalesced to 0) — a LEFT-join census, nothing
+    silently vanishes. Gap arithmetic is integer calendar days end to
+    end."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = o.withColumn(
+        "gap_days",
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lag("o_orderdate").over(w))
+        ).cast("long"),
+    )
+    cust = g.groupBy("o_custkey").agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "nation")
+    )
+    cb = (
+        cust.join(dim, cust.o_custkey == dim.c_custkey)
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_repeat"),
+        )
+    )
+    jg = (
+        g.where(F.col("gap_days").isNotNull())
+        .join(dim, g.o_custkey == dim.c_custkey)
+        .select("nation", "gap_days")
+    )
+    base = jg.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.round(F.sum("gap_days") * 1.0 / F.count(F.lit(1)), 6).alias("mean_gap_days"),
+        F.min("gap_days").cast("long").alias("min_gap_days"),
+        F.max("gap_days").cast("long").alias("max_gap_days"),
+    )
+    q = exact_grid_quantiles(jg, "nation", "gap_days", "p50_gap_days", "p90_gap_days")
+    return (
+        cb.join(base, "nation", "left")
+        .join(q, "nation", "left")
+        .select(
+            "nation",
+            "n_customers",
+            "n_repeat",
+            F.round(F.col("n_repeat") * 1.0 / F.col("n_customers"), 6).alias(
+                "repeat_rate"
+            ),
+            F.coalesce(F.col("n_gaps"), F.lit(0)).cast("long").alias("n_gaps"),
+            "mean_gap_days",
+            "min_gap_days",
+            "max_gap_days",
+            "p50_gap_days",
+            "p90_gap_days",
+        )
+    )

@@ -217,6 +217,7 @@ EMPTY_SAFE = [
     "q_session_quality",
     "q_session_transitions",
     "q_fulfillment_latency",
+    "q_repeat_cadence",
 ]
 
 # global aggregates return one constant row on empty input (their

@@ -754,3 +754,14 @@ def test_fulfillment_latency_shapes(spark):
     assert p.get("BatchEvalPython", 0) == 0
     assert p["pushed_filters"] >= 1
     assert p["exchanges"] <= 5  # exchange reuse across the two branches
+
+
+def test_repeat_cadence_shapes(spark):
+    """Orders shuffle ONCE on o_custkey (lag window + per-customer
+    count share it via the subset rule); nation broadcasts (true
+    bounded dim); the customer join is unhinted. Pin the invariants."""
+    p = prof(spark, "q_repeat_cadence")
+    assert p["single_partition"] == 0
+    assert "CartesianProduct" not in p
+    assert p.get("BatchEvalPython", 0) == 0
+    assert p.get("BroadcastHashJoin", 0) >= 1  # nation dim at minimum

@@ -375,3 +375,88 @@ def test_fulfillment_latency_counts_every_lineitem(spark):
         assert r.min_latency_days <= r.p50_latency_days <= r.p90_latency_days
         assert r.p90_latency_days <= r.max_latency_days
         assert 0.0 <= r.late_share <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# q_repeat_cadence
+
+
+def _cadence_lake(spark, path, orders, customers):
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(path / "orders.parquet"))
+    spark.createDataFrame(
+        customers,
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double, "
+        "c_mktsegment string",
+    ).write.mode("overwrite").parquet(str(path / "customer.parquet"))
+    spark.createDataFrame(
+        [(0, "ALPHA", 0), (1, "BETA", 0)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    ).write.mode("overwrite").parquet(str(path / "nation.parquet"))
+    return str(path)
+
+
+def test_repeat_cadence_hand_traced(spark, tmp_path):
+    """ALPHA: cust 1 orders on days 0/10/40 (gaps 10, 30), cust 2 one
+    order (no repeat). BETA: cust 3 orders on day 0 twice (gap 0 — a
+    same-day reorder, not dropped). Every census column hand-checked."""
+    t = datetime(2026, 1, 1)
+    orders = [
+        (1, 1, "O", 1.0, t, "1-URGENT"),
+        (2, 1, "O", 1.0, t + timedelta(days=10), "1-URGENT"),
+        (3, 1, "O", 1.0, t + timedelta(days=40), "1-URGENT"),
+        (4, 2, "O", 1.0, t, "1-URGENT"),
+        (5, 3, "O", 1.0, t, "1-URGENT"),
+        (6, 3, "O", 1.0, t, "1-URGENT"),
+    ]
+    customers = [
+        (1, "a", 0, 0.0, "BUILDING"),
+        (2, "b", 0, 0.0, "BUILDING"),
+        (3, "c", 1, 0.0, "BUILDING"),
+    ]
+    d = _cadence_lake(spark, tmp_path, orders, customers)
+    out = {r.nation: r for r in QUERIES["q_repeat_cadence"](spark, d).collect()}
+    a = out["ALPHA"]
+    assert (a.n_customers, a.n_repeat, a.repeat_rate) == (2, 1, 0.5)
+    assert (a.n_gaps, a.mean_gap_days) == (2, 20.0)
+    assert (a.min_gap_days, a.max_gap_days) == (10, 30)
+    # gaps {10, 30}: p50 rank ceil(1) -> 10; p90 rank ceil(1.8) -> 30
+    assert (a.p50_gap_days, a.p90_gap_days) == (10, 30)
+    b = out["BETA"]
+    assert (b.n_customers, b.n_repeat, b.repeat_rate) == (1, 1, 1.0)
+    assert (b.n_gaps, b.min_gap_days, b.max_gap_days) == (1, 0, 0)
+
+
+def test_repeat_cadence_no_repeat_nation_keeps_nulls(spark, tmp_path):
+    """A nation whose only customer never reorders still appears in the
+    census: n_gaps 0 and NULL gap features — the LEFT-join contract."""
+    t = datetime(2026, 1, 1)
+    orders = [(1, 1, "O", 1.0, t, "1-URGENT")]
+    customers = [(1, "a", 1, 0.0, "BUILDING")]
+    d = _cadence_lake(spark, tmp_path, orders, customers)
+    out = QUERIES["q_repeat_cadence"](spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.nation, r.n_customers, r.n_repeat, r.repeat_rate) == ("BETA", 1, 0, 0.0)
+    assert r.n_gaps == 0
+    assert r.mean_gap_days is None and r.p90_gap_days is None
+
+
+def test_repeat_cadence_conservation(spark):
+    """On real testdata: customers re-sum to the distinct ordering
+    customers, and gaps re-sum to orders minus customers (each
+    customer's first order emits no gap)."""
+    from pcap_to_parquet_spark.sources import load_table
+
+    out = QUERIES["q_repeat_cadence"](spark, SF0001).collect()
+    o = load_table(spark, SF0001, "orders")
+    n_orders = o.count()
+    n_cust = o.select("o_custkey").distinct().count()
+    assert sum(r.n_customers for r in out) == n_cust
+    assert sum(r.n_gaps for r in out) == n_orders - n_cust
+    for r in out:
+        if r.n_gaps:
+            assert r.min_gap_days <= r.p50_gap_days <= r.p90_gap_days <= r.max_gap_days
