@@ -995,10 +995,14 @@ def triangle_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("d"))
         )
 
+    # the hub set grows with the graph (every node whose degree tops
+    # the cap), so the anti-joins are UNHINTED — AQE broadcasts while
+    # the set fits, falls back to a keyed shuffle when it doesn't
+    # (the round-12 de-hint discipline)
     hubs = degrees(pairs).filter(F.col("d") > _TRI_DEG_CAP).select("node")
     kept = (
-        pairs.join(F.broadcast(hubs.withColumnRenamed("node", "u")), "u", "left_anti")
-        .join(F.broadcast(hubs.withColumnRenamed("node", "v")), "v", "left_anti")
+        pairs.join(hubs.withColumnRenamed("node", "u"), "u", "left_anti")
+        .join(hubs.withColumnRenamed("node", "v"), "v", "left_anti")
         .select("u", "v")
     )
     kdeg = degrees(kept)

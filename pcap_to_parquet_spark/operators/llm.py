@@ -423,14 +423,18 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     # hot-shingle guard: drop shingles in > SHINGLE_DF_CAP docs before
-    # the self-join (the hot set is tiny → broadcast anti-join)
+    # the self-join. The hot set and the per-doc count table both GROW
+    # with the corpus (distinct-shingle- and document-sized), so
+    # neither is force-broadcast — AQE picks broadcast while they fit
+    # (the round-12 de-hint discipline; at 100 TB these joins are
+    # keyed shuffles and must be)
     hot = (
         sh_all.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > SHINGLE_DF_CAP)
         .select("sh")
     )
-    sh = sh_all.join(F.broadcast(hot), "sh", "left_anti")
+    sh = sh_all.join(hot, "sh", "left_anti")
     n = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         sh.alias("a")
@@ -439,8 +443,8 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     jac = (
-        inter.join(F.broadcast(n.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a")), "doc_a")
-        .join(F.broadcast(n.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b")), "doc_b")
+        inter.join(n.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
+        .join(n.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -2173,8 +2177,9 @@ def ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     symmetric misses subset plagiarism and template expansion.
 
     Same scale discipline as q_ngram_jaccard: inverted-index self-join
-    on shingles generates only candidate pairs, a broadcast hot-shingle
-    anti-join caps document frequency first, and the pair is DIRECTED
+    on shingles generates only candidate pairs, a hot-shingle anti-join
+    caps document frequency first (unhinted — the hot set grows with
+    the corpus, AQE broadcasts while it fits), and the pair is DIRECTED
     (both (a,b) and (b,a) emit when both clear the threshold — the
     relation is not symmetric)."""
     d = load_table(spark, sf_dir, "documents")
@@ -2191,7 +2196,9 @@ def ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") > SHINGLE_DF_CAP)
         .select("sh")
     )
-    sh = sh_all.join(F.broadcast(hot), "sh", "left_anti")
+    # hot set and per-doc counts grow with the corpus — unhinted, like
+    # q_ngram_jaccard (the round-12 de-hint discipline)
+    sh = sh_all.join(hot, "sh", "left_anti")
     n = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         sh.alias("a")
@@ -2207,7 +2214,7 @@ def ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         inter.join(
-            F.broadcast(n.withColumnRenamed("doc_id", "contained_doc").withColumnRenamed("n", "n_a")),
+            n.withColumnRenamed("doc_id", "contained_doc").withColumnRenamed("n", "n_a"),
             "contained_doc",
         )
         .select(

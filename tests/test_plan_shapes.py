@@ -517,11 +517,13 @@ def test_round4b_op_shapes(spark):
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
 
-    # degree-capped triangles: hub removal is a broadcast anti join
-    # (the hub list is tiny by construction)
+    # degree-capped triangles: hub removal is UNHINTED (the hub set
+    # grows with the graph — AQE broadcasts at test scale, shuffles at
+    # 100 TB); pin the invariants, not the join strategy
     p = prof(spark, "q_triangle_cap")
-    assert p.get("BroadcastHashJoin", 0) >= 2  # two anti probes at least
+    assert p.get("anti_joins", 0) >= 2 or p.get("BroadcastHashJoin", 0) >= 2
     assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
 
     # kNN join: ONE grouped pandas operator on the blocking key — the
     # quadratic work happens inside blocks, never as a plan-level
