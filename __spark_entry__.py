@@ -55,8 +55,11 @@ SF0001_DIR = "/root/testdata/sf0.001"
 # entries (q_session_quality..q_repeat_cadence) 6/6 PASS after the
 # last op landed — every registered query value-verified locally this
 # round; full-registry dtype audit: 0 skews; suite 921/921 (final
-# run). Each new entry also passed sf0.001 + sf0.01 oracle checks and
-# the dtype audit the day it landed.
+# run, post-de-hints). Each new entry also passed sf0.001 + sf0.01
+# oracle checks and the dtype audit the day it landed; the three ops
+# de-hinted in the broadcast self-audit (q_ngram_jaccard,
+# q_ngram_containment, q_triangle_cap) re-passed sf0.01 after the
+# change.
 #
 _GATE_FRONT = [
     # ---- ROUND 12 WINDOW (positions 0-49) ----
