@@ -125,6 +125,7 @@ _GATE_FRONT = [
     "q_stream_session_quality",
     "q_fulfillment_latency",
     "q_repeat_cadence",
+    "q_skew_planner",
     # round-8 window remainder (rows r8)
     "q_sql_promo_share",
     "q_sql_product_profit",

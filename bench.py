@@ -121,6 +121,7 @@ HEADLINE = [
     "q_stream_session_quality",  # closed-session census, ingest path (r12 add)
     "q_fulfillment_latency",  # order-to-ship latency census (r12 add)
     "q_repeat_cadence",     # per-nation reorder-gap census (r12 add)
+    "q_skew_planner",       # join-key skew census (r12 add)
 ]
 
 # round-over-round reference (same box, sf0.1, local[32]):

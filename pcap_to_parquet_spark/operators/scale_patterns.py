@@ -769,3 +769,124 @@ def dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# join-key skew planner (round 12)
+
+# the join/aggregation keys this engine's own operators shuffle on —
+# the keys whose skew decides whether q_salted_join's technique (or
+# AQE's skew split) is needed at 100 TB
+_SKEW_KEYS = [
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"),
+    ("events", "event_type"),
+    ("documents", "lang"),
+]
+_SKEW_HOT_FACTOR = 10  # a key is "hot" when its row count tops 10x the mean
+
+
+def _skew_branch_sql(table: str, key: str) -> str:
+    return f"""(
+WITH k AS (SELECT {key} AS k, COUNT(*) AS cnt FROM {table} GROUP BY {key}),
+t AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(COALESCE(MAX(cnt), 0) AS BIGINT) AS max_cnt
+      FROM k),
+h AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hot,
+             CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS hot_rows
+      FROM k, t WHERE cnt * n_keys > {_SKEW_HOT_FACTOR} * n_rows)
+SELECT '{table}' AS table_name, '{key}' AS key_name, t.n_rows, t.n_keys,
+       CASE WHEN t.n_keys > 0 THEN ROUND(t.n_rows * 1.0 / t.n_keys, 6) END
+           AS avg_rows_per_key,
+       t.max_cnt AS max_rows_per_key,
+       CASE WHEN t.n_rows > 0 THEN ROUND(t.max_cnt * 1.0 / t.n_rows, 6) END
+           AS max_key_share,
+       h.n_hot AS n_hot_keys,
+       CASE WHEN t.n_rows > 0 THEN ROUND(h.hot_rows * 1.0 / t.n_rows, 6) END
+           AS hot_share
+FROM t, h
+)"""
+
+
+SKEW_PLANNER_ORACLE = "\nUNION ALL\n".join(
+    _skew_branch_sql(t, k) for t, k in _SKEW_KEYS
+)
+
+
+@query("q_skew_planner", SKEW_PLANNER_ORACLE)
+def skew_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key SKEW PLANNER — the table read before committing a
+    shuffle strategy at 100 TB: for every key this engine's operators
+    shuffle on, the key-count census (rows, distinct keys, mean and
+    max rows per key), the single-hottest-key share, and the hot-key
+    mass (keys holding > {factor}x the mean; the rows they carry).
+    A key whose hot_share is material needs q_salted_join's salting
+    (or AQE skew-split) BEFORE the job runs — this op makes that a
+    measured lookup instead of a post-mortem. event_type and lang are
+    included as designed-skew controls (tiny key spaces where every
+    key is 'hot' by the factor test on a uniform-ish table — the
+    planner's answer there is 'broadcast or pre-aggregate, don't
+    salt'). [engine — not in reference]
+
+    Scale design: one partial+final COUNT per (table, key) — the same
+    aggregate every q_hash_agg-style plan already pays, so the census
+    costs what one extra aggregation pass costs; the per-key count
+    frames reduce to 1-row stats immediately (no key list is ever
+    collected or broadcast), and the hot test is EXACT INTEGER
+    arithmetic (cnt * n_keys > {factor} * n_rows — no float mean, no
+    rounding boundary). Branches union 7 one-row frames."""
+    from pcap_to_parquet_spark.sources import load_table
+
+    outs = []
+    for table, key in _SKEW_KEYS:
+        k = (
+            load_table(spark, sf_dir, table)
+            .groupBy(F.col(key).alias("k"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        t = k.agg(
+            F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.coalesce(F.max("cnt"), F.lit(0)).cast("long").alias("max_cnt"),
+        )
+        h = (
+            k.crossJoin(F.broadcast(t))
+            .where(F.col("cnt") * F.col("n_keys") > _SKEW_HOT_FACTOR * F.col("n_rows"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_hot"),
+                F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("hot_rows"),
+            )
+        )
+        outs.append(
+            t.crossJoin(F.broadcast(h)).select(
+                F.lit(table).alias("table_name"),
+                F.lit(key).alias("key_name"),
+                "n_rows",
+                "n_keys",
+                F.when(
+                    F.col("n_keys") > 0,
+                    F.round(F.col("n_rows") * 1.0 / F.col("n_keys"), 6),
+                ).alias("avg_rows_per_key"),
+                F.col("max_cnt").alias("max_rows_per_key"),
+                F.when(
+                    F.col("n_rows") > 0,
+                    F.round(F.col("max_cnt") * 1.0 / F.col("n_rows"), 6),
+                ).alias("max_key_share"),
+                F.col("n_hot").alias("n_hot_keys"),
+                F.when(
+                    F.col("n_rows") > 0,
+                    F.round(F.col("hot_rows") * 1.0 / F.col("n_rows"), 6),
+                ).alias("hot_share"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res
+
+
+skew_planner.__doc__ = skew_planner.__doc__.format(factor=_SKEW_HOT_FACTOR)

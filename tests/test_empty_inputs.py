@@ -276,6 +276,8 @@ CONSTANT_ON_EMPTY = {
     "q_filter_dedup_overlap": 1,  # ordering census row: zero counts, NULL ratio
     "q_context_fit": 5,  # window grid rows: zero counts, NULL shares
     "q_minhash_perm_sensitivity": 4,  # budget grid rows: zero count, NULL errs
+    # round 12
+    "q_skew_planner": 7,  # one row per audited (table, key), zero counts
 }
 
 

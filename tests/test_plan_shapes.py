@@ -767,3 +767,17 @@ def test_repeat_cadence_shapes(spark):
     assert "CartesianProduct" not in p
     assert p.get("BatchEvalPython", 0) == 0
     assert p.get("BroadcastHashJoin", 0) >= 1  # nation dim at minimum
+
+
+def test_skew_planner_shapes(spark):
+    """Seven partial+final key-count aggregates reducing to 1-row
+    stats: no key list is ever collected or broadcast as data (the
+    1-row stat frames are the only broadcasts), no Python. The
+    SinglePartition exchanges are exclusively the global 1-row stat
+    reductions (t/h/final per branch — group-count input, one output
+    row, the q_balanced_sample scalar pattern), never a data-scale
+    sort: bounded at 3 per audited key."""
+    p = prof(spark, "q_skew_planner")
+    assert p["single_partition"] <= 3 * 7
+    assert p.get("BatchEvalPython", 0) == 0
+    assert p.get("HashAggregate", 0) >= 14  # partial+final per (table, key)
