@@ -66,7 +66,11 @@ SF0001_DIR = "/root/testdata/sf0.001"
 # pre-q_skew_planner) is the quietest overall and the one the
 # vs-r11 common-75 comparison (129.7 -> 137.7 s) was computed from;
 # host noise drifted upward across the session (within the recorded
-# variance band).
+# variance band). Closing insurance: the ROUND-12 WINDOW (positions
+# 0-49) re-verified 50/50 at sf0.01 on the FINAL round-12 code, and
+# the staged ROUND-13 WINDOW (positions 50-99: the 7 new round-12
+# ops + r8 remainder + r9 head) pre-rehearsed 50/50 at sf0.01 —
+# round 13 starts with its window already green.
 #
 _GATE_FRONT = [
     # ---- ROUND 12 WINDOW (positions 0-49) ----
