@@ -513,3 +513,26 @@ def test_skew_planner_conservation(spark):
         assert r.max_rows_per_key <= r.n_rows
         assert 0.0 <= r.hot_share <= 1.0
         assert r.n_hot_keys <= r.n_keys
+
+
+# ---------------------------------------------------------------------------
+# round-12 ADVICE hardening pins
+
+
+def test_lsh_planner_sum_is_partition_order_insensitive(spark):
+    """exp_candidates is floor-quantized to an 8dp integer grid before
+    the SUM (round-12 ADVICE fix), so the reduction is exact integer
+    arithmetic: changing the shuffle partitioning must reproduce every
+    value bit-for-bit. A raw double SUM would drift in the last ulp
+    with accumulation order and could flip the 4dp rounding."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    base = {r.rows_per_band: r.exp_candidates
+            for r in QUERIES["q_lsh_planner"](spark, SF0001).collect()}
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        alt = {r.rows_per_band: r.exp_candidates
+               for r in QUERIES["q_lsh_planner"](spark, SF0001).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert base == alt
+    assert len(base) == 5
