@@ -54,8 +54,8 @@ SF0001_DIR = "/root/testdata/sf0.001"
 # then a consolidated final sweep of ALL SIX "new in round 12"
 # entries (q_session_quality..q_repeat_cadence) 6/6 PASS after the
 # last op landed — every registered query value-verified locally this
-# round; full-registry dtype audit: 0 skews; suite 926/926 (final
-# run, post-everything). A second consolidated sweep after the last
+# round; full-registry dtype audit: 0 skews; suite 927/927 (final
+# run, post-everything incl. the order-insensitivity pin). A second consolidated sweep after the last
 # two ops (q_repeat_cadence, q_skew_planner) and the broadcast
 # self-audit re-verified 10/10 at sf0.01: all SEVEN "new in round 12"
 # entries plus the three de-hinted ops (q_ngram_jaccard,
