@@ -166,11 +166,11 @@ _FLOW_KEYS_SQL = ", ".join(_FLOW_KEYS)
 
 PCAP_FLOW_STATS_ORACLE = f"""
 WITH g AS ({GOLDEN_PACKETS_ORACLE}),
-iat AS (
-    SELECT {_FLOW_KEYS_SQL},
+wg AS (
+    SELECT {_FLOW_KEYS_SQL}, len, mm_ts,
            mm_ts - LAG(mm_ts) OVER (PARTITION BY {_FLOW_KEYS_SQL}
-                                    ORDER BY mm_ts) AS gap
-    FROM g WHERE mm_ts IS NOT NULL
+                                    ORDER BY mm_ts ASC NULLS FIRST) AS gap
+    FROM g
 ),
 flows AS (
     SELECT {_FLOW_KEYS_SQL},
@@ -180,23 +180,17 @@ flows AS (
            CAST(MAX(len) AS BIGINT) AS max_len,
            ROUND(SUM(len) * 1.0 / COUNT(*), 4) AS mean_len,
            CAST(COUNT(mm_ts) AS BIGINT) AS n_timed,
-           CAST(MAX(mm_ts) - MIN(mm_ts) AS BIGINT) AS duration_ns
-    FROM g GROUP BY {_FLOW_KEYS_SQL}
-),
-gaps AS (
-    SELECT {_FLOW_KEYS_SQL},
+           CAST(MAX(mm_ts) - MIN(mm_ts) AS BIGINT) AS duration_ns,
            CAST(MIN(gap) AS BIGINT) AS min_iat_ns,
            CAST(MAX(gap) AS BIGINT) AS max_iat_ns
-    FROM iat WHERE gap IS NOT NULL
-    GROUP BY {_FLOW_KEYS_SQL}
+    FROM wg GROUP BY {_FLOW_KEYS_SQL}
 )
-SELECT {", ".join("f." + k for k in _FLOW_KEYS)},
+SELECT {_FLOW_KEYS_SQL},
        n_packets, n_bytes, min_len, max_len, mean_len, n_timed,
        duration_ns,
        CASE WHEN n_timed > 1 THEN duration_ns // (n_timed - 1) END AS mean_iat_ns,
-       g2.min_iat_ns, g2.max_iat_ns
-FROM flows f LEFT JOIN gaps g2
-  ON {" AND ".join(f"f.{k} = g2.{k}" for k in _FLOW_KEYS)}
+       min_iat_ns, max_iat_ns
+FROM flows
 """
 
 
@@ -224,7 +218,13 @@ def pcap_flow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     and all ns arithmetic stays in BIGINT end to end (mm_ts ~1.7e18
     exceeds double's 2^53 mantissa).
     Oracle: hand-computed from the golden-packet VALUES literal
-    (main.rs:128-183 trailer semantics feed the mm_ts column)."""
+    (main.rs:128-183 trailer semantics feed the mm_ts column). The
+    oracle computes the iat gaps in the SAME null-safe GROUP BY as
+    this implementation (window partitions group NULL keys together
+    in both engines) — no 5-tuple equality join, so the NULL-tuple
+    catch-all flow receives identical iat features on both sides
+    even if an undecodable frame ever carries a Metamako stamp
+    (round-13 ADVICE fix; previously a NULL-hostile LEFT JOIN)."""
     df = read_pcap(spark, _fixture_path())
     from pyspark.sql import Window
 

@@ -798,7 +798,8 @@ t AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_rows,
       FROM k),
 h AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hot,
              CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS hot_rows
-      FROM k, t WHERE cnt * n_keys > {_SKEW_HOT_FACTOR} * n_rows)
+      FROM k, t
+      WHERE n_keys > 0 AND cnt > ({_SKEW_HOT_FACTOR} * n_rows) // n_keys)
 SELECT '{table}' AS table_name, '{key}' AS key_name, t.n_rows, t.n_keys,
        CASE WHEN t.n_keys > 0 THEN ROUND(t.n_rows * 1.0 / t.n_keys, 6) END
            AS avg_rows_per_key,
@@ -837,8 +838,13 @@ def skew_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs what one extra aggregation pass costs; the per-key count
     frames reduce to 1-row stats immediately (no key list is ever
     collected or broadcast), and the hot test is EXACT INTEGER
-    arithmetic (cnt * n_keys > {factor} * n_rows — no float mean, no
-    rounding boundary). Branches union 7 one-row frames."""
+    arithmetic: cnt > ({factor} * n_rows) div n_keys — equivalent to
+    cnt * n_keys > {factor} * n_rows for integer cnt but
+    OVERFLOW-SAFE at 100 TB ({factor} * n_rows stays ~1e15 << 2^63,
+    whereas the product form cnt * n_keys can exceed 2^63 on a hot
+    key against a high-cardinality census and silently wrap without
+    ANSI mode — round-13 ADVICE fix). No float mean, no rounding
+    boundary. Branches union 7 one-row frames."""
     from pcap_to_parquet_spark.sources import load_table
 
     outs = []
@@ -855,7 +861,13 @@ def skew_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         h = (
             k.crossJoin(F.broadcast(t))
-            .where(F.col("cnt") * F.col("n_keys") > _SKEW_HOT_FACTOR * F.col("n_rows"))
+            .where(
+                (F.col("n_keys") > 0)
+                & (
+                    F.col("cnt")
+                    > F.expr(f"({_SKEW_HOT_FACTOR} * n_rows) div n_keys")
+                )
+            )
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_hot"),
                 F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("hot_rows"),

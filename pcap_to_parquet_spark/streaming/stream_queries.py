@@ -22,6 +22,7 @@ from pyspark.sql.types import (
 )
 
 from pcap_to_parquet_spark.operators.behavior import HOLT_ORACLE as _HOLT_ORACLE
+from pcap_to_parquet_spark.operators.sessionize import GAP_SECONDS
 from pcap_to_parquet_spark.registry import query
 from pcap_to_parquet_spark.session import tune
 from pcap_to_parquet_spark.sources.tables import (
@@ -31,6 +32,14 @@ from pcap_to_parquet_spark.sources.tables import (
 )
 
 _sink_seq = itertools.count()
+
+# ONE shared session definition across batch and streaming: the gap is
+# sessionize.GAP_SECONDS (imported above) so a change there re-derives
+# every streaming twin's window AND its oracle; the lateness horizon
+# for the session twins is likewise named once here (round-13 ADVICE
+# fix — previously hardcoded 1800/600 literals could silently desync
+# the batch census from its streaming twin).
+SESSION_WATERMARK_SECONDS = 600
 
 
 def _events_stream_dir(sf_dir: str) -> str:
@@ -205,10 +214,10 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 # session windows (gap-based, merged in state)
 
 
-STREAM_SESSION_ORACLE = """
+STREAM_SESSION_ORACLE = f"""
 WITH flagged AS (
     SELECT user_id, ts, event_id, value,
-           CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) < 1800 * 1000000
+           CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) < {GAP_SECONDS} * 1000000
                 THEN 0 ELSE 1 END AS new_session
     FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
@@ -220,11 +229,12 @@ sessions AS (
 ),
 agg AS (
     SELECT user_id, epoch_us(MIN(ts)) AS session_start,
-           epoch_us(MAX(ts)) + 1800 * 1000000 AS session_end,
+           epoch_us(MAX(ts)) + {GAP_SECONDS} * 1000000 AS session_end,
            COUNT(*) AS n_events, ROUND(SUM(value), 4) AS session_value
     FROM sessions GROUP BY user_id, sid
 ),
-horizon AS (SELECT MAX(epoch_us(ts)) - 600 * 1000000 AS wm FROM events)
+horizon AS (SELECT MAX(epoch_us(ts)) - {SESSION_WATERMARK_SECONDS} * 1000000 AS wm
+            FROM events)
 SELECT user_id, session_start, n_events, session_value
 FROM agg, horizon
 WHERE session_end <= wm
@@ -244,8 +254,8 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     as q_stream_left_outer's oracle."""
     e = stream_events(spark, sf_dir)
     agg = (
-        e.withWatermark("ts", "10 minutes")
-        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        e.withWatermark("ts", f"{SESSION_WATERMARK_SECONDS} seconds")
+        .groupBy(F.session_window("ts", f"{GAP_SECONDS} seconds"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 4).alias("session_value"),
@@ -1320,9 +1330,9 @@ def _stream_session_quality_oracle() -> str:
     # stream has actually EMITTED are census input (the q_stream_session
     # two-regime technique), then the exact census SQL shared with the
     # batch op
-    sess_flat = """flagged AS (
+    sess_flat = f"""flagged AS (
     SELECT user_id, ts, event_id, event_type,
-           CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) < 1800 * 1000000
+           CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) < {GAP_SECONDS} * 1000000
                 THEN 0 ELSE 1 END AS new_session
     FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
@@ -1342,10 +1352,11 @@ sess_all AS (
     SELECT user_id, session_id, MIN(entry_type) AS entry_type,
            CAST(COUNT(*) AS BIGINT) AS depth,
            (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS dwell_s,
-           epoch_us(MAX(ts)) + 1800 * 1000000 AS session_end
+           epoch_us(MAX(ts)) + {GAP_SECONDS} * 1000000 AS session_end
     FROM entried GROUP BY user_id, session_id
 ),
-horizon AS (SELECT MAX(epoch_us(ts)) - 600 * 1000000 AS wm FROM events),
+horizon AS (SELECT MAX(epoch_us(ts)) - {SESSION_WATERMARK_SECONDS} * 1000000 AS wm
+            FROM events),
 sess_flat AS (
     SELECT entry_type, depth, dwell_s FROM sess_all, horizon
     WHERE session_end <= wm
@@ -1379,8 +1390,8 @@ def stream_session_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = stream_events(spark, sf_dir)
     per = (
-        e.withWatermark("ts", "10 minutes")
-        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        e.withWatermark("ts", f"{SESSION_WATERMARK_SECONDS} seconds")
+        .groupBy(F.session_window("ts", f"{GAP_SECONDS} seconds"), "user_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("depth"),
             (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
