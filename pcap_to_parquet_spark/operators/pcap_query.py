@@ -15,12 +15,24 @@ from pyspark.sql import functions as F
 
 from pcap_to_parquet_spark.registry import query
 from pcap_to_parquet_spark.sources.pcap import read_pcap
-from pcap_to_parquet_spark.sources.pcap_fixtures import golden_pcap_bytes
+from pcap_to_parquet_spark.sources.pcap_fixtures import (
+    golden_pcap_bytes,
+    v6_golden_pcap_bytes,
+)
 
 
 def _fixture_path() -> str:
     path = os.path.join(tempfile.gettempdir(), "pcap_to_parquet_spark_golden.pcap")
     data = golden_pcap_bytes()
+    if not (os.path.exists(path) and os.path.getsize(path) == len(data)):
+        with open(path, "wb") as f:
+            f.write(data)
+    return path
+
+
+def _v6_fixture_path() -> str:
+    path = os.path.join(tempfile.gettempdir(), "pcap_to_parquet_spark_golden_v6.pcap")
+    data = v6_golden_pcap_bytes()
     if not (os.path.exists(path) and os.path.getsize(path) == len(data)):
         with open(path, "wb") as f:
             f.write(data)
@@ -192,6 +204,69 @@ SELECT {_FLOW_KEYS_SQL},
        min_iat_ns, max_iat_ns
 FROM flows
 """
+
+
+# IPv6 golden-packet oracle (engine extension): the 9 v6-fixture
+# packets' decoded rows, hand-computed from the byte layout in
+# sources/pcap_fixtures.py::v6_fixture_packets. The reference NULLs
+# ethertype 0x86DD entirely (main.rs:239-251 dispatches only
+# 0x0800/0x8100); ipv6=True is the engine's opt-in extension —
+# canonical RFC 5952 addresses (note 2001:db8:0:0:1:0:0:1 renders
+# with the LEFTMOST-longest zero run: 2001:db8::1:0:0:1), next-header
+# names {TCP, UDP, ICMPv6}, extension chains not walked (v6_ext row:
+# addresses only), mm trailer orthogonal (v6_mm row), parity
+# null-on-short (v6_short row), v4 coexisting in the same capture.
+V6_GOLDEN_PACKETS_ORACLE = f"""
+SELECT {_PKT_COLS} FROM (VALUES
+    ('2001:db8::1', '2001:db8::2', CAST(70 AS BIGINT), 'UDP', CAST(1234 AS INTEGER), CAST(5678 AS INTEGER), CAST(NULL AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS SMALLINT)),
+    ('2001:db8:0:1::10', '2001:db8:0:1::20', CAST(74 AS BIGINT), 'TCP', CAST(443 AS INTEGER), CAST(8443 AS INTEGER), CAST(NULL AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS SMALLINT)),
+    ('fe80::1', 'ff02::1', CAST(58 AS BIGINT), 'ICMPv6', {_PKT_NULLS}),
+    ('2001:db8:ff::a', '2001:db8:ff::b', CAST(74 AS BIGINT), 'UDP', CAST(53 AS INTEGER), CAST(5353 AS INTEGER), CAST(NULL AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS SMALLINT)),
+    ('2001:db8::dead', '2001:db8::beef', CAST(62 AS BIGINT), CAST(NULL AS VARCHAR), {_PKT_NULLS}),
+    ('2001:db8::1:0:0:1', '::1', CAST(70 AS BIGINT), 'UDP', CAST(7 AS INTEGER), CAST(9 AS INTEGER), CAST(NULL AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS SMALLINT)),
+    ('2001:db8::1', '2001:db8::2', CAST(86 AS BIGINT), 'UDP', CAST(1234 AS INTEGER), CAST(5678 AS INTEGER), CAST(1699999998500000123 AS BIGINT), CAST(7 AS INTEGER), CAST(3 AS SMALLINT)),
+    (CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(30 AS BIGINT), CAST(NULL AS VARCHAR), {_PKT_NULLS}),
+    ('10.0.0.1', '10.0.0.2', CAST(50 AS BIGINT), 'UDP', CAST(1234 AS INTEGER), CAST(5678 AS INTEGER), CAST(NULL AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS SMALLINT))
+) AS t({_PKT_COLS})
+"""
+
+PCAP_V6_FLOWS_ORACLE = f"""
+SELECT src_ip, dst_ip, protocol, src_port, dst_port,
+       COUNT(*) AS n_packets,
+       CAST(SUM(len) AS BIGINT) AS n_bytes
+FROM ({V6_GOLDEN_PACKETS_ORACLE}) g
+GROUP BY src_ip, dst_ip, protocol, src_port, dst_port
+"""
+
+
+@query("q_pcap_v6_flows", PCAP_V6_FLOWS_ORACLE)
+def pcap_v6_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NetFlow rollup over a DUAL-STACK capture with the opt-in IPv6
+    decode (``read_pcap(..., ipv6=True)``) — the highest-value Part-A
+    extension left after round 12: a 2026 capture lake is
+    majority-IPv6 on day one, and the reference silently NULLs
+    ethertype 0x86DD (main.rs:239-251 dispatches only 0x0800/0x8100),
+    so every v6 packet lands in the catch-all flow. With ipv6=True
+    the same PACKET_SCHEMA carries canonical RFC 5952 text addresses,
+    next-header protocol names ({{TCP, UDP, ICMPv6}}; extension
+    chains not walked), and TCP/UDP ports at the fixed 40-byte
+    offset; v4 and v6 flows coexist in one table with one GROUP BY.
+    Default mode stays byte-identical reference parity — the flag is
+    per-read, so a lake can migrate capture-by-capture.
+
+    Scale: identical plan to q_pcap_flows (one decoded scan →
+    partial+final aggregate); the only added cost is the per-v6-row
+    address text formatting inside the Arrow decode kernel.
+    Oracle: hand-computed flow table of the 9-packet v6 golden
+    fixture (8 flows: the two 2001:db8::1→::2 UDP packets merge)."""
+    df = read_pcap(spark, _v6_fixture_path(), ipv6=True)
+    return (
+        df.groupBy("src_ip", "dst_ip", "protocol", "src_port", "dst_port")
+        .agg(
+            F.count(F.lit(1)).alias("n_packets"),
+            F.sum("len").alias("n_bytes"),
+        )
+    )
 
 
 @query("q_pcap_flow_stats", PCAP_FLOW_STATS_ORACLE)

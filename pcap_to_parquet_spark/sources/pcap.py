@@ -140,6 +140,12 @@ def _parse_ports(l4: bytes, fields: dict[str, Any]) -> None:
 
 _PROTOCOL_NAMES = {1: "ICMP", 2: "IGMP", 6: "TCP", 17: "UDP"}
 
+# IPv6 next-header naming (opt-in engine extension; reference parity
+# keeps 0x86DD NULL — main.rs:239-251 handles only 0x0800/0x8100).
+# Extension-header chains are NOT walked: a packet whose fixed-header
+# next-header is an extension type decodes addresses only.
+_PROTOCOL_NAMES_V6 = {6: "TCP", 17: "UDP", 58: "ICMPv6"}
+
 
 def _parse_ipv4(pkt: bytes, fields: dict[str, Any]) -> None:
     """IPv4 header decode (main.rs:185-211): IPs always set, protocol
@@ -158,24 +164,54 @@ def _parse_ipv4(pkt: bytes, fields: dict[str, Any]) -> None:
         _parse_ports(pkt[header_length:], fields)
 
 
-def _parse_ethernet(data: bytes, fields: dict[str, Any]) -> None:
+def _parse_ipv6(pkt: bytes, fields: dict[str, Any]) -> None:
+    """IPv6 fixed-header decode (engine extension, opt-in): 40-byte
+    header → canonical RFC 5952 text addresses (ipaddress.compressed:
+    lowercase hex, leftmost-longest zero-run ``::``), next-header
+    naming for {TCP, UDP, ICMPv6}, ports for TCP/UDP at offset 40.
+    Extension-header chains are not walked (protocol/ports stay NULL);
+    null-on-malformed like every other decode path."""
+    if len(pkt) < 40:
+        return
+    import ipaddress
+
+    next_header = pkt[6]
+    fields["src_ip"] = ipaddress.IPv6Address(pkt[8:24]).compressed
+    fields["dst_ip"] = ipaddress.IPv6Address(pkt[24:40]).compressed
+    name = _PROTOCOL_NAMES_V6.get(next_header)
+    if name is not None:
+        fields["protocol"] = name
+    if next_header in (6, 17):
+        _parse_ports(pkt[40:], fields)
+
+
+def _parse_ethernet(data: bytes, fields: dict[str, Any], ipv6: bool = False) -> None:
     """Ethernet II dispatch (main.rs:234-252): 0x0800 → IPv4@14;
     0x8100 VLAN → inner ethertype@16, IPv4@18; everything else ignored
-    (no ARP/IPv6/QinQ/MPLS — fields stay NULL)."""
+    (no ARP/QinQ/MPLS — fields stay NULL). ``ipv6=True`` additionally
+    dispatches 0x86DD → IPv6 (plain and VLAN-tagged) — an opt-in
+    engine extension; the default reproduces the reference, which
+    leaves IPv6 NULL (main.rs:239-251)."""
     if len(data) < 14:
         return  # reference panics (main.rs:237); engine leaves NULL
     ether_type = int.from_bytes(data[12:14], "big")
     if ether_type == 0x0800:
         _parse_ipv4(data[14:], fields)
+    elif ipv6 and ether_type == 0x86DD:
+        _parse_ipv6(data[14:], fields)
     elif ether_type == 0x8100:
         if len(data) < 18:
             return
         inner = int.from_bytes(data[16:18], "big")
         if inner == 0x0800:
             _parse_ipv4(data[18:], fields)
+        elif ipv6 and inner == 0x86DD:
+            _parse_ipv6(data[18:], fields)
 
 
-def decode_packet(data: bytes, ts_sec: int, origlen: int) -> dict[str, Any]:
+def decode_packet(
+    data: bytes, ts_sec: int, origlen: int, ipv6: bool = False
+) -> dict[str, Any]:
     """Full per-packet decode chain (main.rs:88-107): len → trailers
     (origlen ≥ 16 gate, main.rs:92) → ethernet. One record per packet,
     always."""
@@ -192,14 +228,14 @@ def decode_packet(data: bytes, ts_sec: int, origlen: int) -> dict[str, Any]:
     }
     if origlen >= 16:
         _extract_all_metamako_trailers(data, fields, ts_sec, origlen)
-    _parse_ethernet(data, fields)
+    _parse_ethernet(data, fields, ipv6)
     return fields
 
 
-def decode_pcap_bytes(buf: bytes) -> list[dict[str, Any]]:
+def decode_pcap_bytes(buf: bytes, ipv6: bool = False) -> list[dict[str, Any]]:
     """Decode a whole in-memory pcap file to packet records."""
     return [
-        decode_packet(data, ts_sec, origlen)
+        decode_packet(data, ts_sec, origlen, ipv6)
         for ts_sec, _sub, origlen, data in split_pcap_records(buf)
     ]
 
@@ -212,6 +248,10 @@ _RAW_DECODE_SCHEMA = (
     "src_u32 long, dst_u32 long, len long, proto long, "
     "src_port int, dst_port int, mm_ts long, mm_id int, mm_port short"
 )
+# opt-in IPv6 mode adds the pre-formatted v6 text columns (canonical
+# RFC 5952 addresses + next-header name); v4 rows leave them NULL and
+# the finisher coalesces the two stacks into PACKET_SCHEMA
+_RAW_DECODE_SCHEMA_V6 = _RAW_DECODE_SCHEMA + ", src6 string, dst6 string, proto6 string"
 
 
 def _arrays_to_pandas(a: dict):  # type: ignore[no-untyped-def]
@@ -227,24 +267,29 @@ def _arrays_to_pandas(a: dict):  # type: ignore[no-untyped-def]
 
     n = len(a["len"])
     all_valid = np.ones(n, dtype=bool)
-    return pd.DataFrame(
-        {
-            "src_u32": masked(a["src_u32"], a["ip_valid"], np.int64),
-            "dst_u32": masked(a["dst_u32"], a["ip_valid"], np.int64),
-            "len": masked(a["len"], all_valid, np.int64),
-            "proto": masked(a["proto"], a["proto_valid"], np.int64),
-            "src_port": masked(a["src_port"], a["ports_valid"], np.int32),
-            "dst_port": masked(a["dst_port"], a["ports_valid"], np.int32),
-            "mm_ts": masked(a["mm_ts"], a["mm_valid"], np.int64),
-            "mm_id": masked(a["mm_id"], a["mm_valid"], np.int32),
-            "mm_port": masked(a["mm_port"].astype(np.int16), a["mm_valid"], np.int16),
-        }
-    )
+    cols = {
+        "src_u32": masked(a["src_u32"], a["ip_valid"], np.int64),
+        "dst_u32": masked(a["dst_u32"], a["ip_valid"], np.int64),
+        "len": masked(a["len"], all_valid, np.int64),
+        "proto": masked(a["proto"], a["proto_valid"], np.int64),
+        "src_port": masked(a["src_port"], a["ports_valid"], np.int32),
+        "dst_port": masked(a["dst_port"], a["ports_valid"], np.int32),
+        "mm_ts": masked(a["mm_ts"], a["mm_valid"], np.int64),
+        "mm_id": masked(a["mm_id"], a["mm_valid"], np.int32),
+        "mm_port": masked(a["mm_port"].astype(np.int16), a["mm_valid"], np.int16),
+    }
+    if "src6" in a:
+        cols["src6"] = pd.array(a["src6"], dtype="string")
+        cols["dst6"] = pd.array(a["dst6"], dtype="string")
+        cols["proto6"] = pd.array(a["proto6"], dtype="string")
+    return pd.DataFrame(cols)
 
 
-def _finish_packets(raw: DataFrame) -> DataFrame:
+def _finish_packets(raw: DataFrame, ipv6: bool = False) -> DataFrame:
     """Numeric decode columns → PACKET_SCHEMA, JVM-side (dotted-quad
-    formatting and protocol naming stay in whole-stage codegen)."""
+    formatting and protocol naming stay in whole-stage codegen). In
+    ``ipv6`` mode the pre-formatted v6 text columns coalesce in — a
+    row is v4 or v6, never both, so the coalesce is exact."""
 
     def dotted(col: str):  # u32 → "a.b.c.d", codegen'd JVM string build
         c = F.col(col)
@@ -258,9 +303,14 @@ def _finish_packets(raw: DataFrame) -> DataFrame:
         F.create_map(*[F.lit(x) for kv in _PROTOCOL_NAMES.items() for x in kv]),
         F.col("proto").cast("int"),
     )
+    src_ip, dst_ip = dotted("src_u32"), dotted("dst_u32")
+    if ipv6:
+        src_ip = F.coalesce(src_ip, F.col("src6"))
+        dst_ip = F.coalesce(dst_ip, F.col("dst6"))
+        proto_name = F.coalesce(proto_name, F.col("proto6"))
     return raw.select(
-        dotted("src_u32").alias("src_ip"),
-        dotted("dst_u32").alias("dst_ip"),
+        src_ip.alias("src_ip"),
+        dst_ip.alias("dst_ip"),
         F.col("len"),
         proto_name.alias("protocol"),
         F.col("src_port"),
@@ -271,7 +321,7 @@ def _finish_packets(raw: DataFrame) -> DataFrame:
     )
 
 
-def read_pcap(spark: SparkSession, path: str) -> DataFrame:
+def read_pcap(spark: SparkSession, path: str, ipv6: bool = False) -> DataFrame:
     """pcap file(s)/glob → packets DataFrame (PACKET_SCHEMA).
 
     binaryFile scan (one task per file) → vectorized numpy decode
@@ -279,6 +329,13 @@ def read_pcap(spark: SparkSession, path: str) -> DataFrame:
     JVM-side finishing. For single large captures use
     ``sources.pcap_chunked.read_pcap_chunked`` (intra-file
     parallelism, O(chunk) task memory).
+
+    ``ipv6=True`` additionally decodes ethertype 0x86DD (plain and
+    VLAN-tagged): canonical RFC 5952 addresses into src_ip/dst_ip,
+    next-header names {TCP, UDP, ICMPv6} into protocol, TCP/UDP ports
+    at the fixed 40-byte header offset. Same PACKET_SCHEMA either
+    way. Default False = byte-identical reference parity (the
+    reference NULLs IPv6, main.rs:239-251).
     """
     tune(spark)
     files = spark.read.format("binaryFile").load(path).select("content")
@@ -288,10 +345,11 @@ def read_pcap(spark: SparkSession, path: str) -> DataFrame:
 
         for pdf in batches:
             for content in pdf["content"]:
-                yield _arrays_to_pandas(decode_pcap_arrays(bytes(content)))
+                yield _arrays_to_pandas(decode_pcap_arrays(bytes(content), ipv6))
 
-    raw = files.mapInPandas(decode_files, schema=_RAW_DECODE_SCHEMA)
-    return _finish_packets(raw)
+    schema = _RAW_DECODE_SCHEMA_V6 if ipv6 else _RAW_DECODE_SCHEMA
+    raw = files.mapInPandas(decode_files, schema=schema)
+    return _finish_packets(raw, ipv6)
 
 
 # auto-chunk policy: captures above this size decode via the chunked
@@ -329,6 +387,7 @@ def convert_pcap(
     partition_cols: list[str] | None = None,
     chunk_bytes: int | None = None,
     ts_tol: int | None = None,
+    ipv6: bool = False,
 ) -> None:
     """The reference CLI, as an engine API (main.rs:59-122): pcap in,
     ZSTD parquet out (codec parity with main.rs:72-75; exact writer
@@ -356,7 +415,17 @@ def convert_pcap(
     AUTO-chunked write dies on a resync ``PcapFormatError``, it falls
     back to per-file decode and succeeds. An explicit ``chunk_bytes``
     keeps fail-loud — the caller asked for chunked semantics.
+
+    ``ipv6=True`` decodes 0x86DD too (see ``read_pcap``); v6 mode
+    always uses the per-file reader (the chunked reader's decode
+    kernel is not v6-wired — per-file parallelism still applies
+    across a multi-file lake, which is how 100-TB captures arrive).
     """
+    if ipv6:
+        if chunk_bytes:
+            raise ValueError("ipv6=True requires the per-file reader (chunk_bytes=0/None)")
+        _write_packets(read_pcap(spark, in_path, ipv6=True), out_path, partition_cols)
+        return
     auto = chunk_bytes is None
     if auto:
         chunk_bytes = _auto_chunk_bytes(spark, in_path)

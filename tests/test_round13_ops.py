@@ -1,0 +1,250 @@
+"""Round-13 operator tests: the opt-in IPv6 decode extension.
+
+Oracle parity is the driver's job (tools/check_oracle.py replays it);
+these pin what the extension MEANS — hand-computed golden rows for
+every v6 decode path (canonical RFC 5952 text, next-header dispatch,
+extension-header stop, VLAN tagging, trailer orthogonality, dual-stack
+coexistence), BYTE-IDENTICAL reference parity when the flag is off,
+and scalar ≡ vectorized equivalence in both modes on goldens and
+random frames.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import pytest  # noqa: E402
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+import pcap_to_parquet_spark.operators  # noqa: E402,F401  (registers queries)
+from pcap_to_parquet_spark.registry import QUERIES  # noqa: E402
+from pcap_to_parquet_spark.sources.pcap import decode_pcap_bytes, read_pcap  # noqa: E402
+from pcap_to_parquet_spark.sources.pcap_fixtures import (  # noqa: E402
+    BASE_TS,
+    eth,
+    golden_pcap_bytes,
+    ipv4,
+    ipv6,
+    mm_trailer,
+    pcap_file,
+    udp,
+    v6_fixture_packets,
+    v6_golden_pcap_bytes,
+    vlan_eth,
+)
+from pcap_to_parquet_spark.sources.pcap_vec import decode_pcap_arrays  # noqa: E402
+
+SF0001 = "/root/testdata/sf0.001"
+
+_PROTO_V4 = {1: "ICMP", 2: "IGMP", 6: "TCP", 17: "UDP"}
+
+
+def _null_row(length: int) -> dict:
+    return {
+        "src_ip": None,
+        "dst_ip": None,
+        "len": length,
+        "protocol": None,
+        "src_port": None,
+        "dst_port": None,
+        "mm_ts": None,
+        "mm_id": None,
+        "mm_port": None,
+    }
+
+
+def _row(src, dst, length, proto, sport, dport, mm_ts=None, mm_id=None, mm_port=None):
+    return {
+        "src_ip": src,
+        "dst_ip": dst,
+        "len": length,
+        "protocol": proto,
+        "src_port": sport,
+        "dst_port": dport,
+        "mm_ts": mm_ts,
+        "mm_id": mm_id,
+        "mm_port": mm_port,
+    }
+
+
+# hand-computed from the byte layout in v6_fixture_packets (fixture
+# insertion order); every assertion below is independent of the decoder
+V6_GOLDEN_ROWS = [
+    _row("2001:db8::1", "2001:db8::2", 70, "UDP", 1234, 5678),
+    _row("2001:db8:0:1::10", "2001:db8:0:1::20", 74, "TCP", 443, 8443),
+    _row("fe80::1", "ff02::1", 58, "ICMPv6", None, None),
+    _row("2001:db8:ff::a", "2001:db8:ff::b", 74, "UDP", 53, 5353),
+    _row("2001:db8::dead", "2001:db8::beef", 62, None, None, None),  # ext hdr stop
+    _row("2001:db8::1:0:0:1", "::1", 70, "UDP", 7, 9),  # RFC 5952 leftmost run
+    _row("2001:db8::1", "2001:db8::2", 86, "UDP", 1234, 5678,
+         1699999998500000123, 7, 3),  # trailer orthogonal to L3 stack
+    _null_row(30),  # truncated below the 40-byte v6 header
+    _row("10.0.0.1", "10.0.0.2", 50, "UDP", 1234, 5678),  # dual-stack v4
+]
+
+
+def _rows_from_arrays(buf: bytes, v6: bool) -> list[dict]:
+    """Arrays+masks → the scalar row shape (mirrors _finish_packets)."""
+    a = decode_pcap_arrays(buf, v6)
+
+    def quad(u32: int) -> str:
+        return ".".join(str((u32 >> s) & 255) for s in (24, 16, 8, 0))
+
+    out = []
+    for i in range(len(a["len"])):
+        ipv = bool(a["ip_valid"][i])
+        pv = bool(a["ports_valid"][i])
+        mmv = bool(a["mm_valid"][i])
+        src = quad(int(a["src_u32"][i])) if ipv else None
+        dst = quad(int(a["dst_u32"][i])) if ipv else None
+        proto = _PROTO_V4.get(int(a["proto"][i])) if a["proto_valid"][i] else None
+        if v6 and src is None and a["src6"][i] is not None:
+            src, dst = a["src6"][i], a["dst6"][i]
+        if v6 and proto is None:
+            proto = a["proto6"][i]
+        out.append(
+            _row(
+                src, dst, int(a["len"][i]), proto,
+                int(a["src_port"][i]) if pv else None,
+                int(a["dst_port"][i]) if pv else None,
+                int(a["mm_ts"][i]) if mmv else None,
+                int(a["mm_id"][i]) if mmv else None,
+                int(a["mm_port"][i]) if mmv else None,
+            )
+        )
+    return out
+
+
+def test_v6_golden_scalar_decode():
+    rows = decode_pcap_bytes(v6_golden_pcap_bytes(), ipv6=True)
+    assert rows == V6_GOLDEN_ROWS
+
+
+def test_v6_parity_mode_nulls_v6():
+    """ipv6=False on the v6 fixture reproduces the reference: every v6
+    packet keeps NULL L3/L4 fields (main.rs:239-251 dispatches only
+    0x0800/0x8100); len always set, trailer parse unaffected (it never
+    looks at ethertype), the v4 row decodes normally."""
+    rows = decode_pcap_bytes(v6_golden_pcap_bytes())
+    names = list(v6_fixture_packets())
+    for name, row, v6row in zip(names, rows, V6_GOLDEN_ROWS):
+        assert row["len"] == v6row["len"]
+        if name == "v4_mixed":
+            assert row == v6row  # v4 decode identical in both modes
+            continue
+        assert row["src_ip"] is None and row["dst_ip"] is None
+        assert row["protocol"] is None
+        assert row["src_port"] is None and row["dst_port"] is None
+        # the Metamako trailer is pre-ethernet (main.rs:88-107 order)
+        assert row["mm_ts"] == v6row["mm_ts"]
+
+
+def test_v6_flag_default_is_parity():
+    """decode with no flag ≡ decode with ipv6=False, byte-identical,
+    on BOTH fixtures — the opt-in can't leak into the default path."""
+    for buf in (golden_pcap_bytes(), v6_golden_pcap_bytes()):
+        assert decode_pcap_bytes(buf) == decode_pcap_bytes(buf, ipv6=False)
+
+
+def test_v6_vec_equivalence_goldens():
+    for buf in (v6_golden_pcap_bytes(), golden_pcap_bytes()):
+        for mode in (True, False):
+            assert _rows_from_arrays(buf, mode) == decode_pcap_bytes(buf, mode)
+
+
+def test_v6_vec_handles_vlan_and_short():
+    t = BASE_TS
+    frames = [
+        vlan_eth(ipv6(6, "::2", "::3", b"\x00\x15\x01\xbb"), inner_ethertype=0x86DD),
+        eth(ipv6(17, "::4", "::5", b""), ethertype=0x86DD)[:40],  # 26B of v6 hdr
+        eth(ipv6(58, "::6", "::7", b""), ethertype=0x86DD),  # ICMPv6, no body
+        eth(ipv6(17, "::8", "::9", b"\x00"), ethertype=0x86DD),  # 1B L4 < ports
+    ]
+    buf = pcap_file([(t, len(f), f) for f in frames])
+    scal = decode_pcap_bytes(buf, ipv6=True)
+    assert _rows_from_arrays(buf, True) == scal
+    assert scal[0]["src_ip"] == "::2" and scal[0]["protocol"] == "TCP"
+    assert scal[0]["src_port"] == 21 and scal[0]["dst_port"] == 443
+    assert scal[1]["src_ip"] is None  # short of the 40-byte header
+    assert scal[2]["protocol"] == "ICMPv6" and scal[2]["src_port"] is None
+    assert scal[3]["protocol"] == "UDP" and scal[3]["src_port"] is None
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.binary(max_size=100), st.integers(0, 120)),
+        min_size=0,
+        max_size=10,
+    )
+)
+def test_v6_random_equivalence(specs):
+    buf = pcap_file([(BASE_TS, orig, data) for data, orig in specs])
+    for mode in (True, False):
+        assert _rows_from_arrays(buf, mode) == decode_pcap_bytes(buf, mode)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=60), st.sampled_from([0x0800, 0x86DD, 0x8100]))
+def test_v6_random_framed_equivalence(payload, ethertype):
+    frame = eth(payload, ethertype=ethertype)
+    buf = pcap_file([(BASE_TS, len(frame), frame)])
+    for mode in (True, False):
+        assert _rows_from_arrays(buf, mode) == decode_pcap_bytes(buf, mode)
+
+
+def test_v6_spark_end_to_end(spark):
+    from pcap_to_parquet_spark.operators.pcap_query import _v6_fixture_path
+
+    rows = [
+        r.asDict()
+        for r in read_pcap(spark, _v6_fixture_path(), ipv6=True)
+        .orderBy("len", "src_ip")
+        .collect()
+    ]
+    expect = sorted(V6_GOLDEN_ROWS, key=lambda r: (r["len"], r["src_ip"] or ""))
+    assert rows == expect
+    # default mode on the same file: reference parity through Spark too
+    parity = [
+        r.asDict()
+        for r in read_pcap(spark, _v6_fixture_path()).orderBy("len").collect()
+    ]
+    assert parity == sorted(
+        decode_pcap_bytes(v6_golden_pcap_bytes()), key=lambda r: r["len"]
+    )
+
+
+def test_v6_flows_consistency(spark):
+    """q_pcap_v6_flows totals reconcile with the packet table: 9
+    packets, Σbytes = Σlen, and the two same-5-tuple UDP packets merge
+    into one flow of 2."""
+    flows = {
+        (r["src_ip"], r["dst_ip"], r["protocol"], r["src_port"], r["dst_port"]):
+        (r["n_packets"], r["n_bytes"])
+        for r in QUERIES["q_pcap_v6_flows"](spark, SF0001).collect()
+    }
+    assert len(flows) == 8
+    assert sum(n for n, _ in flows.values()) == 9
+    assert sum(b for _, b in flows.values()) == sum(r["len"] for r in V6_GOLDEN_ROWS)
+    assert flows[("2001:db8::1", "2001:db8::2", "UDP", 1234, 5678)] == (2, 156)
+    assert flows[(None, None, None, None, None)] == (1, 30)
+
+
+def test_convert_pcap_ipv6_roundtrip(spark, tmp_path):
+    import duckdb
+
+    from pcap_to_parquet_spark.operators.pcap_query import _v6_fixture_path
+    from pcap_to_parquet_spark.sources.pcap import convert_pcap
+
+    out = str(tmp_path / "v6pk")
+    convert_pcap(spark, _v6_fixture_path(), out, ipv6=True)
+    got = duckdb.sql(
+        f"SELECT src_ip, protocol, count(*) n FROM '{out}/*.parquet' "
+        "WHERE src_ip LIKE '%:%' GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    assert ("2001:db8::1", "UDP", 2) in got  # v6 text survives the parquet sink
+    with pytest.raises(ValueError, match="per-file"):
+        convert_pcap(spark, _v6_fixture_path(), out, chunk_bytes=1 << 20, ipv6=True)
