@@ -114,6 +114,7 @@ _GATE_FRONT = [
     # ---- END ROUND 13 WINDOW ----
     # new in round 13 (insert below this line as they land; due round 14)
     "q_pcap_v6_flows",
+    "q_pcap_biflow",
     # round-9 window remainder (rows r9)
     "q_burstiness",
     "q_weighted_median",

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pcap_to_parquet_spark.registry import query
 from pcap_to_parquet_spark.sources.pcap import read_pcap
 from pcap_to_parquet_spark.sources.pcap_fixtures import (
+    biflow_golden_pcap_bytes,
     golden_pcap_bytes,
     v6_golden_pcap_bytes,
 )
@@ -39,6 +40,17 @@ def _v6_fixture_path() -> str:
     return path
 
 
+def _biflow_fixture_path() -> str:
+    path = os.path.join(
+        tempfile.gettempdir(), "pcap_to_parquet_spark_golden_biflow.pcap"
+    )
+    data = biflow_golden_pcap_bytes()
+    if not (os.path.exists(path) and os.path.getsize(path) == len(data)):
+        with open(path, "wb") as f:
+            f.write(data)
+    return path
+
+
 
 # Golden-packet oracle: the 13 fixture packets' decoded rows as a SQL
 # literal. The fixture is STATIC (built by sources/pcap_fixtures.py, not
@@ -50,6 +62,7 @@ def _v6_fixture_path() -> str:
 _PKT_COLS = "src_ip, dst_ip, len, protocol, src_port, dst_port, mm_ts, mm_id, mm_port"
 _PKT_NULLS = ("CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), "
               "CAST(NULL AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS SMALLINT)")
+_MM_NULLS = "CAST(NULL AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS SMALLINT)"
 GOLDEN_PACKETS_ORACLE = f"""
 SELECT {_PKT_COLS} FROM (VALUES
     (CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(10 AS BIGINT), CAST(NULL AS VARCHAR), {_PKT_NULLS}),
@@ -333,6 +346,156 @@ def pcap_flow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_iat_ns"),
         "min_iat_ns",
         "max_iat_ns",
+    )
+
+
+# round 13: biflow pairing over a dedicated BIDIRECTIONAL golden
+# fixture (the main golden capture is unidirectional per flow). Rows
+# hand-computed from sources/pcap_fixtures.py::biflow_fixture_packets.
+BIFLOW_GOLDEN_PACKETS_ORACLE = f"""
+SELECT {_PKT_COLS} FROM (VALUES
+    ('10.0.0.1', '10.0.0.2', CAST(66 AS BIGINT), 'UDP', CAST(1000 AS INTEGER), CAST(2000 AS INTEGER), CAST(1699999995000000000 AS BIGINT), CAST(1 AS INTEGER), CAST(1 AS SMALLINT)),
+    ('10.0.0.2', '10.0.0.1', CAST(66 AS BIGINT), 'UDP', CAST(2000 AS INTEGER), CAST(1000 AS INTEGER), CAST(1699999996000000000 AS BIGINT), CAST(1 AS INTEGER), CAST(2 AS SMALLINT)),
+    ('10.0.0.1', '10.0.0.2', CAST(60 AS BIGINT), 'UDP', CAST(1000 AS INTEGER), CAST(2000 AS INTEGER), {_MM_NULLS}),
+    ('10.0.0.2', '10.0.0.1', CAST(54 AS BIGINT), 'UDP', CAST(2000 AS INTEGER), CAST(1000 AS INTEGER), {_MM_NULLS}),
+    ('10.0.0.1', '10.0.0.2', CAST(72 AS BIGINT), 'UDP', CAST(1000 AS INTEGER), CAST(2000 AS INTEGER), {_MM_NULLS}),
+    ('192.168.1.2', '192.168.1.1', CAST(70 AS BIGINT), 'TCP', CAST(5000 AS INTEGER), CAST(80 AS INTEGER), CAST(1699999994000000000 AS BIGINT), CAST(2 AS INTEGER), CAST(1 AS SMALLINT)),
+    ('192.168.1.1', '192.168.1.2', CAST(70 AS BIGINT), 'TCP', CAST(80 AS INTEGER), CAST(5000 AS INTEGER), CAST(1699999995000000123 AS BIGINT), CAST(2 AS INTEGER), CAST(2 AS SMALLINT)),
+    ('10.5.5.1', '10.5.5.2', CAST(42 AS BIGINT), 'UDP', CAST(99 AS INTEGER), CAST(100 AS INTEGER), {_MM_NULLS}),
+    ('10.7.7.1', '10.7.7.2', CAST(38 AS BIGINT), 'ICMP', {_PKT_NULLS}),
+    ('10.7.7.2', '10.7.7.1', CAST(38 AS BIGINT), 'ICMP', {_PKT_NULLS}),
+    (CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(10 AS BIGINT), CAST(NULL AS VARCHAR), {_PKT_NULLS})
+) AS t({_PKT_COLS})
+"""
+
+PCAP_BIFLOW_ORACLE = f"""
+WITH g AS ({BIFLOW_GOLDEN_PACKETS_ORACLE}),
+flows AS (
+    SELECT {_FLOW_KEYS_SQL},
+           CAST(COUNT(*) AS BIGINT) AS n_packets,
+           CAST(SUM(len) AS BIGINT) AS n_bytes,
+           MIN(mm_ts) AS first_ts
+    FROM g GROUP BY {_FLOW_KEYS_SQL}
+),
+oriented AS (
+    SELECT *,
+           (COALESCE(src_ip, ''), COALESCE(src_port, -1)) <=
+           (COALESCE(dst_ip, ''), COALESCE(dst_port, -1)) AS is_fwd
+    FROM flows
+),
+paired AS (
+    SELECT CASE WHEN is_fwd THEN src_ip ELSE dst_ip END AS side1_ip,
+           CASE WHEN is_fwd THEN src_port ELSE dst_port END AS side1_port,
+           CASE WHEN is_fwd THEN dst_ip ELSE src_ip END AS side2_ip,
+           CASE WHEN is_fwd THEN dst_port ELSE src_port END AS side2_port,
+           protocol, is_fwd, n_packets, n_bytes, first_ts
+    FROM oriented
+),
+b AS (
+    SELECT side1_ip, side1_port, side2_ip, side2_port, protocol,
+           CAST(COALESCE(SUM(CASE WHEN is_fwd THEN n_packets END), 0) AS BIGINT) AS fwd_packets,
+           CAST(COALESCE(SUM(CASE WHEN is_fwd THEN n_bytes END), 0) AS BIGINT) AS fwd_bytes,
+           CAST(COALESCE(SUM(CASE WHEN NOT is_fwd THEN n_packets END), 0) AS BIGINT) AS rev_packets,
+           CAST(COALESCE(SUM(CASE WHEN NOT is_fwd THEN n_bytes END), 0) AS BIGINT) AS rev_bytes,
+           MIN(CASE WHEN is_fwd THEN first_ts END) AS fwd_first,
+           MIN(CASE WHEN NOT is_fwd THEN first_ts END) AS rev_first
+    FROM paired
+    GROUP BY side1_ip, side1_port, side2_ip, side2_port, protocol
+)
+SELECT side1_ip, side1_port, side2_ip, side2_port, protocol,
+       fwd_packets, fwd_bytes, rev_packets, rev_bytes,
+       CASE WHEN rev_bytes > 0 THEN ROUND(fwd_bytes * 1.0 / rev_bytes, 4) END AS bytes_ratio,
+       CASE WHEN rev_packets > 0 THEN ROUND(fwd_packets * 1.0 / rev_packets, 4) END AS pkt_ratio,
+       CASE WHEN fwd_first IS NULL AND rev_first IS NULL THEN NULL
+            WHEN rev_first IS NULL THEN 'side1'
+            WHEN fwd_first IS NULL THEN 'side2'
+            WHEN fwd_first <= rev_first THEN 'side1' ELSE 'side2' END AS first_speaker,
+       fwd_packets > 0 AND rev_packets > 0 AS answered
+FROM b
+"""
+
+
+@query("q_pcap_biflow", PCAP_BIFLOW_ORACLE)
+def pcap_biflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIFLOW pairing — the IDS/traffic-classifier feature set the
+    unidirectional flow table can't express: A→B and B→A flows pair
+    on the canonical endpoint key (lexicographically smaller
+    (ip, port) is side1), yielding per-conversation byte/packet
+    counts both ways, byte/packet ratios, who-spoke-first (by
+    earliest hardware stamp per direction; NULL when untimed), and
+    the unanswered-flow flag (a scan/exfil tell). Portless protocols
+    (ICMP) pair on addresses alone; the undecodable catch-all flow
+    stays its own NULL-keyed row with answered=false — nothing
+    silently vanishes. [engine — not in reference]
+
+    Scale design: packets shuffle ONCE into per-direction flows (the
+    same partial+final aggregate as q_pcap_flows, plus min(mm_ts));
+    the biflow pairing is then a CENSUS-sized second groupBy over
+    flow rows (≤2 per conversation key), not a re-shuffle of the
+    packet scan. The canonical-key orientation is pure row-local
+    column algebra (one struct compare, null-safe via coalesce
+    sentinels '' / -1 — both engines compare strings by codepoint).
+    Oracle: identical algebra over the hand-computed golden literal
+    of the BIDIRECTIONAL fixture (two answered pairs with opposite
+    first-speakers, an unanswered probe, an ICMP pair, a runt)."""
+    df = read_pcap(spark, _biflow_fixture_path())
+    flows = df.groupBy(*_FLOW_KEYS).agg(
+        F.count(F.lit(1)).cast("long").alias("n_packets"),
+        F.sum("len").cast("long").alias("n_bytes"),
+        F.min("mm_ts").alias("first_ts"),
+    )
+    is_fwd = F.struct(
+        F.coalesce(F.col("src_ip"), F.lit("")).alias("ip"),
+        F.coalesce(F.col("src_port"), F.lit(-1)).alias("port"),
+    ) <= F.struct(
+        F.coalesce(F.col("dst_ip"), F.lit("")).alias("ip"),
+        F.coalesce(F.col("dst_port"), F.lit(-1)).alias("port"),
+    )
+    paired = flows.select(
+        F.when(is_fwd, F.col("src_ip")).otherwise(F.col("dst_ip")).alias("side1_ip"),
+        F.when(is_fwd, F.col("src_port")).otherwise(F.col("dst_port")).alias("side1_port"),
+        F.when(is_fwd, F.col("dst_ip")).otherwise(F.col("src_ip")).alias("side2_ip"),
+        F.when(is_fwd, F.col("dst_port")).otherwise(F.col("src_port")).alias("side2_port"),
+        "protocol",
+        is_fwd.alias("is_fwd"),
+        "n_packets",
+        "n_bytes",
+        "first_ts",
+    )
+    b = paired.groupBy(
+        "side1_ip", "side1_port", "side2_ip", "side2_port", "protocol"
+    ).agg(
+        F.coalesce(F.sum(F.when(F.col("is_fwd"), F.col("n_packets"))), F.lit(0))
+        .cast("long").alias("fwd_packets"),
+        F.coalesce(F.sum(F.when(F.col("is_fwd"), F.col("n_bytes"))), F.lit(0))
+        .cast("long").alias("fwd_bytes"),
+        F.coalesce(F.sum(F.when(~F.col("is_fwd"), F.col("n_packets"))), F.lit(0))
+        .cast("long").alias("rev_packets"),
+        F.coalesce(F.sum(F.when(~F.col("is_fwd"), F.col("n_bytes"))), F.lit(0))
+        .cast("long").alias("rev_bytes"),
+        F.min(F.when(F.col("is_fwd"), F.col("first_ts"))).alias("fwd_first"),
+        F.min(F.when(~F.col("is_fwd"), F.col("first_ts"))).alias("rev_first"),
+    )
+    return b.select(
+        "side1_ip", "side1_port", "side2_ip", "side2_port", "protocol",
+        "fwd_packets", "fwd_bytes", "rev_packets", "rev_bytes",
+        F.when(
+            F.col("rev_bytes") > 0,
+            F.round(F.col("fwd_bytes") * 1.0 / F.col("rev_bytes"), 4),
+        ).alias("bytes_ratio"),
+        F.when(
+            F.col("rev_packets") > 0,
+            F.round(F.col("fwd_packets") * 1.0 / F.col("rev_packets"), 4),
+        ).alias("pkt_ratio"),
+        F.when(
+            F.col("fwd_first").isNull() & F.col("rev_first").isNull(), F.lit(None)
+        )
+        .when(F.col("rev_first").isNull(), F.lit("side1"))
+        .when(F.col("fwd_first").isNull(), F.lit("side2"))
+        .when(F.col("fwd_first") <= F.col("rev_first"), F.lit("side1"))
+        .otherwise(F.lit("side2"))
+        .alias("first_speaker"),
+        ((F.col("fwd_packets") > 0) & (F.col("rev_packets") > 0)).alias("answered"),
     )
 
 

@@ -175,3 +175,47 @@ def v6_fixture_packets() -> dict[str, tuple[int, int, bytes]]:
 def v6_golden_pcap_bytes() -> bytes:
     """All v6 fixture packets in one deterministic legacy pcap file."""
     return pcap_file(list(v6_fixture_packets().values()))
+
+
+# ---------------------------------------------------------------------------
+# biflow fixture: BIDIRECTIONAL traffic for q_pcap_biflow (the golden
+# capture is deliberately unidirectional per flow, so direction pairing
+# needs its own fixture)
+
+
+def biflow_fixture_packets() -> dict[str, tuple[int, int, bytes]]:
+    """name → (ts_sec, origlen, data): two answered flow pairs (one
+    where each side speaks first, by Metamako stamp), an unanswered
+    flow, a portless ICMP pair, and an undecodable runt. Hand-traced
+    expectations live in the q_pcap_biflow oracle and
+    tests/test_round13_ops.py."""
+    t = BASE_TS
+    a2b = lambda pay: eth(ipv4(17, "10.0.0.1", "10.0.0.2", udp(1000, 2000, pay)))  # noqa: E731
+    b2a = lambda pay: eth(ipv4(17, "10.0.0.2", "10.0.0.1", udp(2000, 1000, pay)))  # noqa: E731
+    p1 = a2b(b"\x00" * 8) + mm_trailer(t - 5, 0, 1, 1)      # len 66, side1 speaks first
+    p2 = b2a(b"\x00" * 8) + mm_trailer(t - 4, 0, 1, 2)      # len 66
+    p3 = a2b(b"\x00" * 18)                                  # len 60
+    p4 = b2a(b"\x00" * 12)                                  # len 54
+    p5 = a2b(b"\x00" * 30)                                  # len 72
+    c1 = eth(ipv4(6, "192.168.1.2", "192.168.1.1", tcp(5000, 80))) + mm_trailer(
+        t - 6, 0, 2, 1
+    )                                                       # len 70, side2 speaks first
+    c2 = eth(ipv4(6, "192.168.1.1", "192.168.1.2", tcp(80, 5000))) + mm_trailer(
+        t - 5, 123, 2, 2
+    )                                                       # len 70
+    u1 = eth(ipv4(17, "10.5.5.1", "10.5.5.2", udp(99, 100, b"")))  # len 42, unanswered
+    i1 = eth(ipv4(1, "10.7.7.1", "10.7.7.2", b"\x08\x00\x00\x00"))  # len 38
+    i2 = eth(ipv4(1, "10.7.7.2", "10.7.7.1", b"\x00\x00\x00\x00"))  # len 38
+    junk = b"\x01" * 10                                     # undecodable runt
+
+    pkts = {
+        "udp_a1": p1, "udp_b1": p2, "udp_a2": p3, "udp_b2": p4, "udp_a3": p5,
+        "tcp_c1": c1, "tcp_c2": c2, "udp_unanswered": u1,
+        "icmp_req": i1, "icmp_rep": i2, "runt": junk,
+    }
+    return {k: (t, len(v), v) for k, v in pkts.items()}
+
+
+def biflow_golden_pcap_bytes() -> bytes:
+    """All biflow fixture packets in one deterministic legacy pcap."""
+    return pcap_file(list(biflow_fixture_packets().values()))

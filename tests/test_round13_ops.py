@@ -233,6 +233,51 @@ def test_v6_flows_consistency(spark):
     assert flows[(None, None, None, None, None)] == (1, 30)
 
 
+def test_biflow_golden(spark):
+    """Hand-traced biflow expectations, independent of both engines:
+    two answered conversations with OPPOSITE first-speakers (by
+    hardware stamp), an unanswered probe, a portless ICMP pair, and
+    the NULL-keyed runt row."""
+    rows = {
+        (r["side1_ip"], r["side1_port"], r["side2_ip"], r["side2_port"], r["protocol"]): r
+        for r in QUERIES["q_pcap_biflow"](spark, SF0001).collect()
+    }
+    assert len(rows) == 5
+    r1 = rows[("10.0.0.1", 1000, "10.0.0.2", 2000, "UDP")]
+    assert (r1["fwd_packets"], r1["fwd_bytes"]) == (3, 198)
+    assert (r1["rev_packets"], r1["rev_bytes"]) == (2, 120)
+    assert (r1["bytes_ratio"], r1["pkt_ratio"]) == (1.65, 1.5)
+    assert (r1["first_speaker"], r1["answered"]) == ("side1", True)
+    r2 = rows[("192.168.1.1", 80, "192.168.1.2", 5000, "TCP")]
+    assert (r2["fwd_packets"], r2["rev_packets"]) == (1, 1)
+    # 192.168.1.2:5000 (side2) carries the earliest stamp
+    assert (r2["first_speaker"], r2["answered"]) == ("side2", True)
+    r3 = rows[("10.5.5.1", 99, "10.5.5.2", 100, "UDP")]
+    assert (r3["fwd_packets"], r3["rev_packets"], r3["answered"]) == (1, 0, False)
+    assert r3["bytes_ratio"] is None and r3["first_speaker"] is None
+    r4 = rows[("10.7.7.1", None, "10.7.7.2", None, "ICMP")]
+    assert (r4["fwd_packets"], r4["rev_packets"], r4["answered"]) == (1, 1, True)
+    assert r4["first_speaker"] is None  # untimed in both directions
+    r5 = rows[(None, None, None, None, None)]
+    assert (r5["fwd_packets"], r5["fwd_bytes"], r5["answered"]) == (1, 10, False)
+
+
+def test_biflow_conservation(spark):
+    """Σ(fwd+rev packets/bytes) over biflows == the packet table —
+    direction pairing must not drop or double-count anything."""
+    from pcap_to_parquet_spark.operators.pcap_query import _biflow_fixture_path
+
+    pkts = read_pcap(spark, _biflow_fixture_path()).agg(
+        {"len": "sum", "*": "count"}
+    ).collect()[0]
+    b = QUERIES["q_pcap_biflow"](spark, SF0001).agg(
+        {"fwd_packets": "sum", "rev_packets": "sum",
+         "fwd_bytes": "sum", "rev_bytes": "sum"}
+    ).collect()[0]
+    assert b["sum(fwd_packets)"] + b["sum(rev_packets)"] == pkts["count(1)"]
+    assert b["sum(fwd_bytes)"] + b["sum(rev_bytes)"] == pkts["sum(len)"]
+
+
 def test_convert_pcap_ipv6_roundtrip(spark, tmp_path):
     import duckdb
 
