@@ -115,6 +115,7 @@ _GATE_FRONT = [
     # new in round 13 (insert below this line as they land; due round 14)
     "q_pcap_v6_flows",
     "q_pcap_biflow",
+    "q_supplier_fulfillment",
     # round-9 window remainder (rows r9)
     "q_burstiness",
     "q_weighted_median",

@@ -124,6 +124,7 @@ HEADLINE = [
     "q_skew_planner",       # join-key skew census (r12 add)
     "q_pcap_v6_flows",      # dual-stack NetFlow rollup, opt-in v6 decode (r13 add)
     "q_pcap_biflow",        # canonical-key direction pairing, IDS features (r13 add)
+    "q_supplier_fulfillment",  # supplier-nation latency census, 2nd big-big join (r13 add)
 ]
 
 # round-over-round reference (same box, sf0.1, local[32]):

@@ -658,6 +658,122 @@ def fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 fulfillment_latency.__doc__ = fulfillment_latency.__doc__.format(sla=_SLA_DAYS)
 
 
+# round 13: supplier-side twin of the fulfillment census
+SUPPLIER_FULFILLMENT_ORACLE = f"""
+WITH j AS (
+    SELECT l.l_suppkey,
+           CAST(datediff('day', CAST(o.o_orderdate AS DATE),
+                         CAST(l.l_shipdate AS DATE)) AS BIGINT) AS lat_days
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+j2 AS (
+    SELECT n.n_name AS nation, j.l_suppkey, j.lat_days
+    FROM j JOIN supplier s ON j.l_suppkey = s.s_suppkey
+           JOIN nation n ON s.s_nationkey = n.n_nationkey
+),
+base AS (
+    SELECT nation,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CASE WHEN lat_days > {_SLA_DAYS} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_late,
+           ROUND(SUM(lat_days) * 1.0 / COUNT(*), 6) AS mean_latency_days,
+           CAST(MIN(lat_days) AS BIGINT) AS min_latency_days,
+           CAST(MAX(lat_days) AS BIGINT) AS max_latency_days
+    FROM j2 GROUP BY nation
+),
+h AS (SELECT nation, lat_days, COUNT(*) AS cnt FROM j2 GROUP BY nation, lat_days),
+c AS (SELECT nation, lat_days,
+             SUM(cnt) OVER (PARTITION BY nation ORDER BY lat_days) AS cum,
+             SUM(cnt) OVER (PARTITION BY nation) AS tot
+      FROM h),
+p AS (SELECT nation,
+             CAST(MIN(CASE WHEN cum >= (tot + 1) // 2 THEN lat_days END) AS BIGINT)
+                 AS p50_latency_days,
+             CAST(MIN(CASE WHEN cum >= (9 * tot + 9) // 10 THEN lat_days END) AS BIGINT)
+                 AS p90_latency_days
+      FROM c GROUP BY nation)
+SELECT base.nation, n_suppliers, n_items, n_late,
+       ROUND(n_late * 1.0 / n_items, 6) AS late_share,
+       mean_latency_days, min_latency_days, max_latency_days,
+       p50_latency_days, p90_latency_days
+FROM base JOIN p ON base.nation = p.nation
+"""
+
+
+@query("q_supplier_fulfillment", SUPPLIER_FULFILLMENT_ORACLE)
+def supplier_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-side FULFILLMENT census — q_fulfillment_latency's twin
+    cut by SUPPLIER NATION instead of order priority: per nation, the
+    active supplier count, item volume, share shipping past the
+    {sla}-day SLA, and the full order-to-ship latency distribution
+    (mean/min/max + EXACT p50/p90 via the shared exact_grid_quantiles
+    kernel). The sourcing decision table: a nation whose p90 latency
+    blows the SLA needs supplier diversification before the next
+    quarter, not after. [engine — not in reference]
+
+    Scale design: this plan chains BOTH canonical big-big join shapes
+    — lineitem ⋈ orders on orderkey (the lake's bucketing key), then
+    the result ⋈ supplier on suppkey (the partsupp-like SECOND key,
+    which no orderkey bucketing co-locates: at 100 TB this is the join
+    that decides whether the supplier dimension is worth bucketing
+    separately or small enough for a broadcast — here it is keyed and
+    UNHINTED so AQE decides at runtime; nation is the only hinted
+    broadcast, a true bounded dim). COUNT(DISTINCT suppkey) rides the
+    census aggregate (Spark expands it to a two-phase exact distinct
+    on the |nations|-bounded group set). Quantiles run over the
+    (nation, day) histogram, never the join output — the
+    exact_grid_quantiles discipline. Latency stays integer days end
+    to end."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_suppkey",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+        .cast("long")
+        .alias("lat_days"),
+    )
+    j2 = (
+        j.join(s, j.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(F.col("n_name").alias("nation"), "l_suppkey", "lat_days")
+    )
+    base = j2.groupBy("nation").agg(
+        F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(F.when(F.col("lat_days") > _SLA_DAYS, 1).otherwise(0))
+        .cast("long")
+        .alias("n_late"),
+        F.round(F.sum("lat_days") * 1.0 / F.count(F.lit(1)), 6).alias(
+            "mean_latency_days"
+        ),
+        F.min("lat_days").cast("long").alias("min_latency_days"),
+        F.max("lat_days").cast("long").alias("max_latency_days"),
+    )
+    q = exact_grid_quantiles(
+        j2, "nation", "lat_days", "p50_latency_days", "p90_latency_days"
+    )
+    return base.join(q, "nation").select(
+        "nation",
+        "n_suppliers",
+        "n_items",
+        "n_late",
+        F.round(F.col("n_late") * 1.0 / F.col("n_items"), 6).alias("late_share"),
+        "mean_latency_days",
+        "min_latency_days",
+        "max_latency_days",
+        "p50_latency_days",
+        "p90_latency_days",
+    )
+
+
+supplier_fulfillment.__doc__ = supplier_fulfillment.__doc__.format(sla=_SLA_DAYS)
+
+
 # ---------------------------------------------------------------------------
 # customer repeat-order cadence census (round 12)
 

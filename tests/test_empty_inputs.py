@@ -218,6 +218,8 @@ EMPTY_SAFE = [
     "q_session_transitions",
     "q_fulfillment_latency",
     "q_repeat_cadence",
+    # round 13
+    "q_supplier_fulfillment",
 ]
 
 # global aggregates return one constant row on empty input (their

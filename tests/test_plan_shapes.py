@@ -769,6 +769,22 @@ def test_repeat_cadence_shapes(spark):
     assert p.get("BroadcastHashJoin", 0) >= 1  # nation dim at minimum
 
 
+def test_supplier_fulfillment_shapes(spark):
+    """The plan chains BOTH canonical big-big join shapes (lineitem ⋈
+    orders on orderkey, then ⋈ supplier on suppkey) — both keyed and
+    UNHINTED (AQE decides at bench scale; at 100 TB both shuffle);
+    nation is the only hinted broadcast. Pin the invariants: pruning
+    reaches the scans, quantile windows ride the histogram (no
+    single-partition window), exchange reuse bounds the two census
+    branches."""
+    p = prof(spark, "q_supplier_fulfillment")
+    assert p["single_partition"] == 0
+    assert "CartesianProduct" not in p
+    assert p.get("BatchEvalPython", 0) == 0
+    assert p["pushed_filters"] >= 1
+    assert p["exchanges"] <= 7  # 2 join keys + census/histogram branches
+
+
 def test_skew_planner_shapes(spark):
     """Seven partial+final key-count aggregates reducing to 1-row
     stats: no key list is ever collected or broadcast as data (the

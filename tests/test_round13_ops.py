@@ -278,6 +278,82 @@ def test_biflow_conservation(spark):
     assert b["sum(fwd_bytes)"] + b["sum(rev_bytes)"] == pkts["sum(len)"]
 
 
+# ---------------------------------------------------------------------------
+# q_supplier_fulfillment
+
+
+def _supplier_lake(spark, path, orders, lineitems, suppliers, nations):
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(path / "orders.parquet"))
+    spark.createDataFrame(
+        lineitems,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(str(path / "lineitem.parquet"))
+    spark.createDataFrame(
+        suppliers,
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    ).write.mode("overwrite").parquet(str(path / "supplier.parquet"))
+    spark.createDataFrame(
+        nations, "n_nationkey int, n_name string, n_regionkey int"
+    ).write.mode("overwrite").parquet(str(path / "nation.parquet"))
+    return str(path)
+
+
+def test_supplier_fulfillment_hand_traced(spark, tmp_path):
+    """ALPHA: suppliers 1 and 2 ship latencies {10, 100, 100} ->
+    n_suppliers 2, n_late 2 (SLA 90), mean 70, p50=p90=100; BETA: one
+    supplier, one item shipped 5 days early (latency -5, unclamped)."""
+    from datetime import datetime, timedelta
+
+    t = datetime(2026, 1, 1)
+    orders = [
+        (1, 1, "O", 1.0, t, "1-URGENT"),
+        (2, 1, "O", 1.0, t, "2-HIGH"),
+    ]
+    li = [
+        (1, 1, 11, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", t + timedelta(days=10)),
+        (1, 2, 11, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", t + timedelta(days=100)),
+        (2, 3, 12, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", t + timedelta(days=100)),
+        (2, 4, 13, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", t - timedelta(days=5)),
+    ]
+    sup = [(11, "s11", 0, 0.0), (12, "s12", 0, 0.0), (13, "s13", 1, 0.0)]
+    nat = [(0, "ALPHA", 0), (1, "BETA", 0)]
+    d = _supplier_lake(spark, tmp_path, orders, li, sup, nat)
+    out = {r.nation: r for r in QUERIES["q_supplier_fulfillment"](spark, d).collect()}
+    a = out["ALPHA"]
+    assert (a.n_suppliers, a.n_items, a.n_late) == (2, 3, 2)
+    assert a.late_share == round(2 / 3, 6)
+    assert a.mean_latency_days == 70.0
+    assert (a.min_latency_days, a.max_latency_days) == (10, 100)
+    assert (a.p50_latency_days, a.p90_latency_days) == (100, 100)
+    b = out["BETA"]
+    assert (b.n_suppliers, b.n_items, b.n_late) == (1, 1, 0)
+    assert (b.min_latency_days, b.mean_latency_days) == (-5, -5.0)
+
+
+def test_supplier_fulfillment_counts_every_lineitem(spark):
+    """Referential integrity holds on testdata, so the two inner joins
+    drop nothing: Σ n_items == lineitem rows; quantiles ordered; the
+    per-nation supplier counts re-sum to the distinct active-supplier
+    count (each supplier has exactly one nation)."""
+    from pcap_to_parquet_spark.sources import load_table
+
+    out = QUERIES["q_supplier_fulfillment"](spark, SF0001).collect()
+    li = load_table(spark, SF0001, "lineitem")
+    assert sum(r.n_items for r in out) == li.count()
+    assert sum(r.n_suppliers for r in out) == li.select("l_suppkey").distinct().count()
+    for r in out:
+        assert r.min_latency_days <= r.p50_latency_days <= r.p90_latency_days
+        assert r.p90_latency_days <= r.max_latency_days
+        assert 0.0 <= r.late_share <= 1.0
+
+
 def test_convert_pcap_ipv6_roundtrip(spark, tmp_path):
     import duckdb
 
