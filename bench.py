@@ -26,6 +26,17 @@ driver benches right after its own pytest sweep; load has not
 drained). A no-code-change mover inside 2x on a sub-10 s entry is
 host noise — record it, don't investigate. Genuine regressions show
 up as >2x, or as any consistent move on the >10 s entries.
+
+MEDIAN METHODOLOGY (round 13, per the r12 verdict's noise-discipline
+ask): each query now runs THREE times back-to-back; ``queries`` keeps
+the min (round-over-round comparable with every r3+ artifact) and the
+new ``queries_median`` records the median of the 3 — one elevated run
+(GC pause, steal burst, JIT re-entry) can no longer move the
+cross-round comparison number, where a min can still be lucky and a
+single-shot unlucky. Cross-round per-query comparisons should use
+``queries_median`` from r13 on; r12-and-earlier details carry only
+the min, so vs-r12 tables compare r13 medians against r12 mins and
+say so.
 """
 
 from __future__ import annotations
@@ -184,10 +195,13 @@ def main() -> None:
 
     cold: dict[str, float] = {}
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in HEADLINE:
-        first, second = run_once(name), run_once(name)
-        cold[name] = round(first, 3)
-        timings[name] = round(min(first, second), 3)
+        runs = [run_once(name) for _ in range(3)]
+        cold[name] = round(runs[0], 3)
+        ordered = sorted(runs)
+        timings[name] = round(ordered[0], 3)
+        medians[name] = round(ordered[1], 3)
 
     # reference capability at scale: 250k-packet pcap -> zstd parquet
     import tempfile
@@ -196,12 +210,14 @@ def main() -> None:
 
     def convert_timed(name: str, path: str, out: str) -> None:
         times = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             convert_pcap(spark, path, out)
             times.append(time.time() - t0)
         cold[name] = round(times[0], 3)
-        timings[name] = round(min(times), 3)
+        ordered = sorted(times)
+        timings[name] = round(ordered[0], 3)
+        medians[name] = round(ordered[1], 3)
 
     convert_timed(
         "pcap_convert_250k",
@@ -217,11 +233,14 @@ def main() -> None:
         os.path.join(tempfile.gettempdir(), "bench_pcap_out_1m"),
     )
     total = round(sum(timings.values()), 3)
+    total_median = round(sum(medians.values()), 3)
     full = {
         "metric": "headline_queries_total",
         "value": total,
+        "value_median": total_median,
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
         "queries_cold": cold,
         "sf": sf,
     }

@@ -64,9 +64,13 @@ _PUSH_COLS = {
 }
 
 
-def _filter_mask(a, filters):  # type: ignore[no-untyped-def]
+def _filter_mask(a, filters, ipv6=False):  # type: ignore[no-untyped-def]
     """AND of pushed filters as one numpy mask over the decoded arrays
-    (SQL semantics: a NULL column value never satisfies a comparison)."""
+    (SQL semantics: a NULL column value never satisfies a comparison).
+    In ipv6 mode protocol filters compare NAMES (the v6 next-header
+    names live in the proto6 string array, not the v4 number space);
+    the shared port arrays already carry v6 ports, so port/len filters
+    work unchanged."""
     import numpy as np
 
     from pyspark.sql.datasource import (
@@ -79,18 +83,37 @@ def _filter_mask(a, filters):  # type: ignore[no-untyped-def]
         LessThanOrEqual,
     )
 
+    proto_names = None
+    if ipv6:
+        proto_names = np.array(
+            [
+                a["proto6"][i]
+                if a["proto6"][i] is not None
+                else (_PROTOCOL_NAMES.get(int(a["proto"][i])) if a["proto_valid"][i] else None)
+                for i in range(len(a["len"]))
+            ],
+            dtype=object,
+        )
+        proto_valid6 = np.array([x is not None for x in proto_names], dtype=bool)
+        proto_names = np.where(proto_valid6, proto_names, "")
+
     mask = np.ones(len(a["len"]), dtype=bool)
     for f in filters:
         (col,) = f.attribute
         arr_name, valid_name = _PUSH_COLS[col]
         arr = a[arr_name]
         valid = a[valid_name] if valid_name else np.ones(len(arr), dtype=bool)
+        if col == "protocol" and ipv6:
+            arr, valid = proto_names, proto_valid6
         if isinstance(f, IsNotNull):
             mask &= valid
             continue
         if col == "protocol":
-            # filter values arrive as names; compare on the raw number
-            conv = lambda v: _PROTOCOL_NUMS.get(v, -1)  # noqa: E731
+            if ipv6:
+                conv = str
+            else:
+                # filter values arrive as names; compare on the raw number
+                conv = lambda v: _PROTOCOL_NUMS.get(v, -1)  # noqa: E731
         else:
             conv = int
         if isinstance(f, EqualTo):
@@ -110,7 +133,7 @@ def _filter_mask(a, filters):  # type: ignore[no-untyped-def]
     return mask
 
 
-def _decode_to_arrow(buf: bytes, filters=()):  # type: ignore[no-untyped-def]
+def _decode_to_arrow(buf: bytes, filters=(), ipv6=False):  # type: ignore[no-untyped-def]
     """One in-memory capture → one Arrow RecordBatch (PACKET_DDL).
 
     The numeric decode is the shared vectorized kernel; only the
@@ -118,15 +141,16 @@ def _decode_to_arrow(buf: bytes, filters=()):  # type: ignore[no-untyped-def]
     yields final strings; read_pcap defers that to JVM codegen).
     Pushed filters apply as a numpy mask BETWEEN decode and string
     formatting — pruned packets never materialize Python strings and
-    never cross the Arrow boundary."""
+    never cross the Arrow boundary. ``ipv6`` merges the v6 text
+    columns into the same output fields (same opt-in as read_pcap)."""
     import numpy as np
     import pyarrow as pa
 
     from pcap_to_parquet_spark.sources.pcap_vec import decode_pcap_arrays
 
-    a = decode_pcap_arrays(buf)
+    a = decode_pcap_arrays(buf, ipv6)
     if filters:
-        keep = _filter_mask(a, filters)
+        keep = _filter_mask(a, filters, ipv6)
         a = {k: v[keep] for k, v in a.items()}
     n = len(a["len"])
 
@@ -140,11 +164,18 @@ def _decode_to_arrow(buf: bytes, filters=()):  # type: ignore[no-untyped-def]
     proto: list = [None] * n
     for i in np.flatnonzero(a["proto_valid"]):
         proto[i] = _PROTOCOL_NAMES.get(int(a["proto"][i]))
+    src, dst = dotted(a["src_u32"], a["ip_valid"]), dotted(a["dst_u32"], a["ip_valid"])
+    if ipv6:
+        for i in range(n):
+            if a["src6"][i] is not None:
+                src[i], dst[i] = a["src6"][i], a["dst6"][i]
+            if a["proto6"][i] is not None:
+                proto[i] = a["proto6"][i]
 
     return pa.record_batch(
         [
-            pa.array(dotted(a["src_u32"], a["ip_valid"]), type=pa.string()),
-            pa.array(dotted(a["dst_u32"], a["ip_valid"]), type=pa.string()),
+            pa.array(src, type=pa.string()),
+            pa.array(dst, type=pa.string()),
             pa.array(a["len"].astype("int64")),
             pa.array(proto, type=pa.string()),
             pa.array(
@@ -193,6 +224,7 @@ class PcapBatchReader(DataSourceReader):
         from pcap_to_parquet_spark.sources.pcap_chunked import _TS_TOL
 
         self.ts_tol = int(float(tol_h) * 3600) if tol_h is not None else _TS_TOL
+        self.ipv6 = str(options.get("ipv6", "false")).lower() == "true"
         self.pushed: list = []
 
     def pushFilters(self, filters):  # type: ignore[no-untyped-def]
@@ -253,7 +285,7 @@ class PcapBatchReader(DataSourceReader):
             buf = decode_chunk(
                 partition.path, partition.start, partition.end, partition.ts_tol
             )
-        yield _decode_to_arrow(buf, self.pushed)
+        yield _decode_to_arrow(buf, self.pushed, self.ipv6)
 
 
 class PcapStreamReader(DataSourceStreamReader):
@@ -265,6 +297,7 @@ class PcapStreamReader(DataSourceStreamReader):
         self.dir = options.get("path")
         if not self.dir:
             raise ValueError("pcap stream source requires a directory path")
+        self.ipv6 = str(options.get("ipv6", "false")).lower() == "true"
 
     def _list(self) -> list[str]:
         import glob
@@ -285,7 +318,7 @@ class PcapStreamReader(DataSourceStreamReader):
 
     def read(self, partition: PcapPartition) -> Iterator:  # type: ignore[override]
         with open(partition.path, "rb") as f:
-            yield _decode_to_arrow(f.read())
+            yield _decode_to_arrow(f.read(), ipv6=self.ipv6)
 
     def commit(self, end: dict) -> None:
         pass  # offsets are checkpointed by the engine; nothing to clean

@@ -151,15 +151,17 @@ def reframe_legacy(raw: bytes) -> bytes:
     return b"".join(parts)
 
 
-def read_pcapng(spark: SparkSession, path: str) -> DataFrame:
+def read_pcapng(spark: SparkSession, path: str, ipv6: bool = False) -> DataFrame:
     """pcapng file(s)/glob → packets DataFrame (PACKET_SCHEMA), through
     the vectorized decoder: the block walk re-frames each file into the
     legacy record layout in-memory (``reframe_legacy``), then
     ``decode_pcap_arrays`` runs unchanged (one synthetic buffer per
-    file; columnar from there)."""
+    file; columnar from there). ``ipv6=True`` enables the opt-in v6
+    decode exactly as in ``read_pcap`` (default = reference parity)."""
     from pcap_to_parquet_spark.session import tune
     from pcap_to_parquet_spark.sources.pcap import (
         _RAW_DECODE_SCHEMA,
+        _RAW_DECODE_SCHEMA_V6,
         _arrays_to_pandas,
         _finish_packets,
     )
@@ -172,7 +174,10 @@ def read_pcapng(spark: SparkSession, path: str) -> DataFrame:
 
         for pdf in batches:
             for content in pdf["content"]:
-                yield _arrays_to_pandas(decode_pcap_arrays(reframe_legacy(bytes(content))))
+                yield _arrays_to_pandas(
+                    decode_pcap_arrays(reframe_legacy(bytes(content)), ipv6)
+                )
 
-    raw = files.mapInPandas(decode_files, schema=_RAW_DECODE_SCHEMA)
-    return _finish_packets(raw)
+    schema = _RAW_DECODE_SCHEMA_V6 if ipv6 else _RAW_DECODE_SCHEMA
+    raw = files.mapInPandas(decode_files, schema=schema)
+    return _finish_packets(raw, ipv6)

@@ -278,6 +278,78 @@ def test_biflow_conservation(spark):
     assert b["sum(fwd_bytes)"] + b["sum(rev_bytes)"] == pkts["sum(len)"]
 
 
+def _v6_pcapng_path(tmp_path) -> str:
+    """v6 fixture packets re-containered as pcapng (EPB per packet)."""
+    import struct
+
+    def block(btype: int, body: bytes) -> bytes:
+        total = 12 + len(body) + (-len(body) % 4)
+        return (
+            struct.pack("<II", btype, total)
+            + body
+            + b"\x00" * (-len(body) % 4)
+            + struct.pack("<I", total)
+        )
+
+    parts = [
+        block(0x0A0D0D0A, struct.pack("<IHHq", 0x1A2B3C4D, 1, 0, -1)),
+        block(0x00000001, struct.pack("<HHI", 1, 0, 65535)),
+    ]
+    for ts_sec, origlen, data in v6_fixture_packets().values():
+        ts = ts_sec * 10**6
+        parts.append(
+            block(
+                0x00000006,
+                struct.pack("<IIIII", 0, ts >> 32, ts & 0xFFFFFFFF, len(data), origlen)
+                + data,
+            )
+        )
+    p = tmp_path / "v6.pcapng"
+    p.write_bytes(b"".join(parts))
+    return str(p)
+
+
+def test_v6_through_pcapng(spark, tmp_path):
+    """The ipv6 option behaves identically through the pcapng
+    container: same rows as the legacy-pcap path, and parity default
+    still NULLs v6."""
+    from pcap_to_parquet_spark.sources.pcapng import read_pcapng
+
+    path = _v6_pcapng_path(tmp_path)
+    rows = [
+        r.asDict()
+        for r in read_pcapng(spark, path, ipv6=True)
+        .orderBy("len", "src_ip")
+        .collect()
+    ]
+    assert rows == sorted(V6_GOLDEN_ROWS, key=lambda r: (r["len"], r["src_ip"] or ""))
+    parity = read_pcapng(spark, path).where("src_ip LIKE '%:%'").count()
+    assert parity == 0
+
+
+def test_v6_through_datasource_with_pushdown(spark):
+    """spark.read.format('pcap').option('ipv6', 'true'): the connector
+    carries the v6 decode, and a pushed protocol filter compares in
+    NAME space (ICMPv6 exists only there — the v4 number space would
+    drop every v6 row)."""
+    from pcap_to_parquet_spark.operators.pcap_query import _v6_fixture_path
+    from pcap_to_parquet_spark.sources.pcap_datasource import register_pcap_source
+
+    register_pcap_source(spark)
+    df = spark.read.format("pcap").option("ipv6", "true").load(_v6_fixture_path())
+    rows = [r.asDict() for r in df.orderBy("len", "src_ip").collect()]
+    assert rows == sorted(V6_GOLDEN_ROWS, key=lambda r: (r["len"], r["src_ip"] or ""))
+    icmp6 = df.where("protocol = 'ICMPv6'").collect()
+    assert [r.src_ip for r in icmp6] == ["fe80::1"]
+    # both 2001:db8::1 UDP packets plus the dual-stack v4 one — the
+    # pushed name-space filter must keep BOTH stacks' UDP rows
+    udp1234 = df.where("protocol = 'UDP' AND src_port = 1234").count()
+    assert udp1234 == 3
+    # default (no option) stays reference parity through the connector
+    parity = spark.read.format("pcap").load(_v6_fixture_path())
+    assert parity.where("src_ip LIKE '%:%'").count() == 0
+
+
 # ---------------------------------------------------------------------------
 # q_supplier_fulfillment
 
