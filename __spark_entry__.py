@@ -51,9 +51,15 @@ SF0001_DIR = "/root/testdata/sf0.001"
 #
 # ROUND-13 REHEARSAL RECORD (updated as the round progresses): the
 # staged window (now positions 0-49) was pre-rehearsed 50/50 at
-# sf0.01 on final round-12 code; re-rehearsed this round after the
-# driver regenerated testdata — see the END-OF-ROUND-13 record below
-# once written.
+# sf0.01 on final round-12 code, and RE-REHEARSED 50/50 at sf0.01 at
+# round-13 start on the regenerated testdata (first action of the
+# round, before any code change); the full-registry dtype audit on
+# the same regenerated data reported 0 skews. Every "new in round 13"
+# entry passed sf0.001 + sf0.01 oracle checks and the dtype audit the
+# day it landed (q_pcap_v6_flows, q_pcap_biflow,
+# q_supplier_fulfillment — the latter also at sf0.01). protobuf
+# re-checked at round start: still absent
+# (transformWithStateInPandas stays conditionally registered).
 #
 _GATE_FRONT = [
     # ---- ROUND 13 WINDOW (positions 0-49) ----
@@ -116,6 +122,8 @@ _GATE_FRONT = [
     "q_pcap_v6_flows",
     "q_pcap_biflow",
     "q_supplier_fulfillment",
+    "q_pcap_talkers",
+    "q_winnowing_band",
     # round-9 window remainder (rows r9)
     "q_burstiness",
     "q_weighted_median",

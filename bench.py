@@ -136,6 +136,8 @@ HEADLINE = [
     "q_pcap_v6_flows",      # dual-stack NetFlow rollup, opt-in v6 decode (r13 add)
     "q_pcap_biflow",        # canonical-key direction pairing, IDS features (r13 add)
     "q_supplier_fulfillment",  # supplier-nation latency census, 2nd big-big join (r13 add)
+    "q_pcap_talkers",       # endpoint in/out census, fan-out + exfil tells (r13 add)
+    "q_winnowing_band",     # band-limited fingerprint pairing, near-dup scale path (r13 add)
 ]
 
 # round-over-round reference (same box, sf0.1, local[32]):

@@ -5323,6 +5323,143 @@ def winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy(F.desc("n_shared"), "doc_a", "doc_b").limit(20)
 
 
+# round 13: band-limited winnowing — the NEAR-dup-multiplicity scale
+# path the combined-axis rehearsal proved q_winnowing needs
+_WINNOW_BAND_CAP = 32
+
+WINNOWING_BAND_ORACLE = rf"""
+WITH grp AS (
+    SELECT md5(text) AS g, MIN(doc_id) AS rep
+    FROM documents
+    WHERE len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) >= 3
+    GROUP BY md5(text)
+),
+rtok AS (
+    SELECT grp.g,
+           list_filter(regexp_split_to_array(d.text, '\s+'), t -> t <> '') AS ws
+    FROM grp JOIN documents d ON d.doc_id = grp.rep
+),
+sh AS (
+    SELECT g, i.i AS pos,
+           (('0x' || substr(md5(ws[i.i] || '|' || ws[i.i + 1] || '|'
+                                || ws[i.i + 2]), 1, 10))::BIGINT << 16)
+           + (65535 - i.i) AS key
+    FROM rtok, unnest(generate_series(1, len(ws) - 2)) AS i(i)
+    WHERE i.i < 65536
+),
+wm AS (
+    SELECT g,
+           MIN(key) OVER (PARTITION BY g ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW
+                                   AND {_WINNOW_W - 1} FOLLOWING) AS wkey
+    FROM sh
+),
+prints AS (SELECT DISTINCT g, wkey >> 16 AS h FROM wm),
+banded AS (SELECT g, MIN(h) AS band FROM prints GROUP BY g),
+capped AS (
+    SELECT g, band FROM (
+        SELECT g, band,
+               ROW_NUMBER() OVER (PARTITION BY band ORDER BY g) AS rn
+        FROM banded) WHERE rn <= {_WINNOW_BAND_CAP}
+),
+cand AS (
+    SELECT a.g AS ga, b.g AS gb
+    FROM capped a JOIN capped b ON a.band = b.band AND a.g < b.g
+),
+ver AS (
+    SELECT ga, gb, CAST(COUNT(*) AS BIGINT) AS ns
+    FROM cand
+    JOIN prints pa ON pa.g = cand.ga
+    JOIN prints pb ON pb.g = cand.gb AND pa.h = pb.h
+    GROUP BY ga, gb
+)
+SELECT LEAST(ra.rep, rb.rep) AS doc_a,
+       GREATEST(ra.rep, rb.rep) AS doc_b,
+       ns AS n_shared
+FROM ver JOIN grp ra ON ra.g = ver.ga JOIN grp rb ON rb.g = ver.gb
+ORDER BY n_shared DESC, doc_a, doc_b
+LIMIT 20
+"""
+
+
+@query("q_winnowing_band", WINNOWING_BAND_ORACLE)
+def winnowing_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAND-LIMITED winnowing pairs — the near-dup-multiplicity scale
+    path for fingerprint pairing, shipped after the round-13
+    combined-axis rehearsal (100× corpus × grown vocabulary) showed
+    exact q_winnowing's honest ceiling: its dedup-collapse keys on
+    EXACT text (md5), so near-duplicate replicas — which the
+    vocabulary-growth plant creates and a real web corpus is full
+    of — each stay their own representative, and the rep-level
+    shared-print join re-inflates to Σ_h C(df_h, 2): measured "No
+    space left on device" (>78 GB shuffle spill) on local[32] at the
+    combined plant. This variant is the repo's standard
+    candidate-then-verify answer (the LSH discipline): each rep's
+    single MINIMUM print is its band key (the MOSS "super-fingerprint"
+    idea — near-dup texts share most prints, so they share the min
+    with high probability); candidate pairs form only within a band
+    bucket, hot buckets cap at the {cap} lexicographically-smallest
+    groups (bounded Σ C({cap},2) verify pairs per bucket, the
+    q_lsh_planner discipline); and each candidate pair is verified by
+    the EXACT shared-print count (array_intersect of the two reps'
+    distinct print sets — no estimate). Output: top-20 rep pairs by
+    verified n_shared (rep-level by design; member expansion is
+    q_winnowing's job). Every reported pair's n_shared is exact; the
+    trade is RECALL (a pair not sharing its min print is never a
+    candidate), pinned against exact q_winnowing on the planted
+    fixture. [engine — not in reference]
+
+    Scale: the shingle/print pipeline stays rep-bounded (shared
+    _winnow_collapse kernel, one checkpoint); band keying is a
+    map-side array_min; the verify join carries only capped-bucket
+    pairs with two print ARRAYS each — never the print-level
+    Σ C(df,2) explosion. Oracle replays the identical algebra
+    (same 40-bit md5 shingle keys, same window-min, same cap rule)."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    _members, sizes, pr = _winnow_collapse(d)
+    banded = pr.where(F.size("prints") > 0).select(
+        "g", "prints", F.array_min("prints").alias("band")
+    )
+    wb = W.partitionBy("band").orderBy("g")
+    capped = (
+        banded.withColumn("rn", F.row_number().over(wb))
+        .where(F.col("rn") <= _WINNOW_BAND_CAP)
+        .select("g", "band", "prints")
+    )
+    a = capped.select(
+        "band", F.col("g").alias("ga"), F.col("prints").alias("pa")
+    )
+    b = capped.select(
+        "band", F.col("g").alias("gb"), F.col("prints").alias("pb")
+    )
+    ver = (
+        a.join(b, "band")
+        .where(F.col("ga") < F.col("gb"))
+        .select(
+            "ga",
+            "gb",
+            F.size(F.array_intersect("pa", "pb")).cast("long").alias("n_shared"),
+        )
+    )
+    ra = sizes.select(F.col("g").alias("ga"), F.col("rep_id").alias("rep_a"))
+    rb = sizes.select(F.col("g").alias("gb"), F.col("rep_id").alias("rep_b"))
+    out = (
+        ver.join(ra, "ga")
+        .join(rb, "gb")
+        .select(
+            F.least("rep_a", "rep_b").alias("doc_a"),
+            F.greatest("rep_a", "rep_b").alias("doc_b"),
+            "n_shared",
+        )
+    )
+    return out.orderBy(F.desc("n_shared"), "doc_a", "doc_b").limit(20)
+
+
+winnowing_band.__doc__ = winnowing_band.__doc__.format(cap=_WINNOW_BAND_CAP)
+
+
 # ---------------------------------------------------------------------------
 # ANN recall evaluation: SRP-bucket search vs brute-force ground truth
 

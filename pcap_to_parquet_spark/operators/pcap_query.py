@@ -499,6 +499,75 @@ def pcap_biflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PCAP_TALKERS_ORACLE = f"""
+WITH g AS ({BIFLOW_GOLDEN_PACKETS_ORACLE}),
+roles AS (
+    SELECT src_ip AS endpoint_ip, dst_ip AS peer_ip, len, 1 AS is_out FROM g
+    UNION ALL
+    SELECT dst_ip AS endpoint_ip, src_ip AS peer_ip, len, 0 AS is_out FROM g
+)
+SELECT endpoint_ip,
+       CAST(COALESCE(SUM(CASE WHEN is_out = 1 THEN 1 END), 0) AS BIGINT) AS out_packets,
+       CAST(COALESCE(SUM(CASE WHEN is_out = 1 THEN len END), 0) AS BIGINT) AS out_bytes,
+       CAST(COALESCE(SUM(CASE WHEN is_out = 0 THEN 1 END), 0) AS BIGINT) AS in_packets,
+       CAST(COALESCE(SUM(CASE WHEN is_out = 0 THEN len END), 0) AS BIGINT) AS in_bytes,
+       CAST(COUNT(DISTINCT peer_ip) AS BIGINT) AS n_peers,
+       CASE WHEN COALESCE(SUM(CASE WHEN is_out = 0 THEN len END), 0) > 0
+            THEN ROUND(COALESCE(SUM(CASE WHEN is_out = 1 THEN len END), 0) * 1.0
+                       / SUM(CASE WHEN is_out = 0 THEN len END), 4)
+       END AS io_byte_ratio
+FROM roles
+GROUP BY endpoint_ip
+"""
+
+
+@query("q_pcap_talkers", PCAP_TALKERS_ORACLE)
+def pcap_talkers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-TALKERS endpoint census — the other classic NetFlow view
+    (biflow is per-conversation; this is per-ENDPOINT): every packet
+    contributes to its source's 'out' role and its destination's 'in'
+    role, yielding per-address out/in packet+byte totals, the distinct
+    peer count (fan-out — a scanner's tell), and the out/in byte ratio
+    (an exfil tell when it spikes on a workstation). The undecodable
+    catch-all keeps a NULL endpoint row; NULL peers don't count toward
+    n_peers (COUNT DISTINCT semantics, identical both engines).
+    [engine — not in reference]
+
+    Scale design: ONE decoded scan → a 2× role union (column algebra,
+    no second decode: both UNION branches read the same cached scan
+    projection) → one partial+final aggregate keyed by endpoint. The
+    distinct-peer count rides the same aggregate (Spark expands to a
+    two-phase exact distinct). Endpoint cardinality is census-sized
+    relative to packets (every packet has exactly 2 roles).
+    Oracle: identical algebra over the bidirectional golden literal."""
+    df = read_pcap(spark, _biflow_fixture_path())
+    roles = df.select(
+        F.col("src_ip").alias("endpoint_ip"),
+        F.col("dst_ip").alias("peer_ip"),
+        "len",
+        F.lit(1).alias("is_out"),
+    ).unionAll(
+        df.select(
+            F.col("dst_ip").alias("endpoint_ip"),
+            F.col("src_ip").alias("peer_ip"),
+            "len",
+            F.lit(0).alias("is_out"),
+        )
+    )
+    out_b = F.coalesce(F.sum(F.when(F.col("is_out") == 1, F.col("len"))), F.lit(0))
+    in_b = F.coalesce(F.sum(F.when(F.col("is_out") == 0, F.col("len"))), F.lit(0))
+    return roles.groupBy("endpoint_ip").agg(
+        F.coalesce(F.sum(F.when(F.col("is_out") == 1, 1)), F.lit(0))
+        .cast("long").alias("out_packets"),
+        out_b.cast("long").alias("out_bytes"),
+        F.coalesce(F.sum(F.when(F.col("is_out") == 0, 1)), F.lit(0))
+        .cast("long").alias("in_packets"),
+        in_b.cast("long").alias("in_bytes"),
+        F.countDistinct("peer_ip").cast("long").alias("n_peers"),
+        F.when(in_b > 0, F.round(out_b * 1.0 / in_b, 4)).alias("io_byte_ratio"),
+    )
+
+
 @query("q_pcap_roundtrip", GOLDEN_PACKETS_ORACLE)
 def pcap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capture round-trip — the capability the one-way reference never

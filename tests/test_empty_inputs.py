@@ -220,6 +220,7 @@ EMPTY_SAFE = [
     "q_repeat_cadence",
     # round 13
     "q_supplier_fulfillment",
+    "q_winnowing_band",
 ]
 
 # global aggregates return one constant row on empty input (their
