@@ -5257,7 +5257,17 @@ def winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     slices identical in both engines; tail windows truncate at the
     document end the same way in both (a documented variant of the
     full-window-only original); the oracle replays the uncollapsed
-    join verbatim, so the driver check proves collapse-equivalence."""
+    join verbatim, so the driver check proves collapse-equivalence.
+
+    KNOWN CEILING (round-13 combined-axis rehearsal): the collapse
+    keys on EXACT text, so NEAR-dup multiplicity (the vocab-growth
+    plant; any real web corpus) re-inflates the rep-level
+    shared-print join to Σ_h C(df_h, 2) — measured disk-full
+    (>78 GB spill) at the 100×-corpus × grown-vocabulary plant on
+    local[32]. The exact all-pairs table is a bounded-corpus forensic
+    op; near-dup-heavy corpora use q_winnowing_band (min-print
+    banding + exact verify, 2.6× at the same plant) or
+    q_dedup_minhash."""
     d = load_table(spark, sf_dir, "documents")
     members, sizes, pr = _winnow_collapse(d)
     rep_prints = pr.select("g", F.explode("prints").alias("h"))

@@ -533,27 +533,34 @@ def pcap_talkers(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_peers (COUNT DISTINCT semantics, identical both engines).
     [engine — not in reference]
 
-    Scale design: ONE decoded scan → a 2× role union (column algebra,
-    no second decode: both UNION branches read the same cached scan
-    projection) → one partial+final aggregate keyed by endpoint. The
-    distinct-peer count rides the same aggregate (Spark expands to a
-    two-phase exact distinct). Endpoint cardinality is census-sized
-    relative to packets (every packet has exactly 2 roles).
-    Oracle: identical algebra over the bidirectional golden literal."""
+    Scale design: ONE decoded scan → the two roles EXPLODE map-side
+    from each packet row (an inline 2-element struct array — a union
+    of two selects would re-run the decode kernel per branch, which
+    PLANS.md caught as MapInPandas×2 on the first draft) → one
+    partial+final aggregate keyed by endpoint. The distinct-peer
+    count rides the same aggregate (Spark expands to a two-phase
+    exact distinct). Endpoint cardinality is census-sized relative to
+    packets (every packet has exactly 2 roles).
+    Oracle: identical algebra over the bidirectional golden literal
+    (DuckDB's UNION ALL over the VALUES literal — free there)."""
     df = read_pcap(spark, _biflow_fixture_path())
     roles = df.select(
-        F.col("src_ip").alias("endpoint_ip"),
-        F.col("dst_ip").alias("peer_ip"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("src_ip").alias("endpoint_ip"),
+                    F.col("dst_ip").alias("peer_ip"),
+                    F.lit(1).alias("is_out"),
+                ),
+                F.struct(
+                    F.col("dst_ip").alias("endpoint_ip"),
+                    F.col("src_ip").alias("peer_ip"),
+                    F.lit(0).alias("is_out"),
+                ),
+            )
+        ).alias("r"),
         "len",
-        F.lit(1).alias("is_out"),
-    ).unionAll(
-        df.select(
-            F.col("dst_ip").alias("endpoint_ip"),
-            F.col("src_ip").alias("peer_ip"),
-            "len",
-            F.lit(0).alias("is_out"),
-        )
-    )
+    ).select("r.endpoint_ip", "r.peer_ip", "len", "r.is_out")
     out_b = F.coalesce(F.sum(F.when(F.col("is_out") == 1, F.col("len"))), F.lit(0))
     in_b = F.coalesce(F.sum(F.when(F.col("is_out") == 0, F.col("len"))), F.lit(0))
     return roles.groupBy("endpoint_ip").agg(

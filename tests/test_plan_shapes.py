@@ -769,6 +769,29 @@ def test_repeat_cadence_shapes(spark):
     assert p.get("BroadcastHashJoin", 0) >= 1  # nation dim at minimum
 
 
+def test_pcap_talkers_shapes(spark):
+    """The two endpoint roles EXPLODE map-side from one decoded scan —
+    the first draft's union-of-selects re-ran the decode kernel per
+    branch (PLANS.md showed MapInPandas×2). Pin: ONE decode, one
+    Generate, one aggregate exchange, no row-Python."""
+    p = prof(spark, "q_pcap_talkers")
+    assert p.get("MapInPandas", 0) == 1
+    assert p.get("Generate", 0) == 1
+    assert p.get("BatchEvalPython", 0) == 0
+    assert "CartesianProduct" not in p
+
+
+def test_winnowing_band_shapes(spark):
+    """Band-limited pair-gen must stay candidate-bounded: no
+    cartesian, no row-Python, the verify join is a keyed join on the
+    band column (never an all-pairs print join), and the row_number
+    cap runs on the |reps|-sized banded frame."""
+    p = prof(spark, "q_winnowing_band")
+    assert "CartesianProduct" not in p
+    assert p.get("BatchEvalPython", 0) == 0
+    assert p.get("Window", 0) >= 1  # the per-band cap
+
+
 def test_supplier_fulfillment_shapes(spark):
     """The plan chains BOTH canonical big-big join shapes (lineitem ⋈
     orders on orderkey, then ⋈ supplier on suppkey) — both keyed and
