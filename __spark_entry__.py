@@ -49,17 +49,31 @@ SF0001_DIR = "/root/testdata/sf0.001"
 # of the r10 window, the former round-11 window (rows r11), then the
 # former round-12 window (rows r12, freshest).
 #
-# ROUND-13 REHEARSAL RECORD (updated as the round progresses): the
-# staged window (now positions 0-49) was pre-rehearsed 50/50 at
-# sf0.01 on final round-12 code, and RE-REHEARSED 50/50 at sf0.01 at
-# round-13 start on the regenerated testdata (first action of the
-# round, before any code change); the full-registry dtype audit on
-# the same regenerated data reported 0 skews. Every "new in round 13"
-# entry passed sf0.001 + sf0.01 oracle checks and the dtype audit the
-# day it landed (q_pcap_v6_flows, q_pcap_biflow,
-# q_supplier_fulfillment — the latter also at sf0.01). protobuf
-# re-checked at round start: still absent
-# (transformWithStateInPandas stays conditionally registered).
+# ROUND-13 REHEARSAL RECORD: the staged window (now positions 0-49)
+# was pre-rehearsed 50/50 at sf0.01 on final round-12 code, and
+# RE-REHEARSED 50/50 at sf0.01 at round-13 start on the regenerated
+# testdata (first action of the round, before any code change); the
+# full-registry dtype audit on the same regenerated data reported 0
+# skews. Every "new in round 13" entry (q_pcap_v6_flows,
+# q_pcap_biflow, q_supplier_fulfillment, q_pcap_talkers,
+# q_winnowing_band) passed sf0.001 + sf0.01 oracle checks and the
+# dtype audit the day it landed. protobuf re-checked at round start:
+# still absent (transformWithStateInPandas stays conditionally
+# registered).
+#
+# END-OF-ROUND-13 RECORD: full-registry sf0.01 oracle replay on final
+# round-13 code: 321 pass, 0 fail, 6 rows-only of 327 (the 6 are the
+# documented estimator/sketch ops). Full suite 959/959. Combined-axis
+# rehearsal (/tmp/sf10v — 100x corpus x grown vocab x near-dup
+# multiplicity) run for the whole dedup family: all sublinear
+# (3.4x-7.2x) except exact q_winnowing, whose md5-collapse ceiling
+# was found, documented, and answered with q_winnowing_band (2.6x at
+# the same plant). Bench: median-of-3 methodology landed;
+# BENCH_DETAIL_r13.json canonical (87 entries, 147.9 s min /
+# 163.0 s median; sibling r13b within 1%); vs r12 common-82, r13
+# MEDIANS 158.0 s beat r12 MINS 163.5 s — no regression, noise scare
+# closed. PLANS.md regenerated: 0 BatchEvalPython, 0
+# CartesianProduct across all 327 plans.
 #
 _GATE_FRONT = [
     # ---- ROUND 13 WINDOW (positions 0-49) ----
