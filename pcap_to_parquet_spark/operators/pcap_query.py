@@ -219,27 +219,34 @@ FROM flows
 """
 
 
-# IPv6 golden-packet oracle (engine extension): the 9 v6-fixture
+# IPv6 golden-packet oracle (engine extension): the 13 v6-fixture
 # packets' decoded rows, hand-computed from the byte layout in
 # sources/pcap_fixtures.py::v6_fixture_packets. The reference NULLs
 # ethertype 0x86DD entirely (main.rs:239-251 dispatches only
 # 0x0800/0x8100); ipv6=True is the engine's opt-in extension —
 # canonical RFC 5952 addresses (note 2001:db8:0:0:1:0:0:1 renders
-# with the LEFTMOST-longest zero run: 2001:db8::1:0:0:1), next-header
-# names {TCP, UDP, ICMPv6}, extension chains not walked (v6_ext row:
-# addresses only), mm trailer orthogonal (v6_mm row), parity
-# null-on-short (v6_short row), v4 coexisting in the same capture.
+# with the LEFTMOST-longest zero run: 2001:db8::1:0:0:1), the
+# extension-header chain WALKED to the real L4 (v6_ext: hbh → UDP
+# named, zero L4 bytes so ports NULL; v6_chain: hbh → dest-opts →
+# UDP 21/22; v6_frag0: atomic fragment, TCP ports present; v6_fragn:
+# non-first fragment, TCP named, no L4 header; v6_esp: ESP terminates
+# unnamed), mm trailer orthogonal (v6_mm row), parity null-on-short
+# (v6_short row), v4 coexisting in the same capture.
 V6_GOLDEN_PACKETS_ORACLE = f"""
 SELECT {_PKT_COLS} FROM (VALUES
-    ('2001:db8::1', '2001:db8::2', CAST(70 AS BIGINT), 'UDP', CAST(1234 AS INTEGER), CAST(5678 AS INTEGER), CAST(NULL AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS SMALLINT)),
-    ('2001:db8:0:1::10', '2001:db8:0:1::20', CAST(74 AS BIGINT), 'TCP', CAST(443 AS INTEGER), CAST(8443 AS INTEGER), CAST(NULL AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS SMALLINT)),
+    ('2001:db8::1', '2001:db8::2', CAST(70 AS BIGINT), 'UDP', CAST(1234 AS INTEGER), CAST(5678 AS INTEGER), {_MM_NULLS}),
+    ('2001:db8:0:1::10', '2001:db8:0:1::20', CAST(74 AS BIGINT), 'TCP', CAST(443 AS INTEGER), CAST(8443 AS INTEGER), {_MM_NULLS}),
     ('fe80::1', 'ff02::1', CAST(58 AS BIGINT), 'ICMPv6', {_PKT_NULLS}),
-    ('2001:db8:ff::a', '2001:db8:ff::b', CAST(74 AS BIGINT), 'UDP', CAST(53 AS INTEGER), CAST(5353 AS INTEGER), CAST(NULL AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS SMALLINT)),
-    ('2001:db8::dead', '2001:db8::beef', CAST(62 AS BIGINT), CAST(NULL AS VARCHAR), {_PKT_NULLS}),
-    ('2001:db8::1:0:0:1', '::1', CAST(70 AS BIGINT), 'UDP', CAST(7 AS INTEGER), CAST(9 AS INTEGER), CAST(NULL AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS SMALLINT)),
+    ('2001:db8:ff::a', '2001:db8:ff::b', CAST(74 AS BIGINT), 'UDP', CAST(53 AS INTEGER), CAST(5353 AS INTEGER), {_MM_NULLS}),
+    ('2001:db8::dead', '2001:db8::beef', CAST(62 AS BIGINT), 'UDP', {_PKT_NULLS}),
+    ('2001:db8:c::1', '2001:db8:c::2', CAST(94 AS BIGINT), 'UDP', CAST(21 AS INTEGER), CAST(22 AS INTEGER), {_MM_NULLS}),
+    ('2001:db8:f::1', '2001:db8:f::2', CAST(82 AS BIGINT), 'TCP', CAST(80 AS INTEGER), CAST(443 AS INTEGER), {_MM_NULLS}),
+    ('2001:db8:f::1', '2001:db8:f::2', CAST(66 AS BIGINT), 'TCP', {_PKT_NULLS}),
+    ('2001:db8:5::1', '2001:db8:5::2', CAST(70 AS BIGINT), CAST(NULL AS VARCHAR), {_PKT_NULLS}),
+    ('2001:db8::1:0:0:1', '::1', CAST(70 AS BIGINT), 'UDP', CAST(7 AS INTEGER), CAST(9 AS INTEGER), {_MM_NULLS}),
     ('2001:db8::1', '2001:db8::2', CAST(86 AS BIGINT), 'UDP', CAST(1234 AS INTEGER), CAST(5678 AS INTEGER), CAST(1699999998500000123 AS BIGINT), CAST(7 AS INTEGER), CAST(3 AS SMALLINT)),
     (CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(30 AS BIGINT), CAST(NULL AS VARCHAR), {_PKT_NULLS}),
-    ('10.0.0.1', '10.0.0.2', CAST(50 AS BIGINT), 'UDP', CAST(1234 AS INTEGER), CAST(5678 AS INTEGER), CAST(NULL AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS SMALLINT))
+    ('10.0.0.1', '10.0.0.2', CAST(50 AS BIGINT), 'UDP', CAST(1234 AS INTEGER), CAST(5678 AS INTEGER), {_MM_NULLS})
 ) AS t({_PKT_COLS})
 """
 
@@ -261,17 +268,21 @@ def pcap_v6_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ethertype 0x86DD (main.rs:239-251 dispatches only 0x0800/0x8100),
     so every v6 packet lands in the catch-all flow. With ipv6=True
     the same PACKET_SCHEMA carries canonical RFC 5952 text addresses,
-    next-header protocol names ({{TCP, UDP, ICMPv6}}; extension
-    chains not walked), and TCP/UDP ports at the fixed 40-byte
+    the extension-header chain walked to the real L4 (hop-by-hop/
+    routing/fragment/dest-options; non-first fragments keep NULL
+    ports; AH/ESP terminate unnamed), next-header protocol names
+    ({{TCP, UDP, ICMPv6}}), and TCP/UDP ports at the post-chain
     offset; v4 and v6 flows coexist in one table with one GROUP BY.
     Default mode stays byte-identical reference parity — the flag is
     per-read, so a lake can migrate capture-by-capture.
 
     Scale: identical plan to q_pcap_flows (one decoded scan →
     partial+final aggregate); the only added cost is the per-v6-row
-    address text formatting inside the Arrow decode kernel.
-    Oracle: hand-computed flow table of the 9-packet v6 golden
-    fixture (8 flows: the two 2001:db8::1→::2 UDP packets merge)."""
+    address text formatting inside the Arrow decode kernel (the
+    chain walk is lockstep numpy hops).
+    Oracle: hand-computed flow table of the 13-packet v6 golden
+    fixture (12 flows: the two 2001:db8::1→::2 UDP packets merge;
+    the two fragments differ in ports so they stay separate)."""
     df = read_pcap(spark, _v6_fixture_path(), ipv6=True)
     return (
         df.groupBy("src_ip", "dst_ip", "protocol", "src_port", "dst_port")

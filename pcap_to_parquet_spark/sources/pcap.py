@@ -142,9 +142,16 @@ _PROTOCOL_NAMES = {1: "ICMP", 2: "IGMP", 6: "TCP", 17: "UDP"}
 
 # IPv6 next-header naming (opt-in engine extension; reference parity
 # keeps 0x86DD NULL — main.rs:239-251 handles only 0x0800/0x8100).
-# Extension-header chains are NOT walked: a packet whose fixed-header
-# next-header is an extension type decodes addresses only.
 _PROTOCOL_NAMES_V6 = {6: "TCP", 17: "UDP", 58: "ICMPv6"}
+
+# walked extension headers (RFC 8200): hop-by-hop (0), routing (43),
+# fragment (44), destination options (60). Layout: [next:1][len:1]...,
+# total (len+1)*8 bytes — except fragment, fixed 8 bytes with a 13-bit
+# offset at byte 2-3 (<<3). AH (51) and ESP (50) are NOT walked: AH
+# uses a different length formula and ESP encrypts everything after
+# itself, so both terminate the chain (protocol NULL — not nameable).
+_V6_EXT_HEADERS = (0, 43, 44, 60)
+_V6_MAX_EXT_HOPS = 8  # real chains have 0-2; the bound kills loops
 
 
 def _parse_ipv4(pkt: bytes, fields: dict[str, Any]) -> None:
@@ -165,11 +172,16 @@ def _parse_ipv4(pkt: bytes, fields: dict[str, Any]) -> None:
 
 
 def _parse_ipv6(pkt: bytes, fields: dict[str, Any]) -> None:
-    """IPv6 fixed-header decode (engine extension, opt-in): 40-byte
-    header → canonical RFC 5952 text addresses (ipaddress.compressed:
-    lowercase hex, leftmost-longest zero-run ``::``), next-header
-    naming for {TCP, UDP, ICMPv6}, ports for TCP/UDP at offset 40.
-    Extension-header chains are not walked (protocol/ports stay NULL);
+    """IPv6 decode (engine extension, opt-in): 40-byte fixed header →
+    canonical RFC 5952 text addresses (ipaddress.compressed:
+    lowercase hex, leftmost-longest zero-run ``::``), then the
+    extension-header chain is WALKED (hop-by-hop/routing/fragment/
+    dest-options, ≤{hops} hops) to the REAL L4: next-header naming
+    for {{TCP, UDP, ICMPv6}}, ports for TCP/UDP at the post-chain
+    offset. Non-first fragments (fragment offset ≠ 0) carry no L4
+    header, so their ports stay NULL (protocol still named from the
+    chain). A truncated extension header stops the walk with that
+    header type as the final protocol (unnamed → NULL) —
     null-on-malformed like every other decode path."""
     if len(pkt) < 40:
         return
@@ -178,11 +190,26 @@ def _parse_ipv6(pkt: bytes, fields: dict[str, Any]) -> None:
     next_header = pkt[6]
     fields["src_ip"] = ipaddress.IPv6Address(pkt[8:24]).compressed
     fields["dst_ip"] = ipaddress.IPv6Address(pkt[24:40]).compressed
+    off = 40
+    frag_nonzero = False
+    for _ in range(_V6_MAX_EXT_HOPS):
+        if next_header not in _V6_EXT_HEADERS or len(pkt) - off < 8:
+            break
+        nxt = pkt[off]
+        if next_header == 44:
+            frag_nonzero |= (int.from_bytes(pkt[off + 2 : off + 4], "big") >> 3) != 0
+            ext_bytes = 8
+        else:
+            ext_bytes = (pkt[off + 1] + 1) * 8
+        next_header, off = nxt, off + ext_bytes
     name = _PROTOCOL_NAMES_V6.get(next_header)
     if name is not None:
         fields["protocol"] = name
-    if next_header in (6, 17):
-        _parse_ports(pkt[40:], fields)
+    if next_header in (6, 17) and not frag_nonzero:
+        _parse_ports(pkt[off:], fields)
+
+
+_parse_ipv6.__doc__ = _parse_ipv6.__doc__.format(hops=_V6_MAX_EXT_HOPS)
 
 
 def _parse_ethernet(data: bytes, fields: dict[str, Any], ipv6: bool = False) -> None:
@@ -332,10 +359,11 @@ def read_pcap(spark: SparkSession, path: str, ipv6: bool = False) -> DataFrame:
 
     ``ipv6=True`` additionally decodes ethertype 0x86DD (plain and
     VLAN-tagged): canonical RFC 5952 addresses into src_ip/dst_ip,
-    next-header names {TCP, UDP, ICMPv6} into protocol, TCP/UDP ports
-    at the fixed 40-byte header offset. Same PACKET_SCHEMA either
-    way. Default False = byte-identical reference parity (the
-    reference NULLs IPv6, main.rs:239-251).
+    the extension-header chain walked to the real L4 (see
+    ``_parse_ipv6``), next-header names {TCP, UDP, ICMPv6} into
+    protocol, TCP/UDP ports at the post-chain offset. Same
+    PACKET_SCHEMA either way. Default False = byte-identical
+    reference parity (the reference NULLs IPv6, main.rs:239-251).
     """
     tune(spark)
     files = spark.read.format("binaryFile").load(path).select("content")

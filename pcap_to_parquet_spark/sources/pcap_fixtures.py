@@ -143,11 +143,50 @@ def v6_fixture_packets() -> dict[str, tuple[int, int, bytes]]:
         ipv6(17, "2001:db8:ff::a", "2001:db8:ff::b", udp(53, 5353)),
         inner_ethertype=0x86DD,
     )
-    # hop-by-hop extension header (next=0): addresses decode, protocol
-    # and ports stay NULL — the engine does not walk extension chains
+    # hop-by-hop extension header (next inside the ext hdr = 0x11 UDP,
+    # len 0 → 8 bytes): the chain walk reaches UDP but zero L4 bytes
+    # remain → protocol named, ports NULL
     v6_ext = eth(
         ipv6(0, "2001:db8::dead", "2001:db8::beef", b"\x11\x00\x00\x00\x00\x00\x00\x00"),
         ethertype=0x86DD,
+    )
+    # hop-by-hop → dest-options(len 1 → 16 bytes) → UDP with ports:
+    # the two-hop chain must land the ports at offset 40+8+16
+    v6_chain = eth(
+        ipv6(
+            0,
+            "2001:db8:c::1",
+            "2001:db8:c::2",
+            b"\x3c\x00" + b"\x00" * 6          # hop-by-hop: next=60, len 0
+            + b"\x11\x01" + b"\x00" * 14        # dest-opts: next=17, len 1
+            + udp(21, 22),
+        ),
+        ethertype=0x86DD,
+    )
+    # atomic fragment (offset 0): L4 present, ports decode
+    v6_frag0 = eth(
+        ipv6(
+            44,
+            "2001:db8:f::1",
+            "2001:db8:f::2",
+            b"\x06\x00\x00\x00\x00\x00\x00\x01" + tcp(80, 443),
+        ),
+        ethertype=0x86DD,
+    )
+    # non-first fragment (offset 185 → bytes 185<<3 = 0x05c8): no L4
+    # header in this packet — protocol named from the chain, ports NULL
+    v6_fragn = eth(
+        ipv6(
+            44,
+            "2001:db8:f::1",
+            "2001:db8:f::2",
+            b"\x06\x00\x05\xc8\x00\x00\x00\x01" + b"\xde\xad\xbe\xef",
+        ),
+        ethertype=0x86DD,
+    )
+    # ESP (50) terminates the walk unnamed: addresses only
+    v6_esp = eth(
+        ipv6(50, "2001:db8:5::1", "2001:db8:5::2", b"\x00" * 16), ethertype=0x86DD
     )
     v6_zero_runs = eth(
         ipv6(17, "2001:db8:0:0:1:0:0:1", "::1", udp(7, 9)), ethertype=0x86DD
@@ -165,6 +204,10 @@ def v6_fixture_packets() -> dict[str, tuple[int, int, bytes]]:
         "v6_icmp6": (t, len(v6_icmp6), v6_icmp6),
         "v6_vlan": (t, len(v6_vlan), v6_vlan),
         "v6_ext": (t, len(v6_ext), v6_ext),
+        "v6_chain": (t, len(v6_chain), v6_chain),
+        "v6_frag0": (t, len(v6_frag0), v6_frag0),
+        "v6_fragn": (t, len(v6_fragn), v6_fragn),
+        "v6_esp": (t, len(v6_esp), v6_esp),
         "v6_zero_runs": (t, len(v6_zero_runs), v6_zero_runs),
         "v6_mm": (t, len(v6_mm), v6_mm),
         "v6_short": (t, len(v6_short), v6_short),

@@ -108,8 +108,9 @@ def decode_pcap_arrays(buf: bytes, ipv6: bool = False) -> dict[str, np.ndarray]:
     parity, 0x86DD stays NULL) adds object-array keys ``src6``,
     ``dst6`` (canonical RFC 5952 text) and ``proto6`` (next-header
     name) populated on v6 rows only; v6 TCP/UDP ports merge into the
-    shared port columns. The fixed-offset v6 fields (next-header,
-    port u16s) stay in vectorized numpy gathers; only the per-row
+    shared port columns. The extension-header chain walk and every
+    fixed-offset v6 field stay in vectorized numpy gathers
+    (lockstep masked hops); only the per-row
     address TEXT formatting is Python, and only over v6 rows — the
     zero-run compression of RFC 5952 is data-dependent string work
     the JVM side can't codegen from a pair of int64 halves."""
@@ -154,11 +155,42 @@ def decode_pcap_arrays(buf: bytes, ipv6: bool = False) -> dict[str, np.ndarray]:
     if ipv6:
         import ipaddress
 
+        from pcap_to_parquet_spark.sources.pcap import (
+            _V6_EXT_HEADERS,
+            _V6_MAX_EXT_HOPS,
+        )
+
         is_ip6 = (has_eth & (ethertype == 0x86DD)) | (is_vlan & (inner_type == 0x86DD))
         ip6_ok = is_ip6 & ((off + incl - ip_off) >= 40)
-        nh = at(ip_off + 6, ip6_ok)
-        l4_off6 = ip_off + 40  # fixed header; extension chains not walked
-        ports6_ok = ip6_ok & np.isin(nh, (6, 17)) & ((off + incl - l4_off6) >= 4)
+        # extension-header chain walk, all packets in lockstep: each
+        # hop advances only the rows whose CURRENT next-header is a
+        # walkable extension type with 8 bytes present (mirrors the
+        # scalar loop exactly; ≤_V6_MAX_EXT_HOPS vectorized steps)
+        nh = at(ip_off + 6, ip6_ok).astype(np.int64)
+        l4_off6 = (ip_off + 40).astype(np.int64)
+        frag_nonzero = np.zeros(n, dtype=bool)
+        for _ in range(_V6_MAX_EXT_HOPS):
+            is_ext = (
+                ip6_ok
+                & np.isin(nh, _V6_EXT_HEADERS)
+                & ((off + incl - l4_off6) >= 8)
+            )
+            if not is_ext.any():
+                break
+            nxt = at(l4_off6, is_ext)
+            is_frag = is_ext & (nh == 44)
+            frag_nonzero |= is_frag & ((be(l4_off6 + 2, 2, is_frag) >> 3) != 0)
+            ext_bytes = np.where(
+                is_frag, 8, (at(l4_off6 + 1, is_ext).astype(np.int64) + 1) * 8
+            )
+            nh = np.where(is_ext, nxt, nh)
+            l4_off6 = np.where(is_ext, l4_off6 + ext_bytes, l4_off6)
+        ports6_ok = (
+            ip6_ok
+            & np.isin(nh, (6, 17))
+            & ~frag_nonzero
+            & ((off + incl - l4_off6) >= 4)
+        )
         src_port = np.where(ports6_ok, be(l4_off6, 2, ports6_ok), src_port)
         dst_port = np.where(ports6_ok, be(l4_off6 + 2, 2, ports6_ok), dst_port)
         ports_ok = ports_ok | ports6_ok

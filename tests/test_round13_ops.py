@@ -77,7 +77,16 @@ V6_GOLDEN_ROWS = [
     _row("2001:db8:0:1::10", "2001:db8:0:1::20", 74, "TCP", 443, 8443),
     _row("fe80::1", "ff02::1", 58, "ICMPv6", None, None),
     _row("2001:db8:ff::a", "2001:db8:ff::b", 74, "UDP", 53, 5353),
-    _row("2001:db8::dead", "2001:db8::beef", 62, None, None, None),  # ext hdr stop
+    # hop-by-hop walked to UDP, zero L4 bytes left: named, ports NULL
+    _row("2001:db8::dead", "2001:db8::beef", 62, "UDP", None, None),
+    # two-hop chain (hbh -> dest-opts) lands ports at 40+8+16
+    _row("2001:db8:c::1", "2001:db8:c::2", 94, "UDP", 21, 22),
+    # atomic fragment (offset 0): L4 present
+    _row("2001:db8:f::1", "2001:db8:f::2", 82, "TCP", 80, 443),
+    # non-first fragment: protocol named from the chain, no L4 header
+    _row("2001:db8:f::1", "2001:db8:f::2", 66, "TCP", None, None),
+    # ESP terminates the walk unnamed: addresses only
+    _row("2001:db8:5::1", "2001:db8:5::2", 70, None, None, None),
     _row("2001:db8::1:0:0:1", "::1", 70, "UDP", 7, 9),  # RFC 5952 leftmost run
     _row("2001:db8::1", "2001:db8::2", 86, "UDP", 1234, 5678,
          1699999998500000123, 7, 3),  # trailer orthogonal to L3 stack
@@ -188,9 +197,34 @@ def test_v6_random_equivalence(specs):
 
 
 @settings(max_examples=60, deadline=None)
-@given(st.binary(min_size=0, max_size=60), st.sampled_from([0x0800, 0x86DD, 0x8100]))
+@given(st.binary(min_size=0, max_size=120), st.sampled_from([0x0800, 0x86DD, 0x8100]))
 def test_v6_random_framed_equivalence(payload, ethertype):
     frame = eth(payload, ethertype=ethertype)
+    buf = pcap_file([(BASE_TS, len(frame), frame)])
+    for mode in (True, False):
+        assert _rows_from_arrays(buf, mode) == decode_pcap_bytes(buf, mode)
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(st.sampled_from([0, 43, 44, 60, 51, 50]), min_size=0, max_size=3),
+    st.integers(0, 3),
+    st.sampled_from([6, 17, 58, 47]),
+    st.binary(max_size=8),
+)
+def test_v6_ext_chain_random_equivalence(chain, ext_len, final, l4):
+    """Adversarial extension chains (incl. unwalkable AH/ESP mid-chain
+    and oversized length fields): scalar and vectorized walks must
+    agree byte-for-byte in both modes."""
+    body = l4
+    nxt = final
+    for h in reversed(chain):
+        if h == 44:
+            body = bytes([nxt, 0, 0x05, 0xC8, 0, 0, 0, 1]) + body
+        else:
+            body = bytes([nxt, ext_len]) + b"\x00" * (6 + 8 * ext_len) + body
+        nxt = h
+    frame = eth(ipv6(nxt, "2001:db8::a", "2001:db8::b", body), ethertype=0x86DD)
     buf = pcap_file([(BASE_TS, len(frame), frame)])
     for mode in (True, False):
         assert _rows_from_arrays(buf, mode) == decode_pcap_bytes(buf, mode)
@@ -218,18 +252,21 @@ def test_v6_spark_end_to_end(spark):
 
 
 def test_v6_flows_consistency(spark):
-    """q_pcap_v6_flows totals reconcile with the packet table: 9
-    packets, Σbytes = Σlen, and the two same-5-tuple UDP packets merge
-    into one flow of 2."""
+    """q_pcap_v6_flows totals reconcile with the packet table: 13
+    packets, Σbytes = Σlen, the two same-5-tuple UDP packets merge
+    into one flow of 2, and the two fragments stay separate flows
+    (ports differ: present vs NULL)."""
     flows = {
         (r["src_ip"], r["dst_ip"], r["protocol"], r["src_port"], r["dst_port"]):
         (r["n_packets"], r["n_bytes"])
         for r in QUERIES["q_pcap_v6_flows"](spark, SF0001).collect()
     }
-    assert len(flows) == 8
-    assert sum(n for n, _ in flows.values()) == 9
+    assert len(flows) == 12
+    assert sum(n for n, _ in flows.values()) == 13
     assert sum(b for _, b in flows.values()) == sum(r["len"] for r in V6_GOLDEN_ROWS)
     assert flows[("2001:db8::1", "2001:db8::2", "UDP", 1234, 5678)] == (2, 156)
+    assert flows[("2001:db8:f::1", "2001:db8:f::2", "TCP", 80, 443)] == (1, 82)
+    assert flows[("2001:db8:f::1", "2001:db8:f::2", "TCP", None, None)] == (1, 66)
     assert flows[(None, None, None, None, None)] == (1, 30)
 
 
