@@ -138,6 +138,7 @@ _GATE_FRONT = [
     "q_supplier_fulfillment",
     "q_pcap_talkers",
     "q_winnowing_band",
+    "q_winnowing_band_curve",
     # round-9 window remainder (rows r9)
     "q_burstiness",
     "q_weighted_median",

@@ -138,6 +138,7 @@ HEADLINE = [
     "q_supplier_fulfillment",  # supplier-nation latency census, 2nd big-big join (r13 add)
     "q_pcap_talkers",       # endpoint in/out census, fan-out + exfil tells (r13 add)
     "q_winnowing_band",     # band-limited fingerprint pairing, near-dup scale path (r13 add)
+    "q_winnowing_band_curve",  # recall-vs-band-count tuning table, audit slice (r13 add)
 ]
 
 # round-over-round reference (same box, sf0.1, local[32]):

@@ -5470,6 +5470,175 @@ def winnowing_band(spark: SparkSession, sf_dir: str) -> DataFrame:
 winnowing_band.__doc__ = winnowing_band.__doc__.format(cap=_WINNOW_BAND_CAP)
 
 
+# round 13: recall-vs-band-count tuning curve for the band variant
+_CURVE_SLICE = 300  # fixed audit slice (doc_id bound) — flat at any sf
+_CURVE_TAU = 2      # ground-truth pair threshold: n_shared >= tau
+_CURVE_BANDS = (1, 2, 4)
+
+WINNOWING_BAND_CURVE_ORACLE = rf"""
+WITH grp AS (
+    SELECT md5(text) AS g, MIN(doc_id) AS rep
+    FROM documents
+    WHERE doc_id < {_CURVE_SLICE}
+      AND len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) >= 3
+    GROUP BY md5(text)
+),
+rtok AS (
+    SELECT grp.g,
+           list_filter(regexp_split_to_array(d.text, '\s+'), t -> t <> '') AS ws
+    FROM grp JOIN documents d ON d.doc_id = grp.rep
+),
+sh AS (
+    SELECT g, i.i AS pos,
+           (('0x' || substr(md5(ws[i.i] || '|' || ws[i.i + 1] || '|'
+                                || ws[i.i + 2]), 1, 10))::BIGINT << 16)
+           + (65535 - i.i) AS key
+    FROM rtok, unnest(generate_series(1, len(ws) - 2)) AS i(i)
+    WHERE i.i < 65536
+),
+wm AS (
+    SELECT g,
+           MIN(key) OVER (PARTITION BY g ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW
+                                   AND {_WINNOW_W - 1} FOLLOWING) AS wkey
+    FROM sh
+),
+prints AS (SELECT DISTINCT g, wkey >> 16 AS h FROM wm),
+truth AS (
+    SELECT pa.g AS ga, pb.g AS gb
+    FROM prints pa JOIN prints pb ON pa.h = pb.h AND pa.g < pb.g
+    GROUP BY pa.g, pb.g
+    HAVING COUNT(*) >= {_CURVE_TAU}
+),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+pl AS (SELECT g, list_sort(list(h)) AS ph FROM prints GROUP BY g),
+bands AS (SELECT * FROM (VALUES {", ".join(f"({b})" for b in _CURVE_BANDS)}) AS b(nb)),
+bk AS (
+    SELECT bands.nb, pl.g, u.h
+    FROM pl, bands, unnest(list_slice(pl.ph, 1, bands.nb)) AS u(h)
+),
+cand AS (
+    SELECT DISTINCT a.nb, a.g AS ga, b.g AS gb
+    FROM bk a JOIN bk b ON a.nb = b.nb AND a.h = b.h AND a.g < b.g
+),
+cstats AS (SELECT nb, CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand GROUP BY nb),
+hstats AS (
+    SELECT cand.nb, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM cand JOIN truth ON cand.ga = truth.ga AND cand.gb = truth.gb
+    GROUP BY cand.nb
+)
+SELECT bands.nb AS band_count, nt.n_truth,
+       COALESCE(cstats.n_candidates, 0) AS n_candidates,
+       COALESCE(hstats.n_hits, 0) AS n_hits,
+       CASE WHEN nt.n_truth > 0
+            THEN ROUND(COALESCE(hstats.n_hits, 0) * 1.0 / nt.n_truth, 4)
+       END AS recall,
+       CASE WHEN COALESCE(cstats.n_candidates, 0) > 0
+            THEN ROUND(COALESCE(hstats.n_hits, 0) * 1.0
+                       / cstats.n_candidates, 4)
+       END AS candidate_precision
+FROM bands
+CROSS JOIN nt
+LEFT JOIN cstats ON cstats.nb = bands.nb
+LEFT JOIN hstats ON hstats.nb = bands.nb
+ORDER BY band_count
+"""
+
+
+@query("q_winnowing_band_curve", WINNOWING_BAND_CURVE_ORACLE)
+def winnowing_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-count TUNING CURVE for q_winnowing_band — the
+    q_lsh_recall/q_ivf_probe_curve discipline applied to the min-print
+    banding: on a FIXED audit slice (doc_id < {slice}; flat cost at
+    any corpus scale by construction), ground truth is the EXACT
+    shared-print pair set (n_shared ≥ {tau}, the all-pairs join the
+    band variant exists to avoid — affordable here only because the
+    slice bounds it), and each band count B ∈ {bands} generates
+    candidates from the B smallest prints per rep. Emits per B: truth
+    size, candidate count, hits, recall, and candidate precision —
+    the table that prices "how many bands until the recall I need",
+    before anyone runs the banded pairing over a 100-TB corpus.
+    [engine — not in reference]
+
+    Scale: every frame is slice-bounded (≤{slice} reps → ≤C({slice},2)
+    truth pairs) or |bands|×slice-bounded; the curve's cost does not
+    grow with the corpus. The band-key explode is an array slice of
+    the already-materialized print arrays (shared _winnow_collapse
+    kernel, one checkpoint). Oracle replays the identical algebra."""
+    from pyspark.sql import Window as W  # noqa: F401  (parallel import shape)
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < _CURVE_SLICE
+    )
+    _members, _sizes, pr = _winnow_collapse(d)
+    prints = pr.select("g", F.explode("prints").alias("h"))
+    pa = prints.select(F.col("g").alias("ga"), F.col("h").alias("ha"))
+    pb = prints.select(F.col("g").alias("gb"), F.col("h").alias("hb"))
+    truth = (
+        pa.join(pb, (F.col("ha") == F.col("hb")) & (F.col("ga") < F.col("gb")))
+        .groupBy("ga", "gb")
+        .agg(F.count(F.lit(1)).alias("ns"))
+        .where(F.col("ns") >= _CURVE_TAU)
+        .select("ga", "gb")
+    )
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    bands = spark.createDataFrame([(b,) for b in _CURVE_BANDS], "nb int")
+    pl = pr.select("g", F.array_sort("prints").alias("ph"))
+    bk = pl.crossJoin(F.broadcast(bands)).select(
+        "nb", "g", F.explode(F.slice("ph", F.lit(1), F.col("nb"))).alias("h")
+    )
+    ba = bk.select("nb", F.col("g").alias("ga"), F.col("h").alias("ha"))
+    bb = bk.select(F.col("nb").alias("nb2"), F.col("g").alias("gb"), F.col("h").alias("hb"))
+    cand = (
+        ba.join(
+            bb,
+            (F.col("nb") == F.col("nb2"))
+            & (F.col("ha") == F.col("hb"))
+            & (F.col("ga") < F.col("gb")),
+        )
+        .select("nb", "ga", "gb")
+        .distinct()
+    )
+    cstats = cand.groupBy("nb").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    hstats = (
+        cand.join(truth, ["ga", "gb"])
+        .groupBy("nb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return (
+        bands.crossJoin(F.broadcast(nt))
+        .join(cstats, "nb", "left")
+        .join(hstats, "nb", "left")
+        .select(
+            F.col("nb").alias("band_count"),
+            "n_truth",
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.when(
+                F.col("n_truth") > 0,
+                F.round(
+                    F.coalesce("n_hits", F.lit(0)) * 1.0 / F.col("n_truth"), 4
+                ),
+            ).alias("recall"),
+            F.when(
+                F.coalesce("n_candidates", F.lit(0)) > 0,
+                F.round(
+                    F.coalesce("n_hits", F.lit(0)) * 1.0 / F.col("n_candidates"),
+                    4,
+                ),
+            ).alias("candidate_precision"),
+        )
+        .orderBy("band_count")
+    )
+
+
+winnowing_band_curve.__doc__ = winnowing_band_curve.__doc__.format(
+    slice=_CURVE_SLICE, tau=_CURVE_TAU, bands=_CURVE_BANDS
+)
+
+
 # ---------------------------------------------------------------------------
 # ANN recall evaluation: SRP-bucket search vs brute-force ground truth
 

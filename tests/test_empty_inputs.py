@@ -223,9 +223,13 @@ EMPTY_SAFE = [
     "q_winnowing_band",
 ]
 
+# (q_winnowing_band_curve returns its |bands| grid rows with zero
+# counts on empty documents — CONSTANT_ON_EMPTY below)
+
 # global aggregates return one constant row on empty input (their
 # DuckDB oracles do the same) — "sensible constant", not zero rows
 CONSTANT_ON_EMPTY = {
+    "q_winnowing_band_curve": 3,  # one row per band count, zero counts
     "q_table_profile": 3,  # one profile row per profiled column
     "q_schema_evolution": 1,  # one summary row of zero counts
     "q_funnel": 3,  # one row per stage, all counts zero

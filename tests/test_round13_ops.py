@@ -485,6 +485,28 @@ def test_winnowing_band_reported_counts_match_exact(spark, tmp_path):
     assert (0, 7) in exact and (0, 7) not in band
 
 
+def test_winnowing_band_curve_near_dups(spark, tmp_path):
+    """On a NEAR-dup-heavy slice (each doc's sibling differs by one
+    trailing token), min-print banding recalls every truth pair at
+    B=1 already (siblings share the min print), and the curve's
+    counting invariants hold: hits <= candidates, hits <= truth,
+    candidates monotone in B."""
+    rows = []
+    for fam in range(6):
+        base = " ".join(f"w{fam}_{j}" for j in range(15))
+        rows.append((2 * fam, base + " tailA", "en", "s", 1))
+        rows.append((2 * fam + 1, base + " tailB", "en", "s", 1))
+    d = _docs_lake(spark, tmp_path, rows)
+    out = {r.band_count: r for r in
+           QUERIES["q_winnowing_band_curve"](spark, d).collect()}
+    assert set(out) == {1, 2, 4}
+    for r in out.values():
+        assert r.n_hits <= r.n_candidates and r.n_hits <= r.n_truth
+    assert out[1].n_truth == 6  # one truth pair per family
+    assert out[1].recall == 1.0  # siblings share the min print
+    assert out[1].n_candidates <= out[2].n_candidates <= out[4].n_candidates
+
+
 def test_winnowing_band_cap_bounds_bucket(spark, tmp_path):
     """A pathological bucket (many near-identical docs sharing one min
     print) stays bounded: with cap C the candidate pairs are ≤ C(C,2)
