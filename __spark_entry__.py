@@ -139,6 +139,7 @@ _GATE_FRONT = [
     "q_pcap_talkers",
     "q_winnowing_band",
     "q_winnowing_band_curve",
+    "q_fulfillment_matrix",
     # round-9 window remainder (rows r9)
     "q_burstiness",
     "q_weighted_median",

@@ -139,6 +139,7 @@ HEADLINE = [
     "q_pcap_talkers",       # endpoint in/out census, fan-out + exfil tells (r13 add)
     "q_winnowing_band",     # band-limited fingerprint pairing, near-dup scale path (r13 add)
     "q_winnowing_band_curve",  # recall-vs-band-count tuning table, audit slice (r13 add)
+    "q_fulfillment_matrix",  # nation x priority CUBE drill-down (r13 add)
 ]
 
 # round-over-round reference (same box, sf0.1, local[32]):

@@ -774,6 +774,99 @@ def supplier_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
 supplier_fulfillment.__doc__ = supplier_fulfillment.__doc__.format(sla=_SLA_DAYS)
 
 
+# round 13: two-axis fulfillment matrix (supplier nation × priority)
+FULFILLMENT_MATRIX_ORACLE = f"""
+WITH j AS (
+    SELECT o.o_orderpriority AS priority, l.l_suppkey,
+           CAST(datediff('day', CAST(o.o_orderdate AS DATE),
+                         CAST(l.l_shipdate AS DATE)) AS BIGINT) AS lat_days
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+j2 AS (
+    SELECT n.n_name AS nation, j.priority, j.lat_days
+    FROM j JOIN supplier s ON j.l_suppkey = s.s_suppkey
+           JOIN nation n ON s.s_nationkey = n.n_nationkey
+)
+SELECT nation, priority,
+       CAST(GROUPING(nation) * 2 + GROUPING(priority) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CASE WHEN lat_days > {_SLA_DAYS} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_late,
+       ROUND(SUM(CASE WHEN lat_days > {_SLA_DAYS} THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS late_share,
+       ROUND(SUM(lat_days) * 1.0 / COUNT(*), 6) AS mean_latency_days,
+       CAST(MAX(lat_days) AS BIGINT) AS max_latency_days
+FROM j2
+GROUP BY CUBE (nation, priority)
+HAVING COUNT(*) > 0
+"""
+# ^ the HAVING is a no-op on real data (every materialized grouping
+# carries >= 1 row) but aligns the engines on EMPTY input: DuckDB's
+# CUBE emits the () grand-total row with COUNT 0 there, Spark's Expand
+# emits nothing — found by the empty-inputs gate in round 13.
+
+
+@query("q_fulfillment_matrix", FULFILLMENT_MATRIX_ORACLE)
+def fulfillment_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-axis fulfillment MATRIX — CUBE(supplier nation, order
+    priority) over the shared latency frame: every (nation, priority)
+    cell plus both margins and the grand total, each with item count,
+    SLA-late share, mean and max latency. The drill-down table behind
+    q_fulfillment_latency (priority axis) and q_supplier_fulfillment
+    (nation axis): a cell whose late_share beats BOTH its margins is
+    a localized problem (one nation's suppliers failing one priority
+    class), not a systemic one — the matrix separates those in one
+    scan where the two single-axis censuses can't. gid disambiguates
+    margin rows from data rows (nation/priority are never NULL in the
+    data; gid = GROUPING(nation)·2 + GROUPING(priority), identical
+    bit layout in Spark's grouping_id() and DuckDB's GROUPING()).
+    [engine — not in reference]
+
+    Scale design: the same two unhinted big-big joins as
+    q_supplier_fulfillment (orderkey then suppkey; nation broadcast),
+    then ONE cube aggregate — Spark expands CUBE into a single
+    Expand + hash aggregate, so all four grouping sets ride one
+    shuffle (4× the census rows, not 4× the corpus). Exact p50/p90
+    live in the single-axis censuses (the histogram kernel per
+    grouping set would quadruple the histogram frames for margin
+    rows the drill-down reads rarely — deliberate scope cut,
+    documented)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        "l_suppkey",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+        .cast("long")
+        .alias("lat_days"),
+    )
+    j2 = (
+        j.join(s, j.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(F.col("n_name").alias("nation"), "priority", "lat_days")
+    )
+    late = F.sum(F.when(F.col("lat_days") > _SLA_DAYS, 1).otherwise(0))
+    return j2.cube("nation", "priority").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        late.cast("long").alias("n_late"),
+        F.round(late * 1.0 / F.count(F.lit(1)), 6).alias("late_share"),
+        F.round(F.sum("lat_days") * 1.0 / F.count(F.lit(1)), 6).alias(
+            "mean_latency_days"
+        ),
+        F.max("lat_days").cast("long").alias("max_latency_days"),
+    ).select(
+        "nation", "priority", "gid", "n_items", "n_late", "late_share",
+        "mean_latency_days", "max_latency_days",
+    )
+
+
 # ---------------------------------------------------------------------------
 # customer repeat-order cadence census (round 12)
 

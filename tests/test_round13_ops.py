@@ -423,6 +423,31 @@ def test_talkers_conservation(spark):
     assert t["sum(out_bytes)"] == t["sum(in_bytes)"] == pkts["sum(len)"]
 
 
+def test_fulfillment_matrix_margins_reconcile(spark):
+    """CUBE algebra: data cells (gid 0) re-sum to each margin (gid 1 =
+    priority margin, gid 2 = nation margin) and to the grand total
+    (gid 3); the margins equal the single-axis censuses' item counts
+    exactly (same frame, same joins)."""
+    rows = QUERIES["q_fulfillment_matrix"](spark, SF0001).collect()
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r.gid, []).append(r)
+    total = by_gid[3][0]
+    assert len(by_gid[3]) == 1 and total.nation is None and total.priority is None
+    assert sum(r.n_items for r in by_gid[0]) == total.n_items
+    assert sum(r.n_items for r in by_gid[1]) == total.n_items  # nation margin
+    assert sum(r.n_items for r in by_gid[2]) == total.n_items  # priority margin
+    assert sum(r.n_late for r in by_gid[0]) == total.n_late
+    # nation margin == q_supplier_fulfillment's census
+    sup = {r.nation: r.n_items
+           for r in QUERIES["q_supplier_fulfillment"](spark, SF0001).collect()}
+    assert {r.nation: r.n_items for r in by_gid[1]} == sup
+    # priority margin == q_fulfillment_latency's census
+    pri = {r.priority: r.n_items
+           for r in QUERIES["q_fulfillment_latency"](spark, SF0001).collect()}
+    assert {r.priority: r.n_items for r in by_gid[2]} == pri
+
+
 # ---------------------------------------------------------------------------
 # q_winnowing_band
 
