@@ -140,6 +140,7 @@ _GATE_FRONT = [
     "q_winnowing_band",
     "q_winnowing_band_curve",
     "q_fulfillment_matrix",
+    "q_pcap_stream_biflow",
     # round-9 window remainder (rows r9)
     "q_burstiness",
     "q_weighted_median",

@@ -426,35 +426,11 @@ FROM b
 """
 
 
-@query("q_pcap_biflow", PCAP_BIFLOW_ORACLE)
-def pcap_biflow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BIFLOW pairing — the IDS/traffic-classifier feature set the
-    unidirectional flow table can't express: A→B and B→A flows pair
-    on the canonical endpoint key (lexicographically smaller
-    (ip, port) is side1), yielding per-conversation byte/packet
-    counts both ways, byte/packet ratios, who-spoke-first (by
-    earliest hardware stamp per direction; NULL when untimed), and
-    the unanswered-flow flag (a scan/exfil tell). Portless protocols
-    (ICMP) pair on addresses alone; the undecodable catch-all flow
-    stays its own NULL-keyed row with answered=false — nothing
-    silently vanishes. [engine — not in reference]
-
-    Scale design: packets shuffle ONCE into per-direction flows (the
-    same partial+final aggregate as q_pcap_flows, plus min(mm_ts));
-    the biflow pairing is then a CENSUS-sized second groupBy over
-    flow rows (≤2 per conversation key), not a re-shuffle of the
-    packet scan. The canonical-key orientation is pure row-local
-    column algebra (one struct compare, null-safe via coalesce
-    sentinels '' / -1 — both engines compare strings by codepoint).
-    Oracle: identical algebra over the hand-computed golden literal
-    of the BIDIRECTIONAL fixture (two answered pairs with opposite
-    first-speakers, an unanswered probe, an ICMP pair, a runt)."""
-    df = read_pcap(spark, _biflow_fixture_path())
-    flows = df.groupBy(*_FLOW_KEYS).agg(
-        F.count(F.lit(1)).cast("long").alias("n_packets"),
-        F.sum("len").cast("long").alias("n_bytes"),
-        F.min("mm_ts").alias("first_ts"),
-    )
+def _biflow_pairing(flows: DataFrame) -> DataFrame:
+    """Canonical-key direction pairing over a per-5-tuple flow frame
+    (n_packets, n_bytes, first_ts per direction row) — the SHARED
+    kernel of batch q_pcap_biflow and its streaming twin, so the two
+    modes cannot diverge (the q_stream_session_quality discipline)."""
     is_fwd = F.struct(
         F.coalesce(F.col("src_ip"), F.lit("")).alias("ip"),
         F.coalesce(F.col("src_port"), F.lit(-1)).alias("port"),
@@ -508,6 +484,82 @@ def pcap_biflow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("first_speaker"),
         ((F.col("fwd_packets") > 0) & (F.col("rev_packets") > 0)).alias("answered"),
     )
+
+
+def _flows_frame(df: DataFrame) -> DataFrame:
+    """Per-direction flow aggregate (the biflow kernel's input shape):
+    one shuffle of the packet frame, batch or streaming."""
+    return df.groupBy(*_FLOW_KEYS).agg(
+        F.count(F.lit(1)).cast("long").alias("n_packets"),
+        F.sum("len").cast("long").alias("n_bytes"),
+        F.min("mm_ts").alias("first_ts"),
+    )
+
+
+@query("q_pcap_biflow", PCAP_BIFLOW_ORACLE)
+def pcap_biflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIFLOW pairing — the IDS/traffic-classifier feature set the
+    unidirectional flow table can't express: A→B and B→A flows pair
+    on the canonical endpoint key (lexicographically smaller
+    (ip, port) is side1), yielding per-conversation byte/packet
+    counts both ways, byte/packet ratios, who-spoke-first (by
+    earliest hardware stamp per direction; NULL when untimed), and
+    the unanswered-flow flag (a scan/exfil tell). Portless protocols
+    (ICMP) pair on addresses alone; the undecodable catch-all flow
+    stays its own NULL-keyed row with answered=false — nothing
+    silently vanishes. [engine — not in reference]
+
+    Scale design: packets shuffle ONCE into per-direction flows (the
+    same partial+final aggregate as q_pcap_flows, plus min(mm_ts));
+    the biflow pairing is then a CENSUS-sized second groupBy over
+    flow rows (≤2 per conversation key), not a re-shuffle of the
+    packet scan. The canonical-key orientation is pure row-local
+    column algebra (one struct compare, null-safe via coalesce
+    sentinels '' / -1 — both engines compare strings by codepoint).
+    The pairing lives in the shared _biflow_pairing kernel with the
+    streaming twin. Oracle: identical algebra over the hand-computed
+    golden literal of the BIDIRECTIONAL fixture (two answered pairs
+    with opposite first-speakers, an unanswered probe, an ICMP pair,
+    a runt)."""
+    return _biflow_pairing(_flows_frame(read_pcap(spark, _biflow_fixture_path())))
+
+
+@query("q_pcap_stream_biflow", PCAP_BIFLOW_ORACLE)
+def pcap_stream_biflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Biflow pairing ON THE INGEST PATH — q_pcap_biflow's live twin:
+    the bidirectional capture lands in a watched directory,
+    ``spark.readStream.format("pcap")`` tails it, the per-direction
+    flow aggregate runs as a streaming aggregation in complete mode
+    (state = one row per active 5-tuple), and the canonical-key
+    pairing runs as the serving query over the emitted flow frame —
+    the SAME _biflow_pairing kernel as the batch op, so the two modes
+    cannot diverge. The unanswered-flow flag live DURING ingest is
+    the scan-detection use case: a probe burst shows up as a spike of
+    answered=false conversations while the capture is still arriving.
+    Same hand-computed oracle as the batch op (availableNow over the
+    complete fixture emits the identical flow frame)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pcap_to_parquet_spark.sources.pcap_datasource import register_pcap_source
+    from pcap_to_parquet_spark.streaming.stream_queries import run_to_memory
+
+    register_pcap_source(spark)
+    src = _biflow_fixture_path()
+    land = os.path.join(
+        tempfile.gettempdir(),
+        f"pcap_biflow_land_{os.path.getmtime(src):.0f}_{os.path.getsize(src)}",
+    )
+    os.makedirs(land, exist_ok=True)
+    if not os.listdir(land):
+        shutil.copy(src, os.path.join(land, "biflow.pcap"))
+    flows = _flows_frame(spark.readStream.format("pcap").load(land))
+    # localCheckpoint before the pairing: memory-sink plans are not
+    # MultiInstanceRelation (the round-12 lesson) — and the streaming
+    # aggregation ran exactly once inside the stream anyway
+    emitted = run_to_memory(flows, "complete").localCheckpoint(eager=True)
+    return _biflow_pairing(emitted)
 
 
 PCAP_TALKERS_ORACLE = f"""

@@ -299,6 +299,20 @@ def test_biflow_golden(spark):
     assert (r5["fwd_packets"], r5["fwd_bytes"], r5["answered"]) == (1, 10, False)
 
 
+def test_stream_biflow_matches_batch(spark):
+    """The live twin over the landed capture must equal the batch
+    biflow row-for-row (shared _biflow_pairing kernel; the streaming
+    aggregation emits the identical flow frame under availableNow)."""
+    key = ["side1_ip", "side1_port", "side2_ip", "side2_port", "protocol"]
+    batch = {tuple(r[k] for k in key): r
+             for r in QUERIES["q_pcap_biflow"](spark, SF0001).collect()}
+    live = {tuple(r[k] for k in key): r
+            for r in QUERIES["q_pcap_stream_biflow"](spark, SF0001).collect()}
+    assert set(batch) == set(live)
+    for k in batch:
+        assert batch[k].asDict() == live[k].asDict()
+
+
 def test_biflow_conservation(spark):
     """Σ(fwd+rev packets/bytes) over biflows == the packet table —
     direction pairing must not drop or double-count anything."""
