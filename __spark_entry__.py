@@ -61,19 +61,24 @@ SF0001_DIR = "/root/testdata/sf0.001"
 # still absent (transformWithStateInPandas stays conditionally
 # registered).
 #
-# END-OF-ROUND-13 RECORD: full-registry sf0.01 oracle replay on final
-# round-13 code: 321 pass, 0 fail, 6 rows-only of 327 (the 6 are the
-# documented estimator/sketch ops). Full suite 959/959. Combined-axis
-# rehearsal (/tmp/sf10v — 100x corpus x grown vocab x near-dup
-# multiplicity) run for the whole dedup family: all sublinear
-# (3.4x-7.2x) except exact q_winnowing, whose md5-collapse ceiling
-# was found, documented, and answered with q_winnowing_band (2.6x at
-# the same plant). Bench: median-of-3 methodology landed;
-# BENCH_DETAIL_r13.json canonical (87 entries, 147.9 s min /
-# 163.0 s median; sibling r13b within 1%); vs r12 common-82, r13
-# MEDIANS 158.0 s beat r12 MINS 163.5 s — no regression, noise scare
-# closed. PLANS.md regenerated: 0 BatchEvalPython, 0
-# CartesianProduct across all 327 plans.
+# END-OF-ROUND-13 RECORD (final, all 8 new ops landed):
+# full-registry sf0.01 oracle replay on final round-13 code: 324
+# pass, 0 fail, 6 rows-only of 330 (the 6 are the documented
+# estimator/sketch ops); an earlier mid-round full replay was
+# 321/0/6 of 327. Full suite 968/968 (earlier checkpoint 959/959).
+# Combined-axis rehearsal (/tmp/sf10v — 100x corpus x grown vocab x
+# near-dup multiplicity) run for the whole dedup family: all
+# sublinear (3.4x-7.2x) except exact q_winnowing, whose md5-collapse
+# ceiling was found (disk-full at the plant), documented, and
+# answered with q_winnowing_band (2.6x at the same plant) plus the
+# band-count recall curve. Bench: median-of-3 methodology landed;
+# BENCH_DETAIL_r13.json canonical = the only complete-headline run
+# (90 entries, 164.9 s min / 179.6 s median; quietest 87-entry
+# sibling r13d 147.9/163.0, r13b within 1%); vs r12 common-82, r13
+# MEDIANS 168.7 s (canonical) / 158.0 s (quietest) vs r12 MINS
+# 163.5 s — parity under a stricter statistic, noise scare closed.
+# PLANS.md regenerated: 0 BatchEvalPython, 0 CartesianProduct across
+# all plans.
 #
 _GATE_FRONT = [
     # ---- ROUND 13 WINDOW (positions 0-49) ----
