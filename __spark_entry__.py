@@ -78,7 +78,13 @@ SF0001_DIR = "/root/testdata/sf0.001"
 # MEDIANS 168.7 s (canonical) / 158.0 s (quietest) vs r12 MINS
 # 163.5 s — parity under a stricter statistic, noise scare closed.
 # PLANS.md regenerated: 0 BatchEvalPython, 0 CartesianProduct across
-# all plans.
+# all plans. Closing insurance: the ROUND-13 WINDOW (positions 0-49)
+# is green on final code via the final full replay (all 330 checked),
+# and the staged ROUND-14 WINDOW (positions 50-99: the 8 new round-13
+# ops + r9 remainder + r10 head) was pre-rehearsed explicitly at
+# sf0.01 on final code — 49 pass, 0 fail, 1 rows-only (q_pca_embed,
+# one of the 6 documented estimator/sketch ops) — round 14 starts
+# with its window already green.
 #
 _GATE_FRONT = [
     # ---- ROUND 13 WINDOW (positions 0-49) ----
