@@ -43,6 +43,13 @@ def main() -> None:
         "file's first record (default 48; raise for captures spanning "
         "longer than that)",
     )
+    ap.add_argument(
+        "--ipv6",
+        action="store_true",
+        help="also decode ethertype 0x86DD (RFC 5952 text addresses, "
+        "extension chain walked to the real L4); default off = "
+        "reference parity (IPv6 rows NULL, main.rs:239-251)",
+    )
     args = ap.parse_args()
     spark = get_spark("pcap-to-parquet-cli")
     spark.sparkContext.setLogLevel("ERROR")
@@ -53,6 +60,7 @@ def main() -> None:
         partition_cols=args.partition_by,
         chunk_bytes=args.chunk_mb * 1024 * 1024 if args.chunk_mb is not None else None,
         ts_tol=int(args.ts_tol_hours * 3600) if args.ts_tol_hours is not None else None,
+        ipv6=args.ipv6,
     )
     print(f"wrote {args.output}")
 

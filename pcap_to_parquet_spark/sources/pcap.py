@@ -444,16 +444,11 @@ def convert_pcap(
     back to per-file decode and succeeds. An explicit ``chunk_bytes``
     keeps fail-loud — the caller asked for chunked semantics.
 
-    ``ipv6=True`` decodes 0x86DD too (see ``read_pcap``); v6 mode
-    always uses the per-file reader (the chunked reader's decode
-    kernel is not v6-wired — per-file parallelism still applies
-    across a multi-file lake, which is how 100-TB captures arrive).
+    ``ipv6=True`` decodes 0x86DD too (see ``read_pcap``) on either
+    physical path — per-file and chunked readers share the vectorized
+    decode kernel, so the flag composes with ``chunk_bytes`` (record
+    resync anchors on pcap record headers, never packet contents).
     """
-    if ipv6:
-        if chunk_bytes:
-            raise ValueError("ipv6=True requires the per-file reader (chunk_bytes=0/None)")
-        _write_packets(read_pcap(spark, in_path, ipv6=True), out_path, partition_cols)
-        return
     auto = chunk_bytes is None
     if auto:
         chunk_bytes = _auto_chunk_bytes(spark, in_path)
@@ -464,10 +459,14 @@ def convert_pcap(
         )
 
         df = read_pcap_chunked(
-            spark, in_path, chunk_bytes, ts_tol if ts_tol is not None else _TS_TOL
+            spark,
+            in_path,
+            chunk_bytes,
+            ts_tol if ts_tol is not None else _TS_TOL,
+            ipv6,
         )
     else:
-        df = read_pcap(spark, in_path)
+        df = read_pcap(spark, in_path, ipv6)
     try:
         _write_packets(df, out_path, partition_cols)
     except Exception as exc:  # noqa: BLE001 - executor errors arrive as Py4J wrappers
@@ -478,7 +477,7 @@ def convert_pcap(
         # a doomed capture and masks the sharper chunked diagnostic.
         if not (auto and chunk_bytes and "cannot resynchronize" in str(exc)):
             raise
-        _write_packets(read_pcap(spark, in_path), out_path, partition_cols)
+        _write_packets(read_pcap(spark, in_path, ipv6), out_path, partition_cols)
 
 
 def _write_packets(df: DataFrame, out_path: str, partition_cols: list[str] | None) -> None:

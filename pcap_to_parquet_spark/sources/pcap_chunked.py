@@ -260,12 +260,22 @@ def read_pcap_chunked(
     path: str,
     chunk_bytes: int = 64 * 1024 * 1024,
     ts_tol: int = _TS_TOL,
+    ipv6: bool = False,
 ) -> DataFrame:
     """pcap file(s) → packets DataFrame with intra-file parallelism:
     one task per ``chunk_bytes`` byte range. Same output as
     ``read_pcap`` (tests assert row-set equality), different physical
-    shape: a single large capture fans out across the cluster."""
-    from pcap_to_parquet_spark.sources.pcap import _finish_packets, _RAW_DECODE_SCHEMA
+    shape: a single large capture fans out across the cluster.
+
+    ``ipv6=True`` enables the opt-in 0x86DD decode (see ``read_pcap``)
+    inside the same chunked kernel — resync is L2-agnostic (it anchors
+    on record headers, not packet contents), so the boundary contract
+    is unchanged. Default False = reference parity (main.rs:239-251)."""
+    from pcap_to_parquet_spark.sources.pcap import (
+        _finish_packets,
+        _RAW_DECODE_SCHEMA,
+        _RAW_DECODE_SCHEMA_V6,
+    )
     from pcap_to_parquet_spark.session import tune
 
     tune(spark)
@@ -281,7 +291,8 @@ def read_pcap_chunked(
         for pdf in batches:
             for path_, start_, end_ in zip(pdf["path"], pdf["start"], pdf["end"]):
                 buf = decode_chunk(path_, int(start_), int(end_), ts_tol)
-                yield _arrays_to_pandas(decode_pcap_arrays(buf))
+                yield _arrays_to_pandas(decode_pcap_arrays(buf, ipv6))
 
-    raw = sdf.mapInPandas(decode_specs, schema=_RAW_DECODE_SCHEMA)
-    return _finish_packets(raw)
+    schema = _RAW_DECODE_SCHEMA_V6 if ipv6 else _RAW_DECODE_SCHEMA
+    raw = sdf.mapInPandas(decode_specs, schema=schema)
+    return _finish_packets(raw, ipv6)

@@ -1,0 +1,79 @@
+"""Round-14 operator tests.
+
+Covers (per the round-13 verdict's next-round items):
+- ipv6 composes with the chunked reader: chunked == per-file on the
+  v6 golden fixture at EVERY chunk boundary, default stays parity;
+- (later this round) watermark-evicted streaming biflow, B>1
+  winnowing bands, dual-stack biflow fixture, member-level winnowing
+  expansion.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import pytest  # noqa: E402
+
+import pcap_to_parquet_spark.operators  # noqa: E402,F401  (registers queries)
+from pcap_to_parquet_spark.registry import QUERIES  # noqa: E402
+from pcap_to_parquet_spark.sources.pcap import decode_pcap_bytes, read_pcap  # noqa: E402
+from pcap_to_parquet_spark.sources.pcap_chunked import (  # noqa: E402
+    chunk_specs,
+    decode_chunk,
+    read_pcap_chunked,
+)
+from pcap_to_parquet_spark.sources.pcap_fixtures import (  # noqa: E402
+    v6_golden_pcap_bytes,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _chunked_rows_v6(path: str, chunk_bytes: int, ipv6: bool) -> list[dict]:
+    rows: list[dict] = []
+    for p, s, e in chunk_specs(path, chunk_bytes):
+        rows.extend(decode_pcap_bytes(decode_chunk(p, s, e), ipv6))
+    return rows
+
+
+def test_chunked_v6_every_boundary(tmp_path):
+    """Every chunk size over the v6 golden file, both modes: resync is
+    L2-agnostic, so v6 frames must survive arbitrary boundaries just
+    like v4 ones — and default mode must stay reference parity."""
+    buf = v6_golden_pcap_bytes()
+    p = tmp_path / "v6.pcap"
+    p.write_bytes(buf)
+    for mode in (True, False):
+        want = decode_pcap_bytes(buf, mode)
+        for chunk_bytes in range(16, len(buf) + 16, 16):
+            got = _chunked_rows_v6(str(p), chunk_bytes, mode)
+            assert got == want, f"chunk={chunk_bytes} ipv6={mode}"
+
+
+def test_spark_chunked_v6_equals_per_file(spark, tmp_path):
+    """read_pcap_chunked(ipv6=True) row-set == read_pcap(ipv6=True) on
+    the v6 fixture (forced small chunks → real resync on executors)."""
+    buf = v6_golden_pcap_bytes()
+    p = tmp_path / "v6.pcap"
+    p.write_bytes(buf)
+    key = lambda r: (r["len"], r["src_ip"] or "", r["src_port"] or -1)  # noqa: E731
+    chunked = sorted(
+        (r.asDict() for r in read_pcap_chunked(
+            spark, str(p), chunk_bytes=128, ipv6=True).collect()),
+        key=key,
+    )
+    per_file = sorted(
+        (r.asDict() for r in read_pcap(spark, str(p), ipv6=True).collect()),
+        key=key,
+    )
+    assert chunked == per_file
+    assert any(r["src_ip"] and ":" in r["src_ip"] for r in chunked)
+    # default (no flag): chunked reader keeps byte-identical parity
+    parity_chunked = sorted(
+        (r.asDict() for r in read_pcap_chunked(spark, str(p), chunk_bytes=128).collect()),
+        key=lambda r: r["len"],
+    )
+    parity_ref = sorted(decode_pcap_bytes(buf), key=lambda r: r["len"])
+    assert parity_chunked == parity_ref
