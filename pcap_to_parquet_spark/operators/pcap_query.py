@@ -375,7 +375,10 @@ SELECT {_PKT_COLS} FROM (VALUES
     ('10.5.5.1', '10.5.5.2', CAST(42 AS BIGINT), 'UDP', CAST(99 AS INTEGER), CAST(100 AS INTEGER), {_MM_NULLS}),
     ('10.7.7.1', '10.7.7.2', CAST(38 AS BIGINT), 'ICMP', {_PKT_NULLS}),
     ('10.7.7.2', '10.7.7.1', CAST(38 AS BIGINT), 'ICMP', {_PKT_NULLS}),
-    (CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(10 AS BIGINT), CAST(NULL AS VARCHAR), {_PKT_NULLS})
+    (CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(10 AS BIGINT), CAST(NULL AS VARCHAR), {_PKT_NULLS}),
+    ('2001:db8::a1', '2001:db8::b1', CAST(86 AS BIGINT), 'UDP', CAST(6000 AS INTEGER), CAST(7000 AS INTEGER), CAST(1699999990000000000 AS BIGINT), CAST(3 AS INTEGER), CAST(1 AS SMALLINT)),
+    ('2001:db8::b1', '2001:db8::a1', CAST(86 AS BIGINT), 'UDP', CAST(7000 AS INTEGER), CAST(6000 AS INTEGER), CAST(1699999991000000000 AS BIGINT), CAST(3 AS INTEGER), CAST(2 AS SMALLINT)),
+    ('2001:db8::1', '2001:db8::2', CAST(86 AS BIGINT), 'UDP', CAST(1000 AS INTEGER), CAST(2000 AS INTEGER), CAST(1699999999000000000 AS BIGINT), CAST(4 AS INTEGER), CAST(1 AS SMALLINT))
 ) AS t({_PKT_COLS})
 """
 
@@ -507,7 +510,11 @@ def pcap_biflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     the unanswered-flow flag (a scan/exfil tell). Portless protocols
     (ICMP) pair on addresses alone; the undecodable catch-all flow
     stays its own NULL-keyed row with answered=false — nothing
-    silently vanishes. [engine — not in reference]
+    silently vanishes. DUAL-STACK (round 14): decodes with ipv6=True,
+    so v6 conversations pair on RFC 5952 colon-hex text through the
+    same canonical struct compare, and a v6 flow whose PORTS mirror a
+    v4 conversation stays its own (unanswered) row — address text
+    differs. [engine — not in reference]
 
     Scale design: packets shuffle ONCE into per-direction flows (the
     same partial+final aggregate as q_pcap_flows, plus min(mm_ts));
@@ -521,7 +528,9 @@ def pcap_biflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     golden literal of the BIDIRECTIONAL fixture (two answered pairs
     with opposite first-speakers, an unanswered probe, an ICMP pair,
     a runt)."""
-    return _biflow_pairing(_flows_frame(read_pcap(spark, _biflow_fixture_path())))
+    return _biflow_pairing(
+        _flows_frame(read_pcap(spark, _biflow_fixture_path(), ipv6=True))
+    )
 
 
 @query("q_pcap_stream_biflow", PCAP_BIFLOW_ORACLE)
@@ -554,12 +563,141 @@ def pcap_stream_biflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(land, exist_ok=True)
     if not os.listdir(land):
         shutil.copy(src, os.path.join(land, "biflow.pcap"))
-    flows = _flows_frame(spark.readStream.format("pcap").load(land))
+    flows = _flows_frame(
+        spark.readStream.format("pcap").option("ipv6", "true").load(land)
+    )
     # localCheckpoint before the pairing: memory-sink plans are not
     # MultiInstanceRelation (the round-12 lesson) — and the streaming
     # aggregation ran exactly once inside the stream anyway
     emitted = run_to_memory(flows, "complete").localCheckpoint(eager=True)
     return _biflow_pairing(emitted)
+
+
+# Closed-flow emission parameters: a flow CLOSES after FLOW_GAP_SECONDS
+# of idle time on its 5-tuple (the classic NetFlow inactive timeout),
+# and is emitted once the watermark (max hardware stamp seen minus
+# FLOW_WATERMARK_SECONDS of allowed lateness) passes its close. Sized
+# to the fixture's t-10..t-1 stamp spread so both regimes are exercised:
+# three flows close and emit, four stay open and are withheld.
+FLOW_GAP_SECONDS = 3
+FLOW_WATERMARK_SECONDS = 2
+
+PCAP_CLOSED_FLOWS_ORACLE = f"""
+WITH g AS ({{golden}}),
+timed AS (
+    SELECT src_ip, dst_ip, protocol, src_port, dst_port, len, mm_ts,
+           mm_ts // 1000 AS evt_us
+    FROM g WHERE mm_ts IS NOT NULL
+),
+seq AS (
+    SELECT *,
+           CASE WHEN evt_us - LAG(evt_us) OVER w >= {FLOW_GAP_SECONDS} * 1000000
+                THEN 1 ELSE 0 END AS brk
+    FROM timed
+    WINDOW w AS (PARTITION BY src_ip, dst_ip, protocol, src_port, dst_port
+                 ORDER BY evt_us)
+),
+isl AS (
+    SELECT *,
+           SUM(brk) OVER (PARTITION BY src_ip, dst_ip, protocol, src_port, dst_port
+                          ORDER BY evt_us ROWS UNBOUNDED PRECEDING) AS sid
+    FROM seq
+),
+agg AS (
+    SELECT src_ip, dst_ip, protocol, src_port, dst_port,
+           MIN(evt_us) AS flow_start,
+           MAX(evt_us) + {FLOW_GAP_SECONDS} * 1000000 AS flow_end,
+           CAST(COUNT(*) AS BIGINT) AS n_packets,
+           CAST(SUM(len) AS BIGINT) AS n_bytes,
+           MIN(mm_ts) AS first_ts
+    FROM isl
+    GROUP BY src_ip, dst_ip, protocol, src_port, dst_port, sid
+),
+horizon AS (
+    SELECT MAX(evt_us) - {FLOW_WATERMARK_SECONDS} * 1000000 AS wm FROM timed
+)
+SELECT src_ip, dst_ip, protocol, src_port, dst_port, flow_start, flow_end,
+       n_packets, n_bytes, first_ts
+FROM agg, horizon
+WHERE flow_end <= wm
+""".format(golden=BIFLOW_GOLDEN_PACKETS_ORACLE)
+
+
+@query("q_pcap_stream_closed_flows", PCAP_CLOSED_FLOWS_ORACLE)
+def pcap_stream_closed_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATE-BOUNDED live flow table — the continuous-capture shape
+    q_pcap_stream_biflow's complete-mode aggregation can't take to
+    production: state there is one row per 5-tuple EVER SEEN, re-emitted
+    whole every trigger, which grows without bound on a capture feed.
+    Here the per-5-tuple aggregation runs under a SESSION WINDOW on the
+    hardware timestamp with a watermark (the q_stream_session_quality
+    discipline applied to flows): a flow closes after FLOW_GAP_SECONDS
+    idle, the row EMITS once (append mode) when the watermark passes its
+    close, and its state is EVICTED — live state is bounded by flows
+    active within the watermark horizon, not by history. Untimed frames
+    (no Metamako stamp) carry no event time and stay on the batch path
+    — the same packets the who-spoke-first feature already can't order.
+    Dual-stack: the ipv6 option is on, so v6 flows close through the
+    identical state machine (the fixture's earliest-stamped flows ARE
+    the v6 conversation). [engine — not in reference]
+
+    Scale design: one shuffle (packets → keyed session-window state),
+    state size = active flows only (eviction pinned by
+    tests/test_round14_ops.py::test_closed_flows_state_eviction via
+    numRowsRemoved > 0 and the batch-equality pin on closed flows).
+    Driven by run_to_memory_flushed: Python data sources never get the
+    availableNow no-data flush batch (measured), so a fast
+    processing-time trigger runs until the flush batch commits.
+    Oracle: gaps-and-islands over the timed golden literal with the
+    native session convention (merge on diff < gap, end = last + gap)
+    CLIPPED to flow_end <= max(evt) - delay — the exact emission
+    contract, stated in SQL (the q_stream_session two-regime
+    technique)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pcap_to_parquet_spark.sources.pcap_datasource import register_pcap_source
+    from pcap_to_parquet_spark.streaming.stream_queries import run_to_memory_flushed
+
+    register_pcap_source(spark)
+    src = _biflow_fixture_path()
+    land = os.path.join(
+        tempfile.gettempdir(),
+        f"pcap_closedflow_land_{os.path.getmtime(src):.0f}_{os.path.getsize(src)}",
+    )
+    os.makedirs(land, exist_ok=True)
+    if not os.listdir(land):
+        shutil.copy(src, os.path.join(land, "biflow.pcap"))
+    result, _progress = run_to_memory_flushed(closed_flows_plan(spark, land))
+    return result
+
+
+def closed_flows_plan(spark: SparkSession, land_dir: str) -> DataFrame:
+    """The streaming plan of q_pcap_stream_closed_flows, reusable by
+    tests that need the raw query handle (state-eviction pin)."""
+    pkts = spark.readStream.format("pcap").option("ipv6", "true").load(land_dir)
+    timed = pkts.filter(F.col("mm_ts").isNotNull()).withColumn(
+        "evt", F.timestamp_micros(F.expr("mm_ts div 1000"))
+    )
+    return (
+        timed.withWatermark("evt", f"{FLOW_WATERMARK_SECONDS} seconds")
+        .groupBy(
+            F.session_window("evt", f"{FLOW_GAP_SECONDS} seconds"),
+            "src_ip", "dst_ip", "protocol", "src_port", "dst_port",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_packets"),
+            F.sum("len").cast("long").alias("n_bytes"),
+            F.min("mm_ts").alias("first_ts"),
+        )
+        .select(
+            "src_ip", "dst_ip", "protocol", "src_port", "dst_port",
+            F.unix_micros("session_window.start").alias("flow_start"),
+            F.unix_micros("session_window.end").alias("flow_end"),
+            "n_packets", "n_bytes", "first_ts",
+        )
+    )
 
 
 PCAP_TALKERS_ORACLE = f"""
@@ -594,7 +732,8 @@ def pcap_talkers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (an exfil tell when it spikes on a workstation). The undecodable
     catch-all keeps a NULL endpoint row; NULL peers don't count toward
     n_peers (COUNT DISTINCT semantics, identical both engines).
-    [engine — not in reference]
+    Dual-stack (round 14): v6 endpoints census alongside v4 ones —
+    one address space, two text shapes. [engine — not in reference]
 
     Scale design: ONE decoded scan → the two roles EXPLODE map-side
     from each packet row (an inline 2-element struct array — a union
@@ -606,7 +745,7 @@ def pcap_talkers(spark: SparkSession, sf_dir: str) -> DataFrame:
     packets (every packet has exactly 2 roles).
     Oracle: identical algebra over the bidirectional golden literal
     (DuckDB's UNION ALL over the VALUES literal — free there)."""
-    df = read_pcap(spark, _biflow_fixture_path())
+    df = read_pcap(spark, _biflow_fixture_path(), ipv6=True)
     roles = df.select(
         F.explode(
             F.array(

@@ -314,9 +314,21 @@ class PcapStreamReader(DataSourceStreamReader):
         from pcap_to_parquet_spark.sources.pcap_chunked import _TS_TOL
 
         new = [f for f in end["files"] if f not in set(start["files"])]
+        if not new:
+            # NO-DATA batch (same offset both ends): the engine plans
+            # these to advance the watermark and evict/emit closed
+            # state (e.g. session-window flows). An empty partition
+            # list aborts the batch before the stateful operators run,
+            # so yield one sentinel partition that decodes to 0 rows.
+            return [PcapPartition("", 0, 0, _TS_TOL)]
         return [PcapPartition(f, 0, 1 << 62, _TS_TOL) for f in new]
 
     def read(self, partition: PcapPartition) -> Iterator:  # type: ignore[override]
+        if not partition.path:  # no-data sentinel: header-only capture
+            from pcap_to_parquet_spark.sources.pcap_fixtures import pcap_file
+
+            yield _decode_to_arrow(pcap_file([]), ipv6=self.ipv6)
+            return
         with open(partition.path, "rb") as f:
             yield _decode_to_arrow(f.read(), ipv6=self.ipv6)
 

@@ -227,11 +227,16 @@ def v6_golden_pcap_bytes() -> bytes:
 
 
 def biflow_fixture_packets() -> dict[str, tuple[int, int, bytes]]:
-    """name → (ts_sec, origlen, data): two answered flow pairs (one
+    """name → (ts_sec, origlen, data): two answered v4 flow pairs (one
     where each side speaks first, by Metamako stamp), an unanswered
-    flow, a portless ICMP pair, and an undecodable runt. Hand-traced
-    expectations live in the q_pcap_biflow oracle and
-    tests/test_round13_ops.py."""
+    flow, a portless ICMP pair, an undecodable runt — plus (round 14)
+    a DUAL-STACK extension: an answered IPv6 conversation and a v6
+    packet whose ports MIRROR the v4 udp conversation (1000→2000) but
+    must NOT pair with it (the canonical key compares address text,
+    colon-hex ≠ dotted-quad). All three v6 packets carry Metamako
+    stamps so the watermark-evicted streaming flow table has a timed
+    population spanning t-10..t-1. Hand-traced expectations live in
+    the q_pcap_biflow oracle and tests/test_round13_ops.py."""
     t = BASE_TS
     a2b = lambda pay: eth(ipv4(17, "10.0.0.1", "10.0.0.2", udp(1000, 2000, pay)))  # noqa: E731
     b2a = lambda pay: eth(ipv4(17, "10.0.0.2", "10.0.0.1", udp(2000, 1000, pay)))  # noqa: E731
@@ -250,11 +255,23 @@ def biflow_fixture_packets() -> dict[str, tuple[int, int, bytes]]:
     i1 = eth(ipv4(1, "10.7.7.1", "10.7.7.2", b"\x08\x00\x00\x00"))  # len 38
     i2 = eth(ipv4(1, "10.7.7.2", "10.7.7.1", b"\x00\x00\x00\x00"))  # len 38
     junk = b"\x01" * 10                                     # undecodable runt
+    # v6 conversation (answered, side1 speaks first) — len 86 each
+    d1 = eth(
+        ipv6(17, "2001:db8::a1", "2001:db8::b1", udp(6000, 7000)), ethertype=0x86DD
+    ) + mm_trailer(t - 10, 0, 3, 1)
+    d2 = eth(
+        ipv6(17, "2001:db8::b1", "2001:db8::a1", udp(7000, 6000)), ethertype=0x86DD
+    ) + mm_trailer(t - 9, 0, 3, 2)
+    # v4↔v6 NON-pair: same ports as the v4 udp conversation, v6 text
+    x1 = eth(
+        ipv6(17, "2001:db8::1", "2001:db8::2", udp(1000, 2000)), ethertype=0x86DD
+    ) + mm_trailer(t - 1, 0, 4, 1)
 
     pkts = {
         "udp_a1": p1, "udp_b1": p2, "udp_a2": p3, "udp_b2": p4, "udp_a3": p5,
         "tcp_c1": c1, "tcp_c2": c2, "udp_unanswered": u1,
         "icmp_req": i1, "icmp_rep": i2, "runt": junk,
+        "v6_d1": d1, "v6_d2": d2, "v6_mirror": x1,
     }
     return {k: (t, len(v), v) for k, v in pkts.items()}
 

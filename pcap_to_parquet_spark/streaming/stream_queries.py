@@ -98,6 +98,46 @@ def run_to_memory(sdf: DataFrame, mode: str) -> DataFrame:
     return sdf.sparkSession.table(name)
 
 
+def run_to_memory_flushed(sdf: DataFrame, mode: str = "append", timeout_s: int = 180):
+    """run_to_memory for WATERMARK-EVICTING plans over Python data
+    sources. availableNow never plans the no-data batch that advances
+    the watermark and emits/evicts closed state for those sources
+    (measured: the parquet file source gets batch N+1 with 0 input
+    rows; a Python DataSourceStreamReader terminates after the last
+    data batch, with or without a checkpoint restart). So drive a fast
+    processing-time trigger instead and stop deterministically once
+    one no-data batch has run the stateful operators — that batch IS
+    the flush. Raises on timeout rather than returning a
+    silently-incomplete table. Returns (result_df, progress_list) so
+    callers can pin state metrics (numRowsRemoved > 0 = eviction)."""
+    import time
+
+    name = f"stream_result_{next(_sink_seq)}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + timeout_s
+        while True:
+            progress = q.recentProgress
+            if any(
+                p["numInputRows"] == 0 and p["stateOperators"] for p in progress
+            ):
+                break
+            if time.time() > deadline:
+                raise TimeoutError(
+                    "no-data flush batch never ran; watermark state not emitted"
+                )
+            time.sleep(0.3)
+    finally:
+        q.stop()
+    return sdf.sparkSession.table(name), list(progress)
+
+
 # ---------------------------------------------------------------------------
 # tumbling window (complete mode → exact batch equivalence)
 

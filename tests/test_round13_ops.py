@@ -279,7 +279,7 @@ def test_biflow_golden(spark):
         (r["side1_ip"], r["side1_port"], r["side2_ip"], r["side2_port"], r["protocol"]): r
         for r in QUERIES["q_pcap_biflow"](spark, SF0001).collect()
     }
-    assert len(rows) == 5
+    assert len(rows) == 7
     r1 = rows[("10.0.0.1", 1000, "10.0.0.2", 2000, "UDP")]
     assert (r1["fwd_packets"], r1["fwd_bytes"]) == (3, 198)
     assert (r1["rev_packets"], r1["rev_bytes"]) == (2, 120)
@@ -297,6 +297,17 @@ def test_biflow_golden(spark):
     assert r4["first_speaker"] is None  # untimed in both directions
     r5 = rows[(None, None, None, None, None)]
     assert (r5["fwd_packets"], r5["fwd_bytes"], r5["answered"]) == (1, 10, False)
+    # dual-stack (round 14): the v6 conversation pairs on colon-hex text
+    r6 = rows[("2001:db8::a1", 6000, "2001:db8::b1", 7000, "UDP")]
+    assert (r6["fwd_packets"], r6["fwd_bytes"]) == (1, 86)
+    assert (r6["rev_packets"], r6["rev_bytes"]) == (1, 86)
+    assert (r6["first_speaker"], r6["answered"]) == ("side1", True)
+    # and the v6 flow mirroring the v4 ports does NOT pair with v4
+    r7 = rows[("2001:db8::1", 1000, "2001:db8::2", 2000, "UDP")]
+    assert (r7["fwd_packets"], r7["rev_packets"], r7["answered"]) == (1, 0, False)
+    assert r7["first_speaker"] == "side1"  # timed probe: speaker known
+    # the v4 conversation's counts are untouched by the v6 mirror
+    assert rows[("10.0.0.1", 1000, "10.0.0.2", 2000, "UDP")]["fwd_packets"] == 3
 
 
 def test_stream_biflow_matches_batch(spark):
@@ -409,7 +420,7 @@ def test_talkers_golden(spark):
         r["endpoint_ip"]: r
         for r in QUERIES["q_pcap_talkers"](spark, SF0001).collect()
     }
-    assert len(rows) == 9
+    assert len(rows) == 13
     a = rows["10.0.0.1"]
     assert (a.out_packets, a.out_bytes, a.in_packets, a.in_bytes) == (3, 198, 2, 120)
     assert (a.n_peers, a.io_byte_ratio) == (1, 1.65)
@@ -419,6 +430,15 @@ def test_talkers_golden(spark):
     assert probe.io_byte_ratio is None  # nothing came back
     null_ep = rows[None]
     assert (null_ep.out_packets, null_ep.in_packets, null_ep.n_peers) == (1, 1, 0)
+    # dual-stack (round 14): v6 endpoints census alongside v4
+    v6a = rows["2001:db8::a1"]
+    assert (v6a.out_packets, v6a.out_bytes, v6a.in_packets, v6a.in_bytes) == (1, 86, 1, 86)
+    assert (v6a.n_peers, v6a.io_byte_ratio) == (1, 1.0)
+    v6probe = rows["2001:db8::1"]
+    assert (v6probe.out_packets, v6probe.in_packets) == (1, 0)
+    assert v6probe.io_byte_ratio is None
+    v6silent = rows["2001:db8::2"]
+    assert (v6silent.out_packets, v6silent.in_bytes, v6silent.io_byte_ratio) == (0, 86, 0.0)
 
 
 def test_talkers_conservation(spark):

@@ -52,6 +52,77 @@ def test_chunked_v6_every_boundary(tmp_path):
             assert got == want, f"chunk={chunk_bytes} ipv6={mode}"
 
 
+def _closed_flows_land(spark) -> str:
+    import os
+    import shutil
+    import tempfile
+
+    from pcap_to_parquet_spark.operators.pcap_query import _biflow_fixture_path
+    from pcap_to_parquet_spark.sources.pcap_datasource import register_pcap_source
+
+    register_pcap_source(spark)
+    src = _biflow_fixture_path()
+    land = tempfile.mkdtemp()
+    shutil.copy(src, os.path.join(land, "biflow.pcap"))
+    return land
+
+
+def test_closed_flows_state_eviction(spark):
+    """The state pin the complete-mode twin can't give: after the
+    no-data flush batch, closed flows are EVICTED from the store
+    (numRowsRemoved == emitted rows; live state shrinks to open flows
+    only) — bounded state on a continuous feed, not per-key history."""
+    from pcap_to_parquet_spark.operators.pcap_query import closed_flows_plan
+    from pcap_to_parquet_spark.streaming.stream_queries import run_to_memory_flushed
+
+    result, progress = run_to_memory_flushed(
+        closed_flows_plan(spark, _closed_flows_land(spark))
+    )
+    rows = result.collect()
+    assert len(rows) == 3
+    flush = [p for p in progress if p["numInputRows"] == 0 and p["stateOperators"]]
+    assert flush, "no-data flush batch must appear in progress"
+    st = flush[0]["stateOperators"][0]
+    assert st["numRowsRemoved"] == 3          # closed flows left the store
+    assert st["numRowsTotal"] == 7 - 3        # only open flows remain live
+    # the earliest-stamped closed flows are the v6 conversation
+    assert {r["src_ip"] for r in rows} == {
+        "2001:db8::a1", "2001:db8::b1", "192.168.1.2"
+    }
+
+
+def test_closed_flows_equal_batch_on_closed(spark):
+    """Emitted closed flows must equal the BATCH flow table rows for
+    the same 5-tuples (n_packets / n_bytes / first_ts) — the
+    watermark path changes WHEN a flow emits, never WHAT it says."""
+    from pcap_to_parquet_spark.operators.pcap_query import (
+        _biflow_fixture_path,
+        _flows_frame,
+        closed_flows_plan,
+    )
+    from pcap_to_parquet_spark.streaming.stream_queries import run_to_memory_flushed
+
+    result, _ = run_to_memory_flushed(
+        closed_flows_plan(spark, _closed_flows_land(spark))
+    )
+    key = ("src_ip", "dst_ip", "protocol", "src_port", "dst_port")
+    live = {tuple(r[k] for k in key): r for r in result.collect()}
+    batch = {
+        tuple(r[k] for k in key): r
+        for r in _flows_frame(
+            read_pcap(spark, _biflow_fixture_path(), ipv6=True).filter(
+                "mm_ts IS NOT NULL"
+            )
+        ).collect()
+    }
+    assert set(live) <= set(batch)
+    for k, r in live.items():
+        b = batch[k]
+        assert (r["n_packets"], r["n_bytes"], r["first_ts"]) == (
+            b["n_packets"], b["n_bytes"], b["first_ts"]
+        )
+
+
 def test_spark_chunked_v6_equals_per_file(spark, tmp_path):
     """read_pcap_chunked(ipv6=True) row-set == read_pcap(ipv6=True) on
     the v6 fixture (forced small chunks → real resync on executors)."""
