@@ -5299,9 +5299,19 @@ def winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(F.col("sz") * (F.col("sz") - 1), 1).alias("n_pairs"),
     )
     classes = within_cls.unionByName(cross_cls)
-    # Exact expansion threshold: smallest n_shared the top-20 can
-    # reach. Bucket classes by ns first so the cumulative window runs
-    # over ≤|distinct ns| rows, never over the class list itself.
+    return _winnow_expand_classes(classes, members)
+
+
+def _winnow_expand_classes(classes: DataFrame, members: DataFrame) -> DataFrame:
+    """Exact top-20 member-level expansion of (ga, gb, ns, n_pairs)
+    PAIR-CLASSES — shared by q_winnowing and q_winnowing_band_members
+    so the two surfaces use one proven cap rule. Threshold: smallest
+    n_shared the top-20 can reach (cumulative pair count over the
+    ≤|distinct ns| bucket list, never over the class list); expansion
+    per class is capped at each group's 22 smallest doc_ids (the 21
+    pairs of a group's smallest member against its next-21 all
+    lexicographically precede any pair involving a 23rd member, so no
+    top-20 pair is ever outside the cap)."""
     w_ns = Window.orderBy(F.desc("ns")).rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -5336,9 +5346,17 @@ def winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round 13: band-limited winnowing — the NEAR-dup-multiplicity scale
 # path the combined-axis rehearsal proved q_winnowing needs
 _WINNOW_BAND_CAP = 32
+# round 14: band on the B smallest prints per rep, not just the single
+# minimum — the curve op priced B=1 at 0.24 recall on weakly-similar
+# docs vs 0.41 at B=4 (1.0 on planted near-dup families either way);
+# candidate volume stays bucket-capped exactly as before.
+_WINNOW_BANDS_B = 4
 
-WINNOWING_BAND_ORACLE = rf"""
-WITH grp AS (
+# Shared CTE block: rep collapse → prints → B-smallest banding →
+# capped buckets → deduped candidates → exact verify. Both band ops
+# (rep-level top-20 and member-level expansion) build on this text so
+# their candidate/verify semantics cannot diverge.
+_WINNOW_BAND_CTES = rf"""grp AS (
     SELECT md5(text) AS g, MIN(doc_id) AS rep
     FROM documents
     WHERE len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) >= 3
@@ -5365,7 +5383,11 @@ wm AS (
     FROM sh
 ),
 prints AS (SELECT DISTINCT g, wkey >> 16 AS h FROM wm),
-banded AS (SELECT g, MIN(h) AS band FROM prints GROUP BY g),
+pl AS (SELECT g, list_sort(list(h)) AS ph FROM prints GROUP BY g),
+banded AS (
+    SELECT g, u.h AS band
+    FROM pl, unnest(list_slice(ph, 1, {_WINNOW_BANDS_B})) AS u(h)
+),
 capped AS (
     SELECT g, band FROM (
         SELECT g, band,
@@ -5373,7 +5395,7 @@ capped AS (
         FROM banded) WHERE rn <= {_WINNOW_BAND_CAP}
 ),
 cand AS (
-    SELECT a.g AS ga, b.g AS gb
+    SELECT DISTINCT a.g AS ga, b.g AS gb
     FROM capped a JOIN capped b ON a.band = b.band AND a.g < b.g
 ),
 ver AS (
@@ -5382,7 +5404,10 @@ ver AS (
     JOIN prints pa ON pa.g = cand.ga
     JOIN prints pb ON pb.g = cand.gb AND pa.h = pb.h
     GROUP BY ga, gb
-)
+)"""
+
+WINNOWING_BAND_ORACLE = f"""
+WITH {_WINNOW_BAND_CTES}
 SELECT LEAST(ra.rep, rb.rep) AS doc_a,
        GREATEST(ra.rep, rb.rep) AS doc_b,
        ns AS n_shared
@@ -5404,55 +5429,35 @@ def winnowing_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared-print join re-inflates to Σ_h C(df_h, 2): measured "No
     space left on device" (>78 GB shuffle spill) on local[32] at the
     combined plant. This variant is the repo's standard
-    candidate-then-verify answer (the LSH discipline): each rep's
-    single MINIMUM print is its band key (the MOSS "super-fingerprint"
-    idea — near-dup texts share most prints, so they share the min
-    with high probability); candidate pairs form only within a band
-    bucket, hot buckets cap at the {cap} lexicographically-smallest
-    groups (bounded Σ C({cap},2) verify pairs per bucket, the
-    q_lsh_planner discipline); and each candidate pair is verified by
-    the EXACT shared-print count (array_intersect of the two reps'
-    distinct print sets — no estimate). Output: top-20 rep pairs by
-    verified n_shared (rep-level by design; member expansion is
-    q_winnowing's job). Every reported pair's n_shared is exact; the
-    trade is RECALL (a pair not sharing its min print is never a
-    candidate), pinned against exact q_winnowing on the planted
-    fixture. [engine — not in reference]
+    candidate-then-verify answer (the LSH discipline): each rep's {B}
+    SMALLEST prints are its band keys (round 14 — the curve op priced
+    the original single-min banding at 0.24 recall on weakly-similar
+    docs vs 0.41 at B={B}, 1.0 on planted near-dup families either
+    way); candidate pairs form only within a band bucket, hot buckets
+    cap at the {cap} lexicographically-smallest groups (bounded
+    Σ C({cap},2) verify pairs per bucket, the q_lsh_planner
+    discipline), pairs sharing several bands dedup BEFORE the verify;
+    and each candidate pair is verified by the EXACT shared-print
+    count (array_intersect of the two reps' distinct print sets — no
+    estimate). Output: top-20 rep pairs by verified n_shared
+    (rep-level by design; member expansion is q_winnowing_band_members'
+    job). Every reported pair's n_shared is exact; the trade is RECALL
+    (a pair sharing none of each other's {B} smallest prints is never
+    a candidate), priced by q_winnowing_band_curve and pinned against
+    exact q_winnowing on the planted fixture. [engine — not in
+    reference]
 
     Scale: the shingle/print pipeline stays rep-bounded (shared
     _winnow_collapse kernel, one checkpoint); band keying is a
-    map-side array_min; the verify join carries only capped-bucket
-    pairs with two print ARRAYS each — never the print-level
-    Σ C(df,2) explosion. Oracle replays the identical algebra
-    (same 40-bit md5 shingle keys, same window-min, same cap rule)."""
-    from pyspark.sql import Window as W
-
+    map-side sorted-array slice ({B} rows per rep); the verify join
+    carries only deduped capped-bucket pairs with two print ARRAYS
+    each — never the print-level Σ C(df,2) explosion. Oracle replays
+    the identical algebra (same 40-bit md5 shingle keys, same
+    window-min, same slice + cap + dedup rule)."""
     d = load_table(spark, sf_dir, "documents")
     _members, sizes, pr = _winnow_collapse(d)
-    banded = pr.where(F.size("prints") > 0).select(
-        "g", "prints", F.array_min("prints").alias("band")
-    )
-    wb = W.partitionBy("band").orderBy("g")
-    capped = (
-        banded.withColumn("rn", F.row_number().over(wb))
-        .where(F.col("rn") <= _WINNOW_BAND_CAP)
-        .select("g", "band", "prints")
-    )
-    a = capped.select(
-        "band", F.col("g").alias("ga"), F.col("prints").alias("pa")
-    )
-    b = capped.select(
-        "band", F.col("g").alias("gb"), F.col("prints").alias("pb")
-    )
-    ver = (
-        a.join(b, "band")
-        .where(F.col("ga") < F.col("gb"))
-        .select(
-            "ga",
-            "gb",
-            F.size(F.array_intersect("pa", "pb")).cast("long").alias("n_shared"),
-        )
-    )
+    cand = _winnow_band_candidates(pr)
+    ver = _winnow_band_verify(cand, pr)
     ra = sizes.select(F.col("g").alias("ga"), F.col("rep_id").alias("rep_a"))
     rb = sizes.select(F.col("g").alias("gb"), F.col("rep_id").alias("rep_b"))
     out = (
@@ -5467,7 +5472,131 @@ def winnowing_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(F.desc("n_shared"), "doc_a", "doc_b").limit(20)
 
 
-winnowing_band.__doc__ = winnowing_band.__doc__.format(cap=_WINNOW_BAND_CAP)
+winnowing_band.__doc__ = winnowing_band.__doc__.format(
+    cap=_WINNOW_BAND_CAP, B=_WINNOW_BANDS_B
+)
+
+
+def _winnow_band_candidates(pr: DataFrame) -> DataFrame:
+    """(ga, gb) candidate rep pairs from B-smallest-print banding with
+    the per-bucket cap — the shared candidate generator of
+    q_winnowing_band and its member-level expansion."""
+    from pyspark.sql import Window as W
+
+    banded = pr.where(F.size("prints") > 0).select(
+        "g",
+        F.explode(
+            F.slice(F.array_sort("prints"), 1, _WINNOW_BANDS_B)
+        ).alias("band"),
+    )
+    wb = W.partitionBy("band").orderBy("g")
+    capped = (
+        banded.withColumn("rn", F.row_number().over(wb))
+        .where(F.col("rn") <= _WINNOW_BAND_CAP)
+        .select("g", "band")
+    )
+    a = capped.select("band", F.col("g").alias("ga"))
+    b = capped.select("band", F.col("g").alias("gb"))
+    return (
+        a.join(b, "band")
+        .where(F.col("ga") < F.col("gb"))
+        .select("ga", "gb")
+        .distinct()
+    )
+
+
+def _winnow_band_verify(cand: DataFrame, pr: DataFrame) -> DataFrame:
+    """Exact shared-print verify of banded candidates: join both reps'
+    print arrays back, n_shared = |array_intersect| — never an
+    estimate."""
+    pa = pr.select(F.col("g").alias("ga"), F.col("prints").alias("pa"))
+    pb = pr.select(F.col("g").alias("gb"), F.col("prints").alias("pb"))
+    return (
+        cand.join(pa, "ga")
+        .join(pb, "gb")
+        .select(
+            "ga",
+            "gb",
+            F.size(F.array_intersect("pa", "pb")).cast("long").alias("n_shared"),
+        )
+    )
+
+
+WINNOWING_BAND_MEMBERS_ORACLE = rf"""
+WITH {_WINNOW_BAND_CTES},
+mem AS (
+    SELECT doc_id, md5(text) AS g FROM documents
+    WHERE len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) >= 3
+),
+np AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_prints FROM prints GROUP BY g),
+within_pairs AS (
+    SELECT ma.doc_id AS ida, mb.doc_id AS idb, np.n_prints AS ns
+    FROM mem ma JOIN mem mb ON ma.g = mb.g AND ma.doc_id < mb.doc_id
+    JOIN np ON np.g = ma.g
+),
+cross_pairs AS (
+    SELECT ma.doc_id AS ida, mb.doc_id AS idb, ver.ns
+    FROM ver JOIN mem ma ON ma.g = ver.ga JOIN mem mb ON mb.g = ver.gb
+),
+allp AS (
+    SELECT * FROM within_pairs UNION ALL SELECT * FROM cross_pairs
+)
+SELECT LEAST(ida, idb) AS doc_a, GREATEST(ida, idb) AS doc_b, ns AS n_shared
+FROM allp
+ORDER BY n_shared DESC, doc_a, doc_b
+LIMIT 20
+"""
+
+
+@query("q_winnowing_band_members", WINNOWING_BAND_MEMBERS_ORACLE)
+def winnowing_band_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEMBER-LEVEL expansion of the banded winnowing pairs — closes
+    the gap the r13 verdict named: q_winnowing_band reports REP pairs
+    by design, but the dedup decision a curation pipeline acts on is
+    per-DOCUMENT, and on the near-dup-heavy corpora the band variant
+    exists for, a rep stands in for many members. Same banded
+    candidate generation and exact array_intersect verify (shared
+    _winnow_band_candidates/_winnow_band_verify kernels), then the
+    verified rep classes expand through group membership with exact
+    q_winnowing's proven threshold-and-cap rule (shared
+    _winnow_expand_classes — the 22-smallest-member cap whose
+    top-20-exactness argument is in its docstring): within-group
+    classes (identical texts, ns = the group's own print count,
+    C(sz,2) pairs) union band-verified cross classes (ns = exact
+    rep∩rep shared prints, sz_a·sz_b pairs). Output: top-20 DOCUMENT
+    pairs by n_shared under band recall. [engine — not in reference]
+
+    Scale: candidate/verify stays capped-bucket rep-bounded (the whole
+    point); the expansion joins touch only classes that can reach the
+    global top-20 (threshold first, then the 22-member cap) — the
+    same shape the combined-axis rehearsal measured sublinear for
+    q_winnowing before its exact-join stage, without that stage.
+    Oracle: the UNCAPPED membership expansion over the shared band
+    CTEs — the driver check proves cap-equivalence, exactly as
+    q_winnowing's oracle proves its collapse-equivalence."""
+    d = load_table(spark, sf_dir, "documents")
+    members, sizes, pr = _winnow_collapse(d)
+    ver = _winnow_band_verify(_winnow_band_candidates(pr), pr)
+    sz_a = sizes.select(F.col("g").alias("ga"), F.col("sz").alias("sza"))
+    sz_b = sizes.select(F.col("g").alias("gb"), F.col("sz").alias("szb"))
+    cross_cls = (
+        ver.join(sz_a, "ga")
+        .join(sz_b, "gb")
+        .select(
+            "ga",
+            "gb",
+            F.col("n_shared").alias("ns"),
+            (F.col("sza") * F.col("szb")).alias("n_pairs"),
+        )
+    )
+    within_cls = pr.where(F.col("sz") >= 2).select(
+        F.col("g").alias("ga"),
+        F.col("g").alias("gb"),
+        F.size("prints").cast("long").alias("ns"),
+        F.shiftright(F.col("sz") * (F.col("sz") - 1), 1).alias("n_pairs"),
+    )
+    classes = within_cls.unionByName(cross_cls)
+    return _winnow_expand_classes(classes, members)
 
 
 # round 13: recall-vs-band-count tuning curve for the band variant

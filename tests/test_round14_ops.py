@@ -123,6 +123,65 @@ def test_closed_flows_equal_batch_on_closed(spark):
         )
 
 
+def _docs_lake(spark, path, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(path / "documents.parquet"))
+    return str(path)
+
+
+def test_band_members_expands_groups(spark, tmp_path):
+    """q_winnowing_band_members turns rep-level band pairs into
+    document pairs: the near-dup pair expands across the duplicated
+    group (same exact n_shared for every member pair), and the
+    identical-text pair appears as a within-group pair whose n_shared
+    is the group's own print count."""
+    base = " ".join(f"w{i}" for i in range(14))
+    near = " ".join(("Y" if i == 0 else f"w{i}") for i in range(14))
+    d = _docs_lake(
+        spark,
+        tmp_path,
+        [
+            (0, base, "en", "s", len(base)),
+            (1, near, "en", "s", len(near)),
+            (7, base, "en", "s", len(base)),  # exact dup of 0 -> same group
+        ],
+    )
+    band = {(r.doc_a, r.doc_b): r.n_shared for r in
+            QUERIES["q_winnowing_band"](spark, d).collect()}
+    mem = {(r.doc_a, r.doc_b): r.n_shared for r in
+           QUERIES["q_winnowing_band_members"](spark, d).collect()}
+    assert (0, 1) in band and (0, 7) not in band  # rep-level by design
+    # cross-group pairs expand through the dup with the same count
+    assert mem[(0, 1)] == band[(0, 1)]
+    assert mem[(1, 7)] == band[(0, 1)]
+    # the identical pair is a within-group class (its own print count)
+    assert (0, 7) in mem and mem[(0, 7)] >= mem[(0, 1)]
+
+
+def test_band_members_equals_exact_when_recall_full(spark, tmp_path):
+    """Cross-op consistency: on near-dup families where the min print
+    is shared (band recall 1.0 — the curve test's corpus shape),
+    member-level band expansion returns EXACTLY q_winnowing's top-20:
+    same pairs, same counts."""
+    rows = []
+    for fam in range(5):
+        base = " ".join(f"w{fam}_{j}" for j in range(15))
+        rows.append((3 * fam, base + " tailA", "en", "s", 1))
+        rows.append((3 * fam + 1, base + " tailB", "en", "s", 1))
+        rows.append((3 * fam + 2, base + " tailA", "en", "s", 1))  # dup of first
+    d = _docs_lake(spark, tmp_path, rows)
+    mem = sorted(
+        (r.doc_a, r.doc_b, r.n_shared)
+        for r in QUERIES["q_winnowing_band_members"](spark, d).collect()
+    )
+    exact = sorted(
+        (r.doc_a, r.doc_b, r.n_shared)
+        for r in QUERIES["q_winnowing"](spark, d).collect()
+    )
+    assert mem == exact
+
+
 def test_spark_chunked_v6_equals_per_file(spark, tmp_path):
     """read_pcap_chunked(ipv6=True) row-set == read_pcap(ipv6=True) on
     the v6 fixture (forced small chunks → real resync on executors)."""
