@@ -146,6 +146,7 @@ _GATE_FRONT = [
     # new in round 14 (insert below this line as they land; due round 15)
     "q_pcap_stream_closed_flows",
     "q_winnowing_band_members",
+    "q_winnowing_band_clusters",
     # round-10 window remainder (rows r10)
     "q_holt_forecast",
     "q_multi_regression",

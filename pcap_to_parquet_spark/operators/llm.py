@@ -5599,6 +5599,91 @@ def winnowing_band_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _winnow_expand_classes(classes, members)
 
 
+# round 14: cluster labels under band recall — completes the
+# fingerprint axis of the dedup matrix (minhash already has
+# q_dedup_clusters; winnowing pairs now get their canonical-document
+# selection step too)
+_WINNOW_CLUSTER_TAU = 2  # ≥2 shared prints = an edge (the curve op's
+# ground-truth threshold; a single shared print is one 3-gram window)
+
+WINNOWING_BAND_CLUSTERS_ORACLE = rf"""
+WITH RECURSIVE {_WINNOW_BAND_CTES},
+mem AS (
+    SELECT doc_id, md5(text) AS g FROM documents
+    WHERE len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) >= 3
+),
+vpairs AS (SELECT ga, gb FROM ver WHERE ns >= {_WINNOW_CLUSTER_TAU}),
+gedges AS (SELECT ga AS a, gb AS b FROM vpairs UNION SELECT gb, ga FROM vpairs),
+reach AS (
+    SELECT g, g AS r FROM grp
+    UNION
+    SELECT e.b AS g, reach.r FROM reach JOIN gedges e ON e.a = reach.g
+),
+glabel AS (SELECT g, MIN(r) AS comp FROM reach GROUP BY g),
+docs_in AS (SELECT mem.doc_id, glabel.comp FROM mem JOIN glabel ON glabel.g = mem.g),
+cmin AS (SELECT comp, MIN(doc_id) AS cluster_id FROM docs_in GROUP BY comp)
+SELECT d.doc_id, c.cluster_id
+FROM docs_in d JOIN cmin c ON c.comp = d.comp
+UNION ALL
+SELECT doc_id, doc_id AS cluster_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM mem)
+"""
+
+
+@query("q_winnowing_band_clusters", WINNOWING_BAND_CLUSTERS_ORACLE)
+def winnowing_band_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER LABELS over the banded winnowing graph — the
+    canonical-document selection step for the fingerprint dedup axis,
+    mirroring what q_dedup_clusters does for the Jaccard axis: every
+    document gets the minimum doc_id of its connected component as
+    cluster_id, where edges are band-verified rep pairs with
+    n_shared ≥ {tau} (the curve op's ground-truth threshold) expanded
+    through identical-text groups. Identical texts always share a
+    cluster (same group); docs under the 3-token floor are singletons.
+    [engine — not in reference]
+
+    Scale design: the component computation runs on the GROUP graph
+    (reps as nodes, band-verified pairs as edges — never member-level)
+    via the already-audited star_contract kernel (large-star/small-star
+    contraction, O(log²) rounds, bounded intermediates); membership
+    joins labels back at the end. rep = min doc_id of its group, so the
+    component-min rep IS the component-min document — no second pass.
+    Oracle: recursive reachability over the shared band CTE block with
+    the UNCAPPED membership mapping; the driver check proves the
+    contraction and the group-level shortcut agree with the plain
+    definition."""
+    d = load_table(spark, sf_dir, "documents")
+    members, sizes, pr = _winnow_collapse(d)
+    ver = _winnow_band_verify(_winnow_band_candidates(pr), pr).where(
+        F.col("n_shared") >= _WINNOW_CLUSTER_TAU
+    )
+    ra = sizes.select(F.col("g").alias("ga"), F.col("rep_id").alias("u"))
+    rb = sizes.select(F.col("g").alias("gb"), F.col("rep_id").alias("v"))
+    gedges = (
+        ver.join(ra, "ga").join(rb, "gb").select("u", "v")
+        .localCheckpoint(eager=True)  # cut the collapse/verify lineage
+    )
+    glabels = star_contract(gedges).withColumnRenamed("doc_id", "rep_id")
+    rep_of = members.join(sizes.select("g", "rep_id"), "g").select(
+        "doc_id", "rep_id"
+    )
+    lab = rep_of.join(glabels, "rep_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("rep_id")).alias("cluster_id"),
+    )
+    singletons = d.select("doc_id").join(
+        lab.select("doc_id"), "doc_id", "left_anti"
+    )
+    return lab.unionByName(
+        singletons.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    )
+
+
+winnowing_band_clusters.__doc__ = winnowing_band_clusters.__doc__.format(
+    tau=_WINNOW_CLUSTER_TAU
+)
+
+
 # round 13: recall-vs-band-count tuning curve for the band variant
 _CURVE_SLICE = 300  # fixed audit slice (doc_id bound) — flat at any sf
 _CURVE_TAU = 2      # ground-truth pair threshold: n_shared >= tau

@@ -182,6 +182,48 @@ def test_band_members_equals_exact_when_recall_full(spark, tmp_path):
     assert mem == exact
 
 
+def test_band_clusters_families(spark, tmp_path):
+    """Planted families: exact dups + near-dups form ONE cluster under
+    the component-min label; disjoint docs stay singletons; sub-floor
+    (<3 tokens) docs keep their own id."""
+    base = " ".join(f"w{i}" for i in range(20))
+    near = " ".join(("CHANGED" if i == 10 else f"w{i}") for i in range(20))
+    other = " ".join(f"z{i}" for i in range(20))
+    d = _docs_lake(
+        spark,
+        tmp_path,
+        [
+            (3, base, "en", "s", 1),
+            (5, near, "en", "s", 1),          # near-dup of 3 -> same cluster
+            (9, base, "en", "s", 1),          # exact dup of 3 -> same cluster
+            (11, other, "en", "s", 1),        # disjoint -> singleton
+            (12, "tiny doc", "en", "s", 1),   # under the 3-token floor
+        ],
+    )
+    lab = {r.doc_id: r.cluster_id for r in
+           QUERIES["q_winnowing_band_clusters"](spark, d).collect()}
+    assert lab == {3: 3, 5: 3, 9: 3, 11: 11, 12: 12}
+
+
+def test_band_clusters_consistent_with_members(spark, tmp_path):
+    """Cross-op consistency: every document pair the member-level band
+    op reports with n_shared >= the cluster edge threshold must land
+    in the same cluster."""
+    from pcap_to_parquet_spark.operators.llm import _WINNOW_CLUSTER_TAU
+
+    rows = []
+    for fam in range(4):
+        base = " ".join(f"w{fam}_{j}" for j in range(15))
+        rows.append((2 * fam, base + " tailA", "en", "s", 1))
+        rows.append((2 * fam + 1, base + " tailB", "en", "s", 1))
+    d = _docs_lake(spark, tmp_path, rows)
+    lab = {r.doc_id: r.cluster_id for r in
+           QUERIES["q_winnowing_band_clusters"](spark, d).collect()}
+    for r in QUERIES["q_winnowing_band_members"](spark, d).collect():
+        if r.n_shared >= _WINNOW_CLUSTER_TAU:
+            assert lab[r.doc_a] == lab[r.doc_b]
+
+
 def test_spark_chunked_v6_equals_per_file(spark, tmp_path):
     """read_pcap_chunked(ipv6=True) row-set == read_pcap(ipv6=True) on
     the v6 fixture (forced small chunks → real resync on executors)."""
