@@ -673,6 +673,145 @@ def pcap_stream_closed_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+# NetFlow record splitting: a flow RECORD (the export unit) closes on
+# idle silence (no packet for IDLE) or on the ACTIVE timeout (long
+# flows export periodic records instead of one unbounded one). The
+# active grid is aligned to each island's first packet (deterministic,
+# fully parallel); reset-per-record exporters differ only on packets
+# straddling a boundary, and the aligned rule is what a declarative
+# engine can state exactly in both engines.
+_FLOW_IDLE_NS = 10 * 10**9
+_FLOW_ACTIVE_NS = 10 * 10**9
+
+_TIMELINE_ROWS = [
+    f"('{net}1', '{net}2', CAST(66 AS BIGINT), 'UDP', CAST(4000 AS INTEGER), "
+    f"CAST(5000 AS INTEGER), CAST({(1_700_000_000 + off) * 10**9} AS BIGINT), "
+    f"CAST({mmid} AS INTEGER), CAST({k + 1} AS SMALLINT))"
+    for net, offs, mmid in (
+        ("10.1.0.", (-30, -27, -24, -21, -18, -15), 1),
+        ("10.2.0.", (-30, -29, -10, -9), 2),
+        ("10.3.0.", (-5,), 3),
+    )
+    for k, off in enumerate(offs)
+] + [
+    "('10.4.0.1', '10.4.0.2', CAST(50 AS BIGINT), 'UDP', CAST(4000 AS INTEGER), "
+    f"CAST(5000 AS INTEGER), {_MM_NULLS})"
+]
+TIMELINE_GOLDEN_ORACLE = (
+    f"SELECT {_PKT_COLS} FROM (VALUES\n    "
+    + ",\n    ".join(_TIMELINE_ROWS)
+    + f"\n) AS t({_PKT_COLS})"
+)
+
+_FLOW_KEYS_5 = "src_ip, dst_ip, protocol, src_port, dst_port"
+
+FLOW_TIMEOUT_ORACLE = f"""
+WITH g AS ({TIMELINE_GOLDEN_ORACLE}),
+timed AS (SELECT * FROM g WHERE mm_ts IS NOT NULL),
+seq AS (
+    SELECT *, CASE WHEN mm_ts - LAG(mm_ts) OVER w >= {_FLOW_IDLE_NS}
+                   THEN 1 ELSE 0 END AS brk
+    FROM timed
+    WINDOW w AS (PARTITION BY {_FLOW_KEYS_5} ORDER BY mm_ts)
+),
+isl AS (
+    SELECT *, SUM(brk) OVER (PARTITION BY {_FLOW_KEYS_5}
+                             ORDER BY mm_ts ROWS UNBOUNDED PRECEDING) AS sid
+    FROM seq
+),
+ist AS (
+    SELECT *, MIN(mm_ts) OVER (PARTITION BY {_FLOW_KEYS_5}, sid) AS island_start
+    FROM isl
+),
+rec AS (
+    SELECT *, (mm_ts - island_start) // {_FLOW_ACTIVE_NS} AS epoch FROM ist
+)
+SELECT {_FLOW_KEYS_5},
+       MIN(mm_ts) AS record_start, MAX(mm_ts) AS record_end,
+       CAST(COUNT(*) AS BIGINT) AS n_packets,
+       CAST(SUM(len) AS BIGINT) AS n_bytes
+FROM rec
+GROUP BY {_FLOW_KEYS_5}, sid, epoch
+"""
+
+
+def _flow_timeline_path() -> str:
+    path = os.path.join(
+        tempfile.gettempdir(), "pcap_to_parquet_spark_golden_timeline.pcap"
+    )
+    from pcap_to_parquet_spark.sources.pcap_fixtures import flow_timeline_pcap_bytes
+
+    data = flow_timeline_pcap_bytes()
+    if not (os.path.exists(path) and os.path.getsize(path) == len(data)):
+        with open(path, "wb") as f:
+            f.write(data)
+    return path
+
+
+@query("q_pcap_flow_timeout", FLOW_TIMEOUT_ORACLE)
+def pcap_flow_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NetFlow RECORD SPLITTING — the export semantics every flow
+    collector implements and the plain flow table (q_pcap_flows, one
+    row per 5-tuple ever) cannot express: a record closes after
+    {idle} s of silence on its 5-tuple (idle timeout → gaps-and-islands
+    on the hardware stamp) AND a long-lived island exports one record
+    per {active} s of activity (active timeout → the island-start-
+    aligned epoch grid), so an elephant flow becomes a bounded series
+    of records instead of one unbounded accumulator. Untimed frames
+    (no Metamako stamp) are excluded — time-based splitting is
+    undefined for them (same contract as who-spoke-first and the
+    streaming closed-flow table). [engine — not in reference]
+
+    The aligned-grid active split is deterministic and fully parallel;
+    reset-per-record exporters (record clock restarts at the first
+    packet after a split) differ only for packets straddling a
+    boundary — documented divergence, chosen because the grid rule is
+    statable as one window + one integer division in BOTH engines
+    (the q_sessionize discipline), where reset-per-record is a
+    sequential per-key scan.
+
+    Scale design: one shuffle of the packet scan onto the 5-tuple key;
+    LAG + running SUM + MIN ride the SAME window partitioning (one
+    sort); the record aggregate is a second, census-sized groupBy.
+    Elephant keys: the per-key window sort is the only per-key
+    sequential stage — a skewed capture salts by the active epoch
+    computed from a coarse pre-bucket, the q_skew_planner playbook.
+    Oracle: identical algebra over the golden timeline literal (active
+    split, idle split, and single-packet record all exercised)."""
+    from pyspark.sql import Window as W
+
+    timed = read_pcap(spark, _flow_timeline_path()).where(
+        F.col("mm_ts").isNotNull()
+    )
+    wk = W.partitionBy(*_FLOW_KEYS).orderBy("mm_ts")
+    wrun = wk.rowsBetween(W.unboundedPreceding, W.currentRow)
+    seq = timed.withColumn(
+        "brk",
+        F.when(
+            F.col("mm_ts") - F.lag("mm_ts").over(wk) >= _FLOW_IDLE_NS, F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    isl = seq.withColumn("sid", F.sum("brk").over(wrun))
+    wisl = W.partitionBy(*_FLOW_KEYS, "sid")
+    # integer div (never float): ns offsets stay exact int64 like the
+    # oracle's BIGINT // — float division would be exact here too
+    # (< 2^53) but the parity argument shouldn't need that footnote
+    rec = isl.withColumn("island_start", F.min("mm_ts").over(wisl)).withColumn(
+        "epoch", F.expr(f"(mm_ts - island_start) div {_FLOW_ACTIVE_NS}")
+    )
+    return rec.groupBy(*_FLOW_KEYS, "sid", "epoch").agg(
+        F.min("mm_ts").alias("record_start"),
+        F.max("mm_ts").alias("record_end"),
+        F.count(F.lit(1)).cast("long").alias("n_packets"),
+        F.sum("len").cast("long").alias("n_bytes"),
+    ).drop("sid", "epoch")
+
+
+pcap_flow_timeout.__doc__ = pcap_flow_timeout.__doc__.format(
+    idle=_FLOW_IDLE_NS // 10**9, active=_FLOW_ACTIVE_NS // 10**9
+)
+
+
 def closed_flows_plan(spark: SparkSession, land_dir: str) -> DataFrame:
     """The streaming plan of q_pcap_stream_closed_flows, reusable by
     tests that need the raw query handle (state-eviction pin)."""

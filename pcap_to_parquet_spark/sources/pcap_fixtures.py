@@ -276,6 +276,45 @@ def biflow_fixture_packets() -> dict[str, tuple[int, int, bytes]]:
     return {k: (t, len(v), v) for k, v in pkts.items()}
 
 
+def flow_timeline_fixture_packets() -> dict[str, tuple[int, int, bytes]]:
+    """name → (ts_sec, origlen, data): hardware-stamped packet
+    timelines for the NetFlow record-splitting op (q_pcap_flow_timeout)
+    — the biflow fixture's stamps are one-per-direction, too sparse to
+    exercise active/idle record boundaries. Three UDP flows + one
+    untimed frame:
+
+    - flow L ("long-lived"): 6 packets 3 s apart (t-30 .. t-15) — no
+      idle gap ever reaches the 10 s timeout, but the 10 s ACTIVE
+      timeout splits the island into two records ([t-30..t-21] epoch 0,
+      [t-18..t-15] epoch 1 on the island-start-aligned grid);
+    - flow I ("idle-split"): packets at t-30, t-29 then t-10, t-9 —
+      the 19 s silence exceeds the idle timeout, two islands, one
+      record each;
+    - flow S: a single packet at t-5 — one one-packet record;
+    - one UNTIMED frame (no trailer): time-based record splitting is
+      undefined for it, pinned excluded."""
+    t = BASE_TS
+
+    def pkt(src: str, dst: str, off: int, mmid: int, mmport: int) -> bytes:
+        return eth(ipv4(17, src, dst, udp(4000, 5000))) + mm_trailer(
+            t + off, 0, mmid, mmport
+        )
+
+    pkts: dict[str, bytes] = {}
+    for k, off in enumerate((-30, -27, -24, -21, -18, -15)):
+        pkts[f"long_{k}"] = pkt("10.1.0.1", "10.1.0.2", off, 1, k + 1)
+    for k, off in enumerate((-30, -29, -10, -9)):
+        pkts[f"idle_{k}"] = pkt("10.2.0.1", "10.2.0.2", off, 2, k + 1)
+    pkts["short_0"] = pkt("10.3.0.1", "10.3.0.2", -5, 3, 1)
+    pkts["untimed"] = eth(ipv4(17, "10.4.0.1", "10.4.0.2", udp(4000, 5000)))
+    return {k: (t, len(v), v) for k, v in pkts.items()}
+
+
+def flow_timeline_pcap_bytes() -> bytes:
+    """All flow-timeline fixture packets in one deterministic pcap."""
+    return pcap_file(list(flow_timeline_fixture_packets().values()))
+
+
 def biflow_golden_pcap_bytes() -> bytes:
     """All biflow fixture packets in one deterministic legacy pcap."""
     return pcap_file(list(biflow_fixture_packets().values()))

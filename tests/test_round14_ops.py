@@ -224,6 +224,33 @@ def test_band_clusters_consistent_with_members(spark, tmp_path):
             assert lab[r.doc_a] == lab[r.doc_b]
 
 
+def test_flow_timeout_records_hand_traced(spark):
+    """NetFlow record splitting on the timeline fixture, hand-traced:
+    the 6-packet 3-s-cadence flow splits on the ACTIVE timeout into a
+    4-packet and a 2-packet record (island-start-aligned 10 s grid);
+    the 19 s silence splits the idle flow into two 2-packet records;
+    the single packet is its own record; the untimed frame is
+    excluded."""
+    t_ns = 1_700_000_000 * 10**9
+    s = 10**9
+    rows = {
+        (r.src_ip, r.record_start): r
+        for r in QUERIES["q_pcap_flow_timeout"](spark, SF0001).collect()
+    }
+    assert len(rows) == 5
+    l1 = rows[("10.1.0.1", t_ns - 30 * s)]
+    assert (l1.record_end, l1.n_packets, l1.n_bytes) == (t_ns - 21 * s, 4, 264)
+    l2 = rows[("10.1.0.1", t_ns - 18 * s)]
+    assert (l2.record_end, l2.n_packets) == (t_ns - 15 * s, 2)
+    i1 = rows[("10.2.0.1", t_ns - 30 * s)]
+    assert (i1.record_end, i1.n_packets) == (t_ns - 29 * s, 2)
+    i2 = rows[("10.2.0.1", t_ns - 10 * s)]
+    assert (i2.record_end, i2.n_packets) == (t_ns - 9 * s, 2)
+    s1 = rows[("10.3.0.1", t_ns - 5 * s)]
+    assert (s1.record_end, s1.n_packets, s1.n_bytes) == (t_ns - 5 * s, 1, 66)
+    assert not any(ip == "10.4.0.1" for ip, _ in rows)
+
+
 def test_spark_chunked_v6_equals_per_file(spark, tmp_path):
     """read_pcap_chunked(ipv6=True) row-set == read_pcap(ipv6=True) on
     the v6 fixture (forced small chunks → real resync on executors)."""
