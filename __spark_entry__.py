@@ -148,6 +148,7 @@ _GATE_FRONT = [
     "q_winnowing_band_members",
     "q_winnowing_band_clusters",
     "q_pcap_flow_timeout",
+    "q_pcap_stream_flow_records",
     # round-10 window remainder (rows r10)
     "q_holt_forecast",
     "q_multi_regression",

@@ -812,6 +812,117 @@ pcap_flow_timeout.__doc__ = pcap_flow_timeout.__doc__.format(
 )
 
 
+STREAM_FLOW_RECORDS_ORACLE = f"""
+WITH g AS ({TIMELINE_GOLDEN_ORACLE}),
+timed AS (
+    SELECT *, mm_ts // 1000 AS evt_us, mm_ts // {_FLOW_ACTIVE_NS} AS epoch
+    FROM g WHERE mm_ts IS NOT NULL
+),
+seq AS (
+    SELECT *, CASE WHEN evt_us - LAG(evt_us) OVER w >= {_FLOW_IDLE_NS // 1000}
+                   THEN 1 ELSE 0 END AS brk
+    FROM timed
+    WINDOW w AS (PARTITION BY {_FLOW_KEYS_5}, epoch ORDER BY evt_us)
+),
+isl AS (
+    SELECT *, SUM(brk) OVER (PARTITION BY {_FLOW_KEYS_5}, epoch
+                             ORDER BY evt_us ROWS UNBOUNDED PRECEDING) AS sid
+    FROM seq
+),
+agg AS (
+    SELECT {_FLOW_KEYS_5},
+           MIN(evt_us) AS record_start,
+           MAX(evt_us) + {_FLOW_IDLE_NS // 1000} AS record_close,
+           CAST(COUNT(*) AS BIGINT) AS n_packets,
+           CAST(SUM(len) AS BIGINT) AS n_bytes
+    FROM isl
+    GROUP BY {_FLOW_KEYS_5}, epoch, sid
+),
+horizon AS (
+    SELECT MAX(evt_us) - {FLOW_WATERMARK_SECONDS} * 1000000 AS wm FROM timed
+)
+SELECT {_FLOW_KEYS_5}, record_start, record_close, n_packets, n_bytes
+FROM agg, horizon
+WHERE record_close <= wm
+"""
+
+
+@query("q_pcap_stream_flow_records", STREAM_FLOW_RECORDS_ORACLE)
+def pcap_stream_flow_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NetFlow record splitting ON THE INGEST PATH — the live twin of
+    q_pcap_flow_timeout, and the missing state bound of
+    q_pcap_stream_closed_flows: a session window alone bounds state by
+    ACTIVE flows, but one elephant flow that never goes idle keeps one
+    ever-growing state row and never emits. Here the active timeout is
+    a GLOBAL wall-clock grid (epoch = mm_ts div active, a map-side
+    integer division — exactly how wall-aligned exporters behave), the
+    grid epoch joins the grouping key, and the idle split is a session
+    window WITHIN (5-tuple, epoch): an elephant flow now emits one
+    record per grid interval as the watermark passes each boundary and
+    its state row is evicted — per-key state is bounded by the active
+    interval, not by flow lifetime. Divergence from the batch op's
+    island-aligned grid (wall-aligned vs island-aligned active split)
+    is the same trade every collector documents; both ops carry exact
+    oracles of their own rule. [engine — not in reference]
+
+    Scale design: one shuffle (packets → keyed session-window state);
+    the epoch key adds no extra exchange (same hash partitioning);
+    eviction pinned by tests/test_round14_ops.py (numRowsRemoved ≥ 1,
+    emitted records equal the batch algebra's closed set). Oracle:
+    islands within (key, epoch) over the timed golden literal CLIPPED
+    to record_close <= max(evt) - delay — the q_stream_session
+    two-regime technique."""
+    import os
+    import shutil
+    import tempfile
+
+    from pcap_to_parquet_spark.sources.pcap_datasource import register_pcap_source
+    from pcap_to_parquet_spark.streaming.stream_queries import run_to_memory_flushed
+
+    register_pcap_source(spark)
+    src = _flow_timeline_path()
+    land = os.path.join(
+        tempfile.gettempdir(),
+        f"pcap_flowrec_land_{os.path.getmtime(src):.0f}_{os.path.getsize(src)}",
+    )
+    os.makedirs(land, exist_ok=True)
+    if not os.listdir(land):
+        shutil.copy(src, os.path.join(land, "timeline.pcap"))
+    result, _progress = run_to_memory_flushed(stream_flow_records_plan(spark, land))
+    return result
+
+
+def stream_flow_records_plan(spark: SparkSession, land_dir: str) -> DataFrame:
+    """The streaming plan of q_pcap_stream_flow_records, reusable by
+    the state-eviction pin test."""
+    pkts = spark.readStream.format("pcap").load(land_dir)
+    timed = (
+        pkts.filter(F.col("mm_ts").isNotNull())
+        .withColumn("evt", F.timestamp_micros(F.expr("mm_ts div 1000")))
+        .withColumn("epoch", F.expr(f"mm_ts div {_FLOW_ACTIVE_NS}"))
+    )
+    gap_s = _FLOW_IDLE_NS // 10**9
+    return (
+        timed.withWatermark("evt", f"{FLOW_WATERMARK_SECONDS} seconds")
+        .groupBy(
+            F.session_window("evt", f"{gap_s} seconds"),
+            *_FLOW_KEYS,
+            "epoch",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_packets"),
+            F.sum("len").cast("long").alias("n_bytes"),
+        )
+        .select(
+            *_FLOW_KEYS,
+            F.unix_micros("session_window.start").alias("record_start"),
+            F.unix_micros("session_window.end").alias("record_close"),
+            "n_packets",
+            "n_bytes",
+        )
+    )
+
+
 def closed_flows_plan(spark: SparkSession, land_dir: str) -> DataFrame:
     """The streaming plan of q_pcap_stream_closed_flows, reusable by
     tests that need the raw query handle (state-eviction pin)."""

@@ -251,6 +251,43 @@ def test_flow_timeout_records_hand_traced(spark):
     assert not any(ip == "10.4.0.1" for ip, _ in rows)
 
 
+def test_stream_flow_records_eviction_and_contents(spark):
+    """The elephant-flow state bound: the global active grid forces
+    the long-lived flow's first interval to emit and EVICT while the
+    flow is still active (the session-window-only shape would hold one
+    growing row forever). Hand-traced: the 4-packet epoch-A record of
+    the long flow and the first idle island both emit; everything
+    within the watermark horizon stays in state."""
+    import os
+    import shutil
+    import tempfile
+
+    from pcap_to_parquet_spark.operators.pcap_query import (
+        _flow_timeline_path,
+        stream_flow_records_plan,
+    )
+    from pcap_to_parquet_spark.sources.pcap_datasource import register_pcap_source
+    from pcap_to_parquet_spark.streaming.stream_queries import run_to_memory_flushed
+
+    register_pcap_source(spark)
+    land = tempfile.mkdtemp()
+    shutil.copy(_flow_timeline_path(), os.path.join(land, "timeline.pcap"))
+    result, progress = run_to_memory_flushed(stream_flow_records_plan(spark, land))
+    rows = {r.src_ip: r for r in result.collect()}
+    t_us = 1_700_000_000 * 10**6
+    s = 10**6
+    assert set(rows) == {"10.1.0.1", "10.2.0.1"}
+    long_rec = rows["10.1.0.1"]
+    assert (long_rec.record_start, long_rec.n_packets, long_rec.n_bytes) == (
+        t_us - 30 * s, 4, 264
+    )
+    assert long_rec.record_close == (t_us - 21 * s) + 10 * s
+    idle_rec = rows["10.2.0.1"]
+    assert (idle_rec.record_start, idle_rec.n_packets) == (t_us - 30 * s, 2)
+    flush = [p for p in progress if p["numInputRows"] == 0 and p["stateOperators"]]
+    assert flush and flush[0]["stateOperators"][0]["numRowsRemoved"] == 2
+
+
 def test_spark_chunked_v6_equals_per_file(spark, tmp_path):
     """read_pcap_chunked(ipv6=True) row-set == read_pcap(ipv6=True) on
     the v6 fixture (forced small chunks → real resync on executors)."""
