@@ -146,6 +146,7 @@ HEADLINE = [
     "q_winnowing_band_clusters",  # cluster labels under band recall (r14 add)
     "q_pcap_flow_timeout",  # NetFlow active/idle record splitting (r14 add)
     "q_pcap_stream_flow_records",  # live record export w/ bounded state (r14 add)
+    "q_dedup_method_agreement",  # jaccard vs winnowing decision table (r14 add)
 ]
 
 # round-over-round reference (same box, sf0.1, local[32]):

@@ -5684,6 +5684,126 @@ winnowing_band_clusters.__doc__ = winnowing_band_clusters.__doc__.format(
 )
 
 
+# round 14: cross-method agreement census — the decision table for
+# CHOOSING a dedup method, computed from cluster labels so pair sets
+# are never materialized
+DEDUP_AGREEMENT_ORACLE = f"""
+WITH jlab AS ({DEDUP_CLUSTERS_ORACLE}),
+wlab AS ({WINNOWING_BAND_CLUSTERS_ORACLE}),
+jsz AS (SELECT cluster_id, COUNT(*) AS sz FROM jlab GROUP BY cluster_id),
+wsz AS (SELECT cluster_id, COUNT(*) AS sz FROM wlab GROUP BY cluster_id),
+flags AS (
+    SELECT j.doc_id, jsz.sz >= 2 AS dup_j, wsz.sz >= 2 AS dup_w
+    FROM jlab j
+    JOIN jsz ON jsz.cluster_id = j.cluster_id
+    JOIN wlab w ON w.doc_id = j.doc_id
+    JOIN wsz ON wsz.cluster_id = w.cluster_id
+),
+fc AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(CASE WHEN dup_j AND dup_w THEN 1 END), 0) AS BIGINT) AS dup_both,
+           CAST(COALESCE(SUM(CASE WHEN dup_j AND NOT dup_w THEN 1 END), 0) AS BIGINT) AS dup_jaccard_only,
+           CAST(COALESCE(SUM(CASE WHEN dup_w AND NOT dup_j THEN 1 END), 0) AS BIGINT) AS dup_winnow_only,
+           CAST(COALESCE(SUM(CASE WHEN NOT dup_j AND NOT dup_w THEN 1 END), 0) AS BIGINT) AS dup_neither
+    FROM flags
+),
+pj AS (SELECT CAST(COALESCE(SUM(sz * (sz - 1) // 2), 0) AS BIGINT) AS n_pairs_jaccard FROM jsz),
+pw AS (SELECT CAST(COALESCE(SUM(sz * (sz - 1) // 2), 0) AS BIGINT) AS n_pairs_winnow FROM wsz),
+joint AS (
+    SELECT j.cluster_id AS cj, w.cluster_id AS cw, COUNT(*) AS sz
+    FROM jlab j JOIN wlab w USING (doc_id)
+    GROUP BY j.cluster_id, w.cluster_id
+),
+pb AS (SELECT CAST(COALESCE(SUM(sz * (sz - 1) // 2), 0) AS BIGINT) AS n_pairs_both FROM joint)
+SELECT n_docs, dup_both, dup_jaccard_only, dup_winnow_only, dup_neither,
+       n_pairs_jaccard, n_pairs_winnow, n_pairs_both,
+       CASE WHEN n_pairs_jaccard + n_pairs_winnow - n_pairs_both > 0
+            THEN ROUND(n_pairs_both * 1.0
+                       / (n_pairs_jaccard + n_pairs_winnow - n_pairs_both), 6)
+       END AS pair_jaccard
+FROM fc, pj, pw, pb
+"""
+
+
+@query("q_dedup_method_agreement", DEDUP_AGREEMENT_ORACLE)
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-METHOD AGREEMENT census — the decision table for choosing
+    a dedup method, which the per-method recall curves can't give: how
+    much do the Jaccard axis (q_dedup_clusters, ≥0.8 3-gram Jaccard
+    components) and the fingerprint axis (q_winnowing_band_clusters,
+    band-verified shared-print components) actually AGREE on this
+    corpus? One row: the per-document 2×2 contingency (dup under both /
+    only Jaccard / only winnowing / neither — "only Jaccard" docs are
+    what switching to the cheaper fingerprint path would UNDER-dedup),
+    each method's same-cluster pair count, the pair count they agree
+    on, and the Jaccard of the two PAIR SETS. [engine — not in
+    reference]
+
+    Scale design: pair sets are never materialized — same-cluster pair
+    counts are Σ C(sz,2) over cluster sizes, and the agreed-pair count
+    is Σ C(sz,2) over the JOINT label grouping (two docs pair under
+    both methods iff they share both labels), so the whole census is
+    three census-sized groupBys over the two label frames plus one
+    doc-keyed join. Both label frames are localCheckpointed once
+    (label-prop/star-contraction lineage is deep and each is consumed
+    twice). Oracle: both cluster oracles nested verbatim as
+    sub-blocks — the agreement numbers are exactly over the
+    driver-checked labelings."""
+    jlab = dedup_clusters(spark, sf_dir).localCheckpoint(eager=True)
+    wlab = winnowing_band_clusters(spark, sf_dir).localCheckpoint(eager=True)
+    jsz = jlab.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    wsz = wlab.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    flags = (
+        jlab.join(jsz, "cluster_id")
+        .select("doc_id", (F.col("sz") >= 2).alias("dup_j"))
+        .join(
+            wlab.join(wsz, "cluster_id").select(
+                "doc_id", (F.col("sz") >= 2).alias("dup_w")
+            ),
+            "doc_id",
+        )
+    )
+    fc = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum(F.when(F.col("dup_j") & F.col("dup_w"), 1)), F.lit(0))
+        .cast("long").alias("dup_both"),
+        F.coalesce(F.sum(F.when(F.col("dup_j") & ~F.col("dup_w"), 1)), F.lit(0))
+        .cast("long").alias("dup_jaccard_only"),
+        F.coalesce(F.sum(F.when(F.col("dup_w") & ~F.col("dup_j"), 1)), F.lit(0))
+        .cast("long").alias("dup_winnow_only"),
+        F.coalesce(F.sum(F.when(~F.col("dup_j") & ~F.col("dup_w"), 1)), F.lit(0))
+        .cast("long").alias("dup_neither"),
+    )
+
+    def pair_count(szf: DataFrame, name: str) -> DataFrame:
+        return szf.agg(
+            F.coalesce(
+                F.sum(F.shiftright(F.col("sz") * (F.col("sz") - 1), 1)), F.lit(0)
+            ).cast("long").alias(name)
+        )
+
+    joint = (
+        jlab.withColumnRenamed("cluster_id", "cj")
+        .join(wlab.withColumnRenamed("cluster_id", "cw"), "doc_id")
+        .groupBy("cj", "cw")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    out = (
+        fc.crossJoin(pair_count(jsz, "n_pairs_jaccard"))
+        .crossJoin(pair_count(wsz, "n_pairs_winnow"))
+        .crossJoin(pair_count(joint, "n_pairs_both"))
+    )
+    denom = (
+        F.col("n_pairs_jaccard") + F.col("n_pairs_winnow") - F.col("n_pairs_both")
+    )
+    return out.select(
+        "n_docs", "dup_both", "dup_jaccard_only", "dup_winnow_only",
+        "dup_neither", "n_pairs_jaccard", "n_pairs_winnow", "n_pairs_both",
+        F.when(denom > 0, F.round(F.col("n_pairs_both") * 1.0 / denom, 6))
+        .alias("pair_jaccard"),
+    )
+
+
 # round 13: recall-vs-band-count tuning curve for the band variant
 _CURVE_SLICE = 300  # fixed audit slice (doc_id bound) — flat at any sf
 _CURVE_TAU = 2      # ground-truth pair threshold: n_shared >= tau

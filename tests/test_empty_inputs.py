@@ -235,6 +235,7 @@ EMPTY_SAFE = [
 # DuckDB oracles do the same) — "sensible constant", not zero rows
 CONSTANT_ON_EMPTY = {
     "q_winnowing_band_curve": 3,  # one row per band count, zero counts
+    "q_dedup_method_agreement": 1,  # one census row of zeros / NULL ratio
     "q_table_profile": 3,  # one profile row per profiled column
     "q_schema_evolution": 1,  # one summary row of zero counts
     "q_funnel": 3,  # one row per stage, all counts zero

@@ -288,6 +288,35 @@ def test_stream_flow_records_eviction_and_contents(spark):
     assert flush and flush[0]["stateOperators"][0]["numRowsRemoved"] == 2
 
 
+def test_method_agreement_planted(spark, tmp_path):
+    """Planted disagreement: identical docs are dup under BOTH methods;
+    a one-token-changed pair has 3-gram Jaccard 15/21 ≈ 0.71 (< 0.8 —
+    not a Jaccard pair) yet shares its winnowing prints (winnow-only);
+    a disjoint doc is neither. The pair-set algebra follows: winnowing
+    pairs ⊇ jaccard pairs here, so pair_jaccard = |J|/|W|."""
+    base = " ".join(f"w{i}" for i in range(20))
+    near = " ".join(("CHANGED" if i == 17 else f"w{i}") for i in range(20))
+    twin = " ".join(f"t{i}" for i in range(20))
+    d = _docs_lake(
+        spark,
+        tmp_path,
+        [
+            (0, twin, "en", "s", 1),
+            (1, twin, "en", "s", 1),     # identical pair: dup under both
+            (2, base, "en", "s", 1),
+            (3, near, "en", "s", 1),     # near pair: winnow-only
+            (4, " ".join(f"z{i}" for i in range(20)), "en", "s", 1),  # neither
+        ],
+    )
+    r = QUERIES["q_dedup_method_agreement"](spark, d).collect()[0]
+    assert r.n_docs == 5
+    assert (r.dup_both, r.dup_jaccard_only, r.dup_winnow_only, r.dup_neither) == (
+        2, 0, 2, 1
+    )
+    assert (r.n_pairs_jaccard, r.n_pairs_winnow, r.n_pairs_both) == (1, 2, 1)
+    assert r.pair_jaccard == 0.5
+
+
 def test_spark_chunked_v6_equals_per_file(spark, tmp_path):
     """read_pcap_chunked(ipv6=True) row-set == read_pcap(ipv6=True) on
     the v6 fixture (forced small chunks → real resync on executors)."""
