@@ -2267,6 +2267,13 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     |clustered docs| rows to the component computation."""
     labels = dedup_clusters(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return _survivors_from_labels(labels, d)
+
+
+def _survivors_from_labels(labels: DataFrame, d: DataFrame) -> DataFrame:
+    """Keep-longest survivor selection over a (doc_id, cluster_id)
+    labeling — shared by the Jaccard-axis and fingerprint-axis
+    survivor ops so the keep policy cannot diverge."""
     return (
         labels.join(d, "doc_id")
         .groupBy("cluster_id")
@@ -5682,6 +5689,42 @@ def winnowing_band_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 winnowing_band_clusters.__doc__ = winnowing_band_clusters.__doc__.format(
     tau=_WINNOW_CLUSTER_TAU
 )
+
+
+# round 14: fingerprint-axis survivors — symmetric deliverable with
+# q_dedup_survivors (Jaccard axis), same keep-longest policy
+WINNOWING_BAND_SURVIVORS_ORACLE = f"""
+WITH wlab AS ({WINNOWING_BAND_CLUSTERS_ORACLE})
+SELECT l.cluster_id,
+       FIRST(d.doc_id ORDER BY d.n_chars DESC, d.doc_id) AS survivor_doc,
+       COUNT(*) AS n_members,
+       COUNT(*) - 1 AS n_dropped,
+       CAST(MAX(d.n_chars) AS BIGINT) AS survivor_chars
+FROM wlab l JOIN documents d ON d.doc_id = l.doc_id
+GROUP BY l.cluster_id
+HAVING COUNT(*) > 1
+"""
+
+
+@query("q_winnowing_band_survivors", WINNOWING_BAND_SURVIVORS_ORACLE)
+def winnowing_band_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fingerprint axis' curation DELIVERABLE — one kept document
+    per non-trivial banded-winnowing cluster, completing the symmetric
+    surface with the Jaccard axis (q_dedup_survivors): longest text
+    wins, doc_id breaks ties (shared _survivors_from_labels kernel, so
+    the keep policy cannot diverge between axes), plus how many
+    near-duplicates each survivor absorbs. With
+    q_dedup_method_agreement this is the full switch-path: measure the
+    agreement, pick the axis, take its survivors. [engine — not in
+    reference]
+
+    Composition at scale: q_winnowing_band_clusters' group-graph star
+    contraction followed by ONE max_by aggregate keyed on the cluster
+    id. Oracle: the cluster oracle nested verbatim + the same FIRST
+    ... ORDER BY n_chars DESC keep rule as q_dedup_survivors."""
+    labels = winnowing_band_clusters(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return _survivors_from_labels(labels, d)
 
 
 # round 14: cross-method agreement census — the decision table for

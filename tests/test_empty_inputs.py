@@ -223,6 +223,7 @@ EMPTY_SAFE = [
     "q_winnowing_band",
     "q_winnowing_band_members",
     "q_winnowing_band_clusters",
+    "q_winnowing_band_survivors",
     # cube over empty input: Spark's Expand emits nothing; the oracle
     # carries HAVING COUNT(*) > 0 so DuckDB matches (round-13 find)
     "q_fulfillment_matrix",

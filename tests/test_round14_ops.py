@@ -317,6 +317,35 @@ def test_method_agreement_planted(spark, tmp_path):
     assert r.pair_jaccard == 0.5
 
 
+def test_band_survivors_keep_longest(spark, tmp_path):
+    """Survivor selection under band clusters: the longest member wins
+    (doc_id tie-break), absorbed near-dups are counted, singletons are
+    excluded — and the survivor set is consistent with the cluster
+    labels (one survivor per non-trivial cluster)."""
+    base = " ".join(f"w{i}" for i in range(20))
+    near = " ".join(("CHANGED" if i == 10 else f"w{i}") for i in range(20))
+    longer = base + " extra tokens here"
+    d = _docs_lake(
+        spark,
+        tmp_path,
+        [
+            (0, base, "en", "s", len(base)),
+            (1, near, "en", "s", len(near)),
+            (2, longer, "en", "s", len(longer)),   # longest in the family
+            (9, " ".join(f"z{i}" for i in range(20)), "en", "s", 20),  # singleton
+        ],
+    )
+    out = {r.cluster_id: r for r in
+           QUERIES["q_winnowing_band_survivors"](spark, d).collect()}
+    labels = {r.doc_id: r.cluster_id for r in
+              QUERIES["q_winnowing_band_clusters"](spark, d).collect()}
+    assert labels[0] == labels[1] == labels[2] == 0 and labels[9] == 9
+    assert set(out) == {0}
+    r = out[0]
+    assert (r.survivor_doc, r.n_members, r.n_dropped) == (2, 3, 2)
+    assert r.survivor_chars == len(longer)
+
+
 def test_spark_chunked_v6_equals_per_file(spark, tmp_path):
     """read_pcap_chunked(ipv6=True) row-set == read_pcap(ipv6=True) on
     the v6 fixture (forced small chunks → real resync on executors)."""
