@@ -60,30 +60,30 @@ SF0001_DIR = "/root/testdata/sf0.001"
 # current). protobuf re-checked at round-14 start: still absent
 # (transformWithStateInPandas stays conditionally registered).
 #
-# END-OF-ROUND-13 RECORD (final, all 8 new ops landed):
-# full-registry sf0.01 oracle replay on final round-13 code: 324
-# pass, 0 fail, 6 rows-only of 330 (the 6 are the documented
-# estimator/sketch ops); an earlier mid-round full replay was
-# 321/0/6 of 327. Full suite 968/968 (earlier checkpoint 959/959).
-# Combined-axis rehearsal (/tmp/sf10v — 100x corpus x grown vocab x
-# near-dup multiplicity) run for the whole dedup family: all
-# sublinear (3.4x-7.2x) except exact q_winnowing, whose md5-collapse
-# ceiling was found (disk-full at the plant), documented, and
-# answered with q_winnowing_band (2.6x at the same plant) plus the
-# band-count recall curve. Bench: median-of-3 methodology landed;
-# BENCH_DETAIL_r13.json canonical = the only complete-headline run
-# (90 entries, 164.9 s min / 179.6 s median; quietest 87-entry
-# sibling r13d 147.9/163.0, r13b within 1%); vs r12 common-82, r13
-# MEDIANS 168.7 s (canonical) / 158.0 s (quietest) vs r12 MINS
-# 163.5 s — parity under a stricter statistic, noise scare closed.
-# PLANS.md regenerated: 0 BatchEvalPython, 0 CartesianProduct across
-# all plans. Closing insurance: the ROUND-13 WINDOW (positions 0-49)
-# is green on final code via the final full replay (all 330 checked),
-# and the staged ROUND-14 WINDOW (positions 50-99: the 8 new round-13
-# ops + r9 remainder + r10 head) was pre-rehearsed explicitly at
-# sf0.01 on final code — 49 pass, 0 fail, 1 rows-only (q_pca_embed,
-# one of the 6 documented estimator/sketch ops) — round 14 starts
-# with its window already green.
+# END-OF-ROUND-14 RECORD (final, all 7 new ops landed:
+# q_pcap_stream_closed_flows, q_winnowing_band_members,
+# q_winnowing_band_clusters, q_pcap_flow_timeout,
+# q_pcap_stream_flow_records, q_dedup_method_agreement,
+# q_winnowing_band_survivors — each sf0.001+sf0.01 oracle + dtype
+# green the day it landed):
+# full-registry sf0.01 oracle replay on final round-14 code: 331
+# pass, 0 fail, 6 rows-only of 337 (the 6 are the documented
+# estimator/sketch ops). Full suite 991/991 (19 min). Full-registry
+# dtype sweep: 0 skews. PLANS.md regenerated: 0 BatchEvalPython, 0
+# CartesianProduct. Combined-axis rehearsal (/tmp/sf10v): band B=4
+# 3.1-3.2x quiet (B=1 was 2.6x — the recall 0.24->0.41 purchase),
+# members 2.5x, clusters 2.7x, survivors 2.8x, agreement 5.2x (the
+# Jaccard-axis clustering inside it is the driver) — all sublinear.
+# Bench: canonical BENCH_DETAIL_r14.json = the quieter of two
+# complete-headline runs (97 entries, 198.9 s min / 216.9 s median);
+# sibling r14a (201.1/222.6) carried two in-run transients
+# (q_dsir_weights, q_semdedup 4-7x) re-verified standalone at r13
+# walls — host/JVM transient, not code. vs r13 common-90 MEDIANS:
+# 179.6 -> 172.3 s (0.96x, faster). Closing insurance: the ROUND-14
+# WINDOW (positions 0-49) and the staged ROUND-15 WINDOW (positions
+# 50-99: the 7 new round-14 ops + r10 remainder + r11 head) are both
+# green on final code via the final full replay (all 337 checked,
+# 0 value failures).
 #
 _GATE_FRONT = [
     # ---- ROUND 14 WINDOW (positions 0-49) ----
