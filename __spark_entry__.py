@@ -151,6 +151,7 @@ _GATE_FRONT = [
     "q_pcap_stream_flow_records",
     "q_dedup_method_agreement",
     "q_winnowing_band_survivors",
+    "q_pcap_flow_timeout_reset",
     # round-10 window remainder (rows r10)
     "q_holt_forecast",
     "q_multi_regression",

@@ -691,6 +691,7 @@ _TIMELINE_ROWS = [
         ("10.1.0.", (-30, -27, -24, -21, -18, -15), 1),
         ("10.2.0.", (-30, -29, -10, -9), 2),
         ("10.3.0.", (-5,), 3),
+        ("10.5.0.", (-28, -19, -10, -1), 4),
     )
     for k, off in enumerate(offs)
 ] + [
@@ -810,6 +811,100 @@ def pcap_flow_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
 pcap_flow_timeout.__doc__ = pcap_flow_timeout.__doc__.format(
     idle=_FLOW_IDLE_NS // 10**9, active=_FLOW_ACTIVE_NS // 10**9
 )
+
+
+FLOW_TIMEOUT_RESET_ORACLE = f"""
+WITH RECURSIVE g AS ({TIMELINE_GOLDEN_ORACLE}),
+timed AS (SELECT * FROM g WHERE mm_ts IS NOT NULL),
+t AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY {_FLOW_KEYS_5}
+                                 ORDER BY mm_ts) AS rn
+    FROM timed
+),
+walk AS (
+    SELECT {_FLOW_KEYS_5}, rn, mm_ts, len, mm_ts AS rec_start, 1 AS rec_id
+    FROM t WHERE rn = 1
+    UNION ALL
+    SELECT t.src_ip, t.dst_ip, t.protocol, t.src_port, t.dst_port,
+           t.rn, t.mm_ts, t.len,
+           CASE WHEN t.mm_ts - w.mm_ts >= {_FLOW_IDLE_NS}
+                  OR t.mm_ts - w.rec_start >= {_FLOW_ACTIVE_NS}
+                THEN t.mm_ts ELSE w.rec_start END,
+           w.rec_id + CASE WHEN t.mm_ts - w.mm_ts >= {_FLOW_IDLE_NS}
+                             OR t.mm_ts - w.rec_start >= {_FLOW_ACTIVE_NS}
+                           THEN 1 ELSE 0 END
+    FROM walk w
+    JOIN t ON t.src_ip = w.src_ip AND t.dst_ip = w.dst_ip
+          AND t.protocol = w.protocol AND t.src_port = w.src_port
+          AND t.dst_port = w.dst_port AND t.rn = w.rn + 1
+)
+SELECT {_FLOW_KEYS_5},
+       MIN(mm_ts) AS record_start, MAX(mm_ts) AS record_end,
+       CAST(COUNT(*) AS BIGINT) AS n_packets,
+       CAST(SUM(len) AS BIGINT) AS n_bytes
+FROM walk
+GROUP BY {_FLOW_KEYS_5}, rec_id
+"""
+
+
+@query("q_pcap_flow_timeout_reset", FLOW_TIMEOUT_RESET_ORACLE)
+def pcap_flow_timeout_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESET-PER-RECORD flow timeout — the OTHER exporter rule, for
+    collectors that restart the active clock at the first packet after
+    each split (q_pcap_flow_timeout's docstring names this divergence;
+    now both rules ship, oracle-exact, on the same fixture): walk each
+    5-tuple's packets in time order, close the record when the idle
+    gap OR the record's own age reaches the timeout, and start the
+    next record AT the closing packet. On the fixture's rule-divergent
+    flow (9 s cadence, so idle never fires) the grid rule cuts 3
+    records where this rule cuts 2 — the divergence the two ops
+    exist to make explicit. [engine — not in reference]
+
+    Scale design: the rule is intrinsically SEQUENTIAL per key (each
+    record's start depends on the previous split), so this is the
+    honest applyInPandas shape — one shuffle onto the 5-tuple, one
+    Arrow-batched linear walk per key (numpy in, numpy out), then the
+    same census-sized record aggregate. That per-key scan is the
+    rule's intrinsic cost; a capture whose single hottest 5-tuple
+    overflows a task should use the island-aligned grid op, which is
+    fully parallel — that trade is exactly why both exist. Oracle: a
+    RECURSIVE CTE walking rn → rn+1 per key with the same
+    close-and-reset state machine (chains across keys advance in the
+    same iteration, so depth = max packets per key)."""
+    import pandas as pd
+
+    timed = read_pcap(spark, _flow_timeline_path()).where(
+        F.col("mm_ts").isNotNull()
+    )
+
+    def walk(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("mm_ts")
+        ts = pdf["mm_ts"].to_numpy()
+        rec = [0] * len(ts)
+        start = prev = ts[0]
+        rid = 0
+        for i in range(1, len(ts)):
+            if ts[i] - prev >= _FLOW_IDLE_NS or ts[i] - start >= _FLOW_ACTIVE_NS:
+                rid += 1
+                start = ts[i]
+            prev = ts[i]
+            rec[i] = rid
+        return pdf.assign(rec_id=rec)[
+            ["src_ip", "dst_ip", "protocol", "src_port", "dst_port",
+             "rec_id", "mm_ts", "len"]
+        ]
+
+    schema = (
+        "src_ip string, dst_ip string, protocol string, src_port int, "
+        "dst_port int, rec_id long, mm_ts long, len long"
+    )
+    walked = timed.groupBy(*_FLOW_KEYS).applyInPandas(walk, schema)
+    return walked.groupBy(*_FLOW_KEYS, "rec_id").agg(
+        F.min("mm_ts").alias("record_start"),
+        F.max("mm_ts").alias("record_end"),
+        F.count(F.lit(1)).cast("long").alias("n_packets"),
+        F.sum("len").cast("long").alias("n_bytes"),
+    ).drop("rec_id")
 
 
 STREAM_FLOW_RECORDS_ORACLE = f"""

@@ -291,6 +291,12 @@ def flow_timeline_fixture_packets() -> dict[str, tuple[int, int, bytes]]:
       the 19 s silence exceeds the idle timeout, two islands, one
       record each;
     - flow S: a single packet at t-5 — one one-packet record;
+    - flow R ("rule-divergent", round 14): packets at t-28, t-19,
+      t-10, t-1 — 9 s apart, so the idle timeout never fires, and the
+      two active rules genuinely DIVERGE: the island-aligned grid cuts
+      at offsets 10/20 → 3 records ([t-28,t-19], [t-10], [t-1]) while
+      the reset-per-record rule restarts the clock at the packet
+      after each split → 2 records ([t-28,t-19], [t-10,t-1]);
     - one UNTIMED frame (no trailer): time-based record splitting is
       undefined for it, pinned excluded."""
     t = BASE_TS
@@ -306,6 +312,8 @@ def flow_timeline_fixture_packets() -> dict[str, tuple[int, int, bytes]]:
     for k, off in enumerate((-30, -29, -10, -9)):
         pkts[f"idle_{k}"] = pkt("10.2.0.1", "10.2.0.2", off, 2, k + 1)
     pkts["short_0"] = pkt("10.3.0.1", "10.3.0.2", -5, 3, 1)
+    for k, off in enumerate((-28, -19, -10, -1)):
+        pkts[f"rule_{k}"] = pkt("10.5.0.1", "10.5.0.2", off, 4, k + 1)
     pkts["untimed"] = eth(ipv4(17, "10.4.0.1", "10.4.0.2", udp(4000, 5000)))
     return {k: (t, len(v), v) for k, v in pkts.items()}
 

@@ -237,7 +237,7 @@ def test_flow_timeout_records_hand_traced(spark):
         (r.src_ip, r.record_start): r
         for r in QUERIES["q_pcap_flow_timeout"](spark, SF0001).collect()
     }
-    assert len(rows) == 5
+    assert len(rows) == 8
     l1 = rows[("10.1.0.1", t_ns - 30 * s)]
     assert (l1.record_end, l1.n_packets, l1.n_bytes) == (t_ns - 21 * s, 4, 264)
     l2 = rows[("10.1.0.1", t_ns - 18 * s)]
@@ -248,7 +248,32 @@ def test_flow_timeout_records_hand_traced(spark):
     assert (i2.record_end, i2.n_packets) == (t_ns - 9 * s, 2)
     s1 = rows[("10.3.0.1", t_ns - 5 * s)]
     assert (s1.record_end, s1.n_packets, s1.n_bytes) == (t_ns - 5 * s, 1, 66)
+    # the rule-divergent flow under the island-aligned GRID: 3 records
+    r1 = rows[("10.5.0.1", t_ns - 28 * s)]
+    assert (r1.record_end, r1.n_packets) == (t_ns - 19 * s, 2)
+    assert rows[("10.5.0.1", t_ns - 10 * s)].n_packets == 1
+    assert rows[("10.5.0.1", t_ns - 1 * s)].n_packets == 1
     assert not any(ip == "10.4.0.1" for ip, _ in rows)
+
+
+def test_flow_timeout_reset_rule_divergence(spark):
+    """The reset rule on the same fixture: identical records for the
+    long/idle/short flows (their splits land on packet boundaries that
+    both rules cut), but the 9 s-cadence flow gets 2 records instead
+    of the grid's 3 — the exporter-rule divergence both ops document,
+    made concrete on one fixture."""
+    t_ns = 1_700_000_000 * 10**9
+    s = 10**9
+    grid = {(r.src_ip, r.record_start, r.record_end, r.n_packets)
+            for r in QUERIES["q_pcap_flow_timeout"](spark, SF0001).collect()}
+    reset = {(r.src_ip, r.record_start, r.record_end, r.n_packets)
+             for r in QUERIES["q_pcap_flow_timeout_reset"](spark, SF0001).collect()}
+    same = {x for x in grid if not x[0].startswith("10.5.")}
+    assert same == {x for x in reset if not x[0].startswith("10.5.")}
+    assert {x for x in reset if x[0].startswith("10.5.")} == {
+        ("10.5.0.1", t_ns - 28 * s, t_ns - 19 * s, 2),
+        ("10.5.0.1", t_ns - 10 * s, t_ns - 1 * s, 2),
+    }
 
 
 def test_stream_flow_records_eviction_and_contents(spark):
@@ -273,19 +298,24 @@ def test_stream_flow_records_eviction_and_contents(spark):
     land = tempfile.mkdtemp()
     shutil.copy(_flow_timeline_path(), os.path.join(land, "timeline.pcap"))
     result, progress = run_to_memory_flushed(stream_flow_records_plan(spark, land))
-    rows = {r.src_ip: r for r in result.collect()}
+    rows = {(r.src_ip, r.record_start): r for r in result.collect()}
     t_us = 1_700_000_000 * 10**6
     s = 10**6
-    assert set(rows) == {"10.1.0.1", "10.2.0.1"}
-    long_rec = rows["10.1.0.1"]
-    assert (long_rec.record_start, long_rec.n_packets, long_rec.n_bytes) == (
-        t_us - 30 * s, 4, 264
-    )
+    # horizon = max stamp (t-1) - 2 s watermark = t-3: five records
+    # close at or before it (both long-flow epochs, the first idle
+    # island, and the rule flow's first two grid epochs); the second
+    # idle island, the short flow, and the rule flow's live epoch
+    # stay in state
+    assert len(rows) == 5
+    long_rec = rows[("10.1.0.1", t_us - 30 * s)]
+    assert (long_rec.n_packets, long_rec.n_bytes) == (4, 264)
     assert long_rec.record_close == (t_us - 21 * s) + 10 * s
-    idle_rec = rows["10.2.0.1"]
-    assert (idle_rec.record_start, idle_rec.n_packets) == (t_us - 30 * s, 2)
+    assert rows[("10.1.0.1", t_us - 18 * s)].n_packets == 2
+    assert rows[("10.2.0.1", t_us - 30 * s)].n_packets == 2
+    assert rows[("10.5.0.1", t_us - 28 * s)].n_packets == 1
+    assert rows[("10.5.0.1", t_us - 19 * s)].n_packets == 1
     flush = [p for p in progress if p["numInputRows"] == 0 and p["stateOperators"]]
-    assert flush and flush[0]["stateOperators"][0]["numRowsRemoved"] == 2
+    assert flush and flush[0]["stateOperators"][0]["numRowsRemoved"] == 5
 
 
 def test_method_agreement_planted(spark, tmp_path):
