@@ -60,30 +60,36 @@ SF0001_DIR = "/root/testdata/sf0.001"
 # current). protobuf re-checked at round-14 start: still absent
 # (transformWithStateInPandas stays conditionally registered).
 #
-# END-OF-ROUND-14 RECORD (final, all 7 new ops landed:
+# END-OF-ROUND-14 RECORD (final, all 8 new ops landed:
 # q_pcap_stream_closed_flows, q_winnowing_band_members,
 # q_winnowing_band_clusters, q_pcap_flow_timeout,
 # q_pcap_stream_flow_records, q_dedup_method_agreement,
-# q_winnowing_band_survivors — each sf0.001+sf0.01 oracle + dtype
-# green the day it landed):
-# full-registry sf0.01 oracle replay on final round-14 code: 331
-# pass, 0 fail, 6 rows-only of 337 (the 6 are the documented
-# estimator/sketch ops). Full suite 991/991 (19 min). Full-registry
-# dtype sweep: 0 skews. PLANS.md regenerated: 0 BatchEvalPython, 0
-# CartesianProduct. Combined-axis rehearsal (/tmp/sf10v): band B=4
-# 3.1-3.2x quiet (B=1 was 2.6x — the recall 0.24->0.41 purchase),
-# members 2.5x, clusters 2.7x, survivors 2.8x, agreement 5.2x (the
-# Jaccard-axis clustering inside it is the driver) — all sublinear.
-# Bench: canonical BENCH_DETAIL_r14.json = the quieter of two
-# complete-headline runs (97 entries, 198.9 s min / 216.9 s median);
-# sibling r14a (201.1/222.6) carried two in-run transients
-# (q_dsir_weights, q_semdedup 4-7x) re-verified standalone at r13
-# walls — host/JVM transient, not code. vs r13 common-90 MEDIANS:
-# 179.6 -> 172.3 s (0.96x, faster). Closing insurance: the ROUND-14
-# WINDOW (positions 0-49) and the staged ROUND-15 WINDOW (positions
-# 50-99: the 7 new round-14 ops + r10 remainder + r11 head) are both
-# green on final code via the final full replay (all 337 checked,
-# 0 value failures).
+# q_winnowing_band_survivors, q_pcap_flow_timeout_reset — each
+# sf0.001+sf0.01 oracle + dtype green the day it landed):
+# full-registry sf0.01 oracle replay on FINAL round-14 code (after
+# the reset op + rule-divergent fixture extension): 332 pass, 0
+# fail, 6 rows-only of 338 (the 6 are the documented estimator/
+# sketch ops); an earlier full replay mid-close was 331/0/6 of 337.
+# Full suite 993/993 (earlier checkpoint 991/991). Full-registry
+# dtype sweep: 0 skews. PLANS.md regenerated (320 plans): 0
+# BatchEvalPython, 0 CartesianProduct (the reset op's sequential
+# walk is Arrow FlatMapGroupsInPandas by design). Combined-axis
+# rehearsal (/tmp/sf10v): band B=4 3.1-3.2x quiet (B=1 was 2.6x —
+# the recall 0.24->0.41 purchase), members 2.5x, clusters 2.7x,
+# survivors 2.8x, agreement 5.2x (the Jaccard-axis clustering inside
+# it is the driver) — all sublinear. Bench: canonical
+# BENCH_DETAIL_r14.json = the quietest COMPLETE-headline run (98
+# entries, 183.6 s min / 198.1 s median at sf0.1); siblings kept for
+# provenance: r14a (97, noisy — two in-run transients on
+# q_dsir_weights/q_semdedup, re-verified standalone at r13 walls:
+# host/JVM transient, not code), r14b (98, uniformly ~13% noisy),
+# r14d (97, quiet, pre-reset-op). vs r13 common-90 MEDIANS on the
+# canonical run: 179.6 -> 161.8 s (0.90x, faster), ZERO >1.5x
+# regressions. Closing
+# insurance: the ROUND-14 WINDOW (positions 0-49) and the staged
+# ROUND-15 WINDOW (positions 50-99: the 8 new round-14 ops + r10
+# remainder + r11 head) are both green on final code via the final
+# full replay (all 338 checked, 0 value failures).
 #
 _GATE_FRONT = [
     # ---- ROUND 14 WINDOW (positions 0-49) ----
