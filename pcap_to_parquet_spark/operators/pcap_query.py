@@ -22,33 +22,33 @@ from pcap_to_parquet_spark.sources.pcap_fixtures import (
 )
 
 
-def _fixture_path() -> str:
-    path = os.path.join(tempfile.gettempdir(), "pcap_to_parquet_spark_golden.pcap")
-    data = golden_pcap_bytes()
-    if not (os.path.exists(path) and os.path.getsize(path) == len(data)):
+def _cached_fixture_path(stem: str, data: bytes) -> str:
+    """Write ``data`` to a tempdir file whose name embeds a content
+    hash. Keying the cache on md5(data)[:8] (not byte length) means a
+    fixture edit that changes content but keeps the size can never
+    serve a stale pcap across sessions (r14 advisor finding)."""
+    import hashlib
+
+    digest = hashlib.md5(data).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"pcap_to_parquet_spark_{stem}_{digest}.pcap"
+    )
+    if not os.path.exists(path):
         with open(path, "wb") as f:
             f.write(data)
     return path
+
+
+def _fixture_path() -> str:
+    return _cached_fixture_path("golden", golden_pcap_bytes())
 
 
 def _v6_fixture_path() -> str:
-    path = os.path.join(tempfile.gettempdir(), "pcap_to_parquet_spark_golden_v6.pcap")
-    data = v6_golden_pcap_bytes()
-    if not (os.path.exists(path) and os.path.getsize(path) == len(data)):
-        with open(path, "wb") as f:
-            f.write(data)
-    return path
+    return _cached_fixture_path("golden_v6", v6_golden_pcap_bytes())
 
 
 def _biflow_fixture_path() -> str:
-    path = os.path.join(
-        tempfile.gettempdir(), "pcap_to_parquet_spark_golden_biflow.pcap"
-    )
-    data = biflow_golden_pcap_bytes()
-    if not (os.path.exists(path) and os.path.getsize(path) == len(data)):
-        with open(path, "wb") as f:
-            f.write(data)
-    return path
+    return _cached_fixture_path("golden_biflow", biflow_golden_pcap_bytes())
 
 
 
@@ -737,16 +737,9 @@ GROUP BY {_FLOW_KEYS_5}, sid, epoch
 
 
 def _flow_timeline_path() -> str:
-    path = os.path.join(
-        tempfile.gettempdir(), "pcap_to_parquet_spark_golden_timeline.pcap"
-    )
     from pcap_to_parquet_spark.sources.pcap_fixtures import flow_timeline_pcap_bytes
 
-    data = flow_timeline_pcap_bytes()
-    if not (os.path.exists(path) and os.path.getsize(path) == len(data)):
-        with open(path, "wb") as f:
-            f.write(data)
-    return path
+    return _cached_fixture_path("golden_timeline", flow_timeline_pcap_bytes())
 
 
 @query("q_pcap_flow_timeout", FLOW_TIMEOUT_ORACLE)

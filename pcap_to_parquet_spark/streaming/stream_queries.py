@@ -109,7 +109,13 @@ def run_to_memory_flushed(sdf: DataFrame, mode: str = "append", timeout_s: int =
     one no-data batch has run the stateful operators — that batch IS
     the flush. Raises on timeout rather than returning a
     silently-incomplete table. Returns (result_df, progress_list) so
-    callers can pin state metrics (numRowsRemoved > 0 = eviction)."""
+    callers can pin state metrics (numRowsRemoved > 0 = eviction).
+
+    The flush batch only counts if a DATA batch (numInputRows > 0)
+    committed before it: if the landing dir delivers files across
+    several micro-batches (multi-file dirs, slow copies), an
+    interleaved no-data batch must not end the loop early and return
+    a silently-incomplete table (r14 advisor finding)."""
     import time
 
     name = f"stream_result_{next(_sink_seq)}"
@@ -124,9 +130,15 @@ def run_to_memory_flushed(sdf: DataFrame, mode: str = "append", timeout_s: int =
         deadline = time.time() + timeout_s
         while True:
             progress = q.recentProgress
-            if any(
-                p["numInputRows"] == 0 and p["stateOperators"] for p in progress
-            ):
+            saw_data = False
+            flushed = False
+            for p in progress:
+                if p["numInputRows"] > 0:
+                    saw_data = True
+                elif saw_data and p["stateOperators"]:
+                    flushed = True
+                    break
+            if flushed:
                 break
             if time.time() > deadline:
                 raise TimeoutError(
