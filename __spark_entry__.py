@@ -120,6 +120,7 @@ _GATE_FRONT = [
     "q_lsh_precision",
     # ---- END ROUND 15 WINDOW ----
     # new in round 15 (insert below this line as they land; due round 16)
+    "q_pcap_stream_talkers",
     # round-11 window remainder (rows r11)
     "q_grouping_sets",
     "q_inner_join",

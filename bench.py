@@ -149,6 +149,7 @@ HEADLINE = [
     "q_dedup_method_agreement",  # jaccard vs winnowing decision table (r14 add)
     "q_winnowing_band_survivors",  # fingerprint-axis keep-longest (r14 add)
     "q_pcap_flow_timeout_reset",  # reset-rule exporter twin (r14 add)
+    "q_pcap_stream_talkers",  # live endpoint census over closed flows (r15 add)
 ]
 
 # round-over-round reference (same box, sf0.1, local[32]):

@@ -1115,6 +1115,135 @@ def pcap_talkers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# round 15: the talkers census live twin — per-endpoint aggregation
+# over WATERMARK-EVICTED closed flows (the substrate
+# q_pcap_stream_closed_flows built in round 14)
+PCAP_STREAM_TALKERS_ORACLE = f"""
+WITH closed AS ({PCAP_CLOSED_FLOWS_ORACLE}),
+roles AS (
+    SELECT src_ip AS endpoint_ip, dst_ip AS peer_ip, n_packets, n_bytes,
+           1 AS is_out
+    FROM closed
+    UNION ALL
+    SELECT dst_ip AS endpoint_ip, src_ip AS peer_ip, n_packets, n_bytes,
+           0 AS is_out
+    FROM closed
+)
+SELECT endpoint_ip,
+       CAST(COALESCE(SUM(CASE WHEN is_out = 1 THEN n_packets END), 0) AS BIGINT)
+           AS out_packets,
+       CAST(COALESCE(SUM(CASE WHEN is_out = 1 THEN n_bytes END), 0) AS BIGINT)
+           AS out_bytes,
+       CAST(COALESCE(SUM(CASE WHEN is_out = 0 THEN n_packets END), 0) AS BIGINT)
+           AS in_packets,
+       CAST(COALESCE(SUM(CASE WHEN is_out = 0 THEN n_bytes END), 0) AS BIGINT)
+           AS in_bytes,
+       CAST(COUNT(DISTINCT peer_ip) AS BIGINT) AS n_peers,
+       CAST(COUNT(*) AS BIGINT) AS n_flows,
+       CASE WHEN COALESCE(SUM(CASE WHEN is_out = 0 THEN n_bytes END), 0) > 0
+            THEN ROUND(COALESCE(SUM(CASE WHEN is_out = 1 THEN n_bytes END), 0) * 1.0
+                       / SUM(CASE WHEN is_out = 0 THEN n_bytes END), 4)
+       END AS io_byte_ratio
+FROM roles
+GROUP BY endpoint_ip
+"""
+
+
+def talkers_census_from_flows(flows: DataFrame) -> DataFrame:
+    """Per-endpoint census over a closed-flow frame (src/dst 5-tuple
+    keys + n_packets/n_bytes): each flow record contributes to its
+    source's 'out' role and its destination's 'in' role. Shared by the
+    streaming talkers twin and its batch-equality pin so the census
+    algebra cannot diverge between modes (the q_stream_session_quality
+    discipline). The two roles explode map-side from each flow row —
+    an inline 2-element struct array, never a union of two selects
+    (which would re-run the upstream source per branch)."""
+    roles = flows.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("src_ip").alias("endpoint_ip"),
+                    F.col("dst_ip").alias("peer_ip"),
+                    F.lit(1).alias("is_out"),
+                ),
+                F.struct(
+                    F.col("dst_ip").alias("endpoint_ip"),
+                    F.col("src_ip").alias("peer_ip"),
+                    F.lit(0).alias("is_out"),
+                ),
+            )
+        ).alias("r"),
+        "n_packets",
+        "n_bytes",
+    ).select("r.endpoint_ip", "r.peer_ip", "n_packets", "n_bytes", "r.is_out")
+    out_b = F.coalesce(
+        F.sum(F.when(F.col("is_out") == 1, F.col("n_bytes"))), F.lit(0)
+    )
+    in_b = F.coalesce(
+        F.sum(F.when(F.col("is_out") == 0, F.col("n_bytes"))), F.lit(0)
+    )
+    return roles.groupBy("endpoint_ip").agg(
+        F.coalesce(F.sum(F.when(F.col("is_out") == 1, F.col("n_packets"))), F.lit(0))
+        .cast("long").alias("out_packets"),
+        out_b.cast("long").alias("out_bytes"),
+        F.coalesce(F.sum(F.when(F.col("is_out") == 0, F.col("n_packets"))), F.lit(0))
+        .cast("long").alias("in_packets"),
+        in_b.cast("long").alias("in_bytes"),
+        F.countDistinct("peer_ip").cast("long").alias("n_peers"),
+        F.count(F.lit(1)).cast("long").alias("n_flows"),
+        F.when(in_b > 0, F.round(out_b * 1.0 / in_b, 4)).alias("io_byte_ratio"),
+    )
+
+
+@query("q_pcap_stream_talkers", PCAP_STREAM_TALKERS_ORACLE)
+def pcap_stream_talkers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-TALKERS census ON THE INGEST PATH — q_pcap_talkers' live
+    twin, and the serving query the round-14 closed-flow substrate was
+    built to carry: the unbounded half is the ONE session-window
+    aggregation of q_pcap_stream_closed_flows (state bounded by ACTIVE
+    flows; closed flows emit once and evict), and the per-endpoint
+    census — out/in packets+bytes, distinct-peer fan-out (a scanner's
+    tell), closed-flow participation count, out/in byte ratio (an
+    exfil tell) — runs as the batch serving query over the emitted
+    closed-flow frame via the shared talkers_census_from_flows kernel.
+    This is the live SOC dashboard view: a workstation whose byte
+    ratio spikes shows up as its flows CLOSE, not in tomorrow's batch
+    census. Only closed traffic is census input (open flows are
+    withheld by the watermark), so counts are per-FLOW-record rolls of
+    the packet-level batch census, restricted to the emitted set.
+    Dual-stack by construction: the substrate decodes with ipv6 on.
+    [engine — not in reference]
+
+    Scale design: the stream half is unchanged (one shuffle into
+    session-window state, eviction pinned in round 14); the census
+    half explodes two roles map-side per CLOSED FLOW (flow-record
+    cardinality, already far below packet cardinality) and runs one
+    partial+final aggregate keyed by endpoint. Oracle: the closed-flow
+    oracle nested verbatim + the identical roles/census algebra, so
+    the emission contract and the census can't drift apart.
+    Batch-equality pin: tests/test_round15_ops.py checks this result
+    equals talkers_census_from_flows over the batch gaps-and-islands
+    closed set."""
+    import os
+    import shutil
+    import tempfile
+
+    from pcap_to_parquet_spark.sources.pcap_datasource import register_pcap_source
+    from pcap_to_parquet_spark.streaming.stream_queries import run_to_memory_flushed
+
+    register_pcap_source(spark)
+    src = _biflow_fixture_path()
+    land = os.path.join(
+        tempfile.gettempdir(),
+        f"pcap_closedflow_land_{os.path.getmtime(src):.0f}_{os.path.getsize(src)}",
+    )
+    os.makedirs(land, exist_ok=True)
+    if not os.listdir(land):
+        shutil.copy(src, os.path.join(land, "biflow.pcap"))
+    closed, _progress = run_to_memory_flushed(closed_flows_plan(spark, land))
+    return talkers_census_from_flows(closed)
+
+
 @query("q_pcap_roundtrip", GOLDEN_PACKETS_ORACLE)
 def pcap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capture round-trip — the capability the one-way reference never
