@@ -121,6 +121,8 @@ _GATE_FRONT = [
     # ---- END ROUND 15 WINDOW ----
     # new in round 15 (insert below this line as they land; due round 16)
     "q_pcap_stream_talkers",
+    "q_dedup_simhash_clusters",
+    "q_dedup_method_agreement3",
     # round-11 window remainder (rows r11)
     "q_grouping_sets",
     "q_inner_join",

@@ -150,6 +150,8 @@ HEADLINE = [
     "q_winnowing_band_survivors",  # fingerprint-axis keep-longest (r14 add)
     "q_pcap_flow_timeout_reset",  # reset-rule exporter twin (r14 add)
     "q_pcap_stream_talkers",  # live endpoint census over closed flows (r15 add)
+    "q_dedup_simhash_clusters",  # SimHash-axis cluster labels (r15 add)
+    "q_dedup_method_agreement3",  # three-way dedup decision table (r15 add)
 ]
 
 # round-over-round reference (same box, sf0.1, local[32]):

@@ -224,6 +224,7 @@ EMPTY_SAFE = [
     "q_winnowing_band_members",
     "q_winnowing_band_clusters",
     "q_winnowing_band_survivors",
+    "q_dedup_simhash_clusters",
     # cube over empty input: Spark's Expand emits nothing; the oracle
     # carries HAVING COUNT(*) > 0 so DuckDB matches (round-13 find)
     "q_fulfillment_matrix",
@@ -237,6 +238,7 @@ EMPTY_SAFE = [
 CONSTANT_ON_EMPTY = {
     "q_winnowing_band_curve": 3,  # one row per band count, zero counts
     "q_dedup_method_agreement": 1,  # one census row of zeros / NULL ratio
+    "q_dedup_method_agreement3": 1,  # one 2x2x2 census row of zeros / NULLs
     "q_table_profile": 3,  # one profile row per profiled column
     "q_schema_evolution": 1,  # one summary row of zero counts
     "q_funnel": 3,  # one row per stage, all counts zero

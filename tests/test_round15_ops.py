@@ -122,3 +122,157 @@ def test_stream_talkers_hand_trace(spark):
     v4 = rows["192.168.1.2"]
     assert v4["out_packets"] > 0 and v4["in_packets"] == 0
     assert v4["io_byte_ratio"] is None  # no inbound bytes -> NULL ratio
+
+
+# ---------------------------------------------------------------------------
+# three-way dedup method agreement (SimHash axis added)
+
+from pcap_to_parquet_spark.registry import QUERIES  # noqa: E402
+
+
+def _docs_lake(spark, path, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(path / "documents.parquet"))
+    return str(path)
+
+
+def _components(nodes, edges):
+    """Brute-force min-label connected components (pure Python)."""
+    lab = {n: n for n in nodes}
+    changed = True
+    while changed:
+        changed = False
+        for a, b in edges:
+            m = min(lab[a], lab[b])
+            for x in (a, b):
+                if lab[x] != m:
+                    lab[x] = m
+                    changed = True
+    return lab
+
+
+def test_simhash_clusters_match_bruteforce(spark, tmp_path):
+    """Cross-op consistency: the rep-collapsed star-contraction labels
+    must equal brute-force connected components over ALL O(n²)
+    hamming-≤3 fingerprint pairs — and identical texts (hamming 0)
+    always share a cluster, token-free docs stay singletons."""
+    from pcap_to_parquet_spark.operators.llm import simhash
+
+    twin = " ".join(f"t{i}" for i in range(20))
+    rows = [
+        (0, twin, "en", "s", 1),
+        (1, twin, "en", "s", 1),                                  # identical pair
+        (2, " ".join(f"w{i}" for i in range(20)), "en", "s", 1),
+        (3, " ".join(("CHANGED" if i == 17 else f"w{i}") for i in range(20)),
+         "en", "s", 1),                                           # near pair (maybe)
+        (4, " ".join(f"z{i}" for i in range(25)), "en", "s", 1),
+        (5, "   ", "en", "s", 1),                                 # no tokens
+    ]
+    d = _docs_lake(spark, tmp_path, rows)
+    from pcap_to_parquet_spark.sources.tables import load_table
+
+    fps = {
+        r.doc_id: r.simhash
+        for r in simhash(load_table(spark, d, "documents")).collect()
+    }
+    assert 5 not in fps  # token-free doc carries no fingerprint
+    ids = sorted(fps)
+    edges = [
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    ]
+    expect = _components([r[0] for r in rows], edges)
+    got = {
+        r.doc_id: r.cluster_id
+        for r in QUERIES["q_dedup_simhash_clusters"](spark, d).collect()
+    }
+    assert got == expect
+    assert got[0] == got[1]  # identical texts share a cluster
+    assert got[5] == 5       # token-free doc is a singleton
+
+
+def test_method_agreement3_planted_and_consistent(spark, tmp_path):
+    """The 2×2×2 census must be the exact brute-force roll of its own
+    three input labelings — and its jaccard×winnowing margin must
+    equal the two-axis census row on the same fixture (shared labels,
+    shared algebra)."""
+    base = " ".join(f"w{i}" for i in range(20))
+    near = " ".join(("CHANGED" if i == 17 else f"w{i}") for i in range(20))
+    twin = " ".join(f"t{i}" for i in range(20))
+    d = _docs_lake(
+        spark,
+        tmp_path,
+        [
+            (0, twin, "en", "s", 1),
+            (1, twin, "en", "s", 1),     # identical: dup under all three
+            (2, base, "en", "s", 1),
+            (3, near, "en", "s", 1),     # near: winnow-only vs jaccard
+            (4, " ".join(f"z{i}" for i in range(20)), "en", "s", 1),
+        ],
+    )
+    labs = {
+        k: {
+            r.doc_id: r.cluster_id
+            for r in QUERIES[q](spark, d).collect()
+        }
+        for k, q in (
+            ("j", "q_dedup_clusters"),
+            ("w", "q_winnowing_band_clusters"),
+            ("s", "q_dedup_simhash_clusters"),
+        )
+    }
+
+    def pairs(lab):
+        from collections import Counter
+
+        by = Counter(lab.values())
+        return sum(c * (c - 1) // 2 for c in by.values())
+
+    def joint(la, lb):
+        from collections import Counter
+
+        by = Counter((la[d_], lb[d_]) for d_ in la)
+        return sum(c * (c - 1) // 2 for c in by.values())
+
+    def dup(lab):
+        from collections import Counter
+
+        by = Counter(lab.values())
+        return {d_: by[c] >= 2 for d_, c in lab.items()}
+
+    dj, dw, ds = dup(labs["j"]), dup(labs["w"]), dup(labs["s"])
+    r = QUERIES["q_dedup_method_agreement3"](spark, d).collect()[0]
+    docs = list(labs["j"])
+    assert r.n_docs == len(docs) == 5
+    assert r.dup_all == sum(dj[x] and dw[x] and ds[x] for x in docs)
+    assert r.dup_jw_only == sum(dj[x] and dw[x] and not ds[x] for x in docs)
+    assert r.dup_js_only == sum(dj[x] and ds[x] and not dw[x] for x in docs)
+    assert r.dup_ws_only == sum(dw[x] and ds[x] and not dj[x] for x in docs)
+    assert r.dup_jaccard_only == sum(
+        dj[x] and not dw[x] and not ds[x] for x in docs
+    )
+    assert r.dup_winnow_only == sum(
+        dw[x] and not dj[x] and not ds[x] for x in docs
+    )
+    assert r.dup_simhash_only == sum(
+        ds[x] and not dj[x] and not dw[x] for x in docs
+    )
+    assert r.dup_none == sum(
+        not dj[x] and not dw[x] and not ds[x] for x in docs
+    )
+    assert (r.n_pairs_jaccard, r.n_pairs_winnow, r.n_pairs_simhash) == (
+        pairs(labs["j"]), pairs(labs["w"]), pairs(labs["s"])
+    )
+    assert (r.n_pairs_jw, r.n_pairs_js, r.n_pairs_ws) == (
+        joint(labs["j"], labs["w"]),
+        joint(labs["j"], labs["s"]),
+        joint(labs["w"], labs["s"]),
+    )
+    # the jw margin equals the two-axis census on the same fixture
+    r2 = QUERIES["q_dedup_method_agreement"](spark, d).collect()[0]
+    assert r.n_pairs_jw == r2.n_pairs_both
+    assert r.pair_jaccard_jw == r2.pair_jaccard
+    assert r.dup_all + r.dup_jw_only == r2.dup_both
