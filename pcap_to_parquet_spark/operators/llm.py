@@ -5796,6 +5796,167 @@ def winnowing_band_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _survivors_from_labels(labels, d)
 
 
+# round 15: survivors x filter-attribution composition — how much of
+# the fingerprint-dedup removed mass the cheap quality gates already
+# reject (the r14 verdict's item 4; closes the curation loop:
+# agreement -> axis -> survivors -> is the dedup even needed?)
+BAND_FILTER_ATTRIBUTION_ORACLE = rf"""
+WITH wlab AS ({WINNOWING_BAND_CLUSTERS_ORACLE}),
+surv AS (
+    SELECT l.cluster_id,
+           FIRST(d.doc_id ORDER BY d.n_chars DESC, d.doc_id) AS survivor_doc
+    FROM wlab l JOIN documents d ON d.doc_id = l.doc_id
+    GROUP BY l.cluster_id
+    HAVING COUNT(*) > 1
+),
+removed AS (
+    SELECT l.doc_id
+    FROM wlab l JOIN surv s ON s.cluster_id = l.cluster_id
+    WHERE l.doc_id <> s.survivor_doc
+),
+sig AS (
+    SELECT doc_id, n_chars, {_FA_FLAGS_SQL}
+    FROM documents
+),
+rsig AS (
+    SELECT sig.*, f_len + f_dens + f_punct + f_stop AS n_f
+    FROM sig JOIN removed USING (doc_id)
+),
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_removed,
+           CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS removed_chars,
+           CAST(COALESCE(SUM(f_len), 0) AS BIGINT) AS al_len,
+           CAST(COALESCE(SUM(f_len * n_chars), 0) AS BIGINT) AS ch_len,
+           CAST(COALESCE(SUM(f_dens), 0) AS BIGINT) AS al_dens,
+           CAST(COALESCE(SUM(f_dens * n_chars), 0) AS BIGINT) AS ch_dens,
+           CAST(COALESCE(SUM(f_punct), 0) AS BIGINT) AS al_punct,
+           CAST(COALESCE(SUM(f_punct * n_chars), 0) AS BIGINT) AS ch_punct,
+           CAST(COALESCE(SUM(f_stop), 0) AS BIGINT) AS al_stop,
+           CAST(COALESCE(SUM(f_stop * n_chars), 0) AS BIGINT) AS ch_stop,
+           CAST(COALESCE(SUM(CASE WHEN n_f = 0 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_removed_pass_all
+    FROM rsig
+)
+SELECT r.rule, t.n_removed, t.removed_chars,
+       r.n_already_failing, r.chars_already_failing,
+       ROUND(r.n_already_failing * 1.0 / NULLIF(t.n_removed, 0), 6)
+           AS share_already_rejected,
+       t.n_removed_pass_all
+FROM tot t, (
+    SELECT 'length' AS rule, al_len AS n_already_failing,
+           ch_len AS chars_already_failing FROM tot
+    UNION ALL SELECT 'low_density', al_dens, ch_dens FROM tot
+    UNION ALL SELECT 'high_punct', al_punct, ch_punct FROM tot
+    UNION ALL SELECT 'low_stopword', al_stop, ch_stop FROM tot
+) r
+ORDER BY r.rule
+"""
+
+
+@query("q_band_filter_attribution", BAND_FILTER_ATTRIBUTION_ORACLE)
+def band_filter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVIVORS × FILTER-ATTRIBUTION composition — the question the
+    two censuses can't answer alone: of the mass the fingerprint-axis
+    dedup would REMOVE (non-survivor members of winnowing-band
+    clusters, keep-longest policy), how much does each committed
+    quality gate (q_filter_attribution's four rules) already reject?
+    Per rule: removed docs (and their chars) that also fail the rule,
+    plus the removed-set totals and the pass-everything remainder —
+    n_removed_pass_all is the dedup pass' MARGINAL contribution if the
+    gates run first. A removed set that quality filters already cover
+    is a dedup pass a 100-TB run can skip; a large pass-all remainder
+    is the proof it can't. Complements q_filter_dedup_overlap (MinHash
+    axis, any-rule flag): this is per-RULE and fingerprint-axis.
+    [engine — not in reference]
+
+    Scale design: labels come from _shared_labels (one clustering per
+    application+sf_dir, shared with the agreement censuses); survivor
+    selection is the audited _survivors_from_labels kernel
+    (census-sized output); the removed set is one cluster_id-keyed
+    join + doc-keyed semi-join against the map-only gate-flag scan
+    (shared _fa_flag_cols definition, 6dp-rounded thresholds); the
+    census is ONE 1-row aggregate unpivoted to 4 rule rows by an
+    inline of literal structs. Oracle: the cluster oracle nested
+    verbatim + the same FIRST ... ORDER BY keep rule + the shared
+    _FA_FLAGS_SQL block — every shared definition stated once."""
+    d = load_table(spark, sf_dir, "documents")
+    labels = _shared_labels(spark, sf_dir, "winnow")
+    surv = _survivors_from_labels(labels, d.select("doc_id", "n_chars"))
+    removed = (
+        labels.join(surv.select("cluster_id", "survivor_doc"), "cluster_id")
+        .where(F.col("doc_id") != F.col("survivor_doc"))
+        .select("doc_id")
+    )
+    f_len, f_dens, f_punct, f_stop = _fa_flag_cols()
+    flags = fan_out(d).select(
+        "doc_id",
+        "n_chars",
+        f_len.alias("f_len"),
+        f_dens.alias("f_dens"),
+        f_punct.alias("f_punct"),
+        f_stop.alias("f_stop"),
+    )
+    rsig = flags.join(removed, "doc_id").withColumn(
+        "n_f", F.col("f_len") + F.col("f_dens") + F.col("f_punct") + F.col("f_stop")
+    )
+
+    def _al(flag: str, name: str):
+        return F.coalesce(F.sum(flag), F.lit(0)).cast("long").alias(name)
+
+    def _ch(flag: str, name: str):
+        return (
+            F.coalesce(F.sum(F.col(flag) * F.col("n_chars")), F.lit(0))
+            .cast("long").alias(name)
+        )
+
+    tot = rsig.agg(
+        F.count(F.lit(1)).cast("long").alias("n_removed"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias("removed_chars"),
+        _al("f_len", "al_len"), _ch("f_len", "ch_len"),
+        _al("f_dens", "al_dens"), _ch("f_dens", "ch_dens"),
+        _al("f_punct", "al_punct"), _ch("f_punct", "ch_punct"),
+        _al("f_stop", "al_stop"), _ch("f_stop", "ch_stop"),
+        F.coalesce(F.sum(F.when(F.col("n_f") == 0, 1).otherwise(0)), F.lit(0))
+        .cast("long").alias("n_removed_pass_all"),
+    )
+
+    def _row(rule: str, al: str, ch: str):
+        return F.struct(
+            F.lit(rule).alias("rule"),
+            F.col(al).alias("n_already_failing"),
+            F.col(ch).alias("chars_already_failing"),
+        )
+
+    return (
+        tot.select(
+            F.explode(
+                F.array(
+                    _row("high_punct", "al_punct", "ch_punct"),
+                    _row("length", "al_len", "ch_len"),
+                    _row("low_density", "al_dens", "ch_dens"),
+                    _row("low_stopword", "al_stop", "ch_stop"),
+                )
+            ).alias("r"),
+            "n_removed",
+            "removed_chars",
+            "n_removed_pass_all",
+        )
+        .select(
+            "r.rule",
+            "n_removed",
+            "removed_chars",
+            "r.n_already_failing",
+            "r.chars_already_failing",
+            F.round(
+                F.col("r.n_already_failing") * 1.0
+                / F.nullif(F.col("n_removed"), F.lit(0)),
+                6,
+            ).alias("share_already_rejected"),
+            "n_removed_pass_all",
+        )
+    )
+
+
 # round 14: cross-method agreement census — the decision table for
 # CHOOSING a dedup method, computed from cluster labels so pair sets
 # are never materialized

@@ -239,6 +239,7 @@ CONSTANT_ON_EMPTY = {
     "q_winnowing_band_curve": 3,  # one row per band count, zero counts
     "q_dedup_method_agreement": 1,  # one census row of zeros / NULL ratio
     "q_dedup_method_agreement3": 1,  # one 2x2x2 census row of zeros / NULLs
+    "q_band_filter_attribution": 4,  # rule rows: zero counts, NULL share
     "q_table_profile": 3,  # one profile row per profiled column
     "q_schema_evolution": 1,  # one summary row of zero counts
     "q_funnel": 3,  # one row per stage, all counts zero

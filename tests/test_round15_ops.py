@@ -276,3 +276,46 @@ def test_method_agreement3_planted_and_consistent(spark, tmp_path):
     assert r.n_pairs_jw == r2.n_pairs_both
     assert r.pair_jaccard_jw == r2.pair_jaccard
     assert r.dup_all + r.dup_jw_only == r2.dup_both
+
+
+def test_band_filter_attribution_planted(spark, tmp_path):
+    """Hand-planted removed set with known gate flags: the band dedup
+    removes docs 0 and 1 (doc 2 is the keep-longest survivor); doc 0
+    fails only the length gate (n_chars 50), doc 1 only the density
+    gate (20 tokens over a claimed 200 chars), both fail the
+    stopword gate (no stopwords), neither trips punctuation — so each
+    rule's already-rejected share and the zero pass-all remainder are
+    all hand-checkable, and n_removed ties out against the survivors
+    op's n_dropped."""
+    base = " ".join(f"w{i}" for i in range(20))
+    near = " ".join(("CHANGED" if i == 10 else f"w{i}") for i in range(20))
+    longer = base + " extra tokens here"
+    d = _docs_lake(
+        spark,
+        tmp_path,
+        [
+            (0, base, "en", "s", 50),     # fails length (50 < 100)
+            (1, near, "en", "s", 200),    # fails density (20/200 < 0.175)
+            (2, longer, "en", "s", 300),  # survivor: longest n_chars
+            (9, " ".join(f"z{i}" for i in range(20)), "en", "s", 150),
+        ],
+    )
+    rows = {r.rule: r for r in
+            QUERIES["q_band_filter_attribution"](spark, d).collect()}
+    assert set(rows) == {"length", "low_density", "high_punct", "low_stopword"}
+    r = rows["length"]
+    assert (r.n_removed, r.removed_chars, r.n_removed_pass_all) == (2, 250, 0)
+    assert (r.n_already_failing, r.chars_already_failing) == (1, 50)
+    assert r.share_already_rejected == 0.5
+    assert (rows["low_density"].n_already_failing,
+            rows["low_density"].chars_already_failing) == (1, 200)
+    assert rows["high_punct"].n_already_failing == 0
+    assert (rows["low_stopword"].n_already_failing,
+            rows["low_stopword"].chars_already_failing) == (2, 250)
+    assert rows["low_stopword"].share_already_rejected == 1.0
+    # ties out against the survivors deliverable
+    dropped = sum(
+        r.n_dropped
+        for r in QUERIES["q_winnowing_band_survivors"](spark, d).collect()
+    )
+    assert dropped == rows["length"].n_removed == 2
