@@ -124,6 +124,7 @@ _GATE_FRONT = [
     "q_dedup_simhash_clusters",
     "q_dedup_method_agreement3",
     "q_band_filter_attribution",
+    "q_dedup_simhash_survivors",
     # round-11 window remainder (rows r11)
     "q_grouping_sets",
     "q_inner_join",

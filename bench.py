@@ -153,6 +153,7 @@ HEADLINE = [
     "q_dedup_simhash_clusters",  # SimHash-axis cluster labels (r15 add)
     "q_dedup_method_agreement3",  # three-way dedup decision table (r15 add)
     "q_band_filter_attribution",  # removed-mass x quality-gate census (r15 add)
+    "q_dedup_simhash_survivors",  # SimHash-axis keep-longest (r15 add)
 ]
 
 # round-over-round reference (same box, sf0.1, local[32]):

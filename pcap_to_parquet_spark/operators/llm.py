@@ -433,6 +433,44 @@ def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# round 15: SimHash-axis survivors — with this every axis of the dedup
+# matrix carries the same pairs -> clusters -> survivors pipeline
+SIMHASH_SURVIVORS_ORACLE = f"""
+WITH slab AS ({SIMHASH_CLUSTERS_ORACLE})
+SELECT l.cluster_id,
+       FIRST(d.doc_id ORDER BY d.n_chars DESC, d.doc_id) AS survivor_doc,
+       COUNT(*) AS n_members,
+       COUNT(*) - 1 AS n_dropped,
+       CAST(MAX(d.n_chars) AS BIGINT) AS survivor_chars
+FROM slab l JOIN documents d ON d.doc_id = l.doc_id
+GROUP BY l.cluster_id
+HAVING COUNT(*) > 1
+"""
+
+
+@query("q_dedup_simhash_survivors", SIMHASH_SURVIVORS_ORACLE)
+def dedup_simhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SimHash axis' curation DELIVERABLE — one kept document per
+    non-trivial hamming-≤3 cluster, completing the symmetric
+    pairs → clusters → survivors pipeline on the third axis of the
+    dedup matrix (jaccard: q_dedup_survivors; winnowing:
+    q_winnowing_band_survivors): longest text wins, doc_id breaks ties
+    (shared _survivors_from_labels kernel, so the keep policy cannot
+    diverge between any two axes). With q_dedup_method_agreement3 this
+    closes the full three-way switch-path: measure agreement, pick an
+    axis, take its survivors. [engine — not in reference]
+
+    Composition at scale: q_dedup_simhash_clusters' fingerprint-rep
+    star contraction (via _shared_labels — one labeling per
+    application and sf_dir across the census and survivor ops)
+    followed by ONE max_by aggregate keyed on the cluster id. Oracle:
+    the cluster oracle nested verbatim + the same FIRST ... ORDER BY
+    n_chars DESC keep rule as both sibling axes."""
+    labels = _shared_labels(spark, sf_dir, "simhash")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return _survivors_from_labels(labels, d)
+
+
 # ---------------------------------------------------------------------------
 # exact n-gram Jaccard (oracle-checkable: pure set algebra)
 

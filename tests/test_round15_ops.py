@@ -192,6 +192,19 @@ def test_simhash_clusters_match_bruteforce(spark, tmp_path):
     assert got == expect
     assert got[0] == got[1]  # identical texts share a cluster
     assert got[5] == 5       # token-free doc is a singleton
+    # survivors tie out against the labels: one keep-longest survivor
+    # per non-trivial cluster, members counted
+    from collections import Counter
+
+    sizes = Counter(got.values())
+    surv = {
+        r.cluster_id: r
+        for r in QUERIES["q_dedup_simhash_survivors"](spark, d).collect()
+    }
+    assert set(surv) == {c for c, n in sizes.items() if n >= 2}
+    for c, r in surv.items():
+        assert r.n_members == sizes[c] and r.n_dropped == sizes[c] - 1
+        assert got[r.survivor_doc] == c
 
 
 def test_method_agreement3_planted_and_consistent(spark, tmp_path):
