@@ -125,6 +125,7 @@ _GATE_FRONT = [
     "q_dedup_method_agreement3",
     "q_band_filter_attribution",
     "q_dedup_simhash_survivors",
+    "q_dedup_agreement_by_source",
     # round-11 window remainder (rows r11)
     "q_grouping_sets",
     "q_inner_join",

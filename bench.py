@@ -154,11 +154,21 @@ HEADLINE = [
     "q_dedup_method_agreement3",  # three-way dedup decision table (r15 add)
     "q_band_filter_attribution",  # removed-mass x quality-gate census (r15 add)
     "q_dedup_simhash_survivors",  # SimHash-axis keep-longest (r15 add)
+    "q_dedup_agreement_by_source",  # per-source method disagreement (r15 add)
 ]
 
 # round-over-round reference (same box, sf0.1, local[32]):
 # BENCH_r01 headline total was 17.33 s over the first 12 entries —
 # compare per-query, not totals, when the headline list grows.
+#
+# From round 15 the dedup label frames are SHARED per process
+# (_shared_labels in operators/llm.py — the r14 verdict's item 8): the
+# first run of the first agreement-census entry pays each labeling
+# once, later runs and later census entries reuse it. For
+# q_dedup_method_agreement / q_dedup_method_agreement3 /
+# q_band_filter_attribution / q_dedup_simhash_survivors, cross-round
+# tables should therefore compare `queries_cold` (first run), not the
+# min/median — the min/median now price the census algebra alone.
 
 
 def _big_pcap(n_packets: int = 250_000) -> str:

@@ -6310,6 +6310,98 @@ def dedup_method_agreement3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# round 15: where the axes disagree — the agreement census localized
+# to the provenance axis (which corpus slice the cheap method would
+# under- or over-dedup)
+AGREEMENT_BY_SOURCE_ORACLE = f"""
+WITH jlab AS ({DEDUP_CLUSTERS_ORACLE}),
+wlab AS ({WINNOWING_BAND_CLUSTERS_ORACLE}),
+slab AS ({SIMHASH_CLUSTERS_ORACLE}),
+jsz AS (SELECT cluster_id, COUNT(*) AS sz FROM jlab GROUP BY cluster_id),
+wsz AS (SELECT cluster_id, COUNT(*) AS sz FROM wlab GROUP BY cluster_id),
+ssz AS (SELECT cluster_id, COUNT(*) AS sz FROM slab GROUP BY cluster_id),
+flags AS (
+    SELECT j.doc_id, jsz.sz >= 2 AS dj, wsz.sz >= 2 AS dw, ssz.sz >= 2 AS ds
+    FROM jlab j
+    JOIN jsz ON jsz.cluster_id = j.cluster_id
+    JOIN wlab w ON w.doc_id = j.doc_id
+    JOIN wsz ON wsz.cluster_id = w.cluster_id
+    JOIN slab s ON s.doc_id = j.doc_id
+    JOIN ssz ON ssz.cluster_id = s.cluster_id
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COALESCE(SUM(CASE WHEN f.dj THEN 1 END), 0) AS BIGINT) AS dup_jaccard,
+       CAST(COALESCE(SUM(CASE WHEN f.dw THEN 1 END), 0) AS BIGINT) AS dup_winnow,
+       CAST(COALESCE(SUM(CASE WHEN f.ds THEN 1 END), 0) AS BIGINT) AS dup_simhash,
+       CAST(COALESCE(SUM(CASE WHEN f.dj <> f.dw OR f.dj <> f.ds OR f.dw <> f.ds
+                           THEN 1 END), 0) AS BIGINT) AS n_disagree,
+       ROUND(COALESCE(SUM(CASE WHEN f.dj <> f.dw OR f.dj <> f.ds OR f.dw <> f.ds
+                              THEN 1 END), 0) * 1.0
+             / NULLIF(COUNT(*), 0), 6) AS disagree_share
+FROM flags f JOIN documents d ON d.doc_id = f.doc_id
+GROUP BY d.source
+"""
+
+
+@query("q_dedup_agreement_by_source", AGREEMENT_BY_SOURCE_ORACLE)
+def dedup_agreement_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method disagreement localized to PROVENANCE — the drill-down the
+    one-row three-way census (q_dedup_method_agreement3) can't give:
+    per source, how many docs each axis flags as duplicates and how
+    many docs the three axes DISAGREE on (not all three flags equal).
+    A source whose disagree share spikes is where switching to the
+    cheaper fingerprint path changes the kept corpus — the per-slice
+    version of the global switching decision, next to
+    q_dedup_source_census (MinHash within/cross split) and
+    q_dedup_bias (per language) on the provenance axis. [engine — not
+    in reference]
+
+    Scale design: the three label frames come from _shared_labels
+    (computed once per application+sf_dir, shared with the other
+    census ops); the flags frame is three doc-keyed joins; the census
+    is one source-keyed aggregate (source cardinality is census-sized).
+    Oracle: the three cluster oracles nested verbatim + identical flag
+    algebra."""
+    d = load_table(spark, sf_dir, "documents")
+    jlab = _shared_labels(spark, sf_dir, "jaccard")
+    wlab = _shared_labels(spark, sf_dir, "winnow")
+    slab = _shared_labels(spark, sf_dir, "simhash")
+
+    def flagged(lab: DataFrame, name: str) -> DataFrame:
+        sz = lab.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+        return lab.join(sz, "cluster_id").select(
+            "doc_id", (F.col("sz") >= 2).alias(name)
+        )
+
+    flags = (
+        flagged(jlab, "dj")
+        .join(flagged(wlab, "dw"), "doc_id")
+        .join(flagged(slab, "ds"), "doc_id")
+        .join(d.select("doc_id", "source"), "doc_id")
+    )
+    dis = (
+        (F.col("dj") != F.col("dw"))
+        | (F.col("dj") != F.col("ds"))
+        | (F.col("dw") != F.col("ds"))
+    )
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum(F.when(F.col("dj"), 1)), F.lit(0))
+        .cast("long").alias("dup_jaccard"),
+        F.coalesce(F.sum(F.when(F.col("dw"), 1)), F.lit(0))
+        .cast("long").alias("dup_winnow"),
+        F.coalesce(F.sum(F.when(F.col("ds"), 1)), F.lit(0))
+        .cast("long").alias("dup_simhash"),
+        F.coalesce(F.sum(F.when(dis, 1)), F.lit(0)).cast("long").alias("n_disagree"),
+        F.round(
+            F.coalesce(F.sum(F.when(dis, 1)), F.lit(0)) * 1.0
+            / F.nullif(F.count(F.lit(1)), F.lit(0)),
+            6,
+        ).alias("disagree_share"),
+    )
+
+
 # round 13: recall-vs-band-count tuning curve for the band variant
 _CURVE_SLICE = 300  # fixed audit slice (doc_id bound) — flat at any sf
 _CURVE_TAU = 2      # ground-truth pair threshold: n_shared >= tau

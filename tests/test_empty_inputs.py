@@ -226,6 +226,7 @@ EMPTY_SAFE = [
     "q_winnowing_band_survivors",
     "q_dedup_simhash_clusters",
     "q_dedup_simhash_survivors",
+    "q_dedup_agreement_by_source",
     # cube over empty input: Spark's Expand emits nothing; the oracle
     # carries HAVING COUNT(*) > 0 so DuckDB matches (round-13 find)
     "q_fulfillment_matrix",

@@ -289,6 +289,22 @@ def test_method_agreement3_planted_and_consistent(spark, tmp_path):
     assert r.n_pairs_jw == r2.n_pairs_both
     assert r.pair_jaccard_jw == r2.pair_jaccard
     assert r.dup_all + r.dup_jw_only == r2.dup_both
+    # the per-source drill-down rolls up to the same global margins
+    per_src = QUERIES["q_dedup_agreement_by_source"](spark, d).collect()
+    assert sum(s.n_docs for s in per_src) == r.n_docs
+    assert sum(s.dup_jaccard for s in per_src) == (
+        r.dup_all + r.dup_jw_only + r.dup_js_only + r.dup_jaccard_only
+    )
+    assert sum(s.dup_winnow for s in per_src) == (
+        r.dup_all + r.dup_jw_only + r.dup_ws_only + r.dup_winnow_only
+    )
+    assert sum(s.dup_simhash for s in per_src) == (
+        r.dup_all + r.dup_js_only + r.dup_ws_only + r.dup_simhash_only
+    )
+    assert sum(s.n_disagree for s in per_src) == (
+        r.dup_jw_only + r.dup_js_only + r.dup_ws_only
+        + r.dup_jaccard_only + r.dup_winnow_only + r.dup_simhash_only
+    )
 
 
 def test_band_filter_attribution_planted(spark, tmp_path):
