@@ -161,14 +161,10 @@ HEADLINE = [
 # BENCH_r01 headline total was 17.33 s over the first 12 entries —
 # compare per-query, not totals, when the headline list grows.
 #
-# From round 15 the dedup label frames are SHARED per process
-# (_shared_labels in operators/llm.py — the r14 verdict's item 8): the
-# first run of the first agreement-census entry pays each labeling
-# once, later runs and later census entries reuse it. For
-# q_dedup_method_agreement / q_dedup_method_agreement3 /
-# q_band_filter_attribution / q_dedup_simhash_survivors, cross-round
-# tables should therefore compare `queries_cold` (first run), not the
-# min/median — the min/median now price the census algebra alone.
+# Round-15 optimization note: the dedup label frames are NOT shared
+# across invocations (_shared_labels in operators/llm.py computes
+# fresh per call) — every run of every agreement-census entry pays its
+# clusterings in full, so min/median price the whole computation.
 
 
 def _big_pcap(n_packets: int = 250_000) -> str:

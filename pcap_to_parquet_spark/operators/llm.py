@@ -461,9 +461,9 @@ def dedup_simhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     axis, take its survivors. [engine — not in reference]
 
     Composition at scale: q_dedup_simhash_clusters' fingerprint-rep
-    star contraction (via _shared_labels — one labeling per
-    application and sf_dir across the census and survivor ops)
-    followed by ONE max_by aggregate keyed on the cluster id. Oracle:
+    star contraction (via _shared_labels — computed fresh per
+    invocation, checkpointed within the plan) followed by ONE max_by
+    aggregate keyed on the cluster id. Oracle:
     the cluster oracle nested verbatim + the same FIRST ... ORDER BY
     n_chars DESC keep rule as both sibling axes."""
     labels = _shared_labels(spark, sf_dir, "simhash")
@@ -5907,8 +5907,8 @@ def band_filter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     axis, any-rule flag): this is per-RULE and fingerprint-axis.
     [engine — not in reference]
 
-    Scale design: labels come from _shared_labels (one clustering per
-    application+sf_dir, shared with the agreement censuses); survivor
+    Scale design: labels come from _shared_labels (computed fresh per
+    invocation, checkpointed within the plan); survivor
     selection is the audited _survivors_from_labels kernel
     (census-sized output); the removed set is one cluster_id-keyed
     join + doc-keyed semi-join against the map-only gate-flag scan
@@ -6119,30 +6119,27 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # round 15: the agreement census extended to the SimHash axis — one
-# 2x2x2 decision table instead of three pairwise runs. The label
-# frames are shared (computed once per Spark application and sf_dir)
-# between the two agreement censuses, so benching both in one process
-# prices the labelings once — the honest cost of the composed table
-# (r14 verdict item 8).
-_LABEL_CACHE: dict = {}
+# 2x2x2 decision table instead of three pairwise runs. Each census
+# invocation computes its label frames FRESH (no cross-invocation
+# memo: a module-level cache would let a repeated bench run price the
+# census algebra without the clusterings it consumes). Within one
+# invocation the frame is localCheckpointed because the same query
+# plan consumes it 2-4 times — plan sharing inside one timed run.
 
 
 def _shared_labels(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
     """localCheckpointed (doc_id, cluster_id) frame for one dedup
-    axis, computed once per (Spark application, sf_dir): the label
-    frames are consumed 2-4 times across the agreement censuses, and
-    the clustering inside them is the dominant cost. Keyed by
-    applicationId so a restarted session never sees another session's
-    checkpointed RDDs."""
-    key = (spark.sparkContext.applicationId, sf_dir, kind)
-    if key not in _LABEL_CACHE:
-        fn = {
-            "jaccard": dedup_clusters,
-            "winnow": winnowing_band_clusters,
-            "simhash": dedup_simhash_clusters,
-        }[kind]
-        _LABEL_CACHE[key] = fn(spark, sf_dir).localCheckpoint(eager=True)
-    return _LABEL_CACHE[key]
+    axis, computed fresh on every call: the label frames are each
+    consumed 2-4 times WITHIN a single agreement-census plan (where
+    the checkpoint prevents recomputation), and the clustering inside
+    them is the dominant cost — paid again on every invocation so
+    that repeated runs always price the full computation."""
+    fn = {
+        "jaccard": dedup_clusters,
+        "winnow": winnowing_band_clusters,
+        "simhash": dedup_simhash_clusters,
+    }[kind]
+    return fn(spark, sf_dir).localCheckpoint(eager=True)
 
 
 def _pair_count_from_sizes(szf: DataFrame, name: str) -> DataFrame:
@@ -6246,10 +6243,10 @@ def dedup_method_agreement3(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts from cluster sizes, agreed-pair counts from the JOINT
     label groupings, pair sets never materialized; the whole census is
     census-sized groupBys over three label frames plus doc-keyed
-    joins. The label frames come from _shared_labels (computed once
-    per application and sf_dir, localCheckpointed — each is consumed
-    2-4 times here and again by the two-axis census when both run in
-    one process). Oracle: all three cluster oracles nested verbatim,
+    joins. The label frames come from _shared_labels (computed fresh
+    per invocation, localCheckpointed — each is consumed 2-4 times
+    within this one plan). Oracle: all three cluster oracles nested
+    verbatim,
     so the census is exactly over the driver-checked labelings."""
     jlab = _shared_labels(spark, sf_dir, "jaccard")
     wlab = _shared_labels(spark, sf_dir, "winnow")
@@ -6358,8 +6355,8 @@ def dedup_agreement_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     in reference]
 
     Scale design: the three label frames come from _shared_labels
-    (computed once per application+sf_dir, shared with the other
-    census ops); the flags frame is three doc-keyed joins; the census
+    (computed fresh per invocation, checkpointed within the plan);
+    the flags frame is three doc-keyed joins; the census
     is one source-keyed aggregate (source cardinality is census-sized).
     Oracle: the three cluster oracles nested verbatim + identical flag
     algebra."""
