@@ -682,12 +682,13 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # canonical (min, max) endpoints so the closing probe is one
     # equi-join against the canonical edge set (an OR of orientations
     # would plan as a nested loop)
+    # the join condition already orders the endpoints (e1.t < e2.t),
+    # so the canonical (min, max) wedge is a direct projection — no
+    # least/greatest per wedge row
     wedges = e1.join(
         e2,
         (F.col("e1.s") == F.col("e2.s")) & (F.col("e1.t") < F.col("e2.t")),
-    ).select(
-        F.least("e1.t", "e2.t").alias("v"), F.greatest("e1.t", "e2.t").alias("w")
-    )
+    ).select(F.col("e1.t").alias("v"), F.col("e2.t").alias("w"))
     e = pairs.alias("e")
     # wedge count + closing probe in ONE pass over the wedge stream:
     # pairs is distinct, so the left join matches at most one edge per

@@ -2536,19 +2536,27 @@ def minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard) is value-checked against SQL, not just row-counted.
 
     Spark-side the signature stage is 100% JVM column algebra: explode
-    distinct shingles, one md5+conv per shingle, then {perms} codegen'd
-    MIN aggregates on ONE shuffle (the same shuffle the banding needs
-    anyway). (a*h + b) stays under 2^63 (31-bit a x 32-bit h), so the
+    shingles (no dedup — MIN ignores multiplicity, so the distinct's
+    string shuffle is pure cost), one md5+conv per shingle, then
+    {perms} codegen'd MIN aggregates partially aggregated map-side so
+    the ONE shuffle carries only 128 longs per (doc, partition). (a*h + b) stays under 2^63 (31-bit a x 32-bit h), so the
     arithmetic is overflow-free in both engines. q_dedup_minhash
     remains the raw-throughput path (map-only numpy signatures, zero
     shuffle); this twin is the correctness anchor — same plan shape
     from the bands join onward."""
     d = load_table(spark, sf_dir, "documents")
+    # NO distinct before the signature aggregate: MIN over a multiset
+    # equals MIN over its set, so duplicate shingles cannot change any
+    # signature — and the distinct's exchange shipped the full shingle
+    # STRING volume across the shuffle just to dedup rows the min
+    # ignores. Without it the 128 mins partial-aggregate map-side and
+    # the only shuffle carries 128 longs per (doc, partition). The
+    # oracle keeps its DISTINCT; values are identical by the argument
+    # above (driver-checked).
     shingled = (
         fan_out(d)
         .select("doc_id", whitespace_tokens("text").alias("toks"))
         .select("doc_id", F.explode(shingles("toks", 3)).alias("sh"))
-        .distinct()
     )
     h32 = F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long")
     hs = shingled.select("doc_id", h32.alias("h"))
@@ -3162,7 +3170,8 @@ def components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     intermediate size provably O(|E|). Each round is one groupBy per
     direction — the same aggregate shuffle shape, on a shrinking
     input. Convergence = the canonical edge set reaches a fixpoint
-    (checked with two anti-join counts, never a collect)."""
+    (checked with one symmetric-difference aggregate, never a
+    collect)."""
     d = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
@@ -3206,13 +3215,15 @@ def star_contract(edges: DataFrame) -> DataFrame:
     converged = False
     for _ in range(50):
         nb = neighborhoods(cur)
-        # large-star: strictly larger neighbors hang under the minimum
+        # large-star: strictly larger neighbors hang under the minimum.
+        # NOT checkpointed: the small-star half consumes it through a
+        # reused exchange, so fusing both stars into the one round-end
+        # checkpoint job halves the actions per round (2 instead of 4
+        # with the old mid-round checkpoint + two exceptAll counts).
         large = nb.filter(F.col("v") > F.col("u")).select(
             F.col("v").alias("u"), F.col("m").alias("v")
         )
-        after_large = canonical(
-            large.filter(F.col("u") != F.col("v"))
-        ).localCheckpoint(eager=True)
+        after_large = canonical(large.filter(F.col("u") != F.col("v")))
         nb2 = neighborhoods(after_large)
         # small-star: u and its ≤ neighbors all re-parent to the minimum
         small = (
@@ -3223,8 +3234,17 @@ def star_contract(edges: DataFrame) -> DataFrame:
         new = canonical(small.filter(F.col("u") != F.col("v"))).localCheckpoint(
             eager=True
         )
+        # convergence = empty symmetric difference. Both frames are
+        # DISTINCT canonical edge sets, so a row differs iff it appears
+        # exactly once in their unionAll — ONE aggregate job over two
+        # checkpointed RDDs instead of two exceptAll jobs.
         changed = (
-            new.exceptAll(cur).limit(1).count() + cur.exceptAll(new).limit(1).count()
+            new.unionAll(cur)
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") == 1)
+            .limit(1)
+            .count()
         )
         cur = new
         if changed == 0:
@@ -7079,22 +7099,36 @@ def _lsh_audit_frames(
     shingled, jp = _audit_jaccard_pairs(spark, sf_dir)
     tp = jp.where(F.col("j") >= _LSHR_TAU).select("doc_a", "doc_b")
     mins = _audit_minhash_mins(shingled)
-    bands = None
-    for bi in range(MINHASH_BANDS):
-        part = mins.select(
-            "doc_id",
-            F.lit(bi).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"m{bi * MINHASH_ROWS + r}").cast("string")
-                        for r in range(MINHASH_ROWS)
-                    ],
-                )
-            ).alias("bh"),
-        )
-        bands = part if bands is None else bands.unionAll(part)
+    # ONE pass over the signature aggregate: explode an array of
+    # (band, bh) structs instead of a 16-way unionAll of projections —
+    # the union shape re-ran the 128-min final aggregation once per
+    # band (and twice per band across the self-join's two sides); the
+    # explode computes it once per side with the exchange reused
+    # (q_minhash_exact's proven banding shape, identical values).
+    bands = mins.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"m{bi * MINHASH_ROWS + r}").cast(
+                                        "string"
+                                    )
+                                    for r in range(MINHASH_ROWS)
+                                ],
+                            )
+                        ).alias("bh"),
+                    )
+                    for bi in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bh")
     ba, bb2 = bands.alias("ba"), bands.alias("bb")
     cand = (
         ba.join(

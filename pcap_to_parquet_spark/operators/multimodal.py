@@ -588,14 +588,46 @@ def _probe_variants(band):  # type: ignore[no-untyped-def]
     )
 
 
-def _mih_pairs(h, fp_len: int, n_bands: int, frame_aligned: bool = False):  # type: ignore[no-untyped-def]
-    """DISTINCT candidate (media_a, media_b) pairs whose fingerprints
-    agree on some band within one bit flip (per frame-aligned band when
-    ``frame_aligned``). COMPLETE for total Hamming <= the caller's
-    radius whenever floor(radius / total_bands) <= 1 — the pigeonhole
-    bound the near-dup ops are sized to."""
-    bounds = _band_bounds(fp_len, n_bands)
+def _mih_verified_pairs(  # type: ignore[no-untyped-def]
+    h,
+    fp_len: int,
+    n_bands: int,
+    maxh: int,
+    sig: str = "fp",
+    sig_len: int | None = None,
+    frame_aligned: bool = False,
+):
+    """DISTINCT verified (media_a, media_b, hamming) pairs whose
+    fingerprints agree on some band within one bit flip (per
+    frame-aligned band when ``frame_aligned``) AND whose exact Hamming
+    distance over the ``sig`` bitstring is <= ``maxh``. COMPLETE for
+    that radius whenever floor(maxh / total_bands) <= 1 — the
+    pigeonhole bound the near-dup ops are sized to.
+
+    The verify is FUSED INLINE: each side of the bucket join carries
+    its signature pre-chunked into 32-bit integers (chunked ONCE per
+    rep row, not per pair), hamming is XOR+bit_count column algebra on
+    the join output, and the radius filter runs BEFORE the pair
+    distinct. The earlier shape deduped the raw candidate volume first
+    (~3.4 M rows at sf0.1 for images — an exchange of nothing but
+    doomed pairs) and then re-joined fingerprints back per side;
+    fusing drops that exchange and both verify joins, leaving the
+    distinct to dedup only the within-radius pairs.
+
+    ``sig``/``sig_len`` let the video op band on per-frame prints while
+    verifying the frame-ordered concatenated signature (sum of aligned
+    per-frame Hammings == Hamming of the concat)."""
+    n_bits = sig_len or fp_len
+    nchunks = (n_bits + 31) // 32
+    chunk_cols = [
+        F.conv(F.substring(sig, 1 + 32 * i, 32), 2, 10)
+        .cast("long")
+        .alias(f"_hc{i}")
+        for i in range(nchunks)
+    ]
     frame = ["frame_idx"] if frame_aligned else []
+    hh = h.select("media_id", "fp", *frame, *chunk_cols)
+    bounds = _band_bounds(fp_len, n_bands)
 
     def tag(bi: int):  # type: ignore[no-untyped-def]
         # single-arg lambda on purpose: a 2-arg transform lambda would
@@ -610,11 +642,12 @@ def _mih_pairs(h, fp_len: int, n_bands: int, frame_aligned: bool = False):  # ty
             per_band.append(F.transform(variants, tag(bi)))
         return F.explode(F.flatten(F.array(*per_band))).alias("bk")
 
-    probed = h.select("media_id", *frame, keys(True)).select(
-        "media_id", *frame, "bk.band_idx", "bk.key"
+    carried = [*frame, *[f"_hc{i}" for i in range(nchunks)]]
+    probed = hh.select("media_id", *carried, keys(True)).select(
+        "media_id", *carried, "bk.band_idx", "bk.key"
     )
-    exact = h.select("media_id", *frame, keys(False)).select(
-        "media_id", *frame, "bk.band_idx", "bk.key"
+    exact = hh.select("media_id", *carried, keys(False)).select(
+        "media_id", *carried, "bk.band_idx", "bk.key"
     )
     a, b = probed.alias("a"), exact.alias("b")
     cond = (
@@ -624,12 +657,20 @@ def _mih_pairs(h, fp_len: int, n_bands: int, frame_aligned: bool = False):  # ty
     )
     if frame_aligned:
         cond = cond & (F.col("a.frame_idx") == F.col("b.frame_idx"))
+    ham = None
+    for i in range(nchunks):
+        term = F.bit_count(
+            F.col(f"a._hc{i}").bitwiseXOR(F.col(f"b._hc{i}"))
+        )
+        ham = term if ham is None else ham + term
     return (
         a.join(b, cond)
         .select(
             F.col("a.media_id").alias("media_a"),
             F.col("b.media_id").alias("media_b"),
+            ham.cast("long").alias("hamming"),
         )
+        .filter(F.col("hamming") <= maxh)
         .distinct()
     )
 
@@ -689,23 +730,6 @@ def _collapse_by_fp(h):  # type: ignore[no-untyped-def]
     return reps, members
 
 
-def _hamming_col(ca: str, cb: str, n_bits: int = 64):  # type: ignore[no-untyped-def]
-    """Hamming distance between two bitstring columns of up to
-    ``n_bits`` chars as conv/XOR/bit_count column algebra, one 32-bit
-    chunk at a time (all JVM-side, no Python in the hot path)."""
-
-    def _chunk(col: str, start: int):  # type: ignore[no-untyped-def]
-        return F.conv(F.substring(col, start, 32), 2, 10).cast("long")
-
-    total = None
-    for i in range((n_bits + 31) // 32):
-        term = F.bit_count(
-            _chunk(ca, 1 + 32 * i).bitwiseXOR(_chunk(cb, 1 + 32 * i))
-        )
-        total = term if total is None else total + term
-    return total.cast("long")
-
-
 # ---------------------------------------------------------------------------
 # perceptual image near-dup: MIH Hamming join over dHash fingerprints
 
@@ -731,7 +755,7 @@ def image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The candidate generation is EXACT, not approximate: a pair within
     {maxh} bits has some band with ≤ floor({maxh}/{bands}) = 1 errors
     (pigeonhole), which the 1-bit probes cover — so the brute-force
-    oracle must agree perfectly. See _mih_pairs for why naive 4-bit
+    oracle must agree perfectly. See _mih_verified_pairs for why naive 4-bit
     banding (the pigeonhole-only design) collapses at corpus scale.
     Hamming itself is two 32-bit conv/XOR/bit_count ops, pure JVM
     column algebra.
@@ -749,19 +773,12 @@ def image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", F.col("dhash").alias("fp")
     )
     reps, members = _collapse_by_fp(h)
-    cand = _mih_pairs(reps, fp_len=64, n_bands=_INEAR_BANDS)
-    ra = reps.select(F.col("media_id").alias("media_a"), F.col("fp").alias("ha"))
-    rb = reps.select(F.col("media_id").alias("media_b"), F.col("fp").alias("hb"))
-    rep_pairs = (
-        cand.join(ra, "media_a")
-        .join(rb, "media_b")
-        .withColumn("hamming", _hamming_col("ha", "hb"))
-        .filter(F.col("hamming") <= _INEAR_MAXH)
-        .select(
-            F.col("media_a").alias("rep_a"),
-            F.col("media_b").alias("rep_b"),
-            "hamming",
-        )
+    rep_pairs = _mih_verified_pairs(
+        reps, fp_len=64, n_bands=_INEAR_BANDS, maxh=_INEAR_MAXH
+    ).select(
+        F.col("media_a").alias("rep_a"),
+        F.col("media_b").alias("rep_b"),
+        "hamming",
     )
     return _expand_rep_pairs(rep_pairs, members)
 
@@ -854,21 +871,12 @@ def audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     h = media.mapInPandas(fingerprint, schema="media_id long, fp string")
     reps, members = _collapse_by_fp(h)  # dedup-before-pairgen
-    cand = _mih_pairs(reps, fp_len=_ANEAR_WINDOWS - 1, n_bands=8)
-    ra = reps.select(F.col("media_id").alias("media_a"), F.col("fp").alias("ha"))
-    rb = reps.select(F.col("media_id").alias("media_b"), F.col("fp").alias("hb"))
-    rep_pairs = (
-        cand.join(ra, "media_a")
-        .join(rb, "media_b")
-        .withColumn(
-            "hamming", _hamming_col("ha", "hb", n_bits=_ANEAR_WINDOWS - 1)
-        )
-        .filter(F.col("hamming") <= _ANEAR_MAXH)
-        .select(
-            F.col("media_a").alias("rep_a"),
-            F.col("media_b").alias("rep_b"),
-            "hamming",
-        )
+    rep_pairs = _mih_verified_pairs(
+        reps, fp_len=_ANEAR_WINDOWS - 1, n_bands=8, maxh=_ANEAR_MAXH
+    ).select(
+        F.col("media_a").alias("rep_a"),
+        F.col("media_b").alias("rep_b"),
+        "hamming",
     )
     return _expand_rep_pairs(rep_pairs, members)
 
@@ -952,9 +960,11 @@ def video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     band count for its radius — details in SURVEY §2.
 
     Scale shape: fingerprints are map-only over the frame fan-out,
-    candidates shuffle (frame_idx, band, bits) keys, and the final
-    pair Hamming is one aggregation over the (pair, frame) joins —
-    the n² video space never materializes."""
+    candidates shuffle (frame_idx, band, bits) keys with the chunked
+    concat signature carried alongside, and the pair Hamming is fused
+    into the bucket join itself (XOR/bit_count on the carried chunks,
+    radius-filtered before the pair distinct) — the n² video space
+    never materializes and no per-frame verify join runs."""
     d = load_table(spark, sf_dir, "documents")
     media = raw_media_table(d, "video", width=16, height=16, n_frames=4)
     frames = sample_frames(media, every_nth=1)
@@ -994,30 +1004,28 @@ def video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rep", F.min("media_id").over(Window.partitionBy("sig"))
     ).localCheckpoint(eager=True)  # (media, sig, rep): one materialization
     members = sigm.select("rep", "media_id")
+    # band source: per-frame rep rows, each carrying the video's FULL
+    # frame-ordered concatenated signature — the fused verify (see
+    # _mih_verified_pairs) checks total Hamming on the concat, which
+    # equals the old per-frame join + SUM because the frames align.
     reps_h = h.join(
-        sigm.filter(F.col("media_id") == F.col("rep")).select("media_id"),
+        sigm.filter(F.col("media_id") == F.col("rep")).select(
+            "media_id", "sig"
+        ),
         "media_id",
     )
-    cand = _mih_pairs(reps_h, fp_len=63, n_bands=4, frame_aligned=True)
-    fa, fb = reps_h.alias("fa"), reps_h.alias("fb")
-    per_frame = (
-        cand.join(fa, F.col("fa.media_id") == F.col("media_a"))
-        .join(
-            fb,
-            (F.col("fb.media_id") == F.col("media_b"))
-            & (F.col("fb.frame_idx") == F.col("fa.frame_idx")),
-        )
-        .select("media_a", "media_b", _hamming_col("fa.fp", "fb.fp").alias("fh"))
-    )
-    rep_pairs = (
-        per_frame.groupBy("media_a", "media_b")
-        .agg(F.sum("fh").cast("long").alias("hamming"))
-        .filter(F.col("hamming") <= _VNEAR_MAXH)
-        .select(
-            F.col("media_a").alias("rep_a"),
-            F.col("media_b").alias("rep_b"),
-            "hamming",
-        )
+    rep_pairs = _mih_verified_pairs(
+        reps_h,
+        fp_len=63,
+        n_bands=4,
+        maxh=_VNEAR_MAXH,
+        sig="sig",
+        sig_len=63 * 4,
+        frame_aligned=True,
+    ).select(
+        F.col("media_a").alias("rep_a"),
+        F.col("media_b").alias("rep_b"),
+        "hamming",
     )
     return _expand_rep_pairs(rep_pairs, members)
 
