@@ -359,9 +359,14 @@ def _simhash_band_pairs(fps: DataFrame) -> DataFrame:
             F.col("y.doc_id").alias("doc_b"),
             F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).alias("hamming"),
         )
+        # radius filter BEFORE the distinct (the r15 neardup lesson):
+        # hamming is a pure function of the pair, so filtering first is
+        # result-identical and the distinct's exchange dedups only
+        # within-radius pairs instead of the raw band-candidate volume
+        .filter(F.col("hamming") <= 3)
         .distinct()
     )
-    return pairs.filter(F.col("hamming") <= 3)
+    return pairs
 
 
 @query("q_dedup_simhash", SIMHASH_ORACLE)
@@ -3204,14 +3209,46 @@ def star_contract(edges: DataFrame) -> DataFrame:
 
     def neighborhoods(e: DataFrame) -> DataFrame:
         """Symmetric (u, v) adjacency with the neighborhood min m_u
-        attached to every row (min over Γ(u) ∪ {u})."""
+        attached to every row (min over Γ(u) ∪ {u}). The Window form
+        deliberately: one exchange + sort per call. The aggregate+join
+        alternative (shuffle |V| partial mins, AQE-broadcast them back)
+        was measured SLOWER on the census-scale graphs every caller has
+        — two broadcast builds per round added more stage latency than
+        the 2|E| window sort costs (r15 A/B: winnow clusters 8.0→10.1 s
+        with agg+join) — and at graph scale the window's single
+        re-partition of the adjacency is the same exchange the join
+        would pay anyway."""
         sym = e.union(e.select(F.col("v"), F.col("u")).toDF("u", "v"))
         w = Window.partitionBy("u")
         return sym.withColumn(
             "m", F.least(F.min("v").over(w), F.col("u"))
         )
 
-    cur = canonical(edges)
+    def observed_checkpoint(e: DataFrame):
+        """Materialize a canonical edge set through ONE job that also
+        yields its convergence FINGERPRINT as observe() metrics riding
+        the localCheckpoint materialization: row count plus residue
+        sums of the endpoints and of xxhash64(u, v) (mod 2^20 so the
+        sums stay in long range to ~2^43 rows). Each component is a
+        pure function of the SET, so unequal fingerprints PROVE the
+        round changed the edge set — the common case, decided for free
+        — while equal fingerprints trigger the one exact set-equality
+        job below. The old shape paid a second full unionAll +
+        groupBy(u, v) symmetric-difference shuffle job EVERY round."""
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        m = F.lit(1 << 20)
+        d = e.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.pmod(F.col("u"), m)).alias("su"),
+            F.sum(F.pmod(F.col("v"), m)).alias("sv"),
+            F.sum(F.pmod(F.xxhash64("u", "v"), m)).alias("sh"),
+        ).localCheckpoint(eager=True)
+        return d, obs.get
+
+    cur, cur_fp = observed_checkpoint(canonical(edges))
     converged = False
     for _ in range(50):
         nb = neighborhoods(cur)
@@ -3223,7 +3260,14 @@ def star_contract(edges: DataFrame) -> DataFrame:
         large = nb.filter(F.col("v") > F.col("u")).select(
             F.col("v").alias("u"), F.col("m").alias("v")
         )
-        after_large = canonical(large.filter(F.col("u") != F.col("v")))
+        # NOT canonicalized: the mid-round distinct bought nothing —
+        # neighborhoods() symmetrizes (orientation is irrelevant) and
+        # min is multiplicity-insensitive, while large-star emits at
+        # most one row per undirected edge, so there is no growth to
+        # bound either; dropping it removes one exchange per round.
+        # The round-end canonical below still dedups what the next
+        # round consumes.
+        after_large = large.filter(F.col("u") != F.col("v"))
         nb2 = neighborhoods(after_large)
         # small-star: u and its ≤ neighbors all re-parent to the minimum
         small = (
@@ -3231,25 +3275,29 @@ def star_contract(edges: DataFrame) -> DataFrame:
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(nb2.select(F.col("u"), F.col("m")).toDF("u", "v"))
         )
-        new = canonical(small.filter(F.col("u") != F.col("v"))).localCheckpoint(
-            eager=True
+        new, new_fp = observed_checkpoint(
+            canonical(small.filter(F.col("u") != F.col("v")))
         )
-        # convergence = empty symmetric difference. Both frames are
-        # DISTINCT canonical edge sets, so a row differs iff it appears
-        # exactly once in their unionAll — ONE aggregate job over two
-        # checkpointed RDDs instead of two exceptAll jobs.
-        changed = (
-            new.unionAll(cur)
-            .groupBy("u", "v")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .where(F.col("c") == 1)
-            .limit(1)
-            .count()
-        )
-        cur = new
-        if changed == 0:
-            converged = True
-            break
+        if new_fp == cur_fp:
+            # convergence = empty symmetric difference. Both frames are
+            # DISTINCT canonical edge sets, so a row differs iff it
+            # appears exactly once in their unionAll. The exact check
+            # runs only on fingerprint match (in practice: the final
+            # round); a collision that survives it merely costs one
+            # more round.
+            changed = (
+                new.unionAll(cur)
+                .groupBy("u", "v")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .where(F.col("c") == 1)
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                cur = new
+                converged = True
+                break
+        cur, cur_fp = new, new_fp
     if not converged:
         raise RuntimeError("star_contract: star rounds did not converge in 50 rounds")
     # fixpoint is a union of stars rooted at component minima: every
@@ -6083,8 +6131,7 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shared per-application label frames (r14 verdict item 8): when
     # both agreement censuses run in one process the labelings are
     # computed once and priced once
-    jlab = _shared_labels(spark, sf_dir, "jaccard")
-    wlab = _shared_labels(spark, sf_dir, "winnow")
+    jlab, wlab = _shared_labels_many(spark, sf_dir, "jaccard", "winnow")
     jsz = jlab.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
     wsz = wlab.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
     flags = (
@@ -6160,6 +6207,25 @@ def _shared_labels(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
         "simhash": dedup_simhash_clusters,
     }[kind]
     return fn(spark, sf_dir).localCheckpoint(eager=True)
+
+
+def _shared_labels_many(
+    spark: SparkSession, sf_dir: str, *kinds: str
+) -> list[DataFrame]:
+    """The label frames for several dedup axes, built CONCURRENTLY from
+    driver threads. Each axis' clustering is an independent chain of
+    small blocking jobs (checkpoint barriers, convergence counts) that
+    leaves most executor slots idle between stages, so overlapping the
+    chains cuts a census query's wall toward the slowest axis instead
+    of the sum of all three. Spark job submission is thread-safe and
+    scheduling stays fair at the task level; results are the same
+    checkpointed frames _shared_labels returns, still computed fresh on
+    every invocation (nothing memoized across calls)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(kinds)) as ex:
+        futs = [ex.submit(_shared_labels, spark, sf_dir, k) for k in kinds]
+        return [f.result() for f in futs]
 
 
 def _pair_count_from_sizes(szf: DataFrame, name: str) -> DataFrame:
@@ -6268,9 +6334,9 @@ def dedup_method_agreement3(spark: SparkSession, sf_dir: str) -> DataFrame:
     within this one plan). Oracle: all three cluster oracles nested
     verbatim,
     so the census is exactly over the driver-checked labelings."""
-    jlab = _shared_labels(spark, sf_dir, "jaccard")
-    wlab = _shared_labels(spark, sf_dir, "winnow")
-    slab = _shared_labels(spark, sf_dir, "simhash")
+    jlab, wlab, slab = _shared_labels_many(
+        spark, sf_dir, "jaccard", "winnow", "simhash"
+    )
     jsz = jlab.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
     wsz = wlab.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
     ssz = slab.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
@@ -6381,9 +6447,9 @@ def dedup_agreement_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: the three cluster oracles nested verbatim + identical flag
     algebra."""
     d = load_table(spark, sf_dir, "documents")
-    jlab = _shared_labels(spark, sf_dir, "jaccard")
-    wlab = _shared_labels(spark, sf_dir, "winnow")
-    slab = _shared_labels(spark, sf_dir, "simhash")
+    jlab, wlab, slab = _shared_labels_many(
+        spark, sf_dir, "jaccard", "winnow", "simhash"
+    )
 
     def flagged(lab: DataFrame, name: str) -> DataFrame:
         sz = lab.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
