@@ -678,7 +678,26 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)  # |E|-bounded; wedge self-join input
     )
-    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    # |E| is needed as an output scalar anyway; read it off the
+    # checkpointed RDD (one cheap count) and use it to pick the join
+    # strategy for the two wedge-side joins. AQE cannot make this call
+    # itself: a localCheckpoint scan reports unknown stats, so both
+    # joins would SMJ — shuffling AND sorting the multi-million-row
+    # WEDGE STREAM to meet the |E|-row edge set. When the edge set fits
+    # the session's broadcast threshold the wedge stream instead probes
+    # two broadcast hash maps and never shuffles at all; above the
+    # threshold (the 100-TB regime) the plan is exactly the old
+    # shuffled one. Scale-adaptive via the conf, not a constant.
+    n_edges = pairs.count()
+    bcast_ok = n_edges * 32 < int(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "67108864")
+    )
+    # fan_out the PROBE side when broadcasting: the checkpoint froze the
+    # AQE-coalesced partitioning (3-10 partitions at sf0.1), and without
+    # the SMJ exchange to re-spread it, the wedge enumeration — the
+    # CPU-heavy part — would run on that handful of cores
+    e1 = (fan_out(oriented) if bcast_ok else oriented).alias("e1")
+    e2 = (F.broadcast(oriented) if bcast_ok else oriented).alias("e2")
     # canonical (min, max) endpoints so the closing probe is one
     # equi-join against the canonical edge set (an OR of orientations
     # would plan as a nested loop)
@@ -689,7 +708,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         e2,
         (F.col("e1.s") == F.col("e2.s")) & (F.col("e1.t") < F.col("e2.t")),
     ).select(F.col("e1.t").alias("v"), F.col("e2.t").alias("w"))
-    e = pairs.alias("e")
+    e = (F.broadcast(pairs) if bcast_ok else pairs).alias("e")
     # wedge count + closing probe in ONE pass over the wedge stream:
     # pairs is distinct, so the left join matches at most one edge per
     # wedge — count(*) is the wedge count, count(e.u) the triangles
@@ -705,7 +724,9 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("e.u").alias("n_triangles"),
         )
     )
-    return pairs.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(closed)
+    return closed.select(
+        F.lit(n_edges).cast("long").alias("n_edges"), "n_wedges", "n_triangles"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2313,8 +2334,15 @@ def kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .count()
     )
+    from pyspark.sql import Observation
+
     alive_counts: list[int] = []
     for _ in range(_KCORE_ROUNDS):
+        # |alive| rides the checkpoint materialization as an observe()
+        # metric (driver-side scalar only — bounded metadata, never
+        # rows): one job per round instead of a checkpoint job plus a
+        # separate count job (the star_contract r15 discipline)
+        obs = Observation()
         alive = (
             edges.select(F.col("u").alias("node"))
             .unionAll(edges.select(F.col("v").alias("node")))
@@ -2322,10 +2350,10 @@ def kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("d"))
             .where(F.col("d") >= _KCORE_K)
             .select("node")
+            .observe(obs, F.count(F.lit(1)).alias("n_alive"))
             .localCheckpoint(eager=True)  # survivor set, feeds both semi-joins
         )
-        # driver-side scalar only — |alive| is bounded metadata, never rows
-        alive_counts.append(alive.count())
+        alive_counts.append(obs.get["n_alive"])
         edges = (
             edges.join(alive.withColumnRenamed("node", "u"), "u", "left_semi")
             .join(alive.withColumnRenamed("node", "v"), "v", "left_semi")

@@ -7096,7 +7096,11 @@ def _audit_jaccard_pairs(
         F.col("doc_id") < _LSHR_SLICE
     )
     shingled = (
-        d.select("doc_id", whitespace_tokens("text").alias("toks"))
+        # fan_out: the slice predicate pushes into ONE parquet split, so
+        # without it the tokenize/shingle/md5 map work runs on a single
+        # core until the distinct's exchange (no-op on a many-split scan)
+        fan_out(d)
+        .select("doc_id", whitespace_tokens("text").alias("toks"))
         .where(F.size("toks") >= 3)
         .select("doc_id", F.explode(shingles("toks", 3)).alias("sh"))
         .distinct()

@@ -123,7 +123,12 @@ def run_to_memory_flushed(sdf: DataFrame, mode: str = "append", timeout_s: int =
         sdf.writeStream.format("memory")
         .queryName(name)
         .outputMode(mode)
-        .trigger(processingTime="500 milliseconds")
+        # 100 ms cadence: the flush batch is the TRIGGER AFTER the last
+        # data batch, so the trigger interval is pure dead time between
+        # them (r15: 500 ms cost ~0.5-1 s of idle wall per stream query;
+        # the interval paces the demo harness only — watermark semantics
+        # and results are identical at any cadence)
+        .trigger(processingTime="100 milliseconds")
         .start()
     )
     try:
@@ -144,7 +149,7 @@ def run_to_memory_flushed(sdf: DataFrame, mode: str = "append", timeout_s: int =
                 raise TimeoutError(
                     "no-data flush batch never ran; watermark state not emitted"
                 )
-            time.sleep(0.3)
+            time.sleep(0.05)
     finally:
         q.stop()
     return sdf.sparkSession.table(name), list(progress)
