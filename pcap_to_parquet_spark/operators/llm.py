@@ -19,7 +19,7 @@ import random
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pcap_to_parquet_spark.functions.text import shingles, whitespace_tokens
@@ -137,10 +137,15 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     join), so the plan is shuffle-bounded by the number of colliding
     docs, never O(n²)."""
     d = load_table(spark, sf_dir, "documents")
-    # cache lifetime: the returned plan references sigs, so it cannot be
-    # unpersisted here; Spark's ContextCleaner reclaims the blocks once
-    # the plan is garbage-collected
-    sigs = minhash_signatures(d).cache()
+    # localCheckpoint, NOT cache(): sigs is consumed three times by this
+    # one plan (bands explode + both est joins), which the checkpoint
+    # serves without recomputation. cache() would additionally register
+    # the subplan in the session CacheManager, where any LATER
+    # semantically-equal invocation (the bench's 2nd/3rd runs) is served
+    # from memory — cross-run result reuse the bench must not price.
+    # The checkpointed RDD is invocation-local and reclaimed by the
+    # ContextCleaner once the plan is garbage-collected.
+    sigs = minhash_signatures(d).localCheckpoint(eager=True)
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -375,7 +380,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-join, keep pairs with hamming distance ≤ 3 (banding is exact
     for that radius: 4 bands, ≤3 differing bits → some band matches)."""
     d = load_table(spark, sf_dir, "documents")
-    fps = simhash(d).cache()  # reclaimed by ContextCleaner with the plan
+    # localCheckpoint, NOT cache(): invocation-local reuse only (the
+    # band self-join reads fps twice); cache() would serve later
+    # semantically-equal invocations from the session CacheManager
+    fps = simhash(d).localCheckpoint(eager=True)
     return _simhash_band_pairs(fps).orderBy("doc_a", "doc_b")
 
 
@@ -862,44 +870,44 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .toDF("a", "b")
         .localCheckpoint(eager=True)
     )
-    labels = d.select("doc_id", F.col("doc_id").alias("cluster_id")).cache()
-    # labels is a PROJECTION of the persisted frame from round_no-1;
-    # unpersist must target the persisted frame itself
-    persisted = labels
+    # no cache() anywhere in the loop: every round ends in ONE eager
+    # localCheckpoint job whose observe() metric carries the
+    # changed-label count (the star_contract discipline) — lineage is
+    # truncated every round (r1's un-truncated plan grew to 218
+    # exchanges), nothing registers in the session CacheManager (a
+    # cached round frame would also serve later semantically-equal
+    # invocations — cross-run reuse the bench must not price), and the
+    # checkpointed blocks are reclaimed by the ContextCleaner as each
+    # round's reference drops. obs.get relies on the eager checkpoint
+    # firing the observation — see observed_checkpoint's coupling note.
+    labels = d.select("doc_id", F.col("doc_id").alias("cluster_id"))
     converged = False
-    for round_no in range(50):
+    for _round_no in range(50):
         neigh = (
             edges.join(labels, edges.a == labels.doc_id)
             .groupBy(F.col("b").alias("doc_id"))
             .agg(F.min("cluster_id").alias("neigh_min"))
         )
         # carry the old label through the ONE join so the convergence
-        # check below is a filter on this same frame — a second
-        # labels-join per round (the r1-r3a shape) doubled the round's
-        # shuffle count for no information gain
-        merged = labels.join(neigh, "doc_id", "left").select(
-            "doc_id",
-            F.col("cluster_id").alias("old"),
-            F.least("cluster_id", F.coalesce("neigh_min", "cluster_id")).alias("cluster_id"),
+        # count below rides this same frame — a second labels-join per
+        # round (the r1-r3a shape) doubled the round's shuffle count
+        # for no information gain
+        obs = Observation()
+        merged = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "cluster_id", F.coalesce("neigh_min", "cluster_id")
+                ).alias("cluster_id"),
+                (F.col("cluster_id")
+                 != F.least("cluster_id", F.coalesce("neigh_min", "cluster_id"))
+                 ).alias("chg"),
+            )
+            .observe(obs, F.sum(F.col("chg").cast("long")).alias("n_changed"))
+            .localCheckpoint(eager=True)
         )
-        if round_no % 5 == 4:
-            # truncate lineage: each round's plan embeds the previous
-            # round's (r1 ran to 218 exchanges in the materialized plan);
-            # cache() bounds recompute but not plan growth, and a long
-            # chain eventually chokes the driver's planner. The eager
-            # localCheckpoint is nearly free — the convergence count
-            # below materializes this frame anyway.
-            merged = merged.localCheckpoint(eager=True)
-        else:
-            merged = merged.cache()
-        changed = merged.filter(F.col("cluster_id") != F.col("old")).limit(1).count()
-        # release the PREVIOUS round's frame now that `changed` has
-        # materialized the new one (cache rounds free their blocks here;
-        # localCheckpoint rounds are reclaimed by the ContextCleaner once
-        # the reference drops) — without this a slow-converging graph
-        # accumulates up to 50 cached frames in executor memory
-        persisted.unpersist()
-        persisted = merged
+        changed = obs.get["n_changed"] or 0
         labels = merged.select("doc_id", "cluster_id")
         if changed == 0:
             converged = True
@@ -1614,7 +1622,12 @@ def kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     is unrolled as a materialized-CTE chain in SQL — see
     _kmeans_oracle's docstring for the measured margins that make the
     replay bit-exact."""
-    em = fan_out(load_table(spark, sf_dir, "embeddings")).cache()
+    # localCheckpoint, NOT cache(): the iterative loop re-reads em
+    # across its driver actions (invocation-local reuse), while
+    # cache() would also register the subplan in the session
+    # CacheManager and serve later semantically-equal invocations
+    # (other embedding queries, repeated bench runs) from memory
+    em = fan_out(load_table(spark, sf_dir, "embeddings")).localCheckpoint(eager=True)
     init = em.orderBy("vec_id").limit(KMEANS_K).collect()
     centroids = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in init])
     for _ in range(KMEANS_ITERS):
@@ -1639,7 +1652,6 @@ def kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in upd:  # empty clusters keep their previous centroid
             centroids[r.cluster] = np.asarray(r.centroid, dtype=np.float64)
     final = kmeans_assign(em, centroids)
-    em.unpersist()
     return (
         final.groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
@@ -2573,11 +2585,12 @@ def minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, (a, b) in enumerate(_MINHASH_AB)
         ]
     )
-    # sig reused by the bands explode and both est joins — cache, as in
-    # q_dedup_minhash (ContextCleaner reclaims when the plan is GC'd)
+    # sig reused by the bands explode and both est joins —
+    # localCheckpoint, as in q_dedup_minhash (invocation-local reuse
+    # without registering the subplan in the session CacheManager)
     sig = mins.select(
         "doc_id", F.array(*[f"m{i}" for i in range(MINHASH_PERMS)]).alias("sig")
-    ).cache()
+    ).localCheckpoint(eager=True)
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -3234,7 +3247,14 @@ def star_contract(edges: DataFrame) -> DataFrame:
         round changed the edge set — the common case, decided for free
         — while equal fingerprints trigger the one exact set-equality
         job below. The old shape paid a second full unionAll +
-        groupBy(u, v) symmetric-difference shuffle job EVERY round."""
+        groupBy(u, v) symmetric-difference shuffle job EVERY round.
+
+        COUPLING (r15 advisor): obs.get blocks until an action fires
+        the QueryExecutionListener; the eager localCheckpoint is that
+        action on classic Spark sessions (verified 4.1.2). On Spark
+        Connect localCheckpoint itself raises before obs.get could
+        hang; any other session type that runs checkpoints without
+        reporting observed metrics needs an explicit count instead."""
         from pyspark.sql import Observation
 
         obs = Observation()
@@ -3571,10 +3591,14 @@ def pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF list pruning of q_similarity_ivf for IVF-PQ. Recall vs exact
     L2 (0.8@10 on the weakly-clustered synthetic embeddings, vs 0.2
     for raw ADC) is pinned in tests/test_round4c_ops.py."""
-    em = fan_out(load_table(spark, sf_dir, "embeddings")).cache()
+    # localCheckpoint, NOT cache(): the iterative loop re-reads em
+    # across its driver actions (invocation-local reuse), while
+    # cache() would also register the subplan in the session
+    # CacheManager and serve later semantically-equal invocations
+    # (other embedding queries, repeated bench runs) from memory
+    em = fan_out(load_table(spark, sf_dir, "embeddings")).localCheckpoint(eager=True)
     books = pq_train(em)
     out = pq_search(em, em, books)
-    em.unpersist()
     return out
 
 
@@ -3730,7 +3754,12 @@ def ivf_pq(spark: SparkSession, sf_dir: str, n_probes: int = 3) -> DataFrame:
     relative to plain IVF at the same probe count is pinned in
     tests/test_round4c_ops.py — PQ's quantization loss must cost at
     most a small recall delta once the rerank runs."""
-    em = fan_out(load_table(spark, sf_dir, "embeddings")).cache()
+    # localCheckpoint, NOT cache(): the iterative loop re-reads em
+    # across its driver actions (invocation-local reuse), while
+    # cache() would also register the subplan in the session
+    # CacheManager and serve later semantically-equal invocations
+    # (other embedding queries, repeated bench runs) from memory
+    em = fan_out(load_table(spark, sf_dir, "embeddings")).localCheckpoint(eager=True)
     books = pq_train(em)
     # probe selection: label-centroid lists, exactly similarity_ivf's
     comp = em.select(
@@ -3759,7 +3788,6 @@ def ivf_pq(spark: SparkSession, sf_dir: str, n_probes: int = 3) -> DataFrame:
         F.broadcast(probe), em.label == F.col("c_label"), "left_semi"
     )
     out = pq_search(candidates, em, books)
-    em.unpersist()
     return out
 
 
@@ -3789,7 +3817,12 @@ def pca_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     actual projections — which must reproduce the eigenvalue, the
     end-to-end proof that sketch, eig and projection agree (pinned in
     tests/test_round4c_ops.py)."""
-    em = fan_out(load_table(spark, sf_dir, "embeddings")).cache()
+    # localCheckpoint, NOT cache(): the iterative loop re-reads em
+    # across its driver actions (invocation-local reuse), while
+    # cache() would also register the subplan in the session
+    # CacheManager and serve later semantically-equal invocations
+    # (other embedding queries, repeated bench runs) from memory
+    em = fan_out(load_table(spark, sf_dir, "embeddings")).localCheckpoint(eager=True)
     d_dim = 64
 
     def moments(batches):
@@ -3833,7 +3866,6 @@ def pca_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("component")
         .agg(F.var_samp("y").alias("proj_var"))
     )
-    em.unpersist()
     lam_df = proj_var.sparkSession.createDataFrame(
         [
             (int(i), float(lam[i]), float(np.cumsum(lam)[i] / total_var))
@@ -3995,10 +4027,22 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (vowels.cast("double") / F.greatest(F.length("text"), F.lit(1))).alias("f4"),
         (F.col("lang") == "en").cast("double").alias("y"),
     )
-    # standardize from a one-row aggregate (full-batch GD with a fixed
-    # rate needs unit-scale features or it oscillates — measured:
-    # raw mean_tok_len ~5 diverged 0.69 -> 0.89 loss in 12 rounds);
-    # zero-variance features scale to 0 via the greatest() floor
+    # ONE text pass total: the regexp-heavy feature extraction is the
+    # expensive part, so materialize the five raw feature columns once
+    # (localCheckpoint, NOT cache(): invocation-local reuse without
+    # registering the subplan in the session CacheManager — the old
+    # shape paid the text pass twice per invocation, once for the
+    # standardization aggregate and once to materialize feats, and then
+    # served later invocations from the cross-run cache).
+    raw = raw.localCheckpoint(eager=True)
+    # standardize from a one-row aggregate over the materialized
+    # features (full-batch GD with a fixed rate needs unit-scale
+    # features or it oscillates — measured: raw mean_tok_len ~5
+    # diverged 0.69 -> 0.89 loss in 12 rounds); zero-variance features
+    # scale to 0 via the greatest() floor. Kept as the deterministic
+    # agg path (NOT an observe() metric riding the checkpoint: observe
+    # merges task partials in completion order, which could perturb the
+    # float sums run-to-run; the agg's merge order is fixed).
     st = raw.agg(
         *[F.avg(f).alias(f"m{f}") for f in ("f1", "f2", "f3", "f4")],
         *[F.stddev_samp(f).alias(f"s{f}") for f in ("f1", "f2", "f3", "f4")],
@@ -4008,14 +4052,16 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.lit(float(max(st[f"s{f}"] or 0.0, 1e-9)))
         for f in ("f1", "f2", "f3", "f4")
     ]
-    feats = raw.select(F.array(F.lit(1.0), *norm).alias("x"), "y").cache()
+    # the normalization is five arithmetic expressions over the
+    # checkpointed blocks — each epoch re-evaluates it for free, no
+    # second materialization needed
+    feats = raw.select(F.array(F.lit(1.0), *norm).alias("x"), "y")
     dim = len(_LR_FEATURES)
     schema = (
         "feature string, coef double, loss_initial double, "
         "loss_final double, train_acc double"
     )
     if st["mf1"] is None:  # empty corpus: nothing to train on
-        feats.unpersist()
         return spark.createDataFrame([], schema)
     wvec = np.zeros(dim)
     trajectory = []
@@ -4058,7 +4104,6 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the emitted coefficients, not one update behind them
     n, _, loss, hit = epoch(wvec)
     trajectory.append((loss / n, hit / n))
-    feats.unpersist()
     first_loss, first_acc = trajectory[0]
     last_loss, last_acc = trajectory[-1]
     return spark.createDataFrame(
@@ -4267,7 +4312,12 @@ def opq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bit-identical. Output: per-iteration mean quantization error,
     iteration 0 being PLAIN PQ (R = I) — the monotone decrease that
     is OPQ's whole point is pinned in tests/test_round4c_ops.py."""
-    em = fan_out(load_table(spark, sf_dir, "embeddings")).cache()
+    # localCheckpoint, NOT cache(): the iterative loop re-reads em
+    # across its driver actions (invocation-local reuse), while
+    # cache() would also register the subplan in the session
+    # CacheManager and serve later semantically-equal invocations
+    # (other embedding queries, repeated bench runs) from memory
+    em = fan_out(load_table(spark, sf_dir, "embeddings")).localCheckpoint(eager=True)
     d_dim, d_sub = 64, 64 // PQ_M
     r_mat = np.eye(d_dim)
     errors = []
@@ -4331,7 +4381,6 @@ def opq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             # 6dp-rounded cross-moment; rounded again so both engines
             # rotate with the identical R next iteration
             r_mat = np.round(_opq_polar(np.round(m, 6)), 6)
-    em.unpersist()
     return spark.createDataFrame(errors, "iteration int, mean_sq_error double")
 
 
@@ -4477,7 +4526,12 @@ def residual_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     reconstruction error of plain PQ vs coarse-only vs
     coarse+residual-PQ — the two-level encoder must beat both of its
     halves (pinned in tests/test_round4c_ops.py)."""
-    em = fan_out(load_table(spark, sf_dir, "embeddings")).cache()
+    # localCheckpoint, NOT cache(): the iterative loop re-reads em
+    # across its driver actions (invocation-local reuse), while
+    # cache() would also register the subplan in the session
+    # CacheManager and serve later semantically-equal invocations
+    # (other embedding queries, repeated bench runs) from memory
+    em = fan_out(load_table(spark, sf_dir, "embeddings")).localCheckpoint(eager=True)
     d_dim, d_sub = 64, 64 // PQ_M
 
     # --- coarse codebook: Lloyd rounds with (code, cnt, sum) partials
@@ -4550,7 +4604,6 @@ def residual_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
         k: sum(getattr(r, k) for r in sorted(parts, key=lambda r: (r.cnt, r.e_pq)))
         for k in ("e_pq", "e_coarse", "e_rq")
     }
-    em.unpersist()
     return spark.createDataFrame(
         [
             ("pq_only", float(round(tot["e_pq"] / n, 6))),
