@@ -689,9 +689,17 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold (the 100-TB regime) the plan is exactly the old
     # shuffled one. Scale-adaptive via the conf, not a constant.
     n_edges = pairs.count()
-    bcast_ok = n_edges * 32 < int(
-        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "67108864")
-    )
+    # 48 B/row prices the BroadcastHashJoin's built HashedRelation (a
+    # 2-long UnsafeRow is 24 B; LongToUnsafeRowMap adds ~2x in page and
+    # slot overhead), not the 16 B of column data — the r15 advisor's
+    # point that the serialized-row estimate understates the in-memory
+    # footprint. Two such relations (oriented + pairs) are live at once,
+    # so worst case is ~2x the threshold; the threshold is parsed
+    # unit-aware (external sessions carry '10MB'-style values) and an
+    # unparseable/disabled value falls back to the shuffled plan.
+    from pcap_to_parquet_spark.session import broadcast_threshold_bytes
+
+    bcast_ok = n_edges * 48 < broadcast_threshold_bytes(spark)
     # fan_out the PROBE side when broadcasting: the checkpoint froze the
     # AQE-coalesced partitioning (3-10 partitions at sf0.1), and without
     # the SMJ exchange to re-spread it, the wedge enumeration — the
@@ -913,11 +921,37 @@ def pagerank_iterations(edges: DataFrame, iters: int) -> DataFrame:
     rank scaled by 1e9 in BIGINT, `base + (85 * sum(pr div deg)) div
     100` per round. Factored out of q_pagerank so random graphs can
     fuzz it against a pure-Python integer reference."""
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ewd = edges.join(deg, "src").localCheckpoint(eager=True)
+    from pcap_to_parquet_spark.session import broadcast_threshold_bytes
+
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)  # |V|-bounded; reused by ewd + init
+    )
+    # |V| read off the materialized degree table (a near-free count over
+    # checkpointed blocks) picks the per-iteration join strategy: the
+    # rank vector is O(|V|) rows of two longs, so when it fits the
+    # session's broadcast threshold (48 B/row ~ the built HashedRelation
+    # footprint, as in q_triangle_count) every iteration joins the
+    # static |E|-row edge table against a BROADCAST rank map — the edge
+    # table is never exchanged or sorted again, and the only shuffle per
+    # iteration carries the map-side-partially-aggregated contribution
+    # sums (O(|V|) rows per partition). The r15 plan re-exchanged AND
+    # re-sorted the checkpointed edge table in all 5 iterations (a
+    # localCheckpoint scan reports UnknownPartitioning, so AQE could
+    # never reuse its layout). Above the threshold — the 100 TB regime,
+    # where the rank vector itself is cluster-sized — the plan is
+    # exactly the old shuffled one. Scale-adaptive via the conf, not a
+    # local[32] constant.
+    n_nodes = deg.count()
+    bcast_ok = n_nodes * 48 < broadcast_threshold_bytes(edges.sparkSession)
+    ewd = edges.join(
+        F.broadcast(deg) if bcast_ok else deg, "src"
+    ).localCheckpoint(eager=True)
     pr = deg.select(F.col("src").alias("node"), F.lit(_PR_SCALE).cast("long").alias("pr"))
     for _ in range(iters):
-        msgs = ewd.join(pr, ewd.src == pr.node).select(
+        rhs = F.broadcast(pr) if bcast_ok else pr
+        msgs = ewd.join(rhs, ewd.src == rhs.node).select(
             "dst", F.expr("pr div deg").alias("contrib")
         )
         pr = (
@@ -2341,7 +2375,15 @@ def kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         # |alive| rides the checkpoint materialization as an observe()
         # metric (driver-side scalar only — bounded metadata, never
         # rows): one job per round instead of a checkpoint job plus a
-        # separate count job (the star_contract r15 discipline)
+        # separate count job (the star_contract r15 discipline).
+        # COUPLING (r15 advisor): obs.get blocks until an action fires
+        # the QueryExecutionListener; localCheckpoint(eager=True) is
+        # that action on classic Spark sessions (verified 4.1.2). On a
+        # session type where checkpoint actions stop reporting observed
+        # metrics (e.g. Spark Connect, which doesn't support
+        # localCheckpoint at all — the checkpoint call itself would
+        # raise first), this pattern must be replaced with an explicit
+        # count job.
         obs = Observation()
         alive = (
             edges.select(F.col("u").alias("node"))

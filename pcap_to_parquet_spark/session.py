@@ -49,6 +49,46 @@ BUILD_CONF: dict[str, str] = {
 }
 
 
+_BYTE_SUFFIX = {
+    "b": 1,
+    "k": 1 << 10,
+    "kb": 1 << 10,
+    "m": 1 << 20,
+    "mb": 1 << 20,
+    "g": 1 << 30,
+    "gb": 1 << 30,
+    "t": 1 << 40,
+    "tb": 1 << 40,
+    "p": 1 << 50,
+    "pb": 1 << 50,
+}
+
+
+def parse_byte_conf(raw: str) -> int:
+    """A Spark byte-conf value in bytes, accepting the same unit
+    suffixes the JVM does ('10MB', '64m', '10485760b', bare digits).
+    Unparseable or disabled (negative) values return 0, which callers
+    read as "never broadcast" — the always-correct shuffled fallback."""
+    try:
+        s = str(raw).strip().lower()
+        for suf in sorted(_BYTE_SUFFIX, key=len, reverse=True):
+            if s.endswith(suf):
+                return max(int(float(s[: -len(suf)])) * _BYTE_SUFFIX[suf], 0)
+        return max(int(s), 0)
+    except Exception:  # noqa: BLE001 - any exotic value means "don't broadcast"
+        return 0
+
+
+def broadcast_threshold_bytes(spark: SparkSession) -> int:
+    """``spark.sql.autoBroadcastJoinThreshold`` in bytes. Driver-
+    provided sessions can legally carry unit-suffixed values (tune()
+    never sets this key), so a bare int() would crash the
+    scale-adaptive join planners in q_triangle_count / q_pagerank."""
+    return parse_byte_conf(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "67108864")
+    )
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable correctness/perf confs; safe on any session."""
     for k, v in RUNTIME_CONF.items():
