@@ -13,8 +13,10 @@ from pcap_to_parquet_spark.registry import QUERIES
 from pyspark.sql.functions import col as F_col
 
 from tests.conftest import SF0001
+import pytest
 
 
+@pytest.mark.slow  # >=5s: deselected from the default driver-verify run
 def test_funnel_counts_are_monotone_nonincreasing(spark):
     """Each stage is anchored strictly after the previous stage's first
     event, so stage populations can only shrink."""

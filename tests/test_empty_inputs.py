@@ -15,6 +15,9 @@ from pcap_to_parquet_spark.registry import QUERIES
 from pcap_to_parquet_spark.schema import TESTDATA_SCHEMAS
 from pyspark.sql.types import LongType, StructField, StructType
 
+# empty-lake robustness fuzz over every query (~4 min) - full-suite/release gate, r16
+pytestmark = pytest.mark.slow
+
 # queries whose plan is driven purely by the batch tables; streaming and
 # iterative-sampling queries (kmeans needs k seed rows) are exercised
 # separately or are documented to need data

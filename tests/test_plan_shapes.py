@@ -11,6 +11,7 @@ import pcap_to_parquet_spark.operators  # noqa: F401  (registers queries)
 from pcap_to_parquet_spark.plans import plan_profile
 from pcap_to_parquet_spark.registry import QUERIES
 from tests.conftest import SF001
+import pytest
 
 
 def prof(spark, name):
@@ -485,6 +486,7 @@ def test_round4_op_shapes(spark):
     assert p.get("single_partition", 0) <= 2
 
 
+@pytest.mark.slow  # >=5s: deselected from the default driver-verify run
 def test_round4b_op_shapes(spark):
     # RAG chunking must be map-only fan-out: no aggregation, no join,
     # no python eval — the only permitted exchange is fan_out's
@@ -658,6 +660,7 @@ def test_round9_op_shapes(spark):
     assert "CartesianProduct" not in p
 
 
+@pytest.mark.slow  # >=5s: deselected from the default driver-verify run
 def test_round11_census_shapes(spark):
     """Pin the scale claims of the round-11 decision-table ops: the
     map-only censuses must stay one partial-agg exchange with no join

@@ -14,6 +14,9 @@ import pcap_to_parquet_spark.operators  # noqa: F401
 from pcap_to_parquet_spark.registry import ORACLES, QUERIES
 from tests.conftest import SF0001
 
+# whole-registry smoke sweep (~6.5 min) - full-suite/release gate, r16
+pytestmark = pytest.mark.slow
+
 
 def test_registry_shape():
     assert len(QUERIES) >= 115

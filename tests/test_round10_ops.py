@@ -20,6 +20,7 @@ from pcap_to_parquet_spark.operators.text_pipeline import (  # noqa: E402
     _PACK_BUDGET,
 )
 from pcap_to_parquet_spark.registry import QUERIES  # noqa: E402
+import pytest
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -92,6 +93,7 @@ def test_pack_planner_testdata_invariants(spark):
 # q_lsh_precision
 
 
+@pytest.mark.slow  # >=5s: deselected from the default driver-verify run
 def test_lsh_precision_consistent_with_recall(spark):
     """The two audits share one truth/candidate definition: verified
     candidates == caught true pairs, and the true-pair / candidate

@@ -10,6 +10,7 @@ import pcap_to_parquet_spark.operators  # noqa: F401  (registers queries)
 from pcap_to_parquet_spark.registry import QUERIES
 from pcap_to_parquet_spark.sources import load_tables
 from tests.conftest import SF0001
+import pytest
 
 
 def test_salted_join_matches_plain(spark):
@@ -136,6 +137,7 @@ def test_bucketed_join_no_join_shuffle(spark):
     assert df.count() > 0
 
 
+@pytest.mark.slow  # >=5s: deselected from the default driver-verify run
 def test_aqe_skew_split_fires_on_planted_skew(spark):
     """Close the skew loop (round 13): q_skew_planner MEASURES skew;
     this pins the REMEDIATION it recommends — on a planted hot key

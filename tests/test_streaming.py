@@ -18,8 +18,10 @@ from pcap_to_parquet_spark.sources.tables import (
 )
 from pcap_to_parquet_spark.streaming.stream_queries import run_to_memory
 from tests.conftest import SF0001
+import pytest
 
 
+@pytest.mark.slow  # >=5s: deselected from the default driver-verify run
 def test_tumbling_agg_microbatch_invariance(spark, tmp_path):
     # stage events as 4 parquet files (4 triggers at maxFilesPerTrigger=1)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -102,6 +104,7 @@ def test_stream_dedup_microbatch_invariance(spark, tmp_path):
     assert got == exp
 
 
+@pytest.mark.slow  # >=5s: deselected from the default driver-verify run
 def test_stream_ewma_ordered_multibatch_matches_single(spark, tmp_path):
     """Chronologically chopped ingestion (the event-log layout the
     operator documents) must leave the per-key EWMA recursion
